@@ -1,0 +1,248 @@
+"""Aggregation operators — SURVEY.md §2 B6-B9, C9-C14.
+
+The reference exposes group-by statistics through the forwarded
+``groupByFieldsForStatistics`` + ``outStatistics`` parameters
+(task.ts:410-414; count/sum/min/max/avg/stddev/var per the public Esri
+grammar) and ``having``. Natively these are hash aggregates with
+map-side partial aggregation — at 100 TB the shuffle carries only
+per-partition partial states (one row per group per partition), so the
+plan scales with |groups|, not |rows|. AQE coalesces the post-shuffle
+partitions when groups are few.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "agg_groupby_stats",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_discount), 4) AS var_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: the full outStatistics surface in one group-by (flagship;
+    TPC-H Q1 shape). Partial aggregation + 6 groups -> shuffle of a few
+    dozen rows regardless of input size."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.min("l_quantity")).alias("min_qty"),
+            r4(F.max("l_quantity")).alias("max_qty"),
+            r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            r4(F.var_samp("l_discount")).alias("var_disc"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: post-aggregation filter (server-side ``having``)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_global_no_group",
+    oracle="""
+SELECT count(*) AS n_rows,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price,
+       count(DISTINCT l_suppkey) AS n_supp
+FROM lineitem
+""",
+)
+def agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: grand aggregate — single-group hash agg, partials combined on
+    one reducer (a few bytes per partition)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@query(
+    "agg_count_distinct_exact",
+    oracle="""
+SELECT count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders FROM orders
+""",
+)
+def agg_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: exact distinct — Catalyst expands to a two-phase aggregate."""
+    return table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_count_distinct")  # weak: HLL sketches differ across engines
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: HyperLogLog++ distinct estimate (rsd=0.01). Declared weak —
+    sketch internals are engine-specific, so no value oracle; the 100 TB
+    point is that this never shuffles raw values, only fixed-size
+    sketches."""
+    return table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# Grouping-set family (C12) over the orders status × priority lattice.
+# Neither column is nullable, so NULL in the output unambiguously marks
+# the rolled-up level (no grouping_id needed for hash parity).
+
+_GSETS_AGG = "count(*) AS n, round(sum(o_totalprice), 4) AS total"
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, {_GSETS_AGG}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: GROUPING SETS — via the SQL API (same Catalyst Expand plan
+    as the DataFrame rollup/cube variants)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, {_GSETS_AGG}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, {_GSETS_AGG}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: ROLLUP via the DataFrame API."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, {_GSETS_AGG}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: CUBE via the DataFrame API."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS click_value
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: conditional aggregation — the skip-counter pattern the
+    reference keeps imperatively (task.ts:184-187) expressed as
+    sum(CASE)/count(CASE)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        r4(F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0))).alias(
+            "click_value"
+        ),
+    )
+
+
+# Same derived coordinates as filter_spatial_envelope (filters.py).
+_LON = "(c_custkey % 360) - 180 + 0.5"
+_LAT = "(c_custkey % 160) - 80 + 0.5"
+
+
+@query(
+    "agg_extent_minmax",
+    oracle=f"""
+SELECT min({_LON}) AS xmin, max({_LON}) AS xmax,
+       min({_LAT}) AS ymin, max({_LAT}) AS ymax,
+       count(*) AS n
+FROM customer
+""",
+)
+def agg_extent_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: ``returnExtentOnly`` — the layer's bounding box as a min/max
+    aggregate (metadata-cheap on column-statistics-bearing formats)."""
+    cu = table(spark, sf_dir, "customer")
+    lon, lat = F.expr(_LON), F.expr(_LAT)
+    return cu.agg(
+        F.min(lon).alias("xmin"),
+        F.max(lon).alias("xmax"),
+        F.min(lat).alias("ymin"),
+        F.max(lat).alias("ymax"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,139 @@
+"""Filter operators — SURVEY.md §2 A3/B1/B10/B11.
+
+The reference ships a SQL-92 ``where`` clause to the server verbatim
+(``ARCGIS_QUERY``, task.ts:406-408). We accept the same grammar through
+``F.expr`` — Spark's parser covers the SQL-92 predicate subset directly —
+and Catalyst pushes the conjuncts into the parquet scan (visible as
+``PushedFilters``), which is the 100 TB win: row-group pruning happens
+before any row is materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# The exact predicate text is shared with the oracle — this *is* the
+# reference's passthrough design: one SQL-92 string, two executors.
+_COMPOUND = (
+    "(l_quantity > 30 AND l_discount <= 0.05) "
+    "OR (l_returnflag = 'R' AND NOT (l_linestatus = 'F'))"
+)
+
+
+@query(
+    "filter_compound_predicates",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+FROM lineitem
+WHERE {_COMPOUND}
+""",
+)
+def filter_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: AND/OR/NOT + comparison operators, as a pushed-down filter."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.expr(_COMPOUND))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_returnflag",
+            "l_linestatus",
+        )
+    )
+
+
+_LIKE = "p_name LIKE '%bolt' AND p_type LIKE 'ECO%' AND p_brand NOT LIKE 'Brand#1%'"
+
+
+@query(
+    "filter_like_pattern",
+    oracle=f"""
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE {_LIKE}
+""",
+)
+def filter_like_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: LIKE / NOT LIKE patterns (prefix, suffix, negation)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.expr(_LIKE))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    )
+
+
+@query(
+    "filter_in_list",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('P')
+""",
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: IN / NOT IN value lists."""
+    od = table(spark, sf_dir, "orders")
+    return od.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & ~F.col("o_orderstatus").isin("P")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "filter_between_dates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+)
+def filter_between_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B10: temporal BETWEEN (the Esri ``time=<start>,<end>`` param).
+
+    ms-precision column, µs-safe on both engines (SURVEY.md §5.3.2).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-12-31 23:59:59").cast("timestamp")
+    return li.filter(F.col("l_shipdate").between(lo, hi)).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+# Synthetic lon/lat derived deterministically from the key: the driver
+# tables carry no geometry, so the spatial surface (B11) is exercised on
+# derived coordinates — same expression on both engines, exact doubles
+# (small integers + 0.5).
+_LON = "(c_custkey % 360) - 180 + 0.5"
+_LAT = "(c_custkey % 160) - 80 + 0.5"
+
+
+@query(
+    "filter_spatial_envelope",
+    oracle=f"""
+SELECT c_custkey, {_LON} AS lon, {_LAT} AS lat
+FROM customer
+WHERE ({_LON}) BETWEEN -150.0 AND 60.0 AND ({_LAT}) BETWEEN -40.0 AND 45.0
+""",
+)
+def filter_spatial_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: spatial envelope (bounding-box) predicate.
+
+    The reference forwards ``geometry=<bbox>&spatialRel=intersects`` to
+    the server; for point data an envelope intersect is exactly a pair
+    of BETWEENs — sargable, pushed down, partition-prunable if the table
+    is laid out on a space-filling curve (the 100 TB design: Z-order /
+    Hilbert bucketing on (lon,lat)).
+    """
+    cu = table(spark, sf_dir, "customer")
+    return (
+        cu.withColumn("lon", F.expr(_LON))
+        .withColumn("lat", F.expr(_LAT))
+        .filter(F.col("lon").between(-150.0, 60.0) & F.col("lat").between(-40.0, 45.0))
+        .select("c_custkey", "lon", "lat")
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with the engine-wide determinism policy.
+
+Policy (SURVEY.md §4, §5.3): UTC session timezone (parity with the
+DuckDB oracle's UTC-naive timestamps), ANSI mode on (match DuckDB
+cast/overflow semantics), AQE on (runtime re-plan: coalesce post-shuffle
+partitions, skew-join splitting — required at 100 TB), Arrow enabled for
+the pandas-UDF path, and shuffle partitions sized to the environment
+rather than the 200 default.
+
+At cluster scale the same factory applies; only ``shuffle_partitions``
+and memory sizing change (driven by env, not code).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_session(
+    app_name: str = "etl_arcgis_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Local mode uses ``local[$SPARK_GRAFT_CPUS]`` (default all cores).
+    The config below is the portable subset: on a real cluster the
+    master/memory settings come from spark-submit, while the semantic
+    settings (timezone, ANSI, AQE, Arrow) must hold everywhere.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- semantics (must match the DuckDB oracle) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        # parquet read policy (see tables.py): events.ts TIMESTAMP(NANOS)
+        # -> int64 ns; ms timestamps as UTC TIMESTAMP, not NTZ
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # --- adaptive execution: runtime coalesce + skew handling ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: ~cores locally, data-driven on a cluster ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- Arrow for the pandas-UDF slow path ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

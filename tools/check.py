@@ -1,0 +1,169 @@
+"""Local differential checker — emulates the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle over the same
+parquet fixtures, then compares row count, column names, and an
+order-insensitive value comparison (floats rounded to 6 decimals after
+the in-query round(4), everything else exact).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.001] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from etl_arcgis_spark import registry  # noqa: E402
+from etl_arcgis_spark.session import get_session  # noqa: E402
+from etl_arcgis_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
+    """Sort columns by name, normalize cell values for comparison."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    notes = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (bytes,)):
+            out[c] = s
+            continue
+        try:
+            import decimal
+
+            if s.dtype == object and s.dropna().map(lambda x: isinstance(x, decimal.Decimal)).all() and s.dropna().size:
+                s = s.astype(float)
+                notes.append(f"{c}: Decimal->float")
+        except Exception:
+            pass
+        if np.issubdtype(s.dtype, np.floating):
+            s = s.round(6)
+        if np.issubdtype(s.dtype, np.datetime64):
+            s = s.astype("datetime64[us]")
+        out[c] = s
+    return pd.DataFrame(out), notes
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    a, na = canon(sdf)
+    b, nb = canon(odf)
+    # dtype report (informational only; driver hashes values)
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"dtype note {c}: spark={a[c].dtype} oracle={b[c].dtype}")
+    if len(a) == len(b) and len(a):
+        def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
+            keys = pd.Series(
+                ["\x00".join(map(str, row)) for row in df.itertuples(index=False)],
+                index=df.index,
+            )
+            return df.loc[keys.sort_values(kind="mergesort").index].reset_index(drop=True)
+
+        a = sort_rows(a)
+        b = sort_rows(b)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+                av_f = av.astype(float).values
+                bv_f = bv.astype(float).values
+                both_nan = np.isnan(av_f) & np.isnan(bv_f)
+                neq = ~both_nan & ~(av_f == bv_f)
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    problems.append(
+                        f"value mismatch col {c}: {neq.sum()}/{len(av)} rows, "
+                        f"e.g. spark={av_f[i]!r} oracle={bv_f[i]!r} maxdiff="
+                        f"{np.nanmax(np.abs(av_f - bv_f)):.3g}"
+                    )
+            else:
+                neq = av.astype(str).values != bv.astype(str).values
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    problems.append(
+                        f"value mismatch col {c}: {neq.sum()}/{len(av)} rows, "
+                        f"e.g. spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                    )
+    return [p for p in problems if not p.startswith("dtype note")] or [
+        p for p in problems if p.startswith("dtype note")
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    names = args.names or sorted(queries)
+
+    spark = get_session("check", shuffle_partitions=8)
+    con = duck_con(args.sf)
+
+    n_pass = n_fail = n_weak = 0
+    failures = []
+    for name in names:
+        if name not in queries:
+            print(f"?? {name}: not registered")
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = compare(sdf, odf)
+        hard = [p for p in problems if not p.startswith("dtype note")]
+        if hard:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            notes = "; ".join(p for p in problems)
+            print(f"ok   {name}: rows={len(sdf)} ({time.time()-t0:.1f}s){' | ' + notes if notes else ''}")
+    print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} FAIL" + (f": {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
