@@ -1,1 +1,305 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators — SURVEY.md §2 A13/A15/A16, C1-C8.
+
+The reference's only joins are per-record HTTP point lookups: the upsert
+path queries the target by business key, then inserts or updates
+(task.ts:267-349); "insert if absent" (task.ts:284) is an anti-join,
+"update if present" (task.ts:315-316) a semi-join. Here they are real
+relational joins with cluster-scale physical strategies:
+
+- small dims -> ``F.broadcast`` (no shuffle at all);
+- fact-fact -> sort-merge on the join key, AQE picks shuffled-hash when
+  one side turns out small and splits skewed keys;
+- the MERGE upsert -> one full-outer join + coalesce, last-write-wins —
+  the set-based equivalent of the reference's 2-HTTP-calls-per-feature
+  loop, and the reason this design survives 100 TB while the original
+  cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 1000
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: inner equi-join; customer side is dim-sized -> broadcast
+    (zero shuffle on the fact side)."""
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    return od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: left outer join with a pushed join-side predicate — customers
+    with no matching F-order survive with NULL order columns."""
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+), o AS (
+  SELECT o_custkey, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey, f.n_f, o.n_o
+FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: full outer join of two disjointly-filtered aggregates; either
+    side may be absent (NULL counts)."""
+    od = table(spark, sf_dir, "orders")
+    f = (
+        od.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        od.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(o, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"), "n_f", "n_o"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/A16: left-semi join — the reference's 'update if exists' probe
+    (task.ts:315-316) as a set operation."""
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/A15: left-anti join — the reference's 'insert if absent' probe
+    (task.ts:284) as a set operation."""
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_star_multiway",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4: star join — fact chained through three dim legs, the two
+    tiny dims broadcast explicitly (nation 25 rows, region 5); customer
+    is broadcast-sized up to very large SF and AQE demotes it otherwise."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT s1.s_suppkey AS k_lo, s2.s_suppkey AS k_hi, s1.s_nationkey AS nationkey,
+       round(s2.s_acctbal - s1.s_acctbal, 4) AS bal_gap
+FROM supplier s1
+JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey
+ AND s1.s_acctbal < s2.s_acctbal
+ AND s2.s_acctbal - s1.s_acctbal < 500
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: theta/range join (B11 ``distance`` predicate generalized).
+
+    The equi conjunct (nationkey) carries the shuffle so each executor
+    only evaluates the range predicate within its co-partitioned group —
+    the scale-safe plan shape (never a global nested loop).
+    """
+    s1 = table(spark, sf_dir, "supplier").alias("s1")
+    s2 = table(spark, sf_dir, "supplier").alias("s2")
+    cond = (
+        (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+        & (F.col("s1.s_acctbal") < F.col("s2.s_acctbal"))
+        & (F.col("s2.s_acctbal") - F.col("s1.s_acctbal") < 500)
+    )
+    return s1.join(s2, cond, "inner").select(
+        F.col("s1.s_suppkey").alias("k_lo"),
+        F.col("s2.s_suppkey").alias("k_hi"),
+        F.col("s1.s_nationkey").alias("nationkey"),
+        r4(F.col("s2.s_acctbal") - F.col("s1.s_acctbal")).alias("bal_gap"),
+    )
+
+
+@query(
+    "join_asof_event",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id, user_id, purchase_us, last_click_us FROM (
+  SELECT event_id, user_id, event_type, us AS purchase_us,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM e
+) WHERE event_type = 'purchase'
+""",
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: as-of join — each purchase matched to the user's latest
+    strictly-prior click.
+
+    Spark has no native ASOF JOIN (DuckDB's ``ASOF JOIN`` is the oracle
+    cross-check); the scalable formulation is a single window pass over
+    the interleaved event stream: partition by user, order by time,
+    carry the last click time with an IGNORE NULLS last() over a
+    1-PRECEDING frame. One shuffle on user_id, no join at all — at
+    100 TB this beats any join+filter formulation outright.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    e = ev.select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn(
+            "last_click_us",
+            F.last(F.when(F.col("event_type") == "click", F.col("us")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("us").alias("purchase_us"), "last_click_us")
+    )
+
+
+# Upsert split point: events before the cut are the existing target
+# state, events at/after it are the incoming batch (µs epoch for
+# 2024-01-15 00:00:00 UTC).
+_CUT_US = 1_705_276_800_000_000
+
+
+@query(
+    "join_upsert_merge",
+    oracle=f"""
+WITH ranked_old AS (
+  SELECT user_id, value, row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events WHERE epoch_us(ts) < {_CUT_US}
+), ranked_new AS (
+  SELECT user_id, value, row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events WHERE epoch_us(ts) >= {_CUT_US}
+), old AS (SELECT user_id, value AS old_value FROM ranked_old WHERE rn = 1),
+   new AS (SELECT user_id, value AS new_value FROM ranked_new WHERE rn = 1)
+SELECT coalesce(old.user_id, new.user_id) AS user_id,
+       coalesce(new.new_value, old.old_value) AS value,
+       CASE WHEN new.user_id IS NULL THEN 'keep'
+            WHEN old.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS action
+FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+""",
+)
+def join_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/A13: key-based MERGE (upsert), last-write-wins.
+
+    The reference upserts one feature at a time — query by key, then
+    addFeatures or updateFeatures (task.ts:267-349). The engine form is
+    one full-outer join between current state and the incoming batch +
+    coalesce, tagging each key with the branch the reference would have
+    taken ('insert' ≅ task.ts:284, 'update' ≅ task.ts:316). Same shape
+    serves the streaming foreachBatch sink.
+    """
+    ev = table(spark, sf_dir, "events").withColumn("us", F.expr("ts div 1000"))
+
+    def last_write(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("value").alias(out))
+        )
+
+    old = last_write(ev.filter(F.col("us") < _CUT_US), "old_value").alias("old")
+    new = last_write(ev.filter(F.col("us") >= _CUT_US), "new_value").alias("new")
+    return old.join(new, F.col("old.user_id") == F.col("new.user_id"), "full_outer").select(
+        F.coalesce(F.col("old.user_id"), F.col("new.user_id")).alias("user_id"),
+        F.coalesce(F.col("new_value"), F.col("old_value")).alias("value"),
+        F.when(F.col("new.user_id").isNull(), "keep")
+        .when(F.col("old.user_id").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )

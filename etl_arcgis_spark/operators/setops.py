@@ -1,1 +1,60 @@
-"""Placeholder — populated in a later milestone."""
+"""Set operators — SURVEY.md §2 A14, C23-C26.
+
+The reference's PRESERVE_HISTORY=true mode is append-only insert
+("continuous insert mode", task.ts:235-265) — relationally UNION ALL.
+The rest of the family (distinct union / intersect / except) completes
+the engine surface. UNION ALL is shuffle-free; the distinct variants are
+hash-aggregates over the union with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# Two overlapping order slices (F-status vs high-value) shared by all
+# four set operations.
+_A_SQL = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
+_B_SQL = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 200000"
+
+
+def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    a = od.filter(F.col("o_orderstatus") == "F")
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    return a, b
+
+
+@query("set_union_all", oracle=f"{_A_SQL}\nUNION ALL\n{_B_SQL}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23/A14: bag union — append-only insert mode; duplicates kept."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@query("set_union_distinct", oracle=f"{_A_SQL}\nUNION\n{_B_SQL}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: distinct union."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_A_SQL}\nINTERSECT\n{_B_SQL}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: INTERSECT (distinct semantics on both engines)."""
+    a, b = _slices(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_A_SQL}\nEXCEPT\n{_B_SQL}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: EXCEPT (distinct semantics on both engines)."""
+    a, b = _slices(spark, sf_dir)
+    return a.subtract(b)

@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone."""
+"""Window & ordering operators — SURVEY.md §2 A2/B3/B12, C15-C22.
+
+The reference's ``TOP_FEATURES_ITER`` strategy (task.ts:16-19,400)
+forwards top-k-per-group to the server's ``queryTopFeatures``; B3
+(``orderByFields``) and global top-k arrive the same way. Natively these
+are window functions over ``Window.partitionBy().orderBy()`` — one
+shuffle on the partition key, then a streaming pass per partition.
+Catalyst turns the rank-filter shape into a group-limit
+(InferWindowGroupLimit) and ORDER BY + LIMIT into TakeOrderedAndProject,
+so neither materializes a full sort at scale.
+
+Determinism: every ORDER BY carries a unique tie-breaker; events time is
+integer µs (helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    )
+
+
+@query(
+    "window_rank_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/B12/C15: top-3 orders per customer — the queryTopFeatures
+    semantics. The rank<=k filter lets Catalyst insert a per-group limit
+    below the shuffle (check explain for WindowGroupLimit)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+FROM events
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: cumulative per-user running sum (sequential order on both
+    engines -> identical float accumulation)."""
+    e = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "us", r4(F.sum("value").over(w)).alias("running")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_value
+FROM events
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: lag/lead analytics (raw values carried, bit-exact)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_moving_avg_rows",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+""",
+)
+def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: moving aggregate over a ROWS frame (last 4 events)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(-3, 0)
+    return e.select("event_id", "user_id", r4(F.avg("value").over(w)).alias("mov_avg"))
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT event_id, user_id, sec,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+FROM (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events)
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: RANGE frame over epoch-seconds — a trailing 1-hour value
+    window per user (peers included on both engines by RANGE rules)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.expr("ts div 1000000000").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id", "user_id", "sec", r4(F.sum("value").over(w)).alias("hour_sum")
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist()    OVER w, 4) AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: distribution functions over a total order. Single global
+    window — fine for a ranked report output; at 100 TB the same stats
+    come from approx quantiles instead (see agg_approx_count_distinct
+    note)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: first/last value over an explicit full-partition frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_orderstatus ASC NULLS LAST, o_totalprice DESC NULLS LAST, o_orderkey
+LIMIT 500
+""",
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: multi-key sort (``orderByFields``), null ordering explicit
+    (Spark and DuckDB defaults differ), LIMIT so order is observable in
+    the order-insensitive hash."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(500)
+    )
+
+
+@query(
+    "topk_order_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: global top-k — Catalyst compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge; no global sort ever runs)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
