@@ -1,1 +1,198 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function surface — SURVEY.md §2 C27-C32.
+
+The reference's row transforms use exactly this family (concat/replace
+for ids task.ts:427, coalesce defaults task.ts:242-251, ln/tan/radians
+for reprojection task.ts:194, vertex arrays task.ts:203-217, JSON
+parsing task.ts:172-175). Each query packs one function family; all are
+built-in ``pyspark.sql.functions`` — JVM expressions inside whole-stage
+codegen, never Python.
+
+Cross-engine notes baked in below:
+- DuckDB ``regexp_replace`` is first-match unless the 'g' flag is given
+  (Spark replaces all);
+- DuckDB ``length``/``datediff``/``year`` return BIGINT where Spark has
+  INT — Spark side casts up;
+- bare double->int casts disagree (truncate vs round) — always floor();
+- ``try_element_at`` on Spark ≡ out-of-bounds-is-NULL list indexing on
+  DuckDB (and is ANSI-mode-proof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "str_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lower(c_mktsegment) AS lo_seg,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(c_name, 10, 6) AS name_mid,
+       replace(c_name, 'Customer', 'Cust') AS name_short,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+       trim(' ' || c_mktsegment || ' ') AS seg_trim,
+       regexp_extract(c_name, '[0-9]+') AS digits,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+       CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts
+FROM customer
+""",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: string functions (concat/upper/lower/trim/substring/replace/
+    length/lpad/split/regexp_*)."""
+    cu = table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 10, 6).alias("name_mid"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "").alias("no_digits"),
+        F.size(F.split("c_name", "#")).cast("bigint").alias("n_parts"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS days_to_98,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+       epoch_ms(o_orderdate) AS order_ms,
+       make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS first_of_month
+FROM orders
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: date/time functions (extract/trunc/diff/add/epoch/make_date)
+    on the ms-precision order date (µs-safe, SURVEY.md §5.3.2)."""
+    od = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("timestamp"), d).cast("bigint").alias("days_to_98"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.unix_millis(d).alias("order_ms"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 0) AS price_round,
+       round(abs(l_discount - 0.05), 4) AS disc_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       round(sqrt(l_extendedprice), 4) AS price_sqrt,
+       round(exp(l_discount), 4) AS disc_exp,
+       round(ln(l_extendedprice), 4) AS price_ln,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       l_orderkey % 7 AS key_mod,
+       round(sin(l_discount) + cos(l_tax) + atan(l_quantity), 4) AS trig
+FROM lineitem
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: math functions (the reprojection family: ln/tan/radians plus
+    rounding/floor/ceil/mod/trig)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        r4(F.abs(F.col("l_discount") - 0.05)).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        r4(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        r4(F.exp("l_discount")).alias("disc_exp"),
+        r4(F.log("l_extendedprice")).alias("price_ln"),
+        r4(F.pow("l_quantity", 2)).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        r4(F.sin("l_discount") + F.cos("l_tax") + F.atan("l_quantity")).alias("trig"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       list_contains(l, 'spark') AS has_spark,
+       l[1] AS first_tok,
+       l[3] AS third_tok,
+       array_to_string(l[2:4], ' ') AS mid_slice,
+       (list_sort(l))[1] AS min_tok,
+       CAST(list_aggregate(list_transform(l, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
+       array_to_string(list_transform(l[1:3], x -> upper(x)), ' ') AS up3
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: array functions over token arrays (the reference's vertex
+    arrays, task.ts:203-217) — size/contains/element_at/slice/sort/
+    join + higher-order transform/aggregate, all codegen-friendly."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        F.array_contains("l", "spark").alias("has_spark"),
+        F.try_element_at("l", F.lit(1)).alias("first_tok"),
+        F.try_element_at("l", F.lit(3)).alias("third_tok"),
+        F.array_join(F.slice("l", 2, 3), " ").alias("mid_slice"),
+        F.try_element_at(F.sort_array("l"), F.lit(1)).alias("min_tok"),
+        F.aggregate(
+            F.transform("l", lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("total_chars"),
+        F.array_join(F.transform(F.slice("l", 1, 3), lambda x: F.upper(x)), " ").alias("up3"),
+    )
+
+
+@query(
+    "map_json_funcs",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       array_to_string(json_keys(props), ',') AS key_list,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+)
+def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: JSON/map functions over the events.props JSON column (the
+    reference parses JSON record bodies, task.ts:172-175): path extract,
+    typed cast, key enumeration via from_json to a map."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
