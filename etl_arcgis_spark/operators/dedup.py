@@ -1,1 +1,232 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators — SURVEY.md §2 C37/C39/C40 + n-gram Jaccard.
+
+The LLM-training-pipeline dedup family over ``documents``:
+
+- exact dedup (hash group-by on content);
+- keyed last-write-wins (the reference's upsert key semantics,
+  task.ts:272, as streaming dropDuplicates' batch shape);
+- n-gram Jaccard near-dup (exact, oracle-checked) within a bounded
+  blocking key;
+- MinHash-LSH near-dup (the 100 TB path: band-bucket join, never a
+  global cross join) — seeded hashing, so declared weak.
+
+Scale notes are in each docstring; the common theme: every pair
+generation step is blocked (by LSH band bucket or by a partition key),
+so candidate pairs ~ O(n·bucket), not O(n²).
+"""
+
+from __future__ import annotations
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 exact content dedup: group by content hash, keep the lowest
+    id. Written group-by-shaped so it is correct whether or not
+    duplicates exist (FIXTURES.md). At 100 TB: hash the content early
+    (md5 column) so the shuffle carries 16 bytes, not documents."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_key_last_write",
+    oracle="""
+SELECT user_id, event_id, value, us FROM (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_key_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 keyed dedup, last write wins — the reference's upsert
+    resolution (newest record per cotuid, task.ts:316-349). Rank-filter
+    shape -> Catalyst group-limit; streaming twin is
+    ``dropDuplicates(['user_id'])`` within a watermark."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, bg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 (exact flavor): bigram-Jaccard near-dup pairs, blocked by
+    ``source``. Pair generation joins on (block, gram) — the inverted-
+    index trick: candidate pairs are generated per shared gram, never by
+    cross join, and the block key bounds the per-gram posting list. At
+    100 TB the block is the LSH band bucket (see minhash_lsh_dedup)."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")
+        ).alias("bg"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", r4(jac).alias("jaccard"))
+    )
+
+
+# MinHash parameters: 16 permutations h_i(x) = (a_i*x + b_i) mod P over
+# xxhash64 shingle hashes, banded 4x4. Deterministic (fixed a_i/b_i) but
+# xxhash64 is Spark-specific -> weak (rows-only) per SURVEY.md §5.3.6.
+_P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a*h+b inside int64 under ANSI)
+_PERMS = [(2 * i + 3, 104729 * (i + 1)) for i in range(16)]
+_BANDS = 4
+_ROWS_PER_BAND = 4
+
+
+@query("minhash_lsh_dedup")  # weak: seeded/engine-specific hashing
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: MinHash-LSH near-dup detection — the 100 TB design.
+
+    Pipeline (all relational, no UDFs):
+      1. word-trigram shingles per doc (explode, distinct);
+      2. 16 minhashes per doc = min over permuted shingle hashes — one
+         groupBy(doc) with 16 min() aggregates;
+      3. band signatures (4 bands x 4 rows): candidate pairs via
+         self-join on (band_idx, band_hash) — the ONLY pair generator,
+         so work is O(sum bucket²), tunable by bands/rows, never O(n²);
+      4. verify candidates with exact trigram Jaccard >= 0.5.
+
+    Skew safety: a degenerate band bucket (all-identical docs) is the
+    classic hot key; AQE skew-join splitting handles it, and the band
+    hash includes the band index so buckets spread across partitions.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2), "
+                "i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    h = shingles.withColumn("h", F.abs(F.xxhash64("sh")) % _P)
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % _P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{bi * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).alias("bh"),
+        )
+        for bi in range(_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = shingles.alias("sa"), shingles.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("id_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", r4(jac).alias("jaccard"))
+    )

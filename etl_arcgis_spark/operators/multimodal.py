@@ -1,1 +1,157 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column operators — SURVEY.md §2 C48 + binary plumbing.
+
+The engine's multimodal story (BASELINE.json north star): media travel
+as opaque ``binary`` columns with typed metadata beside them; decode /
+feature-extract runs as Arrow-batched ``mapInPandas`` so bytes never
+round-trip row-at-a-time. The image/audio codec libraries are not in
+this container, so the decode step is a clearly-marked deterministic
+STUB — the Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and exercised.
+
+``multimodal_embedding_stats`` treats the embedding column as the typed
+feature side of a multimodal record (per-label centroid geometry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "multimodal_embedding_stats",
+    oracle="""
+WITH v AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), centroid AS (
+  SELECT label, i, avg(x) AS m FROM v GROUP BY label, i
+), norms AS (
+  SELECT vec_id, label,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT c.label,
+       round(sqrt(sum(c.m * c.m)), 4) AS centroid_norm,
+       n.n_vectors,
+       round(n.avg_norm, 4) AS avg_norm
+FROM centroid c
+JOIN (SELECT label, count(*) AS n_vectors, avg(nrm) AS avg_norm
+      FROM norms GROUP BY label) n ON n.label = c.label
+GROUP BY c.label, n.n_vectors, n.avg_norm
+""",
+)
+def multimodal_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: per-label embedding geometry — centroid norm (posexplode ->
+    per-dimension mean -> L2) and mean vector norm. The explode shape
+    shuffles (label, dim) partial sums, not vectors: scale-safe."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.posexplode("embedding").alias("i", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    centroid = v.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    cnorm = centroid.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("centroid_norm_raw")
+    )
+    norms = e.select(
+        "label",
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+            "0D, (acc, v) -> acc + v))"
+        ).alias("nrm"),
+    )
+    per_label = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.avg("nrm").alias("avg_norm_raw")
+    )
+    return cnorm.join(per_label, "label").select(
+        "label",
+        r4(F.col("centroid_norm_raw")).alias("centroid_norm"),
+        "n_vectors",
+        r4(F.col("avg_norm_raw")).alias("avg_norm"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, relational half: payload as ``binary``
+    (utf-8 encode of text stands in for image bytes), with typed
+    metadata derived engine-side — byte length, checksum, and a
+    deterministic fake of decoded dimensions. At 100 TB binary columns
+    ride parquet byte arrays; metadata extraction like this never
+    leaves the JVM."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    nbytes = F.octet_length(payload).cast("bigint")
+    return docs.select(
+        "doc_id",
+        nbytes.alias("n_bytes"),
+        F.md5("text").alias("checksum"),
+        (nbytes % 640).alias("fake_width"),
+        (nbytes % 480).alias("fake_height"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, mean_px double"
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB decode — deterministic fake of an image codec.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
+    the codec libs are not in this container, so dimensions and mean
+    pixel derive deterministically from the bytes. Plumbing (bytes in,
+    typed features out, Arrow-batched) is the real contract.
+    """
+    n = len(payload)
+    width = n % 640 + 1
+    height = n % 480 + 1
+    mean_px = (sum(payload[:64]) % 256) / 255.0 if n else 0.0
+    return width, height, mean_px
+
+
+@query("multimodal_decode_stub")  # weak: exercises mapInPandas plumbing
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, Python half: Arrow-batched ``mapInPandas``
+    decode -> feature-extract. Each batch arrives as a pandas DataFrame
+    of byte payloads; the stub codec emits typed features. This is the
+    pattern for real image/audio decode at scale (one Python worker per
+    core, Arrow transfer, no per-row pickling)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_decode_image_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "mean_px": feats.map(lambda t: t[2]),
+                }
+            )
+
+    return docs.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)

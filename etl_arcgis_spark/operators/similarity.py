@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operators — SURVEY.md §2 C41-C43.
+
+Embedding search over the ``embeddings`` table (64-dim float vectors):
+
+- brute-force cosine top-k pairs — the exactness baseline. Vector math
+  stays in SQL higher-order functions (zip_with/aggregate), i.e. inside
+  whole-stage codegen: no Python, no UDF, no ML stage.
+- k-NN for a query vector — broadcast of one row against the table.
+- LSH-bucketed approximate join — the scale path (candidate pairs only
+  within a random-hyperplane bucket), seeded -> weak check.
+
+Scale design: the brute-force pair query is O(n²) by definition and
+exists as the correctness baseline; the LSH variant is the one that
+runs at 100 TB (pairs per bucket, AQE-skew-safe). The k-NN query is
+O(n) with a broadcast and a TakeOrderedAndProject top-k — always fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+# Shared SQL fragments (Spark side). Products are widened to double
+# BEFORE multiplying on both engines so float32 rounding never differs.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+    "0D, (acc, v) -> acc + v))"
+)
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(_NORM.format(a=vec)))
+
+
+# DuckDB oracle dot product: unnest both vectors with subscripts and
+# equi-join on the index (set-based; summation order differs from the
+# sequential HOF — absorbed by round(_, 4)).
+_ORACLE_PAIRS = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+ORDER BY cosine DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@query("sim_cosine_topk_pairs", oracle=_ORACLE_PAIRS)
+def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: brute-force cosine top-20 pairs. Self-join pruned to
+    id_a < id_b; dot/norms via SQL HOFs (codegen'd); global top-k via
+    TakeOrderedAndProject. Ties broken on the rounded cosine + ids so
+    both engines select identical rows."""
+    e = _with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding", "norm")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(_DOT.format(a="a.embedding", b="b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            r4(cos).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+_ORACLE_KNN = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+qnorm AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q),
+dots AS (
+  SELECT v.vec_id, sum(v.x * q.qx) AS dot
+  FROM v JOIN q ON v.i = q.i WHERE v.vec_id <> 0 GROUP BY v.vec_id
+)
+SELECT d.vec_id, round(d.dot / (n.nrm * qnorm.qn), 4) AS cosine
+FROM dots d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qnorm
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_knn_query_vector", oracle=_ORACLE_KNN)
+def sim_knn_query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42: k-NN for one query vector (vec_id=0) — the query row is
+    broadcast (1 row), cosine computed per candidate in one codegen
+    stage, top-10 via ordered limit. Linear scan, no shuffle of the
+    embedding table."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cand = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = F.expr(_DOT.format(a="embedding", b="q_emb")) / (F.col("norm") * F.col("q_norm"))
+    return (
+        cand.select("vec_id", r4(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# Random-hyperplane LSH: 8 signed projections -> 8-bit bucket. The
+# hyperplanes are pseudo-random but FIXED (generated from a constant
+# seed at import), so the query is reproducible run-to-run — yet the
+# bucketing has no cross-engine oracle: weak.
+_N_PLANES = 8
+
+
+def _planes() -> list[list[float]]:
+    # xorshift-ish deterministic floats in [-1, 1); no numpy needed
+    vals = []
+    state = 88172645463325252
+    for _ in range(_N_PLANES * 64):
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        vals.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+    return [vals[i * 64 : (i + 1) * 64] for i in range(_N_PLANES)]
+
+
+@query("lsh_approx_join")  # weak: seeded bucketing, no cross-engine oracle
+def lsh_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43: approximate similarity join via random-hyperplane LSH.
+
+    Signature = sign bits of 8 fixed projections; candidate pairs only
+    within identical signatures (the 100 TB pair generator: bucket
+    sizes ~ n/2^8, join work O(sum bucket²)); candidates verified with
+    exact cosine >= 0.3. Implemented in pure SQL HOFs — the projection
+    is a dot product against literal arrays, fully codegen'd.
+    """
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    sig = F.concat(
+        *[
+            F.when(
+                F.expr(
+                    _DOT.format(
+                        a="embedding",
+                        b="array(" + ", ".join(f"{v}D" for v in plane) + ")",
+                    )
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for plane in _planes()
+        ]
+    )
+    bucketed = e.withColumn("bucket", sig).select("vec_id", "embedding", "norm", "bucket")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = F.expr(_DOT.format(a="a.embedding", b="b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            r4(cos).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

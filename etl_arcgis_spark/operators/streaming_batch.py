@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming window operators, batch-checkable form — SURVEY.md §2 C33-C35.
+
+The reference is already a streaming system in miniature: scheduled
+incoming pulls (task.ts:51) and SQS-triggered micro-batches
+(task.ts:155). The engine generalizes to Structured Streaming — these
+queries use the *same* ``window()`` / ``session_window()`` expressions a
+``readStream`` pipeline uses (streaming parity is asserted in
+tests/test_streaming_parity.py over availableNow triggers); here they
+run on a batch frame so the DuckDB oracle can hash-check the semantics.
+
+Time base: events.ts as integer µs (helpers.py) reconstructed into a
+µs-precision timestamp — identical on both engines. Session gaps are
+computed on ms-floored instants on BOTH engines so gap comparisons can
+never straddle the ns/µs truncation difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t"),
+    )
+
+
+@query(
+    "stream_tumbling_window_agg",
+    oracle="""
+SELECT epoch_ms(date_trunc('hour', ts)) AS w_start_ms, event_type,
+       count(*) AS n, round(sum(value), 4) AS val_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: 1-hour tumbling window aggregate — ``F.window`` with a
+    single duration; epoch-aligned buckets == date_trunc('hour')."""
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("val_sum"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            "event_type",
+            "n",
+            "val_sum",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window_agg",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, (epoch_us(ts) // 1800000000) * 1800000000 AS slot_us
+  FROM events
+), both_windows AS (
+  SELECT event_type, value, slot_us AS w_start_us FROM e
+  UNION ALL
+  SELECT event_type, value, slot_us - 1800000000 FROM e
+)
+SELECT w_start_us // 1000 AS w_start_ms, event_type,
+       count(*) AS n, round(sum(value), 4) AS val_sum
+FROM both_windows
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: sliding window (1 h size, 30 min slide) — every event lands
+    in exactly two windows; the oracle expands the two slide-aligned
+    starts explicitly."""
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts_t", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("val_sum"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            "event_type",
+            "n",
+            "val_sum",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value, epoch_ms(ts) AS ms FROM events
+), flagged AS (
+  SELECT user_id, value, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 600000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sessions AS (
+  SELECT user_id, value, ms,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, min(ms) AS session_start_ms,
+       count(*) AS n, round(sum(value), 4) AS val_sum
+FROM sessions
+GROUP BY user_id, sess_id
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: session window, 10-minute gap — ``F.session_window`` per
+    user. A new session opens when the gap to the previous event is
+    >= the timeout (Spark merges events whose [t, t+gap) windows
+    overlap); the oracle is the classic gaps-and-islands rewrite.
+    Both engines sessionize on ms-floored instants (module docstring).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+    )
+    return (
+        ev.groupBy(F.session_window("ts_t", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("val_sum"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n",
+            "val_sum",
+        )
+    )

@@ -1,1 +1,267 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators — SURVEY.md §2 C44-C47 + quality scoring,
+token counting, and fingerprinting (BASELINE.json north star).
+
+All run over ``documents`` with ``split(text, ' ')`` as the canonical
+tokenizer (FIXTURES.md). Everything is built-in-function relational —
+tokenize/explode/group shapes that scale as hash aggregates; nothing
+drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 20
+""",
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44: tokenize + word count, top-20. Partial aggregation means the
+    shuffle carries (word, partial_count), not tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_ngram_count",
+    oracle="""
+SELECT bg AS bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bg
+  FROM (SELECT string_split(text, ' ') AS l FROM documents)
+)
+GROUP BY bg
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def text_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: bigram counts, top-20 — n-grams via an index-sequence
+    transform over the token array (pure codegen, no ML stage)."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    return (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+ORDER BY tfidf DESC, tf.doc_id, tf.term
+LIMIT 50
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46: relational TF-IDF (exact, unlike HashingTF — so it has an
+    oracle): tf per (doc, term), df per term, idf = ln(N/df); global
+    top-50. The df side is terms-sized -> broadcast back onto tf."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scan-count action; cheap metadata count
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", r4(tfidf).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_lang_filter_stats",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+""",
+)
+def text_lang_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: per-language/source slice statistics (corpus composition
+    reporting for training-data curation)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l, n_chars FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       round(CAST(n_chars AS DOUBLE) / len(l), 4) AS avg_token_len,
+       round(CAST(len(list_filter(l, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(l), 4)
+         AS stop_ratio,
+       round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 4) AS uniq_ratio,
+       round(ln(1.0 + len(l)) * (CAST(len(list_distinct(l)) AS DOUBLE) / len(l)), 4)
+         AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: token count, mean
+    token length, stopword ratio, type-token (uniqueness) ratio, and a
+    composite score — all array HOFs in one codegen stage."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    n_tok = F.size("l")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter("l", lambda x: F.array_contains(stops, x)))
+    n_uniq = F.size(F.array_distinct("l"))
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        r4(F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        r4(n_stop.cast("double") / n_tok).alias("stop_ratio"),
+        r4(uniq_ratio).alias("uniq_ratio"),
+        r4(F.log(F.lit(1.0) + n_tok) * uniq_ratio).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_ish,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+FROM documents
+""",
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + a BPE-ish fixed-width regex) — the
+    cheap proxy corpora use for token budgeting."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("bigint").alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).cast("bigint").alias(
+            "n_bpe_ish"
+        ),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias(
+            "n_nonspace_chars"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id, md5(text) AS fp_md5,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_bag_of_words
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + an order-
+    insensitive bag-of-words hash (sorted-token md5) — the cheap
+    near-dup prefilter before MinHash."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(F.array_join(F.sort_array(F.split("text", " ")), " ")).alias(
+            "fp_bag_of_words"
+        ),
+    )
+
+
+@query(
+    "text_simhash_fingerprint",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN substring(md5(w), j + 1, 1) IN
+                       ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')
+                  THEN 1 ELSE -1 END) AS vote
+  FROM words CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(round(pow(2, j), 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+""",
+)
+def text_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit, md5-derived bit planes) — fully
+    deterministic and cross-engine (unlike murmur-based simhash), so it
+    carries an oracle: per word, bit j votes +/-1 by the j-th md5 hex
+    digit's high bit; the fingerprint packs the positive votes."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hexdigit = F.substring(F.md5("w"), F.col("j") + 1, 1)
+    bit = F.when(hexdigit.isin(*"89abcdef"), 1).otherwise(-1)
+    planes = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    votes = words.crossJoin(F.broadcast(planes)).groupBy("doc_id", "j").agg(
+        F.sum(bit).alias("vote")
+    )
+    fp = F.sum(
+        F.when(F.col("vote") > 0, F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(0)
+    ).cast("bigint")
+    return votes.groupBy("doc_id").agg(fp.alias("simhash16"))
