@@ -1,0 +1,175 @@
+"""GeoJSON feature operators — the reference's Tier-A surface on real
+GeoJSON-shaped DataFrames (SURVEY.md §2 A6-A16; fixtures FIXTURES.md §2).
+
+Data model: a feature row is
+    id         string
+    properties map<string,string>
+    geom_type  string   -- Point/LineString/Polygon/Multi* (GeoJSON tag)
+    coords     array<array<array<array<double>>>>  (canonical depth-4)
+
+GeoJSON nests coordinates at a type-dependent depth; a typed columnar
+engine needs ONE schema, so every geometry is canonicalized to depth 4
+with singleton wrappers:
+
+    Point            [[[pt]]]           (1 part, 1 ring, 1 vertex)
+    LineString       [[line]]           (1 part, 1 ring)
+    Polygon          [rings]            (1 part)
+    MultiPoint       [[[pt]], ...]      (N parts)
+    MultiLineString  [[line], ...]      (N parts)
+    MultiPolygon     [rings, ...]       (N parts)
+
+The outer dimension is always the *part* axis, so the reference's
+UnMulti explode (task.ts:433-444) is exactly ``posexplode(coords)`` for
+every type, and reprojection (task.ts:194,203-207,213-217) is one
+nested ``transform`` over vertices regardless of type. All operators
+here are narrow, shuffle-free, codegen'd projections — they run at scan
+speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MULTI_TYPES = ("MultiPoint", "MultiLineString", "MultiPolygon")
+ROUTED_TYPES = ("Point", "LineString", "Polygon")
+
+_C4 = "array<array<array<array<double>>>>"
+
+
+def parse_geometry(df: DataFrame, type_col: str = "geom_type", json_col: str = "coords_json") -> DataFrame:
+    """Parse GeoJSON ``coordinates`` JSON (type-dependent depth) into the
+    canonical depth-4 ``coords`` column. Unknown/null geometry yields
+    NULL coords (the reference skips those downstream, task.ts:184-187).
+    """
+    t = F.col(type_col)
+    j = F.col(json_col)
+    pt = F.from_json(j, "array<double>")
+    line = F.from_json(j, "array<array<double>>")
+    rings = F.from_json(j, "array<array<array<double>>>")
+    parts4 = F.from_json(j, _C4)
+    coords = (
+        F.when(t == "Point", F.array(F.array(F.array(pt))))
+        .when(t == "LineString", F.array(F.array(line)))
+        .when(t == "Polygon", F.array(rings))
+        .when(t == "MultiPoint", F.transform(line, lambda p: F.array(F.array(p))))
+        .when(t == "MultiLineString", F.transform(rings, lambda ln: F.array(ln)))
+        .when(t == "MultiPolygon", parts4)
+    )
+    return df.withColumn("coords", coords)
+
+
+def rewrite_id(df: DataFrame, layer_id: int | str, id_col: str = "id") -> DataFrame:
+    """A6 (task.ts:427): ``feature.id = 'layer-{layerId}-{id}'``."""
+    return df.withColumn(
+        id_col, F.concat(F.lit(f"layer-{layer_id}-"), F.col(id_col).cast("string"))
+    )
+
+
+def nest_metadata(df: DataFrame, props_col: str = "properties") -> DataFrame:
+    """A7 (task.ts:429-431): ``properties = {metadata: properties}``."""
+    return df.withColumn(props_col, F.struct(F.col(props_col).alias("metadata")))
+
+
+def explode_multi(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """A8 (task.ts:433-444): UnMulti — ``MultiX`` becomes N features of
+    type ``X`` with ids suffixed ``-{idx}`` and duplicated attributes;
+    non-Multi features pass through with id and part count 1 intact.
+
+    ``posexplode`` is a generator in the scan stage: row-count expansion
+    without any shuffle.
+    """
+    is_multi = F.col("geom_type").isin(*MULTI_TYPES)
+    exploded = (
+        df.filter(is_multi)
+        .select(
+            "*", F.posexplode("coords").alias("part_idx", "part")
+        )
+        .withColumn(id_col, F.concat(F.col(id_col), F.lit("-"), F.col("part_idx")))
+        .withColumn("geom_type", F.regexp_replace("geom_type", "^Multi", ""))
+        .withColumn("coords", F.array(F.col("part")))
+        .drop("part_idx", "part")
+    )
+    passthrough = df.filter(~is_multi | F.col("geom_type").isNull())
+    return passthrough.unionByName(exploded)
+
+
+def route_by_geom_type(df: DataFrame) -> DataFrame:
+    """A9 (task.ts:178-187): add the target-layer route; NULL route ==
+    the reference's skip counter. Per-sink writes filter on ``route``."""
+    return df.withColumn(
+        "route",
+        F.when(F.col("geom_type") == "Point", "points")
+        .when(F.col("geom_type") == "LineString", "lines")
+        .when(F.col("geom_type") == "Polygon", "polys"),
+    )
+
+
+_R = 6378137.0
+
+
+def _merc_x(lon: Column) -> Column:
+    return F.lit(_R) * F.radians(lon)
+
+
+_PI = 3.141592653589793
+
+
+def _merc_y(lat: Column) -> Column:
+    return F.lit(_R) * F.log(F.tan(F.lit(_PI / 4) + F.radians(lat) / 2))
+
+
+def reproject_web_mercator(df: DataFrame) -> DataFrame:
+    """A10 (task.ts:194,203-207,213-217): EPSG:4326 -> EPSG:3857 over
+    every vertex of every ring of every part — one nested ``transform``
+    chain, type-agnostic thanks to the canonical depth-4 coords."""
+    vertex = lambda pt: F.array(
+        _merc_x(pt.getItem(0)), _merc_y(pt.getItem(1))
+    )
+    return df.withColumn(
+        "coords",
+        F.transform(
+            "coords",
+            lambda part: F.transform(part, lambda ring: F.transform(ring, vertex)),
+        ),
+    )
+
+
+def reproject_inverse(df: DataFrame) -> DataFrame:
+    """Inverse Web-Mercator (3857 -> 4326), for round-trip property
+    tests: lon = degrees(x/R); lat = degrees(2·atan(exp(y/R)) − π/2)."""
+    pi = 3.141592653589793
+    vertex = lambda pt: F.array(
+        F.degrees(pt.getItem(0) / F.lit(_R)),
+        F.degrees(F.atan(F.exp(pt.getItem(1) / F.lit(_R))) * 2 - F.lit(pi / 2)),
+    )
+    return df.withColumn(
+        "coords",
+        F.transform(
+            "coords",
+            lambda part: F.transform(part, lambda ring: F.transform(ring, vertex)),
+        ),
+    )
+
+
+def upsert_by_key(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """A13 (task.ts:267-349): key-based MERGE, incoming wins.
+
+    One full-outer join + coalesce per column; the ``action`` column
+    tags the branch the reference would have executed per feature
+    ('insert' ≅ addFeatures task.ts:284-314, 'update' ≅ updateFeatures
+    task.ts:316-349, 'keep' = untouched target rows).
+    """
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    cols = [c for c in existing.columns if c != key]
+    joined = e.join(i, F.col(f"e.{key}") == F.col(f"i.{key}"), "full_outer")
+    picked = [
+        F.coalesce(F.col(f"e.{key}"), F.col(f"i.{key}")).alias(key),
+        *[F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c) for c in cols],
+        F.when(F.col(f"i.{key}").isNull(), "keep")
+        .when(F.col(f"e.{key}").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    ]
+    return joined.select(*picked)

@@ -1,0 +1,120 @@
+"""Reference-behavior tests on GeoJSON-shaped fixtures (SURVEY.md §5.4).
+
+Mirrors the reference's own transforms feature-for-feature:
+explode -idx ids (task.ts:433-444), metadata nesting (task.ts:429-431),
+id rewrite (task.ts:427), geometry routing + skip (task.ts:178-187),
+Web-Mercator reprojection (task.ts:194), key upsert (task.ts:267-349).
+Fixture includes every Multi* type, a null geometry, and Null Island
+per FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import geojson as G
+
+FEATURES = [
+    # (id, properties, geom_type, coordinates)
+    ("f1", {"callsign": "A"}, "Point", [10.0, 20.0]),
+    ("f2", {"callsign": "B"}, "Point", [0.0, 0.0]),  # Null Island passes through
+    ("f3", {"callsign": "C"}, "LineString", [[0.0, 1.0], [2.0, 3.0]]),
+    ("f4", {"callsign": "D"}, "Polygon", [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]),
+    ("f5", {"callsign": "E"}, "MultiPoint", [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+    ("f6", {"callsign": "F"}, "MultiLineString", [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]]),
+    (
+        "f7",
+        {"callsign": "G"},
+        "MultiPolygon",
+        [
+            [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+            [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]],
+        ],
+    ),
+    ("f8", {"callsign": "H"}, None, None),  # no geometry -> skipped
+    ("f9", {"callsign": "I"}, "GeometryCollection", None),  # unrouteable
+]
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    rows = [
+        (fid, props, gt, json.dumps(coords) if coords is not None else None)
+        for fid, props, gt, coords in FEATURES
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, properties map<string,string>, geom_type string, coords_json string"
+    )
+    return G.parse_geometry(df)
+
+
+def test_explode_conservation_and_ids(features):
+    out = G.explode_multi(features)
+    rows = {r["id"]: r for r in out.collect()}
+    # 3 + 2 + 2 parts from the three Multi features; 6 non-multi rows kept
+    assert len(rows) == 6 + 3 + 2 + 2
+    # -idx suffix and Multi prefix stripped (task.ts:433-444)
+    assert rows["f5-0"]["geom_type"] == "Point"
+    assert rows["f5-2"]["coords"] == [[[[5.0, 6.0]]]]
+    assert rows["f6-1"]["geom_type"] == "LineString"
+    assert rows["f7-1"]["geom_type"] == "Polygon"
+    # properties duplicated onto every part
+    assert rows["f7-0"]["properties"]["callsign"] == "G"
+    assert rows["f7-1"]["properties"]["callsign"] == "G"
+    # non-multi untouched
+    assert rows["f1"]["geom_type"] == "Point"
+
+
+def test_route_and_skip(features):
+    routed = G.route_by_geom_type(G.explode_multi(features))
+    skipped = routed.filter(F.col("route").isNull()).select("id").collect()
+    # null geometry + GeometryCollection are skipped (task.ts:178-187)
+    assert {r["id"] for r in skipped} == {"f8", "f9"}
+    counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert counts["points"] == 2 + 3  # f1, f2 + exploded f5
+    assert counts["lines"] == 1 + 2
+    assert counts["polys"] == 1 + 2
+
+
+def test_id_rewrite_and_metadata_nesting(features):
+    out = G.nest_metadata(G.rewrite_id(features, 7))
+    row = out.filter(F.col("id") == "layer-7-f1").first()
+    assert row is not None  # task.ts:427 format
+    assert row["properties"]["metadata"]["callsign"] == "A"  # task.ts:429-431
+
+
+def test_reprojection_roundtrip(features):
+    """Property test: 4326 -> 3857 -> 4326 within 1e-9 degrees; Null
+    Island maps to (0, 0) exactly (CHANGELOG.md:103 behavior)."""
+    geo = features.filter(F.col("coords").isNotNull())
+    back = G.reproject_inverse(G.reproject_web_mercator(geo))
+    orig = {r["id"]: r["coords"] for r in geo.collect()}
+    rt = {r["id"]: r["coords"] for r in back.collect()}
+    for fid, parts in orig.items():
+        for p, part in enumerate(parts):
+            for r, ring in enumerate(part):
+                for v, (lon, lat) in enumerate(ring):
+                    lon2, lat2 = rt[fid][p][r][v]
+                    assert abs(lon - lon2) < 1e-9 and abs(lat - lat2) < 1e-9
+    # Null Island passes through, mapping to (0, 0) within float noise
+    merc = {r["id"]: r["coords"] for r in G.reproject_web_mercator(geo).collect()}
+    x0, y0 = merc["f2"][0][0][0]
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6  # metres
+
+
+def test_upsert_by_key(spark):
+    existing = spark.createDataFrame(
+        [("c1", "Alpha", "old"), ("c2", "Bravo", "old")],
+        "cotuid string, callsign string, remarks string",
+    )
+    incoming = spark.createDataFrame(
+        [("c2", "Bravo2", "new"), ("c3", "Charlie", "new")],
+        "cotuid string, callsign string, remarks string",
+    )
+    out = {r["cotuid"]: r for r in G.upsert_by_key(existing, incoming, "cotuid").collect()}
+    assert out["c1"]["action"] == "keep" and out["c1"]["callsign"] == "Alpha"
+    assert out["c2"]["action"] == "update" and out["c2"]["callsign"] == "Bravo2"  # last write wins
+    assert out["c3"]["action"] == "insert" and out["c3"]["remarks"] == "new"

@@ -1,0 +1,141 @@
+"""Structured Streaming parity tests (SURVEY.md §5.4, C33/C36-C38).
+
+The t2-checked streaming queries run in batch form; these tests prove
+the SAME window expressions produce identical results through a real
+``readStream`` -> ``availableNow`` pipeline, that watermarking drops
+late data, and that the foreachBatch upsert sink (A13/A18 streaming
+twin) converges to the batch MERGE result.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark.tables import prepare, table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _tumbling(df):
+    return (
+        df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("val_sum"))
+        .select(F.unix_millis("w.start").alias("w_start_ms"), "event_type", "n", "val_sum")
+    )
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
+    prepare(spark)
+    schema = table(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        _tumbling(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumble_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM tumble_out").collect()}
+    want = {tuple(r) for r in _tumbling(table(spark, SF_DIR, "events")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """C36: watermark semantics, as Spark actually guarantees them —
+    once the watermark has advanced past a window's end AND the window's
+    state has been evicted (a subsequent batch ran), a late event for
+    that window is dropped: the finalized window stays at its on-time
+    count and is never re-emitted. (A late event arriving while state is
+    still live is legitimately merged; the guarantee is cleanup, not
+    eager dropping.)"""
+    prepare(spark)
+    d = tmp_path / "late_in"
+    d.mkdir()
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "id long, ts_s string").withColumn(
+            "ts_t", F.col("ts_s").cast("timestamp")
+        )
+
+    def write_flat(df, name: str) -> None:
+        staging = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(d / name))
+
+    # b1 advances the watermark to 11:50; b2 evicts+emits the finalized
+    # 10:00 window; b3 delivers a late event for that dead window.
+    write_flat(batch([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")]), "b1.parquet")
+    time.sleep(1.1)  # distinct mtimes => file order = arrival order
+    write_flat(batch([(4, "2024-01-01 13:00:00")]), "b2.parquet")
+    time.sleep(1.1)
+    write_flat(batch([(3, "2024-01-01 10:05:00")]), "b3.parquet")
+
+    stream = spark.readStream.schema("id long, ts_s string, ts_t timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    agg = (
+        stream.withWatermark("ts_t", "10 minutes")
+        .groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM late_out").collect()
+    ten_am = 1704103200000
+    # the 10:00 window finalized with only its on-time event; the late
+    # id=3 event neither re-opened nor re-emitted it
+    assert [(r["ws"], r["n"]) for r in out if r["ws"] == ten_am] == [(ten_am, 1)]
+
+
+def test_foreachbatch_upsert_matches_batch_merge(spark, events_stream_dir):
+    """C38/A13: streaming micro-batch upsert via foreachBatch converges
+    to the batch last-write-wins state per key."""
+    prepare(spark)
+    schema = table(spark, SF_DIR, "events").schema
+    state: dict[int, tuple[int, float]] = {}
+
+    def upsert(batch_df, _epoch):
+        for r in (
+            batch_df.withColumn("us", F.expr("ts div 1000"))
+            .select("user_id", "us", "event_id", "value")
+            .collect()
+        ):
+            cur = state.get(r["user_id"])
+            if cur is None or (r["us"], r["event_id"]) >= cur[:2]:
+                state[r["user_id"]] = (r["us"], r["event_id"], r["value"])
+
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    from etl_arcgis_spark.operators.dedup import dedup_key_last_write
+
+    want = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in dedup_key_last_write(spark, SF_DIR).collect()
+    }
+    assert state == want and len(state) > 0
