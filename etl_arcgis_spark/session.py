@@ -43,6 +43,8 @@ def get_session(
         # -> int64 ns; ms timestamps as UTC TIMESTAMP, not NTZ
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Python Data Source filter pushdown (sources/arcgis_sim.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- adaptive execution: runtime coalesce + skew handling ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

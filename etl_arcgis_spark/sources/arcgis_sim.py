@@ -1,0 +1,229 @@
+"""``arcgis_sim`` — a Python Data Source modeling the reference's
+ArcGIS FeatureServer connector surface (SURVEY.md §2 A1/A5/A17/A19).
+
+The reference scans a remote layer by paging the REST ``query``
+endpoint (esri-dump ITER, config task.ts:399-414, fetch task.ts:418),
+ships a SQL-92 ``where`` server-side (task.ts:406-408), derives the
+layer schema from remote field metadata (task.ts:57-82), authenticates
+through a brokered token with a TTL cache (task.ts:92-135), and submits
+feature batches back (task.ts:455-457).
+
+This source rebuilds that contract on Spark's public extension point,
+with a local JSONL file standing in for the feature server:
+
+- **Partitioned paged scan** (A1): one ``InputPartition`` per OID page
+  (``pageSize`` option) — where the reference pages *serially*, Spark
+  reads every page in parallel. At 100 TB against a real server this is
+  the difference between a connector and an engine: page ranges are the
+  unit of parallelism, retry, and locality.
+- **Filter pushdown** (A3 via ``pushFilters``): equality/range/null/In
+  filters are absorbed into the per-page read (enable
+  ``spark.sql.python.filterPushdown.enabled``); everything else is
+  returned to Catalyst to evaluate above the scan.
+- **Schema inference** (A5): ``schema()`` reads the layer's field
+  metadata (first record), mirroring ``dumper.schema()``.
+- **Token broker with TTL cache** (A19): refreshed when within a
+  5-minute margin of expiry. (The reference *intends* 5 minutes but
+  computes +5 seconds — ``task.ts:107`` — a latent bug noted in
+  SURVEY.md and deliberately not reproduced.)
+- **Batch sink** (A17): an append writer emitting one JSONL chunk per
+  partition with a commit barrier (≅ chunked submit + allSettled,
+  task.ts:358,457).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from itertools import islice
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMAT_NAME = "arcgis_sim"
+
+
+class TokenBroker:
+    """A19: brokered auth token with TTL cache (task.ts:92-135).
+
+    ``margin_s`` is honestly five minutes — the reference's comment says
+    5 minutes but its arithmetic yields 5 seconds (task.ts:107); we
+    implement the stated intent, not the bug.
+    """
+
+    def __init__(self, ttl_s: float = 3600.0, margin_s: float = 300.0):
+        self.ttl_s = ttl_s
+        self.margin_s = margin_s
+        self._token: str | None = None
+        self._expires: float = 0.0
+        self.mint_count = 0
+
+    def token(self) -> str:
+        now = time.time()
+        if self._token is None or now + self.margin_s >= self._expires:
+            self.mint_count += 1
+            self._token = f"tok-{self.mint_count}"
+            self._expires = now + self.ttl_s
+        return self._token
+
+
+def _infer_field(name: str, value: object) -> StructField:
+    if isinstance(value, bool):
+        return StructField(name, BooleanType())
+    if isinstance(value, int):
+        return StructField(name, LongType())
+    if isinstance(value, float):
+        return StructField(name, DoubleType())
+    return StructField(name, StringType())
+
+
+@dataclass
+class PagePartition(InputPartition):
+    start: int
+    end: int
+
+
+class ArcGISSimReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.page_size = int(options.get("pagesize", 1000))
+        self.pushed: list[Filter] = []
+        # simulated auth handshake at plan time (A19)
+        self._token = TokenBroker().token()
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        """Absorb the filter classes the simulated server's SQL-92
+        ``where`` grammar covers; yield the rest back to Catalyst."""
+        for f in filters:
+            if isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In, IsNotNull),
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f  # unsupported -> evaluated by Spark above the scan
+
+    def partitions(self) -> list[PagePartition]:
+        """One partition per OID page — the esri-dump resultOffset window
+        (task.ts:418), parallelized."""
+        with open(self.path) as fh:
+            n = sum(1 for _ in fh)
+        return [
+            PagePartition(start, min(start + self.page_size, n))
+            for start in range(0, max(n, 1), self.page_size)
+        ]
+
+    def _matches(self, rec: dict) -> bool:
+        for f in self.pushed:
+            v = rec.get(f.attribute[0])
+            if isinstance(f, EqualTo):
+                ok = v == f.value
+            elif isinstance(f, GreaterThan):
+                ok = v is not None and v > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                ok = v is not None and v >= f.value
+            elif isinstance(f, LessThan):
+                ok = v is not None and v < f.value
+            elif isinstance(f, LessThanOrEqual):
+                ok = v is not None and v <= f.value
+            elif isinstance(f, In):
+                ok = v in f.values
+            elif isinstance(f, IsNotNull):
+                ok = v is not None
+            else:  # pragma: no cover
+                ok = True
+            if not ok:
+                return False
+        return True
+
+    def read(self, partition: PagePartition):
+        names = [f.name for f in self.schema.fields]
+        with open(self.path) as fh:
+            for line in islice(fh, partition.start, partition.end):
+                rec = json.loads(line)
+                if self._matches(rec):
+                    yield tuple(rec.get(n) for n in names)
+
+
+@dataclass
+class ChunkCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ArcGISSimWriter(DataSourceWriter):
+    """A17: append-only batch sink — one JSONL chunk per partition
+    (chunked submit), commit barrier == Promise.allSettled
+    (task.ts:358)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.out_dir = options["path"]
+
+    def write(self, iterator) -> ChunkCommit:
+        import os
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = f"{self.out_dir}/chunk-{pid:05d}.jsonl"
+        names = [f.name for f in self.schema.fields]
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row))) + "\n")
+                n += 1
+        return ChunkCommit(path=path, rows=n)
+
+    def commit(self, messages) -> None:
+        total = sum(m.rows for m in messages)
+        print(f"ok - submitted {total} features in {len(messages)} chunks")
+
+    def abort(self, messages) -> None:  # pragma: no cover
+        pass
+
+
+class ArcGISSimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        """A5: layer schema from field metadata — inferred from the
+        first record (≅ dumper.schema(), task.ts:78)."""
+        with open(self.options["path"]) as fh:
+            first = json.loads(next(fh))
+        return StructType([_infer_field(k, v) for k, v in first.items()])
+
+    def reader(self, schema: StructType) -> ArcGISSimReader:
+        return ArcGISSimReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ArcGISSimWriter:
+        return ArcGISSimWriter(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ArcGISSimDataSource)
