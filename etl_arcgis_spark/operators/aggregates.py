@@ -228,8 +228,8 @@ _LAT = "(c_custkey % 160) - 80 + 0.5"
 @query(
     "agg_extent_minmax",
     oracle=f"""
-SELECT min({_LON}) AS xmin, max({_LON}) AS xmax,
-       min({_LAT}) AS ymin, max({_LAT}) AS ymax,
+SELECT CAST(min({_LON}) AS DOUBLE) AS xmin, CAST(max({_LON}) AS DOUBLE) AS xmax,
+       CAST(min({_LAT}) AS DOUBLE) AS ymin, CAST(max({_LAT}) AS DOUBLE) AS ymax,
        count(*) AS n
 FROM customer
 """,
@@ -238,11 +238,81 @@ def agg_extent_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: ``returnExtentOnly`` — the layer's bounding box as a min/max
     aggregate (metadata-cheap on column-statistics-bearing formats)."""
     cu = table(spark, sf_dir, "customer")
-    lon, lat = F.expr(_LON), F.expr(_LAT)
+    lon, lat = F.expr(_LON).cast("double"), F.expr(_LAT).cast("double")
     return cu.agg(
         F.min(lon).alias("xmin"),
         F.max(lon).alias("xmax"),
         F.min(lat).alias("ymin"),
         F.max(lat).alias("ymax"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f_total,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_total,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS p_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status -> columns) — Catalyst rewrites the explicit value
+    list into one pass of conditional aggregates (exactly the oracle's
+    shape), so no extra shuffle versus a plain group-by."""
+    out = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(r4(F.sum("o_totalprice")))
+    )
+    return (
+        out.withColumnRenamed("F", "f_total")
+        .withColumnRenamed("O", "o_total")
+        .withColumnRenamed("P", "p_total")
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via ``stack`` — wide-to-long reshaping as a generator
+    expression in the scan stage (no shuffle, row count x2)."""
+    return table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
+    )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: exact interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). At 100 TB the same
+    report uses ``percentile_approx`` (fixed-size sketch, no sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.percentile("l_quantity", F.lit(0.25))).alias("q25"),
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("q50"),
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("q75"),
+        r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("price_p90"),
     )

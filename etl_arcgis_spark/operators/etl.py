@@ -163,7 +163,7 @@ _Y = f"6378137.0 * ln(tan(pi() / 4 + radians({_LAT}) / 2))"
 @query(
     "geo_reproject_webmercator",
     oracle=f"""
-SELECT c_custkey, {_LON} AS lon, {_LAT} AS lat,
+SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat,
        round({_X}, 4) AS x_3857, round({_Y}, 4) AS y_3857
 FROM customer
 """,
@@ -175,8 +175,8 @@ def geo_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     return cu.select(
         "c_custkey",
-        F.expr(_LON).alias("lon"),
-        F.expr(_LAT).alias("lat"),
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
         r4(F.expr(_X)).alias("x_3857"),
         r4(F.expr(_Y)).alias("y_3857"),
     )

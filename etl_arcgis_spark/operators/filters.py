@@ -116,7 +116,7 @@ _LAT = "(c_custkey % 160) - 80 + 0.5"
 @query(
     "filter_spatial_envelope",
     oracle=f"""
-SELECT c_custkey, {_LON} AS lon, {_LAT} AS lat
+SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat
 FROM customer
 WHERE ({_LON}) BETWEEN -150.0 AND 60.0 AND ({_LAT}) BETWEEN -40.0 AND 45.0
 """,
@@ -132,8 +132,8 @@ def filter_spatial_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cu = table(spark, sf_dir, "customer")
     return (
-        cu.withColumn("lon", F.expr(_LON))
-        .withColumn("lat", F.expr(_LAT))
+        cu.withColumn("lon", F.expr(_LON).cast("double"))
+        .withColumn("lat", F.expr(_LAT).cast("double"))
         .filter(F.col("lon").between(-150.0, 60.0) & F.col("lat").between(-40.0, 45.0))
         .select("c_custkey", "lon", "lat")
     )

@@ -303,3 +303,22 @@ def join_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@query(
+    "join_cross_dims",
+    oracle="""
+SELECT r.r_name, n.n_name, (n.n_regionkey = r.r_regionkey) AS is_home
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny dims (the only place a cartesian
+    product is acceptable: |left|x|right| is bounded and broadcastable)."""
+    re = table(spark, sf_dir, "region").alias("r")
+    na = table(spark, sf_dir, "nation").alias("n")
+    return re.crossJoin(F.broadcast(na)).select(
+        "r_name",
+        "n_name",
+        (F.col("n.n_regionkey") == F.col("r.r_regionkey")).alias("is_home"),
+    )

@@ -1,0 +1,164 @@
+"""Streaming pipeline builders — the reference's two dataflows as
+Structured Streaming (SURVEY.md §3.1/§3.2), plus the stateful-operator
+surface (C36-C38).
+
+The reference is a scheduled puller (incoming, task.ts:393-458) and an
+SQS-triggered micro-batch pusher (outgoing, task.ts:155-361). Spark's
+generalization: ``readStream`` sources, watermarked event-time state,
+and ``foreachBatch`` sinks. Everything here takes/returns DataFrames so
+batch and streaming share the transformation code (the t2-checked batch
+queries use the same expressions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (the scheduled-pull generalization:
+    each new file is a page/batch of features, ≅ task.ts:418 pagination
+    events). ``ts`` is int64 ns (tables.py read policy)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """C33+C36: watermarked tumbling aggregate (append-able)."""
+    return (
+        stream.withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("val_sum"))
+        .select(F.unix_millis("w.start").alias("w_start_ms"), "event_type", "n", "val_sum")
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """C37: keyed dedup within the watermark — the streaming twin of
+    dedup_key_last_write (first write wins inside the state window;
+    state for keys older than the watermark is dropped, which is what
+    bounds memory at scale)."""
+    return stream.withWatermark("ts_t", watermark).dropDuplicates(["user_id", "event_id"])
+
+
+# ---- custom stateful operator: per-user session accumulator ----------
+
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, val double"
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_ms bigint, n bigint, val_sum double"
+)
+_GAP_US = 600_000_000  # 10 minutes
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState body: fold each user's events into open
+    sessions, emitting a row whenever a gap >= 10 min closes one.
+
+    This is the hand-rolled equivalent of ``session_window`` — the
+    pattern to copy for operators Spark has no built-in for (the
+    reference's ephemeral per-flow store, task.ts:42-46, is exactly
+    this: keyed state surviving across micro-batches).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, _last, n, val = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_us // 1000],
+                    "n": [n],
+                    "val_sum": [round(val, 4)],
+                }
+            )
+        return
+
+    if state.exists:
+        start_us, last_us, n, val = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+        val = 0.0
+
+    out = []
+    us_all: list[int] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("us")
+        for us, v in zip(pdf["us"], pdf["value"]):
+            us = int(us)
+            us_all.append(us)
+            if start_us < 0:
+                start_us, last_us, n, val = us, us, 1, float(v)
+            elif us - last_us >= _GAP_US:
+                out.append((user_id, start_us // 1000, n, round(val, 4)))
+                start_us, last_us, n, val = us, us, 1, float(v)
+            else:
+                last_us, n, val = us, n + 1, val + float(v)
+    state.update((start_us, last_us, n, val))
+    if us_all:
+        state.setTimeoutTimestamp(max(us_all) // 1000 + _GAP_US // 1000)
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "session_start_ms", "n", "val_sum"])
+
+
+def stateful_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """C35 as a *custom stateful operator* (applyInPandasWithState):
+    per-user session windows with a 10-minute gap, state keyed by user,
+    event-time timeout closing idle sessions. Demonstrates the escape
+    hatch for stateful semantics Spark lacks natively."""
+    ev = stream.withColumn("us", F.expr("ts div 1000")).withWatermark("ts_t", watermark)
+    return (
+        ev.select("user_id", "us", "value", "ts_t")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def upsert_sink(stream: DataFrame, target: dict[int, tuple]) -> Any:
+    """C38/A13: foreachBatch micro-batch MERGE into a keyed target —
+    last write (by event time, then event id) wins, mirroring the
+    reference's query-then-add-or-update loop (task.ts:267-349) as a
+    set-based per-batch operation."""
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("us", F.expr("ts div 1000"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "us", "event_id", "value")
+        )
+        for r in latest.collect():
+            cur = target.get(r["user_id"])
+            if cur is None or (r["us"], r["event_id"]) >= cur[:2]:
+                target[r["user_id"]] = (r["us"], r["event_id"], r["value"])
+
+    return stream.writeStream.foreachBatch(merge)

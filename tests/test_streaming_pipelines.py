@@ -1,0 +1,75 @@
+"""Tests for the streaming pipeline builders (C33/C35/C37 streaming
+forms, incl. the applyInPandasWithState custom stateful operator)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark.streaming import pipelines as P
+from etl_arcgis_spark.tables import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = P.read_events_stream(spark, events_dir)
+    _run(P.windowed_counts(stream), "wc_out", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM wc_out").collect()}
+    from etl_arcgis_spark.operators.streaming_batch import stream_tumbling_window_agg
+
+    want = {tuple(r) for r in stream_tumbling_window_agg(spark, SF_DIR).collect()}
+    assert got == want and got
+
+
+def test_streaming_dedup_passes_unique_rows(spark, events_dir):
+    stream = P.read_events_stream(spark, events_dir)
+    _run(P.streaming_dedup(stream).select("event_id"), "dd_out", "append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dd_out").first()
+    n_src = table(spark, SF_DIR, "events").count()
+    assert got["n"] == got["d"] == n_src  # unique key set preserved once
+
+
+def test_stateful_sessionize_matches_batch_sessions(spark, events_dir):
+    """The custom applyInPandasWithState sessionizer must agree with the
+    batch gaps-and-islands sessions for every session it emits (closed
+    sessions; tail sessions may stay open at end-of-stream)."""
+    stream = P.read_events_stream(spark, events_dir)
+    _run(P.stateful_sessionize(stream), "sess_out", "append")
+    got = {
+        (r["user_id"], r["session_start_ms"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    from etl_arcgis_spark.operators.streaming_batch import stream_session_window
+
+    want = {
+        (r["user_id"], r["session_start_ms"], r["n"])
+        for r in stream_session_window(spark, SF_DIR).collect()
+    }
+    assert got, "stateful operator emitted no closed sessions"
+    assert got <= want  # every emitted session is a true batch session
+    # and most sessions close (tail per user may remain open)
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(got) >= len(want) - n_users
