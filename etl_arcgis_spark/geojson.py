@@ -173,3 +173,30 @@ def upsert_by_key(existing: DataFrame, incoming: DataFrame, key: str) -> DataFra
         .alias("action"),
     ]
     return joined.select(*picked)
+
+
+def to_esri_json(df: DataFrame) -> DataFrame:
+    """A11 (task.ts:191,201,211 + 230-233): GeoJSON -> Esri JSON.
+
+    Structural conversion per geometry type — Point => ``{x, y}``,
+    LineString => ``{paths: [line]}``, Polygon => ``{rings: rings}`` —
+    with the Web-Mercator ``spatialReference {wkid: 102100, latestWkid:
+    3857}`` stamped exactly as the reference does after reprojection.
+    Expects single-part (exploded) features; emits an ``esri_json``
+    string column with fixed field order (hash-stable).
+    """
+    sr = F.struct(
+        F.lit(102100).alias("wkid"), F.lit(3857).alias("latestWkid")
+    ).alias("spatialReference")
+    pt = F.col("coords").getItem(0).getItem(0).getItem(0)
+    point_json = F.to_json(
+        F.struct(pt.getItem(0).alias("x"), pt.getItem(1).alias("y"), sr)
+    )
+    line_json = F.to_json(F.struct(F.col("coords").getItem(0).alias("paths"), sr))
+    poly_json = F.to_json(F.struct(F.col("coords").getItem(0).alias("rings"), sr))
+    return df.withColumn(
+        "esri_json",
+        F.when(F.col("geom_type") == "Point", point_json)
+        .when(F.col("geom_type") == "LineString", line_json)
+        .when(F.col("geom_type") == "Polygon", poly_json),
+    )

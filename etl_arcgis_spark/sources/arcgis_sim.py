@@ -106,6 +106,20 @@ class PagePartition(InputPartition):
 
 
 class ArcGISSimReader(DataSourceReader):
+    """Reader WITHOUT filter pushdown — the default, reuse-safe.
+
+    Why pushdown is opt-in (measured on Spark 4.1.2, see
+    tests/test_datasource.py::test_union_two_scans_same_relation):
+    when one query scans the SAME relation twice with DIFFERENT pushed
+    filters (e.g. the two branches of a union), Spark deduplicates the
+    two BatchScans even though their Python-side pushed-filter state
+    differs — the JVM scan-equality check cannot see it — and both
+    branches read one branch's filtered output: silent wrong results.
+    The ``arcgis_sim_pushdown`` format enables pushdown for single-scan
+    queries (the reference's actual access pattern, one ARCGIS_QUERY per
+    scheduled pull).
+    """
+
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.path = options["path"]
@@ -113,18 +127,6 @@ class ArcGISSimReader(DataSourceReader):
         self.pushed: list[Filter] = []
         # simulated auth handshake at plan time (A19)
         self._token = TokenBroker().token()
-
-    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
-        """Absorb the filter classes the simulated server's SQL-92
-        ``where`` grammar covers; yield the rest back to Catalyst."""
-        for f in filters:
-            if isinstance(
-                f,
-                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In, IsNotNull),
-            ) and len(f.attribute) == 1:
-                self.pushed.append(f)
-            else:
-                yield f  # unsupported -> evaluated by Spark above the scan
 
     def partitions(self) -> list[PagePartition]:
         """One partition per OID page — the esri-dump resultOffset window
@@ -150,7 +152,7 @@ class ArcGISSimReader(DataSourceReader):
             elif isinstance(f, LessThanOrEqual):
                 ok = v is not None and v <= f.value
             elif isinstance(f, In):
-                ok = v in f.values
+                ok = v in f.value
             elif isinstance(f, IsNotNull):
                 ok = v is not None
             else:  # pragma: no cover
@@ -166,6 +168,24 @@ class ArcGISSimReader(DataSourceReader):
                 rec = json.loads(line)
                 if self._matches(rec):
                     yield tuple(rec.get(n) for n in names)
+
+
+class ArcGISSimPushReader(ArcGISSimReader):
+    """Reader WITH filter pushdown (``arcgis_sim_pushdown`` format) —
+    absorbs the SQL-92-expressible filter classes into the paged read,
+    yields the rest back to Catalyst. Safe when each relation is scanned
+    once per query (see ArcGISSimReader docstring for the multi-scan
+    hazard)."""
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        for f in filters:
+            if isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In, IsNotNull),
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f  # unsupported -> evaluated by Spark above the scan
 
 
 @dataclass
@@ -225,5 +245,15 @@ class ArcGISSimDataSource(DataSource):
         return ArcGISSimWriter(schema, dict(self.options))
 
 
+class ArcGISSimPushdownDataSource(ArcGISSimDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arcgis_sim_pushdown"
+
+    def reader(self, schema: StructType) -> ArcGISSimPushReader:
+        return ArcGISSimPushReader(schema, dict(self.options))
+
+
 def register(spark) -> None:
     spark.dataSource.register(ArcGISSimDataSource)
+    spark.dataSource.register(ArcGISSimPushdownDataSource)

@@ -52,7 +52,7 @@ def test_paged_partitions(spark, layer_file):
 
 def test_filter_pushdown(spark, layer_file):
     df = (
-        spark.read.format("arcgis_sim")
+        spark.read.format("arcgis_sim_pushdown")
         .option("path", layer_file)
         .load()
         .filter((F.col("speed") > 40) & (F.col("callsign") == "unit-3"))
@@ -72,7 +72,7 @@ def test_unsupported_filter_stays_in_spark(spark, layer_file):
     # remain as a Spark-side Filter above the scan (pushFilters yields
     # it back), and results stay correct
     df = (
-        spark.read.format("arcgis_sim")
+        spark.read.format("arcgis_sim_pushdown")
         .option("path", layer_file)
         .load()
         .filter((F.col("speed") * 2 > 80) & (F.col("oid") < 100))
@@ -109,3 +109,20 @@ def test_token_broker_ttl_cache(monkeypatch):
     now[0] = t0 + 3600 - 200  # inside the 5-minute refresh margin
     tok2 = broker.token()
     assert tok2 != tok1 and broker.mint_count == 2
+
+
+def test_union_two_scans_same_relation(spark, layer_file):
+    """Regression: one query scanning the same relation twice with
+    different filters (union branches) must return both branches' rows.
+
+    With pushdown enabled this silently breaks on Spark 4.1.2 — the two
+    BatchScans are deduplicated even though their Python-side pushed
+    filters differ — which is exactly why the default ``arcgis_sim``
+    format does not implement pushFilters."""
+    df = spark.read.format("arcgis_sim").option("path", layer_file).load()
+    u = df.filter(F.col("callsign") == "unit-1").unionByName(
+        df.filter(F.col("callsign") == "unit-2")
+    )
+    got = sorted(r["oid"] for r in u.collect())
+    want = sorted(o for o in range(250) if o % 7 in (1, 2))
+    assert got == want

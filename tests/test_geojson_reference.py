@@ -118,3 +118,19 @@ def test_upsert_by_key(spark):
     assert out["c1"]["action"] == "keep" and out["c1"]["callsign"] == "Alpha"
     assert out["c2"]["action"] == "update" and out["c2"]["callsign"] == "Bravo2"  # last write wins
     assert out["c3"]["action"] == "insert" and out["c3"]["remarks"] == "new"
+
+
+def test_to_esri_json_conversion(features):
+    """A11: GeoJSON->EsriJSON — x/y for points, paths for lines, rings
+    for polygons, spatialReference stamped (task.ts:191-233)."""
+    out = G.to_esri_json(G.explode_multi(features))
+    rows = {r["id"]: r["esri_json"] for r in out.collect() if r["esri_json"]}
+    pt = json.loads(rows["f1"])
+    assert pt == {"x": 10.0, "y": 20.0, "spatialReference": {"wkid": 102100, "latestWkid": 3857}}
+    ln = json.loads(rows["f3"])
+    assert ln["paths"] == [[[0.0, 1.0], [2.0, 3.0]]]
+    assert ln["spatialReference"]["wkid"] == 102100
+    pg = json.loads(rows["f7-1"])
+    assert pg["rings"] == [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]]
+    # null-geometry and unrouteable features produce no esri_json
+    assert "f8" not in rows and "f9" not in rows

@@ -1,0 +1,79 @@
+"""Full reference-pipeline integration: both dataflows end-to-end.
+
+Incoming (task.ts:393-458): arcgis_sim paged source -> id rewrite ->
+metadata nesting -> UnMulti explode -> batch sink.
+Outgoing (task.ts:155-361): route by geometry type -> reproject
+4326->3857 -> GeoJSON->EsriJSON -> spatialReference stamp -> upsert.
+
+One test drives the whole chain through the public APIs — the "a user
+of the reference could switch" proof.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import geojson as G
+from etl_arcgis_spark.sources.arcgis_sim import register
+
+
+@pytest.fixture()
+def layer(spark, tmp_path):
+    path = tmp_path / "layer.jsonl"
+    feats = [
+        {"fid": "a", "callsign": "HAWK", "geom_type": "Point",
+         "coords_json": json.dumps([13.4, 52.5])},
+        {"fid": "b", "callsign": "EAGLE", "geom_type": "MultiLineString",
+         "coords_json": json.dumps([[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]])},
+        {"fid": "c", "callsign": None, "geom_type": "Polygon",
+         "coords_json": json.dumps([[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]])},
+        {"fid": "d", "callsign": "GHOST", "geom_type": None, "coords_json": None},
+    ]
+    with open(path, "w") as fh:
+        for f in feats:
+            fh.write(json.dumps(f) + "\n")
+    register(spark)
+    return str(path)
+
+
+def test_incoming_then_outgoing(spark, layer, tmp_path):
+    # --- incoming: paged scan -> transforms (task.ts:425-453) ---
+    raw = (
+        spark.read.format("arcgis_sim")
+        .option("path", layer)
+        .option("pageSize", 2)
+        .load()
+        .withColumnRenamed("fid", "id")
+        .withColumn("properties", F.create_map(F.lit("callsign"), F.col("callsign")))
+    )
+    assert raw.rdd.getNumPartitions() == 2  # paged scan
+    incoming = G.explode_multi(G.nest_metadata(G.rewrite_id(G.parse_geometry(raw), 9)))
+
+    # --- outgoing: route -> reproject -> EsriJSON (task.ts:177-233) ---
+    routed = G.route_by_geom_type(incoming)
+    shipped = G.to_esri_json(G.reproject_web_mercator(routed.filter(F.col("route").isNotNull())))
+    out = {r["id"]: r for r in shipped.collect()}
+
+    # MultiLineString exploded into 2 routed lines with -idx ids
+    assert {"layer-9-a", "layer-9-b-0", "layer-9-b-1", "layer-9-c"} == set(out)
+    # defaults story: callsign nested under metadata, null preserved for
+    # the sink's coalesce (task.ts:244)
+    assert out["layer-9-a"]["properties"]["metadata"]["callsign"] == "HAWK"
+    assert out["layer-9-c"]["properties"]["metadata"]["callsign"] is None
+    # reprojection + EsriJSON + spatialReference stamp
+    pt = json.loads(out["layer-9-a"]["esri_json"])
+    assert abs(pt["x"] - 1491681.2) < 1.0 and abs(pt["y"] - 6891041.7) < 1.0
+    assert pt["spatialReference"] == {"wkid": 102100, "latestWkid": 3857}
+    ln = json.loads(out["layer-9-b-1"]["esri_json"])
+    assert len(ln["paths"]) == 1 and len(ln["paths"][0]) == 2
+
+    # --- sink: chunked append submit (task.ts:455-457) ---
+    sink = tmp_path / "sink"
+    shipped.select("id", "route", "esri_json").write.format("arcgis_sim").option(
+        "path", str(sink)
+    ).mode("append").save()
+    written = [json.loads(l) for c in sink.glob("chunk-*.jsonl") for l in open(c)]
+    assert {w["id"] for w in written} == set(out)
