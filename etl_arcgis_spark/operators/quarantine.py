@@ -1,0 +1,67 @@
+"""A18 — record-level error isolation (dead-letter pattern).
+
+The reference wraps each record's transform in try/catch: a failing
+feature is logged and skipped, the batch still commits
+(task.ts:168-169, 351-358). The engine equivalent: run the risky
+Python transform inside Arrow-batched ``mapInPandas`` with a per-row
+try, emit an ``error`` column, and fan the frame into a good stream
+and a quarantine stream — both sides stay DataFrames, so the
+quarantine can be written to its own sink (the dead-letter queue).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_quarantine(
+    df: DataFrame,
+    fn: Callable[[dict[str, Any]], dict[str, Any]],
+    out_schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply ``fn`` (a per-record dict -> dict transform) with error
+    isolation. Returns ``(good, quarantined)``:
+
+    - ``good``: rows where ``fn`` succeeded, with ``out_schema`` columns;
+    - ``quarantined``: the ORIGINAL rows that failed, plus an ``error``
+      column with the exception text (the dead-letter payload keeps the
+      raw input so it can be replayed, which the reference's log-only
+      catch, task.ts:351-353, cannot).
+
+    ``out_schema`` must not contain an ``error`` column; input columns
+    are carried into the quarantine side unchanged.
+    """
+    in_cols = df.columns
+    raw_names = [f"_raw_{c}" for c in in_cols]
+    union_schema = f"{out_schema}, _qerror string, " + ", ".join(
+        f"{r} string" for r in raw_names
+    )
+    out_names = [s.strip().split(" ")[0] for s in out_schema.split(",")]
+    all_names = out_names + ["_qerror"] + raw_names
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {f"_raw_{c}": str(rec[c]) for c in in_cols}
+                try:
+                    out = fn(dict(rec))
+                    rows.append({**{n: out.get(n) for n in out_names}, "_qerror": None, **base})
+                except Exception as e:  # noqa: BLE001 — the whole point
+                    rows.append(
+                        {**{n: None for n in out_names}, "_qerror": f"{type(e).__name__}: {e}", **base}
+                    )
+            yield pd.DataFrame(rows, columns=all_names)
+
+    both = df.mapInPandas(run, schema=union_schema)
+    good = both.filter(F.col("_qerror").isNull()).select(*out_names)
+    quarantined = both.filter(F.col("_qerror").isNotNull()).select(
+        *[F.col(f"_raw_{c}").alias(c) for c in in_cols],
+        F.col("_qerror").alias("error"),
+    )
+    return good, quarantined
