@@ -76,7 +76,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
         key = (id(spark), sf_dir, name)
         if key not in _CACHED:
-            _CACHED[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
+            path = f"{sf_dir}/{name}.parquet"
+            df = spark.read.parquet(path)
+            # single-file fixtures scan as 1-3 partitions; spread LARGE
+            # tables so in-memory scans parallelize, but keep small ones
+            # compact (per-task overhead dominates below ~2MB/partition)
+            n = min(16, max(1, os.path.getsize(path) >> 21))
+            if n > 2:
+                df = df.repartition(n)
+            _CACHED[key] = df.cache()
         return _CACHED[key]
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
