@@ -248,3 +248,115 @@ def lsh_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+_NEARDUP_THRESHOLD = 0.45  # between p99.9 (0.377) and max (0.513) pairwise cosine
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= {_NEARDUP_THRESHOLD}
+""",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the semantic-dedup
+    member of the dedup family): all pairs with cosine >= threshold,
+    via the same blocked-GEMM shape as sim_cosine_topk_pairs — each
+    partition emits only its above-threshold pairs, so output (not the
+    n² score matrix) bounds the data movement. Scale path: LSH-bucket
+    first (lsh_approx_join), exact-verify candidates like this."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf_all = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf_all["vec_id"].to_numpy()
+    m = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+    thr = _NEARDUP_THRESHOLD
+
+    def block_pairs(batches):
+        b_ids, b_m = bc.value
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a_ids = pdf["vec_id"].to_numpy()
+            s = a @ b_m.T
+            rows, cols = np.where((a_ids[:, None] < b_ids[None, :]) & (s >= thr))
+            if len(rows):
+                yield pd.DataFrame(
+                    {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": s[rows, cols]}
+                )
+
+    local = e.mapInPandas(block_pairs, schema="id_a bigint, id_b bigint, cosine_raw double")
+    return local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
+
+
+@query("sim_ivf_knn")  # weak: centroid assignment has no SQL oracle
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 scale path: IVF (inverted-file) approximate k-NN.
+
+    Coarse quantizer: the 8 lowest-vec_id vectors as deterministic
+    centroids (no training RNG); every vector is assigned to its
+    nearest centroid by cosine (one GEMM pass). A query probes only the
+    nprobe=2 nearest cells, then ranks exactly within them — at 100 TB
+    this turns a full scan into reading ~nprobe/nlist of the table,
+    with cells stored as partition keys so probing is partition
+    pruning. Weak check: recall-vs-exact is asserted in tests instead
+    (tests/test_similarity_quality.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf_all = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf_all["vec_id"].to_numpy()
+    m = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = mn[:8]  # deterministic seeds: lowest 8 vec_ids
+    bc = spark.sparkContext.broadcast(cents)
+
+    q = mn[ids == 0][0]
+    probe = np.argsort(-(cents @ q))[:2].tolist()  # nprobe=2 cells
+    qb = spark.sparkContext.broadcast(q)
+
+    def assign_and_score(batches):
+        c = bc.value
+        qv = qb.value
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            cell = np.argmax(a @ c.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int64"),
+                    "cosine_raw": a @ qv,
+                }
+            )
+
+    scored = e.mapInPandas(
+        assign_and_score, schema="vec_id bigint, cell bigint, cosine_raw double"
+    )
+    return (
+        scored.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "cell", r4(F.col("cosine_raw")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

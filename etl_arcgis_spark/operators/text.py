@@ -265,3 +265,65 @@ def text_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vote") > 0, F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(0)
     ).cast("bigint")
     return votes.groupBy("doc_id").agg(fp.alias("simhash16"))
+
+
+# Language-ID heuristic: per-language marker (stopword) sets. The driver
+# fixture's vocabulary is language-independent, so this operator is
+# exercised on constructed multilingual text in
+# tests/test_langid.py; it still registers over documents (predicting
+# 'und' = undetermined when no markers hit) to keep the inventory
+# honest about fixture behavior.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def langid_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID by marker-hit rate (the classic cheap n-gram/stopword
+    heuristic): score(lang) = fraction of tokens in that language's
+    marker set; predict the argmax, 'und' if every score is zero.
+    One codegen stage: token split + one array-filter per language +
+    greatest() argmax — no shuffle, no Python."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def score_for(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("double") / n
+
+    scores = {lang: score_for(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0.0, "und")
+    for lang, s in scores.items():
+        pred = pred.when(s == best, lang)
+    out = df.withColumn("lang_pred", pred)
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", F.round(s, 4))
+    return out
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'and', 'of', 'to', 'is'))) > 0
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS score_en
+FROM documents
+""",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over the fixture corpus. The fixture
+    vocabulary only contains English markers ('the'), so the checked
+    projection is the en-vs-undetermined decision + en score; the full
+    multi-language argmax operator is ``langid_predict`` (unit-tested on
+    constructed multilingual text)."""
+    docs = table(spark, sf_dir, "documents")
+    out = langid_predict(docs)
+    return out.select("doc_id", "lang_pred", "score_en")

@@ -37,4 +37,5 @@ def test_contract_shape(spark):
         "minhash_lsh_dedup",
         "lsh_approx_join",
         "multimodal_decode_stub",
+        "sim_ivf_knn",
     }

@@ -1,0 +1,73 @@
+"""Plan audit — every registered query's physical plan, checked for
+scale smells (SURVEY.md §4).
+
+Flags: CartesianProduct / BroadcastNestedLoopJoin outside the known
+intentional set, and Python execution (BatchEvalPython / ArrowEval /
+MapInPandas / FlatMapGroupsInPandas) outside the declared UDF surface.
+
+Usage: python tools/audit_plans.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_arcgis_spark import registry  # noqa: E402
+from etl_arcgis_spark.session import get_session  # noqa: E402
+
+# queries whose design legitimately uses Python execution
+PYTHON_OK = {
+    "udf_scalar_default",
+    "udf_pandas_reproject",
+    "udaf_grouped_median",
+    "udtf_json_explode",
+    "multimodal_decode_stub",
+    "sim_cosine_topk_pairs",
+    "dedup_embedding_neardup",
+    "sim_ivf_knn",
+}
+# bounded/broadcast nested-loop shapes that are intentional
+NLJ_OK = {
+    "join_cross_dims",       # tiny dims cross join
+    "sim_cosine_pairs_hof",  # O(n^2) baseline by definition
+    "lsh_approx_join",       # bucket-equality carried, id< residual
+    "sim_knn_query_vector",  # 1-row broadcast
+    "text_simhash_fingerprint",  # 16-row broadcast bit planes
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+    spark = get_session("audit", shuffle_partitions=8)
+    issues = []
+    for name, fn in sorted(registry.all_queries().items()):
+        try:
+            plan = fn(spark, args.sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            issues.append(f"{name}: PLAN ERROR {e}")
+            continue
+        flags = []
+        if "CartesianProduct" in plan and name not in NLJ_OK:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in NLJ_OK:
+            flags.append("BroadcastNestedLoopJoin")
+        if (
+            any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+            and name not in PYTHON_OK
+        ):
+            flags.append("PythonExec")
+        if flags:
+            issues.append(f"{name}: {', '.join(flags)}")
+    print("ALL CLEAN" if not issues else "ISSUES:")
+    for i in issues:
+        print(" ", i)
+    return 1 if issues else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
