@@ -84,7 +84,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global_no_group",
     oracle="""
 SELECT count(*) AS n_rows,
-       round(sum(l_extendedprice), 4) AS sum_price,
+       round(sum(l_extendedprice), 0) AS sum_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(min(l_extendedprice), 4) AS min_price,
        round(max(l_extendedprice), 4) AS max_price,
@@ -94,10 +94,16 @@ FROM lineitem
 )
 def agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9: grand aggregate — single-group hash agg, partials combined on
-    one reducer (a few bytes per partition)."""
+    one reducer (a few bytes per partition).
+
+    sum_price is a whole-table money sum (~3e10 at sf0.1): cross-engine
+    float summation noise (~1e-4) reaches the 4-decimal grid at that
+    magnitude, so this one column rounds to integer — the determinism
+    contract is magnitude-aware (SURVEY.md §5.3.1).
+    """
     return table(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 0).alias("sum_price"),
         r4(F.avg("l_quantity")).alias("avg_qty"),
         r4(F.min("l_extendedprice")).alias("min_price"),
         r4(F.max("l_extendedprice")).alias("max_price"),
