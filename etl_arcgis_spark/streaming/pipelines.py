@@ -162,3 +162,34 @@ def upsert_sink(stream: DataFrame, target: dict[int, tuple]) -> Any:
                 target[r["user_id"]] = (r["us"], r["event_id"], r["value"])
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to same-user
+    clicks in the preceding ``within`` interval. Both sides carry
+    watermarks so Spark can bound the join state (clicks older than the
+    interval + watermark are evicted) — the canonical attribution shape.
+    """
+    c = (
+        clicks.withWatermark("ts_t", within)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_t").alias("click_ts"),
+        )
+    )
+    p = purchases.withWatermark("ts_t", within).select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_t").alias("purchase_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "click_id",
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        F.unix_millis("click_ts").alias("click_ms"),
+    )

@@ -73,3 +73,29 @@ def test_stateful_sessionize_matches_batch_sessions(spark, events_dir):
     # and most sessions close (tail per user may remain open)
     n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert len(got) >= len(want) - n_users
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """C-streaming: watermarked stream-stream interval join == the same
+    join on the batch frame."""
+    stream = P.read_events_stream(spark, events_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    _run(
+        P.stream_stream_click_purchase_join(clicks_s, purch_s),
+        "ss_out",
+        "append",
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_out").collect()}
+
+    batch = table(spark, SF_DIR, "events").withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = {
+        tuple(r)
+        for r in P.stream_stream_click_purchase_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
