@@ -155,3 +155,86 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_ms bigint, frame_checksum string"
+_FRAME_BYTES = 64  # stub "frame" stride
+_SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+@query("multimodal_frame_sample")  # weak: exercises frame-sampling plumbing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped plumbing: STUB frame extraction + temporal sampling.
+
+    Real implementation decodes container/codec (pyav/ffmpeg) and emits
+    every k-th frame; the stub treats the payload as fixed-stride raw
+    frames. The Spark-side contract is the real part: one binary row in,
+    N sampled frame rows out (a generator inside mapInPandas — row
+    explosion without shuffle), frame timestamps derived from index,
+    checksums instead of pixel buffers downstream.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // _FRAME_BYTES)
+                for idx in range(0, n_frames, _SAMPLE_EVERY):
+                    frame = bytes(payload[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_ms": idx * 40,  # 25 fps stub timeline
+                            "frame_checksum": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ms", "frame_checksum"])
+
+    return docs.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, dst_h bigint, scale double"
+)
+
+
+@query("multimodal_resize_stub")  # weak: exercises resize plumbing
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: STUB of decode -> fit-within(256x256) ->
+    re-encode. The aspect-preserving scale math is real; the pixel work
+    is faked from byte lengths (no codec libs in this container). Arrow
+    batches in/out; at scale this is the standard image-normalization
+    pass before feature extraction."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = 256.0
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            src_w = (n % 640 + 1).astype("int64")
+            src_h = (n % 480 + 1).astype("int64")
+            scale = (target / src_w.where(src_w > src_h, src_h)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "dst_w": (src_w * scale).astype("int64"),
+                    "dst_h": (src_h * scale).astype("int64"),
+                    "scale": scale.round(4),
+                }
+            )
+
+    return docs.mapInPandas(resize, schema=_RESIZE_SCHEMA)

@@ -37,5 +37,7 @@ def test_contract_shape(spark):
         "minhash_lsh_dedup",
         "lsh_approx_join",
         "multimodal_decode_stub",
+        "multimodal_frame_sample",
+        "multimodal_resize_stub",
         "sim_ivf_knn",
     }

@@ -25,6 +25,8 @@ PYTHON_OK = {
     "udaf_grouped_median",
     "udtf_json_explode",
     "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
     "sim_cosine_topk_pairs",
     "dedup_embedding_neardup",
     "sim_ivf_knn",
