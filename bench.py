@@ -59,7 +59,7 @@ def main() -> None:
         fn = queries[name]
         materialize(fn(spark, sf_dir))  # warm-up (JIT, code cache, FS cache)
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
