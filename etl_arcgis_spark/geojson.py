@@ -80,8 +80,9 @@ def explode_multi(df: DataFrame, id_col: str = "id") -> DataFrame:
     without any shuffle.
     """
     is_multi = F.col("geom_type").isin(*MULTI_TYPES)
+    explodable = is_multi & F.col("coords").isNotNull()
     exploded = (
-        df.filter(is_multi)
+        df.filter(explodable)
         .select(
             "*", F.posexplode("coords").alias("part_idx", "part")
         )
@@ -90,7 +91,10 @@ def explode_multi(df: DataFrame, id_col: str = "id") -> DataFrame:
         .withColumn("coords", F.array(F.col("part")))
         .drop("part_idx", "part")
     )
-    passthrough = df.filter(~is_multi | F.col("geom_type").isNull())
+    # Multi features with NULL coords (unparseable geometry) pass
+    # through unexploded so the routing stage can count them as skips —
+    # posexplode alone would silently erase them
+    passthrough = df.filter(~explodable | F.col("geom_type").isNull())
     return passthrough.unionByName(exploded)
 
 
@@ -163,11 +167,19 @@ def upsert_by_key(existing: DataFrame, incoming: DataFrame, key: str) -> DataFra
     e = existing.alias("e")
     i = incoming.alias("i")
     cols = [c for c in existing.columns if c != key]
+    incoming_present = F.col(f"i.{key}").isNotNull()
     joined = e.join(i, F.col(f"e.{key}") == F.col(f"i.{key}"), "full_outer")
     picked = [
         F.coalesce(F.col(f"e.{key}"), F.col(f"i.{key}")).alias(key),
-        *[F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c) for c in cols],
-        F.when(F.col(f"i.{key}").isNull(), "keep")
+        # row-level replacement: when the key exists in incoming, the
+        # WHOLE incoming row wins (updateFeatures replaces the feature,
+        # task.ts:316-349) — a per-column coalesce would resurrect old
+        # values wherever the update carries NULL
+        *[
+            F.when(incoming_present, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+            for c in cols
+        ],
+        F.when(~incoming_present, "keep")
         .when(F.col(f"e.{key}").isNull(), "insert")
         .otherwise("update")
         .alias("action"),

@@ -33,11 +33,14 @@ def r4(col: Column | str) -> Column:
     Emulates DuckDB's ``round(x, 4)`` (scale in float, then round half
     away from zero) instead of Spark's exact-BigDecimal ``F.round`` —
     the two disagree on ~1e-4-boundary values because DuckDB introduces
-    the ``x*1e4`` float error before rounding. ``floor(x*1e4 + 0.5)``
-    reproduces DuckDB's result bit-for-bit for the positive magnitudes
-    this engine emits, so ``round(expr, 4)`` in oracle SQL matches.
+    the ``x*1e4`` float error before rounding. ``floor(|x|*1e4 + 0.5)``
+    on the magnitude, sign reapplied, reproduces DuckDB's
+    away-from-zero behavior bit-for-bit for both signs (|x|·1e4 and
+    |x·1e4| round identically in IEEE), so ``round(expr, 4)`` in oracle
+    SQL matches.
     """
-    return (F.floor(_c(col) * 10000 + F.lit(0.5)) / 10000).cast("double")
+    c = _c(col)
+    return (F.signum(c) * F.floor(F.abs(c) * 10000 + F.lit(0.5)) / 10000).cast("double")
 
 
 def ev_us(col: str = "ts") -> Column:

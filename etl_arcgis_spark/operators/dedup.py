@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..helpers import r4
+from ..helpers import ev_us, r4
 from ..registry import query
 from ..tables import table
 
@@ -67,7 +67,7 @@ def dedup_key_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+        "user_id", "event_id", "value", ev_us().alias("us")
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
     return (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import r4
+from ..helpers import ev_us, r4
 from ..registry import query
 from ..tables import table
 
@@ -228,9 +228,7 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this beats any join+filter formulation outright.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
-    e = ev.select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("us")
-    )
+    e = ev.select("event_id", "user_id", "event_type", ev_us().alias("us"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
@@ -283,7 +281,7 @@ def join_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken ('insert' ≅ task.ts:284, 'update' ≅ task.ts:316). Same shape
     serves the streaming foreachBatch sink.
     """
-    ev = table(spark, sf_dir, "events").withColumn("us", F.expr("ts div 1000"))
+    ev = table(spark, sf_dir, "events").withColumn("us", ev_us())
 
     def last_write(df: DataFrame, out: str) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))

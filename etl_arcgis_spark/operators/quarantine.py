@@ -36,19 +36,27 @@ def with_quarantine(
     ``out_schema`` must not contain an ``error`` column; input columns
     are carried into the quarantine side unchanged.
     """
+    from pyspark.sql.types import StructType
+
     in_cols = df.columns
     raw_names = [f"_raw_{c}" for c in in_cols]
     union_schema = f"{out_schema}, _qerror string, " + ", ".join(
         f"{r} string" for r in raw_names
     )
-    out_names = [s.strip().split(" ")[0] for s in out_schema.split(",")]
+    # real DDL parse (naive comma-splitting breaks on decimal(10,2) etc.)
+    out_names = [f.name for f in StructType.fromDDL(out_schema).fields]
     all_names = out_names + ["_qerror"] + raw_names
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
-                base = {f"_raw_{c}": str(rec[c]) for c in in_cols}
+                # NULLs stay NULL in the replay payload (str(None) would
+                # bake the literal string 'None' into the dead letter)
+                base = {
+                    f"_raw_{c}": (str(rec[c]) if rec[c] is not None else None)
+                    for c in in_cols
+                }
                 try:
                     out = fn(dict(rec))
                     rows.append({**{n: out.get(n) for n in out_names}, "_qerror": None, **base})
@@ -58,7 +66,11 @@ def with_quarantine(
                     )
             yield pd.DataFrame(rows, columns=all_names)
 
-    both = df.mapInPandas(run, schema=union_schema)
+    # persist: the two returned frames are both consumed (main sink +
+    # dead-letter sink); without it each action re-executes fn over
+    # every record — double cost, and divergent splits if fn is
+    # non-deterministic. Caller unpersists when done.
+    both = df.mapInPandas(run, schema=union_schema).persist()
     good = both.filter(F.col("_qerror").isNull()).select(*out_names)
     quarantined = both.filter(F.col("_qerror").isNotNull()).select(
         *[F.col(f"_raw_{c}").alias(c) for c in in_cols],

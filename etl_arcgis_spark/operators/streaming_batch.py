@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..helpers import r4
+from ..helpers import ev_timestamp, r4
 from ..registry import query
 from ..tables import table
 
@@ -30,7 +30,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t"),
+        ev_timestamp().alias("ts_t"),
     )
 
 

@@ -18,14 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import r4
+from ..helpers import ev_us, r4
 from ..registry import query
 from ..tables import table
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+        "event_id", "user_id", "event_type", "value", ev_us().alias("us")
     )
 
 

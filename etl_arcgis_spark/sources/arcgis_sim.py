@@ -101,8 +101,13 @@ def _infer_field(name: str, value: object) -> StructField:
 
 @dataclass
 class PagePartition(InputPartition):
-    start: int
-    end: int
+    """A page of the layer, addressed by BYTE offsets so each task seeks
+    straight to its slice — line-index (islice) addressing would re-read
+    and discard O(page_index) lines per task, turning the scan into
+    O(pages x file)."""
+
+    byte_start: int
+    byte_end: int
 
 
 class ArcGISSimReader(DataSourceReader):
@@ -130,13 +135,25 @@ class ArcGISSimReader(DataSourceReader):
 
     def partitions(self) -> list[PagePartition]:
         """One partition per OID page — the esri-dump resultOffset window
-        (task.ts:418), parallelized."""
-        with open(self.path) as fh:
-            n = sum(1 for _ in fh)
-        return [
-            PagePartition(start, min(start + self.page_size, n))
-            for start in range(0, max(n, 1), self.page_size)
+        (task.ts:418), parallelized. One driver-side pass records the
+        byte offset where every page starts; tasks then seek directly.
+        """
+        offsets = [0]
+        with open(self.path, "rb") as fh:
+            n_lines = 0
+            for _line in fh:
+                n_lines += 1
+                if n_lines % self.page_size == 0:
+                    offsets.append(fh.tell())
+            file_end = fh.tell()
+        if offsets[-1] != file_end:
+            offsets.append(file_end)
+        parts = [
+            PagePartition(offsets[i], offsets[i + 1])
+            for i in range(len(offsets) - 1)
+            if offsets[i] < offsets[i + 1]
         ]
+        return parts or [PagePartition(0, 0)]
 
     def _matches(self, rec: dict) -> bool:
         for f in self.pushed:
@@ -163,8 +180,14 @@ class ArcGISSimReader(DataSourceReader):
 
     def read(self, partition: PagePartition):
         names = [f.name for f in self.schema.fields]
-        with open(self.path) as fh:
-            for line in islice(fh, partition.start, partition.end):
+        with open(self.path, "rb") as fh:
+            fh.seek(partition.byte_start)
+            remaining = partition.byte_end - partition.byte_start
+            while remaining > 0:
+                line = fh.readline()
+                if not line:
+                    break
+                remaining -= len(line)
                 rec = json.loads(line)
                 if self._matches(rec):
                     yield tuple(rec.get(n) for n in names)
@@ -192,12 +215,19 @@ class ArcGISSimPushReader(ArcGISSimReader):
 class ChunkCommit(WriterCommitMessage):
     path: str
     rows: int
+    partition: int
 
 
 class ArcGISSimWriter(DataSourceWriter):
     """A17: append-only batch sink — one JSONL chunk per partition
     (chunked submit), commit barrier == Promise.allSettled
-    (task.ts:358)."""
+    (task.ts:358).
+
+    Tasks write to ``.tmp-`` attempt files; only ``commit()`` renames
+    them to their final ``chunk-*.jsonl`` names, and ``abort()`` deletes
+    them — so a failed or partially-executed job never leaves
+    committed-looking output in the target directory.
+    """
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -205,25 +235,38 @@ class ArcGISSimWriter(DataSourceWriter):
 
     def write(self, iterator) -> ChunkCommit:
         import os
+        import uuid
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.out_dir, exist_ok=True)
-        path = f"{self.out_dir}/chunk-{pid:05d}.jsonl"
+        tmp = f"{self.out_dir}/.tmp-{uuid.uuid4().hex}-{pid:05d}"
         names = [f.name for f in self.schema.fields]
         n = 0
-        with open(path, "w") as fh:
+        with open(tmp, "w") as fh:
             for row in iterator:
                 fh.write(json.dumps(dict(zip(names, row))) + "\n")
                 n += 1
-        return ChunkCommit(path=path, rows=n)
+        return ChunkCommit(path=tmp, rows=n, partition=pid)
 
     def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = f"{self.out_dir}/chunk-{m.partition:05d}.jsonl"
+            os.replace(m.path, final)
         total = sum(m.rows for m in messages)
         print(f"ok - submitted {total} features in {len(messages)} chunks")
 
-    def abort(self, messages) -> None:  # pragma: no cover
-        pass
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
 
 
 class ArcGISSimDataSource(DataSource):
@@ -232,11 +275,18 @@ class ArcGISSimDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
-        """A5: layer schema from field metadata — inferred from the
-        first record (≅ dumper.schema(), task.ts:78)."""
+        """A5: layer schema from field metadata (≅ dumper.schema(),
+        task.ts:78) — inferred over the first 100 records, keeping
+        first-seen key order and the first NON-NULL value per key, so a
+        null or missing field in record 1 neither pins the column to
+        string nor drops it."""
+        samples: dict[str, object] = {}
         with open(self.options["path"]) as fh:
-            first = json.loads(next(fh))
-        return StructType([_infer_field(k, v) for k, v in first.items()])
+            for line in islice(fh, 100):
+                for k, v in json.loads(line).items():
+                    if k not in samples or samples[k] is None:
+                        samples[k] = v
+        return StructType([_infer_field(k, v) for k, v in samples.items()])
 
     def reader(self, schema: StructType) -> ArcGISSimReader:
         return ArcGISSimReader(schema, dict(self.options))

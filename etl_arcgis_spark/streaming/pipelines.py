@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..helpers import r4
+
 EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
@@ -43,7 +45,9 @@ def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     return (
         stream.withWatermark("ts_t", watermark)
         .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("val_sum"))
+        # r4 (not F.round): must match the batch twin bit-for-bit for
+        # the streaming==batch parity assertion
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("val_sum"))
         .select(F.unix_millis("w.start").alias("w_start_ms"), "event_type", "n", "val_sum")
     )
 

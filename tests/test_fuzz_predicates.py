@@ -70,7 +70,10 @@ def engines(spark):
     li.count()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')")
-    return li, con
+    yield li, con
+    # unpersist: later tests assert parquet-scan plan shapes on the same
+    # file, and a live cache would substitute InMemoryTableScan for them
+    li.unpersist()
 
 
 @settings(

@@ -36,6 +36,9 @@ FEATURES = [
     ),
     ("f8", {"callsign": "H"}, None, None),  # no geometry -> skipped
     ("f9", {"callsign": "I"}, "GeometryCollection", None),  # unrouteable
+    # Multi type whose coordinates failed to parse: must survive explode
+    # (as an unexploded row) and land in the skip count, not vanish
+    ("f10", {"callsign": "J"}, "MultiLineString", None),
 ]
 
 
@@ -54,8 +57,10 @@ def features(spark):
 def test_explode_conservation_and_ids(features):
     out = G.explode_multi(features)
     rows = {r["id"]: r for r in out.collect()}
-    # 3 + 2 + 2 parts from the three Multi features; 6 non-multi rows kept
-    assert len(rows) == 6 + 3 + 2 + 2
+    # 3 + 2 + 2 parts from the three Multi features; 6 non-multi rows and
+    # the null-coords Multi (f10) pass through
+    assert len(rows) == 7 + 3 + 2 + 2
+    assert rows["f10"]["geom_type"] == "MultiLineString"  # unexploded, kept
     # -idx suffix and Multi prefix stripped (task.ts:433-444)
     assert rows["f5-0"]["geom_type"] == "Point"
     assert rows["f5-2"]["coords"] == [[[[5.0, 6.0]]]]
@@ -71,8 +76,9 @@ def test_explode_conservation_and_ids(features):
 def test_route_and_skip(features):
     routed = G.route_by_geom_type(G.explode_multi(features))
     skipped = routed.filter(F.col("route").isNull()).select("id").collect()
-    # null geometry + GeometryCollection are skipped (task.ts:178-187)
-    assert {r["id"] for r in skipped} == {"f8", "f9"}
+    # null geometry + GeometryCollection + unparseable Multi are skipped
+    # (task.ts:178-187)
+    assert {r["id"] for r in skipped} == {"f8", "f9", "f10"}
     counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
     assert counts["points"] == 2 + 3  # f1, f2 + exploded f5
     assert counts["lines"] == 1 + 2
@@ -111,12 +117,16 @@ def test_upsert_by_key(spark):
         "cotuid string, callsign string, remarks string",
     )
     incoming = spark.createDataFrame(
-        [("c2", "Bravo2", "new"), ("c3", "Charlie", "new")],
+        [("c2", "Bravo2", None), ("c3", "Charlie", "new")],
         "cotuid string, callsign string, remarks string",
     )
     out = {r["cotuid"]: r for r in G.upsert_by_key(existing, incoming, "cotuid").collect()}
     assert out["c1"]["action"] == "keep" and out["c1"]["callsign"] == "Alpha"
-    assert out["c2"]["action"] == "update" and out["c2"]["callsign"] == "Bravo2"  # last write wins
+    assert out["c2"]["action"] == "update" and out["c2"]["callsign"] == "Bravo2"
+    # row-level replacement: the update's NULL remarks CLEARS the field
+    # (updateFeatures replaces the whole feature) — a column coalesce
+    # would have resurrected 'old'
+    assert out["c2"]["remarks"] is None
     assert out["c3"]["action"] == "insert" and out["c3"]["remarks"] == "new"
 
 
