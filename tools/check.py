@@ -53,8 +53,10 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
                 notes.append(f"{c}: Decimal->float")
         except Exception:
             pass
-        if np.issubdtype(s.dtype, np.floating):
-            s = s.round(6)
+        # floats are compared BIT-EXACT (no rounding): the engine's
+        # determinism contract (helpers.r4 DuckDB emulation + integer
+        # time currency) makes all 81 oracle queries bit-identical, so
+        # any tolerance here would only mask regressions
         if np.issubdtype(s.dtype, np.datetime64):
             s = s.astype("datetime64[us]")
         out[c] = s
