@@ -89,3 +89,52 @@ def test_predicate_agreement(engines, data):
     spark_n = li.filter(F.expr(pred)).count()
     duck_n = con.execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchone()[0]
     assert spark_n == duck_n, f"disagreement on: {pred} (spark={spark_n} duck={duck_n})"
+
+
+AGG_MEASURES = [
+    "count(*) AS n",
+    "count(DISTINCT l_suppkey) AS nd_supp",
+    "min(l_extendedprice) AS min_p",
+    "max(l_extendedprice) AS max_p",
+    "min(l_shipdate) AS min_d",
+    "max(l_orderkey) AS max_k",
+]
+AGG_DIMS = ["l_returnflag", "l_linestatus", "l_orderkey % 10", "l_linenumber"]
+
+
+@pytest.fixture(scope="module")
+def sql_engines(spark):
+    table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')")
+    return spark, con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_aggregation_agreement(sql_engines, data):
+    """Same SQL text through Spark SQL and DuckDB: random group-by over
+    random dims/filters with order-independent exact measures (count /
+    distinct / min / max — no float-summation ambiguity) must produce
+    identical result sets."""
+    spark, con = sql_engines
+    dims = data.draw(
+        st.lists(st.sampled_from(AGG_DIMS), min_size=1, max_size=2, unique=True)
+    )
+    measures = data.draw(
+        st.lists(st.sampled_from(AGG_MEASURES), min_size=1, max_size=3, unique=True)
+    )
+    pred = data.draw(predicate())
+    dim_aliases = [f"{d} AS d{i}" for i, d in enumerate(dims)]
+    sql = (
+        f"SELECT {', '.join(dim_aliases + measures)} FROM lineitem "
+        f"WHERE {pred} GROUP BY {', '.join(f'd{i}' for i in range(len(dims)))}"
+    )
+    a = {tuple(map(str, r)) for r in spark.sql(sql).collect()}
+    b = {tuple(map(str, r)) for r in con.execute(sql).fetchall()}
+    assert a == b, f"disagreement on: {sql}"
