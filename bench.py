@@ -6,7 +6,7 @@ Prints ONE JSON line:
    "queries": {name: median_sec, ...}, "sf": <sf>}
 
 Methodology (mirrors BASELINE.md): one SparkSession (startup excluded),
-per query 1 warm-up run then median of 3 timed runs. Each run fully
+per query 1 warm-up run then median of 5 timed runs. Each run fully
 materializes the result via the noop DataSourceV2 sink (executes the
 whole plan, no driver-side row transfer — the Spark analogue of the
 DuckDB fetch in BASELINE.md).
@@ -47,11 +47,17 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    import re as _re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else sf_dir
     os.environ.setdefault("SPARK_GRAFT_CACHE", "1")  # cached fixture reads
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")  # sized to sf0.1
-    spark = get_session("bench")
+    # shuffle sized to the data; passed explicitly (the module-level
+    # default in session.py is frozen at import time, before this runs)
+    spark = get_session(
+        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    )
     queries = registry.all_queries()
 
     timings: dict[str, float] = {}
@@ -72,7 +78,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
             }
         )
     )

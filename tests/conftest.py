@@ -9,7 +9,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from etl_arcgis_spark.session import get_session  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")

@@ -54,6 +54,7 @@ def _joined(spark, li, od):
 
 def test_bucketed_join_has_no_exchange_on_scan_sides(spark, bucketed):
     # disable broadcast so the join strategy itself is under test
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         q = _joined(spark, spark.table("li_b"), spark.table("od_b"))
@@ -67,4 +68,4 @@ def test_bucketed_join_has_no_exchange_on_scan_sides(spark, bucketed):
         plain = _joined(spark, table(spark, SF_DIR, "lineitem"), table(spark, SF_DIR, "orders"))
         assert sorted(map(tuple, q.collect())) == sorted(map(tuple, plain.collect()))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -51,9 +51,17 @@ def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
         .start()
     )
     q.awaitTermination(120)
-    got = {tuple(r) for r in spark.sql("SELECT * FROM tumble_out").collect()}
-    want = {tuple(r) for r in _tumbling(table(spark, SF_DIR, "events")).collect()}
-    assert got == want and len(got) > 0
+    # counts/keys must match exactly; sums by key with tolerance (the
+    # streaming state and the batch plan accumulate doubles in different
+    # orders, so an exact float compare would be boundary-flaky)
+    got = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+           for r in spark.sql("SELECT * FROM tumble_out").collect()}
+    want = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+            for r in _tumbling(table(spark, SF_DIR, "events")).collect()}
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-3
 
 
 def test_watermark_drops_late_data(spark, tmp_path):

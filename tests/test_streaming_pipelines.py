@@ -37,11 +37,18 @@ def _run(stream_df, name: str, mode: str):
 def test_windowed_counts_matches_batch(spark, events_dir):
     stream = P.read_events_stream(spark, events_dir)
     _run(P.windowed_counts(stream), "wc_out", "complete")
-    got = {tuple(r) for r in spark.sql("SELECT * FROM wc_out").collect()}
+    got = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+           for r in spark.sql("SELECT * FROM wc_out").collect()}
     from etl_arcgis_spark.operators.streaming_batch import stream_tumbling_window_agg
 
-    want = {tuple(r) for r in stream_tumbling_window_agg(spark, SF_DIR).collect()}
-    assert got == want and got
+    want = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+            for r in stream_tumbling_window_agg(spark, SF_DIR).collect()}
+    # keys and counts exact; sums with tolerance (accumulation order
+    # differs between streaming state and the batch plan)
+    assert got.keys() == want.keys() and got
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-3
 
 
 def test_streaming_dedup_passes_unique_rows(spark, events_dir):

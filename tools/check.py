@@ -2,8 +2,9 @@
 
 Runs every registered query on Spark AND its DuckDB oracle over the same
 parquet fixtures, then compares row count, column names, and an
-order-insensitive value comparison (floats rounded to 6 decimals after
-the in-query round(4), everything else exact).
+order-insensitive value comparison. Floats are compared BIT-EXACT (the
+engine's determinism contract makes every oracle query bit-identical;
+tolerance would only mask regressions).
 
 Usage:
     python tools/check.py [--sf /root/testdata/sf0.001] [names...]
@@ -57,6 +58,8 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
         # determinism contract (helpers.r4 DuckDB emulation + integer
         # time currency) makes all 81 oracle queries bit-identical, so
         # any tolerance here would only mask regressions
+        if np.issubdtype(s.dtype, np.floating):
+            s = s + 0.0  # normalize -0.0 to 0.0 so row sort keys align
         if np.issubdtype(s.dtype, np.datetime64):
             s = s.astype("datetime64[us]")
         out[c] = s
@@ -151,7 +154,13 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
-        problems = compare(sdf, odf)
+        try:
+            problems = compare(sdf, odf)
+        except Exception:
+            print(f"FAIL {name}: compare raised\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
         hard = [p for p in problems if not p.startswith("dtype note")]
         if hard:
             n_fail += 1
