@@ -322,3 +322,45 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile("l_quantity", F.lit(0.75))).alias("q75"),
         r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("price_p90"),
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/string_agg shape): distinct values
+    per group, sorted then joined — the explicit sort makes the result
+    order-deterministic on both engines."""
+    od = table(spark, sf_dir, "orders")
+    return od.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias("priorities"),
+    )
+
+
+@query(
+    "agg_collect_sorted_array",
+    oracle="""
+SELECT c_nationkey,
+       list_sort(list(c_custkey)) AS custkeys,
+       count(*) AS n
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list + deterministic sort): the
+    grouped-list shape used to build per-key postings/feature lists;
+    sorted so the value hashes identically on both engines."""
+    cu = table(spark, sf_dir, "customer")
+    return cu.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
