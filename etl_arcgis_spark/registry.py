@@ -59,6 +59,7 @@ def load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         etl,
         filters,
