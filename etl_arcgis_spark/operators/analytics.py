@@ -126,3 +126,128 @@ def analytics_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "analytics_min_cost_supplier",
+    oracle="""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+), floor_price AS (
+  SELECT l_partkey, min(unit_price) AS min_unit_price
+  FROM priced GROUP BY l_partkey
+)
+SELECT p.l_partkey AS partkey, p.l_suppkey AS suppkey,
+       p.l_orderkey AS orderkey, p.l_linenumber AS linenumber,
+       round(p.unit_price, 4) AS unit_price
+FROM priced p
+JOIN floor_price f
+  ON p.l_partkey = f.l_partkey AND p.unit_price = f.min_unit_price
+""",
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: argmin-per-group via min-join-back — for each
+    part, every lineitem quoting that part's lowest unit price.
+
+    Distinct from the rank-filter top-k shape: the aggregate-then-
+    rejoin returns ALL rows achieving the minimum (ties included), so
+    no tie-breaker is needed and the result is fully deterministic —
+    IEEE division yields bit-identical doubles on both engines, so the
+    equality join on the computed value is exact.
+
+    Scale: both the aggregate and the join shuffle on l_partkey, so AQE
+    reuses one exchange; the join-back is the standard decorrelation of
+    Q2's correlated min subquery.
+    """
+    priced = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    floor_price = priced.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    return (
+        priced.alias("p")
+        .join(
+            floor_price.alias("f"),
+            (F.col("p.l_partkey") == F.col("f.l_partkey"))
+            & (F.col("p.unit_price") == F.col("f.min_unit_price")),
+        )
+        .select(
+            F.col("p.l_partkey").alias("partkey"),
+            F.col("p.l_suppkey").alias("suppkey"),
+            F.col("p.l_orderkey").alias("orderkey"),
+            F.col("p.l_linenumber").alias("linenumber"),
+            r4(F.col("p.unit_price")).alias("unit_price"),
+        )
+    )
+
+
+@query(
+    "analytics_nation_pair_revenue",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def analytics_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping revenue between two nations, both
+    directions, by year — the same dimension (nation) joined twice in
+    different roles (supplier's vs customer's), with a disjunctive
+    pair predicate that only becomes evaluable after both legs join.
+
+    Scale: the nation legs broadcast (25 rows, fixed); pushing the
+    one-sided half of the pair filter into each broadcast (n_name IN
+    (A, B)) prunes the fact rows at the first join instead of the
+    last — done explicitly below, the cross-leg OR stays as the
+    residual condition.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    su = table(spark, sf_dir, "supplier")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    ).alias("n1")
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    ).alias("n2")
+    return (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )

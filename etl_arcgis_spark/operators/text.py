@@ -327,3 +327,49 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = langid_predict(docs)
     return out.select("doc_id", "lang_pred", "score_en")
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1]) AS bgs
+  FROM t WHERE len(l) >= 2
+)
+SELECT doc_id,
+       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4)
+         AS rep_ratio,
+       (1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs)) <= 0.2
+         AS keep
+FROM g
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the Gopher/MassiveText-style quality
+    signal: fraction of duplicated bigrams in a doc (boilerplate and
+    looped generations score high). Pure array HOFs, one codegen stage,
+    no explode — the per-doc state never leaves the row, so this is
+    embarrassingly parallel at any scale. ``keep`` applies the usual
+    <= 0.2 filter threshold as a column (the pipeline's filter stage).
+    """
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    docs = docs.filter(F.size("l") >= 2).withColumn(
+        "bgs",
+        F.expr(
+            "transform(sequence(1, size(l) - 1), "
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+        ),
+    )
+    n_bg = F.size("bgs")
+    rep = F.lit(1.0) - F.size(F.array_distinct("bgs")).cast("double") / n_bg
+    return docs.select(
+        "doc_id",
+        n_bg.cast("bigint").alias("n_bigrams"),
+        r4(rep).alias("rep_ratio"),
+        (rep <= 0.2).alias("keep"),
+    )
