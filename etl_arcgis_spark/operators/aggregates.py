@@ -364,3 +364,42 @@ def agg_collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_histogram_price",
+    oracle="""
+WITH b AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+)
+SELECT least(CAST(floor((l_extendedprice - mn) * 20 / (mx - mn)) AS BIGINT), 19)
+         AS bin,
+       count(*) AS n
+FROM lineitem, b
+GROUP BY 1
+""",
+)
+def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins) over l_extendedprice with
+    data-driven bounds. Two stages: a global min/max aggregate (exact
+    doubles — min/max never lose precision) broadcast to a second scan
+    that bins rows with the identical IEEE expression both engines
+    evaluate bit-for-bit. The max value lands in a virtual 21st bin;
+    ``least(bin, 19)`` closes the top interval, the textbook rule.
+    At scale both stages are one pass each; the bounds row is a 16-byte
+    broadcast, never a shuffle."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                * 20
+                / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))

@@ -373,3 +373,29 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(rep).alias("rep_ratio"),
         (rep <= 0.2).alias("keep"),
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, source, substr(md5(text), 1, 4) AS bucket
+FROM documents
+WHERE substr(md5(text), 1, 4) <= '28f5'
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling — the reproducible way to
+    subsample a corpus (survives reruns, joins, and engine changes,
+    unlike rand()). Keep a doc iff a prefix of md5(text) falls under a
+    threshold: '28f5' / 'ffff' ≈ 16%. Stratification = one threshold
+    per stratum (source, lang, ...) joined in; dedup-aware pipelines
+    hash the content, so exact duplicates sample identically — both
+    engines agree bit-for-bit on md5, making this oracle-exact where
+    rand()-based sampling never can be. At 100 TB the filter sits
+    directly on the scan: no shuffle, no state."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 4)
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") <= "28f5")
+    )

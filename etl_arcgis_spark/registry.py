@@ -71,6 +71,7 @@ def load_all() -> None:
         sql_functions,
         streaming_batch,
         text,
+        timeseries,
         udfs,
         windows,
     )

@@ -38,6 +38,7 @@ NLJ_OK = {
     "lsh_approx_join",       # bucket-equality carried, id< residual
     "sim_knn_query_vector",  # 1-row broadcast
     "text_simhash_fingerprint",  # 16-row broadcast bit planes
+    "agg_histogram_price",   # 1-row min/max bounds broadcast
 }
 
 
