@@ -12,7 +12,7 @@ partitions when groups are few.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import r4
@@ -403,3 +403,47 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_mode_argmax",
+    oracle="""
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cnt AS (
+  SELECT seg, pri, count(*) AS n FROM j GROUP BY seg, pri
+), r AS (
+  SELECT seg, pri, n,
+         row_number() OVER (PARTITION BY seg ORDER BY n DESC, pri ASC) AS rn
+  FROM cnt
+)
+SELECT seg, pri AS mode_priority, n FROM r WHERE rn = 1
+""",
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group — the argmax-by-count
+    pattern: count pass, then rank-1 selection with a total tie order
+    (count DESC, value ASC). SQL has no mode() with deterministic ties;
+    this is the portable spelling.
+
+    Scale: the count pass shrinks orders to |seg|x|pri| (25 rows here,
+    bounded by cardinality product at any SF), so the window runs on a
+    trivially small input; the join side broadcasts customer only at
+    fixture scale — at cluster SF it's a shuffle join on custkey, and
+    the InferWindowGroupLimit rule turns the rank filter into a
+    group-limit (no full sort)."""
+    j = (
+        table(spark, sf_dir, "orders")
+        .join(table(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderpriority").alias("pri"))
+    )
+    cnt = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("seg").orderBy(F.desc("n"), F.asc("pri"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("seg", F.col("pri").alias("mode_priority"), "n")
+    )

@@ -360,3 +360,54 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "sim_label_cohesion",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, any_value(label) AS label, sqrt(sum(x * x)) AS nrm
+  FROM v GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.label = b.label
+                   AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT na.label AS label,
+       round(avg(dot / (na.nrm * nb.nrm)), 4) AS avg_cosine,
+       count(*) AS n_pairs
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+GROUP BY na.label
+""",
+)
+def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality diagnostic: mean pairwise cosine WITHIN each
+    label — how tight each class's cluster is (the within-class half of
+    a silhouette-style score). All vector math in SQL higher-order
+    functions: codegen'd, no Python.
+
+    Scale: the label equi-key makes this a partitioned self-join (never
+    a global cross join) — pairs are generated only inside a label
+    partition, the same blocking idea as the LSH path; per-label pair
+    counts are quadratic in class size, so at cluster SF a skewed giant
+    class is the hazard → AQE skew-join or per-label GEMM blocks (the
+    sim_cosine_topk_pairs formulation applied per label)."""
+    e = _with_norm(table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), "label",
+                 F.col("embedding").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+                 F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(r4(F.avg("cos")).alias("avg_cosine"), F.count(F.lit(1)).alias("n_pairs"))
+    )

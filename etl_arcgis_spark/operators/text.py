@@ -399,3 +399,98 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", bucket.alias("bucket"))
         .filter(F.col("bucket") <= "28f5")
     )
+
+
+@query(
+    "text_collocation_lift",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+), n_uni AS (
+  SELECT sum(c) AS nu FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS c
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i + 1])) AS w2
+    FROM toks
+  ) GROUP BY w1, w2
+), n_bi AS (
+  SELECT sum(c) AS nb FROM bi
+)
+SELECT w1 || ' ' || w2 AS bigram, bi.c AS n,
+       round(CAST(bi.c * nu * nu AS DOUBLE)
+             / CAST(u1.c * u2.c * nb AS DOUBLE), 4) AS lift
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN n_uni
+CROSS JOIN n_bi
+WHERE bi.c >= 5
+ORDER BY CAST(bi.c * nu * nu AS DOUBLE) / CAST(u1.c * u2.c * nb AS DOUBLE) DESC,
+         bigram ASC
+LIMIT 20
+""",
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift: p(xy) / (p(x)·p(y)) over corpus
+    bigram/unigram frequencies — the association score behind
+    PMI (= ln(lift)), kept rational so it is ORACLE-EXACT: both
+    factors are exact int64 products (~1e16 max, one IEEE rounding on
+    the int→double conversion, identical on both engines) and the
+    score is a single division — no libm, no summation order. Top-20
+    by the exact unrounded score with a bigram tiebreak; emitted
+    r4-rounded.
+
+    Scale: unigram and bigram count passes are map-side-combinable
+    shuffles on the token key; the two unigram joins broadcast (vocab
+    is small relative to the corpus by Heaps' law, and the c>=5 filter
+    shrinks the bigram side first). The global totals are 1-row
+    broadcasts, never a shuffle."""
+    toks = table(spark, sf_dir, "documents").select(F.split("text", " ").alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    n_bi = (
+        toks.select((F.size("l") - 1).alias("k"))
+        .agg(F.sum("k").alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c").alias("n"),
+            (
+                (F.col("c") * F.col("nu") * F.col("nu")).cast("double")
+                / (F.col("c1") * F.col("c2") * F.col("nb")).cast("double")
+            ).alias("lift_exact"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_exact"), F.asc("bigram"))
+        .limit(20)
+        .select("bigram", "n", r4("lift_exact").alias("lift"))
+    )

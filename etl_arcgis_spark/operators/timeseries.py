@@ -8,6 +8,17 @@ feature tables for training). This module adds the resample family:
 - ``ts_resample_hourly_ffill``: per-key hourly grid with forward-fill
   (last observation carried forward) — the canonical as-of
   regularization.
+- ``ts_ohlc_downsample``: per-hour open/high/low/close bars — the M4
+  downsampling shape a charting/feature pipeline uses to shrink a raw
+  stream without losing the envelope.
+- ``ts_gap_detect``: consecutive-event gaps above a threshold per key
+  (sensor-dropout / session-boundary detection).
+- ``analytics_cohort_retention``: classic cohort grid — users bucketed
+  by first-seen week × activity-week offset.
+- ``analytics_funnel_steps``: strictly-ordered event funnel
+  (signup → view → purchase) with per-step survivor counts.
+- ``window_zscore_anomaly``: trailing-window z-score anomaly flags per
+  key (monitoring / outlier-mining shape).
 
 Event-time currency is integer microseconds (helpers.py): the events
 fixture is TIMESTAMP(NANOS) parquet, and integer µs is the exact
@@ -25,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import ev_us
+from ..helpers import ev_us, r4
 from ..registry import query
 from ..tables import table
 
@@ -113,4 +124,252 @@ def ts_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.withColumn("last_value", F.last("value", ignorenulls=True).over(w))
         .filter(F.col("is_grid") == 1)
         .select("user_id", F.col("t").alias("grid_us"), "last_value")
+    )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "ts_ohlc_downsample",
+    oracle=f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS t, event_id, value FROM events
+), w AS (
+  SELECT (t // {_HOUR_US}) * {_HOUR_US} AS bucket_us, value,
+         row_number() OVER (PARTITION BY (t // {_HOUR_US})
+                            ORDER BY t ASC,  event_id ASC)  AS rn_a,
+         row_number() OVER (PARTITION BY (t // {_HOUR_US})
+                            ORDER BY t DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT bucket_us,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n
+FROM w GROUP BY bucket_us
+""",
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event stream: first/max/min/last value
+    per bucket — M4-style downsampling (keeps the visual/feature
+    envelope of a series at a fixed resolution regardless of input
+    rate). first/last are made total-ordered by (t, event_id), so the
+    result is deterministic under same-microsecond events.
+
+    Values pass through untouched (no arithmetic) — no rounding needed.
+    Scale: ONE shuffle on the bucket key; both window passes and the
+    final aggregate share that partitioning (Catalyst reuses the
+    exchange), and the aggregate is partial-agg friendly. Buckets are
+    dense time — no skew."""
+    ev = table(spark, sf_dir, "events").select(
+        ev_us().alias("t"), "event_id", "value"
+    )
+    bucket = (F.col("t") - F.col("t") % _HOUR_US).alias("bucket_us")
+    wa = Window.partitionBy(bucket).orderBy(F.col("t").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy(bucket).orderBy(F.col("t").desc(), F.col("event_id").desc())
+    tagged = ev.select(
+        bucket,
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return tagged.groupBy("bucket_us").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "ts_gap_detect",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+), lagged AS (
+  SELECT user_id, t, event_id,
+         lag(t) OVER (PARTITION BY user_id
+                      ORDER BY t ASC, event_id ASC) AS prev_t
+  FROM ev
+)
+SELECT user_id, prev_t AS gap_start_us, t AS gap_end_us,
+       t - prev_t AS gap_us
+FROM lagged
+WHERE prev_t IS NOT NULL AND t - prev_t > {6 * _HOUR_US}
+""",
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dropout detection: consecutive-event pairs more than
+    6 hours apart (lag over a total order, filter on the delta). The
+    complement of sessionization — reports the silences, not the
+    bursts. Integer-µs arithmetic, exact on both engines.
+
+    Scale: one shuffle on user_id, one sort, a narrow filter — the
+    minimal plan for any order-dependent per-key pass."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_t", F.lag("t").over(w))
+        .filter(F.col("prev_t").isNotNull() & (F.col("t") - F.col("prev_t") > 6 * _HOUR_US))
+        .select(
+            "user_id",
+            F.col("prev_t").alias("gap_start_us"),
+            F.col("t").alias("gap_end_us"),
+            (F.col("t") - F.col("prev_t")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "analytics_cohort_retention",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+)
+SELECT cohort_wk, ev.wk - cohort_wk AS week_offset,
+       count(DISTINCT ev.user_id) AS active_users
+FROM ev JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users keyed by first-seen week (epoch-µs
+    integer week index — exact, engine-neutral; boundary day is fixed
+    by the epoch, which is all a retention grid needs), counted
+    distinct in each subsequent week offset.
+
+    Scale: both the min() cohort pass and the join are partitioned on
+    user_id — one shuffle feeds both (exchange reuse); the final
+    count-distinct re-shuffles on the small (cohort, offset) grid.
+    user_id skew is the only hazard → AQE skew handling at cluster SF."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", (ev_us() - ev_us() % _WEEK_US) .alias("wk_us")
+    ).select("user_id", (F.col("wk_us") / _WEEK_US).cast("bigint").alias("wk"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "analytics_funnel_steps",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, min(t) AS t2
+  FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND t > t1 GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, min(t) AS t3
+  FROM ev JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND t > t2 GROUP BY ev.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_view_after_signup,
+       (SELECT count(*) FROM s3) AS n_purchase_after_view
+""",
+)
+def analytics_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel signup → view → purchase: a user counts
+    at step k only with an event of that type strictly after their
+    step-(k-1) time. Three conditional-min passes, each joined against
+    the previous survivor set — the standard funnel algebra (each step
+    is an as-of semi-join).
+
+    Scale: every stage is keyed on user_id, so one partitioning serves
+    the whole chain; survivor sets only shrink, and the final counts
+    are three tiny global aggregates."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ev_us().alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
+@query(
+    "window_zscore_anomaly",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+), stats AS (
+  SELECT user_id, t, event_id, value,
+         avg(value)    OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(*)      OVER w AS n
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+       round((value - mu) / sd, 4) AS z
+FROM stats
+WHERE n >= 10 AND sd > 1e-12 AND abs((value - mu) / sd) > 2.5
+""",
+)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: z-score of each event's value
+    against its user's previous 20 events (ROWS frame), emitted when
+    |z| > 2.5 and the window holds >= 10 samples — the standard
+    streaming-monitor shape, expressed as one window pass.
+
+    Float note: mu/sd are frame aggregates; both engines accumulate a
+    <= 20-element frame, so cross-engine noise is ~1e-15 relative —
+    far below the 1e-4 output grid and the 2.5 threshold's practical
+    tie band. z is r4-rounded per the engine contract.
+
+    Scale: single shuffle+sort on user_id; the frame is bounded (20
+    rows) so state is O(1) per key — the same plan Structured
+    Streaming would use with a sliding aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        stats.filter((F.col("n") >= 10) & (F.col("sd") > 1e-12) & (F.abs(z) > 2.5))
+        .select("user_id", "event_id", "value", r4(z).alias("z"))
     )

@@ -39,6 +39,8 @@ NLJ_OK = {
     "sim_knn_query_vector",  # 1-row broadcast
     "text_simhash_fingerprint",  # 16-row broadcast bit planes
     "agg_histogram_price",   # 1-row min/max bounds broadcast
+    "analytics_funnel_steps",  # three 1-row step counts cross-joined
+    "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
 }
 
 
