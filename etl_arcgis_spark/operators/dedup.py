@@ -392,3 +392,117 @@ def propagate_min_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         return labels
     finally:
         sym.unpersist()
+
+
+@query(
+    "dedup_minhash_banding_exact",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]))) AS s
+  FROM toks
+), hx AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM hx GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+                         AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ix AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT ix.id_a, ix.id_b,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+FROM ix
+JOIN sizes sa ON sa.doc_id = ix.id_a
+JOIN sizes sb ON sb.doc_id = ix.id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+""",
+)
+def dedup_minhash_banding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banding near-dup detection with a DETERMINISTIC hash
+    family — md5(i || '|' || shingle) for i in 0..15, min-reduced per
+    slot — so, unlike the seeded ML MinHashLSH (minhash_lsh_dedup,
+    weak check), this one is exactly reproducible on any engine and
+    carries a full DuckDB oracle. 16 signatures in 4 bands of 4; docs
+    sharing any band key become candidates; candidates are VERIFIED
+    with exact bigram-shingle Jaccard and kept at >= 0.6 (the fixture's
+    planted near-dups sit at J ~ 0.99; band collision probability
+    1-(1-J^4)^4 ~ 1 there).
+
+    All hashing/banding runs in SQL higher-order functions (md5,
+    transform, array_min, slice) — whole-stage codegen, no Python.
+
+    Scale (the 100 TB design): signatures are one narrow pass per doc
+    (16 md5-mins over its shingle set, no shuffle); the candidate step
+    is an equi-join on (band, bkey) — pairs are generated only inside a
+    bucket, never a global cross join; the verify step joins the
+    candidate pair list (tiny vs corpus) back to shingle sets. A
+    degenerate giant bucket (all-identical boilerplate docs) is the
+    skew hazard -> AQE skew-join split, or cap bucket width and route
+    oversized buckets to exact-hash dedup first (dedup_exact removes
+    identical texts before LSH runs)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("l"))
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("sh"),
+    )
+    sig = d.withColumn(
+        "sig",
+        F.expr(
+            "transform(sequence(0, 15), "
+            "i -> array_min(transform(sh, s -> md5(concat(cast(i as string), '|', s)))))"
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "k -> struct(k AS band, md5(concat_ws('|', slice(sig, k * 4 + 1, 4))) AS bkey))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bkey")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("band_b"))
+               & (F.col("bkey") == F.col("bkey_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    shb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            (F.size("sha") + F.size("shb")).alias("tot"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))
+    return (
+        verified.filter(jac >= 0.6)
+        .select("id_a", "id_b", r4(jac).alias("jaccard"))
+    )
