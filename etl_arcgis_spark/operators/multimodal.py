@@ -238,3 +238,73 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(resize, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, start_ms bigint, end_ms bigint, "
+    "energy double, is_speech boolean"
+)
+_SAMPLE_RATE = 16_000     # stub PCM: 16 kHz mono s16le
+_CHUNK_SAMPLES = 2_048    # ~128 ms windows
+_HOP_SAMPLES = 1_536      # 25% overlap between consecutive chunks
+
+
+@query("multimodal_audio_chunk")  # weak: exercises audio-chunking plumbing
+def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped plumbing: STUB of decode -> overlapped fixed-length
+    chunking -> per-chunk energy -> voice-activity gate, the standard
+    ASR/embedding preprocessing pass (e.g. 30 s windows with overlap,
+    scaled down to the fixture payloads). A real build swaps the codec
+    in (soundfile/ffmpeg — not in this container) and keeps everything
+    else: the payload is treated as 16 kHz mono s16le PCM, chunk
+    boundaries are sample-accurate with hop < window (overlap), energy
+    is the mean |sample| of the chunk, and the gate drops silence-like
+    chunks BEFORE any expensive downstream featurization.
+
+    Spark contract (the real part): one binary row in, N overlapping
+    chunk rows out via a generator inside Arrow-batched mapInPandas —
+    row explosion with no shuffle and no Python-row round-trips; chunk
+    timestamps are derived, not stored. At 100 TB the gate's
+    selectivity is the win: silence (often most of raw audio) never
+    leaves the scan stage."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(
+                    bytes(payload[: (len(payload) // 2) * 2]), dtype="<i2"
+                ).astype(np.float64)
+                if pcm.size == 0:
+                    continue
+                idx = 0
+                start = 0
+                while start < pcm.size:
+                    seg = pcm[start : start + _CHUNK_SAMPLES]
+                    energy = float(np.abs(seg).mean()) / 32768.0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": idx,
+                            "start_ms": start * 1000 // _SAMPLE_RATE,
+                            "end_ms": (start + seg.size) * 1000 // _SAMPLE_RATE,
+                            "energy": round(energy, 4),
+                            "is_speech": energy > 0.05,
+                        }
+                    )
+                    idx += 1
+                    start += _HOP_SAMPLES
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_idx", "start_ms", "end_ms", "energy", "is_speech",
+                ],
+            )
+
+    return docs.mapInPandas(chunk, schema=_AUDIO_SCHEMA)
