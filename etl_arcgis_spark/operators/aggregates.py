@@ -447,3 +447,36 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("seg", F.col("pri").alias("mode_priority"), "n")
     )
+
+
+@query(
+    "agg_corr_cov",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4)        AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4)  AS cov_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the OLS line (regr_slope/regr_intercept of price on
+    quantity) — the relationship-profiling aggregates a feature-
+    engineering pass runs before building derived columns. All four are
+    single-pass co-moment aggregates (Welford-style partial merge), so
+    they combine map-side like any sum — one shuffle of 3 groups x 6
+    moments regardless of SF. Outputs r4-rounded: co-moment
+    accumulation order differs across engines at ~1e-12 relative, far
+    under the 1e-4 grid."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
+        r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -320,3 +320,45 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("n.n_regionkey") == F.col("r.r_regionkey")).alias("is_home"),
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join: near-identical part names (edit distance <= 2)
+    within a brand — the entity-resolution shape (typo-tolerant record
+    linkage). Levenshtein is exact and engine-portable (same classic DP
+    definition in Spark and DuckDB), so the oracle is exact — unlike
+    seeded similarity hashing.
+
+    Scale: the brand equi-key does the blocking — pairs are generated
+    only inside a brand partition (a shuffled equi-join), and the
+    distance predicate runs as a post-join filter on that bounded pair
+    set, never as a global cross join. At cluster SF with skewed blocks
+    the fix is a second blocking key (e.g. name-length band: edit
+    distance <= 2 implies |len(a)-len(b)| <= 2), which this plan adds
+    as a band-overlap conjunct in the join condition."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand_b"),
+                 F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("brand") == F.col("brand_b"))
+               & (F.col("key_a") < F.col("key_b"))
+               & (dist <= 2))
+        .select("key_a", "key_b", "name_a", "name_b",
+                dist.cast("bigint").alias("dist"))
+    )
