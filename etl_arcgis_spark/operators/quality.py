@@ -1,0 +1,186 @@
+"""Data-quality / profiling operators — the validation pass a
+large-scale pipeline runs before trusting a 100 TB input.
+
+The reference validates its inputs declaratively (TypeBox schemas,
+task.ts:13-46) and drops/skips malformed features at runtime
+(task.ts:178-187, CHANGELOG.md:179). Generalized to an engine, that
+becomes first-class profiling + rule checking:
+
+- ``profile_numeric_columns``: per-column null count / distinct count /
+  min / max over the fact table — the dbt-style profile, one scan.
+- ``dq_rule_checks``: named assertion rules (domain ranges, referential
+  integrity) with violation counts and rates — the quality gate.
+
+Both are ordinary aggregates: they run at any SF with one or two scans
+and no new machinery, which is exactly why they belong in the engine
+rather than in driver-side scripts iterating over collect()ed rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "profile_numeric_columns",
+    oracle="""
+SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       min(l_quantity) AS min_v, max(l_quantity) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*) - count(l_discount),
+       count(DISTINCT l_discount), min(l_discount), max(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*) - count(l_tax),
+       count(DISTINCT l_tax), min(l_tax), max(l_tax)
+FROM lineitem
+""",
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the fact table's numeric measures: null count,
+    exact distinct count, min, max — one output row per column. min/max
+    pass through exactly (no arithmetic, no rounding needed).
+
+    Scale: Spark computes ALL columns' profiles in a single scan (one
+    wide aggregate + a stack/unpivot to rows) — at 100 TB the scan is
+    the cost, so per-column passes (the oracle's UNION ALL spelling,
+    which DuckDB is free to use at fixture scale) would multiply it.
+    The exact count_distinct per column is the only shuffled piece;
+    swap in approx_count_distinct when a profile tolerates ~2% error."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (col, n_null, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+@query(
+    "dq_rule_checks",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+SELECT 'discount_in_unit_range' AS rule,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / n.n_rows, 4) AS rate
+FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+UNION ALL
+SELECT 'quantity_le_45',
+       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT),
+       round(CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS DOUBLE) / n.n_rows, 4)
+FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+UNION ALL
+SELECT 'ship_not_before_order',
+       CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT),
+       round(CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS DOUBLE)
+             / n.n_rows, 4)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+CROSS JOIN n GROUP BY n.n_rows
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       v.c,
+       round(CAST(v.c AS DOUBLE) / n.n_rows, 4)
+FROM (SELECT count(*) AS c
+      FROM (SELECT l_orderkey FROM lineitem
+            EXCEPT SELECT o_orderkey FROM orders)) v
+CROSS JOIN n
+""",
+)
+def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named data-quality gate: two domain rules (discount within its
+    documented unit range, quantity under the expected cap), one
+    cross-table consistency rule (no line shipped before its order was
+    placed), and one referential rule (every lineitem has a parent
+    order — spelled as a key anti-check). Output: rule, violation
+    count, violation rate over the fact row count. Zero counts are the
+    healthy case and are asserted, not skipped — a gate that can't
+    report zero can't prove health.
+
+    Scale: the domain rules fold into ONE fact scan as conditional
+    sums; the consistency rule joins on the fact's own join key
+    (co-partitioned with any downstream order join); the FK check is a
+    key-projected anti set-op (distinct keys, tiny vs the fact). The
+    1-row total-count broadcast prices rates without a second pass."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    n = li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def rate(cnt):
+        return r4(cnt.cast("double") / F.col("n_rows"))
+
+    disc_viol = F.sum(
+        F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+    )
+    qty_viol = F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0))
+    domain = (
+        li.crossJoin(F.broadcast(n))
+        .groupBy("n_rows")
+        .agg(disc_viol.alias("v_disc"), qty_viol.alias("v_qty"))
+    )
+    r_disc = domain.select(
+        F.lit("discount_in_unit_range").alias("rule"),
+        F.col("v_disc").alias("n_violations"),
+        rate(F.col("v_disc")).alias("rate"),
+    )
+    r_qty = domain.select(
+        F.lit("quantity_le_45").alias("rule"),
+        F.col("v_qty").alias("n_violations"),
+        rate(F.col("v_qty")).alias("rate"),
+    )
+    ship = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("v")
+        )
+        .select(
+            F.lit("ship_not_before_order").alias("rule"),
+            F.col("v").alias("n_violations"),
+            rate(F.col("v")).alias("rate"),
+        )
+    )
+    orphan = (
+        li.select("l_orderkey").distinct()
+        .join(orders.select("o_orderkey").distinct(),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        # global count: one row even when the anti-join is empty, so
+        # the gate always reports the rule
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("lineitem_fk_orders").alias("rule"),
+            F.col("v").alias("n_violations"),
+            rate(F.col("v")).alias("rate"),
+        )
+    )
+    return r_disc.unionByName(r_qty).unionByName(ship).unionByName(orphan)

@@ -373,3 +373,95 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 10) & (F.col("sd") > 1e-12) & (F.abs(z) > 2.5))
         .select("user_id", "event_id", "value", r4(z).alias("z"))
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "dim_scd2_intervals",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+)
+SELECT user_id, event_id, value,
+       t AS valid_from_us,
+       lead(t) OVER (PARTITION BY user_id
+                     ORDER BY t ASC, event_id ASC) AS valid_to_us,
+       (lead(t) OVER (PARTITION BY user_id
+                      ORDER BY t ASC, event_id ASC) IS NULL) AS is_current
+FROM ev
+""",
+)
+def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension builder: turn a change stream
+    into validity intervals — each observation is valid from its own
+    timestamp until the key's next observation (half-open [from, to)),
+    the latest row left open and flagged current. This is the standard
+    CDC -> dimension materialization (the reference's upsert sink,
+    task.ts:267-349, is the degenerate keep-only-current case;
+    PRESERVE_HISTORY=true keeps all versions — this operator adds the
+    interval bookkeeping that makes history queryable).
+
+    Scale: one shuffle on the key + one sort — identical cost to any
+    per-key window; downstream as-of lookups become point-in-interval
+    joins against these intervals."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    nxt = F.lead("t").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("t").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "ts_rolling_distinct_users",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+), b AS (
+  SELECT min(d) AS mn, max(d) AS mx FROM ud
+), cov AS (
+  SELECT user_id, unnest(generate_series(d, d + 6)) AS day FROM ud
+)
+SELECT day, count(DISTINCT user_id) AS wau
+FROM cov CROSS JOIN b
+WHERE day <= mx
+GROUP BY day
+""",
+)
+def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users (the DAU->WAU series).
+    DISTINCT does not distribute over sliding frames, so a window
+    aggregate cannot express this; the scalable exact formulation is
+    cover-set expansion: dedup to user-days, explode each user-day onto
+    the 7 day-buckets it covers, then count distinct per bucket — a
+    bounded 7x blowup instead of a per-day self-join, and every stage
+    is a plain shuffle agg. Leading buckets are partial windows
+    (standard); trailing phantom buckets past the last observed day are
+    trimmed with a 1-row global-bounds broadcast.
+
+    At 100 TB: the user-day dedup is the big shuffle (map-side combine
+    on (user, day)); the 7x exploded set shuffles on day — low
+    cardinality but balanced (days are dense); if a single day is hot,
+    count_distinct partial aggregation still splits the work."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (ev_us() / _DAY_US).cast("bigint").alias("d"))
+        .distinct()
+    )
+    b = ud.agg(F.max("d").alias("mx"))
+    cov = ud.select("user_id", F.explode(F.sequence("d", F.col("d") + 6)).alias("day"))
+    return (
+        cov.crossJoin(F.broadcast(b))
+        .filter(F.col("day") <= F.col("mx"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

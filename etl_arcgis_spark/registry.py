@@ -69,6 +69,7 @@ def load_all() -> None:
         setops,
         similarity,
         sql_functions,
+        quality,
         streaming_batch,
         text,
         timeseries,

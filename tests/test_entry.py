@@ -36,6 +36,7 @@ def test_contract_shape(spark):
         "agg_approx_count_distinct",
         "minhash_lsh_dedup",
         "lsh_approx_join",
+        "multimodal_audio_chunk",
         "multimodal_decode_stub",
         "multimodal_frame_sample",
         "multimodal_resize_stub",

@@ -30,6 +30,7 @@ PYTHON_OK = {
     "sim_cosine_topk_pairs",
     "dedup_embedding_neardup",
     "sim_ivf_knn",
+    "multimodal_audio_chunk",
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
@@ -41,6 +42,8 @@ NLJ_OK = {
     "agg_histogram_price",   # 1-row min/max bounds broadcast
     "analytics_funnel_steps",  # three 1-row step counts cross-joined
     "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
+    "dq_rule_checks",          # 1-row fact-count broadcast prices rates
+    "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
 }
 
 
