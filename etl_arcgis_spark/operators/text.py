@@ -9,7 +9,7 @@ drops to Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import r4
@@ -493,4 +493,135 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("lift_exact"), F.asc("bigram"))
         .limit(20)
         .select("bigram", "n", r4("lift_exact").alias("lift"))
+    )
+
+
+@query(
+    "sample_stratified_balanced",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn AS rank_in_stratum
+FROM ranked WHERE rn <= 10
+""",
+)
+def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified subsample: at most 10 docs per source,
+    chosen by md5(text) rank — a deterministic stand-in for uniform
+    random order that is reproducible across engines, reruns, and
+    repartitions (rand() is none of those). The shape behind balanced
+    eval sets and per-domain mixture caps in training-data curation.
+
+    Scale: one shuffle on the stratum key; the rank filter is a
+    per-group top-k, which Catalyst executes as a group-limit (no full
+    sort of each stratum beyond the k boundary)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("text")).asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source",
+                    F.row_number().over(w).cast("bigint").alias("rank_in_stratum"))
+        .filter(F.col("rank_in_stratum") <= 10)
+    )
+
+
+@query(
+    "sample_shard_assign",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+              AS BIGINT) AS shard,
+         md5(text) AS ord_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY ord_key ASC, doc_id ASC) AS pos
+FROM h
+""",
+)
+def sample_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: every doc gets a deterministic
+    (shard, position) — shard from a content-independent key hash
+    (first md5 hex digit of the id, mod 8: balanced and engine-
+    portable), position from a content-hash order within the shard.
+    This is the global-shuffle-then-shard step that precedes writing
+    training files; determinism means a re-run resumes to identical
+    shards instead of reshuffling the world.
+
+    Scale: one shuffle on the shard key (8-way here; 10k-way at 100 TB
+    with the same two-line change), then a per-shard sort. Positions
+    are contiguous 1..n_shard — ready to become file offsets via
+    partitionBy('shard') on write."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        (F.instr(F.lit("0123456789abcdef"),
+                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1) % 8
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(F.col("ord_key").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", shard.alias("shard"), F.md5("text").alias("ord_key"))
+        .select("doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos"))
+    )
+
+
+@query(
+    "text_quality_gate",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id, len(l) AS n_tokens,
+         CASE WHEN len(l) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(l) - 1),
+                 i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE) / (len(l) - 1)
+         ELSE 1.0 END AS rep
+  FROM t
+)
+SELECT doc_id,
+       n_tokens < 20  AS too_short,
+       n_tokens > 90  AS too_long,
+       rep > 0.2      AS repetitive,
+       (n_tokens >= 20 AND n_tokens <= 90 AND rep <= 0.2) AS keep
+FROM g
+""",
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: the pipeline's keep/drop decision with
+    per-rule attribution (length band + Gopher-style duplicated-bigram
+    repetition), one boolean column per rule so the drop REASONS are
+    queryable — rule-level drop rates are one groupBy away, which is
+    how a curation run is actually debugged.
+
+    Scale: pure per-row array HOFs (no explode, no shuffle, no
+    Python) — embarrassingly parallel; the gate's selectivity then
+    shrinks everything downstream of it."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    n = F.size("l")
+    rep = F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            )
+        ).cast("double") / (n - 1).cast("double"),
+    ).otherwise(F.lit(1.0))
+    too_short = n < 20
+    too_long = n > 90
+    repetitive = rep > 0.2
+    return docs.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        repetitive.alias("repetitive"),
+        (~too_short & ~too_long & ~repetitive).alias("keep"),
     )
