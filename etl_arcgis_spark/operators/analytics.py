@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import r4
@@ -250,4 +250,47 @@ def analytics_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
                 "revenue"
             )
         )
+    )
+
+
+@query(
+    "analytics_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT ym, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY ym))
+             / lag(revenue) OVER (ORDER BY ym), 4) AS mom_growth
+FROM m
+""",
+)
+def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup + lag percent
+    change — the period-over-period reporting shape. The month key is
+    an integer year*100+month (engine-neutral; no timestamp output per
+    the §5.3 contract), and the growth ratio is computed FROM THE
+    ROUNDED monthly revenues on both engines, so the division is
+    bit-identical (two r4 inputs -> one IEEE op) rather than
+    noise-on-noise.
+
+    Scale: the rollup shrinks orders to ~80 rows before the window;
+    the unpartitioned lag is a 1-task window over those 80 rows —
+    irrelevant at any SF because the heavy lifting happened in the
+    map-side-combined aggregate."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .agg(r4(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "ym", "revenue", r4((F.col("revenue") - prev) / prev).alias("mom_growth")
     )

@@ -1,0 +1,153 @@
+"""Graph operators — iterative algorithms over relational edges.
+
+Complements the connected-components clustering in ``dedup.py`` (min-
+label propagation + pointer jumping) with a weighted PageRank: the
+other canonical iterative-join workload, here over the bipartite
+customer<->supplier graph induced by order lines.
+
+Iterative algorithms are where a declarative engine has to think about
+lineage: each iteration is a join + aggregate over the previous rank
+vector. This module unrolls a FIXED iteration count (deterministic,
+oracle-expressible as chained CTEs); the transition matrix is built
+once and persisted, and at cluster scale each iteration's result
+would be localCheckpoint()ed to truncate lineage — the loop shape is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+_D = 0.85        # damping
+_ITERS = 5
+# Explicit co-partitioning width for the iterative stages. persist() +
+# localCheckpoint() pin physical plans, which keeps AQE from coalescing
+# the tiny per-iteration shuffles on a vanilla session — so the loop
+# sizes its own exchanges: fixture-scale here; at cluster SF this is
+# O(n_nodes / rows-per-task), the same one-line knob.
+_PARTS = 16
+
+
+def _oracle_pagerank() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, _ITERS + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT m.dst AS node,
+         0.15 / any_value(m.n_nodes) + 0.85 * sum(m.p * {prev}.rank) AS rank
+  FROM norm m JOIN {prev} ON m.src = {prev}.node
+  GROUP BY m.dst
+)"""
+        )
+        prev = f"r{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, CAST(w AS DOUBLE) AS w FROM e0
+  UNION ALL
+  SELECT dst, src, CAST(w AS DOUBLE) AS w FROM e0
+), outw AS (
+  SELECT src, sum(w) AS ow FROM edges GROUP BY src
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM outw
+), norm AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p, n.n_nodes
+  FROM edges e JOIN outw o ON e.src = o.src CROSS JOIN n
+), r0 AS (
+  SELECT src AS node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM outw
+),
+{steps_sql}
+SELECT node, round(rank * (SELECT n_nodes FROM n), 4) AS rank_scaled
+FROM {prev}
+ORDER BY rank_scaled DESC, node
+LIMIT 50
+"""
+
+
+@query("graph_pagerank_fixed", oracle=_oracle_pagerank())
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, {iters} unrolled iterations, over the
+    customer<->supplier bipartite graph (edge weight = order-line
+    count, symmetrized). Top-50 nodes by rank scaled to mean 1
+    (raw ranks are ~1/N — below the r4 grid at large N; the scaled
+    value is scale-free).
+
+    Determinism: the transition probabilities p = w / out_weight are
+    EXACT (integer-valued doubles sum exactly; one division), so the
+    only cross-engine noise is rank-sum accumulation order, ~1e-13
+    relative after {iters} rounds — far under the 1e-4 output grid.
+    Fixed iteration count keeps it oracle-expressible (chained CTEs);
+    convergence-tested loops belong to the driver, not the query.
+
+    Scale: each iteration is ONE shuffle join (transition matrix x
+    rank vector, both partitioned on the join key — at cluster SF,
+    pre-partition both on src and the per-iteration exchange
+    disappears) + an agg on dst. The matrix is built once and
+    persisted; iteration results would be localCheckpoint()ed at 100 TB
+    to truncate lineage. Degree skew (a mega-customer) is the usual
+    hazard: AQE skew-join, or split hub rows with the salting utility
+    (scale_patterns.salted_groupby_sum's layout applied to edges).
+    """.format(iters=_ITERS)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    n_nodes = outw.count()  # action on the small node set; exact
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .repartition(_PARTS, "src")
+        .persist()
+    )
+    try:
+        ranks = outw.select("src", F.lit(1.0 / n_nodes).alias("rank")).select(
+            F.col("src").alias("node"), "rank"
+        )
+        for _ in range(_ITERS):
+            ranks = (
+                norm.join(ranks, norm["src"] == ranks["node"])
+                # pre-shape the agg exchange: reuses _PARTS instead of
+                # the session's (possibly huge) shuffle.partitions
+                .repartition(_PARTS, norm["dst"])
+                .groupBy(norm["dst"])
+                .agg(
+                    (F.lit((1.0 - _D) / n_nodes)
+                     + F.lit(_D) * F.sum(norm["p"] * ranks["rank"])).alias("rank")
+                )
+                .select(F.col("dst").alias("node"), "rank")
+            )
+        out = (
+            ranks.select(
+                "node", r4(F.col("rank") * n_nodes).alias("rank_scaled")
+            )
+            .orderBy(F.desc("rank_scaled"), F.asc("node"))
+            .limit(50)
+        )
+        # materialize before unpersisting the transition matrix the
+        # plan depends on; explicit _PARTS partitioning keeps the
+        # checkpoint's RDD-path evaluation (which skips AQE) small
+        return out.localCheckpoint()
+    finally:
+        norm.unpersist()

@@ -63,6 +63,7 @@ def load_all() -> None:
         dedup,
         etl,
         filters,
+        graph,
         joins,
         multimodal,
         scans,
