@@ -1,0 +1,87 @@
+"""Invariant tests for the quality gate, DQ rules, sampling, and
+PageRank operators (oracle parity is covered by tools/check.py; these
+pin semantics the diff can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark.operators.graph import graph_pagerank_fixed
+from etl_arcgis_spark.operators.quality import dq_rule_checks, profile_numeric_columns
+from etl_arcgis_spark.operators.text import (
+    sample_shard_assign,
+    sample_stratified_balanced,
+    text_quality_gate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_gate_keep_is_conjunction(spark):
+    g = text_quality_gate(spark, SF)
+    bad = g.filter(
+        F.col("keep")
+        != (~F.col("too_short") & ~F.col("too_long") & ~F.col("repetitive"))
+    ).count()
+    assert bad == 0
+
+
+def test_dq_gate_reports_every_rule_with_sane_rates(spark):
+    rows = {r["rule"]: r for r in dq_rule_checks(spark, SF).collect()}
+    assert set(rows) == {
+        "discount_in_unit_range",
+        "quantity_le_45",
+        "ship_not_before_order",
+        "lineitem_fk_orders",
+    }
+    for r in rows.values():
+        assert 0 <= r["rate"] <= 1
+        assert r["n_violations"] >= 0
+    # referential integrity holds in the fixtures
+    assert rows["lineitem_fk_orders"]["n_violations"] == 0
+
+
+def test_profile_covers_declared_columns(spark):
+    rows = profile_numeric_columns(spark, SF).collect()
+    assert {r["col"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }
+    for r in rows:
+        assert r["min_v"] <= r["max_v"]
+        assert r["n_distinct"] > 0
+
+
+def test_stratified_sample_caps_every_stratum(spark):
+    s = sample_stratified_balanced(spark, SF)
+    per = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"),
+                                  F.max("rank_in_stratum").alias("mx"))
+    assert per.filter((F.col("n") > 10) | (F.col("mx") > 10)).count() == 0
+    # deterministic: two runs agree exactly
+    a = {tuple(r) for r in s.collect()}
+    b = {tuple(r) for r in sample_stratified_balanced(spark, SF).collect()}
+    assert a == b
+
+
+def test_shard_assign_is_total_and_contiguous(spark):
+    from etl_arcgis_spark.tables import table
+
+    sh = sample_shard_assign(spark, SF)
+    assert sh.count() == table(spark, SF, "documents").count()
+    # positions within a shard are 1..n_shard with no gaps
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+    assert per.filter((F.col("shard") < 0) | (F.col("shard") > 7)).count() == 0
+
+
+def test_pagerank_scaled_ranks_are_positive_and_bounded(spark):
+    pr = graph_pagerank_fixed(spark, SF)
+    rows = pr.collect()
+    assert len(rows) == 50
+    # scaled ranks: positive, and the top-50 of a mean-1 distribution
+    # must each be >= the floor component (1-d) = 0.15
+    assert all(r["rank_scaled"] > 0.15 for r in rows)
+    # sorted descending
+    vals = [r["rank_scaled"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
