@@ -58,9 +58,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else sf_dir
     os.environ.setdefault("SPARK_GRAFT_CACHE", "1")  # cached fixture reads
     # shuffle sized to the data; passed explicitly (the module-level
-    # default in session.py is frozen at import time, before this runs)
+    # default in session.py is frozen at import time, before this runs).
+    # Default 4: the headline shuffles all reduce to tiny outputs (6-2k
+    # groups), so task-launch overhead dominates width — isolated A/B at
+    # sf0.1 (same process, median of 5): q1 agg 0.35->0.20 s and star
+    # join 0.37->0.29 s going 8->4, window/distinct/text queries flat
+    # within noise. Suite-level run-to-run variance is ~+/-15%, so only
+    # the isolated comparison is trustworthy for this choice.
     spark = get_session(
-        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
     )
     # The engine/session default keeps AQE ON (at cluster scale adaptive
     # re-planning, skew splitting and partition coalescing are the right
