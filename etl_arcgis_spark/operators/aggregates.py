@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import r4
+from ..helpers import ev_us, r4
 from ..registry import query
 from ..tables import table
 
@@ -479,4 +479,111 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
         r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "stats_chi2_independence",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         ((epoch_us(ts) // {_DAY_US}) + 4) % 7 AS dow
+  FROM events
+), o AS (
+  SELECT event_type, dow, CAST(count(*) AS DOUBLE) AS obs
+  FROM ev GROUP BY event_type, dow
+), rt AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY event_type),
+ct AS (SELECT dow, sum(obs) AS c FROM o GROUP BY dow),
+n AS (SELECT sum(obs) AS n FROM o)
+SELECT round(sum((obs - r * c / n.n) * (obs - r * c / n.n) / (r * c / n.n)), 4)
+         AS chi2,
+       CAST((count(DISTINCT o.event_type) - 1) * (count(DISTINCT o.dow) - 1)
+            AS BIGINT) AS dof
+FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of
+    day-of-week? Observed (type, dow) counts vs the expected
+    rank-1 margin product — the categorical-association screen a
+    feature-selection pass runs over candidate columns. Day-of-week is
+    integer-exact ((days since epoch + 4) mod 7; 1970-01-01 was a
+    Thursday) — no calendar functions, no timezone hazard.
+
+    Scale: the contingency table is |types| x 7 regardless of SF — one
+    map-side-combined count shuffle, then arithmetic on a 35-row
+    table. Margins join back on the tiny table; output is one row."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (((ev_us() / _DAY_US).cast("bigint") + 4) % 7).alias("dow"),
+    )
+    o = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            r4(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e)).alias("chi2"),
+            (
+                (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
+            ).cast("bigint").alias("dof"),
+        )
+    )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c_mktsegment AS seg, o_custkey, sum(o_totalprice) AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT seg, sum(r) AS t, count(*) AS n_cust FROM rev GROUP BY seg
+)
+SELECT rev.seg AS seg,
+       round(sum((r / t) * (r / t)), 4) AS hhi,
+       any_value(n_cust) AS n_customers
+FROM rev JOIN tot ON rev.seg = tot.seg
+GROUP BY rev.seg
+""",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the Herfindahl index
+    (sum of squared within-segment revenue shares) — how dependent a
+    segment is on its biggest customers. 1/n_customers = perfectly
+    even, 1.0 = monopolized; the risk metric behind 'whale' analyses.
+
+    Scale: two-level aggregate — per-customer revenue first (the big
+    shuffle, on custkey, map-side combined), segment totals joined
+    back as a |segments|-row broadcast, one more tiny agg. Shares are
+    one division each; squaring and summing ~3k terms carries ~1e-13
+    relative noise, far under the r4 grid."""
+    rev = (
+        table(spark, sf_dir, "orders")
+        .join(table(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    tot = rev.groupBy("seg").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_cust")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "seg")
+        .groupBy("seg")
+        .agg(
+            r4(F.sum(share * share)).alias("hhi"),
+            F.any_value("n_cust").alias("n_customers"),
+        )
     )

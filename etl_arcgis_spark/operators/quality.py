@@ -184,3 +184,55 @@ def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r_disc.unionByName(r_qty).unionByName(ship).unionByName(orphan)
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+SELECT digit, count(*) AS observed,
+       round(count(*) / any_value(n.n), 4) AS obs_share,
+       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 4)
+         AS benford_share
+FROM d CROSS JOIN n
+GROUP BY digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-digit
+    shares vs the log10(1 + 1/d) expectation — the classic fabricated-
+    data / unit-mixup smell test for financial columns. The first
+    digit comes from the INTEGER part's string form (integer-to-string
+    is engine-identical; double-to-string is not), with floor()
+    applied explicitly on both engines because CAST(double AS BIGINT)
+    truncates in Spark but rounds in DuckDB.
+
+    Scale: one conditional scan + a 9-group aggregate; the total-count
+    broadcast prices shares without a second pass. (Synthetic uniform
+    fixtures will flunk Benford — the point is the report shape.)"""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("observed"),
+            r4(F.count(F.lit(1)) / F.any_value("n")).alias("obs_share"),
+            r4(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+                / F.log(F.lit(10.0))
+            ).alias("benford_share"),
+        )
+    )

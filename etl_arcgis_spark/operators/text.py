@@ -625,3 +625,46 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetitive.alias("repetitive"),
         (~too_short & ~too_long & ~repetitive).alias("keep"),
     )
+
+
+@query(
+    "text_lang_entropy_by_source",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source, lang
+), t AS (
+  SELECT source, sum(n) AS tot FROM c GROUP BY source
+)
+SELECT c.source AS source,
+       round(-sum((n / tot) * ln(n / tot)), 4) AS lang_entropy,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source
+""",
+)
+def text_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the corpus-
+    composition diagnostic (a source collapsing to one language, or a
+    scraper suddenly ingesting a new one, moves this number before any
+    downstream metric notices). -sum(p ln p) over per-source language
+    shares.
+
+    Scale: counts are |sources| x |langs| regardless of SF — one
+    map-side-combined shuffle, then arithmetic on a tiny table. ln()
+    can differ by 1 ulp across libm implementations; at the r4 grid
+    that flips a rounded value only within ~1e-12 of a boundary —
+    negligible over tens of groups (determinism rules, SURVEY §5.3)."""
+    c = table(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            r4(-F.sum(p * F.log(p))).alias("lang_entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        )
+    )

@@ -44,6 +44,8 @@ NLJ_OK = {
     "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
+    "stats_chi2_independence",    # 1-row grand-total broadcast
+    "dq_benford_first_digit",     # 1-row total-count broadcast
 }
 
 
