@@ -362,3 +362,91 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b",
                 dist.cast("bigint").alias("dist"))
     )
+
+
+_CELL = 2.5  # grid cell size == search radius (degrees)
+# synthetic lon/lat, same convention as filters.py (driver tables carry
+# no geometry; coords are exact doubles derived from the key)
+_J_LON = "(c_custkey % 360) - 180 + 0.5"
+_J_LAT = "(c_custkey % 160) - 80 + 0.5"
+
+
+@query(
+    "join_spatial_grid_distance",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey, CAST({_J_LON} AS DOUBLE) AS lon,
+         CAST({_J_LAT} AS DOUBLE) AS lat
+  FROM customer
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       round(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                + (a.lat - b.lat) * (a.lat - b.lat)), 4) AS dist
+FROM p a JOIN p b
+  ON a.c_custkey < b.c_custkey
+ AND sqrt((a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat)) < {_CELL}
+""",
+)
+def join_spatial_grid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-radius spatial self-join via GRID-CELL BLOCKING — the
+    scale-safe spatial join (B11's distance predicate done right).
+    The oracle is deliberately the brute-force O(n²) definition, so
+    the differential check proves the blocked algorithm EQUALS the
+    semantic spec, not merely that two engines did the same arithmetic.
+
+    Algorithm: bin points into radius-sized cells; expand the RIGHT
+    side to its 3x3 cell neighborhood; equi-join on the cell key
+    (a point within radius r of another is always in an adjacent
+    cell when cell == r); verify exact Euclidean distance. Each
+    qualifying pair matches exactly once — the 9 expansion cells are
+    distinct, and only one equals the left point's home cell — so no
+    dedup pass is needed.
+
+    Scale: the 9x expansion replaces an O(n²) nested loop with a
+    shuffled equi-join whose per-cell work is bounded by local
+    density; hot cells (urban clustering) are the skew hazard -> AQE
+    skew split, or recurse: re-grid a hot cell at cell/2. This is the
+    same blocking idea as the LSH band join and the Levenshtein
+    length-band — one pattern, three operators."""
+    p = (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.expr(_J_LON).cast("double").alias("lon"),
+            F.expr(_J_LAT).cast("double").alias("lat"),
+        )
+        .withColumn("cx", F.floor(F.col("lon") / _CELL).cast("bigint"))
+        .withColumn("cy", F.floor(F.col("lat") / _CELL).cast("bigint"))
+    )
+    a = p.select(
+        F.col("c_custkey").alias("key_a"), F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"), F.col("cx").alias("cxa"), F.col("cy").alias("cya"),
+    )
+    b = (
+        p.select(
+            F.col("c_custkey").alias("key_b"), F.col("lon").alias("lon_b"),
+            F.col("lat").alias("lat_b"), "cx", "cy",
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "key_b", "lon_b", "lat_b",
+            (F.col("cx") + F.col("dx")).alias("cxb"),
+            (F.col("cy") + F.col("dy")).alias("cyb"),
+        )
+    )
+    dist = F.sqrt(
+        (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+        + (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cxa") == F.col("cxb"))
+            & (F.col("cya") == F.col("cyb"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (dist < _CELL),
+        )
+        .select("key_a", "key_b", r4(dist).alias("dist"))
+    )
