@@ -587,3 +587,36 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_cust").alias("n_customers"),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+         AS qty_weighted_price,
+       round(sum(l_extendedprice * (1 - l_discount) * l_quantity)
+             / sum(l_quantity), 4) AS qty_weighted_net_price,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages per group — sum(w*x)/sum(w), the aggregate
+    behind unit-price indices and any per-unit metric (plain avg() of
+    a ratio is the classic wrong answer this replaces). Both weighted
+    sums combine map-side like any sum, so the shuffle carries two
+    partials per group; the division happens once per group at the
+    end — never per row."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    wnet = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_quantity")
+    )
+    qty = F.sum("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        r4(wsum / qty).alias("qty_weighted_price"),
+        r4(wnet / qty).alias("qty_weighted_net_price"),
+        qty.cast("double").alias("total_qty"),
+    )

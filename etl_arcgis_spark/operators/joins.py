@@ -450,3 +450,63 @@ def join_spatial_grid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("key_a", "key_b", r4(dist).alias("dist"))
     )
+
+
+_TOL_US = 3_600_000_000  # 1 hour staleness tolerance
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT event_id, user_id, event_type, us AS purchase_us,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM e
+)
+SELECT event_id, user_id, purchase_us,
+       CASE WHEN purchase_us - last_click_us <= {_TOL_US}
+            THEN last_click_us END AS click_us_within_tol,
+       (last_click_us IS NOT NULL
+        AND purchase_us - last_click_us <= {_TOL_US}) AS attributed
+FROM m WHERE event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 variant: as-of join with a STALENESS TOLERANCE — the
+    feature-store / attribution rule ("join the latest prior click,
+    but only if it is at most 1 hour old; otherwise the feature is
+    missing"). Identical single window pass as join_asof_event; the
+    tolerance is a post-window predicate that nulls out stale matches
+    instead of silently serving outdated features — the difference
+    between pandas merge_asof(tolerance=...) and a plain as-of.
+
+    Scale: same plan as the tolerance-free as-of — one shuffle on the
+    key, no join; tolerance adds zero cost."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = ev.select("event_id", "user_id", "event_type", ev_us().alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("us")), ignorenulls=True
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    fresh = F.col("us") - F.col("last_click_us") <= _TOL_US
+    return m.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(fresh, F.col("last_click_us")).alias("click_us_within_tol"),
+        (F.col("last_click_us").isNotNull() & fresh).alias("attributed"),
+    )

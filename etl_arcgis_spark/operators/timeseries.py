@@ -465,3 +465,52 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "ts_active_streaks",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+), g AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM ud
+), runs AS (
+  SELECT user_id, count(*) AS len, min(d) AS start_d
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id,
+       max(len) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       min(start_d) AS first_day
+FROM runs GROUP BY user_id
+""",
+)
+def ts_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern in its integer form: within a user,
+    day_index minus its rank is constant exactly along a consecutive
+    run, so one row_number window turns streaks into group keys. The
+    engagement metric behind retention dashboards, and the third
+    distinct islands spelling in the engine (session_window gaps, SCD2
+    intervals, and this rank-difference trick).
+
+    Scale: user-day dedup (map-side combined), ONE window pass and two
+    aggregates, all partitioned on user_id — a single shuffle
+    end-to-end (exchange reuse), integer arithmetic throughout."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (ev_us() / _DAY_US).cast("bigint").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.min("start_d").alias("first_day"),
+    )
