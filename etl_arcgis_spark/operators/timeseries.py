@@ -514,3 +514,116 @@ def ts_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.min("start_d").alias("first_day"),
     )
+
+
+@query(
+    "ts_resample_hourly_interp",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, 0 AS is_grid, value, event_id
+  FROM events
+), b AS (
+  SELECT user_id,
+         ((min(t) + {_HOUR_US - 1}) // {_HOUR_US}) * {_HOUR_US} AS lo,
+         max(t) AS hi
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, {_HOUR_US})) AS t,
+         1 AS is_grid, CAST(NULL AS DOUBLE) AS value,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM b WHERE lo <= hi
+), u AS (
+  SELECT * FROM ev UNION ALL SELECT * FROM grid
+), f AS (
+  SELECT user_id, t, is_grid,
+         last_value(value IGNORE NULLS) OVER w_prev AS v_prev,
+         last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+           OVER w_prev AS t_prev,
+         first_value(value IGNORE NULLS) OVER w_next AS v_next,
+         first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+           OVER w_next AS t_next
+  FROM u
+  WINDOW
+    w_prev AS (PARTITION BY user_id
+               ORDER BY t ASC, is_grid ASC, event_id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id
+               ORDER BY t ASC, is_grid ASC, event_id ASC NULLS LAST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t AS grid_us,
+       round(CASE
+         WHEN t_next IS NULL THEN v_prev
+         WHEN t_prev IS NULL THEN v_next
+         WHEN t_next = t_prev THEN v_prev
+         ELSE v_prev + (v_next - v_prev)
+              * (CAST(t - t_prev AS DOUBLE) / CAST(t_next - t_prev AS DOUBLE))
+       END, 4) AS v_interp
+FROM f WHERE is_grid = 1
+""",
+)
+def ts_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION — the other half of
+    the resample family (ffill holds the last value; interp draws the
+    line between the surrounding observations, the right choice for
+    continuous signals). Two symmetric window passes over the same
+    tagged union as ts_resample_hourly_ffill: carry (value, time) of
+    the nearest event on each side, then one fused multiply-add —
+    written with the IDENTICAL expression shape on both engines (exact
+    integer time deltas in, one division, one multiply, one add) so
+    the result is bit-stable under r4.
+
+    Scale: same single shuffle on the key; the two frames share one
+    sort (Spark computes both windows over one WindowExec sort when
+    the ordering matches)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), F.lit(0).alias("is_grid"), "value", "event_id"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("t").alias("mn"), F.max("t").alias("hi")
+    ).select(
+        "user_id",
+        F.expr(f"((mn + {_HOUR_US - 1}) div {_HOUR_US}) * {_HOUR_US}").alias("lo"),
+        "hi",
+    )
+    grid = (
+        bounds.filter(F.col("lo") <= F.col("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US))).alias("t"))
+        .select(
+            "user_id", "t", F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    u = ev.unionByName(grid)
+    order = [F.col("t").asc(), F.col("is_grid").asc(), F.col("event_id").asc_nulls_last()]
+    w_prev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    f = u.select(
+        "user_id", "t", "is_grid",
+        F.last("value", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(ev_t, ignorenulls=True).over(w_prev).alias("t_prev"),
+        F.first("value", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(ev_t, ignorenulls=True).over(w_next).alias("t_next"),
+    )
+    interp = F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * (
+        (F.col("t") - F.col("t_prev")).cast("double")
+        / (F.col("t_next") - F.col("t_prev")).cast("double")
+    )
+    v = (
+        F.when(F.col("t_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_prev").isNull(), F.col("v_next"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(interp)
+    )
+    return (
+        f.filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("t").alias("grid_us"), r4(v).alias("v_interp"))
+    )

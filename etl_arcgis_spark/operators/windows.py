@@ -228,3 +228,43 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "window_pct_of_total",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 4) AS price,
+       round(o_totalprice / sum(o_totalprice)
+             OVER (PARTITION BY o_custkey), 4) AS pct_of_customer,
+       round(o_totalprice / sum(o_totalprice) OVER (), 4) AS pct_of_all
+FROM orders
+""",
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report windows: each order as a share of its customer's
+    total and of the grand total — the percent-of-total shape behind
+    contribution and mix reports (a windowed aggregate with NO frame:
+    the whole partition is the denominator, every row keeps its
+    identity).
+
+    Scale: the per-customer share is one shuffle on custkey; the grand
+    total is a scalar — Spark computes the empty-over() window by
+    moving everything to one partition, so at cluster SF the grand
+    total should instead be a 1-row broadcast (agg + crossJoin, the
+    dq_rule_checks shape); both spellings are shown here because the
+    oracle needs the window form and the fixture fits it."""
+    od = table(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    w_all = Window.partitionBy()
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        r4(F.col("o_totalprice")).alias("price"),
+        r4(F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust)).alias(
+            "pct_of_customer"
+        ),
+        r4(F.col("o_totalprice") / F.sum("o_totalprice").over(w_all)).alias(
+            "pct_of_all"
+        ),
+    )
