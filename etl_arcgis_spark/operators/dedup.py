@@ -506,3 +506,84 @@ def dedup_minhash_banding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(jac >= 0.6)
         .select("id_a", "id_b", r4(jac).alias("jaccard"))
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, bg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.id
+), comp AS (
+  SELECT id AS doc_id, min(root) AS component_id FROM walk GROUP BY id
+), ranked AS (
+  SELECT c.component_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM ranked GROUP BY component_id
+""",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup pipeline: pairs -> clusters ->
+    ONE KEEPER per cluster, chosen by quality (longest document,
+    doc_id tiebreak) instead of the arbitrary min-id — what a curation
+    run actually ships. Reuses the exact blocked-Jaccard edges and the
+    min-label-propagation components (propagate_min_labels), then a
+    rank-1 selection per component.
+
+    Scale: everything up to components is the dedup_cluster_components
+    plan; the keeper selection is one window over |docs| rows
+    partitioned by component — group-limited, no full sort. Output is
+    cluster-level (keeper + drop count): the shape a pipeline joins
+    back to filter the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = _bigram_jaccard_pairs(docs, 0.2).select("id_a", "id_b")
+    labels = propagate_min_labels(docs.select("doc_id"), pairs)
+    from pyspark.sql import Window
+
+    ranked = labels.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("component_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

@@ -308,3 +308,70 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(chunk, schema=_AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         len(embedding) AS n_dims,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS amax
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, n_dims, amax,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+  FROM q
+), z AS (
+  SELECT s.vec_id, s.label, s.n_dims, s.scale,
+         list_transform(e.embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * s.scale + 0.5) AS BIGINT)) AS qv
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT vec_id, label, CAST(n_dims AS BIGINT) AS n_dims,
+       round(scale, 4) AS scale,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum
+FROM z
+""",
+)
+def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth compression every vector store applies before
+    ANN serving. Per vector: scale = 127/max|x|, q_i = floor(x*scale
+    + 0.5) (explicit floor(+0.5): round-half-up is engine-identical,
+    while native round() ties-to-even is not guaranteed across
+    engines). Emitted as per-vector summaries (dims, scale, min/max/
+    sum of the int8 codes) — the validation columns a quantization job
+    logs; q_max <= 127 and q_min >= -127 by construction.
+
+    Scale: pure per-row array HOFs — no shuffle, no Python, codegen'd;
+    the quantized payload would be written as array<tinyint> next to
+    the fp32 original (or replacing it, once recall is validated)."""
+    e = table(spark, sf_dir, "embeddings")
+    amax = F.expr(
+        "aggregate(transform(embedding, x -> abs(cast(x as double))), "
+        "cast(0 as double), (a, v) -> greatest(a, v))"
+    )
+    s = e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        amax.alias("amax"),
+        "embedding",
+    ).withColumn(
+        "scale",
+        F.when(F.col("amax") > 0, F.lit(127.0) / F.col("amax")).otherwise(F.lit(1.0)),
+    )
+    qv = F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * scale + 0.5) as bigint))"
+    )
+    z = s.withColumn("qv", qv)
+    return z.select(
+        "vec_id", "label", "n_dims",
+        r4(F.col("scale")).alias("scale"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr("aggregate(qv, cast(0 as bigint), (a, v) -> a + v)").alias("q_sum"),
+    )
