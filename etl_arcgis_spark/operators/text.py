@@ -668,3 +668,58 @@ def text_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_langs"),
         )
     )
+
+
+_HASH_D = 512  # feature-hash buckets
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+  SELECT w,
+         ((strpos('{_HEX}', substr(md5(w), 1, 1)) - 1) * 256
+        + (strpos('{_HEX}', substr(md5(w), 2, 1)) - 1) * 16
+        + (strpos('{_HEX}', substr(md5(w), 3, 1)) - 1)) % {_HASH_D} AS idx
+  FROM tok
+)
+SELECT CAST(idx AS BIGINT) AS idx,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_terms
+FROM h
+GROUP BY idx
+ORDER BY n_tokens DESC, idx ASC
+LIMIT 30
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF's idea) with a DETERMINISTIC,
+    engine-portable hash — bucket = first 3 md5 hex digits mod 512 —
+    so, unlike ml.feature.HashingTF (JVM murmur3, irreproducible in
+    any other engine), the featurization is oracle-exact. Output: the
+    top-30 buckets with token counts AND distinct-term counts — the
+    n_terms > 1 rows are hash collisions, the quantity a feature-
+    hashing pipeline must monitor when sizing D.
+
+    Scale: fixed D-dimensional output regardless of vocabulary — the
+    entire point of feature hashing at 100 TB (no vocab build, no
+    dictionary broadcast); one map-side-combined shuffle on the bucket
+    id."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    hexv = lambda i: F.instr(F.lit(_HEX), F.substring(F.md5("w"), i, 1)) - 1  # noqa: E731
+    idx = ((hexv(1) * 256 + hexv(2) * 16 + hexv(3)) % _HASH_D).cast("bigint")
+    return (
+        tok.select(idx.alias("idx"), "w")
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("w").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("idx"))
+        .limit(30)
+    )

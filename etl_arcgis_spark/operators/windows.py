@@ -268,3 +268,46 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_all"
         ),
     )
+
+
+@query(
+    "window_median_moving",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+)
+SELECT user_id, event_id,
+       round(median(value) OVER (
+         PARTITION BY user_id ORDER BY t ASC, event_id ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_median
+FROM ev
+""",
+)
+def window_median_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over the trailing 5 events per user — the robust
+    smoother (a mean-based moving average chases the very outliers
+    window_zscore_anomaly flags; the median ignores them). Exact
+    percentile as a window aggregate over a bounded ROWS frame; for
+    even frame sizes both engines interpolate the two middle values
+    with the same (a+b)/2, so r4 output is bit-stable.
+
+    Scale: one shuffle+sort on the key; the frame holds <= 5 values, so
+    per-row median cost is O(1) — at 100 TB this is the same plan as
+    any bounded moving aggregate. (Spark evaluates non-incremental
+    aggregates per-frame; for wide frames switch to the two-heap
+    applyInPandas formulation — bounded frames don't need it.)"""
+    from ..helpers import ev_us
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        r4(F.expr("percentile(value, 0.5)").over(w)).alias("moving_median"),
+    )
