@@ -68,3 +68,29 @@ def test_partial_aggregation_before_shuffle(spark):
     p = plan_of(spark, "agg_groupby_stats")
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
     assert p.index("partial_") > p.index("Exchange")  # partial below the exchange
+
+
+def test_spatial_grid_join_is_equi_not_nested_loop(spark):
+    p = plan_of(spark, "join_spatial_grid_distance")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the 3x3 cell expansion becomes hash-joinable equi keys
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_minhash_banding_never_cartesian(spark):
+    p = plan_of(spark, "dedup_minhash_banding_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_stratified_sample_uses_group_limit(spark):
+    assert "WindowGroupLimit" in plan_of(spark, "sample_stratified_balanced")
+
+
+def test_fuzzy_join_carries_equi_blocking_key(spark):
+    p = plan_of(spark, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
