@@ -620,3 +620,44 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(wnet / qty).alias("qty_weighted_net_price"),
         qty.cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "agg_argmax_maxby",
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer
+)
+SELECT c_nationkey AS nationkey, c_name AS top_customer,
+       round(c_acctbal, 4) AS top_acctbal, c_custkey AS top_custkey
+FROM r WHERE rn = 1
+""",
+)
+def agg_argmax_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax as a SINGLE-PASS AGGREGATE — max(struct(orderkeys...,
+    payload)) carries the whole winning row through partial
+    aggregation, so 'richest customer per nation' costs one map-side-
+    combined shuffle of |groups| structs: no window, no sort, no
+    rank-1 filter. The struct's lexicographic order (acctbal, then
+    custkey as total tiebreak) makes it deterministic under ties. The
+    oracle is deliberately the windowed rank-1 spelling — the check
+    proves the two argmax algorithms agree.
+
+    At 100 TB this is THE argmax idiom: the windowed spelling sorts
+    every group; this one reduces. (agg_mode_argmax keeps the windowed
+    form where the ranked input is already tiny.)"""
+    cu = table(spark, sf_dir, "customer")
+    m = F.max(F.struct("c_acctbal", "c_custkey", "c_name")).alias("m")
+    return (
+        cu.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(m)
+        .select(
+            "nationkey",
+            F.col("m.c_name").alias("top_customer"),
+            r4(F.col("m.c_acctbal")).alias("top_acctbal"),
+            F.col("m.c_custkey").alias("top_custkey"),
+        )
+    )
