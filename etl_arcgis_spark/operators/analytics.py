@@ -294,3 +294,80 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "ym", "revenue", r4((F.col("revenue") - prev) / prev).alias("mom_growth")
     )
+
+
+@query(
+    "analytics_promo_revenue_share",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+)
+def analytics_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for a ship-quarter —
+    a conditional-sum ratio after a fact-dim join. The date filter is
+    pushed to the lineitem scan (row-group pruning at rest); part is
+    dim-sized -> broadcast, so the fact side never shuffles; the two
+    sums fold into ONE aggregate pass (a single shuffle of one partial
+    pair). Ratio rounded once at the end: both sums carry ~1e-13
+    relative noise, invisible at the 1e-4 grid."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            r4(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "analytics_late_ship_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def analytics_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one line shipped more
+    than 90 days after the order date, counted by priority — an EXISTS
+    (left-semi) probe with a CORRELATED date predicate, then a tiny
+    aggregate. The semi-join dedups order keys on the join side (an
+    order with three late lines counts once), which is the point of
+    semi over inner here.
+
+    Scale: the correlated predicate travels into the join condition
+    (orderkey equi conjunct carries the shuffle, the date comparison
+    evaluates co-partitioned); the priority rollup is 5 groups of
+    partials."""
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
