@@ -196,3 +196,38 @@ def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("key_list"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "sql_try_funcs",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_as_int,
+       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS pri_rank,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_custkey % 3), 4) END AS price_per,
+       TRY_CAST('not a number' AS DOUBLE) AS always_null
+FROM orders
+""",
+)
+def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The safe-evaluation scalar surface: the engine runs ANSI mode
+    (strict casts/overflow, matching the DuckDB oracle's errors), so
+    malformed data must be handled with try_* forms instead of silent
+    coercion — try_cast on a non-numeric string yields NULL, not a
+    crash and not a zero; try_divide turns division-by-zero into NULL.
+    '1-URGENT' fails an integer cast wholesale but its split prefix
+    parses — the standard extract-then-cast cleaning step.
+
+    Scale: pure per-row expressions, codegen'd; the reason this is an
+    operator at all is the A18 lesson (task.ts:351-353): at 100 TB a
+    single malformed row must poison neither the job nor the value —
+    NULL + a quarantine filter is the set-based dead-letter."""
+    od = table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_as_int"),
+        F.split("o_orderpriority", "-").getItem(0).try_cast("int").alias("pri_rank"),
+        r4(F.try_divide("o_totalprice", F.col("o_custkey") % 3)).alias("price_per"),
+        F.lit("not a number").try_cast("double").alias("always_null"),
+    )
