@@ -627,3 +627,84 @@ def ts_resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.filter(F.col("is_grid") == 1)
         .select("user_id", F.col("t").alias("grid_us"), r4(v).alias("v_interp"))
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+WITH ev AS (
+  SELECT ((epoch_us(ts) // {_DAY_US}) + 4) % 7 AS dow,
+         (epoch_us(ts) % {_DAY_US}) // {_HOUR_US} AS hod,
+         value
+  FROM events
+)
+SELECT dow, hod, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 4) AS sum_value
+FROM ev GROUP BY dow, hod
+""",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: the day-of-week x hour-of-day activity
+    grid (168 cells) — the heatmap behind capacity planning and
+    anomaly baselines (window_zscore_anomaly's threshold should really
+    be per-cell; this is that baseline table). Both coordinates are
+    integer arithmetic on epoch-µs (Thursday-epoch dow, UTC hours) —
+    no calendar functions, engine-exact.
+
+    Scale: a 168-group aggregate — the shuffle carries partials, the
+    result is constant-size at any SF; this is the canonical
+    'aggregate early, join late' baseline table that then broadcasts
+    back onto the stream."""
+    t = ev_us()
+    ev = table(spark, sf_dir, "events").select(
+        (((t / _DAY_US).cast("bigint") + 4) % 7).alias("dow"),
+        ((t % _DAY_US) / _HOUR_US).cast("bigint").alias("hod"),
+        "value",
+    )
+    return ev.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "ts_cumulative_users",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, min(epoch_us(ts) // {_DAY_US}) AS d FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+)
+SELECT d AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: daily new users and the cumulative total.
+    Cumulative DISTINCT is not window-able — the exact scalable
+    identity is: cumulative distinct count == running sum of
+    FIRST-SEEN counts. One min() per user (the only big shuffle), a
+    daily rollup, then a running sum over the tiny day series. The
+    same identity generalizes to any 'distinct so far' metric.
+
+    Scale: the unpartitioned running sum runs over |days| rows — a
+    1-task window on an already-aggregated series, irrelevant at any
+    SF (same note as analytics_mom_growth)."""
+    first_seen = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (ev_us() / _DAY_US).cast("bigint").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
