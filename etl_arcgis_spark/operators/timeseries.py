@@ -708,3 +708,90 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch-µs
+
+
+@query(
+    "cdc_merge_apply",
+    oracle=f"""
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), base AS (
+  SELECT user_id, value AS base_value FROM (
+    SELECT user_id, value, op,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY t DESC, event_id DESC) AS rn
+    FROM ch WHERE t < {_SPLIT_US}
+  ) WHERE rn = 1 AND op <> 'D'
+), delta AS (
+  SELECT user_id, value AS delta_value, op AS delta_op FROM (
+    SELECT user_id, value, op,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY t DESC, event_id DESC) AS rn
+    FROM ch WHERE t >= {_SPLIT_US}
+  ) WHERE rn = 1
+)
+SELECT coalesce(b.user_id, d.user_id) AS user_id,
+       round(coalesce(d.delta_value, b.base_value), 4) AS value,
+       (d.user_id IS NOT NULL AND b.user_id IS NULL) AS inserted,
+       (d.user_id IS NOT NULL AND b.user_id IS NOT NULL) AS updated
+FROM base b
+FULL OUTER JOIN delta d ON b.user_id = d.user_id
+WHERE d.delta_op IS NULL OR d.delta_op <> 'D'
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge WITH DELETES: apply a change stream (upserts + 'D'
+    tombstones — here, error events play the tombstone role) to a
+    snapshot and emit the new snapshot plus change attribution
+    (inserted/updated flags). This is A13's upsert completed into the
+    full MERGE matrix — WHEN MATCHED UPDATE / WHEN MATCHED AND op='D'
+    DELETE / WHEN NOT MATCHED INSERT — as one full-outer join with
+    last-write-wins on each side, the set-based form a foreachBatch
+    sink runs per micro-batch (streaming/pipelines.py holds the
+    streaming half).
+
+    Scale: both sides reduce to one row per key BEFORE the join
+    (rank-1 group limits on the same user_id partitioning — one
+    shuffle serves base, delta, and the join); tombstones drop rows in
+    the WHERE, never via a second pass."""
+    ch = table(spark, sf_dir, "events").select(
+        "user_id",
+        ev_us().alias("t"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("event_id").desc())
+
+    def last_per_user(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = (
+        last_per_user(ch.filter(F.col("t") < _SPLIT_US))
+        .filter(F.col("op") != "D")
+        .select("user_id", F.col("value").alias("base_value"))
+    )
+    delta = last_per_user(ch.filter(F.col("t") >= _SPLIT_US)).select(
+        "user_id", F.col("value").alias("delta_value"), F.col("op").alias("delta_op")
+    )
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    return (
+        merged.filter(F.col("d.delta_op").isNull() | (F.col("d.delta_op") != "D"))
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+            r4(F.coalesce(F.col("d.delta_value"), F.col("b.base_value"))).alias("value"),
+            (F.col("d.user_id").isNotNull() & F.col("b.user_id").isNull()).alias("inserted"),
+            (F.col("d.user_id").isNotNull() & F.col("b.user_id").isNotNull()).alias("updated"),
+        )
+    )
