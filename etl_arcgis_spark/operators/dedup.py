@@ -587,3 +587,81 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, bg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n_grams, 4) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / sb.n_grams, 4) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / sa.n_grams >= 0.7
+   OR CAST(n_inter AS DOUBLE) / sb.n_grams >= 0.7
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| — catches a document swallowed inside a larger one
+    (quotes, concatenated crawls, boilerplate wrappers), which
+    symmetric Jaccard misses because the union is dominated by the
+    big document. Pairs where either direction's containment >= 0.7,
+    both ratios emitted so the consumer knows WHICH side is the
+    substring. Same inverted-index blocked pair generation as the
+    Jaccard path (join per shared gram inside a source block — never a
+    cross join); ratios are exact int/int divisions.
+
+    At 100 TB the prefix-filter refinement applies: a pair with
+    containment >= t must share >= t·|A| grams, so candidate
+    generation can keep only each doc's (1-t)·|A|+1 rarest grams —
+    same join shape, much smaller posting lists."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("bg"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "source", "bg")
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"),
+                     F.col("bg").alias("bg_b"))
+    inter = (
+        a.join(b, (F.col("source") == F.col("source_b"))
+               & (F.col("bg") == F.col("bg_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    ca = F.col("n_inter").cast("double") / F.col("na")
+    cb = F.col("n_inter").cast("double") / F.col("nb")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter((ca >= 0.7) | (cb >= 0.7))
+        .select("id_a", "id_b", r4(ca).alias("containment_a"), r4(cb).alias("containment_b"))
+    )

@@ -795,3 +795,59 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d.user_id").isNotNull() & F.col("b.user_id").isNotNull()).alias("updated"),
         )
     )
+
+
+@query(
+    "analytics_conversion_latency",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT ev.user_id, min(t) - any_value(t1) AS latency_us
+  FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'purchase' AND t > t1
+  GROUP BY ev.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(round(quantile_cont(latency_us, 0.5), 0) AS BIGINT) AS p50_us,
+       CAST(round(quantile_cont(latency_us, 0.9), 0) AS BIGINT) AS p90_us,
+       min(latency_us) AS min_us,
+       max(latency_us) AS max_us
+FROM conv
+""",
+)
+def analytics_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first purchase strictly
+    after first signup; then exact latency percentiles (p50/p90) over
+    the converted population — the funnel's companion metric (HOW LONG,
+    not just how many). Latencies are integer µs; percentiles
+    interpolate between two integers identically on both engines
+    (quantile_cont ↔ Spark percentile), rounded to whole µs.
+
+    Scale: the per-user min-pass and join share the user_id
+    partitioning; the percentile runs over the converted users only
+    (already reduced) — at extreme SF swap in approx_percentile with a
+    documented error budget."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ev_us().alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg((F.min("t") - F.any_value("t1")).alias("latency_us"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_us, 0.5)"), 0).cast("bigint").alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.9)"), 0).cast("bigint").alias("p90_us"),
+        F.min("latency_us").alias("min_us"),
+        F.max("latency_us").alias("max_us"),
+    )

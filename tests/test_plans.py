@@ -94,3 +94,20 @@ def test_fuzzy_join_carries_equi_blocking_key(spark):
     p = plan_of(spark, "join_fuzzy_levenshtein")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned writes prune at planning time: a filter on the
+    partition column must appear as PartitionFilters (pruned
+    directories), never as a data filter over a full scan."""
+    from etl_arcgis_spark.tables import table
+
+    out = str(tmp_path / "events_by_type")
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'purchase'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert df.count() == ev.filter("event_type = 'purchase'").count()
