@@ -127,6 +127,7 @@ class ArcGISSimReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
+        self.options = options
         self.path = options["path"]
         self.page_size = int(options.get("pagesize", 1000))
         self.pushed: list[Filter] = []
@@ -180,6 +181,28 @@ class ArcGISSimReader(DataSourceReader):
 
     def read(self, partition: PagePartition):
         names = [f.name for f in self.schema.fields]
+        top_group = self.options.get("topgroup")
+        top_order = self.options.get("toporder")
+        top_count = int(self.options.get("topcount", 0) or 0)
+        rows = self._page_rows(partition, names)
+        if not (top_group and top_order and top_count > 0):
+            yield from rows
+            return
+        # A2 (TOP_FEATURES_ITER, task.ts:16-19,400): the queryTopFeatures
+        # topFilter pushed into the scan as a PAGE-LOCAL group limit.
+        # Every global winner lives in some page and is page-locally a
+        # winner there too, so the union of per-page top-k is a SUPERSET
+        # of the global top-k — the scan pre-reduces (like partial
+        # aggregation) and the query-layer window finishes exactly.
+        gi, oi = names.index(top_group), names.index(top_order)
+        groups: dict = {}
+        for row in rows:
+            groups.setdefault(row[gi], []).append(row)
+        for members in groups.values():
+            members.sort(key=lambda r: (r[oi] is not None, r[oi]), reverse=True)
+            yield from members[:top_count]
+
+    def _page_rows(self, partition: PagePartition, names: list):
         with open(self.path, "rb") as fh:
             fh.seek(partition.byte_start)
             remaining = partition.byte_end - partition.byte_start

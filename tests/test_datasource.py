@@ -126,3 +126,41 @@ def test_union_two_scans_same_relation(spark, layer_file):
     got = sorted(r["oid"] for r in u.collect())
     want = sorted(o for o in range(250) if o % 7 in (1, 2))
     assert got == want
+
+
+def test_top_features_strategy_prereduces_and_composes_exactly(spark, layer_file):
+    """A2 (queryTopFeatures / TOP_FEATURES_ITER): the topFilter option
+    pushes a PAGE-LOCAL group limit into the scan. Contract: the scan
+    output is a superset of the global top-k per group (every global
+    winner is page-locally a winner), strictly smaller than the full
+    layer, and the query-layer window over it reproduces the exact
+    global top-k."""
+    from pyspark.sql import Window
+
+    k = 3
+    full = spark.read.format("arcgis_sim").option("path", layer_file).load()
+    pre = (
+        spark.read.format("arcgis_sim")
+        .option("path", layer_file)
+        .option("pageSize", 100)
+        .option("topGroup", "callsign")
+        .option("topOrder", "speed")
+        .option("topCount", k)
+        .load()
+    )
+    w = Window.partitionBy("callsign").orderBy(F.desc("speed"), F.desc("oid"))
+
+    def topk(df):
+        return {
+            (r["callsign"], r["oid"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+
+    pre_rows = pre.collect()
+    assert len(pre_rows) < full.count()  # the scan really pre-reduced
+    got, want = topk(pre), topk(full)
+    assert got == want  # superset contract -> exact composition
+    pre_keys = {(r["callsign"], r["oid"]) for r in pre_rows}
+    assert want <= pre_keys  # every global winner survived the scan
