@@ -371,3 +371,270 @@ def analytics_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "analytics_ship_priority_topk",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate  > TIMESTAMP '1997-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def analytics_ship_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue priority list — one
+    segment of customers, orders placed before a date with lines still
+    shipping after it, top-10 by revenue. (Reference forwards such
+    ranked queries wholesale, task.ts:406-414.)
+
+    Scale: the segment filter reduces customer BEFORE its join (and the
+    3-col projection keeps the build side narrow enough that AQE picks
+    broadcast from runtime stats at any SF); both date filters sit on
+    their own scans (row-group pruning). The top-10 runs as
+    TakeOrderedAndProject over the aggregate — per-partition heaps, no
+    global sort. revenue DESC + orderkey ASC is a total order, so the
+    LIMIT is deterministic cross-engine."""
+    cu = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    )
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "analytics_returned_revenue_customers",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(c_acctbal, 4) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def analytics_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter — fact-side flag + date filters, enrich with
+    customer and nation, aggregate per customer, rank.
+
+    Scale: both selective filters (returnflag on lineitem, quarter on
+    orders) are scan-local; nation (25 rows) broadcasts; the
+    lineitem⋈orders spine shuffles once on orderkey and the per-customer
+    aggregate reuses the customer-join shuffle. Top-20 via
+    TakeOrderedAndProject with custkey tiebreak."""
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", r4("c_acctbal").alias("c_acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_disjunctive_part_filter",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def analytics_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate that mixes
+    columns from BOTH join sides — the classic disjunctive-pushdown
+    test. Expressed as one declarative filter over the join; Catalyst
+    extracts the side-local residuals (p_brand/p_size disjunction to the
+    part scan, l_quantity range union to the lineitem scan) so each scan
+    prunes before the join, with the full disjunction re-checked above.
+
+    Scale: part is dim-sized -> broadcast, the fact side never
+    shuffles; the whole thing is scan -> broadcast-probe -> one partial
+    agg pair. Handing the OR to the engine (instead of unioning three
+    branch queries) reads each table ONCE."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "analytics_sole_late_supplier",
+    oracle="""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""",
+)
+def analytics_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — the EXISTS + NOT-EXISTS double
+    probe, the hardest of the classic decision-support shapes.
+    (Lateness here is ship > order + 60 days: this schema carries no
+    commit/receipt dates.)
+
+    Scale: the lateness flag needs orders, so lineitem⋈orders builds a
+    `lines` relation ONCE (one orderkey shuffle) and all three roles
+    (l1 probe, l2 exists, l3 not-exists) reuse it — Spark's exchange
+    reuse keeps it a single scan+shuffle. Both probes are orderkey
+    equi-joins (left_semi / left_anti) whose suppkey inequality rides
+    along as a join residual, co-partitioned with the l1 side — no
+    correlated per-row subquery execution. Supplier is dim-sized ->
+    broadcast at the end, after the probes shrank l1."""
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(od.select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
+    )
+    l1 = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    l2 = lines.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = lines.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    probed = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+                "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+              "left_anti")
+    )
+    return (
+        probed.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "analytics_dormant_rich_customers",
+    oracle="""
+WITH sel AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (3, 7, 11, 15, 19, 23)
+), thresh AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM sel WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM sel, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY c_nationkey
+""",
+)
+def analytics_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in selected countries with
+    above-average positive balances and NO orders in the final fixture
+    year — a global scalar subquery gating an anti-join. (Country code
+    is c_nationkey — this schema has no phone column — and dormancy is
+    time-windowed because the generator gives ~every customer at least
+    one lifetime order, which would make a never-ordered anti-join
+    vacuous.)
+
+    Scale: the scalar average is a 1-row aggregate cross-joined back as
+    a broadcast (BroadcastNestedLoopJoin over exactly one row — the
+    distributed spelling of a scalar subquery; no driver round-trip, no
+    collect). The anti-join probes orders on its natural o_custkey
+    projection; at cluster scale that's one shuffle of a 1-column
+    relation. The nationkey IN-list prunes customer at the scan."""
+    sel = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(3, 7, 11, 15, 19, 23))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    thresh = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        sel.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(od, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -111,3 +111,37 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
         "PartitionFilters"
     )[1][:120]
     assert df.count() == ev.filter("event_type = 'purchase'").count()
+
+
+def test_q3_topk_is_heap_not_global_sort(spark):
+    p = plan_of(spark, "analytics_ship_priority_topk")
+    assert "TakeOrderedAndProject" in p  # top-10 via per-partition heaps
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    """The OR-of-ANDs must leave side-local residuals on BOTH scans:
+    the quantity range union on lineitem, the brand disjunction on
+    part — each scan prunes before the broadcast join."""
+    p = plan_of(spark, "analytics_disjunctive_part_filter")
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p
+    # lineitem scan gets the quantity-range disjunction verbatim
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    # part scan gets the extracted common conjunct AND the brand/size OR tree
+    assert "GreaterThanOrEqual(p_size,1)" in p
+    assert "EqualTo(p_brand" in p
+
+
+def test_q21_probes_are_semi_and_anti(spark):
+    p = plan_of(spark, "analytics_sole_late_supplier")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q22_scalar_subquery_is_broadcast_one_row(spark):
+    """The global average gates via BroadcastNestedLoopJoin over a
+    1-row aggregate — no collect, no cartesian over data-sized input."""
+    p = plan_of(spark, "analytics_dormant_rich_customers")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
