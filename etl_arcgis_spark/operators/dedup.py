@@ -665,3 +665,85 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((ca >= 0.7) | (cb >= 0.7))
         .select("id_a", "id_b", r4(ca).alias("containment_a"), r4(cb).alias("containment_b"))
     )
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN substring(md5(w), j + 1, 1) IN
+                       ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')
+                  THEN 1 ELSE -1 END) AS vote
+  FROM words CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+  GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN CAST(round(pow(2, j), 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash32
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+""",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: all document pairs whose 32-bit md5-plane
+    SimHash fingerprints differ in <= 3 bits, found WITHOUT the O(n^2)
+    cross join — 4 bands x 8 bits and a band-bucket equi-join. The
+    pigeonhole bound makes the banding EXACT here, not approximate: 3
+    differing bits touch at most 3 of the 4 disjoint bands, so every
+    qualifying pair collides on at least one band. The oracle is the
+    brute-force all-pairs definition, so the driver check proves
+    algorithm equivalence (recall exactly 1), the same pattern as
+    join_spatial_grid_distance.
+
+    Scale: candidates shuffle on (band, band_value) — never the pair
+    space; the exact bit_count(xor) verify runs on candidates only.
+    At corpus scale, grow the fingerprint (64-bit) and the band count
+    so E[bucket size] stays O(1); skewed buckets (boilerplate-heavy
+    shards) are the salting case from scale_patterns.
+
+    Reference parity: near-dup detection has no counterpart in the
+    HTTP connector (task.ts ships rows, task.ts:406-414); this is the
+    training-data-pipeline extension tier."""
+    from .text import simhash_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    fp = simhash_fingerprint(spark, docs, 32, "simhash32")
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash32"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash32", F.posexplode(band_vals).alias("band", "val")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("fp_a"),
+        "band", "val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("fp_b"),
+        F.col("band").alias("band_b"), F.col("val").alias("val_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("val") == F.col("val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

@@ -254,17 +254,31 @@ def text_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an oracle: per word, bit j votes +/-1 by the j-th md5 hex
     digit's high bit; the fingerprint packs the positive votes."""
     docs = table(spark, sf_dir, "documents")
+    return simhash_fingerprint(spark, docs, 16, "simhash16")
+
+
+def simhash_fingerprint(
+    spark: SparkSession, docs: DataFrame, nbits: int, out_col: str
+) -> DataFrame:
+    """md5-plane SimHash over whitespace tokens (nbits <= 32: one md5
+    hex digit's high bit per plane). Shared by the per-doc fingerprint
+    query and the hamming near-dup pair join (dedup.py).
+
+    Scale: words x nbits is a broadcast nested-loop over an nbits-row
+    plane table (no shuffle); the vote aggregate map-side-combines on
+    (doc_id, j) and the final pack is a per-doc re-aggregation on the
+    same doc_id partitioning."""
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     hexdigit = F.substring(F.md5("w"), F.col("j") + 1, 1)
     bit = F.when(hexdigit.isin(*"89abcdef"), 1).otherwise(-1)
-    planes = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    planes = spark.range(nbits).select(F.col("id").cast("int").alias("j"))
     votes = words.crossJoin(F.broadcast(planes)).groupBy("doc_id", "j").agg(
         F.sum(bit).alias("vote")
     )
     fp = F.sum(
         F.when(F.col("vote") > 0, F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(0)
     ).cast("bigint")
-    return votes.groupBy("doc_id").agg(fp.alias("simhash16"))
+    return votes.groupBy("doc_id").agg(fp.alias(out_col))
 
 
 # Language-ID heuristic: per-language marker (stopword) sets. The driver

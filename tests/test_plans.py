@@ -145,3 +145,12 @@ def test_q22_scalar_subquery_is_broadcast_one_row(spark):
     p = plan_of(spark, "analytics_dormant_rich_customers")
     assert "BroadcastNestedLoopJoin" in p
     assert "LeftAnti" in p
+
+
+def test_simhash_pairs_band_join_never_cartesian(spark):
+    """The hamming pair search must ride the band-bucket equi-join —
+    the only cross join allowed is the nbits-row broadcast plane table
+    inside the fingerprint, never the doc-pair space."""
+    p = plan_of(spark, "dedup_simhash_hamming_pairs")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
