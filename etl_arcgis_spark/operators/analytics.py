@@ -638,3 +638,48 @@ def analytics_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFr
             r4(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "analytics_part_cooccurrence",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+)
+def analytics_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    ordered together — per-order distinct items, a within-order
+    self-join (p1 < p2 kills mirror/self pairs), pair counting, ranked.
+    The k=2 frequent-itemset query, and the co-occurrence-matrix
+    builder for item embeddings.
+
+    Scale: the pair space is quadratic in BASKET size, not corpus size
+    — baskets are bounded (<= order line count), so the self-join on
+    l_orderkey explodes each order locally after one orderkey shuffle
+    (both sides share it: exchange reuse). A pathological mega-basket
+    is the salting case; the per-order DISTINCT pre-shrink runs
+    map-side first. Top-20 via TakeOrderedAndProject with a total
+    (n, p1, p2) order."""
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -851,3 +851,64 @@ def analytics_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("latency_us").alias("min_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+@query(
+    "ts_sessionize_stats",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events
+), flagged AS (
+  SELECT user_id, t, value,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800000000 OR
+                   lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), numbered AS (
+  SELECT user_id, t, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(t) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(t) - min(t) AS duration_us,
+       round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def ts_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream at >30-min
+    silences and aggregate per session — the gaps-and-islands session
+    assignment (lag -> boundary flag -> running sum = session id) that
+    is the BATCH analogue of streaming/pipelines.py's
+    applyInPandasWithState sessionizer, and the backfill path a lambda
+    architecture pairs with it. (The reference connector has no
+    session notion; extension tier.)
+
+    Scale: ONE shuffle on user_id serves both window passes AND the
+    final aggregate (same partitioning key, Spark reuses the exchange);
+    the windows are per-user sorted scans, skew-bounded by the busiest
+    single user. Event time is integer µs (helpers.py) — exact
+    cross-engine."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "value"
+    )
+    by_t = Window.partitionBy("user_id").orderBy("t")
+    prev = F.lag("t").over(by_t)
+    is_new = F.when(
+        prev.isNull() | ((F.col("t") - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    numbered = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(by_t.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("t").alias("session_start_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+        r4(F.sum("value")).alias("sum_value"),
+    )

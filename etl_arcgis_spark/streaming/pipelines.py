@@ -197,3 +197,32 @@ def stream_stream_click_purchase_join(
         F.unix_millis("purchase_ts").alias("purchase_ms"),
         F.unix_millis("click_ts").alias("click_ms"),
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    (batch) dimension — the streaming form of the reference's
+    attribute-enrichment step (ESRI layer metadata applied per feature,
+    task.ts:471-520), and the standard pattern for joining a live event
+    stream to slowly-changing reference data.
+
+    Semantics: stateless — each micro-batch joins the CURRENT snapshot
+    of the static side, no watermark needed; left join keeps stream
+    rows whose key is missing from the dimension (nulls, quarantine
+    downstream per A18).
+
+    Scale: the static side is dim-sized -> broadcast into every task;
+    the stream side never shuffles, so enrichment adds zero stateful
+    operators and zero exchanges to the streaming plan."""
+    d = F.broadcast(dim.select(
+        F.col("user_id").alias("d_user_id"), "segment", "tier"
+    ))
+    return (
+        stream.join(d, stream["user_id"] == d["d_user_id"], "left")
+        .drop("d_user_id")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.coalesce("segment", F.lit("unknown")).alias("segment"),
+            F.coalesce("tier", F.lit(0)).alias("tier"),
+        )
+    )

@@ -106,3 +106,26 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch_join(spark, events_dir):
+    """Stream-static left join == the same batch join, row for row;
+    keys absent from the dimension survive with defaults."""
+    dim = (
+        table(spark, SF_DIR, "events")
+        .select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users: exercises the left side
+        .withColumn("segment", F.concat(F.lit("seg-"), (F.col("user_id") % 5)))
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = P.read_events_stream(spark, events_dir)
+    _run(P.stream_static_enrich(stream, dim), "enrich_out", "append")
+    got = {r["event_id"]: (r["segment"], r["tier"])
+           for r in spark.sql("SELECT * FROM enrich_out").collect()}
+
+    ev = table(spark, SF_DIR, "events")
+    want = {r["event_id"]: (r["segment"], r["tier"])
+            for r in P.stream_static_enrich(ev, dim).collect()}
+    assert got == want and got
+    # unmatched keys really flowed through with defaults
+    assert any(v == ("unknown", 0) for v in got.values())
