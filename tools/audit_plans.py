@@ -46,6 +46,8 @@ NLJ_OK = {
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
     "dq_benford_first_digit",     # 1-row total-count broadcast
+    "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
+    "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
 }
 
 
