@@ -683,3 +683,118 @@ def analytics_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@query(
+    "analytics_supplier_diversity",
+    oracle="""
+SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC
+LIMIT 20
+""",
+)
+def analytics_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each part
+    bucket, excluding a blacklist — grouped COUNT(DISTINCT) over an
+    anti-joined relation. (Blacklist = negative account balance; this
+    schema has no supplier comments.)
+
+    Scale: the NOT IN set is supplier-table-sized -> broadcast
+    anti-join, so the exclusion never shuffles the fact; the grouped
+    distinct is Spark's two-phase plan (partial distinct on
+    (group, suppkey), then count) — no row explosion. NULL-safety note:
+    NOT IN vs a set containing NULL is three-valued-logic quicksand;
+    s_suppkey is a non-null key here, and the Spark side uses an
+    explicit anti-join, which is the NULL-robust spelling."""
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pa = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 14, 23, 45)
+    ).select("p_partkey", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_type"), F.asc("p_size"))
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_small_qty_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS ak, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN avg_qty ON l_partkey = ak
+WHERE l_quantity < half_avg
+""",
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in below-half-average-quantity
+    orders — a correlated AVG subquery decorrelated into an
+    aggregate-join-back with an INEQUALITY gate (the avg variant of
+    analytics_min_cost_supplier's min-join-back). (Threshold 0.5*avg
+    vs TPC-H's 0.2 so the fixture qualifies rows at every SF.)
+
+    Scale: both the per-part average and the join-back shuffle on
+    l_partkey — one exchange, reused; the gate evaluates
+    co-partitioned, and the final global sum is a 1-row reduce.
+    IEEE avg and * 0.5 are bit-identical cross-engine, so the
+    inequality boundary is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(half_avg, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "analytics_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+)
+def analytics_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer — a
+    LEFT join so zero-order customers survive into the n_orders=0
+    bucket (count(o_orderkey) ignores the NULLs a left-miss produces),
+    then a second aggregate over the first's output: the
+    histogram-of-counts double group-by.
+
+    Scale: first aggregate shuffles on c_custkey (the join's own key —
+    exchange reused); the second shuffles the per-customer relation on
+    the small n_orders domain — cardinality collapses at each step, so
+    the expensive shuffle happens exactly once on the natural key."""
+    cu = table(spark, sf_dir, "customer").select("c_custkey")
+    od = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -154,3 +154,11 @@ def test_simhash_pairs_band_join_never_cartesian(spark):
     p = plan_of(spark, "dedup_simhash_hamming_pairs")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    """The NOT-IN blacklist must run as a broadcast anti-join (never a
+    shuffle of the fact side for a dim-sized exclusion set)."""
+    p = plan_of(spark, "analytics_supplier_diversity")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
