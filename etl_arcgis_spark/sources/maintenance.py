@@ -1,0 +1,65 @@
+"""Table maintenance — the operational half of a parquet lake.
+
+The reference connector writes whatever batch size SQS hands it
+(task.ts:155-361), which at warehouse scale produces the classic
+small-files problem: millions of KB-sized parquet files whose open/
+footer-parse overhead dwarfs the scan. These utilities are the
+compaction pass a 100 TB pipeline schedules after ingest.
+
+Scale design:
+- target partition count is computed from ACTUAL on-disk bytes, not
+  row counts — the write side of maxPartitionBytes reasoning;
+- compaction is one job: scan (vectorized, whole files) ->
+  round-robin repartition -> write. No driver-side file juggling;
+- writes go to a fresh directory + atomic-rename contract (same
+  tmp->commit discipline as the arcgis_sim sink) so readers never see
+  a half-compacted table.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    """Total size of the parquet data files under path (driver-side
+    listing — metadata only, no data read)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_target_files(path: str, target_file_mb: int = 128) -> int:
+    """File count that lands compacted files near target_file_mb.
+    Parquet compresses roughly the same before/after compaction, so
+    on-disk bytes are the honest size signal."""
+    return max(1, math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite a many-small-files parquet directory as ~target-sized
+    files. Optionally sort WITHIN each output file (sortWithinPartitions
+    — no global sort, no extra shuffle beyond the repartition) so
+    min/max column statistics become selective again after compaction:
+    row-group pruning is only as good as the data layout.
+
+    Returns the compacted DataFrame (re-read from out_dir)."""
+    n = plan_target_files(in_dir, target_file_mb)
+    df = spark.read.parquet(in_dir)
+    out = df.repartition(n)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
