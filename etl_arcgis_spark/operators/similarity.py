@@ -17,7 +17,7 @@ O(n) with a broadcast and a TakeOrderedAndProject top-k — always fine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import r4
@@ -410,4 +410,75 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("label", cos.alias("cos"))
         .groupBy("label")
         .agg(r4(F.avg("cos")).alias("avg_cosine"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "sim_centroid_outliers",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), centroid AS (
+  SELECT label, i, avg(x) AS c FROM v GROUP BY label, i
+), dist AS (
+  SELECT v.vec_id, v.label,
+         round(sqrt(sum((v.x - c.c) * (v.x - c.c))), 4) AS dist_to_centroid
+  FROM v JOIN centroid c ON v.label = c.label AND v.i = c.i
+  GROUP BY v.vec_id, v.label
+)
+SELECT label, vec_id, dist_to_centroid
+FROM (
+  SELECT label, vec_id, dist_to_centroid,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist_to_centroid DESC, vec_id ASC) AS rn
+  FROM dist
+)
+WHERE rn <= 5
+""",
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance, top-5 outliers per label — the
+    k-means E-step shape applied to label QA: vectors far from their
+    own class centroid are mislabel/noise candidates for training-data
+    triage. All math JVM-side: posexplode -> per-(label, dim) avg ->
+    join back -> per-vector reduce -> per-label group limit.
+
+    Scale: the centroid is a (label x dim)-sized aggregate (tiny —
+    broadcast for the join-back); the heavy relation (n_vectors x dim
+    rows) shuffles ONCE on (label, i) for the centroid join, and the
+    per-vector distance re-aggregates on vec_id. The top-5 window runs
+    as WindowGroupLimit per label. Ranking uses the ROUNDED distance
+    (+ vec_id tiebreak): cross-engine float-sum noise lives below the
+    1e-4 grid, so the rank set is deterministic."""
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label",
+            F.posexplode("embedding").alias("i0", "xf"),
+        )
+        .select(
+            "vec_id", "label",
+            (F.col("i0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    centroid = v.groupBy(
+        F.col("label").alias("cl"), F.col("i").alias("ci")
+    ).agg(F.avg("x").alias("c"))
+    d = F.col("x") - F.col("c")
+    dist = (
+        v.join(F.broadcast(centroid),
+               (F.col("label") == F.col("cl")) & (F.col("i") == F.col("ci")))
+        .groupBy("vec_id", "label")
+        .agg(r4(F.sqrt(F.sum(d * d))).alias("dist_to_centroid"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist_to_centroid"), F.asc("vec_id")
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "dist_to_centroid")
     )

@@ -162,3 +162,12 @@ def test_q16_exclusion_is_broadcast_anti(spark):
     p = plan_of(spark, "analytics_supplier_diversity")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_centroid_outliers_group_limit_and_broadcast(spark):
+    """Per-label top-5 runs as WindowGroupLimit; the (label x dim)
+    centroid joins back as a broadcast — the big exploded relation
+    never shuffles for the join."""
+    p = plan_of(spark, "sim_centroid_outliers")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
