@@ -737,3 +737,61 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), F.asc("idx"))
         .limit(30)
     )
+
+
+@query(
+    "sample_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), runs AS (
+  SELECT doc_id, ord_key, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ord_key ROWS UNBOUNDED PRECEDING)
+           AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       cum_tokens - n_tokens
+         - CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) * 2048
+         AS pack_offset
+FROM runs
+""",
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: documents get a
+    deterministic global order (md5 of the id — the same reshuffle
+    trick as sample_shard_assign), a running token count, and a pack
+    assignment every 2048 tokens; pack_offset is the document's start
+    inside its pack. This is the locality-preserving packing step that
+    turns a deduped corpus into fixed-budget training sequences (each
+    pack is then truncated/padded downstream).
+
+    Assignment is by the tokens BEFORE each doc (cum - n), so a doc
+    that straddles a boundary belongs to the pack it starts in —
+    matching a greedy sequential packer.
+
+    Scale: the running sum is a global-order window — the one shape
+    that cannot parallelize as-is. At cluster SF, run the same logic
+    per shard (partitionBy the shard key from sample_shard_assign):
+    packs never cross shard files anyway, and each shard's window is
+    an independent sorted scan. The fixture-SF registration keeps the
+    global spelling so the oracle pins exact semantics."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("ord_key").rowsBetween(Window.unboundedPreceding, 0)
+    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    pack = F.floor(before / 2048.0).cast("bigint")
+    return runs.select(
+        "doc_id",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (before - pack * 2048).alias("pack_offset"),
+    )
