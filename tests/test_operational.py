@@ -1,0 +1,78 @@
+"""Operational-robustness patterns: schema evolution on the lake and
+streaming restart recovery — the two failure modes a long-lived
+ingest pipeline (the reference runs on a schedule forever,
+task.ts:51) actually hits in production."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark.tables import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_schema_evolution_merge_and_null_fill(spark, tmp_path):
+    """A column added mid-stream must not break old readers: mergeSchema
+    unions the schemas and old files read the new column as NULL."""
+    d = str(tmp_path / "evolving")
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.filter("event_id % 2 = 0").write.parquet(d + "/batch=0")
+    ev.filter("event_id % 2 = 1").withColumn(
+        "quality_tier", (F.col("value") > 100).cast("int")
+    ).write.parquet(d + "/batch=1")
+
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert "quality_tier" in df.columns
+    assert df.count() == ev.count()
+    # old files surface the new column as NULL; new files carry values
+    nulls = df.filter(F.col("quality_tier").isNull()).count()
+    assert nulls == ev.filter("event_id % 2 = 0").count()
+    # and the evolved column still computes
+    assert df.filter("quality_tier = 1").count() == ev.filter(
+        "event_id % 2 = 1 AND value > 100"
+    ).count()
+
+
+def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """A restarted stream with the same checkpoint resumes AFTER the
+    data it already processed — at-least-once becomes effectively-once
+    at the source: file B, added between runs, is the only new output
+    of run 2."""
+    import shutil
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.filter("event_id < 100").coalesce(1).write.parquet(str(src / "a"))
+
+    schema = "event_id bigint, user_id bigint, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    ev.filter("event_id >= 100 AND event_id < 150").coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    run_once()
+    after = spark.read.parquet(out)
+    # file A not reprocessed: exactly the 50 new rows appended, no dupes
+    assert after.count() == 150
+    assert after.select("event_id").distinct().count() == 150
