@@ -226,3 +226,29 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
             F.coalesce("tier", F.lit(0)).alias("tier"),
         )
     )
+
+
+def incremental_materialize(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, partition_by: str = "event_type"
+) -> Any:
+    """Incremental materialization: the continuous-ingest half of a
+    lakehouse table — each micro-batch appends into a Hive-partitioned
+    parquet lake, with the streaming checkpoint making file-source
+    input effectively-once. Pair with
+    ``sources.maintenance.compact_parquet`` on a schedule: ingest
+    writes many small per-batch files (exactly the reference's
+    per-SQS-batch write pattern, task.ts:155-361), compaction restores
+    scan efficiency — together they are the minimal ACID-free
+    lakehouse loop.
+
+    Scale: partitioning by a low-cardinality routing column gives
+    planning-time partition pruning to every downstream reader (the
+    test_plans partition-pruning property); per-batch files stay
+    small and compaction is the corrective, not a bigger write path.
+    Returns the DataStreamWriter (caller picks the trigger)."""
+    return (
+        stream.writeStream.format("parquet")
+        .partitionBy(partition_by)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -76,3 +76,57 @@ def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
     # file A not reprocessed: exactly the 50 new rows appended, no dupes
     assert after.count() == 150
     assert after.select("event_id").distinct().count() == 150
+
+
+def test_incremental_materialize_then_compact(spark, tmp_path):
+    """End-to-end lakehouse loop: stream -> partitioned lake (restart
+    resumes, no reprocessing) -> compaction of the littered partition
+    preserves rows and prunes file count."""
+    from etl_arcgis_spark.sources.maintenance import compact_parquet
+    from etl_arcgis_spark.streaming import pipelines as P
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ck")
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    schema = "event_id bigint, user_id bigint, value double, event_type string"
+
+    def ingest():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = P.incremental_materialize(stream, lake, ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+
+    ev.filter("event_id < 200").repartition(8).write.parquet(str(src / "a"))
+    ingest()
+    ev.filter("event_id >= 200 AND event_id < 300").repartition(8).write.parquet(
+        str(src / "b")
+    )
+    ingest()
+
+    lake_df = spark.read.parquet(lake)
+    assert lake_df.count() == 300  # effectively-once across restarts
+    # partition pruning is available to downstream readers
+    plan = (
+        lake_df.filter("event_type = 'purchase'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+
+    # the litter is real (two 8-partition batches), compaction fixes one partition
+    import glob
+
+    part = f"{lake}/event_type=purchase"
+    before = len(glob.glob(f"{part}/*.parquet"))
+    assert before > 1
+    compacted = str(tmp_path / "purchase_compacted")
+    got = compact_parquet(spark, part, compacted, target_file_mb=128)
+    assert len(glob.glob(f"{compacted}/*.parquet")) == 1
+    assert got.count() == spark.read.parquet(part).count()
