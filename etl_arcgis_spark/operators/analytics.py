@@ -798,3 +798,221 @@ def analytics_order_count_distribution(spark: SparkSession, sf_dir: str) -> Data
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "analytics_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 4)
+             / round(sum(volume), 4), 4) AS mkt_share
+FROM base
+GROUP BY o_year
+""",
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplying nation's share of a region's
+    order volume for one part type, per year — an 8-table join where
+    the nation dimension plays two roles (customer's region membership
+    vs supplier's identity) feeding a conditional-ratio aggregate.
+
+    Determinism: numerator and denominator are each rounded to the
+    4-decimal contract BEFORE the division (the mom_growth pattern) so
+    the ratio is one IEEE op over bit-identical inputs on both engines.
+
+    Scale: nation/region broadcast (fixed 25/5 rows); part is filtered
+    to one p_type but still grows with SF, so its join stays a shuffle
+    on l_partkey rather than an assumed broadcast — AQE may still
+    choose broadcast from runtime stats at small SF, which is exactly
+    the decision we want left to the optimizer."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = table(spark, sf_dir, "supplier")
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cu = table(spark, sf_dir, "customer")
+    n1 = F.broadcast(table(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(table(spark, sf_dir, "nation")).alias("n2")
+    re = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(re, F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    num = r4(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+    )
+    den = r4(F.sum("volume"))
+    return base.groupBy("o_year").agg(r4(num / den).alias("mkt_share"))
+
+
+@query(
+    "analytics_top_revenue_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def analytics_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — a scalar-subquery max gating a grouped-revenue view,
+    keeping ALL ties (no LIMIT 1), which is why it is not a top-k
+    window query.
+
+    Determinism: per-supplier revenue is rounded to the r4 contract
+    first; the max-equality comparison then operates on bit-identical
+    doubles on both engines.
+
+    Scale: revenue aggregates lineitem down to |suppliers| rows before
+    anything else; the global max is a second tiny aggregation over
+    that, and the equality filter is evaluated on the same shrunken
+    relation (window-over-empty-partition on ~1k rows, one task). The
+    supplier join input is already minimal."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    su = table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev"
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("mx", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    return (
+        best.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy(F.asc("s_suppkey"))
+    )
+
+
+@query(
+    "analytics_discount_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 0) AS revenue_delta,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def analytics_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-agg
+    with three conjunctive predicates (date range, discount band,
+    quantity cap), the canonical pushdown probe: every predicate
+    reaches the parquet scan, no join, no shuffle beyond the one-row
+    partial-agg combine.
+
+    Determinism: a money sum over ~1e8 magnitude rounds to INTEGER,
+    not 4 decimals — cross-engine/cross-run partial-sum ordering noise
+    (~1e-5 here) sits too close to the 1e-4 grid for comfort, and the
+    integer grid is 5 orders of magnitude away (§5.3.1 magnitude-aware
+    corollary)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 0).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "stats_winsorize_clip",
+    oracle="""
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       round(avg(c_acctbal), 4) AS mean_raw,
+       round(avg(least(greatest(c_acctbal, lo), hi)), 4) AS mean_winsor,
+       count(*) AS n
+FROM customer JOIN b ON c_mktsegment = seg
+GROUP BY c_mktsegment
+""",
+)
+def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each customer's balance to its
+    segment's [p05, p95] band and compare raw vs clipped means — the
+    outlier-robust normalization step a feature/reward pipeline runs
+    before training statistics.
+
+    Scale: the percentile bounds aggregate first (5 groups → 5 rows),
+    then broadcast back onto the fact — two passes over customer, no
+    per-row sort. Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the interpolated-quantile definition (parity proven by
+    agg_percentiles_exact)."""
+    cu = table(spark, sf_dir, "customer")
+    bounds = F.broadcast(
+        cu.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+            F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+            F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        cu.join(bounds, F.col("c_mktsegment") == F.col("seg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            r4(F.avg("c_acctbal")).alias("mean_raw"),
+            r4(F.avg(clipped)).alias("mean_winsor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

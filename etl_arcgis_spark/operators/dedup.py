@@ -747,3 +747,64 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "dedup_decontaminate_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(DISTINCT g) AS n_hit_grams
+FROM corpus
+WHERE g IN (SELECT g FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 4-gram with a held-out benchmark set (here the deterministic
+    ``doc_id % 97 == 0`` slice) — the n-gram-overlap contamination
+    check every training-data pipeline runs before a corpus ships
+    (the GPT-3/PaLM 13-gram check, scaled to this fixture's 10-99-word
+    documents). Output: contaminated doc_id + how many distinct
+    benchmark 4-grams it contains; the keep-list is the anti-join
+    complement.
+
+    Scale: the benchmark side is orders of magnitude smaller than the
+    corpus (that is the point of a held-out set), so its distinct
+    4-gram dictionary broadcasts and the containment check is a
+    broadcast semi-join against the streamed corpus grams — the corpus
+    is never shuffled on the gram key. At 100 TB the dictionary is
+    hashed (xxhash64 of the gram) to bound broadcast bytes."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 4)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', slice(w, i, 4)))"
+            )
+        ).alias("g"),
+    )
+    bench = F.broadcast(
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(bench, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit_grams"))
+        .orderBy(F.asc("doc_id"))
+    )

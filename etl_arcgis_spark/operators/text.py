@@ -795,3 +795,66 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (before - pack * 2048).alias("pack_offset"),
     )
+
+
+@query(
+    "sample_source_rebalance",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT sum(n_docs) AS total_docs,
+         count(*) AS n_sources
+  FROM s
+)
+SELECT source, n_docs, total_chars,
+       round(least(1.0, (total_docs / CAST(n_sources AS DOUBLE)) / n_docs), 4)
+         AS keep_prob,
+       CAST(floor(n_docs * least(1.0, (total_docs / CAST(n_sources AS DOUBLE)) / n_docs))
+         AS BIGINT) AS expected_docs
+FROM s CROSS JOIN t
+ORDER BY source
+""",
+)
+def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: compute the per-source downsampling
+    probability that moves the corpus toward a uniform source mix —
+    the domain-reweighting step (DoReMi/The-Pile-style) that runs
+    before shard sampling. keep_prob = target_share / actual_share,
+    capped at 1 (downsample-only; upsampling is a repeat factor the
+    sampler applies separately); expected_docs floors the resulting
+    per-source document budget.
+
+    Scale: one aggregation to |sources| rows, a one-row grand total
+    cross-joined back (broadcast of a scalar), and per-row arithmetic
+    — the plan is two map-side-combinable aggs regardless of corpus
+    size. The actual sampling pass that consumes keep_prob is
+    sample_hash_deterministic (hash-threshold, shuffle-free)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    t = F.broadcast(
+        s.agg(
+            F.sum("n_docs").alias("total_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )
+    keep = F.least(
+        F.lit(1.0),
+        (F.col("total_docs") / F.col("n_sources").cast("double")) / F.col("n_docs"),
+    )
+    return (
+        s.crossJoin(t)
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            r4(keep).alias("keep_prob"),
+            F.floor(F.col("n_docs") * keep).cast("bigint").alias("expected_docs"),
+        )
+        .orderBy(F.asc("source"))
+    )
