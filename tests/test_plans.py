@@ -171,3 +171,50 @@ def test_centroid_outliers_group_limit_and_broadcast(spark):
     p = plan_of(spark, "sim_centroid_outliers")
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    """The Q6-shape scan-filter-agg is the canonical pushdown probe:
+    date range, discount band, and quantity cap must all reach the
+    parquet scan as PushedFilters, with no join or exchange beyond the
+    single-row partial-agg combine."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        p = plan_of(spark, "analytics_discount_revenue")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters:" in p
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in p, frag
+    assert "Join" not in p
+
+
+def test_q8_market_share_broadcasts_dims_only(spark):
+    """Q8's fixed-size legs (nation x2, region) broadcast; the plan
+    stays cartesian-free and the fact side never feeds a broadcast."""
+    p = plan_of(spark, "analytics_market_share")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_benchmark_dict_broadcasts(spark):
+    """The benchmark 4-gram dictionary must broadcast into a semi-join
+    — the corpus gram stream is never shuffled on the gram key."""
+    p = plan_of(spark, "dedup_decontaminate_ngrams")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winsorize_bounds_broadcast_back(spark):
+    """The 5-row percentile-bounds relation joins back as a broadcast;
+    the customer fact is never shuffled for the clip."""
+    p = plan_of(spark, "stats_winsorize_clip")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
