@@ -661,3 +661,121 @@ def agg_argmax_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.c_custkey").alias("top_custkey"),
         )
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+WITH v AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in1,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS in2
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+g AS (
+  SELECT x, sum(in1) AS c1, sum(in2) AS c2 FROM v GROUP BY x
+),
+e AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY x ASC) AS DOUBLE) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY x ASC) AS DOUBLE) AS cum2
+  FROM g
+),
+n AS (SELECT CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2 FROM v)
+SELECT round(max(abs(cum1 / n1 - cum2 / n2)), 4) AS ks_d, n1, n2
+FROM e CROSS JOIN n
+GROUP BY n1, n2
+""",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between the order-value
+    distributions of finished vs open orders — the distribution-drift
+    check a data pipeline runs to compare a new batch against a
+    reference slice. Pure relational ECDF: group by value, running
+    counts over the sorted distinct values, max absolute ECDF gap.
+
+    Determinism: the ECDFs are ratios of exact integer cumulative
+    counts — every float op is a single division/subtraction over
+    bit-identical inputs, so ks_d is exact on both engines before the
+    r4 wrap.
+
+    Scale: the group-by collapses to |distinct values| rows; the
+    unpartitioned running sum over that is the one single-task stage
+    (fine at report cardinality — for a 100 TB drift check, bin the
+    values first: same plan over a fixed-width histogram)."""
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = od.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("in1"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("in2"),
+    )
+    g = v.groupBy("x").agg(F.sum("in1").alias("c1"), F.sum("in2").alias("c2"))
+    n = F.broadcast(
+        v.agg(
+            F.sum("in1").cast("bigint").alias("n1"),
+            F.sum("in2").cast("bigint").alias("n2"),
+        )
+    )
+    w = Window.orderBy(F.col("x").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    e = g.select(
+        F.sum("c1").over(w).cast("double").alias("cum1"),
+        F.sum("c2").over(w).cast("double").alias("cum2"),
+    )
+    gap = F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))
+    return (
+        e.crossJoin(n)
+        .groupBy("n1", "n2")
+        .agg(r4(F.max(gap)).alias("ks_d"))
+        .select("ks_d", "n1", "n2")
+    )
+
+
+@query(
+    "stats_gini_revenue",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY o_custkey
+),
+k AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS DOUBLE) AS rk,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM r
+)
+SELECT round(2.0 * sum(rk * rev) / (n * sum(rev)) - (n + 1.0) / n, 4) AS gini,
+       CAST(n AS BIGINT) AS n_customers
+FROM k GROUP BY n
+""",
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality/diversity summary (same formula a corpus pipeline
+    uses for source- or domain-concentration of token counts):
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over ascending-sorted values.
+
+    Determinism: per-customer revenue is r4-rounded BEFORE ranking
+    (rank ties then broken by custkey), so the rank assignment is
+    identical cross-engine; the remaining float noise in Σ(rank·x)
+    is ~1e-13 relative — far below the output grid.
+
+    Scale: orders aggregates to |customers| first; the global sort for
+    ranking is the one wide stage (range-partitioned sort at cluster
+    scale), and the final reduction is a scalar."""
+    od = table(spark, sf_dir, "orders")
+    r = od.groupBy("o_custkey").agg(r4(F.sum("o_totalprice")).alias("rev"))
+    wr = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    wn = Window.partitionBy()
+    k = r.select(
+        "rev",
+        F.row_number().over(wr).cast("double").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    )
+    gini = (
+        F.lit(2.0) * F.sum(F.col("rk") * F.col("rev")) / (F.col("n") * F.sum("rev"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return k.groupBy("n").agg(r4(gini).alias("gini")).select(
+        "gini", F.col("n").cast("bigint").alias("n_customers")
+    )

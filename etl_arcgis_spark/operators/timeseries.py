@@ -912,3 +912,65 @@ def ts_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("t") - F.min("t")).alias("duration_us"),
         r4(F.sum("value")).alias("sum_value"),
     )
+
+
+@query(
+    "ts_ewma_halflife",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+),
+l AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+  FROM ev
+)
+SELECT user_id, event_id,
+       round(list_sum(list_transform(generate_series(1, len(xs)),
+                                     i -> xs[i] * pow(0.5, len(xs) - i)))
+             / list_sum(list_transform(generate_series(1, len(xs)),
+                                       i -> pow(0.5, len(xs) - i))), 4) AS ewma
+FROM l
+""",
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user: the
+    trailing-8-event EWMA with decay 0.5 per step — the recency-biased
+    smoother (EWMA is recursive, which plain window aggregates can't
+    express; truncating the tail at 8 terms turns it into a bounded
+    frame computation with <0.4% weight discarded).
+
+    Determinism: decay 0.5 makes every weight an exact binary power;
+    both engines left-fold the <=8 products in identical frame order,
+    so the quotient is bit-identical before r4.
+
+    Scale: one shuffle+sort per key, O(frame) work per row — the same
+    cost envelope as any bounded moving aggregate; the collect_list
+    never leaves the row's frame."""
+    from ..helpers import ev_us
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ev_us().alias("t"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, 0)
+    )
+    num = (
+        "aggregate(zip_with(xs, sequence(size(xs) - 1, 0, -1), "
+        "(x, p) -> x * pow(0.5D, p)), 0D, (a, v) -> a + v)"
+    )
+    den = (
+        "aggregate(transform(sequence(size(xs) - 1, 0, -1), "
+        "p -> pow(0.5D, p)), 0D, (a, v) -> a + v)"
+    )
+    return (
+        ev.withColumn("xs", F.collect_list("value").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            r4(F.expr(num) / F.expr(den)).alias("ewma"),
+        )
+    )
