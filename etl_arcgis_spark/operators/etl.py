@@ -210,3 +210,34 @@ def cast_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("bigint").alias("value_floor"),
         F.col("event_id").cast("string").alias("id_str"),
     )
+
+
+@query(
+    "etl_pii_mask_digits",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]', '#', 'g') AS props_masked,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT)
+         AS n_masked_chars
+FROM events
+""",
+)
+def etl_pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass: mask every digit in the free-form
+    ``props`` payload and count how many characters were redacted —
+    the shape of the regex-redaction step (emails, phone numbers,
+    SSNs) a corpus pipeline runs before training. The character class
+    here is engine-portable ([0-9] means the same thing to Java regex
+    and RE2); real PII patterns slot into the same two expressions.
+
+    Scale: stateless per-row regex in whole-stage codegen — no
+    shuffle, no UDF; the masked column streams straight to the sink."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]", "#").alias("props_masked"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).cast("bigint").alias("n_masked_chars"),
+    )

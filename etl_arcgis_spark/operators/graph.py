@@ -151,3 +151,81 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         norm.unpersist()
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = (SELECT min(p_brand) FROM part)
+),
+op AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT count(*) AS n_triangles,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(DISTINCT p) FROM (SELECT u AS p FROM e UNION SELECT v FROM e)) AS n_nodes
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-occurrence graph (parts of
+    one brand, connected when they share an order) — the second
+    canonical graph-join workload after PageRank: wedges from an
+    oriented edge list closed by a third join. Orienting every edge
+    u < v counts each triangle exactly once with no post-dedup.
+
+    Scale: the edge list is built by a same-key self-join of the
+    (order, part) projection — a co-partitioned join on l_orderkey,
+    no shuffle beyond the distinct. The wedge join's fan-out is the
+    sum of squared degrees: at 100 TB the standard mitigation is
+    degree-ordered orientation (point each edge at the higher-degree
+    endpoint), which bounds wedges by arboricity; the fixture graph
+    is small enough that the plain orientation is already balanced."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    min_brand = F.broadcast(pa.agg(F.min("p_brand").alias("mb")))
+    pb = pa.join(min_brand, pa.p_brand == F.col("mb")).select("p_partkey")
+    op = (
+        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    # The oriented edge list is dimension-sized (scales with |parts in
+    # one brand|, not the fact): collapse it to one partition before
+    # persisting — persist() pins the plan away from AQE coalescing, so
+    # without this every downstream stage over the tiny relation runs
+    # at full shuffle width. At cluster scale the width follows |e|.
+    e = e.coalesce(1).persist()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = e.select(F.col("u").alias("p")).union(e.select("v")).distinct()
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return tri.crossJoin(F.broadcast(counts))
