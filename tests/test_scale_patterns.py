@@ -43,3 +43,51 @@ def test_zorder_key_preserves_locality(spark):
     assert max(west) < min(east) or max(east) < min(west)
     span_west = max(west) - min(west)
     assert span_west < (1 << 22)  # tight cluster -> tight key range
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """At 100 TB a selective dimension filter should reach the fact
+    side of a shuffle join as a runtime bloom filter (semi-join
+    reduction) — rows that cannot match are dropped at the fact scan
+    instead of shuffling. Fixture scans sit below the default 10 GB
+    application-side threshold, so the test lowers it to observe the
+    injection Spark would perform at cluster scale; results must be
+    unchanged by the filter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force non-broadcast join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+        filtered = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    plain = {
+        (r["o_orderstatus"], r["n"])
+        for r in spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .join(
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert filtered == plain
