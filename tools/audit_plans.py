@@ -48,6 +48,9 @@ NLJ_OK = {
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
+    "sample_source_rebalance",   # 1-row grand-total broadcast
+    "stats_ks_two_sample",       # 1-row sample-sizes broadcast
+    "graph_triangle_count",      # 1-row edge/node-count broadcast
 }
 
 
