@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -292,6 +293,64 @@ class ArcGISSimWriter(DataSourceWriter):
                 pass
 
 
+class ArcGISSimStreamReader(SimpleDataSourceStreamReader):
+    """A1 + the schedule as a STREAMING source: the reference's incoming
+    flow is a cron-scheduled incremental pull of the layer
+    (task.ts:50-51 ``'Schedule'``; each invocation re-pages the REST
+    endpoint). Structured Streaming is the idiomatic Spark spelling of
+    exactly that loop: the engine owns the schedule (trigger), the
+    checkpoint owns progress, and each micro-batch pulls the next page
+    window.
+
+    Offset = byte position into the simulated layer file (monotone,
+    replayable). ``read`` advances at most ``pagesPerBatch`` pages per
+    micro-batch — the scheduled-pull page budget; ``readBetweenOffsets``
+    re-reads a committed byte range verbatim for recovery, so a batch
+    replayed after a crash yields bit-identical rows (exactly-once with
+    an idempotent sink, the same guarantee the reference approximates
+    with its upsert key)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.names = [f.name for f in schema.fields]
+        self.path = options["path"]
+        self.page_size = int(options.get("pagesize", 1000))
+        self.pages_per_batch = int(options.get("pagesperbatch", 1))
+        self._token = TokenBroker().token()
+
+    def initialOffset(self) -> dict:
+        return {"byte": 0}
+
+    def read(self, start: dict):
+        rows = []
+        with open(self.path, "rb") as fh:
+            fh.seek(start["byte"])
+            budget = self.page_size * self.pages_per_batch
+            while budget > 0:
+                line = fh.readline()
+                if not line:
+                    break
+                rows.append(json.loads(line))
+                budget -= 1
+            end = fh.tell()
+        return (
+            iter([tuple(r.get(n) for n in self.names) for r in rows]),
+            {"byte": end},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        with open(self.path, "rb") as fh:
+            fh.seek(start["byte"])
+            remaining = end["byte"] - start["byte"]
+            while remaining > 0:
+                line = fh.readline()
+                if not line:
+                    break
+                remaining -= len(line)
+                rec = json.loads(line)
+                yield tuple(rec.get(n) for n in self.names)
+
+
 class ArcGISSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -316,6 +375,9 @@ class ArcGISSimDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ArcGISSimWriter:
         return ArcGISSimWriter(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> ArcGISSimStreamReader:  # noqa: N802
+        return ArcGISSimStreamReader(schema, dict(self.options))
 
 
 class ArcGISSimPushdownDataSource(ArcGISSimDataSource):

@@ -164,3 +164,76 @@ def test_top_features_strategy_prereduces_and_composes_exactly(spark, layer_file
     assert got == want  # superset contract -> exact composition
     pre_keys = {(r["callsign"], r["oid"]) for r in pre_rows}
     assert want <= pre_keys  # every global winner survived the scan
+
+
+def test_streaming_scheduled_pull_matches_batch(spark, layer_file, tmp_path):
+    """The reference's incoming flow is a cron-scheduled incremental
+    pull (task.ts:50-51). Model each scheduled wake as one availableNow
+    run over a shared checkpoint: every run resumes from the committed
+    byte offset and pulls what the prefetcher has paged; across wakes
+    the union must equal the batch scan exactly — no row lost, none
+    duplicated."""
+    out = []
+
+    def sink(batch_df, epoch):
+        out.append(batch_df.collect())
+
+    for _wake in range(12):  # scheduled wakes; breaks when drained
+        q = (
+            spark.readStream.format("arcgis_sim")
+            .option("path", layer_file)
+            .option("pageSize", 100)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if sum(len(rows) for rows in out) >= 250:
+            break
+    streamed = sorted(tuple(r) for rows in out for r in rows)
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("arcgis_sim")
+        .option("path", layer_file)
+        .load()
+        .collect()
+    )
+    assert len(streamed) == 250
+    assert streamed == batch
+
+
+def test_stream_reader_page_budget_and_replay(layer_file):
+    """Direct reader-API check of the scheduled-pull semantics: each
+    read() pull advances at most pageSize*pagesPerBatch rows, offsets
+    are monotone bytes, and readBetweenOffsets replays a committed
+    range bit-identically (crash recovery)."""
+    from pyspark.sql.types import StructType
+
+    from etl_arcgis_spark.sources.arcgis_sim import ArcGISSimStreamReader
+
+    schema = StructType.fromDDL(
+        "oid bigint, callsign string, speed double, active boolean"
+    )
+    rdr = ArcGISSimStreamReader(schema, {"path": layer_file, "pagesize": "100"})
+    off0 = rdr.initialOffset()
+    assert off0 == {"byte": 0}
+    pulls, offsets, cur = [], [off0], off0
+    while True:
+        it, nxt = rdr.read(cur)
+        rows = list(it)
+        if not rows:
+            assert nxt == cur  # idle pull: offset must not move
+            break
+        pulls.append(rows)
+        offsets.append(nxt)
+        cur = nxt
+    assert [len(p) for p in pulls] == [100, 100, 50]  # page budget per pull
+    # replay of the middle committed range is bit-identical
+    replay = list(rdr.readBetweenOffsets(offsets[1], offsets[2]))
+    assert replay == pulls[1]
+    # full-range replay equals the concatenated pulls
+    assert list(rdr.readBetweenOffsets(offsets[0], offsets[-1])) == [
+        r for p in pulls for r in p
+    ]
