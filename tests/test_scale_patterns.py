@@ -91,3 +91,49 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         .collect()
     }
     assert filtered == plain
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """At 100 TB a hot join key melts one reducer unless AQE's skew-join
+    splits the oversized partition into parallel sub-reads. Fixture
+    shuffles sit below the default 256 MB skew threshold, so the test
+    lowers it to observe the split (skew=true in the executed plan) and
+    checks the join result is unchanged by the rewrite."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a shuffle join
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def skewed_join():
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = skewed_join()
+        split = {(r["n"], r["s"]) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    plain = {(r["n"], r["s"]) for r in skewed_join().collect()}
+    assert split == plain
