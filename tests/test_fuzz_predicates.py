@@ -138,3 +138,44 @@ def test_aggregation_agreement(sql_engines, data):
     a = {tuple(map(str, r)) for r in spark.sql(sql).collect()}
     b = {tuple(map(str, r)) for r in con.execute(sql).fetchall()}
     assert a == b, f"disagreement on: {sql}"
+
+
+WIN_AGGS = [
+    "sum(l_linenumber)",
+    "sum(l_orderkey)",
+    "count(*)",
+    "min(l_orderkey)",
+    "max(l_linenumber)",
+]
+WIN_PARTS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_window_frame_agreement(sql_engines, data):
+    """Same SQL text through both engines: random bounded/unbounded
+    ROWS-frame window aggregates (integer-exact measures, total-order
+    tiebreak per SURVEY.md §5.3.3) reduced to one exact scalar — frame
+    boundary semantics must agree everywhere."""
+    spark, con = sql_engines
+    agg = data.draw(st.sampled_from(WIN_AGGS))
+    part = data.draw(st.sampled_from(WIN_PARTS))
+    prec = data.draw(st.integers(min_value=0, max_value=5))
+    foll = data.draw(st.integers(min_value=0, max_value=5))
+    start = (
+        "UNBOUNDED PRECEDING" if data.draw(st.booleans()) else f"{prec} PRECEDING"
+    )
+    frame = f"ROWS BETWEEN {start} AND {foll} FOLLOWING"
+    win = (
+        f"{agg} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey ASC, l_linenumber ASC {frame})"
+    )
+    sql = f"SELECT sum(w) AS s, count(*) AS n FROM (SELECT {win} AS w FROM lineitem) t"
+    a = [tuple(map(str, r)) for r in spark.sql(sql).collect()]
+    b = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
+    assert a == b, f"disagreement on: {sql} (spark={a} duck={b})"
