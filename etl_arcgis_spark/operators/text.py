@@ -858,3 +858,60 @@ def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("source"))
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+WITH fw AS (
+  SELECT w, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+per_doc AS (
+  SELECT first_doc AS doc_id, count(*) AS new_words FROM fw GROUP BY first_doc
+),
+tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+SELECT t.doc_id,
+       CAST(sum(coalesce(p.new_words, 0)) OVER (ORDER BY t.doc_id ASC) AS BIGINT)
+         AS vocab_size,
+       CAST(sum(t.n_tok) OVER (ORDER BY t.doc_id ASC) AS BIGINT) AS corpus_tokens
+FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-word
+    count vs cumulative token count in doc_id ingestion order — the
+    corpus statistic that tells a curation pipeline whether new data
+    still adds vocabulary. Running-distinct via the first-seen trick
+    (ts_cumulative_users pattern): each word contributes at its
+    minimal doc, so a cumulative sum of per-doc first-seen counts IS
+    the running distinct count — no quadratic distinct-per-prefix.
+
+    Scale: two hash aggregates collapse tokens to |vocab| then to
+    |docs|; the unpartitioned running sum runs over doc-count rows
+    only (shard the curve by source/bucket at 100 TB)."""
+    docs = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    fw = (
+        docs.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_doc = fw.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    tok = docs.select("doc_id", F.size("w").alias("n_tok"))
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.sum("n_tok").over(w).cast("bigint").alias("corpus_tokens"),
+        )
+    )
