@@ -779,3 +779,38 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.groupBy("n").agg(r4(gini).alias("gini")).select(
         "gini", F.col("n").cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 at scale: EXACT count-distinct via fixed-size bitmaps —
+    ``bitmap_bucket_number``/``bitmap_bit_position`` shard the key
+    space into 32k-bit buckets, ``bitmap_construct_agg`` ORs each
+    bucket's positions into one 4 KB binary, and the outer sum of
+    ``bitmap_count`` recovers the exact distinct count.
+
+    This is the scale path for the reference's returnCountOnly-over-
+    distinct surface (SURVEY.md §2 B5/B6, task.ts:410-414 passthrough):
+    a plain count(DISTINCT key) shuffles every distinct key; the bitmap
+    rewrite shuffles at most one 4 KB blob per (group, bucket) no
+    matter how many rows hit the bucket — partial aggregation ORs
+    bitmaps map-side, so the shuffle volume is bounded by key-range /
+    32k per group, not by row count. At 100 TB with dense-ish int keys
+    this turns the worst shuffle in the plan into kilobytes.
+
+    Oracle: exact equality with count(DISTINCT) — unlike HLL/approx
+    variants this needs no weak-mode escape hatch.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_users")
+    )

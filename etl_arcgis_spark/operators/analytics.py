@@ -1016,3 +1016,58 @@ def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "analytics_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def analytics_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year — a 5-way join where the fact table joins THREE independent
+    dimension legs (part, supplier->nation, orders) and the measure
+    combines columns from two different tables (price/discount from
+    lineitem, cost from part). The fixtures carry no partsupp table, so
+    supply cost is modeled as 0.6·p_retailprice — the join/agg shape,
+    which is what Q9 stresses, is unchanged.
+
+    Scale: part (LIKE-filtered), supplier and nation all broadcast —
+    the lineitem spine is never shuffled for them; the only wide
+    exchange is lineitem⋈orders on l_orderkey. The selective p_name
+    LIKE leg is joined FIRST so fact rows drop before the expensive
+    orders join (Catalyst keeps the order; at cluster scale a runtime
+    row-level bloom filter from the filtered part side prunes the scan
+    further — verified in tests/test_plans.py for the Q6/Q8 twins).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    su = F.broadcast(table(spark, sf_dir, "supplier"))
+    na = F.broadcast(table(spark, sf_dir, "nation"))
+    od = table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(r4(F.sum(profit)).alias("profit"))
+    )

@@ -137,3 +137,55 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_sum",
         )
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+), c AS (
+  SELECT user_id AS c_user, event_id AS click_id, ms AS click_ms
+  FROM e WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ms AS purchase_ms
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT p.user_id, purchase_id, click_id, purchase_ms, click_ms
+FROM p JOIN c
+  ON p.user_id = c.c_user
+ AND c.click_ms <= p.purchase_ms
+ AND c.click_ms >= p.purchase_ms - 1800000
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checkable form — the
+    attribution shape (each purchase joined to same-user clicks in the
+    preceding 30 minutes). Calls the SAME builder a ``readStream``
+    pipeline uses (``streaming.pipelines.stream_stream_click_purchase_join``
+    — ``withWatermark`` is a no-op on batch frames), so the oracle here
+    plus the availableNow parity test in tests/test_streaming_parity.py
+    together pin both the join semantics and the streaming execution.
+
+    Generalizes the reference's correlate-two-feeds reality (the
+    outgoing flow matches an SQS record against the feature already in
+    ArcGIS, task.ts:267-283) to event-time correlation of two live
+    streams.
+
+    Scale: both sides shuffle-partition on user_id (the equi-key), and
+    the watermark bounds the click-side state buffer to interval +
+    watermark — without it the join state would grow unboundedly.
+    Instants are ms-floored on both engines so the interval boundary
+    can never straddle the ns/µs truncation difference.
+    """
+    from ..streaming.pipelines import stream_stream_click_purchase_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return stream_stream_click_purchase_join(clicks, purchases, "30 minutes")

@@ -203,3 +203,73 @@ def test_watermark_bounds_state_store_size(spark, tmp_path):
     assert final_state_rows <= 1
     # and the evicted windows were actually emitted downstream
     assert spark.sql("SELECT count(*) FROM state_out").collect()[0][0] >= 48
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: the SAME builder the batch
+    query `stream_stream_interval_join` uses, run through a real
+    two-source readStream pipeline, must emit exactly the batch result.
+
+    The feed is arranged to force cross-batch join state: ALL clicks
+    arrive in micro-batch 1, purchases split at the median timestamp
+    across two time-ordered files (maxFilesPerTrigger=1) — so every
+    pair whose purchase is in the second file can only match if the
+    click-side state survived the earlier batches, and clicks whose
+    30-minute match horizon has passed the global watermark are
+    legitimately evicted in between (time-ordered arrival means
+    eviction can never lose a future match).
+    """
+    from etl_arcgis_spark.streaming.pipelines import stream_stream_click_purchase_join
+    from etl_arcgis_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    prepare(spark)
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purchases_b = ev.filter(F.col("event_type") == "purchase")
+    med = purchases_b.selectExpr("percentile(unix_millis(ts_t), 0.5) p").collect()[0]["p"]
+
+    d_clicks = tmp_path / "ss_clicks"
+    d_purch = tmp_path / "ss_purchases"
+    d_clicks.mkdir()
+    d_purch.mkdir()
+
+    def write_flat(df, dest, name):
+        staging = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.move(str(next(staging.glob("part-*.parquet"))), str(dest / name))
+
+    write_flat(clicks_b, d_clicks, "c0.parquet")
+    write_flat(purchases_b.filter(F.unix_millis("ts_t") <= med), d_purch, "p0.parquet")
+    time.sleep(1.1)  # distinct mtimes => file order = arrival order
+    write_flat(purchases_b.filter(F.unix_millis("ts_t") > med), d_purch, "p1.parquet")
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts_t timestamp"
+    clicks_s = spark.readStream.schema(schema).parquet(str(d_clicks))
+    purchases_s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d_purch))
+    )
+    q = (
+        stream_stream_click_purchase_join(clicks_s, purchases_s, "30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ["user_id", "purchase_id", "click_id", "purchase_ms", "click_ms"]
+    got = {tuple(r) for r in spark.sql(f"SELECT {','.join(cols)} FROM ss_join_out").collect()}
+    want = {
+        tuple(r)
+        for r in registry.run(spark, "stream_stream_interval_join", sf).select(cols).collect()
+    }
+    assert got == want and len(got) > 0
