@@ -808,3 +808,44 @@ def dedup_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("g").alias("n_hit_grams"))
         .orderBy(F.asc("doc_id"))
     )
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle="""
+WITH old AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), new AS (
+  SELECT doc_id, md5(text) AS h, lang, source FROM documents WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id, n.lang, n.source
+FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
+""",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 incremental form: dedup a NEW ingest batch against the
+    already-accepted corpus — the day-2 reality of a training-data
+    pipeline, where each crawl increment is anti-joined by content hash
+    against everything ingested before it (the same insert-if-absent
+    half of the reference's upsert, task.ts:284, keyed by content
+    instead of business key). The even/odd doc_id split stands in for
+    corpus/batch.
+
+    Scale: only 16-byte hashes shuffle, never text — the seen-corpus
+    side reduces to DISTINCT hashes first. At 100 TB the seen-hash set
+    is itself huge, so the anti-join stays a shuffled hash join
+    co-partitioned on the hash (both sides pre-bucketable by h for a
+    shuffle-free probe); a broadcast would be wrong here, which is why
+    no hint is given.
+    """
+    docs = table(spark, sf_dir, "documents")
+    old = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("h"), "lang", "source"
+    )
+    return new.join(old, "h", "left_anti").select("doc_id", "lang", "source")

@@ -60,6 +60,23 @@ def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     return stream.withWatermark("ts_t", watermark).dropDuplicates(["user_id", "event_id"])
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """C37 variant: ``dropDuplicatesWithinWatermark`` — dedup by key
+    where duplicate deliveries may carry *different* event times (the
+    at-least-once redelivery reality of the reference's SQS feed,
+    task.ts:155: a retried record is re-stamped). Plain dropDuplicates
+    keys state on the exact (key, ts) row; this keeps only the key and
+    GUARANTEES dedup for duplicates arriving within the watermark delay
+    of the first sighting, while still evicting state afterwards — so a
+    re-delivery far outside the watermark is emitted again (bounded
+    state means bounded memory, not forever-exactly-once)."""
+    return stream.withWatermark("ts_t", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+
+
 # ---- custom stateful operator: per-user session accumulator ----------
 
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, val double"
@@ -169,12 +186,22 @@ def upsert_sink(stream: DataFrame, target: dict[int, tuple]) -> Any:
 
 
 def stream_stream_click_purchase_join(
-    clicks: DataFrame, purchases: DataFrame, within: str = "30 minutes"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase joined to same-user
-    clicks in the preceding ``within`` interval. Both sides carry
-    watermarks so Spark can bound the join state (clicks older than the
-    interval + watermark are evicted) — the canonical attribution shape.
+    """Stream-stream join: each purchase joined to same-user clicks in
+    the preceding ``within`` interval. Both sides carry watermarks so
+    Spark can bound the join state (clicks older than the interval +
+    watermark are evicted) — the canonical attribution shape.
+
+    ``how='leftOuter'`` keeps unattributed purchases: the null-padded
+    row for a purchase with no click is emitted only once the watermark
+    has passed its match horizon (purchase_ts, the interval end) and
+    state is cleaned up — Spark cannot know earlier that no click will
+    arrive. Outer stream-stream joins REQUIRE the watermark + time
+    bound; without them the unmatched side could never be finalized.
     """
     c = (
         clicks.withWatermark("ts_t", within)
@@ -192,7 +219,7 @@ def stream_stream_click_purchase_join(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "user_id", "purchase_id", "click_id",
         F.unix_millis("purchase_ts").alias("purchase_ms"),
         F.unix_millis("click_ts").alias("click_ms"),

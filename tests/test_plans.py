@@ -218,3 +218,25 @@ def test_winsorize_bounds_broadcast_back(spark):
     p = plan_of(spark, "stats_winsorize_clip")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bitmap_distinct_shuffles_bitmaps_not_keys(spark):
+    p = plan_of(spark, "agg_bitmap_distinct")
+    # map-side OR of bucket bitmaps BEFORE the exchange: the shuffle
+    # moves one fixed-size blob per (group, bucket), never raw keys
+    assert "partial_bitmap_construct_agg" in p
+    # final distinct count is a plain sum over per-bucket popcounts
+    assert "bitmapCount" in p and "partial_sum" in p
+
+
+def test_q9_profit_broadcasts_all_dim_legs(spark):
+    p = plan_of(spark, "analytics_profit_by_nation_year")
+    assert p.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_is_hash_anti_join_on_hashes(spark):
+    p = plan_of(spark, "dedup_incremental_new_batch")
+    assert "LeftAnti" in p
+    # the seen corpus reduces to distinct hashes before the join
+    assert "HashAggregate" in p and "md5" in p

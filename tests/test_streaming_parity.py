@@ -273,3 +273,102 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in registry.run(spark, "stream_stream_interval_join", sf).select(cols).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _write_flat_seq(spark, tmp_path, dest, frames):
+    """Write each frame as one file into dest, mtime-ordered (file
+    order = arrival order for the file stream source)."""
+    dest.mkdir(exist_ok=True)
+    for i, df in enumerate(frames):
+        staging = tmp_path / f"stage_{dest.name}_{i}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.move(str(next(staging.glob("part-*.parquet"))), str(dest / f"f{i}.parquet"))
+        time.sleep(1.1)
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """Outer stream-stream join semantics: an unattributed purchase is
+    emitted null-padded only after the watermark passes its match
+    horizon and a later batch runs state cleanup — never eagerly."""
+    from etl_arcgis_spark.streaming.pipelines import stream_stream_click_purchase_join
+
+    prepare(spark)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+            "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts_t")
+        )
+
+    # P1@10:00 has click C1@09:50 (match); P2@10:05 has no click.
+    # 13:00 then 14:00 traffic advances the watermark past P2's horizon
+    # (10:05 + 30 min) so its null row must be finalized.
+    d_clicks = tmp_path / "lo_clicks"
+    d_purch = tmp_path / "lo_purch"
+    _write_flat_seq(spark, tmp_path, d_clicks, [
+        batch([(101, 1, "2024-01-01 09:50:00")]),
+        batch([(102, 9, "2024-01-01 13:00:00")]),
+        batch([(103, 9, "2024-01-01 14:00:00")]),
+    ])
+    _write_flat_seq(spark, tmp_path, d_purch, [
+        batch([(201, 1, "2024-01-01 10:00:00"), (202, 2, "2024-01-01 10:05:00")]),
+        batch([(203, 8, "2024-01-01 13:00:00")]),
+        batch([(204, 8, "2024-01-01 14:00:00")]),
+    ])
+
+    schema = "event_id long, user_id long, ts_t timestamp"
+    clicks_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d_clicks))
+    purch_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d_purch))
+    q = (
+        stream_stream_click_purchase_join(clicks_s, purch_s, "30 minutes", how="leftOuter")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["purchase_id"]: r["click_id"] for r in spark.sql(
+        "SELECT purchase_id, click_id FROM lo_join_out").collect()}
+    assert rows[201] == 101       # attributed purchase keeps its click
+    assert 202 in rows and rows[202] is None  # unattributed -> null row after watermark
+
+
+def test_dedup_within_watermark_dedups_then_evicts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery with a DIFFERENT
+    event time is suppressed while the key's state is inside the
+    watermark, and re-emitted once state was evicted — bounded-state
+    dedup, exactly once within the horizon."""
+    from etl_arcgis_spark.streaming.pipelines import streaming_dedup_within_watermark
+
+    prepare(spark)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+            "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts_t")
+        )
+
+    d = tmp_path / "ddw_in"
+    _write_flat_seq(spark, tmp_path, d, [
+        batch([(1, 7, "2024-01-01 10:00:00")]),
+        batch([(1, 7, "2024-01-01 10:03:00"),   # dup within watermark -> dropped
+               (2, 7, "2024-01-01 10:04:00")]),
+        batch([(3, 7, "2024-01-01 13:00:00")]), # advances watermark past key 1's expiry
+        batch([(4, 7, "2024-01-01 14:00:00")]), # state cleanup runs end-of-batch here
+        batch([(1, 7, "2024-01-01 14:30:00")]), # same key after eviction -> re-emitted
+    ])
+    stream = spark.readStream.schema("event_id long, user_id long, ts_t timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    q = (
+        streaming_dedup_within_watermark(stream, "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = [(r["event_id"], r["ts_t"].minute) for r in spark.sql(
+        "SELECT event_id, ts_t FROM ddw_out ORDER BY ts_t").collect()]
+    # first sighting kept, in-watermark dup dropped, post-eviction redelivery kept
+    assert out == [(1, 0), (2, 4), (3, 0), (4, 0), (1, 30)]
