@@ -510,3 +510,54 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_click_us")).alias("click_us_within_tol"),
         (F.col("last_click_us").isNotNull() & fresh).alias("attributed"),
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+  LIMIT 1
+) t
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (per-customer top-1 order) — the
+    for-each-row-run-a-query shape the reference executes literally
+    over HTTP (one keyed lookup per feature, task.ts:267-275), here
+    declared as a lateral join so Catalyst DECORRELATES it into one
+    set-based plan (DomainJoin rewrite -> join + per-group limit)
+    instead of N point queries.
+
+    The semantic twin of `window_rank_topk_per_group` expressed in the
+    correlated idiom; inner lateral semantics drop customers without
+    orders on both engines. Total order inside the limit (price desc,
+    orderkey asc) per determinism rule §5.3.3.
+
+    Scale: the decorrelated plan (inspected) is join + row_number()<=1
+    — set-based, never per-row subquery execution (what the reference
+    literally does over HTTP). It does carry one extra exchange (a
+    global range-sort the decorrelator inserts for the ORDER BY) that
+    the hand-written window idiom avoids, so at 100 TB prefer
+    `window_rank_topk_per_group`'s spelling; this query exists to pin
+    that the correlated idiom users actually write still decorrelates
+    to a sane plan.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer_v c, LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+  FROM orders_v o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+  LIMIT 1
+) t
+"""
+    )

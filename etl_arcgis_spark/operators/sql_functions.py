@@ -231,3 +231,57 @@ def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.try_divide("o_totalprice", F.col("o_custkey") % 3)).alias("price_per"),
         F.lit("not a number").try_cast("double").alias("always_null"),
     )
+
+
+@query(
+    "sql_recursive_month_spine",
+    oracle="""
+WITH RECURSIVE spine(ym) AS (
+  SELECT 199501
+  UNION ALL
+  SELECT CASE WHEN ym % 100 = 12 THEN (ym // 100 + 1) * 100 + 1 ELSE ym + 1 END
+  FROM spine WHERE ym < 200108
+), rev AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.ym AS BIGINT) AS ym,
+       coalesce(r.revenue, 0.0) AS revenue,
+       coalesce(r.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN rev r ON r.ym = s.ym
+""",
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark >= 4.0): generate the full 1995-01..2001-08
+    month spine recursively, then left-join monthly order revenue so
+    empty months surface as explicit zero rows — the gap-filling
+    resample every time-series report needs, expressed in pure SQL on
+    BOTH engines (same WITH RECURSIVE text modulo integer-division
+    spelling).
+
+    Scale: the recursion happens on the driver-side single-row seed (80
+    iterations of a one-row frame — trivial); the real data only joins
+    once at the end, broadcast-joining the tiny spine against the
+    aggregated months. Never put per-row work inside the recursive arm.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+WITH RECURSIVE spine(ym) AS (
+  SELECT CAST(199501 AS BIGINT) AS ym
+  UNION ALL
+  SELECT CAST(CASE WHEN ym % 100 = 12 THEN (ym DIV 100 + 1) * 100 + 1
+                   ELSE ym + 1 END AS BIGINT)
+  FROM spine WHERE ym < 200108
+), rev AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+  FROM orders_v GROUP BY 1
+)
+SELECT s.ym,
+       coalesce(r.revenue, 0.0d) AS revenue,
+       coalesce(r.n_orders, 0L) AS n_orders
+FROM spine s LEFT JOIN rev r ON r.ym = s.ym
+"""
+    )

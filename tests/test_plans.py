@@ -240,3 +240,11 @@ def test_incremental_dedup_is_hash_anti_join_on_hashes(spark):
     assert "LeftAnti" in p
     # the seen corpus reduces to distinct hashes before the join
     assert "HashAggregate" in p and "md5" in p
+
+
+def test_lateral_topk_decorrelates_to_set_based_plan(spark):
+    p = plan_of(spark, "join_lateral_topk")
+    # correlated LIMIT 1 must become join + per-group row_number, never
+    # nested-loop per-row execution
+    assert "row_number" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
