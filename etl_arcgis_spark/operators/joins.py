@@ -561,3 +561,44 @@ FROM customer_v c, LATERAL (
 ) t
 """
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH c AS (
+  SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer
+), s AS (
+  SELECT nullif(s_nationkey, 3) AS k, s_suppkey FROM supplier
+)
+SELECT c.k AS nation_key, count(*) AS n_pairs
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY c.k
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): NULL
+    keys match each OTHER instead of matching nothing — the semantics a
+    keyed upsert needs when the business key is legitimately absent
+    (the reference's cotuid-keyed merge, task.ts:267-350, silently
+    breaks on null keys; the engine makes the choice explicit).
+    nullif() manufactures a null bucket from one nation key so all
+    three SFs exercise the null-matches-null path.
+
+    Scale: `<=>` is still a hash-joinable equi-key (Spark plans a
+    regular hash join with null-safe comparison), BUT the null bucket
+    is a worst-case skew key — every null row lands in one partition,
+    so at 100 TB a real pipeline should pre-split or AQE-skew-handle
+    it; this is documented as the null-key skew hazard in SCALE.md.
+    """
+    cu = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck"), "c_custkey"
+    )
+    su = table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk"), "s_suppkey"
+    )
+    return (
+        cu.join(su, cu["ck"].eqNullSafe(su["sk"]), "inner")
+        .groupBy(F.col("ck").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

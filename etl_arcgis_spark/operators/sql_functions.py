@@ -285,3 +285,77 @@ SELECT s.ym,
 FROM spine s LEFT JOIN rev r ON r.ym = s.ym
 """
     )
+
+
+@query(
+    "sql_variant_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 10
+GROUP BY event_type
+""",
+)
+def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark >= 4.0): ``parse_json`` the events.props payload
+    once into the binary variant encoding, then ``variant_get`` typed
+    paths — the engine-native way to run schema-on-read semi-structured
+    columns (the reference's dynamic `properties` map, task.ts:429-431)
+    WITHOUT per-query string re-parsing.
+
+    Scale: variant stores a parsed binary tree, so repeated path
+    extraction is O(path) per row instead of a full JSON text parse per
+    expression — at 100 TB the difference between one parse at ingest
+    and N parses per query. Predicate on the extracted path still
+    prunes rows before the aggregate. Oracle extracts the same paths
+    with DuckDB's JSON functions (string-typed JSON, same values).
+    """
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("vp")
+    ).select(
+        "event_type",
+        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # weak: Apache DataSketches HLL binary sketches have no DuckDB twin
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark >= 3.5 Apache DataSketches HLL):
+    build one HLL sketch per event_type, then UNION the pre-aggregated
+    sketches to a global distinct estimate — the pattern behind every
+    incremental/pre-aggregated distinct-count pipeline (per-day/per-
+    partition sketches merged at query time; re-aggregating raw keys
+    would re-shuffle 100 TB, merging sketches moves KBs).
+
+    `agg_approx_count_distinct` pins the one-shot estimator; this pins
+    the MERGE path (hll_union_agg over hll_sketch_agg outputs).
+    Deterministic for fixed input but engine-specific, hence weak
+    (rows-only) per SURVEY.md §5.3.6.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).select(F.lit("ALL").alias("event_type"), "est")
+    per_type_est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    return per_type_est.unionByName(merged)

@@ -372,3 +372,43 @@ def test_dedup_within_watermark_dedups_then_evicts(spark, tmp_path):
         "SELECT event_id, ts_t FROM ddw_out ORDER BY ts_t").collect()]
     # first sighting kept, in-watermark dup dropped, post-eviction redelivery kept
     assert out == [(1, 0), (2, 4), (3, 0), (4, 0), (1, 30)]
+
+
+def test_rocksdb_state_store_parity(spark, events_stream_dir):
+    """Cluster-grade state backend: the same watermarked tumbling
+    aggregate with state in RocksDB (off-heap, spillable — what a
+    1000-executor deployment runs so state survives beyond executor
+    heap) must produce results identical to the default in-memory
+    provider and to the batch twin."""
+    prepare(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, "")
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = table(spark, SF_DIR, "events").schema
+        stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+        q = (
+            _tumbling(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+               for r in spark.sql("SELECT * FROM rocksdb_out").collect()}
+        want = {(r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+                for r in _tumbling(table(spark, SF_DIR, "events")).collect()}
+        assert got.keys() == want.keys() and len(got) > 0
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-3
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
