@@ -212,3 +212,46 @@ def to_esri_json(df: DataFrame) -> DataFrame:
         .when(F.col("geom_type") == "LineString", line_json)
         .when(F.col("geom_type") == "Polygon", poly_json),
     )
+
+
+# Permissive superset schema: exactly one of x/y, paths, rings is
+# populated per EsriJSON geometry kind; from_json leaves the rest NULL.
+_ESRI_SCHEMA = (
+    "x double, y double, paths array<array<array<double>>>, "
+    "rings array<array<array<double>>>"
+)
+
+
+def from_esri_json(df: DataFrame, json_col: str = "esri_json") -> DataFrame:
+    """A11 inverse (the esri-dump ingest direction): Esri JSON ->
+    GeoJSON ``(geom_type, coords)`` in the canonical depth-4 layout.
+
+    Mapping (the esri-dump convention the reference consumes):
+      ``{x, y}``        -> Point           ``[[[pt]]]``
+      ``{paths: [p]}``  -> LineString      ``[[p]]``
+      ``{paths: N>1}``  -> MultiLineString ``[[p1], [p2], ...]``
+      ``{rings: rs}``   -> Polygon         ``[rs]`` (holes stay rings)
+    Unrecognized/null JSON -> NULL geom_type + coords (skip-counted
+    downstream, task.ts:184-187). A narrow projection — scan-speed,
+    shuffle-free; with ``to_esri_json`` this closes the round trip so
+    the pipeline can ingest native Esri payloads end to end.
+    """
+    g = F.from_json(F.col(json_col), _ESRI_SCHEMA)
+    is_point = g["x"].isNotNull() & g["y"].isNotNull()
+    one_path = g["paths"].isNotNull() & (F.size(g["paths"]) == 1)
+    many_paths = g["paths"].isNotNull() & (F.size(g["paths"]) > 1)
+    has_rings = g["rings"].isNotNull()
+    geom_type = (
+        F.when(is_point, "Point")
+        .when(one_path, "LineString")
+        .when(many_paths, "MultiLineString")
+        .when(has_rings, "Polygon")
+    )
+    coords = (
+        F.when(is_point, F.array(F.array(F.array(F.array(g["x"], g["y"])))))
+        .when(one_path, F.array(g["paths"]))
+        .when(many_paths, F.transform(g["paths"], lambda p: F.array(p)))
+        .when(has_rings, F.array(g["rings"]))
+        .cast(_C4)
+    )
+    return df.withColumn("geom_type", geom_type).withColumn("coords", coords)

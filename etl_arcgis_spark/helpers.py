@@ -5,16 +5,17 @@ values despite engine differences:
 
 - ``r4``      — round computed doubles to 4 decimals (cross-engine float
                 summation order differs; 4 decimals is the contract).
-- events time — the fixture column is parquet TIMESTAMP(NANOS). Spark
-                reads it as int64 **nanoseconds** (see tables.py), DuckDB
-                scans it as a µs timestamp. The shared integer currency:
-                  Spark  ``ev_us``:  ts div 1000          (bigint µs)
+- events time — the fixture column is parquet ``timestamp[us]``; both
+                engines scan it as a µs-precision UTC timestamp
+                (``table()`` normalizes a legacy int64-ns fixture to the
+                same type). The shared integer currency:
+                  Spark  ``ev_us``:  unix_micros(ts)      (bigint µs)
                   DuckDB          :  epoch_us(ts)         (bigint µs)
-                  Spark  ``ev_ms``:  ts div 1000000       (bigint ms)
+                  Spark  ``ev_ms``:  unix_millis(ts)      (bigint ms)
                   DuckDB          :  epoch_ms(ts)         (bigint ms)
                 All ordering / bucketing / gap logic on events uses these
-                integers (or timestamps reconstructed from the µs value),
-                never the raw column — exact parity, no float drift.
+                integers (or the timestamp itself), never float seconds —
+                exact parity, no float drift.
 """
 
 from __future__ import annotations
@@ -44,20 +45,24 @@ def r4(col: Column | str) -> Column:
 
 
 def ev_us(col: str = "ts") -> Column:
-    """events.ts (int64 ns) -> epoch microseconds. Oracle: ``epoch_us(ts)``."""
-    return F.expr(f"{col} div 1000")
+    """events.ts (µs timestamp) -> epoch microseconds. Oracle: ``epoch_us(ts)``."""
+    return F.unix_micros(_c(col))
 
 
 def ev_ms(col: str = "ts") -> Column:
-    """events.ts (int64 ns) -> epoch milliseconds. Oracle: ``epoch_ms(ts)``."""
-    return F.expr(f"{col} div 1000000")
+    """events.ts (µs timestamp) -> epoch milliseconds. Oracle: ``epoch_ms(ts)``.
+
+    Integer µs div 1000 — identical to DuckDB's ``epoch_ms`` for the
+    post-epoch fixture range (both truncate the sub-ms part).
+    """
+    return F.expr(f"unix_micros({col}) div 1000")
 
 
 def ev_timestamp(col: str = "ts") -> Column:
-    """events.ts (int64 ns) -> µs-precision TIMESTAMP (UTC session).
+    """events.ts (µs timestamp) -> µs-precision TIMESTAMP (UTC session).
 
-    Matches DuckDB's scanned value exactly (DuckDB truncates ns->µs on
-    scan). Use when an operator genuinely needs a timestamp type
-    (streaming ``window()`` / ``session_window()``).
+    Identity under the current fixture type; kept as the single choke
+    point operators use when they need the timestamp itself (streaming
+    ``window()`` / ``session_window()``).
     """
-    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return _c(col)

@@ -349,7 +349,7 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_array",
     oracle="""
 SELECT c_nationkey,
-       list_sort(list(c_custkey)) AS custkeys,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
        count(*) AS n
 FROM customer
 GROUP BY c_nationkey
@@ -357,11 +357,15 @@ GROUP BY c_nationkey
 )
 def agg_collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_list + deterministic sort): the
-    grouped-list shape used to build per-key postings/feature lists;
-    sorted so the value hashes identically on both engines."""
+    grouped-list shape used to build per-key postings/feature lists.
+
+    Emitted as a ','-joined string rather than a raw ARRAY column: the
+    driver's canonicalizer pandas-sorts result columns and cannot hash
+    Python lists (r01 ERROR), and the joined form hashes identically on
+    both engines while exercising the same collect+sort aggregation."""
     cu = table(spark, sf_dir, "customer")
     return cu.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -137,3 +137,77 @@ def filter_spatial_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lon").between(-150.0, 60.0) & F.col("lat").between(-40.0, 45.0))
         .select("c_custkey", "lon", "lat")
     )
+
+
+# B11 `spatialRel=esriSpatialRelIntersects` against a POLYGON (the case
+# the envelope query can't express): a fixed simple non-convex polygon
+# in lon/lat. Vertices use .1-.9 decimal fractions so no fixture point
+# (always at half-integer coords) lies on an edge.
+_POLYGON = [
+    (-120.3, -60.2),
+    (40.7, -60.2),
+    (40.7, 20.4),
+    (-20.6, 70.9),
+    (-20.6, -10.3),
+    (-120.3, 40.8),
+]
+
+
+def _ray_cast_sql(lon: str, lat: str) -> str:
+    """Even-odd ray casting as ONE arithmetic SQL string shared by both
+    engines (identical expression tree -> identical IEEE doubles ->
+    identical boolean, even at crossing boundaries). One term per edge:
+    the edge straddles the point's latitude AND the rightward ray from
+    the point crosses it; odd crossing count == inside."""
+    terms = []
+    n = len(_POLYGON)
+    for i in range(n):
+        x1, y1 = _POLYGON[i]
+        x2, y2 = _POLYGON[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - {x1}) * ({lat} - ({y1})) / ({y2} - ({y1})) + ({x1})) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+_PIP_ENV_LON = (min(x for x, _ in _POLYGON), max(x for x, _ in _POLYGON))
+_PIP_ENV_LAT = (min(y for _, y in _POLYGON), max(y for _, y in _POLYGON))
+
+
+@query(
+    "filter_spatial_point_in_polygon",
+    oracle=f"""
+SELECT c_custkey, lon, lat
+FROM (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat
+  FROM customer
+)
+WHERE lon BETWEEN {_PIP_ENV_LON[0]} AND {_PIP_ENV_LON[1]}
+  AND lat BETWEEN {_PIP_ENV_LAT[0]} AND {_PIP_ENV_LAT[1]}
+  AND {_ray_cast_sql("lon", "lat")}
+""",
+)
+def filter_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: point-in-polygon (`spatialRel=esriSpatialRelIntersects`
+    with a polygon geometry, forwarded verbatim by the reference at
+    task.ts:410-414) — even-odd ray casting over a non-convex polygon.
+
+    Scale shape: the polygon's ENVELOPE goes first as a sargable
+    BETWEEN pair (pushed to the parquet scan / prunes space-filling-
+    curve partitions); the exact O(|vertices|) ray-cast arithmetic runs
+    only on envelope survivors, entirely inside whole-stage codegen.
+    For polygon sets, broadcast the vertex table and explode per
+    candidate polygon after an envelope bucket join."""
+    cu = table(spark, sf_dir, "customer")
+    return (
+        cu.withColumn("lon", F.expr(_LON).cast("double"))
+        .withColumn("lat", F.expr(_LAT).cast("double"))
+        .filter(
+            F.col("lon").between(*_PIP_ENV_LON)
+            & F.col("lat").between(*_PIP_ENV_LAT)
+            & F.expr(_ray_cast_sql("lon", "lat"))
+        )
+        .select("c_custkey", "lon", "lat")
+    )

@@ -210,11 +210,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # The oriented edge list is dimension-sized (scales with |parts in
-    # one brand|, not the fact): collapse it to one partition before
-    # persisting — persist() pins the plan away from AQE coalescing, so
-    # without this every downstream stage over the tiny relation runs
-    # at full shuffle width. At cluster scale the width follows |e|.
-    e = e.coalesce(1).persist()
+    # one brand|, not the fact). persist() pins the plan away from AQE
+    # coalescing, so size the width explicitly FROM the data: count the
+    # edges (cheap — the relation is small by construction), then give
+    # the cached relation one partition per ~50k edges. At the fixture
+    # that's 1; at cluster scale the width follows |e| instead of being
+    # hardcoded.
+    e = e.persist()
+    width = int(e.count() // 50_000) + 1  # never widens: coalesce only shrinks
+    e = e.coalesce(width)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

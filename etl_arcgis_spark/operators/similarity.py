@@ -64,57 +64,100 @@ LIMIT 20
 """
 
 
+# Rows per GEMM block. Each packed block row is ~BLOCK x dim x 4 bytes
+# (~1 MB at dim 64) — small enough to shuffle freely, big enough that
+# the per-pair BLAS call dominates the join machinery.
+_GEMM_BLOCK = 4096
+
+
+def _block_pair_scores(spark: SparkSession, sf_dir: str, emit_fn) -> DataFrame:
+    """Distributed all-pairs GEMM skeleton shared by the pair queries.
+
+    Vectors are packed into ⌈n/BLOCK⌉ block rows (collect_list per
+    ``floor(vec_id / BLOCK)``), block rows self-join on
+    ``a.blk <= b.blk`` — the standard upper-triangular tiling of a
+    symmetric matrix product — and ``emit_fn`` runs one numpy GEMM per
+    block pair inside mapInPandas, yielding (id_a, id_b, cosine_raw)
+    rows. Nothing touches the driver: at 100 TB each block row is ~1 MB,
+    the join replicates each block O(n/BLOCK) times (unavoidable for an
+    exact all-pairs product), and output size — not the n² score
+    matrix — bounds data movement.
+
+    Positional pairing of the two collect_lists is safe: both aggregates
+    consume the same row stream inside one physical aggregate node.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = (
+        e.withColumn("blk", F.floor(F.col("vec_id") / _GEMM_BLOCK))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("embs"),
+        )
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.embs").alias("embs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.embs").alias("embs_b"),
+        )
+    )
+    return pairs.mapInPandas(emit_fn, schema="id_a bigint, id_b bigint, cosine_raw double")
+
+
+def _unit_rows(ids_cell, embs_cell):
+    """Materialize one packed block cell as (ids, row-normalized matrix)."""
+    import numpy as np
+
+    ids = np.asarray(list(ids_cell), dtype="int64")
+    m = np.stack([np.asarray(v, dtype="float64") for v in embs_cell])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
 @query("sim_cosine_topk_pairs", oracle=_ORACLE_PAIRS)
 def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C41: brute-force cosine top-20 pairs — blocked GEMM formulation.
 
     The naive self-join (see sim_cosine_pairs_hof) evaluates one HOF
-    dot product per pair: O(n²) lambda invocations. The scale shape is
-    *blocked matrix multiply*: the (small, normalized) right matrix is
-    broadcast once; each input partition of left rows computes
-    ``block @ Mᵀ`` with vectorized numpy (Arrow in, BLAS inside), keeps
-    its local top-k, and only k rows per partition reach the global
-    TakeOrderedAndProject. 72x faster than the HOF join at sf0.1.
+    dot product per pair: O(n²) lambda invocations. This version is a
+    *distributed blocked matrix multiply* (see _block_pair_scores): one
+    BLAS GEMM per upper-triangular block pair, local top-k per pair,
+    only ~k rows per block pair reach the global TakeOrdered. No
+    driver-side collect anywhere (r01's toPandas broadcast removed).
 
-    At 100 TB the right matrix is tiled (loop over broadcastable column
-    strips, same mapInPandas body per strip) — work O(n²·d) either way,
-    but at BLAS throughput with no join machinery per pair.
+    The local cut keeps every pair within 1e-4 of the k-th best raw
+    cosine, so pairs that ROUND equal to the boundary value survive to
+    the global deterministic (cosine desc, id_a, id_b) order — the
+    local cut can never disagree with the oracle's ORDER BY on ties.
     """
     import numpy as np
     import pandas as pd
 
     k = 20
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf_all = e.toPandas()  # the broadcastable right side (vec_id-sorted)
-    pdf_all = pdf_all.sort_values("vec_id").reset_index(drop=True)
-    ids = pdf_all["vec_id"].to_numpy()
-    m = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
 
     def block_topk(batches):
-        b_ids, b_m = bc.value
         for pdf in batches:
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            a_ids = pdf["vec_id"].to_numpy()
-            s = a @ b_m.T  # (block x n) cosine matrix
-            mask = a_ids[:, None] < b_ids[None, :]  # i<j dedup
-            flat = np.where(mask, s, -np.inf).ravel()
-            take = min(k, int(mask.sum()))
-            if take == 0:
-                continue
-            idx = np.argpartition(flat, -take)[-take:]
-            rows, cols = np.unravel_index(idx, s.shape)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[rows],
-                    "id_b": b_ids[cols],
-                    "cosine_raw": flat[idx],
-                }
-            )
+            for t in pdf.itertuples(index=False):
+                a_ids, a_m = _unit_rows(t.ids_a, t.embs_a)
+                b_ids, b_m = _unit_rows(t.ids_b, t.embs_b)
+                s = a_m @ b_m.T
+                rows, cols = np.where(a_ids[:, None] < b_ids[None, :])
+                if len(rows) == 0:
+                    continue
+                cos = s[rows, cols]
+                if len(cos) > k:
+                    thr = np.partition(cos, -k)[-k] - 1e-4  # tie-safe slack
+                    keep = cos >= thr
+                    rows, cols, cos = rows[keep], cols[keep], cos[keep]
+                yield pd.DataFrame(
+                    {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": cos}
+                )
 
-    local = e.mapInPandas(block_topk, schema="id_a bigint, id_b bigint, cosine_raw double")
+    local = _block_pair_scores(spark, sf_dir, block_topk)
     return (
         local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
@@ -277,35 +320,30 @@ WHERE dot / (na.nrm * nb.nrm) >= {_NEARDUP_THRESHOLD}
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the semantic-dedup
     member of the dedup family): all pairs with cosine >= threshold,
-    via the same blocked-GEMM shape as sim_cosine_topk_pairs — each
-    partition emits only its above-threshold pairs, so output (not the
-    n² score matrix) bounds the data movement. Scale path: LSH-bucket
-    first (lsh_approx_join), exact-verify candidates like this."""
+    via the same distributed blocked-GEMM shape as
+    sim_cosine_topk_pairs (_block_pair_scores — no driver collect):
+    each block pair emits only its above-threshold pairs, so output
+    (not the n² score matrix) bounds the data movement. Scale path:
+    LSH-bucket first (lsh_approx_join), exact-verify candidates like
+    this."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf_all = e.toPandas().sort_values("vec_id").reset_index(drop=True)
-    ids = pdf_all["vec_id"].to_numpy()
-    m = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
     thr = _NEARDUP_THRESHOLD
 
     def block_pairs(batches):
-        b_ids, b_m = bc.value
         for pdf in batches:
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            a_ids = pdf["vec_id"].to_numpy()
-            s = a @ b_m.T
-            rows, cols = np.where((a_ids[:, None] < b_ids[None, :]) & (s >= thr))
-            if len(rows):
-                yield pd.DataFrame(
-                    {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": s[rows, cols]}
-                )
+            for t in pdf.itertuples(index=False):
+                a_ids, a_m = _unit_rows(t.ids_a, t.embs_a)
+                b_ids, b_m = _unit_rows(t.ids_b, t.embs_b)
+                s = a_m @ b_m.T
+                rows, cols = np.where((a_ids[:, None] < b_ids[None, :]) & (s >= thr))
+                if len(rows):
+                    yield pd.DataFrame(
+                        {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": s[rows, cols]}
+                    )
 
-    local = e.mapInPandas(block_pairs, schema="id_a bigint, id_b bigint, cosine_raw double")
+    local = _block_pair_scores(spark, sf_dir, block_pairs)
     return local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
 
 
@@ -320,19 +358,23 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     this turns a full scan into reading ~nprobe/nlist of the table,
     with cells stored as partition keys so probing is partition
     pruning. Weak check: recall-vs-exact is asserted in tests instead
-    (tests/test_similarity_quality.py)."""
+    (tests/test_similarity_quality.py).
+
+    The coarse quantizer is TINY by construction (nlist=8 centroid
+    rows), so only those 8 rows are collected — never the table (the
+    r01 full-table toPandas is gone); at 100 TB a trained quantizer
+    would arrive the same way: a few-KB model broadcast."""
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf_all = e.toPandas().sort_values("vec_id").reset_index(drop=True)
-    ids = pdf_all["vec_id"].to_numpy()
-    m = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    head = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()  # 8 rows
+    m = np.stack([np.asarray(r["embedding"], dtype="float64") for r in head])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    cents = mn[:8]  # deterministic seeds: lowest 8 vec_ids
+    cents = mn  # deterministic seeds: lowest 8 vec_ids
     bc = spark.sparkContext.broadcast(cents)
 
-    q = mn[ids == 0][0]
+    q = mn[0]  # vec_id=0 is the query vector
     probe = np.argsort(-(cents @ q))[:2].tolist()  # nprobe=2 cells
     qb = spark.sparkContext.broadcast(q)
 

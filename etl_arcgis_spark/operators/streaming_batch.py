@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..helpers import ev_timestamp, r4
+from ..helpers import ev_ms, ev_timestamp, r4
 from ..registry import query
 from ..tables import table
 
@@ -125,7 +125,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "value",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+        F.timestamp_millis(ev_ms()).alias("ts_t"),
     )
     return (
         ev.groupBy(F.session_window("ts_t", "10 minutes").alias("w"), "user_id")
@@ -184,7 +184,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+        F.timestamp_millis(ev_ms()).alias("ts_t"),
     )
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")

@@ -126,7 +126,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C19: RANGE frame over epoch-seconds — a trailing 1-hour value
     window per user (peers included on both engines by RANGE rules)."""
     e = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.expr("ts div 1000000000").alias("sec")
+        "event_id", "user_id", "value", F.expr("unix_micros(ts) div 1000000").alias("sec")
     )
     w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
     return e.select(
@@ -249,24 +249,26 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity).
 
     Scale: the per-customer share is one shuffle on custkey; the grand
-    total is a scalar — Spark computes the empty-over() window by
-    moving everything to one partition, so at cluster SF the grand
-    total should instead be a 1-row broadcast (agg + crossJoin, the
-    dq_rule_checks shape); both spellings are shown here because the
-    oracle needs the window form and the fixture fits it."""
+    total is a scalar. An empty ``OVER ()`` window would move EVERY row
+    to one partition, so the engine path computes the grand total as a
+    1-row aggregate broadcast-crossJoined back onto the rows (the
+    dq_rule_checks shape) — no single-partition exchange anywhere; the
+    window spelling survives only in the oracle SQL, where DuckDB may
+    do as it pleases."""
     od = table(spark, sf_dir, "orders")
+    grand = od.agg(F.sum("o_totalprice").alias("_grand_total"))
     w_cust = Window.partitionBy("o_custkey")
-    w_all = Window.partitionBy()
-    return od.select(
-        "o_orderkey",
-        "o_custkey",
-        r4(F.col("o_totalprice")).alias("price"),
-        r4(F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust)).alias(
-            "pct_of_customer"
-        ),
-        r4(F.col("o_totalprice") / F.sum("o_totalprice").over(w_all)).alias(
-            "pct_of_all"
-        ),
+    return (
+        od.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            r4(F.col("o_totalprice")).alias("price"),
+            r4(F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust)).alias(
+                "pct_of_customer"
+            ),
+            r4(F.col("o_totalprice") / F.col("_grand_total")).alias("pct_of_all"),
+        )
     )
 
 

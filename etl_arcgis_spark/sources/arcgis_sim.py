@@ -100,6 +100,24 @@ def _infer_field(name: str, value: object) -> StructField:
     return StructField(name, StringType())
 
 
+def _cell(rec: dict, name: str, string_fields: frozenset[str]):
+    """One output cell. Nested JSON values (lists/objects) whose field
+    was inferred as StringType are re-serialized — the raw Python
+    list/dict would fail Spark's type conversion at scan time."""
+    v = rec.get(name)
+    if (
+        name in string_fields
+        and v is not None
+        and not isinstance(v, (str, int, float, bool))
+    ):
+        return json.dumps(v, separators=(",", ":"), sort_keys=True)
+    return v
+
+
+def _string_fields(schema: StructType) -> frozenset[str]:
+    return frozenset(f.name for f in schema.fields if isinstance(f.dataType, StringType))
+
+
 @dataclass
 class PagePartition(InputPartition):
     """A page of the layer, addressed by BYTE offsets so each task seeks
@@ -204,6 +222,7 @@ class ArcGISSimReader(DataSourceReader):
             yield from members[:top_count]
 
     def _page_rows(self, partition: PagePartition, names: list):
+        sf = _string_fields(self.schema)
         with open(self.path, "rb") as fh:
             fh.seek(partition.byte_start)
             remaining = partition.byte_end - partition.byte_start
@@ -214,7 +233,7 @@ class ArcGISSimReader(DataSourceReader):
                 remaining -= len(line)
                 rec = json.loads(line)
                 if self._matches(rec):
-                    yield tuple(rec.get(n) for n in names)
+                    yield tuple(_cell(rec, n, sf) for n in names)
 
 
 class ArcGISSimPushReader(ArcGISSimReader):
@@ -333,12 +352,14 @@ class ArcGISSimStreamReader(SimpleDataSourceStreamReader):
                 rows.append(json.loads(line))
                 budget -= 1
             end = fh.tell()
+        sf = _string_fields(self.schema)
         return (
-            iter([tuple(r.get(n) for n in self.names) for r in rows]),
+            iter([tuple(_cell(r, n, sf) for n in self.names) for r in rows]),
             {"byte": end},
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        sf = _string_fields(self.schema)
         with open(self.path, "rb") as fh:
             fh.seek(start["byte"])
             remaining = end["byte"] - start["byte"]
@@ -348,7 +369,7 @@ class ArcGISSimStreamReader(SimpleDataSourceStreamReader):
                     break
                 remaining -= len(line)
                 rec = json.loads(line)
-                yield tuple(rec.get(n) for n in self.names)
+                yield tuple(_cell(rec, n, sf) for n in self.names)
 
 
 class ArcGISSimDataSource(DataSource):

@@ -56,10 +56,23 @@ def compact_parquet(
     row-group pruning is only as good as the data layout.
 
     Returns the compacted DataFrame (re-read from out_dir)."""
+    import shutil
+
     n = plan_target_files(in_dir, target_file_mb)
     df = spark.read.parquet(in_dir)
     out = df.repartition(n)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    out.write.mode("overwrite").parquet(out_dir)
+    # write to a staging sibling, then atomic-rename into place — a
+    # concurrent reader of out_dir sees either the old table or the new
+    # one, never a half-written directory
+    stage = out_dir.rstrip("/") + "._staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    out.write.mode("overwrite").parquet(stage)
+    retired = out_dir.rstrip("/") + "._retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, retired)
+    os.rename(stage, out_dir)
+    shutil.rmtree(retired, ignore_errors=True)
     return spark.read.parquet(out_dir)

@@ -23,7 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..helpers import r4
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -31,12 +31,12 @@ EVENTS_SCHEMA = (
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of events (the scheduled-pull generalization:
     each new file is a page/batch of features, ≅ task.ts:418 pagination
-    events). ``ts`` is int64 ns (tables.py read policy)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events). ``ts`` is a µs-precision timestamp (tables.py read
+    policy); ``ts_t`` aliases it for the watermark/window expressions."""
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(path)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_t", F.col("ts"))
     )
 
 
@@ -134,7 +134,10 @@ def _sessionize(
                 out.append((user_id, start_us // 1000, n, round(val, 4)))
                 start_us, last_us, n, val = us, us, 1, float(v)
             else:
-                last_us, n, val = us, n + 1, val + float(v)
+                # max(): a late event (us < last_us, still within the
+                # watermark) must not shrink the session's gap horizon —
+                # session_window semantics extend, never rewind
+                last_us, n, val = max(last_us, us), n + 1, val + float(v)
     state.update((start_us, last_us, n, val))
     if us_all:
         state.setTimeoutTimestamp(max(us_all) // 1000 + _GAP_US // 1000)
@@ -147,7 +150,7 @@ def stateful_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> Dat
     per-user session windows with a 10-minute gap, state keyed by user,
     event-time timeout closing idle sessions. Demonstrates the escape
     hatch for stateful semantics Spark lacks natively."""
-    ev = stream.withColumn("us", F.expr("ts div 1000")).withWatermark("ts_t", watermark)
+    ev = stream.withColumn("us", F.unix_micros("ts")).withWatermark("ts_t", watermark)
     return (
         ev.select("user_id", "us", "value", "ts_t")
         .groupBy("user_id")
@@ -161,26 +164,48 @@ def stateful_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
-def upsert_sink(stream: DataFrame, target: dict[int, tuple]) -> Any:
-    """C38/A13: foreachBatch micro-batch MERGE into a keyed target —
-    last write (by event time, then event id) wins, mirroring the
-    reference's query-then-add-or-update loop (task.ts:267-349) as a
-    set-based per-batch operation."""
+def upsert_sink(stream: DataFrame, target_dir: str) -> Any:
+    """C38/A13: foreachBatch micro-batch MERGE into a keyed parquet
+    target — last write (by event time, then event id) wins, mirroring
+    the reference's query-then-add-or-update loop (task.ts:267-349) as
+    a fully set-based per-batch operation.
 
-    def merge(batch_df: DataFrame, _epoch: int) -> None:
-        from pyspark.sql import Window
+    Per batch: rank-1 the batch per key, union with the current target
+    state, rank-1 again (one shuffle on the key), write the merged
+    state to a staging directory and atomically rename it into place —
+    readers of ``{target_dir}/current`` always see a complete table.
+    Nothing is ever collected to the driver, so both the batch and the
+    accumulated keyed state are unbounded. On a lakehouse table format
+    the same merge is ``MERGE INTO`` (row-level update); plain parquet
+    needs rewrite-and-swap.
+    """
+    import os
+    import shutil
 
-        w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
-        latest = (
-            batch_df.withColumn("us", F.expr("ts div 1000"))
-            .withColumn("rn", F.row_number().over(w))
+    from pyspark.sql import Window
+
+    cur_dir = os.path.join(target_dir, "current")
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+
+    def _rank1(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("user_id", "us", "event_id", "value")
         )
-        for r in latest.collect():
-            cur = target.get(r["user_id"])
-            if cur is None or (r["us"], r["event_id"]) >= cur[:2]:
-                target[r["user_id"]] = (r["us"], r["event_id"], r["value"])
+
+    def merge(batch_df: DataFrame, epoch: int) -> None:
+        spark = batch_df.sparkSession
+        latest = _rank1(batch_df.withColumn("us", F.unix_micros("ts")))
+        if os.path.isdir(cur_dir):
+            latest = _rank1(spark.read.parquet(cur_dir).unionByName(latest))
+        stage = os.path.join(target_dir, f"_stage_{epoch}")
+        latest.write.mode("overwrite").parquet(stage)  # materializes BEFORE swap
+        retired = os.path.join(target_dir, f"_retired_{epoch}")
+        if os.path.isdir(cur_dir):
+            os.rename(cur_dir, retired)
+        os.rename(stage, cur_dir)
+        shutil.rmtree(retired, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(merge)
 

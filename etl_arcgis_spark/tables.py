@@ -6,12 +6,14 @@ queries load through here so the scan path is uniform (columnar parquet,
 Catalyst predicate pushdown & column pruning, vectorized reader) and the
 cross-engine read policy is applied exactly once:
 
-- ``events.ts`` is parquet ``TIMESTAMP(NANOS)``, which Spark 4 cannot
-  represent (PARQUET_TYPE_ILLEGAL). We read it as **int64 nanoseconds**
-  via ``spark.sql.legacy.parquet.nanosAsLong``. DuckDB reads the same
-  column as a µs ``TIMESTAMP`` (it truncates ns→µs on scan), so the
-  engine contract for events-time logic is *integer microseconds*:
-  Spark ``ts div 1000``  ==  DuckDB ``epoch_us(ts)``, exactly.
+- ``events.ts`` is parquet ``timestamp[us]`` (current fixtures): both
+  engines scan it as a µs-precision UTC timestamp and the engine
+  contract for events-time arithmetic is *integer microseconds*:
+  Spark ``unix_micros(ts)`` == DuckDB ``epoch_us(ts)``, exactly
+  (helpers.ev_us/ev_ms). A legacy ``TIMESTAMP(NANOS)`` fixture — which
+  Spark 4 cannot represent (PARQUET_TYPE_ILLEGAL) — is still readable:
+  ``nanosAsLong`` maps it to int64 ns and :func:`table` rebuilds the
+  same µs timestamp from it, so operators see ONE type either way.
 - ``inferTimestampNTZ`` is disabled so ms-precision timestamp columns
   (o_orderdate, l_shipdate) load as session-TZ timestamps with the
   session pinned UTC — bit-identical to DuckDB's UTC-naive values.
@@ -28,6 +30,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
     "region",
@@ -45,11 +49,20 @@ TABLE_NAMES = (
 _READ_POLICY = {
     # determinism / oracle parity (SURVEY.md §5.3)
     "spark.sql.session.timeZone": "UTC",
-    # events.ts: TIMESTAMP(NANOS) -> int64 ns (see module docstring)
+    # legacy events.ts TIMESTAMP(NANOS) fixtures -> int64 ns, rebuilt to
+    # a µs timestamp in table() (see module docstring)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ms timestamps as session-TZ TIMESTAMP (UTC), not TIMESTAMP_NTZ
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Map legacy fixture types onto the engine contract (events.ts is
+    ALWAYS a µs-precision timestamp downstream of here)."""
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def prepare(spark: SparkSession) -> SparkSession:
@@ -59,7 +72,7 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_CACHED: dict[tuple[int, str, str], DataFrame] = {}
+_CACHED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,10 +87,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     prepare(spark)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        key = (id(spark), sf_dir, name)
+        # applicationId (not id(spark)): a stopped session's id() can be
+        # reused by CPython, handing back DataFrames bound to a dead JVM
+        key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _CACHED:
             path = f"{sf_dir}/{name}.parquet"
-            df = spark.read.parquet(path)
+            df = _normalize(name, spark.read.parquet(path))
             # single-file fixtures scan as 1-3 partitions; spread LARGE
             # tables so in-memory scans parallelize, but keep small ones
             # compact (per-task overhead dominates below ~2MB/partition)
@@ -86,7 +101,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.repartition(n)
             _CACHED[key] = df.cache()
         return _CACHED[key]
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -34,6 +34,7 @@ def test_contract_shape(spark):
     weak = set(qs) - set(oracles)
     assert weak == {
         "agg_approx_count_distinct",
+        "agg_hll_sketch_rollup",
         "minhash_lsh_dedup",
         "lsh_approx_join",
         "multimodal_audio_chunk",

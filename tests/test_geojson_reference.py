@@ -144,3 +144,40 @@ def test_to_esri_json_conversion(features):
     assert pg["rings"] == [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]]
     # null-geometry and unrouteable features produce no esri_json
     assert "f8" not in rows and "f9" not in rows
+
+
+def test_esri_json_round_trip(features):
+    """A11 inverse: EsriJSON -> GeoJSON recovers geom_type and the
+    canonical depth-4 coords bit-for-bit for every routed feature
+    (to_json/from_json double round-trip is exact)."""
+    routed = G.explode_multi(features).filter(
+        F.col("geom_type").isin("Point", "LineString", "Polygon")
+    )
+    fwd = G.to_esri_json(routed)
+    back = G.from_esri_json(
+        fwd.select("id", "esri_json").withColumnRenamed("esri_json", "ej"), "ej"
+    )
+    want = {r["id"]: (r["geom_type"], r["coords"]) for r in routed.collect()}
+    got = {r["id"]: (r["geom_type"], r["coords"]) for r in back.collect()}
+    assert got == want and len(got) >= 9
+
+
+def test_from_esri_json_multipath_and_garbage(spark):
+    """Multi-path polylines map to MultiLineString; unparseable or
+    unknown payloads yield NULL geometry (skip-counted, not an error)."""
+    rows = [
+        ("m1", '{"paths": [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]]}'),
+        ("g1", "not json at all"),
+        ("g2", '{"unknown": 1}'),
+        ("g3", None),
+    ]
+    out = {
+        r["id"]: (r["geom_type"], r["coords"])
+        for r in G.from_esri_json(
+            spark.createDataFrame(rows, "id string, esri_json string")
+        ).collect()
+    }
+    assert out["m1"][0] == "MultiLineString"
+    assert out["m1"][1] == [[[[0.0, 0.0], [1.0, 1.0]]], [[[2.0, 2.0], [3.0, 3.0]]]]
+    for bad in ("g1", "g2", "g3"):
+        assert out[bad] == (None, None)

@@ -77,3 +77,21 @@ def test_incoming_then_outgoing(spark, layer, tmp_path):
     ).mode("append").save()
     written = [json.loads(l) for c in sink.glob("chunk-*.jsonl") for l in open(c)]
     assert {w["id"] for w in written} == set(out)
+
+    # --- re-ingest: the sink's native Esri payloads come back through
+    # from_esri_json (the esri-dump direction) with geometry intact ---
+    layer2 = tmp_path / "layer2.jsonl"
+    with open(layer2, "w") as fh:  # the chunks as one re-published layer
+        for c in sorted(sink.glob("chunk-*.jsonl")):
+            fh.write(open(c).read())
+    reingested = G.from_esri_json(
+        spark.read.format("arcgis_sim").option("path", str(layer2)).load()
+    )
+    got = {r["id"]: (r["geom_type"], r["coords"]) for r in reingested.collect()}
+    want = {
+        r["id"]: (r["geom_type"], r["coords"])
+        for r in G.reproject_web_mercator(
+            routed.filter(F.col("route").isNotNull())
+        ).collect()
+    }
+    assert got == want and len(got) == 4

@@ -31,7 +31,7 @@ def events_stream_dir(spark, tmp_path):
 
 def _tumbling(df):
     return (
-        df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        df.withColumn("ts_t", F.col("ts"))
         .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("val_sum"))
         .select(F.unix_millis("w.start").alias("w_start_ms"), "event_type", "n", "val_sum")
@@ -128,7 +128,7 @@ def test_foreachbatch_upsert_matches_batch_merge(spark, events_stream_dir):
 
     def upsert(batch_df, _epoch):
         for r in (
-            batch_df.withColumn("us", F.expr("ts div 1000"))
+            batch_df.withColumn("us", F.unix_micros("ts"))
             .select("user_id", "us", "event_id", "value")
             .collect()
         ):
@@ -228,7 +228,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         "event_id",
         "user_id",
         "event_type",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts_t"),
+        F.timestamp_millis(F.expr("unix_micros(ts) div 1000")).alias("ts_t"),
     )
     clicks_b = ev.filter(F.col("event_type") == "click")
     purchases_b = ev.filter(F.col("event_type") == "purchase")

@@ -96,7 +96,7 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     got = {tuple(r) for r in spark.sql("SELECT * FROM ss_out").collect()}
 
     batch = table(spark, SF_DIR, "events").withColumn(
-        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts_t", F.col("ts")
     )
     want = {
         tuple(r)
@@ -104,6 +104,27 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
             batch.filter(F.col("event_type") == "click"),
             batch.filter(F.col("event_type") == "purchase"),
         ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_upsert_sink_parquet_target_matches_batch_merge(spark, events_dir, tmp_path):
+    """C38/A13: the set-based foreachBatch parquet merge converges to
+    the batch last-write-wins state per key — no driver-side state."""
+    target = str(tmp_path / "upsert_target")
+    stream = P.read_events_stream(spark, events_dir)
+    q = P.upsert_sink(stream, target).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{target}/current").collect()
+    }
+    from etl_arcgis_spark.operators.dedup import dedup_key_last_write
+
+    want = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in dedup_key_last_write(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
 
