@@ -15,9 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import ev_us, r4
+from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import table
+from ..tables import sql_over, table
 
 
 @query(
@@ -40,21 +40,27 @@ GROUP BY l_returnflag, l_linestatus
 def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7: the full outStatistics surface in one group-by (flagship;
     TPC-H Q1 shape). Partial aggregation + 6 groups -> shuffle of a few
-    dozen rows regardless of input size."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.min("l_quantity")).alias("min_qty"),
-            r4(F.max("l_quantity")).alias("max_qty"),
-            r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
-            r4(F.var_samp("l_discount")).alias("var_disc"),
-        )
+    dozen rows regardless of input size. Built as one spark.sql text
+    (identical plan to the Column-API spelling; one py4j round trip —
+    see tables.sql_over)."""
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT l_returnflag, l_linestatus,
+       count(1) AS n_rows,
+       {r4_sql("sum(l_quantity)")} AS sum_qty,
+       {r4_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+       {r4_sql("avg(l_extendedprice)")} AS avg_price,
+       {r4_sql("min(l_quantity)")} AS min_qty,
+       {r4_sql("max(l_quantity)")} AS max_qty,
+       {r4_sql("stddev_samp(l_extendedprice)")} AS sd_price,
+       {r4_sql("var_samp(l_discount)")} AS var_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        ("lineitem",),
     )
 
 
@@ -118,10 +124,13 @@ SELECT count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders FROM order
 """,
 )
 def agg_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10: exact distinct — Catalyst expands to a two-phase aggregate."""
-    return table(spark, sf_dir, "orders").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    """C10: exact distinct — Catalyst expands to a two-phase aggregate.
+    SQL-text build (see tables.sql_over)."""
+    return sql_over(
+        spark,
+        sf_dir,
+        "SELECT count(DISTINCT o_custkey) AS n_customers, count(1) AS n_orders FROM orders",
+        ("orders",),
     )
 
 

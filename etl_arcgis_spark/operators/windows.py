@@ -18,9 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import ev_us, r4
+from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import table
+from ..tables import sql_over, table
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,13 +43,20 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/B12/C15: top-3 orders per customer — the queryTopFeatures
     semantics. The rank<=k filter lets Catalyst insert a per-group limit
-    below the shuffle (check explain for WindowGroupLimit)."""
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        table(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    below the shuffle (check explain for WindowGroupLimit). SQL-text
+    build (see tables.sql_over)."""
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+        ("orders",),
     )
 
 
@@ -64,15 +71,17 @@ FROM events
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16: cumulative per-user running sum (sequential order on both
-    engines -> identical float accumulation)."""
-    e = _events_us(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return e.select(
-        "event_id", "user_id", "us", r4(F.sum("value").over(w)).alias("running")
+    engines -> identical float accumulation). SQL-text build (see
+    tables.sql_over)."""
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT event_id, user_id, unix_micros(ts) AS us,
+       {r4_sql("sum(value) OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running
+FROM events
+""",
+        ("events",),
     )
 
 

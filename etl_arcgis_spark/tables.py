@@ -95,8 +95,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _normalize(name, spark.read.parquet(path))
             # single-file fixtures scan as 1-3 partitions; spread LARGE
             # tables so in-memory scans parallelize, but keep small ones
-            # compact (per-task overhead dominates below ~2MB/partition)
-            n = min(16, max(1, os.path.getsize(path) >> 21))
+            # compact (per-task overhead dominates below ~1MB/partition;
+            # measured: lineitem sf0.1 count-scan 130ms@5 -> 78ms@16)
+            n = min(32, max(1, os.path.getsize(path) >> 20))
             if n > 2:
                 df = df.repartition(n)
             _CACHED[key] = df.cache()
@@ -108,3 +109,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL API)."""
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_over(spark: SparkSession, sf_dir: str, sql: str, names: tuple[str, ...]) -> DataFrame:
+    """Run one SQL statement over the named fixture tables (registered
+    as temp views first). The SQL-text path exists for build-time-
+    critical queries: ``spark.sql`` parses/analyzes the whole plan in
+    ONE py4j round trip, where the equivalent Column-API chain pays one
+    driver->JVM call per operator (~1-2 ms each — measured 180 ms of
+    pure Python build time for the Q1 aggregate at bench scale)."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)

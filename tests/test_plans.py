@@ -248,3 +248,13 @@ def test_lateral_topk_decorrelates_to_set_based_plan(spark):
     # nested-loop per-row execution
     assert "row_number" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pct_of_total_no_global_window(spark):
+    """The grand total in window_pct_of_total is an aggregate broadcast
+    back onto the rows — NOT an empty-OVER() window, which would drag
+    every row through one partition at cluster SF."""
+    p = plan_of(spark, "window_pct_of_total")
+    wins = [ln for ln in p.splitlines() if "- Window [" in ln]
+    assert len(wins) == 1 and "o_custkey" in wins[0]  # only the per-customer window
+    assert "BroadcastExchange" in p  # the 1-row grand total arrives broadcast
