@@ -76,3 +76,30 @@ def compact_parquet(
     os.rename(stage, out_dir)
     shutil.rmtree(retired, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist a relation bucketed (hash-clustered) on its join key.
+
+    THE durable co-location pattern for 100 TB fact-to-fact joins: two
+    tables bucketed on the same key with the same bucket count join
+    with ZERO exchange — every bucket pair is joined locally, and with
+    ``sort_by`` on the key the sort-merge join skips its sort too. This
+    is what replaces the reference's per-feature HTTP lookup loop
+    (task.ts:267-284) when both sides are warehouse tables: co-locate
+    once at write time, join for free forever after.
+
+    Spark persists bucket metadata in the catalog (saveAsTable — the
+    path-only writer cannot record bucketing).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table_name)

@@ -237,3 +237,34 @@ def test_stream_reader_page_budget_and_replay(layer_file):
     assert list(rdr.readBetweenOffsets(offsets[0], offsets[-1])) == [
         r for p in pulls for r in p
     ]
+
+
+def test_nested_json_fields_serialize_as_strings(spark, tmp_path):
+    """A JSONL layer with nested values (lists/objects) must scan: the
+    schema inference maps them to StringType and the read path
+    re-serializes them (deterministic key order), instead of handing
+    Spark a raw Python dict that fails type conversion."""
+    import json as _json
+
+    path = tmp_path / "nested.jsonl"
+    rows = [
+        {"fid": 1, "name": "a", "geom": {"type": "Point", "xy": [1.0, 2.0]}, "tags": ["x", "y"]},
+        {"fid": 2, "name": "b", "geom": None, "tags": []},
+        {"fid": 3, "name": "c", "geom": {"xy": [3.0, 4.0], "type": "Point"}, "tags": None},
+    ]
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    register(spark)
+    got = {
+        r["fid"]: (r["geom"], r["tags"])
+        for r in spark.read.format("arcgis_sim").option("path", str(path)).load().collect()
+    }
+    assert len(got) == 3
+    # nested objects arrive as canonical JSON strings, null stays null
+    assert _json.loads(got[1][0]) == {"type": "Point", "xy": [1.0, 2.0]}
+    assert got[1][1] == '["x","y"]'
+    assert got[2] == (None, "[]")
+    # key order canonicalized (sort_keys): rows 1 and 3 serialize with
+    # the same key order even though the source JSON differs
+    assert got[3][0] == '{"type":"Point","xy":[3.0,4.0]}'

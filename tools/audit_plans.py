@@ -51,6 +51,7 @@ NLJ_OK = {
     "sample_source_rebalance",   # 1-row grand-total broadcast
     "stats_ks_two_sample",       # 1-row sample-sizes broadcast
     "graph_triangle_count",      # 1-row edge/node-count broadcast
+    "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
 }
 
 
