@@ -7,7 +7,8 @@ Embedding search over the ``embeddings`` table (64-dim float vectors):
   whole-stage codegen: no Python, no UDF, no ML stage.
 - k-NN for a query vector — broadcast of one row against the table.
 - LSH-bucketed approximate join — the scale path (candidate pairs only
-  within a random-hyperplane bucket), seeded -> weak check.
+  within a random-hyperplane bucket); the planes are FIXED constants,
+  so even the approximate ops carry full DuckDB oracles.
 
 Scale design: the brute-force pair query is O(n²) by definition and
 exists as the correctness baseline; the LSH variant is the one that
@@ -233,7 +234,35 @@ def _planes() -> list[list[float]]:
     return [vals[i * 64 : (i + 1) * 64] for i in range(_N_PLANES)]
 
 
-@query("lsh_approx_join")  # weak: seeded bucketing, no cross-engine oracle
+def _lsh_oracle() -> str:
+    """DuckDB twin of the LSH bucketing: the hyperplanes are FIXED
+    constants, so the whole pipeline — sign-bit signature, bucket
+    self-join, exact-cosine verification — replays in SQL.
+    Float parity: both engines run a sequential double dot product
+    (Spark HOF aggregate / DuckDB list_dot_product over DOUBLE[]); the
+    sign-bit comparison is exact and the cosine is rounded to the
+    engine grid."""
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(v) for v in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in _planes()
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, {bits} AS bucket
+  FROM v
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 4) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 4) >= 0.3
+"""
+
+
+@query("lsh_approx_join", oracle=_lsh_oracle())
 def lsh_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C43: approximate similarity join via random-hyperplane LSH.
 
@@ -241,7 +270,9 @@ def lsh_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within identical signatures (the 100 TB pair generator: bucket
     sizes ~ n/2^8, join work O(sum bucket²)); candidates verified with
     exact cosine >= 0.3. Implemented in pure SQL HOFs — the projection
-    is a dot product against literal arrays, fully codegen'd.
+    is a dot product against literal arrays, fully codegen'd. The
+    planes are pseudo-random but FIXED, so (unusually for LSH) the
+    whole approximate join has a full DuckDB oracle (_lsh_oracle).
     """
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     sig = F.concat(
@@ -336,7 +367,37 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.select("id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine"))
 
 
-@query("sim_ivf_knn")  # weak: centroid assignment has no SQL oracle
+_IVF_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv FROM v
+), c AS (
+  SELECT vec_id AS cid, uv AS cu FROM u WHERE vec_id < 8
+), q AS (
+  SELECT uv AS qu FROM u WHERE vec_id = 0
+), dots AS (
+  SELECT u.vec_id, list(list_dot_product(u.uv, c.cu) ORDER BY c.cid) AS ds
+  FROM u CROSS JOIN c GROUP BY u.vec_id
+), assigned AS (
+  SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS BIGINT) AS cell FROM dots
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, list_dot_product(c.cu, q.qu) AS d FROM c CROSS JOIN q
+    ORDER BY d DESC, c.cid ASC LIMIT 2
+  )
+)
+SELECT a.vec_id, a.cell, round(list_dot_product(u.uv, q.qu), 4) AS cosine
+FROM assigned a
+JOIN u ON u.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("sim_ivf_knn", oracle=_IVF_ORACLE)
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C42 scale path: IVF (inverted-file) approximate k-NN.
 
@@ -346,8 +407,10 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2 nearest cells, then ranks exactly within them — at 100 TB
     this turns a full scan into reading ~nprobe/nlist of the table,
     with cells stored as partition keys so probing is partition
-    pruning. Weak check: recall-vs-exact is asserted in tests instead
-    (tests/test_similarity_quality.py).
+    pruning (asserted in tests/test_similarity_quality.py). The
+    deterministic quantizer means even this approximate operator
+    carries a full DuckDB oracle (_IVF_ORACLE); recall-vs-exact is
+    additionally asserted in tests.
 
     The coarse quantizer is TINY by construction (nlist=8 centroid
     rows), so only those 8 rows are collected — never the table (the

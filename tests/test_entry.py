@@ -36,10 +36,8 @@ def test_contract_shape(spark):
         "agg_approx_count_distinct",
         "agg_hll_sketch_rollup",
         "minhash_lsh_dedup",
-        "lsh_approx_join",
         "multimodal_audio_chunk",
         "multimodal_decode_stub",
         "multimodal_frame_sample",
         "multimodal_resize_stub",
-        "sim_ivf_knn",
     }
