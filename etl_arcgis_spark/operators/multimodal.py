@@ -3,10 +3,21 @@
 The engine's multimodal story (BASELINE.json north star): media travel
 as opaque ``binary`` columns with typed metadata beside them; decode /
 feature-extract runs as Arrow-batched ``mapInPandas`` so bytes never
-round-trip row-at-a-time. The image/audio codec libraries are not in
-this container, so the decode step is a clearly-marked deterministic
-STUB — the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and exercised.
+round-trip row-at-a-time.
+
+The heavyweight codec libraries (PIL/ffmpeg/soundfile) are not in this
+container, so the media operators work on REAL public formats that
+decode with stdlib + numpy alone:
+
+- images: binary PPM (netpbm P6) — header parse + raw RGB planes;
+- video: YUV4MPEG2 (y4m) — stream header + per-FRAME YUV420 planes;
+- audio: WAV/RIFF 16-bit PCM — stdlib ``wave`` + numpy sample math.
+
+Payloads are synthesized deterministically (md5-stream pixels/samples
+keyed by doc_id) in a separate Arrow stage, so the decode stage
+genuinely consumes opaque bytes it did not produce. Swapping in JPEG/
+H.264/FLAC is a codec-call change inside the same mapInPandas bodies —
+the schema/batching/row-explosion contracts are what carry to 100 TB.
 
 ``multimodal_embedding_stats`` treats the embedding column as the typed
 feature side of a multimodal record (per-label centroid geometry).
@@ -14,6 +25,7 @@ feature side of a multimodal record (per-label centroid geometry).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,6 +35,63 @@ from pyspark.sql import functions as F
 from ..helpers import r4
 from ..registry import query
 from ..tables import table
+
+
+def _rng_bytes(seed: bytes, n: int) -> bytes:
+    """Deterministic byte stream (md5 counter mode) — synthetic pixels
+    and samples derive from this, so every engine run is identical."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + i.to_bytes(4, "little")).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+# ---------------------------------------------------------------- PPM
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (netpbm P6), maxval 255: the standard uncompressed
+    RGB interchange format."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary PPM: returns (width, height, HxWx3 uint8 array).
+    A real decoder (magic, whitespace/comment-tolerant header, raw
+    plane) — not a fake: corrupt payloads raise."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, pix.reshape(h, w, 3)
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    w = 16 + int(doc_id) % 48
+    h = 16 + int(doc_id) % 32
+    return encode_ppm(w, h, _rng_bytes(b"img%d" % int(doc_id), w * h * 3))
 
 
 @query(
@@ -115,129 +184,213 @@ _DECODE_SCHEMA = (
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode — deterministic fake of an image codec.
+def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth stage: one REAL binary-PPM payload per document (separate
+    Arrow stage, so the decode stage below consumes opaque bytes)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
 
-    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
-    the codec libs are not in this container, so dimensions and mean
-    pixel derive deterministically from the bytes. Plumbing (bytes in,
-    typed features out, Arrow-batched) is the real contract.
-    """
-    n = len(payload)
-    width = n % 640 + 1
-    height = n % 480 + 1
-    mean_px = (sum(payload[:64]) % 256) / 255.0 if n else 0.0
-    return width, height, mean_px
-
-
-@query("multimodal_decode_stub")  # weak: exercises mapInPandas plumbing
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing, Python half: Arrow-batched ``mapInPandas``
-    decode -> feature-extract. Each batch arrives as a pandas DataFrame
-    of byte payloads; the stub codec emits typed features. This is the
-    pattern for real image/audio decode at scale (one Python worker per
-    core, Arrow transfer, no per-row pickling)."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_decode_image_stub)
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "width": feats.map(lambda t: t[0]),
-                    "height": feats.map(lambda t: t[1]),
-                    "mean_px": feats.map(lambda t: t[2]),
-                }
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(_synth_ppm)}
             )
 
-    return docs.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+    return docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
 
 
-_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_ms bigint, frame_checksum string"
-_FRAME_BYTES = 64  # stub "frame" stride
-_SAMPLE_EVERY = 4  # keep every 4th frame
+@query("multimodal_image_decode")  # weak: binary codec has no SQL oracle
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode, Python half: Arrow-batched ``mapInPandas``
+    over REAL binary-PPM payloads — header parse, raw RGB plane, mean
+    pixel from the actual pixels (decode_ppm; corrupt bytes raise).
+    This is the pattern for any image decode at scale: one Python
+    worker per core, Arrow transfer, no per-row pickling; swap
+    decode_ppm for PIL/turbojpeg and nothing else changes."""
 
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:  # one output batch per input batch: bounded memory
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_ppm(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(payload),
+                        "width": w,
+                        "height": h,
+                        "mean_px": round(float(pix.mean()) / 255.0, 4),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "mean_px"]
+            )
 
-@query("multimodal_frame_sample")  # weak: exercises frame-sampling plumbing
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-shaped plumbing: STUB frame extraction + temporal sampling.
-
-    Real implementation decodes container/codec (pyav/ffmpeg) and emits
-    every k-th frame; the stub treats the payload as fixed-stride raw
-    frames. The Spark-side contract is the real part: one binary row in,
-    N sampled frame rows out (a generator inside mapInPandas — row
-    explosion without shuffle), frame timestamps derived from index,
-    checksums instead of pixel buffers downstream.
-    """
-    import hashlib
-
-    import pandas as pd
-
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    return _image_payloads(spark, sf_dir).mapInPandas(
+        decode_batches, schema=_DECODE_SCHEMA
     )
 
+
+# ---------------------------------------------------------------- y4m
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_ms bigint, mean_luma double, "
+    "frame_checksum string"
+)
+_SAMPLE_EVERY = 2  # keep every 2nd frame
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+    """YUV4MPEG2 stream (the mjpegtools/ffmpeg raw-video interchange
+    format): stream header, then ``FRAME\\n`` + YUV420 planes per
+    frame (w*h luma + 2 * (w/2*h/2) chroma)."""
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (width, height, fps)
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream: returns (width, height, fps,
+    [frame_bytes...]). Real parser — bad magic or a short frame raises."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {p[:1]: p[1:] for p in head[1:] if p}
+    w = int(params[b"W"])
+    h = int(params[b"H"])
+    fps = int(params[b"F"].split(b":")[0])
+    frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        pos += 6
+        if pos + frame_len > len(payload):
+            raise ValueError("truncated frame")
+        frames.append(payload[pos : pos + frame_len])
+        pos += frame_len
+    return w, h, fps, frames
+
+
+def _synth_y4m(doc_id: int) -> bytes:
+    w, h = 16, 8  # YUV420 requires even dims
+    n_frames = 4 + int(doc_id) % 8
+    frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    frames = [
+        _rng_bytes(b"vid%d-%d" % (int(doc_id), i), frame_len) for i in range(n_frames)
+    ]
+    return encode_y4m(w, h, frames)
+
+
+@query("multimodal_video_frame_sample")  # weak: binary codec has no SQL oracle
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame extraction + temporal sampling over a REAL container
+    format (YUV4MPEG2): parse the stream header, walk FRAME markers,
+    keep every k-th frame, emit per-frame mean luma (from the actual Y
+    plane) + checksum instead of pixel buffers.
+
+    The Spark-side contract is the 100 TB part: one binary row in, N
+    sampled frame rows out — a generator inside Arrow-batched
+    mapInPandas, row explosion with no shuffle; timestamps derived
+    from the container's own frame rate. An H.264 build swaps
+    decode_y4m for pyav and keeps everything else."""
+    import hashlib as _hl
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(_synth_y4m)}
+            )
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(payload) // _FRAME_BYTES)
-                for idx in range(0, n_frames, _SAMPLE_EVERY):
-                    frame = bytes(payload[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES])
+                w, h, fps, frames = decode_y4m(bytes(payload))
+                for idx in range(0, len(frames), _SAMPLE_EVERY):
+                    luma = np.frombuffer(frames[idx], dtype=np.uint8, count=w * h)
                     rows.append(
                         {
                             "doc_id": doc_id,
                             "frame_idx": idx,
-                            "frame_ms": idx * 40,  # 25 fps stub timeline
-                            "frame_checksum": hashlib.md5(frame).hexdigest(),
+                            "frame_ms": idx * 1000 // fps,
+                            "mean_luma": round(float(luma.mean()) / 255.0, 4),
+                            "frame_checksum": _hl.md5(frames[idx]).hexdigest(),
                         }
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ms", "frame_checksum"])
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ms", "mean_luma", "frame_checksum"],
+            )
 
-    return docs.mapInPandas(sample, schema=_FRAME_SCHEMA)
+    return payloads.mapInPandas(sample, schema=_FRAME_SCHEMA)
 
 
 _RESIZE_SCHEMA = (
-    "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, dst_h bigint, scale double"
+    "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, dst_h bigint, "
+    "scale double, out_bytes bigint, out_checksum string"
 )
+_RESIZE_TARGET = 24  # fit-within box (fixture images are 16-63 px wide)
 
 
-@query("multimodal_resize_stub")  # weak: exercises resize plumbing
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: STUB of decode -> fit-within(256x256) ->
-    re-encode. The aspect-preserving scale math is real; the pixel work
-    is faked from byte lengths (no codec libs in this container). Arrow
-    batches in/out; at scale this is the standard image-normalization
-    pass before feature extraction."""
-    import pandas as pd
+def resize_nearest(pix, dst_w: int, dst_h: int):
+    """Nearest-neighbor resample of an HxWx3 uint8 array — the real
+    pixel operation (index-map gather), not a size calculation."""
+    import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    src_h, src_w = pix.shape[0], pix.shape[1]
+    ys = (np.arange(dst_h) * src_h // dst_h).clip(0, src_h - 1)
+    xs = (np.arange(dst_w) * src_w // dst_w).clip(0, src_w - 1)
+    return pix[ys[:, None], xs[None, :], :]
+
+
+@query("multimodal_image_resize")  # weak: binary codec has no SQL oracle
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image normalization: decode (real PPM) -> aspect-preserving
+    fit-within resize (real nearest-neighbor gather over the pixel
+    array) -> re-encode (real PPM) -> emit dims + checksum of the
+    re-encoded bytes. The standard pre-featurization pass; Arrow
+    batches in/out, pixels never leave the Python worker."""
+    import hashlib as _hl
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = 256.0
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            src_w = (n % 640 + 1).astype("int64")
-            src_h = (n % 480 + 1).astype("int64")
-            scale = (target / src_w.where(src_w > src_h, src_h)).clip(upper=1.0)
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                src_w, src_h, pix = decode_ppm(bytes(payload))
+                scale = min(1.0, _RESIZE_TARGET / float(max(src_w, src_h)))
+                dst_w = max(1, int(src_w * scale))
+                dst_h = max(1, int(src_h * scale))
+                out = encode_ppm(
+                    dst_w, dst_h, resize_nearest(pix, dst_w, dst_h).tobytes()
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "src_w": src_w,
+                        "src_h": src_h,
+                        "dst_w": dst_w,
+                        "dst_h": dst_h,
+                        "scale": round(scale, 4),
+                        "out_bytes": len(out),
+                        "out_checksum": _hl.md5(out).hexdigest(),
+                    }
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_w": src_w,
-                    "src_h": src_h,
-                    "dst_w": (src_w * scale).astype("int64"),
-                    "dst_h": (src_h * scale).astype("int64"),
-                    "scale": scale.round(4),
-                }
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "scale", "out_bytes", "out_checksum",
+                ],
             )
 
-    return docs.mapInPandas(resize, schema=_RESIZE_SCHEMA)
+    return _image_payloads(spark, sf_dir).mapInPandas(resize, schema=_RESIZE_SCHEMA)
 
 
 _AUDIO_SCHEMA = (
@@ -249,51 +402,99 @@ _CHUNK_SAMPLES = 2_048    # ~128 ms windows
 _HOP_SAMPLES = 1_536      # 25% overlap between consecutive chunks
 
 
-@query("multimodal_audio_chunk")  # weak: exercises audio-chunking plumbing
-def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-shaped plumbing: STUB of decode -> overlapped fixed-length
-    chunking -> per-chunk energy -> voice-activity gate, the standard
-    ASR/embedding preprocessing pass (e.g. 30 s windows with overlap,
-    scaled down to the fixture payloads). A real build swaps the codec
-    in (soundfile/ffmpeg — not in this container) and keeps everything
-    else: the payload is treated as 16 kHz mono s16le PCM, chunk
-    boundaries are sample-accurate with hop < window (overlap), energy
-    is the mean |sample| of the chunk, and the gate drops silence-like
-    chunks BEFORE any expensive downstream featurization.
+def encode_wav(samples, sample_rate: int = _SAMPLE_RATE) -> bytes:
+    """RIFF/WAVE, 16-bit mono PCM — via the stdlib ``wave`` writer."""
+    import io
+    import wave
 
-    Spark contract (the real part): one binary row in, N overlapping
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a WAV: returns (sample_rate, float64 samples in [-1, 1)).
+    stdlib ``wave`` does the real RIFF/fmt-chunk parsing; non-PCM or
+    corrupt payloads raise."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("expected 16-bit mono PCM")
+        rate = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return rate, pcm.astype(np.float64) / 32768.0
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic test signal: alternating voiced (sine bursts) and
+    near-silent stretches, so the VAD gate below has both classes."""
+    import numpy as np
+
+    d = int(doc_id)
+    n = _SAMPLE_RATE // 4 + (d % 7) * _HOP_SAMPLES  # 0.25-0.85 s
+    t = np.arange(n, dtype=np.float64)
+    freq = 110.0 * (1 + d % 5)
+    tone = 0.5 * np.sin(2 * np.pi * freq * t / _SAMPLE_RATE)
+    gate = ((t // _CHUNK_SAMPLES) % 2) == (d % 2)  # every other window voiced
+    noise_bytes = _rng_bytes(b"aud%d" % d, n)
+    noise = (np.frombuffer(noise_bytes, dtype=np.uint8).astype(np.float64) - 127.5) / 127.5
+    samples = np.where(gate, tone, 0.004 * noise) * 32767.0
+    return encode_wav(samples)
+
+
+@query("multimodal_audio_chunk")  # weak: binary codec has no SQL oracle
+def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio preprocessing over REAL WAV payloads: RIFF decode (stdlib
+    ``wave``) -> overlapped fixed-length chunking -> per-chunk energy ->
+    voice-activity gate — the standard ASR/embedding front end (30 s
+    windows with overlap at production scale, scaled to the fixture).
+    An MP3/FLAC build swaps decode_wav for soundfile and keeps all the
+    chunk/gate logic.
+
+    Spark contract (the 100 TB part): one binary row in, N overlapping
     chunk rows out via a generator inside Arrow-batched mapInPandas —
     row explosion with no shuffle and no Python-row round-trips; chunk
-    timestamps are derived, not stored. At 100 TB the gate's
-    selectivity is the win: silence (often most of raw audio) never
-    leaves the scan stage."""
+    timestamps are sample-accurate from the container's own rate. The
+    gate's selectivity is the win at scale: silence (often most of raw
+    audio) never leaves the scan stage."""
     import numpy as np
-    import pandas as pd
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(_synth_wav)}
+            )
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
 
     def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                pcm = np.frombuffer(
-                    bytes(payload[: (len(payload) // 2) * 2]), dtype="<i2"
-                ).astype(np.float64)
+                rate, pcm = decode_wav(bytes(payload))
                 if pcm.size == 0:
                     continue
                 idx = 0
                 start = 0
                 while start < pcm.size:
                     seg = pcm[start : start + _CHUNK_SAMPLES]
-                    energy = float(np.abs(seg).mean()) / 32768.0
+                    energy = float(np.abs(seg).mean())
                     rows.append(
                         {
                             "doc_id": doc_id,
                             "chunk_idx": idx,
-                            "start_ms": start * 1000 // _SAMPLE_RATE,
-                            "end_ms": (start + seg.size) * 1000 // _SAMPLE_RATE,
+                            "start_ms": start * 1000 // rate,
+                            "end_ms": (start + seg.size) * 1000 // rate,
                             "energy": round(energy, 4),
                             "is_speech": energy > 0.05,
                         }
@@ -307,7 +508,7 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(chunk, schema=_AUDIO_SCHEMA)
+    return payloads.mapInPandas(chunk, schema=_AUDIO_SCHEMA)
 
 
 @query(

@@ -37,7 +37,7 @@ def test_contract_shape(spark):
         "agg_hll_sketch_rollup",
         "minhash_lsh_dedup",
         "multimodal_audio_chunk",
-        "multimodal_decode_stub",
-        "multimodal_frame_sample",
-        "multimodal_resize_stub",
+        "multimodal_image_decode",
+        "multimodal_video_frame_sample",
+        "multimodal_image_resize",
     }

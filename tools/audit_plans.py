@@ -24,9 +24,9 @@ PYTHON_OK = {
     "udf_pandas_reproject",
     "udaf_grouped_median",
     "udtf_json_explode",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
+    "multimodal_image_decode",
+    "multimodal_video_frame_sample",
+    "multimodal_image_resize",
     "sim_cosine_topk_pairs",
     "dedup_embedding_neardup",
     "sim_ivf_knn",
