@@ -397,7 +397,7 @@ _AUDIO_SCHEMA = (
     "doc_id bigint, chunk_idx bigint, start_ms bigint, end_ms bigint, "
     "energy double, is_speech boolean"
 )
-_SAMPLE_RATE = 16_000     # stub PCM: 16 kHz mono s16le
+_SAMPLE_RATE = 16_000     # 16 kHz mono s16le PCM
 _CHUNK_SAMPLES = 2_048    # ~128 ms windows
 _HOP_SAMPLES = 1_536      # 25% overlap between consecutive chunks
 

@@ -110,6 +110,7 @@ _MODULE_PRIORITY = [
     "etl",
     "streaming_batch",
     "aggregates",
+    "corpus",
     "text",
     "similarity",
     "udfs",
@@ -133,6 +134,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        corpus,
         dedup,
         etl,
         filters,
