@@ -106,11 +106,11 @@ _MODULE_PRIORITY = [
     "joins",
     "windows",
     "setops",
+    "corpus",
     "sql_functions",
     "etl",
     "streaming_batch",
     "aggregates",
-    "corpus",
     "text",
     "similarity",
     "udfs",
