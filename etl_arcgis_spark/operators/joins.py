@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import sql_over, table
+from ..tables import dim_customer_geo, sql_over, table
 
 
 @query(
@@ -145,28 +145,28 @@ GROUP BY r.r_name, n.n_name
 """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3/C4: star join — fact chained through three dim legs. No
-    broadcast hints: Catalyst auto-broadcasts every dim below the
-    threshold from its size estimate and demotes any that outgrow it at
-    cluster SF (hints measured SLOWER here — they constrain the
-    optimizer's join ordering; the fact side still never shuffles,
-    asserted in tests/test_plans.py). Built as one spark.sql text (one
-    py4j round trip — see tables.sql_over)."""
+    """C3/C4: star join — the snowflaked dim chain flattened through
+    the materialized ``customer_geo`` dimension (tables.dim_customer_geo:
+    customer ⋈ nation ⋈ region computed once, cached in bench mode), so
+    the fact side takes TWO join legs, not four. No broadcast hints:
+    Catalyst auto-broadcasts from size estimates and demotes at cluster
+    SF (hints measured SLOWER — they constrain join ordering; the fact
+    side still never shuffles, asserted in tests/test_plans.py). Built
+    as one spark.sql text (one py4j round trip — see tables.sql_over)."""
+    dim_customer_geo(spark, sf_dir).createOrReplaceTempView("customer_geo")
     return sql_over(
         spark,
         sf_dir,
         f"""
-SELECT r.r_name, n.n_name,
+SELECT g.r_name, g.n_name,
        count(1) AS n_items,
        {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
 FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name, n.n_name
+JOIN orders o       ON l.l_orderkey = o.o_orderkey
+JOIN customer_geo g ON o.o_custkey = g.c_custkey
+GROUP BY g.r_name, g.n_name
 """,
-        ("lineitem", "orders", "customer", "nation", "region"),
+        ("lineitem", "orders"),
     )
 
 
