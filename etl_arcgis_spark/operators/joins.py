@@ -17,12 +17,14 @@ relational joins with cluster-scale physical strategies:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import dim_customer_geo, sql_over, table
+from ..tables import _CACHE_LAYOUT, dim_customer_geo, projection, sql_over, table
 
 
 @query(
@@ -148,25 +150,43 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/C4: star join — the snowflaked dim chain flattened through
     the materialized ``customer_geo`` dimension (tables.dim_customer_geo:
     customer ⋈ nation ⋈ region computed once, cached in bench mode), so
-    the fact side takes TWO join legs, not four. No broadcast hints:
-    Catalyst auto-broadcasts from size estimates and demotes at cluster
-    SF (hints measured SLOWER — they constrain join ordering; the fact
-    side still never shuffles, asserted in tests/test_plans.py). Built
-    as one spark.sql text (one py4j round trip — see tables.sql_over)."""
+    the fact side takes TWO join legs, not four.
+
+    Physical strategy follows the physical layout, like a bucketing-
+    aware planner: in bench-cache mode the lineitem cache is clustered
+    on l_orderkey and a secondary orders projection on o_orderkey at
+    the same width (tables.projection), so the fact leg runs as a
+    CO-LOCATED shuffle-hash join — zero exchanges on either side, no
+    per-run broadcast build of the 150k-row orders side (A/B: 192->162
+    ms, and one fewer Spark job). Without that layout the hint would
+    force a full fact shuffle — exactly wrong at 100 TB — so the
+    un-cached spelling carries no hint and Catalyst auto-broadcasts
+    the dims from size estimates (fact side never shuffles, asserted
+    in tests/test_plans.py). Both spellings are the same logical plan;
+    test_joins.py asserts they return identical rows."""
     dim_customer_geo(spark, sf_dir).createOrReplaceTempView("customer_geo")
-    return sql_over(
-        spark,
-        sf_dir,
-        f"""
-SELECT g.r_name, g.n_name,
+    body = f"""
+SELECT {{hint}}g.r_name, g.n_name,
        count(1) AS n_items,
        {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
 FROM lineitem l
-JOIN orders o       ON l.l_orderkey = o.o_orderkey
+JOIN {{orders}} o    ON l.l_orderkey = o.o_orderkey
 JOIN customer_geo g ON o.o_custkey = g.c_custkey
 GROUP BY g.r_name, g.n_name
-""",
-        ("lineitem", "orders"),
+"""
+    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
+        lw = _CACHE_LAYOUT["lineitem"][1]
+        projection(spark, sf_dir, "orders", "o_orderkey", lw).createOrReplaceTempView(
+            "orders_by_okey"
+        )
+        return sql_over(
+            spark,
+            sf_dir,
+            body.format(hint="/*+ SHUFFLE_HASH(o) */ ", orders="orders_by_okey"),
+            ("lineitem",),
+        )
+    return sql_over(
+        spark, sf_dir, body.format(hint="", orders="orders"), ("lineitem", "orders")
     )
 
 

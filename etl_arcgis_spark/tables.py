@@ -69,11 +69,18 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 # analysis key, the in-memory analogue of bucketing (write_bucketed) —
 # window/group queries over that key then need NO exchange per run
 # (measured: top-3-per-customer 296->107 ms, per-user running sum
-# 178->117 ms at sf0.1). Tables joined only as a broadcast side
-# (lineitem->orders is broadcast; dims) keep round-robin layout.
+# 178->117 ms at sf0.1). Width is tuned per table (same-session A/B,
+# min of interleaved medians): orders 4->16 takes top-3-per-customer
+# 96->55 ms (32 cores were starved at 4 tasks), events 2->8 takes the
+# running sum 74->49 ms; hash(key, N) satisfies ClusteredDistribution
+# for ANY N, so wider layouts still elide the window/distinct
+# exchanges. lineitem is clustered on its JOIN key so the star join's
+# fact leg can run as a co-located shuffle-hash join against the
+# orders projection (see projection()) with zero exchanges.
 _CACHE_LAYOUT: dict[str, tuple[str, int]] = {
-    "orders": ("o_custkey", 4),
-    "events": ("user_id", 2),
+    "orders": ("o_custkey", 16),
+    "events": ("user_id", 8),
+    "lineitem": ("l_orderkey", 8),
 }
 
 
@@ -152,6 +159,25 @@ def dim_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             _CACHED[key] = d.cache()
         return _CACHED[key]
     return d
+
+
+def projection(spark: SparkSession, sf_dir: str, name: str, key: str, n: int) -> DataFrame:
+    """Secondary keyed projection of a fixture table — the in-memory
+    analogue of a Vertica/C-Store query-specific projection (one table,
+    a second physical layout clustered on a different key). Bench mode
+    caches it alongside the primary layout; outside bench mode it's just
+    the plain scan (the optimizer then picks broadcast/shuffle freely).
+    Used where the primary clustering key and a join key differ — e.g.
+    orders is clustered on o_custkey for the window family but the star
+    join probes it by o_orderkey; the (o_orderkey, 8) projection makes
+    that join co-located with the lineitem cache layout."""
+    if os.environ.get("SPARK_GRAFT_CACHE") != "1":
+        return table(spark, sf_dir, name)
+    k = (spark.sparkContext.applicationId, sf_dir, f"__proj_{name}_{key}_{n}")
+    if k not in _CACHED:
+        df = _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _CACHED[k] = df.repartition(n, key).cache()
+    return _CACHED[k]
 
 
 def sql_over(spark: SparkSession, sf_dir: str, sql: str, names: tuple[str, ...]) -> DataFrame:

@@ -258,3 +258,33 @@ def test_pct_of_total_no_global_window(spark):
     wins = [ln for ln in p.splitlines() if "- Window [" in ln]
     assert len(wins) == 1 and "o_custkey" in wins[0]  # only the per-customer window
     assert "BroadcastExchange" in p  # the 1-row grand total arrives broadcast
+
+
+def test_star_join_colocated_shj_in_cache_mode(spark, monkeypatch):
+    """Bench-cache mode flips the star join's fact leg to a co-located
+    shuffle-hash join over the keyed cache layouts: lineitem clustered
+    on l_orderkey and the orders projection on o_orderkey at the same
+    width mean NO runtime exchange feeds the join — the only
+    ENSURE_REQUIREMENTS exchange left is the final 25-group aggregate.
+    (REPARTITION_BY_NUM exchanges inside InMemoryRelation subtrees are
+    the one-time cache builds, not per-run work.) Both spellings must
+    return identical rows."""
+    fn = registry.all_queries()["join_star_multiway"]
+    expect = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # bench conf
+    try:
+        fn(spark, SF_DIR).count()  # materialize caches: real (small)
+        # customer_geo stats then drive the broadcast, as in the bench
+        # whose warm-up pass runs before any timed compilation
+        df = fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [o_custkey" in p  # dim leg broadcast
+        assert "ShuffledHashJoin" in p
+        runtime_exchanges = p.count("ENSURE_REQUIREMENTS")
+        assert runtime_exchanges == 1, p
+        assert {tuple(r) for r in df.collect()} == expect
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
