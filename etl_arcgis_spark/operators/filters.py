@@ -211,3 +211,164 @@ def filter_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("c_custkey", "lon", "lat")
     )
+
+
+# B11 polygon-POLYGON predicates: the feature geometry is a per-row
+# diamond (the L1 ball |x-cx|+|y-cy| <= w — a rotated square, so it is
+# a genuine polygon, not an envelope) whose center/size derive from the
+# key. A simple-polygon pair intersects iff any edge pair crosses, or
+# one contains the other; with both polygons simple and vertex
+# coordinates constructed to avoid exact touching, containment reduces
+# to one representative-point test per direction. All of it is plain
+# IEEE-double arithmetic emitted as ONE SQL string shared with the
+# oracle, so both engines evaluate the identical expression tree.
+_DIAMOND_W = "0.35 + (c_custkey % 5) * 0.4"  # 0.35 .. 1.95
+
+
+def _orient(px: str, py: str, qx: str, qy: str, rx: str, ry: str) -> str:
+    """Signed area of (p,q,r) — the classic orientation determinant."""
+    return (
+        f"((({qx}) - ({px})) * (({ry}) - ({py})) - "
+        f"(({qy}) - ({py})) * (({rx}) - ({px})))"
+    )
+
+
+def _seg_cross(a, b, c, d) -> str:
+    """Proper segment crossing ab x cd (endpoint touching excluded; the
+    vertex construction guarantees it cannot occur)."""
+    o1 = _orient(*a, *b, *c)
+    o2 = _orient(*a, *b, *d)
+    o3 = _orient(*c, *d, *a)
+    o4 = _orient(*c, *d, *b)
+    return f"(({o1} > 0) <> ({o2} > 0) AND ({o3} > 0) <> ({o4} > 0))"
+
+
+def _diamond_edges(cx: str, cy: str, w: str):
+    e = (f"({cx}) + ({w})", cy)
+    n = (cx, f"({cy}) + ({w})")
+    wv = (f"({cx}) - ({w})", cy)
+    s = (cx, f"({cy}) - ({w})")
+    return [(e, n), (n, wv), (wv, s), (s, e)]
+
+
+def _poly_edges():
+    n = len(_POLYGON)
+    return [
+        ((str(x1), str(y1)), (str(x2), str(y2)))
+        for (x1, y1), (x2, y2) in (
+            (_POLYGON[i], _POLYGON[(i + 1) % n]) for i in range(n)
+        )
+    ]
+
+
+def _any_edge_cross_sql(cx: str, cy: str, w: str) -> str:
+    crossings = [
+        _seg_cross(pa, pb, da, db)
+        for (pa, pb) in _poly_edges()
+        for (da, db) in _diamond_edges(cx, cy, w)
+    ]
+    return "(" + " OR ".join(crossings) + ")"
+
+
+def _in_diamond_sql(x: str, y: str, cx: str, cy: str, w: str) -> str:
+    return f"(abs(({x}) - ({cx})) + abs(({y}) - ({cy})) < ({w}))"
+
+
+_QX, _QY = _POLYGON[0]
+
+
+def _polygon_intersects_sql(cx: str, cy: str, w: str) -> str:
+    """Simple-polygon ∩ diamond: edge crossing, or diamond ⊆ polygon
+    (center-in-polygon suffices: diamond inside ⇒ its center is), or
+    polygon ⊆ diamond (any polygon vertex in the diamond suffices)."""
+    return (
+        f"({_any_edge_cross_sql(cx, cy, w)} OR "
+        f"{_ray_cast_sql(cx, cy)} OR "
+        f"{_in_diamond_sql(str(_QX), str(_QY), cx, cy, w)})"
+    )
+
+
+def _polygon_contains_sql(cx: str, cy: str, w: str) -> str:
+    """Query polygon CONTAINS the diamond: center inside and no edge
+    of the diamond crosses the boundary."""
+    return f"({_ray_cast_sql(cx, cy)} AND NOT {_any_edge_cross_sql(cx, cy, w)})"
+
+
+# sargable envelope prefilter: per-row w is bounded by w_max=1.95, so a
+# CONSTANT-bound envelope test goes first (pushes to the scan / prunes
+# space-filling-curve partitions at cluster SF); the exact O(|edges|^2)
+# arithmetic runs on envelope survivors only, inside codegen.
+_PPOLY_PREFILTER = (
+    f"lon BETWEEN {_PIP_ENV_LON[0]} - 1.95 AND {_PIP_ENV_LON[1]} + 1.95 "
+    f"AND lat BETWEEN {_PIP_ENV_LAT[0]} - 1.95 AND {_PIP_ENV_LAT[1]} + 1.95"
+)
+
+_PPOLY_PROJ = f"""
+SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+       CAST({_DIAMOND_W} AS DOUBLE) AS w
+FROM customer
+"""
+
+
+@query(
+    "filter_spatial_polygon_intersects",
+    oracle=f"""
+SELECT c_custkey, lon, lat, w
+FROM ({_PPOLY_PROJ})
+WHERE {_PPOLY_PREFILTER}
+  AND {_polygon_intersects_sql("lon", "lat", "w")}
+""",
+)
+def filter_spatial_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: polygon-polygon `esriSpatialRelIntersects` (the reference
+    forwards it verbatim, task.ts:410-414) — per-feature diamond
+    polygons against a fixed non-convex query polygon, decided by exact
+    segment-crossing + representative-point containment arithmetic.
+
+    Scale shape: constant-bound envelope prefilter first (sargable,
+    row-group prunable), then the O(|edges|²) crossing tests — 24 edge
+    pairs here — as pure codegen arithmetic on survivors. For a polygon
+    SET on the query side, envelope-bucket-join first and explode the
+    vertex table per candidate pair (never all-pairs)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT c_custkey, lon, lat, w
+FROM ({_PPOLY_PROJ})
+WHERE {_PPOLY_PREFILTER}
+  AND {_polygon_intersects_sql("lon", "lat", "w")}
+""",
+        ("customer",),
+    )
+
+
+@query(
+    "filter_spatial_polygon_contains",
+    oracle=f"""
+SELECT c_custkey, lon, lat, w
+FROM ({_PPOLY_PROJ})
+WHERE {_PPOLY_PREFILTER}
+  AND {_polygon_contains_sql("lon", "lat", "w")}
+""",
+)
+def filter_spatial_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: `esriSpatialRelContains` (query polygon contains feature) —
+    center-in-polygon AND no boundary crossing; exact for simple
+    polygons with non-touching vertices. Same envelope-first shape as
+    the intersects twin."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT c_custkey, lon, lat, w
+FROM ({_PPOLY_PROJ})
+WHERE {_PPOLY_PREFILTER}
+  AND {_polygon_contains_sql("lon", "lat", "w")}
+""",
+        ("customer",),
+    )

@@ -17,22 +17,18 @@ import time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
 
-from etl_arcgis_spark.helpers import r4_sql  # noqa: E402
+from etl_arcgis_spark import registry  # noqa: E402
 from etl_arcgis_spark.session import get_session  # noqa: E402
+from etl_arcgis_spark import tables  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-RUNNING = f"""
-SELECT event_id, user_id, unix_micros(ts) AS us,
-       {r4_sql("sum(value) OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running
-FROM {{t}}
-"""
-
-TUMBLE = f"""
-SELECT (unix_micros(ts) div 3600000000) * 3600000 AS w_start_ms, event_type,
-       count(1) AS n, {r4_sql("sum(value)")} AS val_sum
-FROM {{t}}
-GROUP BY 1, 2
+WC = """
+SELECT word, count(1) AS n
+FROM (SELECT explode(split(text, ' ')) AS word FROM {t})
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
 """
 
 
@@ -57,22 +53,36 @@ def main():
     spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
 
-    for w in (2, 4, 8):
-        df = spark.read.parquet(f"{SF}/events.parquet").repartition(w, "user_id").cache()
-        df.createOrReplaceTempView(f"e{w}")
+    for w in (1, 4, 8, 16, 32):
+        df = spark.read.parquet(f"{SF}/documents.parquet").repartition(w).cache()
+        df.createOrReplaceTempView(f"d{w}")
         df.count()
 
     variants = {}
-    for w in (2, 4, 8):
-        variants[f"run_e{w}"] = (lambda w=w: spark.sql(RUNNING.format(t=f"e{w}")))
-        variants[f"tum_e{w}"] = (lambda w=w: spark.sql(TUMBLE.format(t=f"e{w}")))
+    for w in (1, 4, 8, 16, 32):
+        variants[f"wc_d{w}"] = (lambda w=w: spark.sql(WC.format(t=f"d{w}")))
 
-    acc = {k: [] for k in variants}
+    # sim_cosine_topk_pairs through the registry, flipping the cached
+    # embeddings width by pre-seeding the table cache slot
+    qs = registry.all_queries()
+    app = spark.sparkContext.applicationId
+    for w in (1, 8, 16, 32):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(w).cache()
+        emb.count()
+        tables._CACHED[(app, SF, "embeddings")] = emb
+        variants[f"sim_e{w}"] = (
+            lambda: qs["sim_cosine_topk_pairs"](spark, SF)
+        )
+        acc_one = [timeit(variants[f"sim_e{w}"]) for _ in range(2)]
+        sys.stdout.write(f"RESULT sim_e{w:<3d} {min(acc_one)*1000:7.1f} ms\n")
+        del tables._CACHED[(app, SF, "embeddings")]
+
+    acc = {k: [] for k in variants if k.startswith("wc_")}
     for _ in range(2):
-        for k, fn in variants.items():
-            acc[k].append(timeit(fn))
+        for k in list(acc):
+            acc[k].append(timeit(variants[k]))
     for k, ts in acc.items():
-        sys.stdout.write(f"RESULT {k:16s} {min(ts)*1000:7.1f} ms\n")
+        sys.stdout.write(f"RESULT {k:10s} {min(ts)*1000:7.1f} ms\n")
     spark.stop()
 
 
