@@ -355,10 +355,16 @@ WHERE {_PPOLY_PREFILTER}
 """,
 )
 def filter_spatial_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B11: `esriSpatialRelContains` (query polygon contains feature) —
-    center-in-polygon AND no boundary crossing; exact for simple
-    polygons with non-touching vertices. Same envelope-first shape as
-    the intersects twin."""
+    """B11: `esriSpatialRelWithin` (feature within the query geometry;
+    equivalently the query polygon CONTAINS the feature) — center-in-
+    polygon AND no boundary crossing; exact for simple polygons with
+    non-touching vertices. Same envelope-first shape as the intersects
+    twin. The mirrored `esriSpatialRelContains` (feature contains the
+    query geometry) is the same arithmetic with the roles swapped —
+    representative query vertex in the feature AND no crossing; it is
+    not registered as a query because no fixture diamond can contain
+    the 160-degree-wide query polygon, which would make its oracle row
+    a trivially-empty result."""
     from ..tables import sql_over
 
     return sql_over(
