@@ -849,3 +849,132 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("h"), "lang", "source"
     )
     return new.join(old, "h", "left_anti").select("doc_id", "lang", "source")
+
+
+# --- Semantic dedup, SemDeDup-style (Abbas et al. 2023, public) -------
+#
+# Bucket every embedding to its nearest of k seed vectors (the k
+# lowest vec_ids — deterministic, no RNG), then within each bucket drop
+# any vector whose cosine to a LOWER-id bucket-mate exceeds the
+# near-dup threshold (greedy min-id canonicalization, the set-based
+# approximation of SemDeDup's sequential per-cluster sweep). Cosines
+# are rounded to 4 decimals BEFORE the argmax and the threshold test on
+# both engines, so HOF-vs-unnest summation-order drift cannot flip an
+# assignment or a drop.
+
+_SEM_K = 8
+_SEM_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_SEM_NORM = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+    "0D, (acc, v) -> acc + v))"
+)
+
+
+def _sem_cos(a: str, b: str) -> str:
+    return (
+        f"round({_SEM_DOT.format(a=a, b=b)} / "
+        f"({_SEM_NORM.format(a=a)} * {_SEM_NORM.format(a=b)}), 4)"
+    )
+
+
+@query(
+    "dedup_semantic_buckets",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+), seeds AS (
+  SELECT vec_id AS seed_id FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}
+), sv AS (
+  SELECT s.seed_id, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id
+), assign AS (
+  SELECT a.vec_id, a.seed_id,
+         round(a.dot / (nv.nrm * ns.nrm), 4) AS cos
+  FROM (
+    SELECT v.vec_id, sv.seed_id, sum(v.x * sv.x) AS dot
+    FROM v JOIN sv ON v.i = sv.i
+    GROUP BY v.vec_id, sv.seed_id
+  ) a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN norms ns ON ns.vec_id = a.seed_id
+), bucket AS (
+  SELECT vec_id, seed_id AS bucket FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), pair AS (
+  SELECT bb.vec_id AS hi_id,
+         round(p.dot / (na.nrm * nb.nrm), 4) AS cos
+  FROM (
+    SELECT ba.vec_id AS id_a, bb.vec_id AS id_b, sum(va.x * vb.x) AS dot
+    FROM bucket ba
+    JOIN bucket bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+    JOIN v va ON va.vec_id = ba.vec_id
+    JOIN v vb ON vb.vec_id = bb.vec_id AND vb.i = va.i
+    GROUP BY ba.vec_id, bb.vec_id
+  ) p
+  JOIN bucket bb ON bb.vec_id = p.id_b
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+), dropped AS (
+  SELECT DISTINCT hi_id AS vec_id FROM pair WHERE cos > 0.45
+)
+SELECT b.vec_id, b.bucket, (d.vec_id IS NULL) AS kept
+FROM bucket b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+""",
+)
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding column, SemDeDup-style: every
+    vector buckets to its nearest of k deterministic seed vectors, and
+    within a bucket any vector within the near-dup cosine threshold of
+    a lower-id bucket-mate is dropped (greedy min-id keeper).
+
+    Scale shape (the reason SemDeDup exists): the O(n²) pair test runs
+    ONLY inside buckets — the bucket join is an equi-join on the bucket
+    id, never a global cross join. The seed set is k rows (broadcast);
+    at 100 TB k grows to n/target_bucket_size so buckets stay bounded,
+    the assignment stays one broadcast-join pass, and per-bucket norms
+    are precomputed at ingest instead of inline (the inline spelling
+    here keeps the fixture query self-contained). 64-dim HOF dot
+    products stay whole-stage-codegen JVM arithmetic — no Python.
+    """
+    from ..tables import sql_over
+
+    cos_assign = _sem_cos("e.embedding", "s.semb")
+    cos_pair = _sem_cos("hi.embedding", "lo.embedding")
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb
+  FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}
+), assign AS (
+  SELECT e.vec_id, s.seed_id, {cos_assign} AS cos
+  FROM embeddings e CROSS JOIN seeds s
+), bucket AS (
+  SELECT vec_id, seed_id AS bucket FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), eb AS (
+  SELECT b.vec_id, b.bucket, e.embedding
+  FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM eb hi JOIN eb lo ON hi.bucket = lo.bucket AND lo.vec_id < hi.vec_id
+  WHERE {cos_pair} > 0.45
+)
+SELECT b.vec_id, b.bucket, (d.vec_id IS NULL) AS kept
+FROM bucket b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+""",
+        ("embeddings",),
+    )
