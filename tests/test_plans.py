@@ -288,3 +288,13 @@ def test_star_join_colocated_shj_in_cache_mode(spark, monkeypatch):
         assert {tuple(r) for r in df.collect()} == expect
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_semantic_dedup_never_cartesian(spark):
+    """The O(n²) cosine sweep must stay inside buckets: the pair stage
+    is an equi-join on the bucket id, the seed assignment a broadcast
+    join — a CartesianProduct anywhere means the bucketing failed."""
+    p = plan_of(spark, "dedup_semantic_buckets")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
