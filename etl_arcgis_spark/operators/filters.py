@@ -225,100 +225,84 @@ def filter_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFra
 _DIAMOND_W = "0.35 + (c_custkey % 5) * 0.4"  # 0.35 .. 1.95
 
 
-def _orient(px: str, py: str, qx: str, qy: str, rx: str, ry: str) -> str:
-    """Signed area of (p,q,r) — the classic orientation determinant."""
-    return (
-        f"((({qx}) - ({px})) * (({ry}) - ({py})) - "
-        f"(({qy}) - ({py})) * (({rx}) - ({px})))"
-    )
+def _l1_seg_dist_sql(ax: float, ay: float, bx: float, by: float) -> str:
+    """Exact min L1 distance from the point (lon, lat) to the CONSTANT
+    segment a→b: f(t) = |ax + t·dx − lon| + |ay + t·dy − lat| is convex
+    piecewise-linear in t, so its minimum over t ∈ [0,1] is attained at
+    t=0, t=1, or one of the two abs breakpoints (t where an abs argument
+    is zero), clamped into [0,1]. Breakpoints with a zero denominator
+    (axis-parallel edges) simply don't exist and are omitted at
+    SQL-generation time — no runtime division by zero."""
+    dx, dy = bx - ax, by - ay
+    ts = ["0.0", "1.0"]
+    if dx != 0.0:
+        ts.append(f"least(greatest((lon - {ax!r}) / {dx!r}, 0.0), 1.0)")
+    if dy != 0.0:
+        ts.append(f"least(greatest((lat - {ay!r}) / {dy!r}, 0.0), 1.0)")
+    evals = [
+        f"(abs({ax!r} + {t} * {dx!r} - lon) + abs({ay!r} + {t} * {dy!r} - lat))"
+        for t in ts
+    ]
+    return "least(" + ", ".join(evals) + ")"
 
 
-def _seg_cross(a, b, c, d) -> str:
-    """Proper segment crossing ab x cd (endpoint touching excluded; the
-    vertex construction guarantees it cannot occur)."""
-    o1 = _orient(*a, *b, *c)
-    o2 = _orient(*a, *b, *d)
-    o3 = _orient(*c, *d, *a)
-    o4 = _orient(*c, *d, *b)
-    return f"(({o1} > 0) <> ({o2} > 0) AND ({o3} > 0) <> ({o4} > 0))"
-
-
-def _diamond_edges(cx: str, cy: str, w: str):
-    e = (f"({cx}) + ({w})", cy)
-    n = (cx, f"({cy}) + ({w})")
-    wv = (f"({cx}) - ({w})", cy)
-    s = (cx, f"({cy}) - ({w})")
-    return [(e, n), (n, wv), (wv, s), (s, e)]
-
-
-def _poly_edges():
+def _l1_boundary_dist_sql() -> str:
+    """Min L1 distance from (lon, lat) to the query-polygon boundary."""
     n = len(_POLYGON)
-    return [
-        ((str(x1), str(y1)), (str(x2), str(y2)))
-        for (x1, y1), (x2, y2) in (
-            (_POLYGON[i], _POLYGON[(i + 1) % n]) for i in range(n)
-        )
+    per_edge = [
+        _l1_seg_dist_sql(*_POLYGON[i], *_POLYGON[(i + 1) % n]) for i in range(n)
     ]
-
-
-def _any_edge_cross_sql(cx: str, cy: str, w: str) -> str:
-    crossings = [
-        _seg_cross(pa, pb, da, db)
-        for (pa, pb) in _poly_edges()
-        for (da, db) in _diamond_edges(cx, cy, w)
-    ]
-    return "(" + " OR ".join(crossings) + ")"
-
-
-def _in_diamond_sql(x: str, y: str, cx: str, cy: str, w: str) -> str:
-    return f"(abs(({x}) - ({cx})) + abs(({y}) - ({cy})) < ({w}))"
-
-
-_QX, _QY = _POLYGON[0]
-
-
-def _polygon_intersects_sql(cx: str, cy: str, w: str) -> str:
-    """Simple-polygon ∩ diamond: edge crossing, or diamond ⊆ polygon
-    (center-in-polygon suffices: diamond inside ⇒ its center is), or
-    polygon ⊆ diamond (any polygon vertex in the diamond suffices)."""
-    return (
-        f"({_any_edge_cross_sql(cx, cy, w)} OR "
-        f"{_ray_cast_sql(cx, cy)} OR "
-        f"{_in_diamond_sql(str(_QX), str(_QY), cx, cy, w)})"
-    )
-
-
-def _polygon_contains_sql(cx: str, cy: str, w: str) -> str:
-    """Query polygon CONTAINS the diamond: center inside and no edge
-    of the diamond crosses the boundary."""
-    return f"({_ray_cast_sql(cx, cy)} AND NOT {_any_edge_cross_sql(cx, cy, w)})"
+    return "least(" + ", ".join(per_edge) + ")"
 
 
 # sargable envelope prefilter: per-row w is bounded by w_max=1.95, so a
 # CONSTANT-bound envelope test goes first (pushes to the scan / prunes
-# space-filling-curve partitions at cluster SF); the exact O(|edges|^2)
-# arithmetic runs on envelope survivors only, inside codegen.
+# space-filling-curve partitions at cluster SF); the exact O(|edges|)
+# distance arithmetic runs on envelope survivors only, inside codegen.
 _PPOLY_PREFILTER = (
     f"lon BETWEEN {_PIP_ENV_LON[0]} - 1.95 AND {_PIP_ENV_LON[1]} + 1.95 "
     f"AND lat BETWEEN {_PIP_ENV_LAT[0]} - 1.95 AND {_PIP_ENV_LAT[1]} + 1.95"
 )
 
-_PPOLY_PROJ = f"""
-SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat,
-       CAST({_DIAMOND_W} AS DOUBLE) AS w
-FROM customer
+
+def _ppoly_query(where: str) -> str:
+    """Shared Spark/DuckDB query text. The predicate pieces: center_in
+    (even-odd ray cast) and bdist (min L1 distance from the diamond
+    center to the polygon boundary). Because the diamond IS the L1 ball
+    of radius w, every polygon-polygon relation reduces to these two:
+    some boundary point lies inside the open diamond ⟺ bdist < w, and
+    with no boundary inside, the diamond is entirely inside or outside
+    by the center's side. This replaces a 24-segment-crossing spelling
+    whose single expression tree grew past janino's 64 KB method limit
+    and silently dropped whole-stage codegen."""
+    return f"""
+SELECT c_custkey, lon, lat, w FROM (
+  SELECT c_custkey, lon, lat, w,
+       {_ray_cast_sql("lon", "lat")} AS center_in,
+       {_l1_boundary_dist_sql()} AS bdist
+  FROM (
+    SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+           CAST({_LAT} AS DOUBLE) AS lat,
+           CAST({_DIAMOND_W} AS DOUBLE) AS w
+    FROM customer
+  )
+  WHERE {_PPOLY_PREFILTER}
+)
+WHERE {where}
 """
 
 
-@query(
-    "filter_spatial_polygon_intersects",
-    oracle=f"""
-SELECT c_custkey, lon, lat, w
-FROM ({_PPOLY_PROJ})
-WHERE {_PPOLY_PREFILTER}
-  AND {_polygon_intersects_sql("lon", "lat", "w")}
-""",
-)
+# intersects: diamond ⊆ polygon (center inside, no boundary within w),
+# polygon boundary enters the diamond (bdist < w — covers boundary
+# crossings AND polygon ⊆ diamond, whose whole boundary is within w),
+# or both. Touching (bdist == w exactly) cannot occur by construction.
+_PPOLY_INTERSECTS = _ppoly_query("center_in OR bdist < w")
+# within: query polygon contains the diamond — center inside and no
+# boundary point closer than the diamond radius.
+_PPOLY_CONTAINS = _ppoly_query("center_in AND bdist > w")
+
+
+@query("filter_spatial_polygon_intersects", oracle=_PPOLY_INTERSECTS)
 def filter_spatial_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: polygon-polygon `esriSpatialRelIntersects` (the reference
     forwards it verbatim, task.ts:410-414) — per-feature diamond
@@ -329,31 +313,17 @@ def filter_spatial_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataF
     row-group prunable), then the O(|edges|²) crossing tests — 24 edge
     pairs here — as pure codegen arithmetic on survivors. For a polygon
     SET on the query side, envelope-bucket-join first and explode the
-    vertex table per candidate pair (never all-pairs)."""
+    vertex table per candidate pair (never all-pairs). The crossing
+    disjunction is projected as three grouped boolean columns so
+    whole-stage codegen can split the generated code across methods
+    (one monolithic expression failed janino compilation and fell back
+    to interpreted evaluation — see _cross_group_cols)."""
     from ..tables import sql_over
 
-    return sql_over(
-        spark,
-        sf_dir,
-        f"""
-SELECT c_custkey, lon, lat, w
-FROM ({_PPOLY_PROJ})
-WHERE {_PPOLY_PREFILTER}
-  AND {_polygon_intersects_sql("lon", "lat", "w")}
-""",
-        ("customer",),
-    )
+    return sql_over(spark, sf_dir, _PPOLY_INTERSECTS, ("customer",))
 
 
-@query(
-    "filter_spatial_polygon_contains",
-    oracle=f"""
-SELECT c_custkey, lon, lat, w
-FROM ({_PPOLY_PROJ})
-WHERE {_PPOLY_PREFILTER}
-  AND {_polygon_contains_sql("lon", "lat", "w")}
-""",
-)
+@query("filter_spatial_polygon_contains", oracle=_PPOLY_CONTAINS)
 def filter_spatial_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: `esriSpatialRelWithin` (feature within the query geometry;
     equivalently the query polygon CONTAINS the feature) — center-in-
@@ -367,14 +337,4 @@ def filter_spatial_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFra
     a trivially-empty result."""
     from ..tables import sql_over
 
-    return sql_over(
-        spark,
-        sf_dir,
-        f"""
-SELECT c_custkey, lon, lat, w
-FROM ({_PPOLY_PROJ})
-WHERE {_PPOLY_PREFILTER}
-  AND {_polygon_contains_sql("lon", "lat", "w")}
-""",
-        ("customer",),
-    )
+    return sql_over(spark, sf_dir, _PPOLY_CONTAINS, ("customer",))
