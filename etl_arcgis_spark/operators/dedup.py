@@ -978,3 +978,68 @@ FROM bucket b LEFT JOIN dropped d ON d.vec_id = b.vec_id
 """,
         ("embeddings",),
     )
+
+
+@query(
+    "dedup_line_level",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ch AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(ws, (i - 1) * 8 + 1, i * 8), ' ')) AS h
+  FROM w, UNNEST(generate_series(1, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1))) AS t(i)
+), first AS (
+  SELECT h, min(doc_id * 100000 + pos) AS fk FROM ch GROUP BY h
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN c.doc_id * 100000 + c.pos = f.fk THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_chunks,
+       round(sum(CASE WHEN c.doc_id * 100000 + c.pos = f.fk THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS keep_ratio
+FROM ch c JOIN first f ON c.h = f.h
+GROUP BY c.doc_id
+""",
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line-level) dedup, C4/RefinedWeb-style: documents
+    split into fixed 8-word spans (the fixture corpus has no newlines,
+    so spans stand in for lines), every span hashed, and only the
+    corpus-wide FIRST occurrence of each span kept — first = smallest
+    (doc_id, pos), encoded as one integer key so both engines agree
+    without a struct-min. Output: per-document span counts and the
+    keep ratio the cleaned rewrite would have.
+
+    Scale shape: explode → hash → groupBy(min) → equi-join back on the
+    16-byte hash — the exact exact-dedup pattern at span granularity;
+    the shuffle carries hashes and integer keys, never text. At 100 TB
+    the first-occurrence rule is what keeps this embarrassingly
+    parallel (no sequential sweep): one partial-min aggregation, one
+    co-partitionable join."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH w AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+), ch AS (
+  SELECT doc_id, pos,
+         md5(array_join(slice(ws, pos * 8 + 1, 8), ' ')) AS h
+  FROM w LATERAL VIEW explode(sequence(0, greatest(CAST(ceil(size(ws) / 8.0) AS INT), 1) - 1)) t AS pos
+), first AS (
+  SELECT h, min(doc_id * 100000 + pos) AS fk FROM ch GROUP BY h
+)
+SELECT c.doc_id,
+       count(1) AS n_chunks,
+       CAST(sum(CASE WHEN c.doc_id * 100000 + c.pos = f.fk THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_chunks,
+       round(sum(CASE WHEN c.doc_id * 100000 + c.pos = f.fk THEN 1 ELSE 0 END)
+             / CAST(count(1) AS DOUBLE), 4) AS keep_ratio
+FROM ch c JOIN first f ON c.h = f.h
+GROUP BY c.doc_id
+""",
+        ("documents",),
+    )
