@@ -309,3 +309,13 @@ def test_semantic_dedup_never_cartesian(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2
+
+
+def test_line_level_dedup_joins_on_hash(spark):
+    """Span dedup must join instances to first-occurrences on the md5
+    hash (equi), never compare text pairwise; the min aggregation must
+    partial-combine below its exchange."""
+    p = plan_of(spark, "dedup_line_level")
+    assert "CartesianProduct" not in p
+    assert "md5" in p
+    assert "partial_min" in p
