@@ -857,10 +857,13 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest vec_ids — deterministic, no RNG), then within each bucket drop
 # any vector whose cosine to a LOWER-id bucket-mate exceeds the
 # near-dup threshold (greedy min-id canonicalization, the set-based
-# approximation of SemDeDup's sequential per-cluster sweep). Cosines
-# are rounded to 4 decimals BEFORE the argmax and the threshold test on
-# both engines, so HOF-vs-unnest summation-order drift cannot flip an
-# assignment or a drop.
+# approximation of SemDeDup's sequential per-cluster sweep). Because
+# the rounded cosine feeds CONTROL decisions (nearest-seed argmax, the
+# 0.45 drop test), rounding alone cannot absorb summation-order drift —
+# the oracle therefore computes the dot product ORDER-IDENTICALLY to
+# Spark's sequential HOF fold via DuckDB list_dot_product over
+# DOUBLE[] (the same parity contract _lsh_oracle proves), and only
+# then rounds.
 
 _SEM_K = 8
 _SEM_DOT = (
@@ -883,48 +886,31 @@ def _sem_cos(a: str, b: str) -> str:
 @query(
     "dedup_semantic_buckets",
     oracle=f"""
-WITH v AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS x
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
-), norms AS (
-  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
 ), seeds AS (
-  SELECT vec_id AS seed_id FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}
-), sv AS (
-  SELECT s.seed_id, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id
+  SELECT vec_id AS seed_id, e AS se, nrm AS snrm
+  FROM n ORDER BY vec_id LIMIT {_SEM_K}
 ), assign AS (
-  SELECT a.vec_id, a.seed_id,
-         round(a.dot / (nv.nrm * ns.nrm), 4) AS cos
-  FROM (
-    SELECT v.vec_id, sv.seed_id, sum(v.x * sv.x) AS dot
-    FROM v JOIN sv ON v.i = sv.i
-    GROUP BY v.vec_id, sv.seed_id
-  ) a
-  JOIN norms nv ON nv.vec_id = a.vec_id
-  JOIN norms ns ON ns.vec_id = a.seed_id
+  SELECT n.vec_id, s.seed_id,
+         round(list_dot_product(n.e, s.se) / (n.nrm * s.snrm), 4) AS cos
+  FROM n CROSS JOIN seeds s
 ), bucket AS (
   SELECT vec_id, seed_id AS bucket FROM (
     SELECT vec_id, seed_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
     FROM assign
   ) WHERE rn = 1
-), pair AS (
-  SELECT bb.vec_id AS hi_id,
-         round(p.dot / (na.nrm * nb.nrm), 4) AS cos
-  FROM (
-    SELECT ba.vec_id AS id_a, bb.vec_id AS id_b, sum(va.x * vb.x) AS dot
-    FROM bucket ba
-    JOIN bucket bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
-    JOIN v va ON va.vec_id = ba.vec_id
-    JOIN v vb ON vb.vec_id = bb.vec_id AND vb.i = va.i
-    GROUP BY ba.vec_id, bb.vec_id
-  ) p
-  JOIN bucket bb ON bb.vec_id = p.id_b
-  JOIN norms na ON na.vec_id = p.id_a
-  JOIN norms nb ON nb.vec_id = p.id_b
+), eb AS (
+  SELECT b.vec_id, b.bucket, n.e, n.nrm
+  FROM bucket b JOIN n ON n.vec_id = b.vec_id
 ), dropped AS (
-  SELECT DISTINCT hi_id AS vec_id FROM pair WHERE cos > 0.45
+  SELECT DISTINCT hi.vec_id
+  FROM eb hi JOIN eb lo ON hi.bucket = lo.bucket AND lo.vec_id < hi.vec_id
+  WHERE round(list_dot_product(hi.e, lo.e) / (hi.nrm * lo.nrm), 4) > 0.45
 )
 SELECT b.vec_id, b.bucket, (d.vec_id IS NULL) AS kept
 FROM bucket b LEFT JOIN dropped d ON d.vec_id = b.vec_id

@@ -306,18 +306,22 @@ _PPOLY_CONTAINS = _ppoly_query("center_in AND bdist > w")
 def filter_spatial_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: polygon-polygon `esriSpatialRelIntersects` (the reference
     forwards it verbatim, task.ts:410-414) — per-feature diamond
-    polygons against a fixed non-convex query polygon, decided by exact
-    segment-crossing + representative-point containment arithmetic.
+    polygons against a fixed non-convex query polygon, decided by the
+    L1-ball distance formulation: a feature diamond (an L1 ball of
+    radius w) intersects the polygon iff its center lies inside the
+    polygon OR the min L1 distance from the center to the polygon
+    boundary is < w (`center_in OR bdist < w` — see _ppoly_query,
+    whose docstring derives both predicates).
 
     Scale shape: constant-bound envelope prefilter first (sargable,
-    row-group prunable), then the O(|edges|²) crossing tests — 24 edge
-    pairs here — as pure codegen arithmetic on survivors. For a polygon
-    SET on the query side, envelope-bucket-join first and explode the
-    vertex table per candidate pair (never all-pairs). The crossing
-    disjunction is projected as three grouped boolean columns so
-    whole-stage codegen can split the generated code across methods
-    (one monolithic expression failed janino compilation and fell back
-    to interpreted evaluation — see _cross_group_cols)."""
+    row-group prunable), then per-edge point-to-segment L1 distances —
+    a fixed |edges|-term min — as pure codegen arithmetic on survivors.
+    For a polygon SET on the query side, envelope-bucket-join first and
+    explode the vertex table per candidate pair (never all-pairs). An
+    earlier O(|edges|²) segment-crossing spelling produced one
+    monolithic expression that blew janino's 64 KB method limit and
+    silently fell back to interpreted evaluation; the L1-ball spelling
+    keeps the predicate inside whole-stage codegen."""
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _PPOLY_INTERSECTS, ("customer",))

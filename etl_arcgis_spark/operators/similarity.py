@@ -80,19 +80,30 @@ def _right_strip(sf_dir: str):
     the strip argument is a file list covering one column strip of the
     tiled product; each strip loop iteration is this same function over
     a different file set.
+
+    The memo key includes the parquet file's (mtime_ns, size): long-
+    lived reused workers must not serve a stale matrix after the file
+    is regenerated in place (fixture refresh between rounds).
     """
-    if sf_dir in _STRIP_MEMO:
-        return _STRIP_MEMO[sf_dir]
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key in _STRIP_MEMO:
+        return _STRIP_MEMO[key]
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
     order = np.argsort(ids)
     ids = ids[order]
     m = np.stack(t["embedding"].to_pandas().to_numpy()[order]).astype("float64")
     m /= np.linalg.norm(m, axis=1, keepdims=True)
-    _STRIP_MEMO[sf_dir] = (ids, m)
+    for stale in [k for k in _STRIP_MEMO if k[0] == path]:
+        del _STRIP_MEMO[stale]  # drop superseded generations of this file
+    _STRIP_MEMO[key] = (ids, m)
     return ids, m
 
 

@@ -64,8 +64,12 @@ def _verified_names() -> set[str]:
     the driver checks only the first 50 registrations per round, so
     :func:`all_queries` pushes already-verified names to the back and
     never-checked ones to the front."""
-    done: set[str] = set()
-    failed: set[str] = set()
+    # Latest driver status per name wins: rounds are processed in
+    # order (sorted r01 < r02 < ...), so a green row in r02 followed by
+    # an ERROR in r03 demotes the name back into the front tier for
+    # re-verification (it would otherwise hide past the first-50 window
+    # forever).
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -79,16 +83,14 @@ def _verified_names() -> set[str]:
                 continue
             err = r.get("err")
             if err is None and r.get("hash_match"):
-                done.add(name)
-                failed.discard(name)
+                latest[name] = True
             elif err == "no_oracle" and r.get("spark_rows") is not None:
-                done.add(name)
-                failed.discard(name)
-            elif name not in done:
-                failed.add(name)
+                latest[name] = True
+            else:
+                latest[name] = False
     _FAILED_LAST.clear()
-    _FAILED_LAST.update(failed)
-    return done
+    _FAILED_LAST.update(n for n, ok in latest.items() if not ok)
+    return {n for n, ok in latest.items() if ok}
 
 
 # Names whose most recent driver row was an ERROR / mismatch — refreshed

@@ -11,9 +11,10 @@ Scale design:
   row counts — the write side of maxPartitionBytes reasoning;
 - compaction is one job: scan (vectorized, whole files) ->
   round-robin repartition -> write. No driver-side file juggling;
-- writes go to a fresh directory + atomic-rename contract (same
+- writes go to a fresh directory + rename-swap contract (same
   tmp->commit discipline as the arcgis_sim sink) so readers never see
-  a half-compacted table.
+  a half-compacted table; the two-rename window is crash-healed by
+  recover_swap on next entry.
 """
 
 from __future__ import annotations
@@ -55,17 +56,24 @@ def compact_parquet(
     min/max column statistics become selective again after compaction:
     row-group pruning is only as good as the data layout.
 
+    The swap is two renames (retire old, promote stage) — NOT a single
+    atomic op. A crash between them leaves no out_dir; the next call
+    (or :func:`recover_swap` directly) heals it by promoting the staged
+    or retired sibling, so readers lose at most the window between the
+    renames, never the table.
+
     Returns the compacted DataFrame (re-read from out_dir)."""
     import shutil
 
+    recover_swap(out_dir)
     n = plan_target_files(in_dir, target_file_mb)
     df = spark.read.parquet(in_dir)
     out = df.repartition(n)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    # write to a staging sibling, then atomic-rename into place — a
-    # concurrent reader of out_dir sees either the old table or the new
-    # one, never a half-written directory
+    # write to a staging sibling, then rename into place — a concurrent
+    # reader of out_dir sees either the old table or the new one, never
+    # a half-written directory (the swap window is healed on next entry)
     stage = out_dir.rstrip("/") + "._staging"
     shutil.rmtree(stage, ignore_errors=True)
     out.write.mode("overwrite").parquet(stage)
@@ -76,6 +84,31 @@ def compact_parquet(
     os.rename(stage, out_dir)
     shutil.rmtree(retired, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+def recover_swap(out_dir: str) -> str | None:
+    """Heal :func:`compact_parquet`'s two-rename swap window: if
+    ``out_dir`` is missing but its ``._staging`` (complete, with a
+    ``_SUCCESS`` marker) or ``._retired`` sibling exists, promote it —
+    staging preferred (it is the newly compacted copy of the same rows).
+    Sweeps leftover siblings. Returns the promoted path, or None."""
+    import shutil
+
+    stage = out_dir.rstrip("/") + "._staging"
+    retired = out_dir.rstrip("/") + "._retired"
+    promoted: str | None = None
+    if not os.path.isdir(out_dir):
+        candidates = []
+        if os.path.isdir(stage) and os.path.isfile(os.path.join(stage, "_SUCCESS")):
+            candidates.append(stage)
+        if os.path.isdir(retired):
+            candidates.append(retired)
+        if candidates:
+            os.rename(candidates[0], out_dir)
+            promoted = candidates[0]
+    for d in (stage, retired):
+        shutil.rmtree(d, ignore_errors=True)
+    return promoted
 
 
 def write_bucketed(

@@ -12,6 +12,7 @@ queries use the same expressions).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -172,16 +173,18 @@ def upsert_sink(stream: DataFrame, target_dir: str) -> Any:
 
     Per batch: rank-1 the batch per key, union with the current target
     state, rank-1 again (one shuffle on the key), write the merged
-    state to a staging directory and atomically rename it into place —
-    readers of ``{target_dir}/current`` always see a complete table.
+    state to a staging directory and rename it into place. The swap is
+    two renames (retire current, promote stage), NOT one atomic op: a
+    crash between them leaves no ``current``. :func:`recover_upsert_state`
+    runs at every merge entry and heals that window — it promotes the
+    newest complete ``_stage_`` dir (strictly newer state: the merged
+    batch was fully written before the swap began), else the newest
+    ``_retired_`` dir — so accumulated keyed state is never discarded.
     Nothing is ever collected to the driver, so both the batch and the
     accumulated keyed state are unbounded. On a lakehouse table format
     the same merge is ``MERGE INTO`` (row-level update); plain parquet
     needs rewrite-and-swap.
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
     cur_dir = os.path.join(target_dir, "current")
@@ -195,7 +198,10 @@ def upsert_sink(stream: DataFrame, target_dir: str) -> Any:
         )
 
     def merge(batch_df: DataFrame, epoch: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
+        recover_upsert_state(target_dir)
         latest = _rank1(batch_df.withColumn("us", F.unix_micros("ts")))
         if os.path.isdir(cur_dir):
             latest = _rank1(spark.read.parquet(cur_dir).unionByName(latest))
@@ -208,6 +214,49 @@ def upsert_sink(stream: DataFrame, target_dir: str) -> Any:
         shutil.rmtree(retired, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def recover_upsert_state(target_dir: str) -> str | None:
+    """Heal :func:`upsert_sink`'s two-rename swap window.
+
+    If ``{target_dir}/current`` is missing but a ``_stage_{epoch}`` or
+    ``_retired_{epoch}`` sibling exists, promote the best candidate to
+    ``current``: the newest *complete* stage (has Spark's ``_SUCCESS``
+    marker — it holds the already-merged state, strictly newer than any
+    retired dir), else the newest retired dir (the pre-crash state; the
+    interrupted batch replays from the stream's checkpoint). Leftover
+    stage/retired dirs are swept either way. Returns the directory that
+    was promoted, or None if no recovery was needed/possible."""
+    import glob
+    import shutil
+
+    cur_dir = os.path.join(target_dir, "current")
+
+    def _by_epoch(prefix: str) -> list[str]:
+        out = []
+        for d in glob.glob(os.path.join(target_dir, prefix + "*")):
+            if not os.path.isdir(d):
+                continue
+            try:
+                out.append((int(os.path.basename(d)[len(prefix):]), d))
+            except ValueError:
+                continue
+        return [d for _ep, d in sorted(out, reverse=True)]
+
+    promoted: str | None = None
+    if not os.path.isdir(cur_dir):
+        complete_stages = [
+            d for d in _by_epoch("_stage_")
+            if os.path.isfile(os.path.join(d, "_SUCCESS"))
+        ]
+        for d in complete_stages + _by_epoch("_retired_"):
+            os.rename(d, cur_dir)
+            promoted = d
+            break
+    for prefix in ("_stage_", "_retired_"):
+        for d in _by_epoch(prefix):
+            shutil.rmtree(d, ignore_errors=True)
+    return promoted
 
 
 def stream_stream_click_purchase_join(

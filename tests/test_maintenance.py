@@ -47,3 +47,35 @@ def test_compaction_sort_within_restores_rowgroup_locality(spark, tmp_path):
         vals = [r["user_id"] for r in part]
         assert vals == sorted(vals)
     assert got.count() == ev.count()
+
+
+def test_recover_swap_promotes_staging_then_sweeps(tmp_path):
+    """Crash between compact_parquet's two renames: the complete
+    ._staging sibling is promoted to out_dir; leftovers swept."""
+    import os
+
+    from etl_arcgis_spark.sources.maintenance import recover_swap
+
+    out = str(tmp_path / "tbl")
+    os.makedirs(out + "._staging")
+    open(out + "._staging/_SUCCESS", "w").close()
+    os.makedirs(out + "._retired")
+    promoted = recover_swap(out)
+    assert promoted == out + "._staging"
+    assert os.path.isfile(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(out + "._retired")
+
+
+def test_recover_swap_incomplete_staging_uses_retired(tmp_path):
+    import os
+
+    from etl_arcgis_spark.sources.maintenance import recover_swap
+
+    out = str(tmp_path / "tbl")
+    os.makedirs(out + "._staging")  # no _SUCCESS: crashed mid-write
+    os.makedirs(out + "._retired")
+    open(out + "._retired/old.parquet", "w").close()
+    promoted = recover_swap(out)
+    assert promoted == out + "._retired"
+    assert os.path.isfile(os.path.join(out, "old.parquet"))
+    assert not os.path.exists(out + "._staging")

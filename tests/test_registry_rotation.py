@@ -58,6 +58,25 @@ def test_later_round_green_clears_earlier_error(monkeypatch, tmp_path):
     assert names.index("join_inner_equi") > len(names) - 60
 
 
+def test_later_round_error_demotes_earlier_green(monkeypatch, tmp_path):
+    # green in r01, driver ERROR in r02 -> the regression must re-enter
+    # the front of the queue (latest status wins), not hide in the
+    # verified tail forever.
+    names = _ordered_names(
+        monkeypatch,
+        tmp_path,
+        {
+            "CORRECTNESS_r01.json": {
+                "join_inner_equi": {"hash_match": True, "err": None, "spark_rows": 9}
+            },
+            "CORRECTNESS_r02.json": {
+                "join_inner_equi": {"hash_match": None, "err": "boom", "spark_rows": None}
+            },
+        },
+    )
+    assert names[0] == "join_inner_equi"
+
+
 def test_no_correctness_files_preserves_priority_order(monkeypatch, tmp_path):
     names = _ordered_names(monkeypatch, tmp_path, {})
     assert names[0].startswith("scan_")  # contract families lead

@@ -150,3 +150,75 @@ def test_stream_static_enrich_matches_batch_join(spark, events_dir):
     assert got == want and got
     # unmatched keys really flowed through with defaults
     assert any(v == ("unknown", 0) for v in got.values())
+
+
+def test_recover_upsert_state_prefers_complete_stage(tmp_path):
+    """Crash window between the two swap renames: a complete _stage_
+    (with _SUCCESS) holds the already-merged state and must win over
+    the retired pre-crash state; leftovers are swept either way."""
+    import os
+
+    t = tmp_path / "tgt"
+    for d, marker in [("_retired_3", "old.parquet"), ("_stage_4", "_SUCCESS")]:
+        (t / d).mkdir(parents=True)
+        (t / d / marker).write_text("x")
+    promoted = P.recover_upsert_state(str(t))
+    assert promoted and promoted.endswith("_stage_4")
+    assert os.path.isfile(t / "current" / "_SUCCESS")
+    assert not os.path.exists(t / "_retired_3") and not os.path.exists(t / "_stage_4")
+
+
+def test_recover_upsert_state_falls_back_to_newest_retired(tmp_path):
+    """An INCOMPLETE stage (no _SUCCESS — crash mid-write) must be
+    discarded, not promoted; the newest retired dir is the state."""
+    import os
+
+    t = tmp_path / "tgt"
+    for d in ["_retired_2", "_retired_5", "_stage_6"]:
+        (t / d).mkdir(parents=True)
+        (t / d / "data.parquet").write_text(d)
+    promoted = P.recover_upsert_state(str(t))
+    assert promoted and promoted.endswith("_retired_5")
+    assert (t / "current" / "data.parquet").read_text() == "_retired_5"
+    assert not os.path.exists(t / "_stage_6")
+
+
+def test_recover_upsert_state_noop_when_current_exists(tmp_path):
+    import os
+
+    t = tmp_path / "tgt"
+    (t / "current").mkdir(parents=True)
+    (t / "current" / "keep.parquet").write_text("keep")
+    (t / "_retired_9").mkdir()
+    assert P.recover_upsert_state(str(t)) is None
+    assert (t / "current" / "keep.parquet").read_text() == "keep"
+    assert not os.path.exists(t / "_retired_9")  # litter swept
+
+
+def test_upsert_sink_recovers_state_after_simulated_crash(spark, events_dir, tmp_path):
+    """End-to-end: accumulate state, simulate the crash window (current
+    renamed to _retired_, no promote), run another batch — the merged
+    result must still contain the pre-crash state, not just the batch."""
+    import os
+
+    target = str(tmp_path / "upsert_target")
+    stream = P.read_events_stream(spark, events_dir)
+    q = P.upsert_sink(stream, target).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    want = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{target}/current").collect()
+    }
+    # crash simulation: retire current without promoting any stage
+    os.rename(f"{target}/current", f"{target}/_retired_99")
+    q2 = (
+        P.upsert_sink(P.read_events_stream(spark, events_dir), target)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{target}/current").collect()
+    }
+    assert got == want and len(got) > 0
