@@ -342,3 +342,160 @@ def filter_spatial_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFra
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _PPOLY_CONTAINS, ("customer",))
+
+
+# --- B11 tail: the remaining named `spatialRel` values a reference
+# user can pass (the reference forwards any esriSpatialRel* verbatim,
+# task.ts:410-414). Touches/overlaps are decided on ENVELOPE geometry
+# pairs, where both relations have exact interval arithmetic: feature
+# envelope [lon-w, lon+w] x [lat-w, lat+w] (half-integer centers,
+# w in {0.5, 1.0, 1.5} — all dyadic doubles, so every bound and every
+# equality below is EXACT in IEEE arithmetic on both engines) against
+# a fixed integer-bound query envelope.
+_ENV_W = "0.5 + (c_custkey % 3) * 0.5"
+_ENV_Q = (-100.0, 50.0, -50.0, 40.0)  # lon_lo, lon_hi, lat_lo, lat_hi
+
+
+def _env_rel_query(where: str) -> str:
+    qx0, qx1, qy0, qy1 = _ENV_Q
+    return f"""
+SELECT c_custkey, lon, lat, w FROM (
+  SELECT c_custkey, lon, lat, w,
+         (lon - w <= {qx1} AND lon + w >= {qx0}
+          AND lat - w <= {qy1} AND lat + w >= {qy0}) AS closure_meet,
+         (lon - w < {qx1} AND lon + w > {qx0}
+          AND lat - w < {qy1} AND lat + w > {qy0}) AS interior_meet,
+         (lon - w >= {qx0} AND lon + w <= {qx1}
+          AND lat - w >= {qy0} AND lat + w <= {qy1}) AS a_in_q,
+         ({qx0} >= lon - w AND {qx1} <= lon + w
+          AND {qy0} >= lat - w AND {qy1} <= lat + w) AS q_in_a
+  FROM (
+    SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+           CAST({_LAT} AS DOUBLE) AS lat,
+           CAST({_ENV_W} AS DOUBLE) AS w
+    FROM customer
+  )
+)
+WHERE {where}
+"""
+
+
+_ENV_TOUCHES = _env_rel_query("closure_meet AND NOT interior_meet")
+_ENV_OVERLAPS = _env_rel_query("interior_meet AND NOT a_in_q AND NOT q_in_a")
+
+
+@query("filter_spatial_envelope_touches", oracle=_ENV_TOUCHES)
+def filter_spatial_envelope_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: `esriSpatialRelTouches` — boundaries intersect, interiors
+    do not. For two envelopes that is pure interval arithmetic:
+    closures meet (non-strict interval overlap on both axes) while
+    interiors do not (strict overlap fails on at least one axis) —
+    i.e. the envelopes share only an edge segment or a corner. Every
+    coordinate here is a dyadic double, so the boundary equalities the
+    relation hinges on are exact, not epsilon-tolerant.
+
+    Scale shape: both conjuncts are conjunctions of constant-bound
+    comparisons on lon/lat/w — fully sargable, row-group prunable, and
+    evaluated inside whole-stage codegen; no join, no shuffle."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _ENV_TOUCHES, ("customer",))
+
+
+@query("filter_spatial_envelope_overlaps", oracle=_ENV_OVERLAPS)
+def filter_spatial_envelope_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: `esriSpatialRelOverlaps` — interiors intersect but neither
+    geometry contains the other (same dimension on both sides, per the
+    DE-9IM definition for area/area pairs). Interval arithmetic again:
+    strict interval overlap on both axes, minus the two containment
+    cases. Same sargable, join-free scale shape as the touches twin."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _ENV_OVERLAPS, ("customer",))
+
+
+# esriSpatialRelCrosses: a POLYLINE feature vs the query POLYGON. The
+# feature is the segment from (lon, lat) to (lon+3.3, lat+2.6); for a
+# line against an area, `crosses` holds iff the line passes from the
+# polygon's exterior into its interior, i.e. the segment PROPERLY
+# crosses at least one boundary edge. Proper crossing of segments PQ
+# and AB is the classic orientation-sign test: the endpoints of each
+# segment lie strictly on opposite sides of the other's supporting
+# line. The (3.3, 2.6) offset is chosen so that over the ENTIRE
+# reachable coordinate grid (360x160 half-integer centers) no
+# orientation determinant is 0 and the smallest magnitude is 0.02 —
+# twelve orders above double rounding error — so every sign decision
+# is robust and identical on both engines (verified exhaustively at
+# build time; see tests/test_plans.py spatial section).
+_SEG_DX, _SEG_DY = 3.3, 2.6
+
+
+def _seg_cross_count_sql() -> str:
+    """Number of polygon edges the feature segment properly crosses,
+    as one shared SQL string. orient(U,V,W) = (Vx-Ux)(Wy-Uy)-(Vy-Uy)(Wx-Ux);
+    PQ crosses AB iff orient(P,Q,A)*orient(P,Q,B) < 0 AND
+    orient(A,B,P)*orient(A,B,Q) < 0."""
+    px, py = "lon", "lat"
+    qx, qy = f"(lon + {_SEG_DX})", f"(lat + {_SEG_DY})"
+    terms = []
+    n = len(_POLYGON)
+    for i in range(n):
+        ax, ay = _POLYGON[i]
+        bx, by = _POLYGON[(i + 1) % n]
+
+        def orient(ux, uy, vx, vy, wx, wy) -> str:
+            return (
+                f"(({vx} - {ux}) * ({wy} - {uy}) - ({vy} - {uy}) * ({wx} - {ux}))"
+            )
+
+        o1 = orient(px, py, qx, qy, repr(ax), repr(ay))
+        o2 = orient(px, py, qx, qy, repr(bx), repr(by))
+        o3 = orient(repr(ax), repr(ay), repr(bx), repr(by), px, py)
+        o4 = orient(repr(ax), repr(ay), repr(bx), repr(by), qx, qy)
+        terms.append(
+            f"(CASE WHEN {o1} * {o2} < 0 AND {o3} * {o4} < 0 THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# sargable prefilter: the segment's bbox must meet the polygon envelope
+_CROSS_PREFILTER = (
+    f"lon BETWEEN {_PIP_ENV_LON[0]} - {_SEG_DX} AND {_PIP_ENV_LON[1]} "
+    f"AND lat BETWEEN {_PIP_ENV_LAT[0]} - {_SEG_DY} AND {_PIP_ENV_LAT[1]}"
+)
+
+_SEG_CROSSES = f"""
+SELECT c_custkey, lon, lat, n_crossings FROM (
+  SELECT c_custkey, lon, lat,
+         CAST({_seg_cross_count_sql()} AS BIGINT) AS n_crossings
+  FROM (
+    SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+           CAST({_LAT} AS DOUBLE) AS lat
+    FROM customer
+  )
+  WHERE {_CROSS_PREFILTER}
+)
+WHERE n_crossings > 0
+"""
+
+
+@query("filter_spatial_polygon_crosses", oracle=_SEG_CROSSES)
+def filter_spatial_polygon_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: `esriSpatialRelCrosses` — a polyline feature (a fixed-
+    offset segment per row) crosses the query polygon iff it properly
+    crosses at least one boundary edge (passes exterior -> interior).
+    Decided by orientation-sign determinants — six edge tests, each
+    four 2x2 determinants — emitted as ONE SQL string shared with the
+    oracle so both engines evaluate the identical IEEE expression tree.
+    Also returns the crossing count (a polyline can enter and leave a
+    non-convex polygon several times), which the differential check
+    validates cell-by-cell.
+
+    Scale shape: constant-bound bbox prefilter first (sargable, prunes
+    at scan), then O(|edges|) determinant arithmetic on survivors in
+    whole-stage codegen — the same envelope-then-exact discipline as
+    every other spatial predicate here. For a polygon SET, bucket-join
+    envelopes first; never all-pairs."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _SEG_CROSSES, ("customer",))

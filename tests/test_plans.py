@@ -319,3 +319,93 @@ def test_line_level_dedup_joins_on_hash(spark):
     assert "CartesianProduct" not in p
     assert "md5" in p
     assert "partial_min" in p
+
+
+def test_geodesic_join_is_blocked_equi_join(spark):
+    """join_geodesic_distance: 27-neighborhood 3D-grid blocking must
+    plan as an equi-join on the cell ids — never a cartesian/BNLJ —
+    and the chord^2 verification rides the join condition."""
+    p = plan_of(spark, "join_geodesic_distance")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "cxa" in p and "cxb" in p  # cell-id equi keys
+    assert "BatchEvalPython" not in p  # pure codegen arithmetic
+
+
+def test_spatial_predicate_filters_stay_scan_side(spark):
+    """touches/overlaps/crosses: join-free single-scan plans with the
+    constant-bound prefilter pushed at the scan."""
+    for name in (
+        "filter_spatial_envelope_touches",
+        "filter_spatial_envelope_overlaps",
+        "filter_spatial_polygon_crosses",
+    ):
+        p = plan_of(spark, name)
+        assert "Join" not in p and "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_geodesic_polynomials_match_libm():
+    """The shared-text sin/cos/asin polynomials (joins.py) vs numpy:
+    max abs error far below the 1e-4 output rounding; and the crosses
+    orientation determinants are nonzero over the ENTIRE reachable
+    coordinate grid (no sign decision within 12 orders of float
+    error)."""
+    import math
+
+    import numpy as np
+
+    from etl_arcgis_spark.operators import filters as FL
+    from etl_arcgis_spark.operators import joins as J
+
+    # the Horner SQL strings are valid Python expressions — evaluate
+    # them directly against float scalars
+    xs = np.linspace(-math.pi, math.pi, 20001)
+    cosv = np.array([eval(J._cosp("x"), {"x": float(v)}) for v in xs])
+    sinv = np.array([eval(J._sinp("x"), {"x": float(v)}) for v in xs])
+    assert np.max(np.abs(cosv - np.cos(xs))) < 1e-10
+    assert np.max(np.abs(sinv - np.sin(xs))) < 1e-10
+    zs = np.linspace(0.0, 0.08, 2001)
+    asv = np.array([eval(J._asinp("z"), {"z": float(v)}) for v in zs])
+    assert np.max(np.abs(asv - np.arcsin(zs))) < 1e-12
+
+    # crosses degeneracy sweep: all 360x160 centers, all 6 edges
+    lons = np.arange(-180, 180) + 0.5
+    lats = np.arange(-80, 80) + 0.5
+    P = np.array(np.meshgrid(lons, lats)).reshape(2, -1).T
+    Q = P + np.array([FL._SEG_DX, FL._SEG_DY])
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    min_nonzero = np.inf
+    n_zero = 0
+    poly = FL._POLYGON
+    for i in range(len(poly)):
+        A, B = poly[i], poly[(i + 1) % len(poly)]
+        for o in (
+            orient(P[:, 0], P[:, 1], Q[:, 0], Q[:, 1], A[0], A[1]),
+            orient(P[:, 0], P[:, 1], Q[:, 0], Q[:, 1], B[0], B[1]),
+            orient(A[0], A[1], B[0], B[1], P[:, 0], P[:, 1]),
+            orient(A[0], A[1], B[0], B[1], Q[:, 0], Q[:, 1]),
+        ):
+            n_zero += int(np.sum(o == 0.0))
+            min_nonzero = min(min_nonzero, np.min(np.abs(o[o != 0.0])))
+    assert n_zero == 0 and min_nonzero > 1e-2
+
+
+def test_geodesic_units_param():
+    """geodesic_distance_join: esriSRUnit_* conversions line up (500 km
+    == 500000 m == the same pair set), unknown units raise."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_arcgis_spark.operators.joins import _geo_params
+
+    eps_km, d_km = _geo_params(500.0, "esriSRUnit_Kilometer")
+    eps_m, d_m = _geo_params(500_000.0, "esriSRUnit_Meter")
+    assert d_km == d_m == 500.0 and eps_km == eps_m
+    eps_mi, d_mi = _geo_params(100.0, "esriSRUnit_StatuteMile")
+    assert math.isclose(d_mi, 160.9344)
+    with _pytest.raises(KeyError):
+        _geo_params(1.0, "esriSRUnit_Bogus")
