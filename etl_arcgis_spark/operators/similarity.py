@@ -76,10 +76,10 @@ def _right_strip(sf_dir: str):
     the embeddings parquet itself (columnar pyarrow read, vec_id-sorted,
     row-normalized). Nothing flows through the driver — the r01 design
     built this matrix with a driver toPandas()+broadcast, which OOMs the
-    driver long before the executors are busy at cluster SF. At 100 TB
-    the strip argument is a file list covering one column strip of the
-    tiled product; each strip loop iteration is this same function over
-    a different file set.
+    driver long before the executors are busy at cluster SF. When the
+    right matrix outgrows one worker, use the tiled decomposition —
+    tiled_cosine_topk/_strip_slice below — which loads one bounded
+    vec_id-range strip per task instead of the whole matrix.
 
     The memo key includes the parquet file's (mtime_ns, size): long-
     lived reused workers must not serve a stale matrix after the file
@@ -162,6 +162,144 @@ def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def _vec_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max+1) of vec_id from parquet FOOTER statistics only — the
+    driver never reads data pages, so this stays O(row groups) at any
+    table size."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+    lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+    hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+    return int(lo), int(hi) + 1
+
+
+def _strip_slice(path: str, lo: int, hi: int):
+    """One column strip of the right matrix: rows with vec_id in
+    [lo, hi), loaded executor-side with a pyarrow predicate (row-group
+    pruning via footer stats when the file is id-clustered). Memoized
+    per worker per (file generation, strip) — the strip analogue of
+    _right_strip."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size, lo, hi)
+    if key in _STRIP_MEMO:
+        return _STRIP_MEMO[key]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", lo), ("vec_id", "<", hi)],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(t["embedding"].to_pandas().to_numpy()[order]).astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    _STRIP_MEMO[key] = (ids, m)
+    return ids, m
+
+
+def tiled_cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    n_strips: int = 4,
+    n_blocks: int = 4,
+    audit: bool = False,
+) -> DataFrame:
+    """The tiled form of the blocked GEMM — the 100 TB spelling that
+    sim_cosine_topk_pairs' docstring promises. The right matrix is
+    partitioned into ``n_strips`` disjoint vec_id-range strips (bounds
+    from parquet footer stats; at warehouse scale each strip is a file
+    list); the left side is partitioned into ``n_blocks`` row blocks
+    and replicated once per strip. Each (block, strip) tile is ONE
+    applyInPandas task: it Arrow-receives its left block and loads
+    ONLY its strip (_strip_slice — a filtered columnar read, never the
+    full matrix), runs block @ stripᵀ, and keeps a local top-k with
+    the same 1e-4 tie-safety slack as the un-tiled operator. Tiles
+    cover disjoint (id_a, id_b) rectangles, so the union's global
+    TakeOrderedAndProject top-k equals the un-tiled result exactly.
+
+    Memory per task is |block| + |strip| rows — BOTH knobs bounded, so
+    the operator scales to a right matrix that no longer fits one
+    worker (the failure mode the un-tiled _right_strip would hit).
+    The n_strips× left replication is the standard tiled outer loop
+    cost; at 100 TB pick n_strips = right_bytes / worker_budget.
+
+    ``audit=True`` appends each tile's loaded-strip row count
+    (n_right_loaded) so tests can assert no task read more than one
+    strip's worth of the right matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    vlo, vhi = _vec_id_bounds(path)
+    span = -(-(vhi - vlo) // n_strips)
+    bounds = [(vlo + i * span, min(vlo + (i + 1) * span, vhi)) for i in range(n_strips)]
+
+    out_schema = "id_a bigint, id_b bigint, cosine_raw double"
+    if audit:
+        out_schema += ", n_right_loaded bigint"
+
+    def tile_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _block, strip = key
+        lo, hi = bounds[int(strip)]
+        b_ids, b_m = _strip_slice(path, lo, hi)
+        a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        a_ids = pdf["vec_id"].to_numpy()
+        s = a @ b_m.T
+        rows, cols = np.where(a_ids[:, None] < b_ids[None, :])
+        if len(rows) == 0:
+            empty = {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine_raw": np.array([], dtype=np.float64),
+            }
+            if audit:
+                empty["n_right_loaded"] = np.array([], dtype=np.int64)
+            return pd.DataFrame(empty)
+        cos = s[rows, cols]
+        if len(cos) > k:
+            thr = np.partition(cos, -k)[-k] - 1e-4  # tie-safe slack
+            keep = cos >= thr
+            rows, cols, cos = rows[keep], cols[keep], cos[keep]
+        out = {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": cos}
+        if audit:
+            out["n_right_loaded"] = np.full(len(cos), len(b_ids))
+        return pd.DataFrame(out)
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % n_blocks).alias("block"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_strips - 1))).alias("strip"),
+    )
+    local = e.groupBy("block", "strip").applyInPandas(tile_topk, schema=out_schema)
+    keep_cols = ["id_a", "id_b", r4(F.col("cosine_raw")).alias("cosine")]
+    if audit:
+        keep_cols.append("n_right_loaded")
+    return (
+        local.select(*keep_cols)
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )
+
+
+@query("sim_cosine_topk_tiled", oracle=_ORACLE_PAIRS)
+def sim_cosine_topk_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 tiled spelling: identical semantics (and oracle) as
+    sim_cosine_topk_pairs, via the bounded-memory (block, strip) tile
+    decomposition of tiled_cosine_topk."""
+    return tiled_cosine_topk(spark, sf_dir, k=20)
 
 
 @query("sim_cosine_pairs_hof", oracle=_ORACLE_PAIRS)

@@ -137,3 +137,49 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
     plain = {(r["n"], r["s"]) for r in skewed_join().collect()}
     assert split == plain
+
+
+def test_tiled_cosine_topk_equals_untiled_at_sf01(spark):
+    """The (block, strip) tile decomposition returns EXACTLY the
+    un-tiled blocked-GEMM top-20 at sf0.1, and — via the audit column —
+    no task materialized more than one strip's worth of the right
+    matrix (the bounded-memory claim the tiling exists for)."""
+    from etl_arcgis_spark.operators.similarity import (
+        _vec_id_bounds,
+        sim_cosine_topk_pairs,
+        tiled_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    want = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in sim_cosine_topk_pairs(spark, sf).collect()
+    ]
+    n_strips = 4
+    audited = tiled_cosine_topk(spark, sf, k=20, n_strips=n_strips, audit=True).collect()
+    got = [(r["id_a"], r["id_b"], r["cosine"]) for r in audited]
+    assert got == want and len(got) == 20
+
+    vlo, vhi = _vec_id_bounds(f"{sf}/embeddings.parquet")
+    strip_cap = -(-(vhi - vlo) // n_strips)
+    loaded = {r["n_right_loaded"] for r in audited}
+    assert loaded and max(loaded) <= strip_cap  # never the full matrix
+
+
+def test_tiled_strip_slice_reads_only_the_strip():
+    """_strip_slice honors its [lo, hi) bounds and memoizes per strip."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.similarity import _strip_slice, _vec_id_bounds
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    vlo, vhi = _vec_id_bounds(path)
+    mid = (vlo + vhi) // 2
+    ids_a, m_a = _strip_slice(path, vlo, mid)
+    ids_b, m_b = _strip_slice(path, mid, vhi)
+    assert ids_a.max() < mid <= ids_b.min()
+    assert len(ids_a) + len(ids_b) == vhi - vlo
+    assert np.allclose(np.linalg.norm(m_a, axis=1), 1.0)
+    # memo hit returns the identical arrays
+    ids_a2, _ = _strip_slice(path, vlo, mid)
+    assert ids_a2 is ids_a
