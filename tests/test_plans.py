@@ -409,3 +409,19 @@ def test_geodesic_units_param():
     assert math.isclose(d_mi, 160.9344)
     with _pytest.raises(KeyError):
         _geo_params(1.0, "esriSRUnit_Bogus")
+
+
+def test_subqueries_decorrelate_to_set_joins(spark):
+    """The correlated-subquery family must plan as set-based joins
+    (decorrelation), never per-row subplan execution or a cartesian."""
+    p = plan_of(spark, "subq_exists_correlated")
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    p = plan_of(spark, "subq_not_exists_argmax")
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    p = plan_of(spark, "subq_scalar_correlated")
+    # aggregate-then-join, not a per-row subquery node
+    assert "HashAggregate" in p and "Join" in p and "CartesianProduct" not in p
+    p = plan_of(spark, "subq_in_uncorrelated")
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    p = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
