@@ -153,6 +153,32 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     floor_query = round(statistics.median(floor_runs), 4)
 
+    # Python-stage dispatch floor (INFORMATIONAL — deliberately NOT fed
+    # into the adjusted ratios): a trivial 1-row mapInPandas through a
+    # warm reused worker. Measured r3: ~0.15-0.25 s per Python stage in
+    # this environment regardless of data size or UDF flavor (plain
+    # UDF / pandas_udf / mapInPandas / RDD all pay it; additive per
+    # chained Python stage; unix-domain sockets don't change it). This
+    # is the fixed JVM->Python task dispatch latency the one
+    # Python-path headline query (sim_cosine_topk_pairs) carries on
+    # top of its ~50 ms of actual GEMM work; at cluster scale it
+    # amortizes over minutes-long tasks.
+    import pandas as _pd  # noqa: F401  (worker-side import warm-up)
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    tiny_py = spark.range(1).mapInPandas(_ident, schema="id bigint")
+    materialize(tiny_py)
+    materialize(tiny_py)
+    floor_runs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        materialize(tiny_py)
+        floor_runs.append(time.perf_counter() - t0)
+    floor_python_stage = round(statistics.median(floor_runs), 4)
+
     # adjustment per query: one fresh-build floor + a job floor for each
     # job beyond the first (broadcast-exchange jobs etc.)
     ratios = {
@@ -172,6 +198,7 @@ def main() -> None:
                 "sf": sf,
                 "floor_sec_per_job": floor_job,
                 "floor_sec_per_query": floor_query,
+                "floor_sec_python_stage": floor_python_stage,
                 "jobs_per_query": n_jobs,
                 "baseline_sec": BASELINE_SEC,
                 "floor_adjusted_ratio_vs_baseline": ratios,

@@ -58,3 +58,45 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26: EXCEPT (distinct semantics on both engines)."""
     a, b = _slices(spark, sf_dir)
     return a.subtract(b)
+
+
+# Bag-semantics pair (C26b): EXCEPT ALL / INTERSECT ALL keep
+# multiplicities — output count per row = max(0, m_a - m_b), resp.
+# min(m_a, m_b) — which only means something over inputs that HAVE
+# multiplicities, so these slices project lineitem down to deliberately
+# non-unique (partkey-bucket, returnflag) rows.
+_BAG_A = (
+    "SELECT l_partkey % 500 AS pk, l_returnflag AS flag "
+    "FROM lineitem WHERE l_linenumber <= 3"
+)
+_BAG_B = (
+    "SELECT l_partkey % 500 AS pk, l_returnflag AS flag "
+    "FROM lineitem WHERE l_quantity > 25"
+)
+
+
+def _bag_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 3).select(
+        (F.col("l_partkey") % 500).alias("pk"), F.col("l_returnflag").alias("flag")
+    )
+    b = li.filter(F.col("l_quantity") > 25).select(
+        (F.col("l_partkey") % 500).alias("pk"), F.col("l_returnflag").alias("flag")
+    )
+    return a, b
+
+
+@query("set_except_all", oracle=f"{_BAG_A}\nEXCEPT ALL\n{_BAG_B}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 bag form: multiset difference (exceptAll). Planned as a
+    count-per-row aggregate + replicate, not a row-by-row anti join —
+    multiplicities shuffle as counts, never as repeated rows."""
+    a, b = _bag_slices(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+@query("set_intersect_all", oracle=f"{_BAG_A}\nINTERSECT ALL\n{_BAG_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 bag form: multiset intersection (intersectAll)."""
+    a, b = _bag_slices(spark, sf_dir)
+    return a.intersectAll(b)

@@ -322,3 +322,32 @@ def window_median_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         r4(F.expr("percentile(value, 0.5)").over(w)).alias("moving_median"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       nth_value(o_orderkey, 3) OVER w AS third_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 completion: nth_value — each order sees the customer's 2nd
+    and 3rd order keys so far (NULL until that many exist). The frame
+    is the explicit running frame so both engines agree on which rows
+    are visible at each position."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+    )
