@@ -28,6 +28,7 @@ PYTHON_OK = {
     "multimodal_video_frame_sample",
     "multimodal_image_resize",
     "sim_cosine_topk_pairs",
+    "sim_cosine_topk_tiled",  # the tiled spelling of the same GEMM
     "dedup_embedding_neardup",
     "sim_ivf_knn",
     "multimodal_audio_chunk",
@@ -52,6 +53,7 @@ NLJ_OK = {
     "stats_ks_two_sample",       # 1-row sample-sizes broadcast
     "graph_triangle_count",      # 1-row edge/node-count broadcast
     "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
+    "dedup_semantic_buckets",    # k-row (8) seed-vector broadcast cross join
 }
 
 
