@@ -1071,3 +1071,90 @@ def analytics_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .agg(r4(F.sum(profit)).alias("profit"))
     )
+
+
+@query(
+    "analytics_order_priority_check",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def analytics_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a year window with at least one
+    lineitem shipped after the order date, counted per priority — the
+    canonical EXISTS-with-cross-table-inequality probe. Plans as a
+    left-semi join (date filter pushed to the orders scan, the
+    inequality rides the join), then a tiny group-by.
+
+    Scale: the semi join shuffles on l_orderkey; with both tables
+    bucketed on the order key (write_bucketed / the bench cache
+    layout) the probe is co-located and the whole query is one
+    scan-side filter + local semi probe + 5-group aggregate."""
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "analytics_order_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000
+           - lag(epoch_us(o_orderdate) // 86400000000)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS gap_days
+  FROM orders
+)
+SELECT o_custkey, count(gap_days) AS n_gaps,
+       min(gap_days) AS min_gap, max(gap_days) AS max_gap,
+       round(avg(gap_days), 4) AS avg_gap
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def analytics_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (days between
+    consecutive orders via lag over the per-customer order sequence) —
+    the recency/frequency building block of RFM-style analyses. Gap
+    arithmetic is integer day numbers on both engines.
+
+    Scale: one shuffle on o_custkey shared by the window AND the
+    group-by (same ClusteredDistribution — Catalyst reuses the
+    exchange, and the bench cache layout elides it entirely)."""
+    day = (F.unix_micros(F.col("o_orderdate")) / 86400000000).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = table(spark, sf_dir, "orders").select(
+        "o_custkey", (day - F.lag(day).over(w)).alias("gap_days")
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            r4(F.avg("gap_days")).alias("avg_gap"),
+        )
+    )
