@@ -233,3 +233,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return tri.crossJoin(F.broadcast(counts))
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS (
+  SELECT src AS node, count(*) AS degree FROM edges GROUP BY src
+)
+SELECT degree, count(*) AS n_nodes,
+       min(node) AS example_node
+FROM deg GROUP BY degree
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer<->supplier graph (same
+    distinct-edge construction as the PageRank twin): how many nodes
+    have each degree, with a deterministic example node per bucket.
+    The first profiling query run against ANY production graph — and
+    the input to skew planning (max degree == the hot-vertex bound
+    that decides salting for the iterative ops).
+
+    Scale: two group-bys (edge dedup, then degree count) on the edge
+    key — both map-side combinable; the distribution output is
+    max-degree-sized, tiny."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("example_node")
+    )
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle="""
+WITH e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), two_hop AS (
+  SELECT a.c AS c_a, b.c AS c_b
+  FROM e0 a JOIN e0 b ON a.s = b.s AND a.c < b.c
+  GROUP BY a.c, b.c
+)
+SELECT c_a AS custkey, count(*) AS n_two_hop_peers
+FROM two_hop GROUP BY c_a
+""",
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability on the bipartite graph: for each customer,
+    how many OTHER customers share at least one supplier (the
+    collaborative-filtering / co-purchase neighborhood size).
+
+    Scale shape: the self-join is keyed on the shared supplier — the
+    classic hub hazard. A supplier connected to k customers produces
+    k^2/2 pairs, so the hot key bound is max-degree^2: cap or sample
+    hub suppliers (the same guard dedup_minhash banding applies to hot
+    buckets), or switch to approximate sketch-union per customer when
+    only the SIZE is needed. The c < c tie keeps each pair once."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = e0.select(F.col("c").alias("c_a"), F.col("s").alias("s_a"))
+    b = e0.select(F.col("c").alias("c_b"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("c_a") < F.col("c_b")))
+        .select("c_a", "c_b")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("c_a").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_two_hop_peers")
+    )
