@@ -156,3 +156,33 @@ def udtf_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT f.event_id, f.key, f.value "
         "FROM events, LATERAL json_explode_props(event_id, props) f"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT doc_id,
+       upper(trim(source)) || ':' || CAST(n_chars AS VARCHAR) AS source_tag
+FROM documents
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 Arrow-optimized variant: the same scalar-UDF API with
+    ``useArrow=True`` — Spark batches rows through Arrow instead of
+    pickling one at a time, the middle rung between the row UDF
+    (udf_scalar_default) and the fully-vectorized pandas UDF. Exact
+    string arithmetic, so the oracle hash-matches byte for byte.
+
+    Scale note: Arrow batching removes the per-row serde but the
+    function body still runs once PER VALUE in Python — vectorize with
+    pandas_udf when the body is numeric. Either way the per-stage
+    Python dispatch floor applies (BASELINE.md): batch Python work into
+    FEW coarse stages."""
+
+    @F.udf("string", useArrow=True)
+    def tag(source: str, n_chars: int) -> str:
+        return f"{source.strip().upper()}:{n_chars}"
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", tag(F.col("source"), F.col("n_chars")).alias("source_tag")
+    )
