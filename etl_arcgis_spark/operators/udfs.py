@@ -186,3 +186,46 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", tag(F.col("source"), F.col("n_chars")).alias("source_tag")
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT event_id, user_id, event_id % 97 AS shard
+FROM events WHERE user_id % 5 = 0
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 lowest-level spelling: mapInArrow — the UDF receives raw
+    ``pyarrow.RecordBatch`` objects, no pandas materialization at all.
+    The right tool when the Python side is itself Arrow-native
+    (writing feature stores, calling Arrow-compute kernels, handing
+    batches to a GPU library): zero conversion cost on top of the
+    wire format. Integer-exact arithmetic here, so the oracle
+    hash-matches exactly.
+
+    Scale: identical plan shape to mapInPandas (ArrowEvalPython
+    stage); the filter still pushes to the scan BELOW the Python
+    stage — assert-visible in .explain — so Python sees only
+    surviving rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_shard(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            # x % 97 spelled as x - 97*(x // 97): this pyarrow build has
+            # no modulo kernel; int64 divide truncates and event_id >= 0
+            ev_col = t.column("event_id")
+            shard = pc.subtract(
+                ev_col, pc.multiply(pc.divide(ev_col, 97), 97)
+            )
+            yield pa.Table.from_arrays(
+                [t.column("event_id"), t.column("user_id"), shard],
+                names=["event_id", "user_id", "shard"],
+            ).to_batches()[0]
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    return ev.select("event_id", "user_id").mapInArrow(
+        add_shard, schema="event_id bigint, user_id bigint, shard bigint"
+    )
