@@ -21,6 +21,8 @@ from etl_arcgis_spark.session import get_session  # noqa: E402
 # queries whose design legitimately uses Python execution
 PYTHON_OK = {
     "udf_scalar_default",
+    "udf_arrow_scalar",   # C49 Arrow-optimized variant
+    "udf_map_in_arrow",   # C50 raw RecordBatch variant
     "udf_pandas_reproject",
     "udaf_grouped_median",
     "udtf_json_explode",
