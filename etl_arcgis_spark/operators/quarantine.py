@@ -77,3 +77,64 @@ def with_quarantine(
         F.col("_qerror").alias("error"),
     )
     return good, quarantined
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..helpers import r4  # noqa: E402,F401
+from ..registry import query  # noqa: E402
+from ..tables import table  # noqa: E402
+
+
+@query(
+    "etl_quarantine_split",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT CASE WHEN event_type = 'error' OR k % 7 = 0
+            THEN 'quarantined' ELSE 'good' END AS side,
+       CASE WHEN event_type = 'error' THEN 'ValueError: bad event type'
+            WHEN k % 7 = 0 THEN 'ValueError: poison k' END AS err,
+       count(*) AS n
+FROM c
+GROUP BY 1, 2
+""",
+)
+def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 as a driver-checkable query: run a deliberately-failing
+    per-record transform through with_quarantine (the reference's
+    try/catch-per-feature, task.ts:168-169, 351-358, upgraded to a
+    replayable dead letter) and return the good/quarantined split with
+    per-error-class counts. The poison conditions are deterministic
+    (event_type == 'error'; JSON k divisible by 7), so the whole
+    dead-letter pipeline — Python transform, exception capture, raw-row
+    preservation, two-stream fan-out — hash-checks against a pure-SQL
+    oracle.
+
+    Scale: one Arrow-batched Python pass (persisted so the good and
+    dead-letter sinks don't re-execute it), then two scan-side filters
+    of the persisted frame; counts are map-side combinable."""
+    import json as _json
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+
+    def risky(rec: dict) -> dict:
+        if rec["event_type"] == "error":
+            raise ValueError("bad event type")
+        k = _json.loads(rec["props"])["k"]
+        if k % 7 == 0:
+            raise ValueError("poison k")
+        return {"event_id": rec["event_id"], "k2": 2 * k}
+
+    good, quarantined = with_quarantine(ev, risky, "event_id bigint, k2 bigint")
+    g = good.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("good").alias("side"), F.lit(None).cast("string").alias("err"), "n"
+    )
+    q = (
+        quarantined.groupBy(F.col("error").alias("err"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("quarantined").alias("side"), "err", "n")
+    )
+    return g.unionByName(q)

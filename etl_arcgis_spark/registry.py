@@ -143,6 +143,7 @@ def load_all() -> None:
         graph,
         joins,
         multimodal,
+        quarantine,
         scans,
         setops,
         similarity,

@@ -23,6 +23,7 @@ PYTHON_OK = {
     "udf_scalar_default",
     "udf_arrow_scalar",   # C49 Arrow-optimized variant
     "udf_map_in_arrow",   # C50 raw RecordBatch variant
+    "etl_quarantine_split",  # A18 dead-letter: per-record Python try IS the op
     "udf_pandas_reproject",
     "udaf_grouped_median",
     "udtf_json_explode",
