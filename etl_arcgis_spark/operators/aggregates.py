@@ -827,3 +827,109 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("distinct_users")
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+SELECT bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi,
+       round(sum(o_totalprice), 4) AS total
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram over order value: ntile
+    deciles with a unique tie-breaker, then per-bucket bounds/count —
+    the statistic optimizers and drift monitors want when the value
+    distribution is skewed (equi-WIDTH buckets — agg_histogram_price —
+    put most rows in one bin; equi-depth adapts bin edges to density).
+
+    Scale: ntile needs a total order, so this is the one histogram
+    variant that pays a global sort (a range-partitioned sort-shuffle,
+    not a single-task sort; Spark samples range bounds so all 32 tasks
+    sort disjoint slices). At 100 TB you'd swap ntile for
+    approx_percentile cut points (one pass, mergeable sketches) and
+    keep this exact spelling for the driver-checkable contract.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+SELECT bucket,
+       count(1) AS n,
+       {r4_sql("min(o_totalprice)")} AS lo,
+       {r4_sql("max(o_totalprice)")} AS hi,
+       {r4_sql("sum(o_totalprice)")} AS total
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket ASC
+""",
+        ("orders",),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: l_returnflag has
+    only 3 values (~200k rows each at sf0.1), so a naive hash
+    aggregate funnels each flag into ONE reducer task. Stage 1 groups
+    by (flag, salt) with a deterministic 32-way salt (l_orderkey % 32
+    — NOT rand(): re-computable, driver-checkable, and stable under
+    task retries at scale, where a rand() salt would re-bucket rows on
+    recompute) fanning each hot key across 32 tasks; stage 2 merges
+    the 96 partial rows. Identical result to the plain group-by (the
+    oracle), which is the point: salting is a physical rewrite only.
+
+    Scale: this is THE pattern for heavy-hitter group-bys that AQE
+    skew handling cannot fix (AQE splits skewed JOIN partitions, not
+    aggregation keys; Spark's partial aggregation already helps but
+    degrades when the map-side hash table spills — an explicit salt
+    bounds reducer fan-in regardless). Counts/sums are algebraic, so
+    two-stage re-aggregation is exact; avg/stddev would carry (sum,
+    count) / (sum, sum2, count) partials the same way.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    stage1 = (
+        li.withColumn("salt", F.expr("l_orderkey % 32"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_quantity").alias("pq"),
+            F.sum("l_extendedprice").alias("pp"),
+        )
+    )
+    return (
+        stage1.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            r4(F.sum("pq")).alias("sum_qty"),
+            r4(F.sum("pp")).alias("sum_price"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )

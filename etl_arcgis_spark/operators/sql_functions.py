@@ -359,3 +359,83 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     )
     return per_type_est.unionByName(merged)
+
+
+@query(
+    "str_regex_funcs",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+       split_part(p_type, ' ', 1) AS type_head,
+       translate(p_brand, 'Brand#', 'brnd-0') AS brand_t,
+       reverse(p_name) AS rev_name,
+       repeat(left(p_brand, 2), 2) AS rep2,
+       CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+FROM part
+ORDER BY p_partkey
+""",
+)
+def str_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 continued — the regex/positional string family the base
+    `str_funcs` query doesn't cover: regexp_extract_all (all matches,
+    joined to a string because the driver canonicalizer cannot hash raw
+    arrays — the r1 lesson), split_part, translate (the A6-style
+    character-map rewrite), reverse, repeat/left, instr (0 when
+    absent on BOTH engines), lpad zero-fill. All JVM codegen
+    expressions; regex compilation is per-operator-instance, not
+    per-row, so the scan stays a single narrow stage.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '([a-z]+)', 1)"), "|"
+        ).alias("words"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.translate("p_brand", "Brand#", "brnd-0").alias("brand_t"),
+        F.reverse("p_name").alias("rev_name"),
+        F.repeat(F.expr("left(p_brand, 2)"), 2).alias("rep2"),
+        F.instr("p_name", "a").cast("bigint").alias("pos_a"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    ).orderBy(F.asc("p_partkey"))
+
+
+@query(
+    "math_bitwise_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS b_and,
+       o_orderkey | 4096 AS b_or,
+       xor(o_orderkey, 1365) AS b_xor,
+       o_orderkey << 2 AS b_shl,
+       o_orderkey >> 3 AS b_shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
+FROM orders
+WHERE o_orderkey % 100 < 7
+ORDER BY o_orderkey
+""",
+)
+def math_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 continued — the bitwise family (hash partitioners, bitmap
+    indexes, feature hashing and the simhash/minhash operators all
+    lean on these): and/or/xor, shifts, popcount. Cross-engine notes:
+    DuckDB spells xor as a function (its `^` is exponentiation) while
+    Spark SQL uses the `^` operator; DuckDB bit_count returns a wider
+    integer — Spark side casts to BIGINT. Pure codegen row math over a
+    pushed-down modulo filter.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.expr("o_orderkey % 100 < 7"))
+        .select(
+            "o_orderkey",
+            F.expr("o_orderkey & 255").alias("b_and"),
+            F.expr("o_orderkey | 4096").alias("b_or"),
+            F.expr("o_orderkey ^ 1365").alias("b_xor"),
+            F.expr("shiftleft(o_orderkey, 2)").alias("b_shl"),
+            F.expr("shiftright(o_orderkey, 3)").alias("b_shr"),
+            F.expr("CAST(bit_count(o_orderkey) AS BIGINT)").alias("b_cnt"),
+        )
+        .orderBy(F.asc("o_orderkey"))
+    )

@@ -922,3 +922,196 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").over(w).cast("bigint").alias("corpus_tokens"),
         )
     )
+
+
+@query(
+    "text_chunk_sliding",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+n AS (
+  SELECT doc_id, l, len(l) AS n_tok,
+         greatest(1, (len(l) + 15) // 24) AS nc
+  FROM tok
+)
+SELECT doc_id, k AS chunk_id, n_tok,
+       len(list_slice(l, 1 + k * 24, 24 + k * 24)) AS chunk_tokens,
+       array_to_string(list_slice(l, 1 + k * 24, 24 + k * 24), ' ') AS chunk
+FROM n, unnest(generate_series(0, nc - 1)) AS t(k)
+ORDER BY doc_id, chunk_id
+""",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    32-token chunks with stride 24 (8-token overlap), the retrieval
+    preprocessing step every embedding pipeline runs before encoding.
+    Chunk starts are 1 + k*24 for k in [0, nc), nc = max(1,
+    ceil((n_tok - 8) / 24)) spelled in exact integer arithmetic
+    ((n_tok + 15) div 24) so both engines enumerate identical chunk
+    grids; the final chunk is the only short one.
+
+    Scale: split + sequence + explode is a narrow per-row pipeline —
+    no shuffle at all; output size is input tokens x (32/24). At
+    100 TB this runs as a map-only stage feeding the embedding UDF,
+    and the 8-token overlap bound keeps write amplification at 1.33x.
+    Spark `slice(l, start, 24)` and DuckDB `list_slice(l, start,
+    start+23)` clamp identically at the array end.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH tok AS (SELECT doc_id, split(text, ' ') AS l FROM documents),
+n AS (
+  SELECT doc_id, l, size(l) AS n_tok,
+         greatest(1, (size(l) + 15) div 24) AS nc
+  FROM tok
+)
+SELECT doc_id, k AS chunk_id, n_tok,
+       size(slice(l, 1 + k * 24, 24)) AS chunk_tokens,
+       array_join(slice(l, 1 + k * 24, 24), ' ') AS chunk
+FROM n LATERAL VIEW explode(sequence(0, nc - 1)) AS k
+ORDER BY doc_id ASC, chunk_id ASC
+""",
+        ("documents",),
+    )
+
+
+@query(
+    "text_bm25_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dlen) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       round(coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0), 4) AS bm25
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf
+    variant) for the fixed query {table, join, query}: top-20 docs.
+    The per-(doc,term) score chain mirrors the oracle operand-for-
+    operand (all inputs are exact integers, avgdl the same double on
+    both engines), and the <=3 per-doc term scores are summed in FIXED
+    textual order via the conditional-max pivot — not a float group-sum
+    whose accumulation order could differ across engines (the
+    dedup_semantic_buckets lesson from ADVICE r2).
+
+    Scale: two token-level hash aggregates (tf, df) with map-side
+    partial aggregation, a |terms|-row broadcast (df) and a 1-row
+    broadcast (corpus stats) joined back to the tf rows — the shuffles
+    carry (doc, term) partials, never raw tokens. The top-20 is a
+    TakeOrderedAndProject heap, not a global sort.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH tok AS (
+  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dlen) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(signum(coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0))
+         * floor(abs(coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0)) * 10000 + 0.5)
+         / 10000 AS DOUBLE) AS bm25
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+        ("documents",),
+    )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS total FROM s),
+z AS (
+  SELECT sum(power(n_docs / CAST(total AS DOUBLE), 0.3)) AS zsum
+  FROM s CROSS JOIN tot
+)
+SELECT lang, n_docs,
+       round(n_docs / CAST(total AS DOUBLE), 4) AS p_raw,
+       round(power(n_docs / CAST(total AS DOUBLE), 0.3) / zsum, 4) AS p_temp,
+       round((power(n_docs / CAST(total AS DOUBLE), 0.3) / zsum)
+             / (n_docs / CAST(total AS DOUBLE)), 4) AS boost
+FROM s CROSS JOIN tot CROSS JOIN z
+ORDER BY lang
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (alpha=0.3, the
+    mBERT/XLM-R multilingual recipe): renormalize per-language corpus
+    shares as p^alpha / sum(p^alpha), flattening the head so
+    low-resource languages are upsampled. Outputs the raw share, the
+    temperature share, and the effective repeat factor (boost) the
+    sampler applies per language.
+
+    Scale: one hash aggregate to |langs| rows, then two scalar
+    broadcasts (grand total, partition function Z) cross-joined back —
+    constant-size joins regardless of corpus size. The float partition
+    sum Z is |langs| terms; its cross-engine accumulation-order drift
+    is ~1e-16 against a 1e-4 rounding grid (output-only, no control
+    flow on the value — the safe side of the semantic-buckets rule).
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = F.broadcast(s.agg(F.sum("n_docs").alias("total")))
+    p = F.col("n_docs") / F.col("total").cast("double")
+    z = F.broadcast(
+        s.crossJoin(tot).agg(F.sum(F.pow(p, F.lit(0.3))).alias("zsum"))
+    )
+    p_temp = F.pow(p, F.lit(0.3)) / F.col("zsum")
+    return (
+        s.crossJoin(tot)
+        .crossJoin(z)
+        .select(
+            "lang",
+            "n_docs",
+            r4(p).alias("p_raw"),
+            r4(p_temp).alias("p_temp"),
+            r4(p_temp / p).alias("boost"),
+        )
+        .orderBy(F.asc("lang"))
+    )
