@@ -425,3 +425,33 @@ def test_subqueries_decorrelate_to_set_joins(spark):
     assert "LeftSemi" in p and "CartesianProduct" not in p
     p = plan_of(spark, "join_interval_overlap")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_skew_is_two_stage_exact(spark):
+    """agg_salted_skew's salt is physical only: two hash aggregates
+    (flag+salt, then flag), partial aggregation below each exchange,
+    and no Python anywhere."""
+    p = plan_of(spark, "agg_salted_skew")
+    assert p.count("HashAggregate") >= 4  # partial+final x two stages
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25's corpus stats (1 row) and df (|terms| rows) join back by
+    broadcast; the token-level aggregates keep map-side combine; the
+    top-20 is a heap, not a global sort."""
+    p = plan_of(spark, "text_bm25_score")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_chunking_is_map_only_narrow(spark):
+    """Sliding-window chunking is a narrow generate pipeline — zero
+    exchanges before the explode, no Python, no join."""
+    p = plan_of(spark, "text_chunk_sliding")
+    assert "Generate explode" in p
+    assert "BatchEvalPython" not in p
+    # the only exchange is the final presentation sort's range partition
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p
