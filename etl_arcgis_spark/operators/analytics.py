@@ -1158,3 +1158,102 @@ def analytics_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("gap_days")).alias("avg_gap"),
         )
     )
+
+
+@query(
+    "analytics_pareto_frontier",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderkey, round(o_totalprice, 4) AS price, CAST(d AS BIGINT) AS epoch_day
+FROM o
+WHERE NOT EXISTS (
+  SELECT 1 FROM o o2
+  WHERE o2.o_totalprice >= o.o_totalprice AND o2.d <= o.d
+    AND (o2.o_totalprice > o.o_totalprice OR o2.d < o.d)
+)
+ORDER BY epoch_day, o_orderkey
+""",
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier (skyline): urgent orders not dominated on
+    (earlier date, higher price) — the multi-objective shortlist query
+    (cheapest-earliest tradeoff curves, best-N-under-two-criteria).
+
+    The oracle is the O(n²) NOT-EXISTS *definition* of domination; the
+    engine computes the identical set with the two-phase DISTRIBUTED
+    skyline: (1) per-date-range-bucket frontiers via two running-max
+    RANGE windows PARTITIONED by bucket — a point survives iff its
+    price strictly exceeds the running max over STRICTLY earlier days
+    (no strictly-earlier dominator) and equals the running max
+    including its own day (no same-day strictly-higher dominator) —
+    then (2) the same two windows unpartitioned over the (tiny)
+    survivor union. Phase 2 over survivors is exact by dominator
+    transitivity: any global dominator of a discarded point is itself
+    dominated only by points that also dominate it, so the maximal
+    element of every domination chain survives its own bucket.
+    Same-day same-price duplicates correctly survive together (no
+    strict inequality either way). Price comparisons are raw stored
+    doubles on both engines — exact, no rounding in the control flow.
+
+    Scale: phase 1's heavy windows are range-disjoint per bucket (no
+    global sort of the input); only the per-bucket frontier — by
+    construction at most one point per distinct day per bucket —
+    reaches the unpartitioned phase-2 window. This is the standard
+    divide-and-merge skyline reduction, expressed entirely in
+    DataFrame windows.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .withColumn("bucket", F.expr("d div 64"))
+    )
+
+    def frontier(df: DataFrame, *partition: str) -> DataFrame:
+        w_lt = (
+            Window.partitionBy(*partition).orderBy(F.asc("d"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+            if partition
+            else Window.orderBy(F.asc("d")).rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_le = (
+            Window.partitionBy(*partition).orderBy(F.asc("d"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            if partition
+            else Window.orderBy(F.asc("d")).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        scored = df.select(
+            "o_orderkey",
+            "o_totalprice",
+            "d",
+            "bucket",
+            F.max("o_totalprice").over(w_lt).alias("m_lt"),
+            F.max("o_totalprice").over(w_le).alias("m_le"),
+        )
+        return scored.filter(
+            (F.col("m_lt").isNull() | (F.col("o_totalprice") > F.col("m_lt")))
+            & (F.col("o_totalprice") == F.col("m_le"))
+        ).drop("m_lt", "m_le")
+
+    local = frontier(o, "bucket")  # phase 1: range-disjoint, partitioned
+    return (
+        frontier(local)  # phase 2: merge over the small survivor union
+        .select(
+            "o_orderkey",
+            r4("o_totalprice").alias("price"),
+            F.col("d").alias("epoch_day"),
+        )
+        .orderBy(F.asc("epoch_day"), F.asc("o_orderkey"))
+    )

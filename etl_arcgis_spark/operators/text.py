@@ -1115,3 +1115,55 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("lang"))
     )
+
+
+@query(
+    "sample_global_reid",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS new_id,
+       doc_id // 64 AS bucket
+FROM documents
+ORDER BY doc_id
+""",
+)
+def sample_global_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dense re-ID: assign contiguous 1..N ids in doc_id
+    order WITHOUT a global single-partition window — the relational
+    spelling of zipWithIndex that every shard-and-pack pipeline needs
+    (contiguous example ids before sharding). Two-phase: per-range-
+    bucket counts roll up to bucket offsets (a |buckets|-row window,
+    broadcast back), then row_number() runs independently INSIDE each
+    bucket; new_id = offset + intra-bucket rank. Because buckets are
+    contiguous doc_id ranges, the concatenation is exactly the global
+    order — the oracle is the naive global row_number().
+
+    Scale: the global-sort window Spark would otherwise plan funnels
+    100 TB through ONE task; here the heavy window is partitioned by
+    bucket (range-disjoint), and the only global object is the
+    |buckets|-row offset table. Same decomposition works for any
+    range-partitionable key (file splits, date buckets).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    b = docs.withColumn("bucket", F.expr("doc_id div 64"))
+    w_off = Window.orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy(F.asc("doc_id"))
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_in)).cast("bigint").alias("new_id"),
+            "bucket",
+        )
+        .orderBy(F.asc("doc_id"))
+    )

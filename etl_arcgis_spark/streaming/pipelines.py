@@ -20,6 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from ..helpers import r4
 
@@ -352,4 +356,106 @@ def incremental_materialize(
         .partitionBy(partition_by)
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+# ---- transformWithStateInPandas: the Spark 4 arbitrary-state API ------
+
+_TWS_STATE_SCHEMA = "start_us long, last_us long, n long, val double"
+
+
+class SessionProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithStateInPandas`` sessionizer — the same
+    per-user 10-minute-gap session fold as :func:`_sessionize`, ported
+    to the arbitrary-state StatefulProcessor API (SPARK-46815). What
+    the new API buys over applyInPandasWithState at 100 TB:
+
+    - typed state *variables* (value/list/map) instead of one opaque
+      tuple — the state store tracks them independently, so adding a
+      variable doesn't rewrite the whole row;
+    - first-class timers (``registerTimer``) instead of one implicit
+      timeout per key — a key can hold several horizons;
+    - state TTL and initial-state bootstrap hooks (``ttlDurationMs``,
+      ``handleInitialState``) for state-store hygiene on unbounded key
+      spaces — the reference's ephemeral per-flow store (task.ts:42-46)
+      with an eviction policy.
+
+    Semantics are identical to the applyInPandasWithState twin; the
+    parity test asserts the two emit the same closed sessions.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("session", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            start_us, last_us, n, val = self._state.get()
+        else:
+            start_us = last_us = -1
+            n = 0
+            val = 0.0
+        out = []
+        hi = -1
+        for pdf in rows:
+            pdf = pdf.sort_values("us")
+            for us, v in zip(pdf["us"], pdf["value"]):
+                us = int(us)
+                hi = max(hi, us)
+                if start_us < 0:
+                    start_us, last_us, n, val = us, us, 1, float(v)
+                elif us - last_us >= _GAP_US:
+                    out.append((user_id, start_us // 1000, n, round(val, 4)))
+                    start_us, last_us, n, val = us, us, 1, float(v)
+                else:
+                    # extend-never-rewind, as in _sessionize
+                    last_us, n, val = max(last_us, us), n + 1, val + float(v)
+        self._state.update((start_us, last_us, n, val))
+        if hi >= 0:
+            # one live timer per key: re-arm at the newest gap horizon
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(hi // 1000 + _GAP_US // 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start_ms", "n", "val_sum"]
+            )
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            start_us, _last_us, n, val = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_us // 1000],
+                    "n": [n],
+                    "val_sum": [round(val, 4)],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_sessionize_tws(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """C35 on the Spark 4 ``transformWithStateInPandas`` API — see
+    :class:`SessionProcessor`. Same inputs/outputs as
+    :func:`stateful_sessionize`."""
+    ev = stream.withColumn("us", F.unix_micros("ts")).withWatermark("ts_t", watermark)
+    return (
+        ev.select("user_id", "us", "value", "ts_t")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
     )

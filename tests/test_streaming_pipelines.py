@@ -222,3 +222,48 @@ def test_upsert_sink_recovers_state_after_simulated_crash(spark, events_dir, tmp
         for r in spark.read.parquet(f"{target}/current").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tws_sessionize_matches_apis_twin(spark, events_dir):
+    """The Spark-4 transformWithStateInPandas sessionizer emits exactly
+    the same closed sessions as the applyInPandasWithState twin, and
+    every one is a true batch gaps-and-islands session.
+
+    Runtime-gated: the TWS state-server protocol needs the `protobuf`
+    package (pyspark/sql/streaming/proto/StateMessage_pb2), absent in
+    this container. The operator itself imports and plans fine; this
+    test activates wherever protobuf exists.
+    """
+    pytest.importorskip("google.protobuf")
+    stream = P.read_events_stream(spark, events_dir)
+    _run(P.stateful_sessionize_tws(stream), "sess_tws_out", "append")
+    got = {
+        (r["user_id"], r["session_start_ms"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_tws_out").collect()
+    }
+    _run(P.stateful_sessionize(stream), "sess_apis_out", "append")
+    twin = {
+        (r["user_id"], r["session_start_ms"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_apis_out").collect()
+    }
+    assert got, "transformWithState operator emitted no closed sessions"
+    assert got == twin
+    from etl_arcgis_spark.operators.streaming_batch import stream_session_window
+
+    want = {
+        (r["user_id"], r["session_start_ms"], r["n"])
+        for r in stream_session_window(spark, SF_DIR).collect()
+    }
+    assert got <= want
+
+
+def test_tws_sessionize_builds_unresolved_plan(spark, events_dir):
+    """Without protobuf the TWS query cannot RUN, but the operator must
+    still construct: groupBy().transformWithStateInPandas() validates
+    output schema, outputMode and timeMode against the JVM analyzer."""
+    stream = P.read_events_stream(spark, events_dir)
+    df = P.stateful_sessionize_tws(stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "session_start_ms", "n", "val_sum"
+    ]
