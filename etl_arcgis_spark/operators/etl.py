@@ -241,3 +241,66 @@ def etl_pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("props", "[0-9]", ""))
         ).cast("bigint").alias("n_masked_chars"),
     )
+
+
+# Bit-interleave terms for the 16+16-bit Morton (Z-order) key. Disjoint
+# target bits, so plain `+` assembles the key — the same expression text
+# runs on both engines (no engine-specific xor/shift spellings).
+_Z_TERMS = " + ".join(
+    [f"(((x >> {i}) & 1) * {1 << (2 * i)})" for i in range(16)]
+    + [f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)]
+)
+
+
+@query(
+    "etl_zorder_key",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderkey,
+         o_custkey & 65535 AS x,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y, CAST({_Z_TERMS} AS BIGINT) AS zkey
+FROM b
+""",
+)
+def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleave the two hot
+    filter dimensions (customer, order day) into one sort key. Sorting
+    / range-partitioning the table by zkey before writing gives parquet
+    row-group min/max locality in BOTH dimensions at once, so a filter
+    on either column (or a rectangle on both) prunes row groups — the
+    multi-dimensional analogue of the single-column layouts in
+    tables.py, and what Delta/Iceberg OPTIMIZE ZORDER computes
+    internally. 16 bits per dimension = 65k cells per axis, plenty for
+    row-group-level (not row-level) locality.
+
+    The interleave is 32 constant-shift/mask terms over disjoint
+    target bits assembled with `+` — ONE shared expression text for
+    both engines, whole-stage-codegen'd to straight-line integer ops
+    (no UDF, no loop).
+
+    Scale: computing zkey is map-only; the pay-off step
+    (`df.repartitionByRange(zkey).sortWithinPartitions(zkey).write`)
+    costs one range shuffle at ingest and removes full-scan cost from
+    every subsequent selective query — amortized exactly like the
+    reference's server-side attribute indexes.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey & 65535 AS BIGINT) AS x,
+         CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535 AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y, CAST({_Z_TERMS} AS BIGINT) AS zkey
+FROM b
+""",
+        ("orders",),
+    )

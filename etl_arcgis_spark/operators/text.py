@@ -1167,3 +1167,72 @@ def sample_global_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("doc_id"))
     )
+
+
+@query(
+    "sample_top_p_nucleus",
+    oracle="""
+WITH s AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang, source
+),
+r AS (
+  SELECT lang, source, chars,
+         sum(chars) OVER (PARTITION BY lang ORDER BY chars DESC, source ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_chars,
+         sum(chars) OVER (PARTITION BY lang) AS total_chars
+  FROM s
+)
+SELECT lang, source, chars, CAST(cum_chars AS BIGINT) AS cum_chars,
+       round(chars / CAST(total_chars AS DOUBLE), 4) AS share
+FROM r
+WHERE (cum_chars - chars) * 10 < total_chars * 8
+ORDER BY lang, cum_chars
+""",
+)
+def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) source selection per language: keep the
+    smallest set of sources covering >= 80% of each language's
+    character mass — the curation move that drops the long tail of
+    marginal sources while keeping coverage (the sampling analogue of
+    nucleus decoding). A source is kept iff the cumulative mass BEFORE
+    it is still under the threshold, so the crossing source is
+    included and every language keeps >= 1 source.
+
+    Determinism: the keep decision is INTEGER arithmetic —
+    (cum_before * 10) < (total * 8) on exact bigint char sums — no
+    float threshold in the control flow (the semantic-buckets rule);
+    only the reported share is a rounded double.
+
+    Scale: one hash aggregate to |lang x source| rows, then two
+    windows sharing the lang partition (one exchange). The heavy data
+    never enters a window — only the aggregate does.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("chars"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    r = s.select(
+        "lang",
+        "source",
+        "chars",
+        F.sum("chars").over(w_cum).alias("cum_chars"),
+        F.sum("chars").over(w_tot).alias("total_chars"),
+    )
+    return (
+        r.filter((F.col("cum_chars") - F.col("chars")) * 10 < F.col("total_chars") * 8)
+        .select(
+            "lang",
+            "source",
+            "chars",
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+            r4(F.col("chars") / F.col("total_chars").cast("double")).alias("share"),
+        )
+        .orderBy(F.asc("lang"), F.asc("cum_chars"))
+    )

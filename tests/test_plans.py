@@ -455,3 +455,42 @@ def test_chunking_is_map_only_narrow(spark):
     assert "BatchEvalPython" not in p
     # the only exchange is the final presentation sort's range partition
     assert p.count("Exchange") == 1 and "rangepartitioning" in p
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key must get a runtime dynamicpruning subquery when joined to a
+    selectively-filtered dim — the fact scan reads only partitions the
+    dim filter admits, without any literal fact-side predicate. At
+    100 TB this is what makes star joins over date/tenant-partitioned
+    facts affordable (the dim filter, not a human, prunes the scan)."""
+    from pyspark.sql import functions as F
+
+    from etl_arcgis_spark.tables import table
+
+    out = str(tmp_path / "orders_by_cust_mod")
+    o = (
+        table(spark, SF_DIR, "orders")
+        .withColumn("cust_bucket", F.expr("o_custkey % 20"))
+    )
+    o.write.mode("overwrite").partitionBy("cust_bucket").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, SF_DIR, "customer")
+        .withColumn("cust_bucket", F.expr("c_custkey % 20"))
+        .filter("c_mktsegment = 'BUILDING'")
+        .select("cust_bucket")
+        .distinct()
+    )
+    joined = fact.join(dim, "cust_bucket").groupBy("cust_bucket").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result matches the unpartitioned spelling
+    want = (
+        table(spark, SF_DIR, "orders")
+        .withColumn("cust_bucket", F.expr("o_custkey % 20"))
+        .join(dim, "cust_bucket")
+        .groupBy("cust_bucket")
+        .count()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
