@@ -1236,3 +1236,104 @@ def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("lang"), F.asc("cum_chars"))
     )
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+n AS (SELECT sum(c) AS total FROM uni),
+d AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         sum(ln(c / CAST(total AS DOUBLE))) AS ll
+  FROM tok JOIN uni USING (w) CROSS JOIN n
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(exp(-ll / n_tokens), 4) AS ppl
+FROM d
+ORDER BY doc_id
+""",
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the CCNet-style fluency
+    signal quality pipelines bucket corpora by (low ppl = looks like
+    the corpus, high ppl = noise/outlier). The LM here is the corpus's
+    own unigram distribution (c/N, no smoothing needed: every token in
+    the corpus has corpus support); ppl = exp(-mean log p).
+
+    Scale: one token-level hash aggregate builds the |vocab|-row LM,
+    broadcast back onto the token stream; the per-doc log-likelihood
+    is a second map-side-combinable aggregate. The float log-sum
+    accumulates in engine-specific order — output-only (r4), never
+    control flow. At 100 TB the LM table is exactly the kind of
+    dim that must NOT be collected: it stays a broadcast relation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.broadcast(uni.agg(F.sum("c").alias("total")))
+    d = (
+        tok.join(F.broadcast(uni), "w")
+        .crossJoin(n)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("c") / F.col("total").cast("double"))).alias("ll"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        r4(F.exp(-F.col("ll") / F.col("n_tokens"))).alias("ppl"),
+    ).orderBy(F.asc("doc_id"))
+
+
+@query(
+    "sample_train_val_test",
+    oracle="""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(text), 1, 4) <= 'e665' THEN 'train'
+              WHEN substr(md5(text), 1, 4) <= 'f332' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratum-auditable train/val/test split (~90/5/5):
+    the split label is a pure function of the CONTENT hash (md5 prefix
+    against fixed hex thresholds — 0xe665/0xffff ≈ 90%, next ≈ 5%), so
+    the assignment is reproducible across engines, reruns, and
+    repartitions, and exact duplicates land in the same split (no
+    train/test leakage through dupes — the property rand() splits
+    silently lose). Output: per-(lang, split) document and char
+    counts, the audit table reviewers ask for.
+
+    Scale: label assignment is map-only on the scan; the audit is one
+    small hash aggregate. The full split materialization is the same
+    expression used as a partitionBy('split') write.
+    """
+    docs = table(spark, sf_dir, "documents")
+    b = F.substring(F.md5("text"), 1, 4)
+    split = (
+        F.when(b <= "e665", "train").when(b <= "f332", "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy(F.asc("lang"), F.asc("split"))
+    )
