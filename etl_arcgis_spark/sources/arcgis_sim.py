@@ -29,6 +29,10 @@ with a local JSONL file standing in for the feature server:
 - **Batch sink** (A17): an append writer emitting one JSONL chunk per
   partition with a commit barrier (≅ chunked submit + allSettled,
   task.ts:358,457).
+- **Streaming sink** (A17 ≅ the outgoing flow, task.ts:155-361): a
+  ``DataSourceStreamWriter`` landing each micro-batch as batch-stamped
+  chunks with an idempotent per-epoch commit marker — exactly-once
+  over checkpoint replay, which the reference's raw HTTP submit lacks.
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -312,6 +317,78 @@ class ArcGISSimWriter(DataSourceWriter):
                 pass
 
 
+class ArcGISSimStreamWriter(DataSourceStreamWriter):
+    """A17 as a STREAMING sink — the reference's outgoing flow
+    (task.ts:155-361: SQS micro-batch -> chunked submit) on Spark's
+    stream-writer extension point. Each micro-batch writes one JSONL
+    chunk per partition; ``commit(messages, batchId)`` is the
+    allSettled barrier (task.ts:358), made idempotent with a
+    per-batch marker file: a replayed batch (checkpoint recovery
+    re-runs the last uncommitted epoch) sees its marker, discards the
+    duplicate attempt files, and commits nothing twice — exactly-once
+    delivery over an at-least-once replay, the property the
+    reference's raw HTTP submit does NOT have (a Lambda retry
+    re-posts the whole FeatureCollection).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.out_dir = options["path"]
+
+    def write(self, iterator) -> ChunkCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = f"{self.out_dir}/.tmp-{uuid.uuid4().hex}-{pid:05d}"
+        names = [f.name for f in self.schema.fields]
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row))) + "\n")
+                n += 1
+        return ChunkCommit(path=tmp, rows=n, partition=pid)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        marker = f"{self.out_dir}/_committed_{batchId}"
+        if os.path.exists(marker):
+            # replayed epoch: the batch is already durable — drop the
+            # duplicate attempt files, commit nothing
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(m.path)
+                    except OSError:
+                        pass
+            return
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = f"{self.out_dir}/chunk-{batchId:06d}-{m.partition:05d}.jsonl"
+            os.replace(m.path, final)
+            total += m.rows
+        with open(marker, "w") as fh:
+            fh.write(str(total))
+        print(f"ok - submitted {total} features (batch {batchId})")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class ArcGISSimStreamReader(SimpleDataSourceStreamReader):
     """A1 + the schedule as a STREAMING source: the reference's incoming
     flow is a cron-scheduled incremental pull of the layer
@@ -399,6 +476,9 @@ class ArcGISSimDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> ArcGISSimStreamReader:  # noqa: N802
         return ArcGISSimStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ArcGISSimStreamWriter:  # noqa: N802
+        return ArcGISSimStreamWriter(schema, dict(self.options))
 
 
 class ArcGISSimPushdownDataSource(ArcGISSimDataSource):

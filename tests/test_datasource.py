@@ -268,3 +268,50 @@ def test_nested_json_fields_serialize_as_strings(spark, tmp_path):
     # key order canonicalized (sort_keys): rows 1 and 3 serialize with
     # the same key order even though the source JSON differs
     assert got[3][0] == '{"type":"Point","xy":[3.0,4.0]}'
+
+
+def test_stream_writer_end_to_end_and_idempotent_replay(spark, layer_file, tmp_path):
+    """A17 streaming sink: a micro-batch stream lands every row exactly
+    once in batch-stamped JSONL chunks, and a replayed commit of the
+    same epoch (checkpoint recovery) is a no-op that also cleans up the
+    duplicate attempt files."""
+    import os
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.read.format("arcgis_sim").option("path", layer_file).option(
+        "pageSize", 100
+    ).load().write.mode("overwrite").parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    out = tmp_path / "stream_sink"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(src_dir))
+        .writeStream.format("arcgis_sim")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    chunks = sorted(out.glob("chunk-*.jsonl"))
+    assert chunks, "no committed chunks"
+    n = sum(1 for c in chunks for _ in open(c))
+    assert n == 250
+    markers = sorted(out.glob("_committed_*"))
+    assert len(markers) >= 1
+
+    # replay the committed epoch: a leftover attempt file must be
+    # swallowed, no new chunk appears, counts unchanged
+    from etl_arcgis_spark.sources.arcgis_sim import ArcGISSimStreamWriter, ChunkCommit
+
+    w = ArcGISSimStreamWriter(schema, {"path": str(out)})
+    stale = out / ".tmp-replayed-attempt"
+    stale.write_text('{"oid": 999}\n')
+    batch_id = int(markers[0].name.rsplit("_", 1)[1])
+    w.commit([ChunkCommit(path=str(stale), rows=1, partition=0)], batch_id)
+    assert not os.path.exists(stale)
+    assert sorted(out.glob("chunk-*.jsonl")) == chunks
+    assert sum(1 for c in chunks for _ in open(c)) == 250
