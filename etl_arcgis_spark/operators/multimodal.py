@@ -576,3 +576,75 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_max("qv").alias("q_max"),
         F.expr("aggregate(qv, cast(0 as bigint), (a, v) -> a + v)").alias("q_sum"),
     )
+
+
+# ------------------------------------------------------------ patchify
+
+_PATCH = 8  # ViT-style square patch side (pixels)
+_PATCH_SCHEMA = (
+    "doc_id bigint, patch_row int, patch_col int, "
+    "mean_r double, mean_g double, mean_b double, std_px double"
+)
+
+
+@query("multimodal_image_patchify")  # weak: binary codec has no SQL oracle
+def multimodal_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction: decode each binary-PPM payload and
+    emit one row per non-overlapping 8x8 patch (ragged edges dropped,
+    as ViT crops to a patch-multiple) with per-channel means and the
+    patch pixel std — the tokenization step of every image-transformer
+    training pipeline, reduced here to per-patch features instead of
+    raw 192-float patch vectors so the output stays hashable.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage; each input
+    image of P patches yields P rows, so the Python boundary is crossed
+    once per BATCH (not per patch), and the fan-out happens inside
+    numpy as a stride-reshape, not a Python loop per pixel. Swap the
+    8x8 mean/std for a learned projection and the plumbing is
+    unchanged. Weak (rows-only) like the other codec queries: binary
+    decode has no SQL oracle; the codec itself is round-trip
+    unit-tested.
+    """
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_ppm(bytes(payload))
+                ph, pw = h // _PATCH, w // _PATCH
+                if ph == 0 or pw == 0:
+                    continue
+                crop = pix[: ph * _PATCH, : pw * _PATCH, :].astype(np.float64)
+                # (ph, PATCH, pw, PATCH, 3) -> per-patch stats, all numpy
+                grid = crop.reshape(ph, _PATCH, pw, _PATCH, 3)
+                means = grid.mean(axis=(1, 3)) / 255.0  # (ph, pw, 3)
+                stds = grid.std(axis=(1, 3, 4)) / 255.0  # (ph, pw)
+                for r in range(ph):
+                    for c in range(pw):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "patch_row": r,
+                                "patch_col": c,
+                                "mean_r": round(float(means[r, c, 0]), 4),
+                                "mean_g": round(float(means[r, c, 1]), 4),
+                                "mean_b": round(float(means[r, c, 2]), 4),
+                                "std_px": round(float(stds[r, c]), 4),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "std_px",
+                ],
+            )
+
+    return _image_payloads(spark, sf_dir).mapInPandas(patchify, schema=_PATCH_SCHEMA)

@@ -76,3 +76,34 @@ def scan_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 ``returnDistinctValues`` — hash-distinct; partial aggregation
     map-side keeps the shuffle tiny at scale."""
     return table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows
+FROM lineitem
+""",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` etc.): rows
+    grouped by their physical source file — the lineage/debugging
+    surface every ingest pipeline needs (which file contributed which
+    rows; find the corrupt shard; incremental-load bookkeeping). Reads
+    the scan relation directly (the metadata struct exists only on
+    file-source scans, not on cached/repartitioned descendants — which
+    is also why tables.table() is bypassed here). The oracle pins the
+    basename + count contract; multi-file layouts group per shard.
+
+    Scale: `_metadata` is produced by the reader per split at zero
+    I/O cost; grouping on it is a tiny aggregate (one row per file).
+    """
+    from ..tables import prepare
+
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

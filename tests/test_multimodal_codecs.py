@@ -70,3 +70,35 @@ def test_audio_chunk_query_gates_silence(spark):
     assert flags == {True, False}  # the VAD gate separates both classes
     for r in rows[:50]:
         assert r["end_ms"] > r["start_ms"]
+
+
+def test_patchify_stats_match_numpy_reference(spark):
+    """multimodal_image_patchify: per-patch means/std must equal the
+    straight numpy computation on the decoded pixels, ragged edges
+    dropped (patch grid = floor(h/8) x floor(w/8))."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.multimodal import (
+        _PATCH,
+        _synth_ppm,
+        decode_ppm,
+        multimodal_image_patchify,
+    )
+
+    rows = multimodal_image_patchify(spark, "/root/testdata/sf0.001").filter(
+        "doc_id = 3"
+    ).collect()
+    w, h, pix = decode_ppm(_synth_ppm(3))
+    ph, pw = h // _PATCH, w // _PATCH
+    assert len(rows) == ph * pw and rows
+    got = {(r["patch_row"], r["patch_col"]): r for r in rows}
+    for r in range(ph):
+        for c in range(pw):
+            patch = pix[
+                r * _PATCH : (r + 1) * _PATCH, c * _PATCH : (c + 1) * _PATCH, :
+            ].astype(np.float64)
+            g = got[(r, c)]
+            assert g["mean_r"] == round(float(patch[:, :, 0].mean()) / 255.0, 4)
+            assert g["mean_g"] == round(float(patch[:, :, 1].mean()) / 255.0, 4)
+            assert g["mean_b"] == round(float(patch[:, :, 2].mean()) / 255.0, 4)
+            assert g["std_px"] == round(float(patch.std()) / 255.0, 4)
