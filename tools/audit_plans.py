@@ -35,6 +35,7 @@ PYTHON_OK = {
     "dedup_embedding_neardup",
     "sim_ivf_knn",
     "multimodal_audio_chunk",
+    "multimodal_image_patchify",  # patch fan-out inside the Arrow batch
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
@@ -57,6 +58,9 @@ NLJ_OK = {
     "graph_triangle_count",      # 1-row edge/node-count broadcast
     "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
     "dedup_semantic_buckets",    # k-row (8) seed-vector broadcast cross join
+    "sample_temperature_mix",    # 1-row grand-total + 1-row partition-fn Z broadcasts
+    "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
+    "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
 }
 
 
