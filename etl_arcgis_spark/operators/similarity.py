@@ -725,3 +725,129 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("label", "vec_id", "dist_to_centroid")
     )
+
+
+_LABELS_MEMO: dict = {}
+
+
+def _labels_for(path: str):
+    """Executor-side (vec_id -> label) aligned to _right_strip's sorted
+    id order; memoized per worker per file generation like the strip."""
+    import os
+
+    st = os.stat(path)
+    key = ("labels", path, st.st_mtime_ns, st.st_size)
+    if key in _LABELS_MEMO:
+        return _LABELS_MEMO[key]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "label"])
+    ids = t["vec_id"].to_numpy()
+    lab = t["label"].to_numpy()
+    order = np.argsort(ids)
+    _LABELS_MEMO[key] = lab[order]
+    return _LABELS_MEMO[key]
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id AND a.label <> b.label
+  GROUP BY a.vec_id, b.vec_id
+), sc AS (
+  SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+), r AS (
+  SELECT id_a, id_b, cosine,
+         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+  FROM sc
+)
+SELECT id_a AS anchor_id, id_b AS neg_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+ORDER BY anchor_id, rank
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    every anchor, the top-3 most-similar embeddings with a DIFFERENT
+    label — the pairs that actually move a contrastive loss (easy
+    negatives are already separated; hard ones define the margin).
+
+    Engine shape: the same blocked GEMM as sim_cosine_topk_pairs
+    (anchors Arrow-batched per partition, right matrix + label vector
+    loaded executor-side, memoized per worker), with the same-label and
+    self columns masked BEFORE the local per-anchor top-3 cut (raw
+    cosine, 1e-4 tie slack), then a per-anchor window on the ROUNDED
+    cosine (desc, neg_id asc) takes the final 3 — rank ties resolve
+    identically on both engines. The oracle is the full O(n²)
+    label-masked definition.
+
+    Scale: per-anchor output is <= 3·strips rows into the window; with
+    the tiled strip loop (sim_cosine_topk_tiled) this is the mining
+    pass every retrieval pipeline runs per epoch — no pair
+    materialization, no driver state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = 3
+    path = f"{sf_dir}/embeddings.parquet"
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .repartition(8)
+    )
+
+    def block_negs(batches):
+        b_ids, b_m = _right_strip(sf_dir)
+        b_lab = _labels_for(path)
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a_ids = pdf["vec_id"].to_numpy()
+            a_lab = pdf["label"].to_numpy()
+            s = a @ b_m.T
+            mask = (a_lab[:, None] == b_lab[None, :]) | (
+                a_ids[:, None] == b_ids[None, :]
+            )
+            s[mask] = -np.inf
+            out_a, out_b, out_c = [], [], []
+            for r in range(s.shape[0]):
+                row = s[r]
+                valid = np.isfinite(row)
+                nv = int(valid.sum())
+                if nv == 0:
+                    continue
+                kk = min(k, nv)
+                thr = np.partition(row[valid], -kk)[-kk] - 1e-4  # tie slack
+                keep = valid & (row >= thr)
+                out_a.extend([a_ids[r]] * int(keep.sum()))
+                out_b.extend(b_ids[keep])
+                out_c.extend(row[keep])
+            yield pd.DataFrame(
+                {"anchor_id": out_a, "neg_id": out_b, "cosine_raw": out_c}
+            )
+
+    local = e.mapInPandas(
+        block_negs, schema="anchor_id bigint, neg_id bigint, cosine_raw double"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        local.select("anchor_id", "neg_id", r4("cosine_raw").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy(F.asc("anchor_id"), F.asc("rank"))
+    )

@@ -40,4 +40,5 @@ def test_contract_shape(spark):
         "multimodal_image_decode",
         "multimodal_video_frame_sample",
         "multimodal_image_resize",
+        "multimodal_image_patchify",
     }

@@ -32,6 +32,7 @@ PYTHON_OK = {
     "multimodal_image_resize",
     "sim_cosine_topk_pairs",
     "sim_cosine_topk_tiled",  # the tiled spelling of the same GEMM
+    "sim_hard_negatives",     # same blocked GEMM, label-masked
     "dedup_embedding_neardup",
     "sim_ivf_knn",
     "multimodal_audio_chunk",
