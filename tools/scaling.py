@@ -17,7 +17,7 @@ of N), then reports per-query:
 Exponents are computed on increments (differences), which cancels the
 per-query fixed floor without needing to estimate it.
 
-Usage: python tools/scaling.py [--n 5]
+Usage: python tools/scaling.py [--n 5] [name ...]
 """
 
 from __future__ import annotations
@@ -56,7 +56,11 @@ def mat(df) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5)
+    ap.add_argument("names", nargs="*", help="override the headline query list")
     args = ap.parse_args()
+    global HEADLINE
+    if args.names:
+        HEADLINE = args.names
 
     spark = get_session("scaling", shuffle_partitions=4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
