@@ -315,3 +315,40 @@ def test_stream_writer_end_to_end_and_idempotent_replay(spark, layer_file, tmp_p
     assert not os.path.exists(stale)
     assert sorted(out.glob("chunk-*.jsonl")) == chunks
     assert sum(1 for c in chunks for _ in open(c)) == 250
+
+
+def test_stream_writer_checkpoint_restart_no_duplicates(spark, layer_file, tmp_path):
+    """Restarting the sink query on the same checkpoint must ingest
+    only files that arrived since the last run — old epochs are not
+    re-emitted, new rows land exactly once."""
+    src_dir = tmp_path / "src2"
+    src_dir.mkdir()
+    base = spark.read.format("arcgis_sim").option("path", layer_file).option(
+        "pageSize", 100
+    ).load()
+    base.write.mode("overwrite").parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    out = tmp_path / "sink2"
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src_dir))
+            .writeStream.format("arcgis_sim")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = sum(1 for c in out.glob("chunk-*.jsonl") for _ in open(c))
+    assert n1 == 250
+    run_once()  # no new data: no new rows
+    assert sum(1 for c in out.glob("chunk-*.jsonl") for _ in open(c)) == 250
+    # 40 new rows arrive as a new file; restart ingests exactly those
+    base.limit(40).write.mode("append").parquet(str(src_dir))
+    run_once()
+    assert sum(1 for c in out.glob("chunk-*.jsonl") for _ in open(c)) == 290
