@@ -851,3 +851,140 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy(F.asc("anchor_id"), F.asc("rank"))
     )
+
+
+@query(
+    "sim_hybrid_search",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dlen) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0) AS bm25
+  FROM sc GROUP BY doc_id
+),
+mx AS (SELECT max(bm25) AS max_bm FROM bm),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id = 0
+),
+vc AS (
+  SELECT vec_id,
+         list_dot_product(e, qe)
+           / (sqrt(list_dot_product(e, e)) * qn) AS cosine
+  FROM v CROSS JOIN q WHERE vec_id <> 0
+),
+h AS (
+  SELECT vc.vec_id AS doc_id,
+         coalesce(bm.bm25, 0) AS bm25,
+         vc.cosine,
+         0.5 * (coalesce(bm.bm25, 0) / max_bm) + 0.5 * vc.cosine AS hybrid
+  FROM vc LEFT JOIN bm ON bm.doc_id = vc.vec_id CROSS JOIN mx
+)
+SELECT doc_id, round(bm25, 4) AS bm25, round(cosine, 4) AS cosine,
+       round(hybrid, 4) AS hybrid
+FROM h
+ORDER BY hybrid DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-era search query: lexical BM25 (the
+    fixed query {table, join, query}) fused with dense cosine to a
+    query vector (vec_id 0's embedding), hybrid = 0.5·bm25/max_bm25 +
+    0.5·cosine, top-10. This is the query a reference user's "search"
+    becomes once both a keyword index and an embedding column exist;
+    the convex fusion with a max-normalized lexical leg is the
+    standard first-stage ranker (before any cross-encoder rerank).
+
+    Cross-engine float discipline: BM25 term sum in fixed textual
+    order (conditional-max pivot), cosine via the sequential HOF fold
+    == DuckDB list_dot_product (order-identical, the _lsh_oracle
+    rule), rounding only at the output/ranking boundary.
+
+    Scale: the lexical leg is two token-level hash aggregates + tiny
+    broadcasts (text_bm25_score's plan); the dense leg is a 1-row
+    query-vector broadcast over a linear scan (sim_knn_query_vector's
+    plan); the fusion joins two doc-keyed relations (the bm25 side is
+    |matched docs|-sized — broadcast) and the top-10 is a heap. At
+    100 TB each leg keeps its own pruned access path; nothing new
+    shuffles for the fusion.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH tok AS (
+  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dlen) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0) AS bm25
+  FROM sc GROUP BY doc_id
+),
+mx AS (SELECT max(bm25) AS max_bm FROM bm),
+v AS (
+  SELECT vec_id, embedding,
+         sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+              0D, (acc, y) -> acc + y)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0),
+vc AS (
+  SELECT vec_id,
+         aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)),
+                   0D, (acc, z) -> acc + z) / (nrm * qn) AS cosine
+  FROM v CROSS JOIN q WHERE vec_id <> 0
+),
+h AS (
+  SELECT vc.vec_id AS doc_id,
+         coalesce(bm.bm25, 0) AS bm25,
+         vc.cosine,
+         0.5 * (coalesce(bm.bm25, 0) / max_bm) + 0.5 * vc.cosine AS hybrid
+  FROM vc LEFT JOIN bm ON bm.doc_id = vc.vec_id CROSS JOIN mx
+)
+SELECT doc_id,
+       CAST(signum(bm25) * floor(abs(bm25) * 10000 + 0.5) / 10000 AS DOUBLE) AS bm25,
+       CAST(signum(cosine) * floor(abs(cosine) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine,
+       CAST(signum(hybrid) * floor(abs(hybrid) * 10000 + 0.5) / 10000 AS DOUBLE) AS hybrid
+FROM h
+ORDER BY hybrid DESC, doc_id ASC
+LIMIT 10
+""",
+        ("documents", "embeddings"),
+    )

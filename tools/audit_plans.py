@@ -62,6 +62,7 @@ NLJ_OK = {
     "sample_temperature_mix",    # 1-row grand-total + 1-row partition-fn Z broadcasts
     "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
     "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
+    "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
 }
 
 
