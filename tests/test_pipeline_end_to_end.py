@@ -95,3 +95,66 @@ def test_incoming_then_outgoing(spark, layer, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_streaming_incoming_to_outgoing_loop(spark, layer, tmp_path):
+    """The reference's full loop in STREAMING form: the scheduled-pull
+    stream source pages the layer, the same incoming+outgoing
+    transforms run on the unbounded DataFrame, and the streaming sink
+    lands the shipped features — identical content to the batch chain
+    (lambda-architecture parity for the whole pipeline, not just one
+    operator)."""
+    raw_batch = (
+        spark.read.format("arcgis_sim").option("path", layer).load()
+    )
+    schema = raw_batch.schema
+
+    def transforms(df):
+        df = (
+            df.withColumnRenamed("fid", "id")
+            .withColumn(
+                "properties", F.create_map(F.lit("callsign"), F.col("callsign"))
+            )
+        )
+        inc = G.explode_multi(G.nest_metadata(G.rewrite_id(G.parse_geometry(df), 9)))
+        routed = G.route_by_geom_type(inc)
+        return G.to_esri_json(
+            G.reproject_web_mercator(routed.filter(F.col("route").isNotNull()))
+        ).select("id", "route", "esri_json")
+
+    sink = tmp_path / "stream_sink"
+    # the Python micro-batch source runs ONE batch per availableNow
+    # trigger (no AvailableNow support -> single-batch fallback), so
+    # each scheduled "wake" pulls one 2-row page; the shared checkpoint
+    # carries the byte offset across wakes — the reference's cron loop.
+    for _wake in range(6):
+        stream = (
+            spark.readStream.format("arcgis_sim")
+            .schema(schema)
+            .option("path", layer)
+            .option("pageSize", 2)
+            .option("pagesPerBatch", 1)
+            .load()
+        )
+        q = (
+            transforms(stream)
+            .writeStream.format("arcgis_sim")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        landed = sum(1 for c in sink.glob("chunk-*.jsonl") for _ in open(c))
+        if landed >= 4:
+            break
+
+    got = {
+        json.loads(l)["id"]: json.loads(l)["esri_json"]
+        for c in sink.glob("chunk-*.jsonl")
+        for l in open(c)
+    }
+    want = {r["id"]: r["esri_json"] for r in transforms(raw_batch).collect()}
+    assert got == want and len(got) == 4
+    # paged into multiple micro-batches -> multiple commit epochs
+    assert len(list(sink.glob("_committed_*"))) >= 2
