@@ -1029,3 +1029,83 @@ GROUP BY c.doc_id
 """,
         ("documents",),
     )
+
+
+@query(
+    "dedup_cross_split_leakage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, bg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), splits AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 4) <= 'e665' THEN 'train'
+              WHEN substr(md5(text), 1, 4) <= 'f332' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT id_a, id_b, pa.split AS split_a, pb.split AS split_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+JOIN splits pa ON pa.doc_id = id_a
+JOIN splits pb ON pb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+  AND pa.split <> pb.split
+ORDER BY id_a, id_b
+""",
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (bigram
+    Jaccard >= 0.2, the exact blocked pair generation of
+    dedup_ngram_jaccard) whose two documents landed in DIFFERENT
+    train/val/test splits (sample_train_val_test's content-hash
+    labels). These are the pairs that silently inflate eval metrics —
+    the audit every dataset release should publish. Content-hash
+    splitting already guarantees EXACT duplicates cannot straddle
+    splits; this measures the residual NEAR-duplicate leakage that
+    only a fuzzy pass can see.
+
+    Scale: the pair search is the inverted-index shape (never a cross
+    join — plan-tested via the shared helper's family); the split
+    label join adds two doc-keyed broadcasts. The fix-side operator is
+    dedup_cluster_keep_best with the cluster's split reassigned
+    together — this query is the detector.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _bigram_jaccard_pairs(docs, 0.2)
+    b = F.substring(F.md5("text"), 1, 4)
+    splits = docs.select(
+        "doc_id",
+        F.when(b <= "e665", "train").when(b <= "f332", "val").otherwise("test").alias("split"),
+    )
+    pa = splits.alias("pa")
+    pb = splits.alias("pb")
+    return (
+        pairs.join(F.broadcast(pa), F.col("pa.doc_id") == F.col("id_a"))
+        .join(F.broadcast(pb), F.col("pb.doc_id") == F.col("id_b"))
+        .filter(F.col("pa.split") != F.col("pb.split"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("pa.split").alias("split_a"),
+            F.col("pb.split").alias("split_b"),
+            r4(F.col("jac")).alias("jaccard"),
+        )
+        .orderBy(F.asc("id_a"), F.asc("id_b"))
+    )
