@@ -889,7 +889,7 @@ ORDER BY bucket ASC
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_price
+       round(sum(l_extendedprice), 0) AS sum_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -928,8 +928,13 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage1.groupBy("l_returnflag")
         .agg(
             F.sum("pn").cast("bigint").alias("n"),
+            # quantities are small integers: the double sum is exact.
             r4(F.sum("pq")).alias("sum_qty"),
-            r4(F.sum("pp")).alias("sum_price"),
+            # per-flag money sum is ~8e9 at sf0.1: cross-engine noise
+            # ~1e-3 swamps the 1e-4 grid, so this column rounds to
+            # integer (SURVEY §5.3.1 magnitude corollary, the
+            # agg_global_no_group precedent).
+            F.round(F.sum("pp"), 0).alias("sum_price"),
         )
         .orderBy(F.asc("l_returnflag"))
     )
