@@ -41,4 +41,5 @@ def test_contract_shape(spark):
         "multimodal_video_frame_sample",
         "multimodal_image_resize",
         "multimodal_image_patchify",
+        "multimodal_audio_spectrum",
     }

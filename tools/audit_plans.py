@@ -37,6 +37,7 @@ PYTHON_OK = {
     "sim_ivf_knn",
     "multimodal_audio_chunk",
     "multimodal_image_patchify",  # patch fan-out inside the Arrow batch
+    "multimodal_audio_spectrum",  # FFT features inside the Arrow batch
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
