@@ -836,7 +836,7 @@ SELECT bucket,
        count(*) AS n,
        round(min(o_totalprice), 4) AS lo,
        round(max(o_totalprice), 4) AS hi,
-       round(sum(o_totalprice), 4) AS total
+       round(sum(o_totalprice), 0) AS total
 FROM (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
@@ -870,7 +870,7 @@ SELECT bucket,
        count(1) AS n,
        {r4_sql("min(o_totalprice)")} AS lo,
        {r4_sql("max(o_totalprice)")} AS hi,
-       {r4_sql("sum(o_totalprice)")} AS total
+       round(sum(o_totalprice), 0) AS total
 FROM (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket

@@ -746,6 +746,8 @@ def _labels_for(path: str):
     ids = t["vec_id"].to_numpy()
     lab = t["label"].to_numpy()
     order = np.argsort(ids)
+    for stale in [k for k in _LABELS_MEMO if k[1] == path]:
+        del _LABELS_MEMO[stale]  # drop superseded generations (the _STRIP_MEMO rule)
     _LABELS_MEMO[key] = lab[order]
     return _LABELS_MEMO[key]
 
