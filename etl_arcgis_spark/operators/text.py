@@ -1337,3 +1337,63 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("lang"), F.asc("split"))
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 1) || substr(w, i + 1, 1) AS pair, freq
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 30
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    adjacent character-pair counts. The trick that makes this scale is
+    the one real BPE trainers use — collapse the corpus to the
+    (word, frequency) vocabulary FIRST (token-level hash aggregate),
+    then enumerate each distinct word's character pairs once and weight
+    by frequency, instead of walking every corpus character. The top
+    pair is the merge a BPE trainer would perform; iterating
+    (merge, recount) is driver-side orchestration of this same query
+    over a re-encoded vocabulary.
+
+    Scale: |vocab| is sublinear in corpus size (Heaps' law — measured
+    by text_vocab_growth), so the pair enumeration touches a shrinking
+    fraction of the data as the corpus grows; both aggregates are
+    map-side combinable and the top-30 is a heap.
+    """
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH words AS (
+  SELECT w, count(1) AS freq
+  FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT concat(substr(w, i, 1), substr(w, i + 1, 1)) AS pair, freq
+  FROM words LATERAL VIEW explode(sequence(1, length(w) - 1)) AS i
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 30
+""",
+        ("documents",),
+    )
