@@ -938,3 +938,79 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("l_returnflag"))
     )
+
+
+@query(
+    "agg_median_two_phase",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(median(o_totalprice), 4) AS median_price
+FROM orders
+""",
+)
+def agg_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median WITHOUT a global sort — the two-phase
+    binning pattern every distributed engine uses for exact quantiles
+    at scale: (1) one pass bins values into 1000 equi-width buckets
+    (min/max from a 1-row broadcast) and counts per bucket — a tiny
+    map-side-combinable aggregate; (2) cumulative bucket counts locate
+    which bucket(s) hold the target ranks, and ONLY those buckets'
+    rows (n/1000 of the data in expectation) are ranked exactly
+    (row_number within bucket + the bucket's cumulative offset = exact
+    global rank). Median = mean of the rank-⌈n/2⌉ and rank-(n/2+1)
+    values (equal for odd n).
+
+    Exactness does not depend on bin-boundary float behavior: bin ids
+    are monotone in the value, ranks come from exact integer counts,
+    and value ties land in the same bin — any tie-break inside a bin
+    yields the same value at the target ranks. Compare
+    agg_percentiles_exact (Spark's built-in percentile, a single-
+    reduce sketch of all values) — this spelling is what you run when
+    one reducer cannot hold the column.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    stats = F.broadcast(
+        o.agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    binned = o.crossJoin(stats).withColumn(
+        "bin",
+        F.least(
+            F.lit(999),
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000),
+        ).cast("int"),
+    )
+    bc = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.asc("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = bc.select(
+        "bin",
+        "n",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    # integer target ranks: r1 = ceil(n/2), r2 = floor(n/2) + 1
+    cum = cum.withColumn("r1", F.expr("(n + 1) div 2")).withColumn(
+        "r2", F.expr("n div 2 + 1")
+    )
+    needed = cum.filter(
+        (F.col("cum_before") < F.col("r2"))
+        & ((F.col("cum_before") + F.col("cnt")) >= F.col("r1"))
+    ).select("bin", "cum_before", "r1", "r2")
+    cand = binned.join(F.broadcast(needed), "bin")
+    w_in = Window.partitionBy("bin").orderBy(F.asc("v"), F.asc("o_orderkey"))
+    ranked = cand.withColumn(
+        "grank", F.col("cum_before") + F.row_number().over(w_in)
+    )
+    hits = ranked.filter(
+        (F.col("grank") == F.col("r1")) | (F.col("grank") == F.col("r2"))
+    )
+    return (
+        hits.groupBy("n")  # n rides along from the stats broadcast
+        .agg(r4(F.avg("v")).alias("median_price"))
+        .select(F.col("n").cast("bigint").alias("n"), "median_price")
+    )
