@@ -1014,3 +1014,61 @@ def agg_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r4(F.avg("v")).alias("median_price"))
         .select(F.col("n").cast("bigint").alias("n"), "median_price")
     )
+
+
+@query(
+    "agg_incremental_update",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 0) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the continuous-aggregate /
+    materialized-view update path, verified against full recompute:
+    the standing per-priority (count, sum) state is built from orders
+    BEFORE the cutover date (the previously-materialized result), the
+    delta partition (orders on/after the cutover) is aggregated alone,
+    and the two merge with a full-outer join + null-safe addition.
+    Because count and sum are algebraic, merged state == the oracle's
+    one-shot aggregate over everything — the invariant every
+    incremental pipeline must prove before it can skip recomputes.
+
+    Scale: the delta aggregate touches only the new partition (at
+    100 TB: one day of a date-partitioned table, with partition
+    pruning doing the skipping), the state side is |groups| rows, and
+    the merge is a broadcast full-outer over group keys. Money sums
+    round to integer (§5.3.1 magnitude corollary — ~4e9 per priority
+    at sf0.1). The streaming twin is pipelines.incremental_materialize.
+    """
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("pt")
+        )
+
+    state = part_agg(o.filter(F.col("o_orderdate") < cut))
+    delta = part_agg(o.filter(F.col("o_orderdate") >= cut))
+    merged = state.alias("s").join(
+        delta.alias("d"),
+        F.col("s.o_orderpriority") == F.col("d.o_orderpriority"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce(F.col("s.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        (
+            F.coalesce(F.col("s.pn"), F.lit(0)) + F.coalesce(F.col("d.pn"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        F.round(
+            F.coalesce(F.col("s.pt"), F.lit(0.0)) + F.coalesce(F.col("d.pt"), F.lit(0.0)),
+            0,
+        ).alias("total"),
+    ).orderBy(F.asc("o_orderpriority"))
