@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import ev_us, r4
+from ..helpers import ev_ms, ev_us, r4
 from ..registry import query
 from ..tables import table
 
@@ -973,4 +973,83 @@ def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             r4(F.expr(num) / F.expr(den)).alias("ewma"),
         )
+    )
+
+
+@query(
+    "ts_cusum_change_point",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+         sum(value - 50.0) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM events
+),
+ranked AS (
+  SELECT user_id, event_id, ms, cusum,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(cusum) DESC, ms ASC, event_id ASC) AS rn
+  FROM seq
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       round(abs(cusum), 4) AS max_abs_cusum,
+       CAST(ms AS BIGINT) AS change_ms
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def ts_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: cumulative sum of
+    deviations from the process target (50.0 — the classical CUSUM
+    known-reference form), with the change point at the maximum
+    |cusum| — where the level shift is most pronounced. The drift
+    monitor that catches slow mean shifts z-score anomaly detection
+    (window_zscore_anomaly) misses.
+
+    Float discipline: the reference value is a CONSTANT, so the
+    running sum adds the same operands in the same per-user order on
+    both engines — bit-identical prefix sums — and the argmax over
+    them is deterministic with the (ms, event_id) tie-break. Using
+    the per-user MEAN as reference would re-introduce cross-engine
+    group-sum accumulation into control flow (the semantic-buckets
+    hazard); the known-target form avoids it by construction.
+
+    Scale: one exchange on user_id shared by both windows (the
+    running sum and the rank), both riding the events cache layout in
+    bench mode; output is one row per user.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_seq = (
+        Window.partitionBy("user_id")
+        .orderBy(ev_us("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        ev_ms("ts").alias("ms"),
+        F.sum(F.col("value") - F.lit(50.0)).over(w_seq).alias("cusum"),
+    )
+    w_n = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("ms"), F.asc("event_id")
+    )
+    ranked = seq.select(
+        "user_id",
+        "ms",
+        "cusum",
+        F.count(F.lit(1)).over(w_n).alias("n_events"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            r4(F.abs("cusum")).alias("max_abs_cusum"),
+            F.col("ms").cast("bigint").alias("change_ms"),
+        )
+        .orderBy(F.asc("user_id"))
     )
