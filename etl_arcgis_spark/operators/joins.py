@@ -1000,3 +1000,107 @@ WHERE a.s < b.e AND b.s < a.e
 """,
         ("orders",),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS click_id, c.user_id, c.us AS click_us,
+       n.event_id AS purchase_id, n.us - c.us AS gap_us
+FROM c LEFT JOIN LATERAL (
+  SELECT p.event_id, p.us FROM p
+  WHERE p.user_id = c.user_id AND abs(p.us - c.us) <= 600000000
+  ORDER BY abs(p.us - c.us), p.us, p.event_id
+  LIMIT 1
+) n ON true
+ORDER BY click_id
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST-either-direction variant: each click matched
+    to the user's closest purchase within ±10 minutes, ties to the
+    EARLIER purchase — the sensor-alignment semantics (backward-only
+    as-of is join_asof_event; nearest is what instrument fusion and
+    attribution-window analyses actually want).
+
+    Scalable spelling: NO pair join — one window pass over the
+    interleaved per-user stream carries the latest at-or-before
+    purchase time (backward) and the earliest strictly-after purchase
+    time (forward); plain arithmetic picks the nearer one inside the
+    tolerance (tie -> backward == earlier, matching the oracle's
+    ORDER BY abs(gap), us). The chosen purchase's id is resolved by an
+    exact (user_id, us) equi-join back to the purchase relation with a
+    min(event_id) tie-break — deterministic for same-microsecond
+    duplicates on both engines. The oracle is the independent LATERAL
+    argmin definition.
+
+    Scale: one shuffle on user_id shared by both windows, plus one
+    equi-join whose left side is |matched clicks| rows; contrast the
+    naive banded |clicks| x |purchases-in-window| join this avoids.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # purchases sort BEFORE clicks at the same timestamp so a gap-0
+    # purchase lands in the click's backward frame
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ev_us().alias("us"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("pt"),
+    )
+    order = [F.asc("us"), F.asc("pt"), F.asc("event_id")]
+    w_b = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_f = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    p_us = F.when(F.col("event_type") == "purchase", F.col("us"))
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last(p_us, ignorenulls=True).over(w_b).alias("b_us"),
+        F.first(p_us, ignorenulls=True).over(w_f).alias("f_us"),
+    ).filter(F.col("event_type") == "click")
+    tol = 600_000_000  # ±10 min in µs
+    b_ok = F.col("b_us").isNotNull() & (F.col("us") - F.col("b_us") <= tol)
+    f_ok = F.col("f_us").isNotNull() & (F.col("f_us") - F.col("us") <= tol)
+    nearest = F.when(
+        b_ok & (~f_ok | (F.col("us") - F.col("b_us") <= F.col("f_us") - F.col("us"))),
+        F.col("b_us"),
+    ).when(f_ok, F.col("f_us"))
+    clicks = scored.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("click_us"),
+        nearest.alias("n_us"),
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ev_us().alias("n_us"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    return (
+        clicks.join(purchases, ["user_id", "n_us"], "left")
+        .select(
+            "click_id",
+            "user_id",
+            "click_us",
+            "purchase_id",
+            (F.col("n_us") - F.col("click_us")).alias("gap_us"),
+        )
+        .orderBy(F.asc("click_id"))
+    )
