@@ -494,3 +494,32 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
         .count()
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_nearest_asof_is_window_pass_not_pair_join(spark):
+    """join_asof_nearest: the temporal match is a window pass + one
+    exact equi-join — never a banded pair join or nested loop."""
+    p = plan_of(spark, "join_asof_nearest")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_pareto_phase1_windows_are_bucket_partitioned(spark):
+    """analytics_pareto_frontier: the heavy phase-1 windows partition
+    by the date bucket (range-disjoint), and no join of any kind
+    appears — the skyline is pure window algebra."""
+    p = plan_of(spark, "analytics_pareto_frontier")
+    assert "partitionBy" not in p  # physical plans spell it in Window specs
+    assert "Join" not in p
+    assert p.count("Window") >= 2  # phase 1 (bucketed) + phase 2 (merge)
+
+
+def test_median_two_phase_ranks_only_target_buckets(spark):
+    """agg_median_two_phase: the exact ranking window partitions by
+    bin and runs AFTER a bucket-membership join — the full column is
+    never globally sorted."""
+    p = plan_of(spark, "agg_median_two_phase")
+    assert "TakeOrderedAndProject" not in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
