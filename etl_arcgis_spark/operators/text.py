@@ -934,8 +934,8 @@ n AS (
   FROM tok
 )
 SELECT doc_id, k AS chunk_id, n_tok,
-       len(list_slice(l, 1 + k * 24, 24 + k * 24)) AS chunk_tokens,
-       array_to_string(list_slice(l, 1 + k * 24, 24 + k * 24), ' ') AS chunk
+       len(list_slice(l, 1 + k * 24, 32 + k * 24)) AS chunk_tokens,
+       array_to_string(list_slice(l, 1 + k * 24, 32 + k * 24), ' ') AS chunk
 FROM n, unnest(generate_series(0, nc - 1)) AS t(k)
 ORDER BY doc_id, chunk_id
 """,
@@ -969,8 +969,8 @@ n AS (
   FROM tok
 )
 SELECT doc_id, k AS chunk_id, n_tok,
-       size(slice(l, 1 + k * 24, 24)) AS chunk_tokens,
-       array_join(slice(l, 1 + k * 24, 24), ' ') AS chunk
+       size(slice(l, 1 + k * 24, 32)) AS chunk_tokens,
+       array_join(slice(l, 1 + k * 24, 32), ' ') AS chunk
 FROM n LATERAL VIEW explode(sequence(0, nc - 1)) AS k
 ORDER BY doc_id ASC, chunk_id ASC
 """,

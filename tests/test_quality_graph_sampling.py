@@ -85,3 +85,54 @@ def test_pagerank_scaled_ranks_are_positive_and_bounded(spark):
     # sorted descending
     vals = [r["rank_scaled"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_zorder_key_bijective_and_locality(spark):
+    """etl_zorder_key: the Morton interleave is a bijection on the
+    16+16-bit grid (no two (x, y) cells collide) and preserves
+    locality: nearby (x, y) differ in low-order zkey bits only."""
+    from etl_arcgis_spark import registry
+
+    rows = registry.all_queries()["etl_zorder_key"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    seen = {}
+    for r in rows:
+        k = (r["x"], r["y"])
+        if k in seen:
+            assert seen[k] == r["zkey"]  # same cell -> same key
+        seen[k] = r["zkey"]
+    assert len(set(seen.values())) == len(seen)  # distinct cells -> distinct keys
+    # spot-check the interleave definition on a few cells
+    for (x, y), z in list(seen.items())[:50]:
+        want = 0
+        for i in range(16):
+            want |= ((x >> i) & 1) << (2 * i)
+            want |= ((y >> i) & 1) << (2 * i + 1)
+        assert z == want
+
+
+def test_chunk_sliding_covers_every_token_with_bounded_overlap(spark):
+    """text_chunk_sliding: chunks tile each document — every token
+    index is covered, consecutive chunks overlap by exactly 8 tokens
+    (except the final short chunk), and stride is constant."""
+    from collections import defaultdict
+
+    from etl_arcgis_spark import registry
+
+    rows = registry.all_queries()["text_chunk_sliding"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc_id, chunks in list(by_doc.items())[:100]:
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n_tok = chunks[0]["n_tok"]
+        covered = set()
+        for r in chunks:
+            start = r["chunk_id"] * 24  # 0-based start
+            assert r["chunk_tokens"] == min(32, n_tok - start), (doc_id, r)
+            covered.update(range(start, start + r["chunk_tokens"]))
+        assert covered == set(range(n_tok)), doc_id
