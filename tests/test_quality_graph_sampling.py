@@ -136,3 +136,83 @@ def test_chunk_sliding_covers_every_token_with_bounded_overlap(spark):
             assert r["chunk_tokens"] == min(32, n_tok - start), (doc_id, r)
             covered.update(range(start, start + r["chunk_tokens"]))
         assert covered == set(range(n_tok)), doc_id
+
+
+def test_top_p_nucleus_threshold_and_minimality(spark):
+    """sample_top_p_nucleus: per language the kept set covers >= 80% of
+    char mass, and it is MINIMAL — dropping the last-kept source falls
+    below 80%."""
+    from collections import defaultdict
+
+    from etl_arcgis_spark import registry
+    from etl_arcgis_spark.tables import table
+
+    rows = registry.all_queries()["sample_top_p_nucleus"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    totals = {
+        r["lang"]: r["total"]
+        for r in table(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("lang")
+        .agg({"n_chars": "sum"})
+        .withColumnRenamed("sum(n_chars)", "total")
+        .collect()
+    }
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    assert set(by_lang) == set(totals)
+    for lang, kept in by_lang.items():
+        kept.sort(key=lambda r: r["cum_chars"])
+        total = totals[lang]
+        assert kept[-1]["cum_chars"] * 10 >= total * 8  # coverage
+        if len(kept) > 1:  # minimality: without the crossing source
+            assert (kept[-1]["cum_chars"] - kept[-1]["chars"]) * 10 < total * 8
+
+
+def test_split_fractions_and_temperature_normalization(spark):
+    """sample_train_val_test lands near 90/5/5 overall;
+    sample_temperature_mix's temperature shares sum to 1 and flatten
+    the distribution (max share shrinks, min share grows)."""
+    from etl_arcgis_spark import registry
+
+    qs = registry.all_queries()
+    split_rows = qs["sample_train_val_test"](spark, "/root/testdata/sf0.01").collect()
+    by_split = {}
+    for r in split_rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    n = sum(by_split.values())
+    assert 0.85 <= by_split["train"] / n <= 0.95
+    assert by_split["val"] / n <= 0.10 and by_split["test"] / n <= 0.10
+
+    mix = qs["sample_temperature_mix"](spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r["p_temp"] for r in mix) - 1.0) < 1e-3
+    assert max(r["p_temp"] for r in mix) < max(r["p_raw"] for r in mix)
+    assert min(r["p_temp"] for r in mix) > min(r["p_raw"] for r in mix)
+
+
+def test_bpe_pair_mass_conservation(spark):
+    """text_bpe_pair_counts: total pair mass over ALL pairs equals
+    sum(freq * (len(word) - 1)) over the vocabulary — no pair lost or
+    double-counted. (The query returns top-30; recompute unlimited.)"""
+    from pyspark.sql import functions as F
+
+    from etl_arcgis_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    want = words.select(
+        F.sum(F.col("freq") * (F.length("w") - 1)).alias("m")
+    ).first()["m"]
+    got = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+        )).alias("pair"),
+        "freq",
+    ).agg(F.sum("freq")).first()[0]
+    assert got == want and want > 0
