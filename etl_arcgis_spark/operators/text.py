@@ -1397,3 +1397,52 @@ LIMIT 30
 """,
         ("documents",),
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+WITH wc AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT sum(n) AS total FROM wc)
+SELECT w AS word, CAST(n AS BIGINT) AS n,
+       round(n / CAST(total AS DOUBLE), 4) AS support
+FROM wc CROSS JOIN tot
+WHERE n * 100 >= total
+ORDER BY n DESC, word
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with support >= 1% of the corpus —
+    the exact answer count-min/Misra-Gries sketches approximate, and
+    the vocabulary-pruning / stop-list-induction primitive curation
+    pipelines run. The keep decision is INTEGER arithmetic
+    (n*100 >= total) — no float threshold in control flow; only the
+    reported support ratio is a rounded double.
+
+    Scale: by the pigeonhole bound at most 100 items can clear a 1%
+    support floor, so the output is tiny no matter the corpus; the
+    plan is one map-side-combinable token aggregate + a 1-row total
+    broadcast. When even |vocab| partials are too big, the sketch
+    path is the fallback — this exact spelling is the oracle for it.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.broadcast(wc.agg(F.sum("n").alias("total")))
+    return (
+        wc.crossJoin(tot)
+        .filter(F.col("n") * 100 >= F.col("total"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("n") / F.col("total").cast("double")).alias("support"),
+        )
+        .orderBy(F.desc("n"), F.asc("word"))
+    )

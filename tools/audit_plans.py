@@ -64,6 +64,7 @@ NLJ_OK = {
     "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
     "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
     "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
+    "text_heavy_hitters",        # 1-row token-total broadcast
 }
 
 
