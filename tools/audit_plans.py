@@ -65,6 +65,7 @@ NLJ_OK = {
     "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
     "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
     "text_heavy_hitters",        # 1-row token-total broadcast
+    "agg_median_two_phase",      # 1-row (min, max, n) stats broadcast under the binning
 }
 
 
