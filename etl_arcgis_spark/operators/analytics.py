@@ -905,10 +905,12 @@ def analytics_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     doubles on both engines.
 
     Scale: revenue aggregates lineitem down to |suppliers| rows before
-    anything else; the global max is a second tiny aggregation over
-    that, and the equality filter is evaluated on the same shrunken
-    relation (window-over-empty-partition on ~1k rows, one task). The
-    supplier join input is already minimal."""
+    anything else; the global max is a 1-row aggregate broadcast back
+    onto the revenue relation (the dq_rule_checks shape) — NOT a
+    window over an empty partition, which would move every supplier
+    row through one task (|suppliers| is unbounded at 100 TB; the
+    round-4 audit rule flags that plan). The supplier join input is
+    already minimal."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -919,10 +921,8 @@ def analytics_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFram
             "total_rev"
         )
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("mx", F.max("total_rev").over(w)).filter(
-        F.col("total_rev") == F.col("mx")
-    )
+    mx = F.broadcast(rev.agg(F.max("total_rev").alias("mx")))
+    best = rev.crossJoin(mx).filter(F.col("total_rev") == F.col("mx"))
     return (
         best.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")

@@ -15,7 +15,7 @@ posture relies on where AQE alone is not enough:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,131 @@ def zorder_key(lon: Column, lat: Column) -> Column:
     qx = F.floor((lon + 180.0) / 360.0 * ((1 << _Z_BITS) - 1)).cast("bigint")
     qy = F.floor((lat + 90.0) / 180.0 * ((1 << _Z_BITS) - 1)).cast("bigint")
     return _spread_bits(qx).bitwiseOR(F.shiftleft(_spread_bits(qy), 1))
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_bins: int = 1024,
+    out_rank: str = "grank",
+    out_n: str = "n_total",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value, tiebreak)``
+    WITHOUT an ``Exchange SinglePartition`` — the two-phase bucket-
+    offset decomposition (same family as agg_median_two_phase /
+    sample_global_reid):
+
+    1. one broadcast pass computes (min, max, count);
+    2. every row bins into one of ``n_bins`` equi-width value bins —
+       bins are range-disjoint in the order key, so bin id is monotone
+       in ``value_col`` and value ties always share a bin (any later
+       tie-break inside the bin is therefore globally consistent);
+    3. per-bin counts roll up to exclusive-prefix offsets via a window
+       over at most ``n_bins`` rows (bounded, broadcast back);
+    4. ``row_number()`` runs PARTITIONED by bin — 100 TB splits into
+       ~n_bins independent sort tasks — and the global rank is
+       ``bin offset + intra-bin rank``.
+
+    Degenerate all-equal input (max == min) pins every row to bin 0;
+    ranks then come from the tie-breaker alone, still exact.
+
+    Adds ``out_rank`` (bigint, 1..N dense in global order) and
+    ``out_n`` (bigint row count) to ``df``; original columns pass
+    through. This is the spelling to use wherever a global
+    ntile/percent_rank/cume_dist/row_number over an UNBOUNDED input
+    would otherwise plan an unpartitioned WindowExec (all distribution
+    stats are pure functions of (rank, n))."""
+    stats = F.broadcast(
+        df.agg(
+            F.min(value_col).alias("_mn"),
+            F.max(value_col).alias("_mx"),
+            F.count(F.lit(1)).alias(out_n),
+        )
+    )
+    binned = df.crossJoin(stats).withColumn(
+        "_bin",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col(value_col) - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * n_bins
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    w_off = Window.orderBy(F.asc("_bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        binned.groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_bin",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        )
+    )
+    w_in = Window.partitionBy("_bin").orderBy(
+        F.asc(value_col), F.asc(tiebreak_col)
+    )
+    return (
+        binned.join(F.broadcast(offsets), "_bin")
+        .withColumn(
+            out_rank,
+            (F.col("_offset") + F.row_number().over(w_in)).cast("bigint"),
+        )
+        .withColumn(out_n, F.col(out_n).cast("bigint"))
+        .drop("_bin", "_mn", "_mx", "_offset")
+    )
+
+
+def bucketed_running_sums(
+    df: DataFrame,
+    order_col: str,
+    bucket: Column,
+    sum_cols: dict[str, str],
+) -> DataFrame:
+    """Exact global running sums ``sum(x) OVER (ORDER BY order_col
+    ROWS UNBOUNDED PRECEDING)`` for several columns at once WITHOUT an
+    ``Exchange SinglePartition``.
+
+    ``bucket`` must be monotone non-decreasing in ``order_col`` (e.g.
+    ``F.expr("doc_id div 64")`` for a dense integer key, or a date
+    bucket for a time series) so that bucket concatenation IS the
+    global order. Phase 1 totals each column per bucket and converts
+    to exclusive-prefix offsets with a window over |buckets| rows
+    (bounded, broadcast back); phase 2 runs the running sum PARTITIONED
+    by bucket; result = offset + intra-bucket running sum.
+
+    ``sum_cols`` maps input column -> output running-sum column.
+    ``order_col`` must be unique within a bucket for a deterministic
+    row order (it is the only sort key)."""
+    b = df.withColumn("_bucket", bucket)
+    w_off = Window.orderBy(F.asc("_bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = b.groupBy("_bucket").agg(
+        *[F.sum(src).alias(f"_t_{src}") for src in sum_cols]
+    )
+    offsets = totals.select(
+        "_bucket",
+        *[
+            F.coalesce(F.sum(f"_t_{src}").over(w_off), F.lit(0)).alias(
+                f"_off_{src}"
+            )
+            for src in sum_cols
+        ],
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(F.asc(order_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = b.join(F.broadcast(offsets), "_bucket")
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, F.col(f"_off_{src}") + F.sum(src).over(w_in)
+        )
+    return out.drop("_bucket", *[f"_off_{src}" for src in sum_cols])

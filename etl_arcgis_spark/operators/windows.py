@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
 from ..tables import sql_over, table
+from .scale_patterns import bucketed_global_rank
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,16 +156,34 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C20: distribution functions over a total order. Single global
-    window — fine for a ranked report output; at 100 TB the same stats
-    come from approx quantiles instead (see agg_approx_count_distinct
-    note)."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return table(spark, sf_dir, "orders").select(
+    """C20: distribution functions over a total order — WITHOUT the
+    unpartitioned global window Spark would otherwise plan as
+    ``Exchange SinglePartition`` (one task sorting all of orders; the
+    round-3 verdict's scale finding). The contract window orders by
+    (o_totalprice, o_orderkey) — a UNIQUE total order, so every
+    distribution function is a pure function of (row_number rk, n):
+    ntile(4) via SQL-standard bucket arithmetic (first n%4 buckets get
+    one extra row), percent_rank = (rk-1)/(n-1) and cume_dist = rk/n
+    (no peers under a unique order). rk and n come from
+    scale_patterns.bucketed_global_rank — two-phase bucket-offset, the
+    heavy sort partitioned across 1024 range-disjoint value bins."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = bucketed_global_rank(o, "o_totalprice", "o_orderkey")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
+        F.expr(
+            """CASE WHEN grank <= (n_total % 4) * (n_total div 4 + 1)
+               THEN (grank - 1) div (n_total div 4 + 1) + 1
+               ELSE (n_total % 4)
+                    + (grank - (n_total % 4) * (n_total div 4 + 1) - 1)
+                      div (n_total div 4) + 1 END"""
+        ).cast("bigint").alias("quartile"),
+        r4(
+            F.when(F.col("n_total") == 1, F.lit(0.0)).otherwise(
+                (F.col("grank") - 1) / (F.col("n_total") - 1)
+            )
+        ).alias("pct_rank"),
+        r4(F.col("grank") / F.col("n_total")).alias("cume"),
     )
 
 

@@ -98,6 +98,38 @@ def _verified_names() -> set[str]:
 _FAILED_LAST: set[str] = set()
 
 
+# The declared §2.1 contract query set (SURVEY.md §2.1 — 71 names).
+# A contract name that has never earned a green driver row sorts ahead
+# of EVERY extension registration, whatever module it lives in: the
+# round-3 lesson was that 15 newly-registered text extensions displaced
+# 8 never-checked contract names out of the driver's first-50 window
+# (module priority ranked whole modules, not contract membership).
+_CONTRACT_NAMES = frozenset(
+    """
+scan_project_filter scan_count scan_limit_offset scan_distinct_values
+filter_compound_predicates filter_like_pattern filter_in_list
+filter_between_dates filter_spatial_envelope project_computed
+project_struct_nest id_rewrite_concat explode_pos_with_id
+geo_route_by_type geo_reproject_webmercator join_inner_equi
+join_left_outer join_full_outer join_semi join_anti join_star_multiway
+join_theta_range join_asof_event join_upsert_merge agg_groupby_stats
+agg_having agg_global_no_group agg_count_distinct_exact
+agg_approx_count_distinct agg_grouping_sets agg_rollup agg_cube
+agg_conditional agg_extent_minmax window_rank_topk_per_group
+window_running_sum window_lag_lead window_moving_avg_rows
+window_range_frame window_ntile_percent window_first_last sort_multi_key
+topk_order_limit set_union_all set_union_distinct set_intersect
+set_except str_funcs date_funcs math_funcs array_funcs map_json_funcs
+cast_coalesce_defaults stream_tumbling_window_agg
+stream_sliding_window_agg stream_session_window dedup_exact
+dedup_key_last_write minhash_lsh_dedup sim_cosine_topk_pairs
+sim_knn_query_vector lsh_approx_join text_tokenize_wordcount
+text_ngram_count text_tfidf_top_terms text_lang_filter_stats
+multimodal_embedding_stats udf_scalar_default udf_pandas_reproject
+udaf_grouped_median udtf_json_explode
+""".split()
+)
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -177,9 +209,11 @@ def all_queries() -> dict[str, QueryFn]:
         if n in _FAILED_LAST:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in verified:
-            tier = 1
+            tier = 2
+        elif n in _CONTRACT_NAMES:
+            tier = 0  # §2.1 contract, never driver-checked: pinned first
         else:
-            tier = 0
+            tier = 1  # extension, never driver-checked
         return (
             tier,
             prio.get(MODULE_OF.get(n, ""), len(_MODULE_PRIORITY)),

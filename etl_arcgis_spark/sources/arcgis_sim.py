@@ -266,6 +266,26 @@ class ChunkCommit(WriterCommitMessage):
     partition: int
 
 
+def _sweep_stale_tmp(out_dir: str) -> None:
+    """Remove orphaned ``.tmp-*`` attempt files from ``out_dir``.
+
+    abort() only runs when the whole job/epoch fails, so the LOSING
+    attempt of a task-level retry or speculative duplicate leaves its
+    tmp file behind forever (round-3 ADVICE finding). The driver-side
+    commit/abort barriers run strictly after every attempt of the epoch
+    has finished (the next epoch cannot start first), so any ``.tmp-*``
+    file still present there is garbage by construction — identifiable
+    by prefix, safe to unlink."""
+    import glob as _glob
+    import os
+
+    for stale in _glob.glob(f"{out_dir}/.tmp-*"):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+
+
 class ArcGISSimWriter(DataSourceWriter):
     """A17: append-only batch sink — one JSONL chunk per partition
     (chunked submit), commit barrier == Promise.allSettled
@@ -305,6 +325,7 @@ class ArcGISSimWriter(DataSourceWriter):
             final = f"{self.out_dir}/chunk-{m.partition:05d}.jsonl"
             os.replace(m.path, final)
         total = sum(m.rows for m in messages)
+        _sweep_stale_tmp(self.out_dir)
         print(f"ok - submitted {total} features in {len(messages)} chunks")
 
     def abort(self, messages) -> None:
@@ -315,6 +336,7 @@ class ArcGISSimWriter(DataSourceWriter):
                 os.remove(m.path)
             except OSError:
                 pass
+        _sweep_stale_tmp(self.out_dir)
 
 
 class ArcGISSimStreamWriter(DataSourceStreamWriter):
@@ -353,6 +375,7 @@ class ArcGISSimStreamWriter(DataSourceStreamWriter):
         return ChunkCommit(path=tmp, rows=n, partition=pid)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import glob as _glob
         import os
 
         marker = f"{self.out_dir}/_committed_{batchId}"
@@ -365,7 +388,19 @@ class ArcGISSimStreamWriter(DataSourceStreamWriter):
                         os.remove(m.path)
                     except OSError:
                         pass
+            _sweep_stale_tmp(self.out_dir)
             return
+        # No marker => the epoch is NOT durable yet, whatever partial
+        # state a crashed earlier attempt left behind. Delete any
+        # chunk-<batchId>-* leftovers BEFORE promoting: a replay may
+        # legitimately produce a different partition count, and a stale
+        # promoted chunk from the dead attempt would otherwise survive
+        # as a duplicate orphan (round-3 ADVICE finding).
+        for stale in _glob.glob(f"{self.out_dir}/chunk-{batchId:06d}-*.jsonl"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         total = 0
         for m in messages:
             if m is None:
@@ -373,8 +408,13 @@ class ArcGISSimStreamWriter(DataSourceStreamWriter):
             final = f"{self.out_dir}/chunk-{batchId:06d}-{m.partition:05d}.jsonl"
             os.replace(m.path, final)
             total += m.rows
-        with open(marker, "w") as fh:
+        # marker write is itself atomic (tmp + rename): the epoch is
+        # durable exactly when the marker exists
+        marker_tmp = f"{marker}.tmp"
+        with open(marker_tmp, "w") as fh:
             fh.write(str(total))
+        os.replace(marker_tmp, marker)
+        _sweep_stale_tmp(self.out_dir)
         print(f"ok - submitted {total} features (batch {batchId})")
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -387,6 +427,7 @@ class ArcGISSimStreamWriter(DataSourceStreamWriter):
                 os.remove(m.path)
             except OSError:
                 pass
+        _sweep_stale_tmp(self.out_dir)
 
 
 class ArcGISSimStreamReader(SimpleDataSourceStreamReader):

@@ -352,3 +352,59 @@ def test_stream_writer_checkpoint_restart_no_duplicates(spark, layer_file, tmp_p
     base.limit(40).write.mode("append").parquet(str(src_dir))
     run_once()
     assert sum(1 for c in out.glob("chunk-*.jsonl") for _ in open(c)) == 290
+
+
+def test_stream_writer_crash_replay_removes_orphan_chunks(tmp_path):
+    """Round-3 ADVICE: a crash mid-promotion (some chunks renamed, no
+    marker yet) followed by a replay with FEWER partitions must not
+    leave the dead attempt's extra chunk as a duplicate orphan — the
+    no-marker commit path deletes every chunk-<batchId>-* leftover
+    before promoting, and the marker write is atomic."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_arcgis_spark.sources.arcgis_sim import (
+        ArcGISSimStreamWriter,
+        ChunkCommit,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    schema = StructType([StructField("oid", LongType())])
+    w = ArcGISSimStreamWriter(schema, {"path": str(out)})
+
+    # dead first attempt: partitions 0 and 1 already promoted, crash
+    # happened before the marker was written
+    (out / "chunk-000007-00000.jsonl").write_text('{"oid": 1}\n')
+    (out / "chunk-000007-00001.jsonl").write_text('{"oid": 2}\n')
+    # plus an orphaned attempt file from a lost speculative task
+    (out / ".tmp-dead-attempt").write_text('{"oid": 3}\n')
+
+    # replay produces only ONE partition this time
+    attempt = out / ".tmp-replay-0"
+    attempt.write_text('{"oid": 1}\n{"oid": 2}\n')
+    w.commit([ChunkCommit(path=str(attempt), rows=2, partition=0)], 7)
+
+    chunks = sorted(p.name for p in out.glob("chunk-*.jsonl"))
+    assert chunks == ["chunk-000007-00000.jsonl"], chunks
+    assert (out / "_committed_7").read_text() == "2"
+    assert not list(out.glob(".tmp-*")), "stale attempt files not swept"
+    assert not list(out.glob("_committed_7.tmp"))
+
+
+def test_batch_writer_commit_sweeps_lost_attempt_tmp(tmp_path):
+    """The batch sink's commit also sweeps .tmp-* files left by losing
+    task retries (abort only runs on whole-job failure)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_arcgis_spark.sources.arcgis_sim import ArcGISSimWriter, ChunkCommit
+
+    out = tmp_path / "bsink"
+    out.mkdir()
+    schema = StructType([StructField("oid", LongType())])
+    w = ArcGISSimWriter(schema, {"path": str(out)})
+    (out / ".tmp-lost-retry").write_text('{"oid": 9}\n')
+    winner = out / ".tmp-winner"
+    winner.write_text('{"oid": 1}\n')
+    w.commit([ChunkCommit(path=str(winner), rows=1, partition=0)])
+    assert (out / "chunk-00000.jsonl").exists()
+    assert not list(out.glob(".tmp-*"))

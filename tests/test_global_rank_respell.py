@@ -1,0 +1,231 @@
+"""Round-4 re-spellings of the Exchange-SinglePartition global windows.
+
+The round-3 verdict found four queries whose unpartitioned window moved
+the whole (unbounded) input through ONE task. They were re-spelled on
+the two-phase bucket-offset pattern (scale_patterns.bucketed_global_rank
+/ bucketed_running_sums). The property each rewrite must hold is EXACT
+output equality with the old single-window spelling — asserted here by
+reconstructing the old spelling inline — plus the plan property that the
+heavy window is partitioned (only the |bins|-row offset window may be
+unpartitioned).
+
+Also pins the audit detector itself (tools/audit_plans.unpartitioned_
+window) against the probed plan-text formats, so the rule can't rot.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from etl_arcgis_spark import registry  # noqa: E402
+from etl_arcgis_spark.operators.scale_patterns import (  # noqa: E402
+    bucketed_global_rank,
+    bucketed_running_sums,
+)
+from tools.audit_plans import unpartitioned_window  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _run(spark, name):
+    return registry.all_queries()[name](spark, SF_DIR)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def test_bucketed_global_rank_matches_naive_window(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).cast("double").alias("v"),  # many ties
+        F.col("id").alias("k"),
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=16)
+    naive = df.withColumn(
+        "grank",
+        F.row_number()
+        .over(Window.orderBy(F.asc("v"), F.asc("k")))
+        .cast("bigint"),
+    )
+    assert _rows(got.select("v", "k", "grank")) == _rows(
+        naive.select("v", "k", "grank")
+    )
+    # ranks are a permutation of 1..N and n_total is constant N
+    assert _rows(got.select("grank")) == [(i,) for i in range(1, 501)]
+    assert got.select("n_total").distinct().collect()[0][0] == 500
+
+
+def test_bucketed_global_rank_degenerate_all_equal(spark):
+    # max == min: every row pins to bin 0 explicitly (no NaN binning);
+    # ranks come from the tie-breaker alone.
+    df = spark.range(0, 50).select(
+        F.lit(7.5).alias("v"), F.col("id").alias("k")
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=8)
+    assert _rows(got.select("k", "grank")) == [(i, i + 1) for i in range(50)]
+
+
+def test_bucketed_running_sums_match_naive_window(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("d"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    got = bucketed_running_sums(
+        df, "d", F.expr("d div 32"), {"a": "ca", "b": "cb"}
+    )
+    w = Window.orderBy(F.asc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select(
+        "d", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    assert _rows(got.select("d", "ca", "cb")) == _rows(naive)
+
+
+# ------------------------------------------------- rewritten-query parity
+
+
+def test_equidepth_histogram_equals_ntile_spelling(spark):
+    from etl_arcgis_spark.tables import table
+
+    got = _run(spark, "agg_equidepth_histogram")
+    o = table(spark, SF_DIR, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    old = (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            F.round(F.sum("o_totalprice"), 0).alias("total"),
+        )
+    )
+    assert _rows(got) == _rows(old)
+
+
+def test_ntile_percent_equals_window_spelling(spark):
+    from etl_arcgis_spark.tables import table
+
+    got = _run(spark, "window_ntile_percent")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    old = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+    assert _rows(got) == _rows(old)
+
+
+def test_gini_equals_window_spelling(spark):
+    from etl_arcgis_spark.helpers import r4
+    from etl_arcgis_spark.tables import table
+
+    got = _run(spark, "stats_gini_revenue")
+    od = table(spark, SF_DIR, "orders")
+    r = od.groupBy("o_custkey").agg(r4(F.sum("o_totalprice")).alias("rev"))
+    wr = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    k = r.select(
+        "rev",
+        F.row_number().over(wr).cast("double").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("n"),
+    )
+    gini = (
+        F.lit(2.0) * F.sum(F.col("rk") * F.col("rev")) / (F.col("n") * F.sum("rev"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    old = (
+        k.groupBy("n")
+        .agg(r4(gini).alias("gini"))
+        .select("gini", F.col("n").cast("bigint").alias("n_customers"))
+    )
+    assert _rows(got) == _rows(old)
+
+
+def test_vocab_growth_equals_window_spelling(spark):
+    from etl_arcgis_spark.tables import table
+
+    got = _run(spark, "text_vocab_growth")
+    docs = table(spark, SF_DIR, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    fw = (
+        docs.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_doc = fw.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    tok = docs.select("doc_id", F.size("w").alias("n_tok"))
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    old = tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.sum(F.coalesce("new_words", F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("vocab_size"),
+        F.sum("n_tok").over(w).cast("bigint").alias("corpus_tokens"),
+    )
+    assert _rows(got) == _rows(old)
+
+
+# ------------------------------------------------------- plan properties
+
+
+def test_rewritten_queries_heavy_window_is_bin_partitioned(spark):
+    """The full-table row_number runs PARTITIONED by the range bin; the
+    only unpartitioned windows left operate on the per-bin aggregate."""
+    for name in ("agg_equidepth_histogram", "stats_gini_revenue", "window_ntile_percent"):
+        p = _plan(_run(spark, name))
+        assert any(
+            line.lstrip(" +-*:").startswith("Window ") and "], [_bin#" in line
+            for line in p.splitlines()
+        ), f"{name}: no _bin-partitioned Window in plan:\n{p}"
+
+
+def test_vocab_growth_heavy_window_is_bucket_partitioned(spark):
+    p = _plan(_run(spark, "text_vocab_growth"))
+    assert any(
+        line.lstrip(" +-*:").startswith("Window ") and "], [_bucket#" in line
+        for line in p.splitlines()
+    ), f"no _bucket-partitioned Window in plan:\n{p}"
+
+
+# ------------------------------------------------------ detector itself
+
+
+def test_unpartitioned_window_detector_formats():
+    part_only = "Window [count(1) windowspecdefinition(g#1L, specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS c#2L], [g#1L]"
+    part_order = "Window [row_number() windowspecdefinition(g#1L, id#0L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS c#4], [g#1L], [id#0L ASC NULLS FIRST]"
+    order_only = "Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS c#6], [id#0L ASC NULLS FIRST]"
+    empty = "Window [count(1) windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS c#8L]"
+    assert not unpartitioned_window("+- " + part_only)
+    assert not unpartitioned_window("+- " + part_order)
+    assert unpartitioned_window("+- " + order_only)
+    assert unpartitioned_window("+- " + empty)
+    assert not unpartitioned_window("Project [a#1]\n+- Filter (a#1 > 2)")
+
+
+def test_detector_live_on_spark_plans(spark):
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert unpartitioned_window(_plan(bad))
+    assert not unpartitioned_window(_plan(good))

@@ -510,7 +510,17 @@ def test_pareto_phase1_windows_are_bucket_partitioned(spark):
     by the date bucket (range-disjoint), and no join of any kind
     appears — the skyline is pure window algebra."""
     p = plan_of(spark, "analytics_pareto_frontier")
-    assert "partitionBy" not in p  # physical plans spell it in Window specs
+    # Physical plans render a partitioned Window as
+    #   Window [fns], [bucket#N], [d#M ASC ...]
+    # — assert at least one Window node's partition spec is the bucket
+    # column (the round-3 ADVICE fix: the old "partitionBy not in plan"
+    # assertion was vacuously true, plans never contain that literal).
+    bucketed = [
+        line
+        for line in p.splitlines()
+        if line.lstrip(" +-*:").startswith("Window ") and "], [bucket#" in line
+    ]
+    assert bucketed, f"no bucket-partitioned Window node in plan:\n{p}"
     assert "Join" not in p
     assert p.count("Window") >= 2  # phase 1 (bucketed) + phase 2 (merge)
 

@@ -81,3 +81,50 @@ def test_no_correctness_files_preserves_priority_order(monkeypatch, tmp_path):
     names = _ordered_names(monkeypatch, tmp_path, {})
     assert names[0].startswith("scan_")  # contract families lead
     assert len(names) == len(set(names))
+
+
+def test_contract_names_all_registered():
+    registry.load_all()
+    missing = registry._CONTRACT_NAMES - set(registry.QUERIES)
+    assert not missing, f"§2.1 contract names not registered: {sorted(missing)}"
+
+
+def test_unchecked_contract_names_pin_into_first_50(monkeypatch, tmp_path):
+    """Round-3 regression: newly-registered extension modules must NOT
+    displace never-driver-checked §2.1 contract names out of the
+    driver's first-50 window. Simulate every non-contract name being
+    green while contract names are unchecked: they must ALL sort into
+    the front window regardless of module priority."""
+    registry.load_all()
+    green = {
+        n: {"hash_match": True, "err": None, "spark_rows": 1}
+        for n in registry.QUERIES
+        if n not in registry._CONTRACT_NAMES
+    }
+    names = _ordered_names(
+        monkeypatch, tmp_path, {"CORRECTNESS_r01.json": green}
+    )
+    positions = {n: i for i, n in enumerate(names)}
+    # every unchecked contract name precedes every other registration —
+    # i.e. they fill positions 0..len(contract)-1, so whenever fewer
+    # than 50 are unchecked (the steady state) they ALL sit inside the
+    # driver's first-50 window.
+    late = [
+        n
+        for n in registry._CONTRACT_NAMES
+        if positions[n] >= len(registry._CONTRACT_NAMES)
+    ]
+    assert not late, f"contract names displaced by extensions: {late}"
+
+
+def test_contract_tier_beats_extension_module_priority(monkeypatch, tmp_path):
+    """With nothing verified, an unchecked contract name from a LOW
+    priority module (e.g. multimodal) still sorts ahead of unchecked
+    extension names from HIGH priority modules (e.g. scans)."""
+    names = _ordered_names(monkeypatch, tmp_path, {})
+    positions = {n: i for i, n in enumerate(names)}
+    contract_max = max(positions[n] for n in registry._CONTRACT_NAMES)
+    ext_min = min(
+        positions[n] for n in registry.QUERIES if n not in registry._CONTRACT_NAMES
+    )
+    assert contract_max < ext_min

@@ -2,8 +2,12 @@
 scale smells (SURVEY.md §4).
 
 Flags: CartesianProduct / BroadcastNestedLoopJoin outside the known
-intentional set, and Python execution (BatchEvalPython / ArrowEval /
-MapInPandas / FlatMapGroupsInPandas) outside the declared UDF surface.
+intentional set, Python execution (BatchEvalPython / ArrowEval /
+MapInPandas / FlatMapGroupsInPandas) outside the declared UDF surface,
+and — the round-3 verdict's scale finding — UNPARTITIONED WindowExec
+(``Window.orderBy`` with no ``partitionBy`` always plans
+``Exchange SinglePartition``: the whole input sorts in ONE task)
+outside an allowlist of provably-bounded inputs.
 
 Usage: python tools/audit_plans.py [--sf DIR]
 """
@@ -66,7 +70,67 @@ NLJ_OK = {
     "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
     "text_heavy_hitters",        # 1-row token-total broadcast
     "agg_median_two_phase",      # 1-row (min, max, n) stats broadcast under the binning
+    "analytics_top_revenue_supplier",  # 1-row scalar-max broadcast (replaces empty-partition window)
+    "agg_equidepth_histogram",   # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
+    "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
+    "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
 }
+
+# Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
+# input (rows independent of table size, or reduced to a small
+# aggregate first). Everything else must partition its windows — an
+# unpartitioned window over an unbounded input is the one-task global
+# sort that kills a 100 TB job (use scale_patterns.bucketed_global_rank
+# / bucketed_running_sums instead; see the four round-4 rewrites).
+WINDOW_BOUNDED_OK = {
+    "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
+    "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
+    "ts_sessionize_gaps": "lag over per-day aggregate (~2400 rows)",
+    "analytics_pareto_frontier": "phase-2 merge over per-bucket skyline survivors (bounded by bucket count x frontier size)",
+    "sample_pack_sequences": "documented single-box packing demo; cluster spelling (bucketed) in docstring",
+    "sample_global_reid": "offset window over per-bucket counts (|buckets| rows)",
+    "agg_median_two_phase": "offset window over 1000 equi-width bin counts",
+    "agg_equidepth_histogram": "offset window over 1024 bin counts (bucketed_global_rank)",
+    "stats_gini_revenue": "offset window over 1024 bin counts (bucketed_global_rank)",
+    "text_vocab_growth": "offset window over per-bucket totals (|buckets| rows)",
+    "window_ntile_percent": "offset window over 1024 bin counts (bucketed_global_rank)",
+    "stats_ks_two_sample": "cumulative window over per-distinct-value counts (ECDF support; bounded by value grid)",
+    "sql_recursive_month_spine": "window over generated month spine (~80 rows)",
+}
+
+
+def unpartitioned_window(plan: str) -> bool:
+    """True if any Window node in the plan text has no partition spec.
+
+    A Window line renders its argument lists as top-level bracket
+    groups (probed on this Spark build):
+      partition+order : ``Window [fns], [partition], [order]``  (3)
+      partition only  : ``Window [fns], [partition]``           (2)
+      order only      : ``Window [fns], [order]``               (2) BAD
+      empty over()    : ``Window [fns]``                        (1) BAD
+    Partition-only windows hash-partition (fine); the 2-group case is
+    an order spec — and thus SinglePartition — iff it carries sort
+    directions (ASC/DESC)."""
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-*:")
+        if not stripped.startswith("Window "):
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0:
+                groups[-1] += ch
+        if len(groups) <= 1:
+            return True
+        if len(groups) == 2 and (" ASC" in groups[-1] or " DESC" in groups[-1]):
+            return True
+    return False
 
 
 def main() -> int:
@@ -91,6 +155,8 @@ def main() -> int:
             and name not in PYTHON_OK
         ):
             flags.append("PythonExec")
+        if unpartitioned_window(plan) and name not in WINDOW_BOUNDED_OK:
+            flags.append("UnpartitionedWindow")
         if flags:
             issues.append(f"{name}: {', '.join(flags)}")
     print("ALL CLEAN" if not issues else "ISSUES:")
