@@ -325,3 +325,117 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("c_a").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_two_hop_peers")
     )
+
+
+_CORE_K = 15
+_CORE_ROUNDS = 3
+
+
+def _oracle_kcore() -> str:
+    """Unrolled fixed-round peeling, identical semantics to the Spark
+    loop: round r = degree count over the surviving subgraph, keep
+    nodes with degree >= k, keep edges with BOTH endpoints kept."""
+    steps = []
+    prev_u = "u1"
+    rows = []
+    for r in range(1, _CORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (SELECT a, count(*) AS d FROM {prev_u} GROUP BY a),
+s{r} AS (SELECT a FROM d{r} WHERE d >= {_CORE_K}),
+u{r + 1} AS (
+  SELECT {prev_u}.a, {prev_u}.b
+  FROM {prev_u}
+  JOIN s{r} x ON {prev_u}.a = x.a
+  JOIN s{r} y ON {prev_u}.b = y.a
+)"""
+        )
+        rows.append(
+            f"SELECT {r} AS round, (SELECT count(*) FROM s{r}) AS n_nodes,"
+            f" (SELECT count(*) / 2 FROM u{r + 1}) AS n_edges"
+        )
+        prev_u = f"u{r + 1}"
+    steps_sql = ",\n".join(steps)
+    rows_sql = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e1 AS (SELECT src, dst FROM e0 WHERE w >= 2),
+u1 AS (SELECT src AS a, dst AS b FROM e1 UNION ALL SELECT dst AS a, src AS b FROM e1),
+{steps_sql}
+SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+FROM ({rows_sql}) ORDER BY round
+"""
+
+
+@query("graph_kcore_peel", oracle=_oracle_kcore())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=15, 3 fixed rounds) on the repeat-business
+    graph (customer-supplier pairs with >= 2 order lines): each round
+    recomputes degrees over the surviving subgraph and drops nodes
+    below k — the standard cascade that isolates the densely-connected
+    core (community seeds, spam/bot ring detection; in a data-curation
+    pipeline: the dense co-citation core worth oversampling). k=15 is
+    chosen to actually CASCADE on the fixtures (170 -> 88 -> 18
+    survivors at sf0.01), exercising the fixpoint loop, not one
+    filter pass. Output: per-round survivor/edge counts — bounded
+    (ROUNDS rows) and never empty at any SF.
+
+    Scale: each round is one degree aggregate + two hash semi-joins of
+    the edge list against the (shrinking) survivor set — all keyed
+    shuffles, no single-task stage; the loop materializes each round's
+    edge list via localCheckpoint to truncate lineage (same discipline
+    as graph_pagerank_fixed). At 1000 executors a full k-core
+    decomposition would iterate to fixpoint with the same per-round
+    plan; the FIXED round count here keeps the result a deterministic
+    oracle-checkable contract.
+
+    Ref parity: the reference has no graph surface; this extends the
+    engine family of iterative relational algorithms
+    (dedup.py connected components, graph_pagerank_fixed).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    und = e0.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    rows = kcore_rounds(und, _CORE_K, _CORE_ROUNDS)
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("round")
+
+
+def kcore_rounds(und: DataFrame, k: int, rounds: int) -> list[tuple[int, int, int]]:
+    """Run ``rounds`` k-core peeling iterations over an undirected edge
+    list (both directions present as (a, b) rows); returns
+    [(round, surviving_nodes, surviving_undirected_edges), ...].
+    Each round: degree aggregate -> drop nodes with degree < k -> keep
+    edges whose BOTH endpoints survive; edge lists are repartitioned on
+    the join key and localCheckpoint()ed to truncate lineage."""
+    und = und.repartition(_PARTS, "a").localCheckpoint()
+    rows = []
+    for r in range(1, rounds + 1):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= k).select("a")
+        und = (
+            und.join(surv.withColumnRenamed("a", "ka"), F.col("a") == F.col("ka"))
+            .drop("ka")
+            .join(surv.withColumnRenamed("a", "kb"), F.col("b") == F.col("kb"))
+            .drop("kb")
+        )
+        und = und.repartition(_PARTS, "a").localCheckpoint()
+        rows.append((r, surv.count(), und.count() // 2))
+    return rows

@@ -1104,3 +1104,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("click_id"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         'flag-' || l_returnflag AS label
+  FROM lineitem
+)
+SELECT l_returnflag, label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 0) AS total_price
+FROM lineitem JOIN d ON l_returnflag = d.flag
+GROUP BY l_returnflag, label
+ORDER BY l_returnflag
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join for a pathologically skewed key — the JOIN
+    twin of agg_salted_skew: l_returnflag has 3 values (~200k rows
+    each at sf0.1), so a plain shuffle join funnels each flag's rows
+    through ONE reducer. The rewrite: (1) the fact side salts each
+    row with a deterministic 32-way salt (l_orderkey % 32 — stable
+    under task retries, unlike rand()); (2) the dim side REPLICATES
+    every row 32x via explode(sequence(0,31)); (3) the join runs on
+    (key, salt), spreading each hot key over 32 reducers. Identical
+    result to the unsalted join (the oracle) — salting is a physical
+    rewrite only.
+
+    The shuffle_hash hint pins a ShuffledHashJoin so the salted
+    exchange actually materializes in the plan (plan-tested): with a
+    broadcastable dim Spark would broadcast and skew wouldn't matter —
+    the pattern is for when the dim is too big to broadcast but the
+    fan-out x32 replication still is (true whenever |dim| x 32 <<
+    |fact|, the regime where key skew hurts). AQE's skew-join
+    splitting solves this adaptively for sort-merge joins; the
+    explicit salt is the deterministic spelling that also works where
+    AQE cannot see the skew (e.g. under a single post-shuffle stage).
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.expr("l_orderkey % 32").cast("int")
+    )
+    dim = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("label", F.concat(F.lit("flag-"), F.col("flag")))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = li.join(
+        dim.hint("shuffle_hash"),
+        (li.l_returnflag == dim.flag) & (li.salt == dim.salt),
+    )
+    return (
+        joined.groupBy("l_returnflag", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 0).alias("total_price"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )

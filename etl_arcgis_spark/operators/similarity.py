@@ -990,3 +990,117 @@ LIMIT 10
 """,
         ("documents", "embeddings"),
     )
+
+
+_MRL_PRE = 16  # prefix dims for the matryoshka screen (of 64)
+_MRL_K = 5
+
+_ORACLE_MRL = f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nf,
+         sqrt(sum(CASE WHEN i <= {_MRL_PRE} THEN x * x ELSE 0 END)) AS np
+  FROM v GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS qid, v.vec_id AS nid,
+         sum(q.x * v.x) AS df,
+         sum(CASE WHEN q.i <= {_MRL_PRE} THEN q.x * v.x ELSE 0 END) AS dp
+  FROM q JOIN v ON q.i = v.i AND v.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT qid, nid,
+         round(df / (na.nf * nb.nf), 4) AS s_full,
+         round(dp / (na.np * nb.np), 4) AS s_pre
+  FROM dots
+  JOIN norms na ON na.vec_id = qid
+  JOIN norms nb ON nb.vec_id = nid
+),
+rk AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, nid ASC) AS rf,
+         row_number() OVER (PARTITION BY qid ORDER BY s_pre DESC, nid ASC) AS rp
+  FROM sims
+)
+SELECT qid AS query_id,
+       CAST(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} THEN 1 ELSE 0 END) / {_MRL_K}.0, 4) AS recall_at_5
+FROM rk GROUP BY qid
+ORDER BY qid
+"""
+
+
+def matryoshka_recall(
+    spark: SparkSession, sf_dir: str, pre_dims: int = _MRL_PRE, k: int = _MRL_K
+) -> DataFrame:
+    """Matryoshka truncation validation (MRL, Kusupati et al. 2022,
+    arXiv:2205.13147): measure recall@k of PREFIX-dimension cosine
+    top-k against full-dimension top-k, per query — the check a
+    retrieval pipeline runs before deploying truncated embeddings (a
+    4x-cheaper GEMM and 4x-smaller index if the prefix screen holds).
+
+    Both rankings round similarity to the r4 grid BEFORE ranking with
+    a vec_id tie-break (the stats_gini_revenue discipline), so set
+    membership never rides on engine-order float noise.
+
+    Scale: this exact spelling is the oracle-able VALIDATION pass on a
+    sample (queries = vec_id % 25); production serving would run the
+    prefix screen through the IVF path (sim_ivf_knn) and re-rank
+    survivors at full dims. The per-query windows partition by qid —
+    no global window; the query x corpus join is the deliberate
+    brute-force baseline, bounded by the sample size."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(f"slice(embedding, 1, {pre_dims})").alias("pre"),
+    )
+    e = e.withColumn("nf", F.expr(_NORM.format(a="embedding"))).withColumn(
+        "np", F.expr(_NORM.format(a="pre"))
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("pre").alias("q_pre"),
+            F.col("nf").alias("q_nf"),
+            F.col("np").alias("q_np"),
+        )
+    )
+    joined = e.join(q, F.col("vec_id") != F.col("qid"))
+    s_full = r4(
+        F.expr(_DOT.format(a="embedding", b="q_emb")) / (F.col("nf") * F.col("q_nf"))
+    )
+    s_pre = r4(
+        F.expr(_DOT.format(a="pre", b="q_pre")) / (F.col("np") * F.col("q_np"))
+    )
+    sims = joined.select(
+        "qid", F.col("vec_id").alias("nid"), s_full.alias("s_full"), s_pre.alias("s_pre")
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("s_full"), F.asc("nid"))
+    w_p = Window.partitionBy("qid").orderBy(F.desc("s_pre"), F.asc("nid"))
+    rk = sims.select(
+        "qid",
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_p).alias("rp"),
+    )
+    hit = ((F.col("rf") <= k) & (F.col("rp") <= k)).cast("int")
+    return (
+        rk.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_common"),
+            r4(F.sum(hit) / F.lit(float(k))).alias("recall_at_5"),
+        )
+        .orderBy(F.asc("query_id"))
+    )
+
+
+@query("sim_matryoshka_recall", oracle=_ORACLE_MRL)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of 16-of-64-dim prefix cosine against full-dim cosine
+    for the sampled query set — see :func:`matryoshka_recall`."""
+    return matryoshka_recall(spark, sf_dir)

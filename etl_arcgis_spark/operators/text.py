@@ -1453,3 +1453,126 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("word"))
     )
+
+
+def dsir_weights(docs: DataFrame, target_pred, n_buckets: int = 256) -> DataFrame:
+    """Hashed-n-gram importance weights (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score each document by how much its hashed bigram
+    distribution looks like a TARGET corpus relative to the RAW corpus.
+
+    weight(doc) = Σ_g log( p_target(bucket(g)) / p_raw(bucket(g)) )
+    over the doc's bigram instances, with Laplace-smoothed bucket
+    probabilities p(b) = (count_b + 1) / (total + n_buckets).
+
+    The bucket function is cross-engine exact: the first two hex chars
+    of md5(bigram) via positional lookup in '0123456789abcdef' (no
+    hex->int builtin shared by Spark and DuckDB), giving 256 buckets.
+
+    Scale: the entire model is the <=n_buckets-row log-ratio table —
+    built with two map-side-combinable aggregates and broadcast back;
+    per-doc scoring is groupBy(doc, bucket) + broadcast join + one
+    more aggregate. No shuffle ever carries more than |docs| x
+    |buckets| partial rows; at 100 TB this is the cheapest useful
+    data-selection signal (the DSIR paper's point: importance
+    resampling over hashed features, not model forward passes).
+
+    ``target_pred``: boolean Column selecting the target slice.
+    """
+    toks = docs.select(
+        "doc_id", target_pred.alias("is_target"), F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("g"),
+    )
+    hexpos = "instr('0123456789abcdef', substring(md5(g), {}, 1)) - 1"
+    bk = grams.select(
+        "doc_id",
+        "is_target",
+        (
+            F.expr(hexpos.format(1)) * 16 + F.expr(hexpos.format(2))
+        ).cast("int").alias("b"),
+    )
+    raw = bk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.col("is_target").cast("bigint")).alias("tc"),
+    )
+    tot = F.broadcast(
+        raw.agg(F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot"))
+    )
+    lr = F.broadcast(
+        raw.crossJoin(tot).select(
+            "b",
+            (
+                F.log((F.col("tc") + 1) / (F.col("t_tot") + n_buckets).cast("double"))
+                - F.log((F.col("rc") + 1) / (F.col("r_tot") + n_buckets).cast("double"))
+            ).alias("logratio"),
+        )
+    )
+    per = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            r4(F.sum(F.col("c") * F.col("logratio"))).alias("dsir_weight"),
+        )
+    )
+
+
+@query(
+    "text_dsir_importance",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT doc_id, is_target, w[i] || ' ' || w[i + 1] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bk AS (
+  SELECT doc_id, is_target,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS b
+  FROM grams
+),
+raw AS (
+  SELECT b, count(*) AS rc,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+  FROM bk GROUP BY b
+),
+tot AS (
+  SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM raw
+),
+lr AS (
+  SELECT b,
+         ln((tc + 1) / CAST(t_tot + 256 AS DOUBLE))
+         - ln((rc + 1) / CAST(r_tot + 256 AS DOUBLE)) AS logratio
+  FROM raw, tot
+),
+per AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b)
+SELECT per.doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * logratio), 4) AS dsir_weight
+FROM per JOIN lr ON per.b = lr.b
+GROUP BY per.doc_id
+""",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with target = English documents: the
+    data-selection score a pretraining pipeline computes to resample
+    a raw crawl toward a target domain (see :func:`dsir_weights` for
+    the algorithm, scale design, and the cross-engine bucket hash).
+
+    Float discipline: bucket log-ratios derive from exact integer
+    counts — both engines evaluate ln() of identical rationals — and
+    each doc sums <=256 such terms scaled by integer counts; the
+    accumulation noise (~1e-14 relative) is far below the r4 grid.
+    Output only — no control flow on the float (the semantic-buckets
+    rule)."""
+    docs = table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")

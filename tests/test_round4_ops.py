@@ -1,0 +1,121 @@
+"""Property/invariant tests for the round-4 operators (SURVEY §5.4:
+every new oracle ships with at least one invariant the differential
+oracle cannot check — the symmetric-spec-bug lesson from round 3).
+
+- DSIR: target == raw ⇒ every weight is EXACTLY 0 (the smoothed
+  log-ratio cancels identically); bigram-mass conservation.
+- Salted join: result equality with the plain unsalted join (physical
+  rewrite only) and the plan actually contains the salted shuffle.
+- k-core: on a graph whose 2-core is known (triangle + pendant tail),
+  converged peeling returns exactly the triangle; survivor counts are
+  non-increasing in rounds.
+- Matryoshka recall: prefix == full dims ⇒ recall is identically 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import registry
+from etl_arcgis_spark.operators.graph import kcore_rounds
+from etl_arcgis_spark.operators.similarity import matryoshka_recall
+from etl_arcgis_spark.operators.text import dsir_weights
+from etl_arcgis_spark.tables import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_dsir_self_target_weights_are_zero(spark):
+    docs = table(spark, SF_DIR, "documents")
+    w = dsir_weights(docs, F.lit(True))
+    vals = [r.dsir_weight for r in w.collect()]
+    assert vals and all(v == 0.0 for v in vals)
+
+
+def test_dsir_bigram_mass_conservation(spark):
+    docs = table(spark, SF_DIR, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    got = w.agg(F.sum("n_bigrams")).collect()[0][0]
+    want = (
+        docs.select((F.size(F.split("text", " ")) - 1).alias("nb"))
+        .filter(F.col("nb") >= 1)
+        .agg(F.sum("nb"))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    # the point of the weight: the target slice must rank above the
+    # complement in aggregate (weak but real signal-direction check)
+    docs = table(spark, SF_DIR, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = dict(
+        w.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    )
+    assert means[True] > means[False]
+
+
+def test_salted_join_equals_plain_join(spark):
+    got = registry.all_queries()["join_salted_skew"](spark, SF_DIR)
+    li = table(spark, SF_DIR, "lineitem")
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("label", F.concat(F.lit("flag-"), F.col("flag")))
+    )
+    plain = (
+        li.join(dim, li.l_returnflag == dim.flag)
+        .groupBy("l_returnflag", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 0).alias("total_price"),
+        )
+    )
+    assert _rows(got) == _rows(plain)
+
+
+def test_salted_join_plan_shuffles_on_salt(spark):
+    df = registry.all_queries()["join_salted_skew"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p, p
+    join_lines = [l for l in p.splitlines() if "ShuffledHashJoin" in l]
+    assert any("salt#" in l for l in join_lines), join_lines
+
+
+def test_kcore_known_two_core(spark):
+    # triangle 1-2-3 plus pendant tail 3-4-5: the 2-core is the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    und = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "a INT, b INT"
+    )
+    rows = kcore_rounds(und, k=2, rounds=3)
+    # round 1 drops node 5, round 2 drops node 4, round 3 is the fixpoint
+    assert rows == [(1, 4, 4), (2, 3, 3), (3, 3, 3)]
+
+
+def test_kcore_fixture_counts_non_increasing(spark):
+    got = registry.all_queries()["graph_kcore_peel"](spark, SF_DIR).collect()
+    nodes = [r.n_nodes for r in sorted(got, key=lambda r: r.round)]
+    assert nodes == sorted(nodes, reverse=True)
+
+
+def test_matryoshka_full_prefix_recall_is_one(spark):
+    r = matryoshka_recall(spark, SF_DIR, pre_dims=64)
+    vals = [row.recall_at_5 for row in r.collect()]
+    assert vals and all(v == 1.0 for v in vals)
+
+
+def test_matryoshka_recall_bounds(spark):
+    r = registry.all_queries()["sim_matryoshka_recall"](spark, SF_DIR)
+    for row in r.collect():
+        assert 0.0 <= row.recall_at_5 <= 1.0
+        assert 0 <= row.n_common <= 5

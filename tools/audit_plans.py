@@ -71,6 +71,8 @@ NLJ_OK = {
     "text_heavy_hitters",        # 1-row token-total broadcast
     "agg_median_two_phase",      # 1-row (min, max, n) stats broadcast under the binning
     "analytics_top_revenue_supplier",  # 1-row scalar-max broadcast (replaces empty-partition window)
+    "text_dsir_importance",      # 1-row gram-totals broadcast under the <=256-row log-ratio table
+    "sim_matryoshka_recall",     # bounded query-sample broadcast (vec_id % 25) x corpus, != self predicate
     "agg_equidepth_histogram",   # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)

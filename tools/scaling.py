@@ -46,6 +46,16 @@ HEADLINE = [
     "agg_count_distinct_exact",
     "sim_cosine_topk_pairs",
     "text_tokenize_wordcount",
+    # round-4 additions: the rewritten two-phase global-rank family
+    # (no-single-partition claim) + the bucketed pair-generation
+    # representatives of the dedup/ANN families
+    "agg_equidepth_histogram",
+    "stats_gini_revenue",
+    "window_ntile_percent",
+    "text_vocab_growth",
+    "dedup_minhash_banding_exact",
+    "dedup_simhash_hamming_pairs",
+    "sim_ivf_knn",
 ]
 
 
