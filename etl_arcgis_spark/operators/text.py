@@ -1576,3 +1576,153 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule)."""
     docs = table(spark, sf_dir, "documents")
     return dsir_weights(docs, F.col("lang") == "en")
+
+
+@query(
+    "text_normalize_dedup_gain",
+    oracle="""
+WITH n AS (
+  SELECT source, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT md5(norm)) AS BIGINT) AS distinct_norm,
+       CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(norm)) AS BIGINT)
+         AS dedup_gain
+FROM n
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_normalize_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup audit: per source, how many
+    additional duplicates does canonicalization (lowercase, strip
+    non-alphanumerics, collapse whitespace, trim) expose over raw
+    byte-exact hashing? This is the preprocessing decision every exact
+    dedup stage makes first (C4/CCNet normalize before hashing;
+    RefinedWeb measures exactly this gain) — run as an audit BEFORE
+    committing to a normalization, because the gain is also the
+    false-merge risk budget.
+
+    Cross-engine: the normalization is two regexp_replace passes with
+    shared-syntax character-class patterns ('[^a-z0-9 ]', ' +') that
+    Java regex and RE2 interpret identically; hashing is md5 on both.
+
+    Scale: count(DISTINCT md5) per group — at 100 TB spell each as the
+    bitmap/HLL rollup (agg_bitmap_distinct / agg_hll_sketch_rollup);
+    the normalization itself is a narrow map. The md5 indirection
+    keeps the shuffle rows at 16 bytes instead of document size."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = docs.select("source", F.md5("text").alias("h_raw"), F.md5(norm).alias("h_norm"))
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h_raw").cast("bigint").alias("distinct_raw"),
+            F.countDistinct("h_norm").cast("bigint").alias("distinct_norm"),
+            (F.countDistinct("h_raw") - F.countDistinct("h_norm"))
+            .cast("bigint")
+            .alias("dedup_gain"),
+        )
+        .orderBy(F.asc("source"))
+    )
+
+
+@query(
+    "sample_token_budget_waterfill",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tok) AS total, count(*) AS n_src,
+               CAST(floor(sum(tok) * 0.6) AS BIGINT) AS budget
+        FROM s),
+r AS (
+  SELECT source, tok, total, n_src, budget,
+         row_number() OVER (ORDER BY tok ASC, source ASC) AS rk,
+         sum(tok) OVER (ORDER BY tok ASC, source ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s, tot
+),
+tau AS (
+  SELECT max((budget - (cum - tok)) / CAST(n_src - rk + 1 AS DOUBLE)) AS cap
+  FROM r
+  WHERE tok * CAST(n_src - rk + 1 AS DOUBLE) >= budget - (cum - tok)
+)
+SELECT source, tok,
+       round(least(CAST(tok AS DOUBLE), cap), 4) AS allocated,
+       tok > cap AS capped
+FROM r, tau
+ORDER BY source
+""",
+)
+def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources: given a global
+    training budget B (60% of total corpus tokens), allocate each
+    source min(tokens, τ) where the common cap τ makes the allocations
+    sum exactly to B — the max-min fair allocator a data-mixing
+    pipeline runs when it must DOWN-sample big sources without
+    touching small ones (the flat-cap dual of temperature sampling;
+    cf. the per-source caps in Llama/PaLM data recipes).
+
+    τ in closed form: sort sources by size ascending with prefix sums;
+    for each position the candidate cap is (B - cum_before) / n_remaining,
+    and τ is the largest candidate whose position is feasible
+    (tok * n_remaining >= B - cum_before, i.e. the crossing source
+    itself would not be force-capped below a smaller source). Every
+    comparison is a single IEEE division of exact integers — correctly
+    rounded and engine-identical, no accumulated float in control flow.
+
+    Scale: everything after the per-source aggregate operates on
+    |sources| rows (bounded — the windows here are the audit-allowlist
+    shape); the heavy input collapses in one map-side-combinable
+    aggregate. Invariant (tested): Σ allocated == B exactly up to the
+    closed-form rational, and uncapped sources keep their full mass."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("tok"))
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.sum("tok").alias("total"),
+            F.count(F.lit(1)).alias("n_src"),
+            F.floor(F.sum("tok") * 0.6).cast("bigint").alias("budget"),
+        )
+    )
+    w = Window.orderBy(F.asc("tok"), F.asc("source"))
+    r = (
+        s.crossJoin(tot)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    remaining = (F.col("n_src") - F.col("rk") + 1).cast("double")
+    cand = (F.col("budget") - (F.col("cum") - F.col("tok"))) / remaining
+    feasible = F.col("tok") * remaining >= F.col("budget") - (F.col("cum") - F.col("tok"))
+    tau = F.broadcast(
+        r.filter(feasible).agg(F.max(cand).alias("cap"))
+    )
+    return (
+        r.crossJoin(tau)
+        .select(
+            "source",
+            "tok",
+            r4(F.least(F.col("tok").cast("double"), F.col("cap"))).alias("allocated"),
+            (F.col("tok") > F.col("cap")).alias("capped"),
+        )
+        .orderBy(F.asc("source"))
+    )

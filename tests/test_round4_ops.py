@@ -119,3 +119,31 @@ def test_matryoshka_recall_bounds(spark):
     for row in r.collect():
         assert 0.0 <= row.recall_at_5 <= 1.0
         assert 0 <= row.n_common <= 5
+
+
+def test_waterfill_allocations_sum_to_budget(spark):
+    df = registry.all_queries()["sample_token_budget_waterfill"](spark, SF_DIR)
+    rows = df.collect()
+    total = sum(r.tok for r in rows)
+    budget = int(total * 0.6)
+    got = sum(r.allocated for r in rows)
+    # allocations are r4-rounded; |sources| rounding errors bound the drift
+    assert abs(got - budget) <= 0.0001 * len(rows) + 1
+    for r in rows:
+        if not r.capped:
+            assert r.allocated == float(r.tok)
+        else:
+            assert r.allocated < r.tok
+
+
+def test_waterfill_capped_sources_share_common_cap(spark):
+    df = registry.all_queries()["sample_token_budget_waterfill"](spark, SF_DIR)
+    caps = {r.allocated for r in df.collect() if r.capped}
+    assert len(caps) <= 1  # max-min fairness: one common cap
+
+
+def test_normalize_dedup_gain_nonnegative_and_bounded(spark):
+    df = registry.all_queries()["text_normalize_dedup_gain"](spark, SF_DIR)
+    for r in df.collect():
+        assert 0 <= r.dedup_gain
+        assert r.distinct_norm <= r.distinct_raw <= r.n_docs

@@ -73,6 +73,7 @@ NLJ_OK = {
     "analytics_top_revenue_supplier",  # 1-row scalar-max broadcast (replaces empty-partition window)
     "text_dsir_importance",      # 1-row gram-totals broadcast under the <=256-row log-ratio table
     "sim_matryoshka_recall",     # bounded query-sample broadcast (vec_id % 25) x corpus, != self predicate
+    "sample_token_budget_waterfill",  # 1-row totals + 1-row cap broadcasts over |sources| rows
     "agg_equidepth_histogram",   # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
@@ -98,6 +99,7 @@ WINDOW_BOUNDED_OK = {
     "window_ntile_percent": "offset window over 1024 bin counts (bucketed_global_rank)",
     "stats_ks_two_sample": "cumulative window over per-distinct-value counts (ECDF support; bounded by value grid)",
     "sql_recursive_month_spine": "window over generated month spine (~80 rows)",
+    "sample_token_budget_waterfill": "rank/prefix window over per-source aggregate (|sources| rows)",
 }
 
 
