@@ -1109,3 +1109,161 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("id_a"), F.asc("id_b"))
     )
+
+
+@query(
+    "dedup_minhash_recall_curve",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tj AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+  FROM truth
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), hx AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM hx GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+                         AND a.doc_id < b.doc_id
+)
+SELECT least(9, CAST(floor(j * 10) AS BIGINT)) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       round(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM tj LEFT JOIN cand ON tj.id_a = cand.id_a AND tj.id_b = cand.id_b
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: recall of the 4-band x 4-row MinHash
+    banding scheme (dedup_minhash_banding_exact's deterministic md5
+    family) against EXACT bigram Jaccard, per 0.1-wide Jaccard bucket —
+    the validation pass a dedup pipeline runs before trusting a banding
+    configuration at scale (theory says catch probability 1-(1-J^4)^4;
+    this measures it on the actual corpus, including the hash-collision
+    and tie effects theory ignores). The same-source shared-bigram pair
+    universe bounds the ground truth exactly the way
+    dedup_ngram_jaccard does; every pair with J > 0 inside that
+    universe is enumerated (sharing a bigram IS J > 0).
+
+    Determinism: J is one IEEE division of exact integers and the
+    bucket is floor(J*10) on that engine-identical double — no
+    accumulated float in control flow; identical shingle sets imply
+    identical signatures, so J = 1.0 pairs are caught by construction
+    (property-tested).
+
+    Scale: truth pairs generate only through shared (source, bigram)
+    keys and candidates only through shared band buckets — two bucketed
+    pair generators, no cartesian anywhere; the curve output is 10
+    rows. At 100 TB, sample the truth universe (it is only needed to
+    VALIDATE the banding, not to dedup) and keep the banding side full.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("l")
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("sh"),
+    )
+    grams = d.select("doc_id", "source", F.explode("sh").alias("s"))
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "source", "s")
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("s_b"))
+    truth = (
+        ga.join(
+            gb,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    tj = (
+        truth.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    sig = d.withColumn(
+        "sig",
+        F.expr(
+            "transform(sequence(0, 15), "
+            "i -> array_min(transform(sh, s -> md5(concat(cast(i as string), '|', s)))))"
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "k -> struct(k AS band, md5(concat_ws('|', slice(sig, k * 4 + 1, 4))) AS bkey))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bkey")
+    ba = bands.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = tj.join(cand, ["id_a", "id_b"], "left")
+    caught = F.coalesce(F.col("hit"), F.lit(0))
+    return (
+        joined.groupBy(
+            F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(caught).cast("bigint").alias("n_caught"),
+            r4(F.sum(caught) / F.count(F.lit(1))).alias("recall"),
+        )
+        .orderBy(F.asc("bucket"))
+    )

@@ -226,3 +226,55 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_stream_click_purchase_join(clicks, purchases, "30 minutes")
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+WITH agg AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS w_start_ms, event_type,
+         count(*) AS n, round(sum(value), 4) AS val_sum
+  FROM events
+  GROUP BY 1, 2
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY w_start_ms
+                               ORDER BY n DESC, event_type ASC) AS rn
+  FROM agg
+)
+SELECT w_start_ms, event_type, CAST(n AS BIGINT) AS n, val_sum
+FROM rk WHERE rn <= 3
+ORDER BY w_start_ms, n DESC, event_type
+""",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k (3 busiest event types per tumbling hour) — the
+    trending-now shape every monitoring/curation dashboard runs. In
+    Structured Streaming, rank-after-aggregate is NOT expressible as a
+    single incremental query (ranks are non-monotonic under late
+    data), so the production spelling is this exact aggregate as the
+    streaming stage and the rank applied per micro-batch in
+    foreachBatch over the upsert sink's state — the parity test
+    (tests/test_streaming_parity.py) runs precisely that pipeline and
+    asserts equality with this batch form.
+
+    Scale: the window partitions by the hour bucket (bounded groups
+    per window = |event types|), and InferWindowGroupLimit keeps the
+    rank from sorting whole groups; the aggregate beneath is the same
+    map-side-combinable tumbling shape as C33.
+    """
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        (F.expr("unix_micros(ts) div 1000000 div 3600") * 3600000)
+        .cast("bigint")
+        .alias("w_start_ms"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("val_sum"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w_start_ms").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("w_start_ms", "event_type", F.col("n").cast("bigint").alias("n"), "val_sum")
+        .orderBy(F.asc("w_start_ms"), F.desc("n"), F.asc("event_type"))
+    )

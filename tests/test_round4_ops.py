@@ -147,3 +147,16 @@ def test_normalize_dedup_gain_nonnegative_and_bounded(spark):
     for r in df.collect():
         assert 0 <= r.dedup_gain
         assert r.distinct_norm <= r.distinct_raw <= r.n_docs
+
+
+def test_minhash_recall_curve_bounds_and_identical_caught(spark):
+    df = registry.all_queries()["dedup_minhash_recall_curve"](spark, SF_DIR)
+    rows = {r.bucket: r for r in df.collect()}
+    for r in rows.values():
+        assert 0 <= r.n_caught <= r.n_pairs
+        assert 0.0 <= r.recall <= 1.0
+    # identical shingle sets (J == 1.0 -> bucket 9 includes them) have
+    # identical signatures, hence identical band keys: if the fixtures
+    # plant exact near-dups, the top bucket cannot be empty-caught
+    if 9 in rows and rows[9].n_pairs > 0:
+        assert rows[9].n_caught > 0

@@ -412,3 +412,52 @@ def test_rocksdb_state_store_parity(spark, events_stream_dir):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def test_streaming_topk_per_window_matches_batch(spark, events_stream_dir):
+    """stream_topk_per_window's production spelling: the incremental
+    stage is the tumbling aggregate; the non-incremental rank runs per
+    micro-batch in foreachBatch over the aggregate's complete output.
+    The composed pipeline must equal the batch query."""
+    from etl_arcgis_spark.registry import all_queries
+
+    prepare(spark)
+    schema = table(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    agg = _tumbling(stream)
+
+    state: dict[str, list] = {"rows": []}
+
+    def rank_batch(batch_df, epoch_id):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("w_start_ms").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        state["rows"] = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("w_start_ms", "event_type", "n", "val_sum")
+            .collect()
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+        for r in state["rows"]
+    }
+    want = {
+        (r["w_start_ms"], r["event_type"]): (r["n"], r["val_sum"])
+        for r in all_queries()["stream_topk_per_window"](spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-3
