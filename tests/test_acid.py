@@ -1,0 +1,143 @@
+"""Snapshot-manifest ACID table (etl_arcgis_spark/acid.py): MERGE
+semantics, atomic commits, snapshot isolation / time travel, optimistic
+concurrency, crash orphans, and vacuum."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import acid
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("id", "v").collect()))
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING"
+    )
+    acid.create(spark, root, base, key="id")
+    return root
+
+
+def test_create_and_read(spark, tbl):
+    assert acid.current_version(tbl) == 1
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_upsert_semantics(spark, tbl):
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "id INT, v STRING")
+    v = acid.merge(spark, tbl, src)
+    assert v == 2
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_merge_matches_sql_merge_oracle(spark, tbl):
+    """The transactional merge equals the relational MERGE spelling
+    (full-outer, matched rows take the whole source row)."""
+    src = spark.createDataFrame([(1, "A"), (5, "e")], "id INT, v STRING")
+    acid.merge(spark, tbl, src)
+    got = _rows(acid.read(spark, tbl))
+    tgt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING")
+    want = _rows(
+        tgt.alias("t")
+        .join(src.alias("s"), F.col("t.id") == F.col("s.id"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.id"), F.col("t.id")).alias("id"),
+            F.when(F.col("s.id").isNotNull(), F.col("s.v"))
+            .otherwise(F.col("t.v"))
+            .alias("v"),
+        )
+    )
+    assert got == want
+
+
+def test_time_travel_snapshot_isolation(spark, tbl):
+    old_reader = acid.read(spark, tbl, version=1)  # plan pinned to v1 files
+    src = spark.createDataFrame([(1, "A")], "id INT, v STRING")
+    acid.merge(spark, tbl, src)
+    # explicit time travel
+    assert _rows(acid.read(spark, tbl, version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(acid.read(spark, tbl)) == [(1, "A"), (2, "b"), (3, "c")]
+    # the reader opened BEFORE the commit still sees v1 (immutability)
+    assert _rows(old_reader) == [(1, "a"), (2, "b"), (3, "c")]
+    hist = acid.history(tbl)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["operation"] == "merge" and hist[1]["parent"] == 1
+
+
+def test_concurrent_commit_conflict_and_retry(spark, tbl):
+    """Losing the publish race raises CommitConflict at max_retries=1;
+    with retries the merge lands on top of the winner's snapshot."""
+    # simulate a competing writer publishing v2 first
+    winner = spark.createDataFrame([(3, "C")], "id INT, v STRING")
+    acid.merge(spark, tbl, winner)
+    assert acid.current_version(tbl) == 2
+
+    # a conflicting publish at the SAME version must raise
+    files = acid._read_manifest(tbl, 2)["files"]
+    with pytest.raises(acid.CommitConflict):
+        acid._publish(tbl, 2, {"version": 2, "key": "id", "files": files})
+
+    # a second merge retries cleanly on top of v2 and keeps C
+    src = spark.createDataFrame([(4, "d")], "id INT, v STRING")
+    v = acid.merge(spark, tbl, src)
+    assert v == 3
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "C"), (4, "d")]
+
+
+def test_delete_where(spark, tbl):
+    acid.delete_where(spark, tbl, "id = 2")
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (3, "c")]
+    # time travel still sees the deleted row
+    assert (1, "a") in _rows(acid.read(spark, tbl, version=1))
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tbl):
+    """A writer that died after writing data files but before
+    publishing leaves orphans that no reader sees and vacuum sweeps."""
+    crash_df = spark.createDataFrame([(99, "zz")], "id INT, v STRING")
+    acid._write_data_files(crash_df, tbl)  # step 1 only — no manifest
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+    n_files = len(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    deleted = acid.vacuum(tbl, keep_versions=2)
+    assert deleted  # the orphan went away
+    remaining = glob.glob(os.path.join(tbl, "data", "*.parquet"))
+    assert len(remaining) < n_files
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_vacuum_expires_old_versions_keeps_retained(spark, tbl):
+    acid.merge(spark, tbl, spark.createDataFrame([(4, "d")], "id INT, v STRING"))
+    acid.merge(spark, tbl, spark.createDataFrame([(5, "e")], "id INT, v STRING"))
+    assert acid.current_version(tbl) == 3
+    acid.vacuum(tbl, keep_versions=2)
+    # v1 expired, v2/v3 retained and readable
+    with pytest.raises(FileNotFoundError):
+        acid.read(spark, tbl, version=1)
+    assert (4, "d") in _rows(acid.read(spark, tbl, version=2))
+    assert (5, "e") in _rows(acid.read(spark, tbl, version=3))
+
+
+def test_half_written_manifest_is_ignored(spark, tbl):
+    """A corrupt/truncated manifest file never becomes the current
+    snapshot (defensive parse on listing)."""
+    with open(os.path.join(tbl, "_v2.manifest.json"), "w") as fh:
+        fh.write('{"version": 2, "files": [')  # truncated JSON
+    assert acid.current_version(tbl) == 1
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_manifest_records_file_sizes(spark, tbl):
+    man = json.load(open(os.path.join(tbl, "_v1.manifest.json")))
+    assert man["key"] == "id" and man["rows"] == 3
+    for f in man["files"]:
+        assert f["bytes"] == os.path.getsize(os.path.join(tbl, f["path"]))
