@@ -91,9 +91,38 @@ def _read_manifest(root: str, version: int) -> dict[str, Any]:
         return json.load(fh)
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[dict[str, Any]]:
-    """Write df as new immutable parquet files; return file entries.
-    Files are invisible until a manifest references them."""
+def _key_stats(path: str, key: str) -> list[Any] | None:
+    """Per-file [min, max] of the key column, read from the parquet
+    footer (no Spark job) — the manifest-level stats that make file
+    pruning possible (Iceberg's lower_bounds/upper_bounds, reduced to
+    the merge key)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if key not in idx:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return [lo, hi]
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        return None
+
+
+def _write_data_files(
+    df: DataFrame, root: str, key: str | None = None
+) -> list[dict[str, Any]]:
+    """Write df as new immutable parquet files; return file entries
+    (with per-file key min/max stats when ``key`` is given). Files are
+    invisible until a manifest references them."""
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
@@ -102,9 +131,21 @@ def _write_data_files(df: DataFrame, root: str) -> list[dict[str, Any]]:
     for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
         final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
         os.replace(part, final)
-        entries.append(
-            {"path": os.path.relpath(final, root), "bytes": os.path.getsize(final)}
-        )
+        entry: dict[str, Any] = {
+            "path": os.path.relpath(final, root),
+            "bytes": os.path.getsize(final),
+        }
+        try:
+            import pyarrow.parquet as pq
+
+            entry["rows"] = pq.ParquetFile(final).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            pass
+        if key is not None:
+            st = _key_stats(final, key)
+            if st is not None:
+                entry["key_range"] = st
+        entries.append(entry)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
 
@@ -129,7 +170,7 @@ def create(spark: SparkSession, root: str, df: DataFrame, key: str) -> int:
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise ValueError(f"table already exists at {root}")
-    files = _write_data_files(df, root)
+    files = _write_data_files(df, root, key=key)
     _publish(
         root,
         1,
@@ -153,16 +194,49 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     return spark.read.parquet(*paths)
 
 
+def read_key_range(
+    spark: SparkSession, root: str, lo: Any, hi: Any, version: int | None = None
+) -> DataFrame:
+    """Stats-pruned read: open ONLY data files whose manifest key range
+    intersects [lo, hi], then apply the exact residual filter — the
+    manifest-level file skipping that stacks on top of parquet's own
+    row-group pruning (two pruning tiers, same as Iceberg scan
+    planning). Files without stats are read conservatively."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, v)
+    key = man["key"]
+    keep = [
+        f
+        for f in man["files"]
+        if "key_range" not in f
+        or not (f["key_range"][1] < lo or f["key_range"][0] > hi)
+    ]
+    if not keep:
+        return read(spark, root, v).filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(root, f["path"]) for f in keep])
+    return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+
+
 def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 3) -> int:
     """MERGE INTO (upsert): source rows replace target rows with the
     same key; unmatched source rows insert. Returns the new version.
 
-    Copy-on-write: builds the merged relation (full-outer on key; a
-    matched key takes the ENTIRE source row — standard MERGE
-    ``UPDATE SET *`` semantics, the transactional spelling of
-    operators/joins.py join_upsert_merge / task.ts:235-350), writes
-    fresh data files, and publishes the next manifest atomically. On a
-    concurrent-commit conflict the merge RE-READS the new current
+    File-level copy-on-write with stats pruning: a data file is
+    REWRITTEN only if at least one source key falls inside its
+    manifest-recorded key range; every other file carries its entry
+    forward UNCHANGED into the new manifest (same path, no IO). A
+    source key inside some file's range always marks that file touched,
+    so untouched files can never contain a matched row — brand-new keys
+    outside every range insert via the merged relation. Matched keys
+    take the ENTIRE source row (standard MERGE ``UPDATE SET *``
+    semantics, the transactional spelling of operators/joins.py
+    join_upsert_merge / task.ts:235-350). This is the shape that makes
+    MERGE affordable at 100 TB: rewrite cost scales with the files the
+    keys actually hit, not the table.
+
+    On a concurrent-commit conflict the merge RE-READS the new current
     snapshot and retries — optimistic concurrency, no locks held."""
     for _ in range(max_retries):
         base_v = current_version(root)
@@ -170,7 +244,15 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
             raise FileNotFoundError(f"no snapshot at {root}")
         man = _read_manifest(root, base_v)
         key = man["key"]
-        target = read(spark, root, base_v)
+        touched, untouched = _split_by_key_overlap(
+            spark, root, man["files"], source, key
+        )
+        if touched:
+            target = spark.read.parquet(
+                *[os.path.join(root, f["path"]) for f in touched]
+            )
+        else:  # no file overlaps: pure insert, but keep the schema
+            target = read(spark, root, base_v).limit(0)
         src = source.alias("s")
         tgt = target.alias("t")
         cols = target.columns
@@ -185,7 +267,7 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
                 for c in cols
             ]
         )
-        files = _write_data_files(merged, root)
+        new_files = _write_data_files(merged, root, key=key)
         try:
             _publish(
                 root,
@@ -194,15 +276,53 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
                     "version": base_v + 1,
                     "key": key,
                     "operation": "merge",
-                    "files": files,
-                    "rows": merged.count(),
+                    "files": untouched + new_files,
+                    "rows": merged.count()
+                    + sum(f.get("rows", 0) for f in untouched),
                     "parent": base_v,
+                    "rewrote_files": len(touched),
+                    "carried_files": len(untouched),
                 },
             )
             return base_v + 1
         except CommitConflict:
             continue  # someone else won; retry on their snapshot
     raise CommitConflict(f"merge lost {max_retries} races at {root}")
+
+
+def _split_by_key_overlap(
+    spark: SparkSession,
+    root: str,
+    files: list[dict[str, Any]],
+    source: DataFrame,
+    key: str,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """(touched, untouched) file entries: touched iff >= 1 source key
+    lies in the file's recorded [min, max] key range. Entries without
+    stats are conservatively touched. The overlap check is ONE Spark
+    job: the (tiny) range list broadcasts against the source keys."""
+    no_stats = [f for f in files if "key_range" not in f]
+    with_stats = [f for f in files if "key_range" in f]
+    if not with_stats:
+        return files, []
+    ranges = spark.createDataFrame(
+        [(i, f["key_range"][0], f["key_range"][1]) for i, f in enumerate(with_stats)],
+        ["fid", "lo", "hi"],
+    )
+    hit = (
+        source.select(F.col(key).alias("k"))
+        .join(
+            F.broadcast(ranges),
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+        )
+        .select("fid")
+        .distinct()
+        .collect()
+    )
+    hit_ids = {r.fid for r in hit}
+    touched = no_stats + [f for i, f in enumerate(with_stats) if i in hit_ids]
+    untouched = [f for i, f in enumerate(with_stats) if i not in hit_ids]
+    return touched, untouched
 
 
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
@@ -212,7 +332,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, base_v)
     remaining = read(spark, root, base_v).filter(f"NOT ({predicate})")
-    files = _write_data_files(remaining, root)
+    files = _write_data_files(remaining, root, key=man["key"])
     _publish(
         root,
         base_v + 1,

@@ -179,3 +179,66 @@ def test_acid_upsert_sink_matches_batch_merge(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+@pytest.fixture()
+def wide_tbl(spark, tmp_path):
+    """A table whose data files partition the key space: ids 0..99
+    written via range-repartition so per-file key ranges are disjoint."""
+    root = str(tmp_path / "wide")
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").cast("int").alias("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    acid.create(spark, root, df, key="id")
+    return root
+
+
+def test_manifest_records_key_ranges(spark, wide_tbl):
+    man = acid._read_manifest(wide_tbl, 1)
+    ranges = [f["key_range"] for f in man["files"] if "key_range" in f]
+    assert len(ranges) == len(man["files"]) >= 2
+    los = sorted(r[0] for r in ranges)
+    assert los[0] == 0 and max(r[1] for r in ranges) == 99
+
+
+def test_merge_prunes_untouched_files(spark, wide_tbl):
+    """A merge hitting one narrow key range rewrites ONLY the files
+    whose range contains a source key; every other file entry carries
+    forward byte-identical (same path) into the new manifest."""
+    before = {f["path"] for f in acid._read_manifest(wide_tbl, 1)["files"]}
+    src = spark.createDataFrame([(3, "X")], "id INT, v STRING")
+    acid.merge(spark, wide_tbl, src)
+    man2 = acid._read_manifest(wide_tbl, 2)
+    after = {f["path"] for f in man2["files"]}
+    carried = before & after
+    assert man2["carried_files"] == len(carried) >= 2  # most files untouched
+    assert man2["rewrote_files"] >= 1
+    # correctness: equals a full-rewrite merge
+    got = sorted(map(tuple, acid.read(spark, wide_tbl).collect()))
+    assert (3, "X") in got and (2, "v2") in got and len(got) == 100
+
+
+def test_merge_insert_outside_all_ranges(spark, wide_tbl):
+    """Keys beyond every file's range are pure inserts — no file is
+    rewritten, the new file holds only the inserted rows."""
+    src = spark.createDataFrame([(500, "new")], "id INT, v STRING")
+    acid.merge(spark, wide_tbl, src)
+    man2 = acid._read_manifest(wide_tbl, 2)
+    assert man2["rewrote_files"] == 0
+    assert man2["carried_files"] == len(acid._read_manifest(wide_tbl, 1)["files"])
+    rows = sorted(map(tuple, acid.read(spark, wide_tbl).collect()))
+    assert (500, "new") in rows and len(rows) == 101
+    assert man2["rows"] == 101
+
+
+def test_read_key_range_prunes_files(spark, wide_tbl):
+    df = acid.read_key_range(spark, wide_tbl, 10, 20)
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(10, 21))
+    # the plan reads fewer files than the table has
+    n_inputs = len(df.inputFiles())
+    assert n_inputs < len(acid._read_manifest(wide_tbl, 1)["files"])
