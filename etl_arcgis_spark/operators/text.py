@@ -1726,3 +1726,67 @@ def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.asc("source"))
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+top AS (
+  SELECT w, n FROM wc ORDER BY n DESC, w ASC LIMIT 1000
+),
+rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+       round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+             / count(*), 4) AS intercept
+FROM rk
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token frequencies: the
+    least-squares slope of ln(count) against ln(rank) — the corpus-
+    health statistic curation pipelines track (natural language sits
+    near slope -1; heavily templated/boilerplate corpora flatten, OCR
+    noise steepens the tail; cf. Piantadosi 2014's review). Slope and
+    intercept come from the closed-form normal equations over the
+    1000-point log-log cloud.
+
+    Scale: the token count is one map-side-combinable aggregate; the
+    top-1000 cut is TakeOrderedAndProject (never a full sort); rank
+    and the regression sums run over exactly 1000 rows (bounded —
+    the audit-allowlist shape). Float discipline: ln() of exact
+    integers on both engines, ~1000-term sums whose accumulation-order
+    noise (~1e-13 relative) sits far below the r4 grid; output-only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = wc.orderBy(F.desc("n"), F.asc("w")).limit(1000)
+    w_rk = Window.orderBy(F.desc("n"), F.asc("w"))
+    rk = top.select(
+        F.log(F.row_number().over(w_rk).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    cnt = F.count(F.lit(1)).cast("double")
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        r4(slope).alias("zipf_slope"),
+        r4((F.sum("y") - slope * F.sum("x")) / cnt).alias("intercept"),
+    )

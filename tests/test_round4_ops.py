@@ -160,3 +160,26 @@ def test_minhash_recall_curve_bounds_and_identical_caught(spark):
     # plant exact near-dups, the top bucket cannot be empty-caught
     if 9 in rows and rows[9].n_pairs > 0:
         assert rows[9].n_caught > 0
+
+
+def test_zipf_slope_negative_and_fit_sane(spark):
+    r = registry.all_queries()["text_zipf_fit"](spark, SF_DIR).collect()[0]
+    # the synthetic sf0.001 corpus has a tiny vocabulary (~31 words);
+    # the fit still holds: counts sorted desc => slope strictly negative
+    assert r.n_terms > 10
+    assert r.zipf_slope < 0  # frequencies must decay with rank
+    assert r.intercept > 0
+
+
+def test_approx_percentile_within_accuracy_bound(spark):
+    """Honesty check for the approx-quantile scale path the equi-depth
+    docstring recommends: Spark's approx_percentile at accuracy=1000
+    must land within 1/1000 of the rank-exact quantile."""
+    o = table(spark, SF_DIR, "orders")
+    n = o.count()
+    for q in (0.25, 0.5, 0.75, 0.9):
+        approx = o.agg(
+            F.expr(f"approx_percentile(o_totalprice, {q}, 1000)")
+        ).collect()[0][0]
+        rank_of = o.filter(F.col("o_totalprice") <= approx).count()
+        assert abs(rank_of / n - q) <= 1.5 / 1000 + 1.0 / n

@@ -100,6 +100,7 @@ WINDOW_BOUNDED_OK = {
     "stats_ks_two_sample": "cumulative window over per-distinct-value counts (ECDF support; bounded by value grid)",
     "sql_recursive_month_spine": "window over generated month spine (~80 rows)",
     "sample_token_budget_waterfill": "rank/prefix window over per-source aggregate (|sources| rows)",
+    "text_zipf_fit": "rank window over the top-1000 limit (bounded 1000 rows)",
 }
 
 
