@@ -30,12 +30,13 @@ Readers never lock: they list manifests, pick the highest (or a
 requested version - time travel), and read exactly its file list —
 snapshot isolation by immutability.
 
-At 100 TB the only change is granularity: merge() here rewrites the
-full file set (copy-on-write over a fixture-sized table); the
-production variant prunes the rewrite set to files whose key-range
-stats overlap the source keys — the manifest already records the
-per-file row counts where those stats would live. The commit protocol
-is IDENTICAL at any scale, which is the point of this module.
+Scale: merge() is FILE-LEVEL copy-on-write — manifest entries carry
+per-file key-range stats (read from parquet footers, no Spark job),
+and only files with at least one source key inside their range are
+rewritten; everything else carries forward path-identical. read_
+key_range() uses the same stats for file skipping, and compact()
+bin-packs merge-fragmented small files under the same protocol. The
+commit protocol is IDENTICAL at any scale, which is the point.
 
 Reference: dfpc-coe/etl-arcgis task.ts:235-350 (the keyed upsert this
 makes transactional).
@@ -395,3 +396,69 @@ def history(root: str) -> list[dict[str, Any]]:
         }
         for v in _list_versions(root)
     ]
+
+
+def compact(
+    spark: SparkSession, root: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """OPTIMIZE: bin-pack small data files into ~target-size files
+    under the same snapshot protocol — a metadata-only change to
+    readers (same rows, operation='compact' in history). Small files
+    are the tax every merge-heavy table pays (each merge writes its
+    touched set as fresh files); compaction amortizes it back out.
+
+    Greedy first-fit by manifest byte counts picks groups of small
+    files; each group is read and rewritten as one coalesced file
+    (sorted by the table key, which also tightens the key_range stats
+    pruning granularity). Files already at/over target size carry
+    forward untouched. Publishes atomically like every other commit —
+    a crash mid-compaction leaves only vacuum-able orphans.
+
+    At 100 TB this is the nightly maintenance job: each group is
+    independent work (parallel across executors), and nothing blocks
+    concurrent readers (they hold older manifests) or writers (the
+    optimistic publish serializes with merges)."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    key = man["key"]
+    small = [f for f in man["files"] if f["bytes"] < target_file_bytes]
+    keep = [f for f in man["files"] if f["bytes"] >= target_file_bytes]
+    if len(small) <= 1:
+        return base_v  # nothing to do
+    # greedy first-fit groups by byte budget
+    groups: list[list[dict[str, Any]]] = []
+    cur: list[dict[str, Any]] = []
+    cur_bytes = 0
+    for f in sorted(small, key=lambda f: f.get("key_range", [None])[0] is None):
+        if cur and cur_bytes + f["bytes"] > target_file_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += f["bytes"]
+    if cur:
+        groups.append(cur)
+    new_files: list[dict[str, Any]] = []
+    for g in groups:
+        df = (
+            spark.read.parquet(*[os.path.join(root, f["path"]) for f in g])
+            .coalesce(1)
+            .sortWithinPartitions(key)
+        )
+        new_files.extend(_write_data_files(df, root, key=key))
+    _publish(
+        root,
+        base_v + 1,
+        {
+            "version": base_v + 1,
+            "key": key,
+            "operation": "compact",
+            "files": keep + new_files,
+            "rows": sum(f.get("rows", 0) for f in keep + new_files),
+            "parent": base_v,
+            "compacted_files": len(small),
+            "produced_files": len(new_files),
+        },
+    )
+    return base_v + 1

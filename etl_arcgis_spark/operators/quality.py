@@ -236,3 +236,79 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_share"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_orphans
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         CAST((SELECT count(*) FROM customer) AS BIGINT),
+         CAST((SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+) ORDER BY fk_edge
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: child rows whose key has no parent (orphans). The check an
+    ingest pipeline runs after every load — the reference's per-feature
+    existence probe (task.ts:267-275: query-by-key before add/update)
+    is this exact question asked one HTTP call at a time; the engine
+    asks it once per edge as a LEFT ANTI join.
+
+    Scale: each edge is one anti-join — broadcast when the parent is a
+    fixed-cardinality dim (nation), shuffle-hash with AQE otherwise;
+    counts are map-side-combinable. The five edges are independent
+    jobs a scheduler can run in parallel. Output is 5 rows regardless
+    of scale. On clean fixtures every n_orphans is 0 — which is the
+    point: the query is the regression tripwire, not a report."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for label, child_t, child_k, parent_t, parent_k in edges:
+        child = table(spark, sf_dir, child_t)
+        parent = table(spark, sf_dir, parent_t).select(parent_k)
+        orphans = child.join(
+            parent, child[child_k] == parent[parent_k], "left_anti"
+        )
+        parts.append(
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            ).select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.asc("fk_edge"))

@@ -242,3 +242,29 @@ def test_read_key_range_prunes_files(spark, wide_tbl):
     # the plan reads fewer files than the table has
     n_inputs = len(df.inputFiles())
     assert n_inputs < len(acid._read_manifest(wide_tbl, 1)["files"])
+
+
+def test_compact_bin_packs_small_files(spark, wide_tbl):
+    """Several narrow merges fragment the table; compact() repacks the
+    small files into fewer ones with identical contents, under the
+    same atomic snapshot protocol (readers/time travel unaffected)."""
+    for i, k in enumerate((3, 40, 77)):
+        acid.merge(
+            spark, wide_tbl,
+            spark.createDataFrame([(k, f"X{i}")], "id INT, v STRING"),
+        )
+    v_before = acid.current_version(wide_tbl)
+    man_before = acid._read_manifest(wide_tbl, v_before)
+    rows_before = sorted(map(tuple, acid.read(spark, wide_tbl).collect()))
+
+    v_after = acid.compact(spark, wide_tbl)
+    assert v_after == v_before + 1
+    man_after = acid._read_manifest(wide_tbl, v_after)
+    assert len(man_after["files"]) < len(man_before["files"])
+    assert man_after["operation"] == "compact"
+    assert man_after["rows"] == 100
+    # identical contents, and time travel still reads the pre-compact set
+    assert sorted(map(tuple, acid.read(spark, wide_tbl).collect())) == rows_before
+    assert sorted(map(tuple, acid.read(spark, wide_tbl, v_before).collect())) == rows_before
+    # compacted files carry key_range stats for future pruning
+    assert all("key_range" in f for f in man_after["files"])

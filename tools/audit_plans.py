@@ -77,6 +77,7 @@ NLJ_OK = {
     "agg_equidepth_histogram",   # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
+    "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
