@@ -1053,3 +1053,116 @@ def ts_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("user_id"))
     )
+
+
+_WF_US = 21_600_000_000  # 6 h funnel window, µs
+
+
+@query(
+    "analytics_window_funnel",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                         WHEN 'purchase' THEN 2 END AS sr
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+),
+l1 AS (
+  SELECT *, max(CASE WHEN sr = 0 THEN t END)
+              OVER (PARTITION BY user_id ORDER BY t, sr, event_id
+                    ROWS UNBOUNDED PRECEDING) AS lc
+  FROM e
+),
+l2 AS (
+  SELECT *, last_value(CASE WHEN sr = 1 AND lc IS NOT NULL
+                            THEN struct_pack(tv := t, lcv := lc) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY t, sr, event_id
+                    ROWS UNBOUNDED PRECEDING) AS vs
+  FROM l1
+),
+lvl AS (
+  SELECT user_id,
+         max(CASE WHEN sr = 2 AND vs IS NOT NULL AND vs.lcv >= t - {_WF_US} THEN 3
+                  WHEN sr = 1 AND lc IS NOT NULL AND lc >= t - {_WF_US} THEN 2
+                  WHEN sr = 0 THEN 1 ELSE 0 END) AS funnel_level
+  FROM l2 GROUP BY user_id
+)
+SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users
+FROM lvl GROUP BY funnel_level ORDER BY funnel_level
+""",
+)
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (the windowFunnel shape): deepest
+    click -> view -> purchase chain per user where the WHOLE chain fits
+    in a 6 h window anchored at the first step — unlike
+    analytics_funnel_steps (ever-after ordering), conversions here
+    expire, which is what attribution actually wants.
+
+    No pair joins: the chain test is two cascaded as-of window passes
+    per user — (1) running max click time gives each row its best
+    chain anchor; (2) the running last view-struct carries BOTH the
+    view time and ITS anchor forward, so each purchase checks
+    ``anchor >= t_purchase - W`` in O(1). Optimality argument: the
+    running max click is monotone, so the LATEST view before a
+    purchase always carries the best anchor — if any valid chain
+    exists, this one is valid (the standard exchange argument).
+    Ties sort (t, step_rank, event_id) identically on both engines,
+    so equal-time chains resolve identically.
+
+    Scale: one shuffle on user_id serves both window passes and the
+    final per-user max — O(events) total, versus the O(clicks x views)
+    per user a join spelling pays; output is <= 4 rows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id",
+        ev_us().alias("t"),
+        "event_id",
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(2)
+        .alias("sr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("sr"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    l1 = e.withColumn(
+        "lc", F.max(F.when(F.col("sr") == 0, F.col("t"))).over(w)
+    )
+    l2 = l1.withColumn(
+        "vs",
+        F.last(
+            F.when(
+                (F.col("sr") == 1) & F.col("lc").isNotNull(),
+                F.struct(F.col("t").alias("tv"), F.col("lc").alias("lcv")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    lvl = l2.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("sr") == 2)
+                & F.col("vs").isNotNull()
+                & (F.col("vs.lcv") >= F.col("t") - _WF_US),
+                3,
+            )
+            .when(
+                (F.col("sr") == 1)
+                & F.col("lc").isNotNull()
+                & (F.col("lc") >= F.col("t") - _WF_US),
+                2,
+            )
+            .when(F.col("sr") == 0, 1)
+            .otherwise(0)
+        ).alias("funnel_level")
+    )
+    return (
+        lvl.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.asc("funnel_level"))
+    )

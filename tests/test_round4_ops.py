@@ -183,3 +183,44 @@ def test_approx_percentile_within_accuracy_bound(spark):
         ).collect()[0][0]
         rank_of = o.filter(F.col("o_totalprice") <= approx).count()
         assert abs(rank_of / n - q) <= 1.5 / 1000 + 1.0 / n
+
+
+def test_window_funnel_dominated_by_unbounded_funnel(spark):
+    """A time-bounded funnel can never convert MORE users at depth k
+    than the unbounded-window ordered funnel: with W = infinity the
+    chain test degenerates to plain ordering, so every windowed
+    convert is an unbounded convert (monotonicity invariant)."""
+    from etl_arcgis_spark.helpers import ev_us
+    from etl_arcgis_spark.operators import timeseries as ts
+
+    got = {
+        r.funnel_level: r.n_users
+        for r in registry.all_queries()["analytics_window_funnel"](
+            spark, SF_DIR
+        ).collect()
+    }
+    # unbounded ordered funnel: ever click -> later view -> later purchase
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", ev_us().alias("t")
+    )
+    c = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("t").alias("t1")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    unbounded_l3 = p.count()
+    windowed_l3 = got.get(3, 0)
+    assert windowed_l3 <= unbounded_l3
+    assert sum(got.values()) == ev.select("user_id").distinct().count()
