@@ -1470,11 +1470,15 @@ def dsir_weights(docs: DataFrame, target_pred, n_buckets: int = 256) -> DataFram
 
     Scale: the entire model is the <=n_buckets-row log-ratio table —
     built with two map-side-combinable aggregates and broadcast back;
-    per-doc scoring is groupBy(doc, bucket) + broadcast join + one
-    more aggregate. No shuffle ever carries more than |docs| x
-    |buckets| partial rows; at 100 TB this is the cheapest useful
-    data-selection signal (the DSIR paper's point: importance
-    resampling over hashed features, not model forward passes).
+    scoring joins each GRAM to the broadcast table and sums straight
+    into groupBy(doc_id), so partial aggregation collapses every doc's
+    grams map-side and the scoring shuffle carries ~|docs| partial
+    rows (measured by tools/shuffle_report.py: the earlier
+    groupBy(doc, bucket) intermediate spelling shuffled ~16 records
+    per scanned row; this one ~1 per doc). At 100 TB this is the
+    cheapest useful data-selection signal (the DSIR paper's point:
+    importance resampling over hashed features, not model forward
+    passes).
 
     ``target_pred``: boolean Column selecting the target slice.
     """
@@ -1512,13 +1516,12 @@ def dsir_weights(docs: DataFrame, target_pred, n_buckets: int = 256) -> DataFram
             ).alias("logratio"),
         )
     )
-    per = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     return (
-        per.join(lr, "b")
+        bk.join(lr, "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("bigint").alias("n_bigrams"),
-            r4(F.sum(F.col("c") * F.col("logratio"))).alias("dsir_weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            r4(F.sum("logratio")).alias("dsir_weight"),
         )
     )
 
