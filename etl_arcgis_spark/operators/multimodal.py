@@ -733,3 +733,110 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(spectra, schema=_SPECTRUM_SCHEMA)
+
+
+# ------------------------------------------------------------ scene cuts
+
+_CUT_THRESHOLD = 0.15  # mean |Δluma| (normalized) between consecutive frames
+
+
+def synth_y4m_shots(doc_id: int) -> bytes:
+    """Deterministic shot-structured test video: 2-4 shots of 3-6
+    near-identical frames each (base luma per shot spaced ~96 apart,
+    tiny per-frame jitter), so consecutive-frame luma deltas are ~0
+    inside a shot and huge across shot boundaries — planted ground
+    truth for the cut detector (shot_cut_indices gives the answer
+    key)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    w, h = 16, 8
+    uv_len = 2 * ((w // 2) * (h // 2))
+    frames = []
+    for s, length in enumerate(_shot_lengths(doc_id)):
+        base = (32 + 96 * (s % 3)) % 256
+        for k in range(length):
+            jitter = np.frombuffer(
+                _hl.md5(b"shot%d-%d-%d" % (int(doc_id), s, k)).digest() * 8,
+                dtype=np.uint8,
+            )[: w * h] % 8
+            y = ((base + jitter) % 256).astype(np.uint8).tobytes()
+            frames.append(y + b"\x80" * uv_len)
+    return encode_y4m(w, h, frames)
+
+
+def _shot_lengths(doc_id: int) -> list[int]:
+    n_shots = 2 + int(doc_id) % 3
+    return [3 + (int(doc_id) + s) % 4 for s in range(n_shots)]
+
+
+def shot_cut_indices(doc_id: int) -> list[int]:
+    """Answer key: frame indices where a new shot begins (excluding 0)."""
+    out, pos = [], 0
+    for length in _shot_lengths(doc_id)[:-1]:
+        pos += length
+        out.append(pos)
+    return out
+
+
+_CUTS_SCHEMA = "doc_id bigint, n_frames bigint, n_cuts bigint, cut_indices string"
+
+
+@query("multimodal_scene_cuts")  # weak: binary codec has no SQL oracle
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection over the real Y4M container:
+    decode frames, compute mean |Δluma| between consecutive frames on
+    the actual Y planes, and report indices where the delta clears the
+    threshold — the video-curation primitive that feeds per-shot frame
+    sampling (one keyframe per shot instead of every k-th frame, the
+    budget-aware sampling a 100 TB video pipeline actually wants).
+
+    Spark contract: one binary row in, one summary row out (counts +
+    bounded cut-index list), all pixel math vectorized numpy inside one
+    Arrow-batched mapInPandas — frames never hit JVM rows. Ground
+    truth is planted by synth_y4m_shots; the unit test asserts the
+    detector recovers shot_cut_indices exactly (detection quality is
+    testable without an oracle engine)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth_y4m_shots)}
+            )
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fps, frames = decode_y4m(bytes(payload))
+                lumas = np.stack(
+                    [
+                        np.frombuffer(f, dtype=np.uint8, count=w * h).astype(np.float64)
+                        for f in frames
+                    ]
+                )
+                deltas = np.abs(np.diff(lumas, axis=0)).mean(axis=1) / 255.0
+                idx = (np.nonzero(deltas > _CUT_THRESHOLD)[0] + 1).tolist()
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "n_cuts": len(idx),
+                        # joined string, not array<bigint>: the driver
+                        # canonicalizer cannot hash list cells (r1 lesson)
+                        "cut_indices": ",".join(map(str, idx)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_cuts", "cut_indices"]
+            )
+
+    return payloads.mapInPandas(cuts, schema=_CUTS_SCHEMA)

@@ -127,3 +127,22 @@ def test_audio_spectrum_pins_synth_tone_frequency(spark):
         # must hit within one bin
         if r["energy"] > 0.2:  # fully-voiced full-length chunk
             assert abs(r["dom_freq_hz"] - true_freq) <= 2 * bin_hz, r
+
+
+def test_scene_cut_detector_recovers_planted_cuts(spark):
+    """multimodal_scene_cuts: the mean-|Δluma| detector must recover
+    the EXACT shot boundaries synth_y4m_shots plants (jitter within a
+    shot is <8/255 ≈ 0.03 mean delta; shot base levels are ≥96/255
+    apart — the threshold 0.15 separates them with huge margin)."""
+    from etl_arcgis_spark.operators.multimodal import shot_cut_indices
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_scene_cuts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        want = shot_cut_indices(r.doc_id)
+        got = [int(x) for x in r.cut_indices.split(",")] if r.cut_indices else []
+        assert got == want, (r.doc_id, got, want)
+        assert r.n_cuts == len(want)

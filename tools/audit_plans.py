@@ -42,6 +42,7 @@ PYTHON_OK = {
     "multimodal_audio_chunk",
     "multimodal_image_patchify",  # patch fan-out inside the Arrow batch
     "multimodal_audio_spectrum",  # FFT features inside the Arrow batch
+    "multimodal_scene_cuts",      # frame-diff detector inside the Arrow batch
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
