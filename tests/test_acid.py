@@ -268,3 +268,27 @@ def test_compact_bin_packs_small_files(spark, wide_tbl):
     assert sorted(map(tuple, acid.read(spark, wide_tbl, v_before).collect())) == rows_before
     # compacted files carry key_range stats for future pruning
     assert all("key_range" in f for f in man_after["files"])
+
+
+def test_concurrent_merges_from_threads_both_land(spark, tbl):
+    """Two merges racing from real threads: the optimistic hard-link
+    publish serializes them; the loser retries on the winner's
+    snapshot and BOTH updates survive."""
+    import threading
+
+    errs = []
+
+    def do_merge(k, v):
+        try:
+            src = spark.createDataFrame([(k, v)], "id INT, v STRING")
+            acid.merge(spark, tbl, src, max_retries=10)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_merge, args=(10, "ten"))
+    t2 = threading.Thread(target=do_merge, args=(11, "eleven"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    rows = _rows(acid.read(spark, tbl))
+    assert (10, "ten") in rows and (11, "eleven") in rows
+    assert acid.current_version(tbl) == 3  # two serialized commits

@@ -229,3 +229,37 @@ def test_detector_live_on_spark_plans(spark):
     )
     assert unpartitioned_window(_plan(bad))
     assert not unpartitioned_window(_plan(good))
+
+
+def test_bucketed_global_rank_pathological_skew(spark):
+    """99.8% of rows share one value (one mega-bin) plus outliers on
+    both sides: binning degenerates but ranks stay exact — ties share
+    a bin by construction and the tie-breaker totals the order."""
+    df = spark.range(0, 500).select(
+        F.when(F.col("id") == 0, -1000.0)
+        .when(F.col("id") == 499, 1000.0)
+        .otherwise(42.0)
+        .alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=32)
+    naive = df.withColumn(
+        "grank",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("k"))).cast("bigint"),
+    )
+    assert _rows(got.select("v", "k", "grank")) == _rows(
+        naive.select("v", "k", "grank")
+    )
+
+
+def test_bucketed_global_rank_exponential_values(spark):
+    """Exponentially-spread values: nearly all bins empty, everything
+    in bin 0 except the giants — still exact."""
+    df = spark.range(1, 60).select(
+        F.pow(F.lit(1.5), F.col("id")).alias("v"), F.col("id").alias("k")
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=16)
+    assert _rows(got.select("grank")) == [(i,) for i in range(1, 60)]
+    # monotone: rank order equals value order (values strictly increasing)
+    pairs = sorted((r.k, r.grank) for r in got.collect())
+    assert [g for _, g in pairs] == list(range(1, 60))
