@@ -192,7 +192,9 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     paths = [os.path.join(root, f["path"]) for f in man["files"]]
     if not paths:
         raise FileNotFoundError(f"snapshot v{v} is empty")
-    return spark.read.parquet(*paths)
+    # mergeSchema: schema evolution leaves older files physically
+    # narrower; missing columns read as null (parquet union semantics)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def read_key_range(
@@ -249,13 +251,17 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
             spark, root, man["files"], source, key
         )
         if touched:
-            target = spark.read.parquet(
+            target = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(root, f["path"]) for f in touched]
             )
         else:  # no file overlaps: pure insert, but keep the schema
             target = read(spark, root, base_v).limit(0)
         src = source.alias("s")
         tgt = target.alias("t")
+        # schema evolution: source-only columns append to the table
+        # schema; rows from unmatched target (and from files this merge
+        # does not rewrite) read them as null via mergeSchema
+        new_cols = [c for c in source.columns if c not in target.columns]
         cols = target.columns
         matched = F.col(f"s.{key}").isNotNull()
         merged = tgt.join(
@@ -266,7 +272,13 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
                 for c in cols
-            ]
+            ],
+            *[
+                F.when(matched, F.col(f"s.{c}"))
+                .otherwise(F.lit(None))
+                .alias(c)
+                for c in new_cols
+            ],
         )
         new_files = _write_data_files(merged, root, key=key)
         try:

@@ -292,3 +292,27 @@ def test_concurrent_merges_from_threads_both_land(spark, tbl):
     rows = _rows(acid.read(spark, tbl))
     assert (10, "ten") in rows and (11, "eleven") in rows
     assert acid.current_version(tbl) == 3  # two serialized commits
+
+
+def test_merge_schema_evolution_adds_column(spark, wide_tbl):
+    """A source with a NEW column evolves the table schema: matched
+    rows take the value, everything else (including rows in files this
+    merge never rewrote) reads null via parquet schema merging."""
+    src = spark.createDataFrame(
+        [(3, "X", 0.9), (500, "new", 0.5)], "id INT, v STRING, score DOUBLE"
+    )
+    acid.merge(spark, wide_tbl, src)
+    df = acid.read(spark, wide_tbl)
+    assert set(df.columns) == {"id", "v", "score"}
+    got = {r.id: (r.v, r.score) for r in df.collect()}
+    assert got[3] == ("X", 0.9)
+    assert got[500] == ("new", 0.5)
+    assert got[7][1] is None  # untouched-file row: evolved column null
+    assert len(got) == 101
+    # a second merge on the evolved schema round-trips
+    acid.merge(
+        spark, wide_tbl,
+        spark.createDataFrame([(7, "seven", 0.1)], "id INT, v STRING, score DOUBLE"),
+    )
+    got2 = {r.id: (r.v, r.score) for r in acid.read(spark, wide_tbl).collect()}
+    assert got2[7] == ("seven", 0.1) and got2[3] == ("X", 0.9)
