@@ -190,3 +190,169 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_decontaminate_ngrams) — this query is the proof they
     compose, end to end, bit-identically on both engines."""
     return sql_over(spark, sf_dir, _SPARK_FUNNEL, ("documents",))
+
+
+# ---------------------------------------------------------------------
+# corpus_curate_select: the funnel extended with SELECTION stages —
+# (6) DSIR-flavored target gate, (7) PPS systematic sample. Both new
+# stages keep control flow in EXACT INTEGER arithmetic (the funnel's
+# float thresholds are ratios of integers, same class):
+#   - the gate keeps docs where >= half their bigrams hash to buckets
+#     that are target-heavier than the corpus (tc * r_tot > rc * t_tot,
+#     integer cross-multiplication — no log, no division);
+#   - the sample picks ~50 docs by the interval-crossing rule over
+#     exact cumulative token counts, spelled TWO-PHASE (per-bucket
+#     offsets + partitioned intra-bucket prefix sums) so no
+#     unpartitioned window runs over the unbounded survivor set.
+
+_SPARK_SELECT_SUFFIX = """
+, cleanl AS (
+  SELECT n.doc_id, n.l FROM neard n JOIN clean c ON n.doc_id = c.doc_id
+), bk2 AS (
+  SELECT x.doc_id,
+         (instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+         + instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1 AS b,
+         d.lang = 'en' AS is_target
+  FROM (SELECT doc_id, explode(transform(sequence(1, size(l) - 1),
+               i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS g
+        FROM cleanl WHERE size(l) >= 2) x
+  JOIN documents d ON x.doc_id = d.doc_id
+), raw2 AS (
+  SELECT b, count(1) AS rc,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+  FROM bk2 GROUP BY b
+), tot2 AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM raw2),
+posb AS (
+  SELECT b FROM raw2, tot2 WHERE tc * r_tot > rc * t_tot
+), scored AS (
+  SELECT k.doc_id, count(1) AS n_grams,
+         sum(CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END) AS n_pos
+  FROM bk2 k LEFT JOIN posb p ON k.b = p.b
+  GROUP BY k.doc_id
+), dsir_gated AS (
+  SELECT doc_id FROM scored WHERE n_pos * 2 >= n_grams
+), surv AS (
+  SELECT c.doc_id, size(c.l) AS w
+  FROM cleanl c JOIN dsir_gated g ON c.doc_id = g.doc_id
+), sb AS (
+  SELECT doc_id, w, doc_id div 64 AS bk FROM surv
+), off AS (
+  SELECT bk, coalesce(sum(tw) OVER (ORDER BY bk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT bk, sum(w) AS tw FROM sb GROUP BY bk)
+), cums AS (
+  SELECT s.doc_id, s.w,
+         o.off + sum(s.w) OVER (PARTITION BY s.bk ORDER BY s.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sb s JOIN off o ON s.bk = o.bk
+), tot3 AS (SELECT sum(w) AS total FROM surv),
+picks AS (
+  SELECT doc_id FROM cums, tot3
+  WHERE (cum - w) div (total div 50) < cum div (total div 50)
+    AND (cum - w) div (total div 50) < 50
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM t
+  UNION ALL SELECT 2, 'quality_gated', count(1) FROM gated
+  UNION ALL SELECT 3, 'exact_deduped', count(1) FROM exact
+  UNION ALL SELECT 4, 'near_deduped', count(1) FROM neard
+  UNION ALL SELECT 5, 'decontaminated', count(1) FROM clean
+  UNION ALL SELECT 6, 'dsir_gated', count(1) FROM dsir_gated
+  UNION ALL SELECT 7, 'pps_sampled', count(1) FROM picks
+)
+"""
+
+_ORACLE_SELECT_SUFFIX = """
+, cleanl AS (
+  SELECT n.doc_id, n.l FROM neard n JOIN clean c ON n.doc_id = c.doc_id
+), bk2 AS (
+  SELECT x.doc_id,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS b,
+         d.lang = 'en' AS is_target
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 1),
+                      i -> l[i] || ' ' || l[i + 1])) AS g
+        FROM cleanl WHERE len(l) >= 2) x
+  JOIN documents d ON x.doc_id = d.doc_id
+), raw2 AS (
+  SELECT b, count(*) AS rc,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+  FROM bk2 GROUP BY b
+), tot2 AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM raw2),
+posb AS (
+  SELECT b FROM raw2, tot2 WHERE tc * r_tot > rc * t_tot
+), scored AS (
+  SELECT k.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END) AS n_pos
+  FROM bk2 k LEFT JOIN posb p ON k.b = p.b
+  GROUP BY k.doc_id
+), dsir_gated AS (
+  SELECT doc_id FROM scored WHERE n_pos * 2 >= n_grams
+), surv AS (
+  SELECT c.doc_id, len(c.l) AS w
+  FROM cleanl c JOIN dsir_gated g ON c.doc_id = g.doc_id
+), sb AS (
+  SELECT doc_id, w, doc_id // 64 AS bk FROM surv
+), off AS (
+  SELECT bk, coalesce(sum(tw) OVER (ORDER BY bk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT bk, sum(w) AS tw FROM sb GROUP BY bk)
+), cums AS (
+  SELECT s.doc_id, s.w,
+         o.off + sum(s.w) OVER (PARTITION BY s.bk ORDER BY s.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sb s JOIN off o ON s.bk = o.bk
+), tot3 AS (SELECT sum(w) AS total FROM surv),
+picks AS (
+  SELECT doc_id FROM cums, tot3
+  WHERE (cum - w) // (total // 50) < cum // (total // 50)
+    AND (cum - w) // (total // 50) < 50
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'raw' AS stage, count(*) AS n_docs FROM t
+  UNION ALL SELECT 2, 'quality_gated', count(*) FROM gated
+  UNION ALL SELECT 3, 'exact_deduped', count(*) FROM exact
+  UNION ALL SELECT 4, 'near_deduped', count(*) FROM neard
+  UNION ALL SELECT 5, 'decontaminated', count(*) FROM clean
+  UNION ALL SELECT 6, 'dsir_gated', count(*) FROM dsir_gated
+  UNION ALL SELECT 7, 'pps_sampled', count(*) FROM picks
+)
+"""
+
+
+def _chain(base: str, suffix: str) -> str:
+    """Splice a selection suffix onto the funnel's WITH-chain (replace
+    the funnel's final SELECT with the extended one)."""
+    prefix = base.split("SELECT * FROM (")[0].rstrip()
+    assert prefix.endswith(")"), prefix[-40:]
+    return prefix + suffix
+
+
+@query(
+    "corpus_curate_select",
+    oracle=_chain(_ORACLE_FUNNEL, _ORACLE_SELECT_SUFFIX),
+)
+def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7-stage curation pipeline: the clean funnel
+    (corpus_clean_funnel — gate, exact dedup, near-dup drop,
+    decontaminate) extended with the two SELECTION stages a pretraining
+    run performs on the surviving corpus: a DSIR-flavored target gate
+    (keep docs whose hashed-bigram mass leans toward the target slice —
+    integer cross-multiplied bucket comparison, no float in control
+    flow) and a PPS systematic sample (~50 audit docs by exact
+    interval-crossing over two-phase cumulative token counts — no
+    unpartitioned window over the unbounded survivor set). Per-stage
+    document counts are the output, replayed end-to-end by the DuckDB
+    oracle.
+
+    Scale: stages 1-5 are the funnel's plans (documented there); the
+    gate adds one bounded (<=256-row) bucket model + a broadcastable
+    posb semi-join; the sample is the sample_pps_systematic shape over
+    survivors. Composition adds no new shuffle classes."""
+    return sql_over(
+        spark,
+        sf_dir,
+        _chain(_SPARK_FUNNEL, _SPARK_SELECT_SUFFIX),
+        ("documents",),
+    )

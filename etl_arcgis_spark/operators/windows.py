@@ -370,3 +370,52 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
     )
+
+
+@query(
+    "window_range_interval_frame",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS hour_sum,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                                     AND INTERVAL 30 MINUTE FOLLOWING) AS BIGINT)
+         AS n_within_hour
+FROM events
+""",
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 companion: RANGE frames with INTERVAL literals over a
+    timestamp order key — the SQL-standard spelling users write
+    (the existing window_range_frame pre-converts to epoch seconds;
+    this one leaves the timestamp type in the frame, exercising
+    Spark's calendar-interval frame support and proving it matches
+    DuckDB's interval arithmetic). A centered ±30 min count rides
+    along to cover a FOLLOWING interval bound.
+
+    Peers at equal ts are included by RANGE-frame rules on both
+    engines, so ties need no tie-breaker. Time base: events.ts is the
+    µs-normalized timestamp from tables.table on both engines.
+
+    Scale: one exchange on user_id; the frame is value-based so state
+    per partition is bounded by the interval's row density."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS hour_sum,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                                     AND INTERVAL 30 MINUTE FOLLOWING) AS BIGINT)
+         AS n_within_hour
+FROM events
+""",
+        ("events",),
+    )

@@ -243,3 +243,29 @@ def test_pps_sampling_invariants(spark):
     corpus_mean = docs.agg(F.avg("w")).collect()[0][0]
     sample_mean = sum(r.n_tokens for r in sel) / len(sel)
     assert sample_mean >= corpus_mean * 0.9  # size-biased by design
+
+
+def test_curate_select_stages_monotone_and_consistent(spark):
+    """The 7-stage pipeline only shrinks (every stage filters), the
+    sample stage is bounded by 50, and stages 1-5 equal the standalone
+    funnel's counts (composition changes nothing upstream)."""
+    got = {
+        r.stage_idx: r.n_docs
+        for r in registry.all_queries()["corpus_curate_select"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert list(got) and len(got) == 7
+    counts = [got[i] for i in range(1, 8)]
+    assert counts == sorted(counts, reverse=True) or all(
+        counts[i] >= counts[i + 1] for i in range(6)
+    )
+    assert got[7] <= 50
+    funnel = {
+        r.stage_idx: r.n_docs
+        for r in registry.all_queries()["corpus_clean_funnel"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for i in range(1, 6):
+        assert got[i] == funnel[i]

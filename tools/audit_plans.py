@@ -79,6 +79,8 @@ NLJ_OK = {
     "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
+    "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
+    "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
