@@ -107,3 +107,29 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def with_count_observation(df: DataFrame, name: str = "etl_metrics"):
+    """A20 count observability, the zero-cost spelling: attach an
+    ``Observation`` so row count (and null-key count) are collected as
+    ACCUMULATOR side-outputs of whatever action runs — no second scan,
+    no ``.count()`` job. The reference logs ``obtained N features``
+    after buffering everything in memory (task.ts:449-455); a pipeline
+    at scale cannot afford a counting pass, so the metric must ride
+    the data pass. Returns ``(df, observation)``; read
+    ``observation.get`` after the first action.
+
+    The same Observation object works under ``foreachBatch`` per
+    micro-batch, which is where the sink's ``submitted N features``
+    log line (task.ts:455) comes from in the streaming engine.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    first_col = df.columns[0]
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(first_col).isNull().cast("long")).alias("n_null_key"),
+    )
+    return observed, obs

@@ -229,3 +229,45 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id").mapInArrow(
         add_shard, schema="event_id bigint, user_id bigint, shard bigint"
     )
+
+
+@query(
+    "udf_sql_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``) — the TOP
+    of the UDF execution ladder this module walks (row-Python C49 ->
+    Arrow-scalar -> pandas C50 -> mapInArrow -> SQL): a function DEFINED
+    like a UDF but executed as a catalyst expression — inlined into
+    whole-stage codegen, zero Python boundary, full pushdown through it.
+    The reference's per-feature JS arithmetic (task.ts:242-251) lands
+    here when the logic is expressible: you keep the reusable-function
+    ergonomics AND the JVM plan.
+
+    Plan property (tested): NO Python execution nodes — compare
+    udf_scalar_default, whose identical logic pays the row-Python
+    boundary by design."""
+    from ..tables import table
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    from ..helpers import r4_sql
+
+    return spark.sql(
+        f"""
+SELECT l_orderkey, l_linenumber,
+       {r4_sql("charged_price(l_extendedprice, l_discount, l_tax)")} AS charged
+FROM lineitem_v
+WHERE l_quantity >= 45
+"""
+    )

@@ -130,3 +130,20 @@ def test_incremental_materialize_then_compact(spark, tmp_path):
     got = compact_parquet(spark, part, compacted, target_file_mb=128)
     assert len(glob.glob(f"{compacted}/*.parquet")) == 1
     assert got.count() == spark.read.parquet(part).count()
+
+
+def test_observation_counts_ride_the_data_pass(spark):
+    """A20 via df.observe: metrics arrive as accumulator side-outputs
+    of the SAME job that produced the output — values equal a separate
+    count, with no extra scan job."""
+    from etl_arcgis_spark.operators.scans import with_count_observation
+    from etl_arcgis_spark.tables import table
+
+    df = table(spark, "/root/testdata/sf0.001", "orders").filter(
+        "o_totalprice > 100000"
+    )
+    observed, obs = with_count_observation(df)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == df.count()
+    assert m["n_null_key"] == 0
