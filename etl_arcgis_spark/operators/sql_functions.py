@@ -439,3 +439,93 @@ def math_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("o_orderkey"))
     )
+
+
+@query(
+    "str_collation_ci_group",
+    oracle="""
+SELECT lower(p_brand) AS brand_ci,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_spellings
+FROM (
+  SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+              WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+              ELSE p_brand END AS p_brand
+  FROM part
+)
+GROUP BY lower(p_brand)
+ORDER BY brand_ci
+""",
+)
+def str_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS (``COLLATE
+    UTF8_LCASE``) — the declarative spelling of the lower()-wrapper
+    every pre-collation pipeline writes (the oracle keeps the
+    lower() form; DuckDB 1.0 has no column collations). Mixed-case
+    spellings are manufactured from p_partkey so all SFs exercise the
+    merge; n_spellings counts the DISTINCT raw forms each
+    case-insensitive group absorbed (case-SENSITIVE distinct inside a
+    case-INSENSITIVE group — the two comparison semantics composed).
+
+    Scale note: the collated group key hashes on the collation key
+    (one shuffle, same as any group-by); unlike the lower() wrapper
+    the collation survives into the optimizer as a string PROPERTY, so
+    future engines can push comparisons into scans. The output key is
+    normalized with lower() on both engines for a stable hash."""
+    from ..tables import table
+
+    p = table(spark, sf_dir, "part").selectExpr(
+        """CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+                WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+                ELSE p_brand END AS p_brand"""
+    )
+    p.createOrReplaceTempView("part_mixed")
+    return p.sparkSession.sql(
+        """
+SELECT lower(brand_key) AS brand_ci,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_spellings
+FROM (SELECT p_brand, p_brand COLLATE UTF8_LCASE AS brand_key FROM part_mixed)
+GROUP BY brand_key
+ORDER BY brand_ci
+"""
+    )
+
+
+@query(
+    "unpivot_sql_clause",
+    oracle="""
+SELECT c_custkey, metric, round(val, 4) AS val
+FROM (
+  SELECT c_custkey, round(c_acctbal, 4) AS acctbal,
+         CAST(c_nationkey AS DOUBLE) AS nationkey
+  FROM customer
+)
+UNPIVOT (val FOR metric IN (acctbal, nationkey))
+ORDER BY c_custkey, metric
+""",
+)
+def unpivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard UNPIVOT clause (Spark 3.4+/DuckDB) — the
+    declarative twin of unpivot_stack's ``stack()`` spelling: wide
+    measure columns to (key, metric, value) rows, the melt every
+    metrics pipeline runs before a generic per-metric aggregate.
+
+    Scale: pure narrow row explosion (x n_metrics), no shuffle; the
+    clause form keeps column pruning exact (only unpivoted measures
+    are read — ReadSchema shows 3 columns)."""
+    from ..tables import table
+
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+SELECT c_custkey, metric, round(val, 4) AS val
+FROM (
+  SELECT c_custkey, round(c_acctbal, 4) AS acctbal,
+         CAST(c_nationkey AS DOUBLE) AS nationkey
+  FROM customer_v
+)
+UNPIVOT (val FOR metric IN (acctbal, nationkey))
+ORDER BY c_custkey, metric
+"""
+    )
