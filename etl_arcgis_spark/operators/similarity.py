@@ -1104,3 +1104,101 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of 16-of-64-dim prefix cosine against full-dim cosine
     for the sampled query set — see :func:`matryoshka_recall`."""
     return matryoshka_recall(spark, sf_dir)
+
+
+_PQ_M = 8   # subspaces (64 dims -> 8 x 8)
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+_PQ_ITERS = 2
+
+
+def pq_train_distortions(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITERS):
+    """Product-quantization codebook training (Jégou et al. 2011,
+    IVFADC): split each 64-d embedding into 8 contiguous 8-d
+    subvectors and run k-means (k=16) per subspace — 4 bits per
+    subspace, 64x compression (256 B float32 -> 4 B codes). Fully
+    deterministic: init = the subvectors of the 16 smallest vec_ids,
+    then ``iters`` Lloyd iterations, each ONE Spark job (assign =
+    argmin over a broadcast 16-row codebook via vectorized numpy in
+    mapInPandas; update = groupBy(subspace, code) mean). Returns
+    (per-iteration mean distortion list, final codebook dict).
+
+    Scale: the model is 8 x 16 x 8 floats (4 KB) — broadcast, never
+    shuffled; each iteration shuffles only (subspace, code) partial
+    sums. This is the missing half of the IVF story (sim_ivf_knn):
+    IVF prunes candidate cells, PQ compresses the residuals the cells
+    store — together the standard billion-scale ANN index layout."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = e.orderBy("vec_id").limit(_PQ_K).collect()  # bounded: 16 rows
+    cb = {
+        m: np.array([r.embedding[m * 8 : (m + 1) * 8] for r in first], dtype=np.float64)
+        for m in range(_PQ_M)
+    }
+    distortions = []
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast({m: c.tolist() for m, c in cb.items()})
+
+        def assign(batches):
+            import numpy as _np
+
+            codebook = {m: _np.array(c) for m, c in bc.value.items()}
+            for pdf in batches:
+                vecs = _np.stack(pdf["embedding"].map(_np.asarray))
+                out = []
+                for m in range(_PQ_M):
+                    sub = vecs[:, m * 8 : (m + 1) * 8]
+                    d2 = ((sub[:, None, :] - codebook[m][None, :, :]) ** 2).sum(-1)
+                    code = d2.argmin(1)
+                    err = d2[_np.arange(len(sub)), code]
+                    for i in range(len(sub)):
+                        out.append(
+                            {
+                                "m": m,
+                                "code": int(code[i]),
+                                "err": float(err[i]),
+                                "sub": sub[i].tolist(),
+                            }
+                        )
+                import pandas as _pd
+
+                yield _pd.DataFrame(out, columns=["m", "code", "err", "sub"])
+
+        assigned = e.mapInPandas(
+            assign, schema="m int, code int, err double, sub array<double>"
+        )
+        stats = (
+            assigned.groupBy("m", "code")
+            .agg(
+                *[
+                    F.avg(F.col("sub")[i]).alias(f"c{i}")
+                    for i in range(8)
+                ],
+                F.sum("err").alias("sse"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )  # bounded: <= 8 x 16 rows
+        total_err = sum(r.sse for r in stats)
+        total_n = sum(r.n for r in stats) / _PQ_M
+        distortions.append(total_err / (total_n * _PQ_M))
+        new_cb = {m: cb[m].copy() for m in range(_PQ_M)}
+        for r in stats:
+            new_cb[r.m][r.code] = [getattr(r, f"c{i}") for i in range(8)]
+        cb = new_cb
+    return distortions, cb
+
+
+@query("multimodal_pq_quantize")  # weak: iterative k-means has no SQL oracle
+def multimodal_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration PQ training distortion (see pq_train_distortions)
+    — registered weak (rows-only): the Lloyd iterations are exactly
+    reproducible (deterministic init + argmin tie-break by lowest
+    code) but not expressible as one SQL query. The k-means
+    monotonicity invariant (distortion never increases per iteration)
+    is property-tested instead."""
+    distortions, _ = pq_train_distortions(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, round(d, 6)) for i, d in enumerate(distortions)],
+        "iteration INT, mean_distortion DOUBLE",
+    )

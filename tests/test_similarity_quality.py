@@ -91,3 +91,17 @@ def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
     ]
     want = [r["vec_id"] for r in registry.all_queries()["sim_ivf_knn"](spark, SF_DIR).collect()]
     assert got == want and len(got) == 10
+
+
+def test_pq_distortion_monotone_nonincreasing(spark):
+    """Lloyd's algorithm invariant: mean distortion never increases
+    across iterations (each assign step is optimal for the old
+    codebook, each update step optimal for the new assignment)."""
+    from etl_arcgis_spark.operators.similarity import pq_train_distortions
+
+    d, cb = pq_train_distortions(spark, "/root/testdata/sf0.001", iters=3)
+    assert len(d) == 3
+    assert d[0] >= d[1] >= d[2] >= 0
+    # codebook shape: 8 subspaces x 16 centroids x 8 dims
+    assert set(cb) == set(range(8))
+    assert all(c.shape == (16, 8) for c in cb.values())

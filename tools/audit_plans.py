@@ -43,6 +43,7 @@ PYTHON_OK = {
     "multimodal_image_patchify",  # patch fan-out inside the Arrow batch
     "multimodal_audio_spectrum",  # FFT features inside the Arrow batch
     "multimodal_scene_cuts",      # frame-diff detector inside the Arrow batch
+    "multimodal_pq_quantize",     # PQ assign step (argmin over broadcast codebook) in the Arrow batch
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
