@@ -533,3 +533,23 @@ def test_median_two_phase_ranks_only_target_buckets(spark):
     assert "TakeOrderedAndProject" not in p
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_audit_allowlists_reference_real_queries():
+    """Every name in the plan-audit allowlists must be a registered
+    query — a typo'd or stale entry silently weakens the audit (it
+    allowlists nothing while appearing to)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.audit_plans import NLJ_OK, PYTHON_OK, WINDOW_BOUNDED_OK
+
+    registry.load_all()
+    registered = set(registry.QUERIES)
+    for name, lst in (
+        ("PYTHON_OK", PYTHON_OK),
+        ("NLJ_OK", NLJ_OK),
+        ("WINDOW_BOUNDED_OK", set(WINDOW_BOUNDED_OK)),
+    ):
+        stale = set(lst) - registered
+        assert not stale, f"{name} entries not registered: {sorted(stale)}"

@@ -93,7 +93,6 @@ NLJ_OK = {
 WINDOW_BOUNDED_OK = {
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
     "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
-    "ts_sessionize_gaps": "lag over per-day aggregate (~2400 rows)",
     "analytics_pareto_frontier": "phase-2 merge over per-bucket skyline survivors (bounded by bucket count x frontier size)",
     "sample_pack_sequences": "documented single-box packing demo; cluster spelling (bucketed) in docstring",
     "sample_global_reid": "offset window over per-bucket counts (|buckets| rows)",
@@ -106,6 +105,8 @@ WINDOW_BOUNDED_OK = {
     "sql_recursive_month_spine": "window over generated month spine (~80 rows)",
     "sample_token_budget_waterfill": "rank/prefix window over per-source aggregate (|sources| rows)",
     "text_zipf_fit": "rank window over the top-1000 limit (bounded 1000 rows)",
+    "sample_pps_systematic": "offset window over per-bucket totals (|buckets| rows, bucketed_running_sums)",
+    "corpus_curate_select": "offset window over per-bucket totals (|buckets| rows, two-phase PPS stage)",
 }
 
 
