@@ -30,7 +30,7 @@ def test_contract_shape(spark):
     assert len(qs) >= 71  # full SURVEY §2.1 inventory
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # weak set is exactly the declared seeded/approximate ops
+    # weak set is exactly the declared seeded/approximate/iterative ops
     weak = set(qs) - set(oracles)
     assert weak == {
         "agg_approx_count_distinct",
@@ -42,4 +42,6 @@ def test_contract_shape(spark):
         "multimodal_image_resize",
         "multimodal_image_patchify",
         "multimodal_audio_spectrum",
+        "multimodal_scene_cuts",   # r4: binary codec, unit-tested planted cuts
+        "multimodal_pq_quantize",  # r4: iterative k-means, monotonicity-tested
     }
