@@ -1861,3 +1861,79 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("doc_id"))
     )
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle="""
+WITH e AS (
+  SELECT doc_id, epoch, md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents, (SELECT unnest([1, 2]) AS epoch)
+),
+r AS (
+  SELECT doc_id, epoch,
+         CAST(row_number() OVER (PARTITION BY epoch ORDER BY k ASC, doc_id ASC)
+              AS BIGINT) AS pos
+  FROM e
+)
+SELECT doc_id, epoch, pos FROM r WHERE doc_id < 100
+ORDER BY epoch, doc_id
+""",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: every training epoch
+    reorders all documents by md5(epoch:doc_id) — reproducible across
+    restarts and workers (no rand()), different every epoch, and each
+    epoch's order is a full permutation. The primitive behind
+    epoch-shuffled data loading without materializing shuffled copies.
+
+    Positions are EXACT global ranks computed with the two-phase
+    bucket-offset pattern over STRING keys: the first two hex chars of
+    the shuffle key give 256 range-disjoint prefix buckets (prefix
+    binning is monotone in string order), per-bucket counts roll up to
+    broadcast offsets, and row_number runs partitioned by (epoch,
+    bucket) — the string-keyed sibling of bucketed_global_rank, never
+    an unpartitioned window. Output restricted to doc_id < 100 so the
+    check stays bounded while ranks are computed over the FULL corpus.
+
+    Scale: 2 narrow map passes + one (epoch, bucket) window; at 100 TB
+    the ranks shard the corpus into loader assignments directly
+    (position div shard_size)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.crossJoin(
+        F.broadcast(
+            docs.sparkSession.createDataFrame([(1,), (2,)], "epoch INT")
+        )
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("k"),
+    )
+    b = e.withColumn("bucket", F.substring("k", 1, 2))
+    w_off = Window.partitionBy("epoch").orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "epoch",
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("epoch", "bucket").orderBy(F.asc("k"), F.asc("doc_id"))
+    return (
+        b.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "doc_id",
+            "epoch",
+            (F.col("off") + F.row_number().over(w_in)).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("doc_id") < 100)
+        .orderBy(F.asc("epoch"), F.asc("doc_id"))
+    )

@@ -269,3 +269,19 @@ def test_curate_select_stages_monotone_and_consistent(spark):
     }
     for i in range(1, 6):
         assert got[i] == funnel[i]
+
+
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
+    rows = registry.all_queries()["sample_epoch_shuffle"](spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert set(by_epoch) == {1, 2}
+    n_docs = table(spark, SF_DIR, "documents").count()
+    for e, poss in by_epoch.items():
+        vals = list(poss.values())
+        assert len(set(vals)) == len(vals)  # injective on the sample
+        assert all(1 <= p <= n_docs for p in vals)  # ranks over FULL corpus
+    # the two epochs order the same docs differently
+    common = set(by_epoch[1]) & set(by_epoch[2])
+    assert any(by_epoch[1][d] != by_epoch[2][d] for d in common)
