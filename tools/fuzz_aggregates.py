@@ -94,8 +94,11 @@ def window_case(r: random.Random) -> str:
         # are interchangeable: include the AGGREGATED column and the
         # remaining high-cardinality columns in the sort, so any rows
         # still tied are identical in every value the window can see.
+        # explicit NULLS FIRST on every key: Spark defaults ASC NULLS
+        # FIRST, DuckDB NULLS LAST — without it, null-injected runs get
+        # different tie-break orders and bogus frame disagreements
         order = (
-            f"ORDER BY l_orderkey, l_linenumber, {col}, "
+            f"ORDER BY l_orderkey, l_linenumber, {col} NULLS FIRST, "
             "l_extendedprice, l_partkey, l_suppkey"
         )
     else:
@@ -126,23 +129,54 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=20260814)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--nulls",
+        action="store_true",
+        help="inject NULLs identically on both engines: the fixtures are "
+        "null-free, so without this flag aggregate null-skipping, null "
+        "group keys, and nulls inside window frames are never exercised",
+    )
     args = ap.parse_args()
 
     spark = get_session("fuzz_agg", shuffle_partitions=4)
     li = table(spark, args.sf, "lineitem").cache()
     li.count()
-    li.createOrReplaceTempView("lineitem")
+    li.createOrReplaceTempView("lineitem_base")
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{args.sf}/lineitem.parquet')"
+        f"CREATE VIEW lineitem_base AS SELECT * FROM read_parquet('{args.sf}/lineitem.parquet')"
     )
+    # identical SQL text defines the (possibly null-injected) relation
+    # on BOTH engines
+    if args.nulls:
+        view_sql = """
+CREATE OR REPLACE TEMPORARY VIEW lineitem AS
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       nullif(l_quantity, 25.0) AS l_quantity,
+       l_extendedprice,
+       nullif(l_discount, 0.05) AS l_discount,
+       CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_tax END AS l_tax,
+       nullif(l_returnflag, 'A') AS l_returnflag,
+       l_linestatus, l_shipdate
+FROM lineitem_base
+"""
+    else:
+        view_sql = (
+            "CREATE OR REPLACE TEMPORARY VIEW lineitem AS "
+            "SELECT * FROM lineitem_base"
+        )
+    spark.sql(view_sql)
+    con.execute(view_sql.replace("TEMPORARY VIEW", "VIEW"))
     r = random.Random(args.seed)
     bad = 0
     for i in range(args.n):
         sql = agg_case(r) if i % 2 == 0 else window_case(r)
+        def _nskey(t):
+            return tuple((v is None, v) for v in t)
+
         try:
-            s_rows = sorted(map(tuple, spark.sql(sql).collect()))
-            d_rows = sorted(map(tuple, con.execute(sql).fetchall()))
+            s_rows = sorted(map(tuple, spark.sql(sql).collect()), key=_nskey)
+            d_rows = sorted(map(tuple, con.execute(sql).fetchall()), key=_nskey)
         except Exception as e:  # noqa: BLE001
             print(f"ERROR on {sql!r}: {e}")
             bad += 1
