@@ -124,6 +124,42 @@ def window_case(r: random.Random) -> str:
     )
 
 
+def join_case(r: random.Random) -> str:
+    """Join-shape fuzz: INNER / LEFT OUTER aggregates and SEMI / ANTI
+    existence probes between lineitem and orders — identical SQL text
+    on both engines (EXISTS spelling for semi/anti). Counts plus an
+    integer-exact money checksum keep comparison grid-free."""
+    o_atom = r.choice(
+        [
+            "o.o_totalprice > 150000",
+            "o.o_orderpriority = '1-URGENT'",
+            "o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+            None,
+        ]
+    )
+    l_atom = r.choice(["l.l_quantity < 25", "l.l_discount >= 0.05", None])
+    kind = r.choice(["inner", "left", "semi", "anti"])
+    l_where = f" WHERE {l_atom}" if l_atom else ""
+    if kind in ("semi", "anti"):
+        neg = "NOT " if kind == "anti" else ""
+        o_pred = f" AND {o_atom}" if o_atom else ""
+        return (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
+            f"FROM lineitem l WHERE {neg}EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey"
+            f"{o_pred})" + (f" AND {l_atom}" if l_atom else "")
+        )
+    join_kw = "JOIN" if kind == "inner" else "LEFT JOIN"
+    on = "l.l_orderkey = o.o_orderkey" + (f" AND {o_atom}" if o_atom else "")
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(o.o_orderkey) AS BIGINT) AS n_matched, "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
+        f"FROM lineitem l {join_kw} orders o ON {on}{l_where}"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200)
@@ -145,6 +181,10 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW lineitem_base AS SELECT * FROM read_parquet('{args.sf}/lineitem.parquet')"
+    )
+    table(spark, args.sf, "orders").createOrReplaceTempView("orders")
+    con.execute(
+        f"CREATE VIEEW_PLACEHOLDER orders AS SELECT * FROM read_parquet('{args.sf}/orders.parquet')".replace("VIEEW_PLACEHOLDER", "VIEW")
     )
     # identical SQL text defines the (possibly null-injected) relation
     # on BOTH engines
@@ -170,7 +210,7 @@ FROM lineitem_base
     r = random.Random(args.seed)
     bad = 0
     for i in range(args.n):
-        sql = agg_case(r) if i % 2 == 0 else window_case(r)
+        sql = (agg_case, window_case, join_case)[i % 3](r)
         def _nskey(t):
             return tuple((v is None, v) for v in t)
 
