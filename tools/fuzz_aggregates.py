@@ -184,7 +184,7 @@ def main() -> None:
     )
     table(spark, args.sf, "orders").createOrReplaceTempView("orders")
     con.execute(
-        f"CREATE VIEEW_PLACEHOLDER orders AS SELECT * FROM read_parquet('{args.sf}/orders.parquet')".replace("VIEEW_PLACEHOLDER", "VIEW")
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{args.sf}/orders.parquet')"
     )
     # identical SQL text defines the (possibly null-injected) relation
     # on BOTH engines
