@@ -82,6 +82,7 @@ NLJ_OK = {
     "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
     "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
     "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
+    "sample_epoch_shuffle",      # 2-row epoch table broadcast fan-out
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
