@@ -1257,3 +1257,77 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("epoch_day"), F.asc("o_orderkey"))
     )
+
+
+@query(
+    "analytics_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate)) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 4) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(recency_us, 0.5) AS r_cut,
+         quantile_cont(frequency, 0.5) AS f_cut,
+         quantile_cont(monetary, 0.5) AS m_cut
+  FROM rfm
+)
+SELECT (CASE WHEN recency_us > r_cut THEN 'R1' ELSE 'R0' END ||
+        CASE WHEN frequency  > f_cut THEN 'F1' ELSE 'F0' END ||
+        CASE WHEN monetary   > m_cut THEN 'M1' ELSE 'M0' END) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary), 4) AS avg_monetary
+FROM rfm, cuts
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: each
+    customer scored high/low on Recency (last order time), Frequency
+    (order count) and Monetary (total spend) against the population
+    MEDIAN of each dimension, yielding 8 segments (R1F1M1 = champions
+    ... R0F0M0 = lost). The same binary-cut-on-robust-center shape a
+    data-curation pipeline uses to grid documents by (freshness,
+    dup-count, quality).
+
+    Determinism: cuts are interpolated medians — division of exact
+    inputs, identical doubles on both engines (Spark percentile ==
+    DuckDB quantile_cont) — and every comparison is strict > against
+    them; monetary is r4-rounded BEFORE the cut so the compared
+    operands are grid values. Recency stays integer µs.
+
+    Scale: one groupBy to |customers|, one 3-value broadcast of the
+    cuts, one group-by over 8 segments. The median cut deliberately
+    replaces ntile(2) windows — no unpartitioned WindowExec (the r4
+    audit rule); at 100 TB the cuts come from agg_median_two_phase."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate"))).alias("recency_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        r4(F.sum("o_totalprice")).alias("monetary"),
+    )
+    cuts = F.broadcast(
+        rfm.agg(
+            F.expr("percentile(recency_us, 0.5)").alias("r_cut"),
+            F.expr("percentile(frequency, 0.5)").alias("f_cut"),
+            F.expr("percentile(monetary, 0.5)").alias("m_cut"),
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("recency_us") > F.col("r_cut"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") > F.col("f_cut"), "F1").otherwise("F0"),
+        F.when(F.col("monetary") > F.col("m_cut"), "M1").otherwise("M0"),
+    )
+    return (
+        rfm.crossJoin(cuts)
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            r4(F.avg("monetary")).alias("avg_monetary"),
+        )
+        .orderBy(F.asc("segment"))
+    )

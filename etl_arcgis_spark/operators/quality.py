@@ -312,3 +312,65 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy(F.asc("fk_edge"))
+
+
+@query(
+    "profile_outliers_mad",
+    oracle="""
+WITH med AS (
+  SELECT median(l_extendedprice) AS m FROM lineitem
+),
+mad AS (
+  SELECT median(abs(l_extendedprice - m)) AS d, any_value(m) AS m
+  FROM lineitem, med
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(any_value(m), 4) AS med,
+       round(any_value(d), 4) AS mad,
+       CAST(sum(CASE WHEN abs(l_extendedprice - m) > 3 * 1.4826 * d
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem, mad
+""",
+)
+def profile_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling via MAD (median absolute deviation):
+    the data-quality gate that survives the heavy tails a z-score
+    breaks on (the 3σ rule with σ replaced by 1.4826·MAD, the normal-
+    consistent robust scale). Two exact medians (value, then absolute
+    deviation from it) computed with Spark's exact percentile and
+    broadcast back as 1-row scalars; the outlier count is one more
+    pass.
+
+    Determinism: both engines interpolate the even-count median as the
+    mean of the two middle values — identical doubles, division only
+    (no accumulated sums) — so the strict comparison in the outlier
+    count sees bit-identical operands on both sides.
+
+    Scale: percentile() gathers values into one reducer per aggregate —
+    the fixture-exact contract spelling; at 100 TB swap each median for
+    agg_median_two_phase's bucket decomposition (exactness argument
+    there), keeping this same three-pass shape."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    med = F.broadcast(
+        li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+    )
+    mad = F.broadcast(
+        li.crossJoin(med)
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - m), 0.5)").alias("d"),
+            F.first("m").alias("m"),
+        )
+    )
+    return li.crossJoin(mad).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        r4(F.first("m")).alias("med"),
+        r4(F.first("d")).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("l_extendedprice") - F.col("m"))
+                > 3 * 1.4826 * F.col("d")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -285,3 +285,26 @@ def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
     # the two epochs order the same docs differently
     common = set(by_epoch[1]) & set(by_epoch[2])
     assert any(by_epoch[1][d] != by_epoch[2][d] for d in common)
+
+
+def test_mad_outlier_fraction_sane(spark):
+    r = registry.all_queries()["profile_outliers_mad"](spark, SF_DIR).collect()[0]
+    assert r.mad > 0 and r.med > 0
+    # for any distribution the 3*1.4826*MAD band holds the bulk:
+    # (Chebyshev-like robust bound) outliers are a small minority
+    assert r.n_outliers < r.n_rows * 0.2
+
+
+def test_rfm_segments_partition_customers(spark):
+    from etl_arcgis_spark.tables import table
+
+    rows = registry.all_queries()["analytics_rfm_segments"](spark, SF_DIR).collect()
+    segs = {r.segment for r in rows}
+    assert segs <= {
+        f"R{a}F{b}M{c}" for a in "01" for b in "01" for c in "01"
+    }
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == n_cust  # every customer lands in exactly one segment

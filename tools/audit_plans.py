@@ -83,6 +83,8 @@ NLJ_OK = {
     "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
     "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
     "sample_epoch_shuffle",      # 2-row epoch table broadcast fan-out
+    "profile_outliers_mad",      # 1-row median + 1-row MAD scalar broadcasts
+    "analytics_rfm_segments",    # 1-row (r_cut, f_cut, m_cut) broadcast
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
