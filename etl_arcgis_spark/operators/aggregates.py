@@ -1092,3 +1092,92 @@ def agg_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         ).alias("total"),
     ).orderBy(F.asc("o_orderpriority"))
+
+
+@query(
+    "agg_median_two_phase_grouped",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(median(o_totalprice), 4) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_median_two_phase_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_median_two_phase generalized along the remaining axis: exact
+    PER-GROUP medians without any group's values gathering in one
+    reducer. Phase 1 bins every row into 1000 equi-width buckets of
+    ITS GROUP's [min, max] (per-group stats broadcast — |groups|
+    rows); the cumulative bin counts run in a window PARTITIONED by
+    group over <= 1000 bin rows each (bounded — never the input).
+    Phase 2 ranks only the rows of each group's target bins
+    (row_number partitioned by (group, bin)) and averages the
+    rank-⌈n/2⌉ / rank-(n/2+1) values. Exactness inherits the global
+    operator's argument per group (monotone bins, integer ranks,
+    ties share bins; degenerate all-equal groups pin to bin 0).
+
+    Scale: this is how per-segment quantiles actually run at 100 TB —
+    grouped single-reduce percentile buffers are the hidden memory
+    bomb (profile_outliers_mad's plan measures 1 MB of buffer per
+    3 shuffle records; multiply by |groups|)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    stats = F.broadcast(
+        o.groupBy("g").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    binned = o.join(stats, "g").withColumn(
+        "bin",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(999),
+                F.floor(
+                    (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    bc = binned.groupBy("g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n").alias("n")
+    )
+    w_cum = Window.partitionBy("g").orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bc.select(
+        "g",
+        "bin",
+        "n",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+    ).withColumn("r1", F.expr("(n + 1) div 2")).withColumn("r2", F.expr("n div 2 + 1"))
+    needed = cum.filter(
+        (F.col("cum_before") < F.col("r2"))
+        & ((F.col("cum_before") + F.col("cnt")) >= F.col("r1"))
+    ).select("g", "bin", "cum_before", "r1", "r2")
+    cand = binned.select("g", "bin", "v", "o_orderkey").join(
+        F.broadcast(needed), ["g", "bin"]
+    )
+    w_in = Window.partitionBy("g", "bin").orderBy(F.asc("v"), F.asc("o_orderkey"))
+    ranked = cand.withColumn("grank", F.col("cum_before") + F.row_number().over(w_in))
+    hits = ranked.filter(
+        (F.col("grank") == F.col("r1")) | (F.col("grank") == F.col("r2"))
+    )
+    return (
+        hits.groupBy("g")
+        .agg(r4(F.avg("v")).alias("median_price"))
+        .join(F.broadcast(stats.select("g", "n")), "g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            F.col("n").cast("bigint").alias("n"),
+            "median_price",
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )

@@ -263,3 +263,26 @@ def test_bucketed_global_rank_exponential_values(spark):
     # monotone: rank order equals value order (values strictly increasing)
     pairs = sorted((r.k, r.grank) for r in got.collect())
     assert [g for _, g in pairs] == list(range(1, 60))
+
+
+def test_grouped_two_phase_median_equals_naive(spark):
+    """The grouped two-phase median equals a plain per-group exact
+    percentile for every group (same property the global operator
+    carries, along the group axis)."""
+    from etl_arcgis_spark.tables import table
+
+    got = {
+        r.o_orderpriority: (r.n, r.median_price)
+        for r in _run(spark, "agg_median_two_phase_grouped").collect()
+    }
+    naive = {
+        r.o_orderpriority: (r.n, r.m)
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("m"),
+        )
+        .collect()
+    }
+    assert got == naive
