@@ -286,3 +286,39 @@ def test_grouped_two_phase_median_equals_naive(spark):
         .collect()
     }
     assert got == naive
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n_bins=st.sampled_from([1, 2, 7, 64]),
+)
+def test_bucketed_global_rank_hypothesis(spark, vals, n_bins):
+    """Randomized equivalence with the naive global window across
+    arbitrary float distributions (duplicates, negatives, huge spread,
+    single-element) and bin counts including the degenerate n_bins=1."""
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "v DOUBLE, k LONG"
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=n_bins)
+    naive = df.withColumn(
+        "grank",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("k"))).cast("bigint"),
+    )
+    assert _rows(got.select("v", "k", "grank")) == _rows(
+        naive.select("v", "k", "grank")
+    )
