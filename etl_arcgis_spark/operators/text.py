@@ -762,9 +762,9 @@ WITH toks AS (
 )
 SELECT doc_id, n_tokens,
        CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
-       cum_tokens - n_tokens
+       CAST(cum_tokens - n_tokens
          - CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) * 2048
-         AS pack_offset
+         AS BIGINT) AS pack_offset
 FROM runs
 """,
 )
@@ -781,27 +781,38 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     that straddles a boundary belongs to the pack it starts in —
     matching a greedy sequential packer.
 
-    Scale: the running sum is a global-order window — the one shape
-    that cannot parallelize as-is. At cluster SF, run the same logic
-    per shard (partitionBy the shard key from sample_shard_assign):
-    packs never cross shard files anyway, and each shard's window is
-    an independent sorted scan. The fixture-SF registration keeps the
-    global spelling so the oracle pins exact semantics."""
+    Oracle note: DuckDB's windowed ``sum(BIGINT)`` is HUGEINT, which
+    pandas renders as float64 — every expression derived from
+    ``cum_tokens`` is therefore CAST back to BIGINT in the oracle
+    (both ``pack_id`` and ``pack_offset``) so typed value hashes match
+    Spark's int64 output.
+
+    Scale: the global running token sum is spelled on
+    scale_patterns.bucketed_running_sums — bucket = the first 2 hex
+    chars of the md5 order key (256 buckets, monotone in the global
+    order), so phase 1 is a 256-row offsets table broadcast back and
+    phase 2 runs the window PARTITIONED by bucket. No ``Exchange
+    SinglePartition`` anywhere; the oracle's single-window spelling
+    pins identical semantics."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    w = Window.orderBy("ord_key").rowsBetween(Window.unboundedPreceding, 0)
-    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    runs = bucketed_running_sums(
+        toks,
+        "ord_key",
+        F.substring("ord_key", 1, 2),
+        {"n_tokens": "cum_tokens"},
+    )
     before = F.col("cum_tokens") - F.col("n_tokens")
     pack = F.floor(before / 2048.0).cast("bigint")
     return runs.select(
         "doc_id",
         "n_tokens",
         pack.alias("pack_id"),
-        (before - pack * 2048).alias("pack_offset"),
+        (before - pack * 2048).cast("bigint").alias("pack_offset"),
     )
 
 

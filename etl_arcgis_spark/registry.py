@@ -130,6 +130,37 @@ udaf_grouped_median udtf_json_explode
 """.split()
 )
 
+# The round-5 rotation backlog: the 52 extension names registered in
+# rounds 1-4 that had not yet earned a driver row when round 5 opened.
+# Pinned at contract tier so that NOTHING registered later can displace
+# them out of the driver's first-50 window (the round-3 lesson again:
+# module priority alone ranks whole modules, so a new registration in
+# an early-priority module would otherwise leapfrog this queue).
+_R5_BACKLOG_PIN = frozenset(
+    """
+multimodal_image_decode multimodal_video_frame_sample
+multimodal_image_resize multimodal_audio_chunk
+multimodal_embedding_quantize multimodal_image_patchify
+multimodal_audio_spectrum multimodal_scene_cuts dedup_cluster_components
+dedup_minhash_banding_exact dedup_cluster_keep_best
+dedup_containment_pairs dedup_simhash_hamming_pairs
+dedup_decontaminate_ngrams dedup_incremental_new_batch
+dedup_semantic_buckets dedup_line_level dedup_cross_split_leakage
+dedup_minhash_recall_curve profile_numeric_columns dq_rule_checks
+dq_benford_first_digit dq_referential_integrity profile_outliers_mad
+ts_resample_hourly_ffill ts_ohlc_downsample ts_gap_detect
+analytics_cohort_retention analytics_funnel_steps window_zscore_anomaly
+dim_scd2_intervals ts_rolling_distinct_users ts_active_streaks
+ts_resample_hourly_interp ts_seasonal_profile ts_cumulative_users
+cdc_merge_apply analytics_conversion_latency ts_sessionize_stats
+ts_ewma_halflife ts_cusum_change_point analytics_window_funnel
+graph_pagerank_fixed graph_triangle_count graph_degree_stats
+graph_two_hop_reach graph_kcore_peel analytics_order_priority_check
+analytics_order_gap_stats analytics_pareto_frontier
+analytics_rfm_segments etl_quarantine_split
+""".split()
+)
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -210,8 +241,8 @@ def all_queries() -> dict[str, QueryFn]:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in verified:
             tier = 2
-        elif n in _CONTRACT_NAMES:
-            tier = 0  # §2.1 contract, never driver-checked: pinned first
+        elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN:
+            tier = 0  # contract / pinned-backlog, never driver-checked
         else:
             tier = 1  # extension, never driver-checked
         return (

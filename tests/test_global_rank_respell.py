@@ -322,3 +322,41 @@ def test_bucketed_global_rank_hypothesis(spark, vals, n_bins):
     assert _rows(got.select("v", "k", "grank")) == _rows(
         naive.select("v", "k", "grank")
     )
+
+
+# --------------------------------------------- round-5 rewrite: packing
+
+
+def test_pack_sequences_equals_global_window_spelling(spark):
+    """r5 re-spelling of sample_pack_sequences (the last table-sized
+    unpartitioned window): bucketed_running_sums over 256 md5-prefix
+    buckets must equal the old sum() OVER (ORDER BY ord_key) spelling
+    exactly."""
+    from etl_arcgis_spark.tables import table
+
+    got = _run(spark, "sample_pack_sequences")
+    docs = table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("ord_key").rowsBetween(Window.unboundedPreceding, 0)
+    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    pack = F.floor(before / 2048.0).cast("bigint")
+    old = runs.select(
+        "doc_id",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (before - pack * 2048).cast("bigint").alias("pack_offset"),
+    )
+    assert _rows(got) == _rows(old)
+
+
+def test_pack_sequences_heavy_window_is_bucket_partitioned(spark):
+    p = _plan(_run(spark, "sample_pack_sequences"))
+    assert any(
+        line.lstrip(" +-*:").startswith("Window ") and "], [_bucket#" in line
+        for line in p.splitlines()
+    ), f"no _bucket-partitioned Window in plan:\n{p}"

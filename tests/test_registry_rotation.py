@@ -123,8 +123,8 @@ def test_contract_tier_beats_extension_module_priority(monkeypatch, tmp_path):
     extension names from HIGH priority modules (e.g. scans)."""
     names = _ordered_names(monkeypatch, tmp_path, {})
     positions = {n: i for i, n in enumerate(names)}
+    # the r5 backlog pin shares the contract tier by design — exclude it
+    pinned = registry._CONTRACT_NAMES | registry._R5_BACKLOG_PIN
     contract_max = max(positions[n] for n in registry._CONTRACT_NAMES)
-    ext_min = min(
-        positions[n] for n in registry.QUERIES if n not in registry._CONTRACT_NAMES
-    )
+    ext_min = min(positions[n] for n in registry.QUERIES if n not in pinned)
     assert contract_max < ext_min

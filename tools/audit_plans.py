@@ -97,7 +97,7 @@ WINDOW_BOUNDED_OK = {
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
     "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
     "analytics_pareto_frontier": "phase-2 merge over per-bucket skyline survivors (bounded by bucket count x frontier size)",
-    "sample_pack_sequences": "documented single-box packing demo; cluster spelling (bucketed) in docstring",
+    "sample_pack_sequences": "offset window over per-bucket totals (256 md5-prefix buckets, bucketed_running_sums)",
     "sample_global_reid": "offset window over per-bucket counts (|buckets| rows)",
     "agg_median_two_phase": "offset window over 1000 equi-width bin counts",
     "agg_equidepth_histogram": "offset window over 1024 bin counts (bucketed_global_rank)",

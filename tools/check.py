@@ -60,6 +60,8 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
         # any tolerance here would only mask regressions
         if np.issubdtype(s.dtype, np.floating):
             s = s + 0.0  # normalize -0.0 to 0.0 so row sort keys align
+        if np.issubdtype(s.dtype, np.integer):
+            s = s.astype("int64")  # width drift (int32 vs int64) reprs the same
         if np.issubdtype(s.dtype, np.datetime64):
             s = s.astype("datetime64[us]")
         out[c] = s
@@ -75,10 +77,28 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
     a, na = canon(sdf)
     b, nb = canon(odf)
-    # dtype report (informational only; driver hashes values)
+    # Dtype check. The real driver hashes TYPED values (repr), so an
+    # int-kind vs float-kind divergence (e.g. DuckDB windowed
+    # sum(BIGINT) -> HUGEINT -> float64 vs Spark int64) hash-mismatches
+    # even when values are numerically equal — that exact class shipped
+    # r4's one red driver row (sample_pack_sequences). Treat kind
+    # divergence as a HARD failure; same-kind width drift (int32 vs
+    # int64) stays informational (canon normalizes widths anyway).
     for c in a.columns:
-        if str(a[c].dtype) != str(b[c].dtype):
-            problems.append(f"dtype note {c}: spark={a[c].dtype} oracle={b[c].dtype}")
+        da, db = a[c].dtype, b[c].dtype
+        if str(da) == str(db):
+            continue
+        a_int = np.issubdtype(da, np.integer)
+        b_int = np.issubdtype(db, np.integer)
+        a_fl = np.issubdtype(da, np.floating)
+        b_fl = np.issubdtype(db, np.floating)
+        if (a_int and b_fl) or (a_fl and b_int):
+            problems.append(
+                f"dtype KIND mismatch col {c}: spark={da} oracle={db} "
+                f"(driver hashes typed values — repr 5 != 5.0)"
+            )
+        else:
+            problems.append(f"dtype note {c}: spark={da} oracle={db}")
     if len(a) == len(b) and len(a):
         def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
             keys = pd.Series(

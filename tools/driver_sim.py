@@ -85,9 +85,22 @@ def main() -> None:
                     try:
                         import numpy as np
 
-                        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(
-                            b.dtype, np.floating
-                        ):
+                        a_fl = np.issubdtype(a.dtype, np.floating)
+                        b_fl = np.issubdtype(b.dtype, np.floating)
+                        a_int = np.issubdtype(a.dtype, np.integer)
+                        b_int = np.issubdtype(b.dtype, np.integer)
+                        # The driver hashes repr() of typed cells: an
+                        # int-kind column on one side vs float-kind on
+                        # the other mismatches (5 vs 5.0) even when the
+                        # values are equal. Coercing both to float here
+                        # (the pre-r5 behavior) is exactly how a 0-FAIL
+                        # rehearsal shipped a red driver row — FAIL it.
+                        if (a_int and b_fl) or (a_fl and b_int):
+                            problems.append(
+                                f"dtype-kind:{c}:{a.dtype}!={b.dtype}"
+                            )
+                            continue
+                        if a_fl or b_fl:
                             af, bf = a.astype(float).values, b.astype(float).values
                             bad = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
                         else:
