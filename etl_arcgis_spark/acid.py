@@ -92,6 +92,13 @@ def _read_manifest(root: str, version: int) -> dict[str, Any]:
         return json.load(fh)
 
 
+def _read_manifest_or_raise(root: str) -> dict[str, Any]:
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    return _read_manifest(root, v)
+
+
 def _key_stats(path: str, key: str) -> list[Any] | None:
     """Per-file [min, max] of the key column, read from the parquet
     footer (no Spark job) — the manifest-level stats that make file
@@ -218,7 +225,19 @@ def read_key_range(
     ]
     if not keep:
         return read(spark, root, v).filter(F.lit(False))
-    df = spark.read.parquet(*[os.path.join(root, f["path"]) for f in keep])
+    # mergeSchema like read(), PLUS alignment to the full table schema:
+    # mergeSchema only unions the files actually read, so a pruned set
+    # that happens to contain no post-evolution file would otherwise
+    # silently lack the evolved column (reads must be schema-stable
+    # regardless of which files the range hits)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f["path"]) for f in keep]
+    )
+    full = read(spark, root, v).schema
+    for fld in full.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    df = df.select(*[fld.name for fld in full.fields])
     return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
 
 
@@ -240,7 +259,33 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
     keys actually hit, not the table.
 
     On a concurrent-commit conflict the merge RE-READS the new current
-    snapshot and retries — optimistic concurrency, no locks held."""
+    snapshot and retries — optimistic concurrency, no locks held.
+
+    Source preconditions (checked in ONE small Spark job, standard
+    MERGE INTO semantics): the merge key must be non-null (a NULL key
+    can never match and would otherwise emit an all-NULL ghost row out
+    of the full-outer join) and unique (duplicate source keys would
+    multiply matched target rows; SQL MERGE errors on multiple
+    matches). Violations raise ValueError before any file is written."""
+    base_man = _read_manifest_or_raise(root)
+    key0 = base_man["key"]
+    chk = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key0).alias("n_nonnull"),
+        F.count_distinct(key0).alias("n_distinct"),
+    ).collect()[0]
+    if chk["n"] != chk["n_nonnull"]:
+        raise ValueError(
+            f"merge source has {chk['n'] - chk['n_nonnull']} NULL "
+            f"{key0!r} key(s); MERGE requires non-null merge keys"
+        )
+    if chk["n_nonnull"] != chk["n_distinct"]:
+        raise ValueError(
+            f"merge source has duplicate {key0!r} keys "
+            f"({chk['n_nonnull']} rows, {chk['n_distinct']} distinct); "
+            "MERGE requires unique source keys — dedupe first "
+            "(e.g. operators/dedup.dedup_key_last_write)"
+        )
     for _ in range(max_retries):
         base_v = current_version(root)
         if base_v is None:
@@ -362,12 +407,33 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     return base_v + 1
 
 
-def vacuum(root: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    root: str, keep_versions: int = 2, grace_seconds: float = 3600.0
+) -> list[str]:
     """Remove data files referenced ONLY by expired snapshots, plus
     crash orphans (files no manifest ever referenced — a writer died
     between step 1 and 3 of the commit protocol). Keeps the newest
     ``keep_versions`` snapshots readable for time travel. Returns the
-    deleted paths."""
+    deleted paths.
+
+    ``grace_seconds`` (Delta's retention-check idea, mtime-based): an
+    unreferenced path younger than the grace window is SKIPPED, because
+    a file an in-flight writer wrote between commit steps 1 and 3 is
+    indistinguishable from a crash orphan — without the window, a
+    vacuum racing a writer deletes files the about-to-publish manifest
+    references, corrupting the new snapshot. Real crash orphans age
+    past the window and get collected by the next vacuum. Pass 0 ONLY
+    when no writer can be in flight (exclusive maintenance)."""
+    import time
+
+    cutoff = time.time() - grace_seconds
+
+    def _young(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) > cutoff
+        except OSError:
+            return True  # disappeared/unstattable: leave it alone
+
     versions = _list_versions(root)
     keep = set(versions[-keep_versions:]) if versions else set()
     live: set[str] = set()
@@ -376,7 +442,7 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
             live.add(os.path.normpath(os.path.join(root, f["path"])))
     deleted = []
     for p in glob.glob(os.path.join(root, "data", "*.parquet")):
-        if os.path.normpath(p) not in live:
+        if os.path.normpath(p) not in live and not _young(p):
             os.remove(p)
             deleted.append(p)
     for v in versions:
@@ -385,6 +451,8 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     for tmp in glob.glob(os.path.join(root, ".manifest-*.tmp")) + glob.glob(
         os.path.join(root, ".stage-*")
     ):
+        if _young(tmp):
+            continue
         try:
             if os.path.isdir(tmp):
                 for f in glob.glob(os.path.join(tmp, "*")):
@@ -452,9 +520,21 @@ def compact(
     if cur:
         groups.append(cur)
     new_files: list[dict[str, Any]] = []
+    # the table's current full schema: a group mixing pre- and post-
+    # evolution files must rewrite under the UNION schema or the
+    # evolved column's values are silently dropped from the new
+    # snapshot (only recoverable via time travel until vacuum)
+    table_schema = read(spark, root, base_v).schema
     for g in groups:
         df = (
-            spark.read.parquet(*[os.path.join(root, f["path"]) for f in g])
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(root, f["path"]) for f in g])
+        )
+        for fld in table_schema.fields:  # evolved cols absent from every
+            if fld.name not in df.columns:  # file in this group: null-fill
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        df = (
+            df.select(*[fld.name for fld in table_schema.fields])
             .coalesce(1)
             .sortWithinPartitions(key)
         )

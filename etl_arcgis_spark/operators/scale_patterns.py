@@ -96,6 +96,11 @@ def bucketed_global_rank(
     Degenerate all-equal input (max == min) pins every row to bin 0;
     ranks then come from the tie-breaker alone, still exact.
 
+    NULL ``value_col`` rows map to a dedicated first bin (-1) so they
+    rank FIRST — matching the window spelling this replaces (Spark's
+    ``ORDER BY value ASC`` is NULLS FIRST); before r5 the NULL bin was
+    itself NULL and the offsets equi-join silently dropped those rows.
+
     Adds ``out_rank`` (bigint, 1..N dense in global order) and
     ``out_n`` (bigint row count) to ``df``; original columns pass
     through. This is the spelling to use wherever a global
@@ -111,7 +116,8 @@ def bucketed_global_rank(
     )
     binned = df.crossJoin(stats).withColumn(
         "_bin",
-        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        F.when(F.col(value_col).isNull(), F.lit(-1))  # NULLS FIRST bin
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_bins - 1),

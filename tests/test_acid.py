@@ -108,7 +108,8 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tbl):
     acid._write_data_files(crash_df, tbl)  # step 1 only — no manifest
     assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
     n_files = len(glob.glob(os.path.join(tbl, "data", "*.parquet")))
-    deleted = acid.vacuum(tbl, keep_versions=2)
+    # grace_seconds=0: exclusive-maintenance mode (no writer in flight)
+    deleted = acid.vacuum(tbl, keep_versions=2, grace_seconds=0)
     assert deleted  # the orphan went away
     remaining = glob.glob(os.path.join(tbl, "data", "*.parquet"))
     assert len(remaining) < n_files
@@ -316,3 +317,114 @@ def test_merge_schema_evolution_adds_column(spark, wide_tbl):
     )
     got2 = {r.id: (r.v, r.score) for r in acid.read(spark, wide_tbl).collect()}
     assert got2[7] == ("seven", 0.1) and got2[3] == ("X", 0.9)
+
+
+# ------------------------------------------------------- round-5 fixes
+
+
+def test_vacuum_grace_protects_inflight_writer_files(spark, tbl):
+    """ADVICE r4: a vacuum racing a writer must NOT delete files the
+    about-to-publish manifest references. Freshly-written unreferenced
+    data files and staging paths sit inside the grace window and
+    survive a default vacuum; an aged orphan (mtime pushed past the
+    window) is collected."""
+    inflight = spark.createDataFrame([(42, "mid")], "id INT, v STRING")
+    entries = acid._write_data_files(inflight, tbl)  # commit step 1
+    paths = [os.path.join(tbl, e["path"]) for e in entries]
+    deleted = acid.vacuum(tbl, keep_versions=2)  # default grace
+    assert all(os.path.exists(p) for p in paths), deleted
+    # the "writer" can still publish: the snapshot reads clean
+    man = acid._read_manifest(tbl, 1)
+    acid._publish(
+        tbl, 2,
+        {"version": 2, "key": "id", "operation": "merge",
+         "files": man["files"] + entries, "rows": 4, "parent": 1},
+    )
+    rows = _rows(acid.read(spark, tbl))
+    assert (42, "mid") in rows and len(rows) == 4
+    # aged orphan: mtime beyond the window -> collected
+    orphan = acid._write_data_files(inflight, tbl)
+    op = os.path.join(tbl, orphan[0]["path"])
+    old = os.path.getmtime(op) - 7200
+    os.utime(op, (old, old))
+    deleted = acid.vacuum(tbl, keep_versions=2)
+    assert op in deleted and not os.path.exists(op)
+
+
+def test_merge_rejects_null_source_keys(spark, tbl):
+    src = spark.createDataFrame([(None, "ghost"), (9, "ok")], "id INT, v STRING")
+    with pytest.raises(ValueError, match="NULL"):
+        acid.merge(spark, tbl, src)
+    # nothing committed
+    assert acid.current_version(tbl) == 1
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tbl):
+    src = spark.createDataFrame([(2, "B1"), (2, "B2")], "id INT, v STRING")
+    with pytest.raises(ValueError, match="duplicate"):
+        acid.merge(spark, tbl, src)
+    assert acid.current_version(tbl) == 1
+    assert _rows(acid.read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_schema_evolution_then_compact_keeps_evolved_column(spark, wide_tbl):
+    """ADVICE r4: compact() groups can mix pre- and post-evolution
+    files; without mergeSchema the rewrite silently drops the evolved
+    column's values. After evolve + fragmenting merges + compact, every
+    evolved value must survive in the CURRENT snapshot."""
+    acid.merge(
+        spark, wide_tbl,
+        spark.createDataFrame([(3, "X", 0.9)], "id INT, v STRING, score DOUBLE"),
+    )
+    acid.merge(
+        spark, wide_tbl,
+        spark.createDataFrame([(40, "Y", 0.4)], "id INT, v STRING, score DOUBLE"),
+    )
+    before = {r.id: (r.v, r.score) for r in acid.read(spark, wide_tbl).collect()}
+    v = acid.compact(spark, wide_tbl)
+    man = acid._read_manifest(wide_tbl, v)
+    assert man["operation"] == "compact"
+    after = {r.id: (r.v, r.score) for r in acid.read(spark, wide_tbl).collect()}
+    assert after == before
+    assert after[3] == ("X", 0.9) and after[40] == ("Y", 0.4)
+    assert after[7][1] is None
+
+
+def test_read_key_range_sees_evolved_column(spark, wide_tbl):
+    """ADVICE r4: pruned reads must mergeSchema too — a range hitting
+    only pre-evolution files must still expose the evolved column (as
+    nulls), and a range hitting the evolved file returns its values."""
+    acid.merge(
+        spark, wide_tbl,
+        spark.createDataFrame([(3, "X", 0.9)], "id INT, v STRING, score DOUBLE"),
+    )
+    hit = acid.read_key_range(spark, wide_tbl, 0, 10)
+    assert "score" in hit.columns
+    got = {r.id: r.score for r in hit.collect()}
+    assert got[3] == 0.9 and got[7] is None
+    far = acid.read_key_range(spark, wide_tbl, 80, 90)
+    assert "score" in far.columns
+    assert all(r.score is None for r in far.collect())
+
+
+def test_read_key_range_prunes_better_after_compact(spark, wide_tbl):
+    """Compaction sorts each packed file by key, tightening key_range
+    stats: a narrow range read must open no MORE files than before
+    (and the contents stay identical)."""
+    for i, k in enumerate((3, 40, 77)):
+        acid.merge(
+            spark, wide_tbl,
+            spark.createDataFrame([(k, f"X{i}")], "id INT, v STRING"),
+        )
+    pre = acid.read_key_range(spark, wide_tbl, 10, 20)
+    pre_files = len(pre.inputFiles())
+    pre_rows = sorted(map(tuple, pre.collect()))
+    acid.compact(spark, wide_tbl)
+    post = acid.read_key_range(spark, wide_tbl, 10, 20)
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    assert len(post.inputFiles()) <= pre_files
+    # and strictly fewer manifest entries overall
+    v = acid.current_version(wide_tbl)
+    assert len(acid._read_manifest(wide_tbl, v)["files"]) < len(
+        acid._read_manifest(wide_tbl, v - 1)["files"]
+    )

@@ -360,3 +360,27 @@ def test_pack_sequences_heavy_window_is_bucket_partitioned(spark):
         line.lstrip(" +-*:").startswith("Window ") and "], [_bucket#" in line
         for line in p.splitlines()
     ), f"no _bucket-partitioned Window in plan:\n{p}"
+
+
+def test_bucketed_global_rank_nulls_rank_first(spark):
+    """ADVICE r4: NULL values previously got a NULL _bin and were
+    silently DROPPED by the offsets equi-join. They now map to bin -1
+    and rank first — exactly the naive window's ASC NULLS FIRST."""
+    df = spark.createDataFrame(
+        [(None, 0), (5.0, 1), (None, 2), (1.0, 3), (3.0, 4)],
+        "v DOUBLE, k LONG",
+    )
+    got = bucketed_global_rank(df, "v", "k", n_bins=4)
+    naive = df.withColumn(
+        "grank",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("k"))).cast("bigint"),
+    )
+    key = lambda r: (r[1], r[2])  # k, grank (v may be None)
+    assert sorted(got.select("v", "k", "grank").collect(), key=key) == sorted(
+        naive.select("v", "k", "grank").collect(), key=key
+    )
+    assert got.count() == 5  # nothing dropped
+    # all-NULL input: ranks purely by tie-breaker
+    alln = spark.createDataFrame([(None, i) for i in range(4)], "v DOUBLE, k LONG")
+    got2 = bucketed_global_rank(alln, "v", "k", n_bins=4)
+    assert _rows(got2.select("k", "grank")) == [(i, i + 1) for i in range(4)]
