@@ -1,0 +1,242 @@
+"""Property / known-instance tests for the rotation-backlog operators
+that predate the §5.4 double-net checklist (VERDICT r4 "Next round" #4):
+cdc_merge_apply, dim_scd2_intervals, ts_resample_hourly_{ffill,interp},
+graph_two_hop_reach. Each gets at least one invariant the driver's
+oracle diff cannot express (conservation / chain structure / hand-
+computed instance), so the families entering the r5 driver window carry
+the same double net as the r4 operators.
+
+The known-instance tests write miniature fixture tables (same schema
+subset the operator reads) into a tmp dir and run the REGISTERED query
+function on it — exercising the exact registered plan, not a copy.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+_US = 1_000_000
+_H = 3600 * _US
+_T0 = 1_704_067_200 * _US  # 2024-01-01T00:00:00Z — before the CDC split
+_SPLIT = 1_705_276_800 * _US  # 2024-01-15T00:00:00Z (timeseries._SPLIT_US)
+
+
+def _q(name):
+    registry.load_all()
+    return registry.QUERIES[name]
+
+
+def _write_events(path, rows):
+    """rows: (event_id, t_us, user_id, event_type, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{path}/events.parquet")
+
+
+# ------------------------------------------------------ cdc_merge_apply
+
+
+def test_cdc_merge_apply_known_instance(spark, tmp_path):
+    """Hand-computed MERGE matrix: update, carry, insert, delete (both
+    matched-delete and delete-of-nonexistent), and a base key whose
+    last pre-split op is a tombstone."""
+    d = str(tmp_path)
+    _write_events(
+        d,
+        [
+            # user 1: base v=1 then delta update v=2 -> updated
+            (1, _T0, 1, "click", 1.0),
+            (2, _SPLIT + _H, 1, "click", 2.0),
+            # user 2: base only -> carried unchanged
+            (3, _T0 + _H, 2, "view", 3.0),
+            # user 3: delta only -> inserted
+            (4, _SPLIT + 2 * _H, 3, "click", 4.0),
+            # user 4: base then delta tombstone -> deleted
+            (5, _T0 + 2 * _H, 4, "click", 5.0),
+            (6, _SPLIT + 3 * _H, 4, "error", 0.0),
+            # user 5: tombstone for a key not in base -> absent
+            (7, _SPLIT + 4 * _H, 5, "error", 0.0),
+            # user 6: last BASE op is a tombstone -> not in base, absent
+            (8, _T0 + 3 * _H, 6, "click", 6.0),
+            (9, _T0 + 4 * _H, 6, "error", 0.0),
+        ],
+    )
+    got = {
+        r.user_id: (r.value, r.inserted, r.updated)
+        for r in _q("cdc_merge_apply")(spark, d).collect()
+    }
+    assert got == {
+        1: (2.0, False, True),
+        2: (3.0, False, False),
+        3: (4.0, True, False),
+    }
+
+
+def test_cdc_merge_apply_keys_unique_and_flags_partition(spark):
+    """On the real fixture: one row per key, and inserted/updated are
+    mutually exclusive."""
+    df = _q("cdc_merge_apply")(spark, SF)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("nd"),
+        F.sum((F.col("inserted") & F.col("updated")).cast("int")).alias("both"),
+    ).collect()[0]
+    assert agg["n"] == agg["nd"] > 0
+    assert agg["both"] == 0
+
+
+# --------------------------------------------------- dim_scd2_intervals
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    """Structural invariants the oracle diff can't see: per key, the
+    intervals CHAIN (each valid_to equals the key's next valid_from),
+    exactly one open (is_current) interval per key, and row count is
+    conserved vs the input."""
+    from etl_arcgis_spark.tables import table
+
+    df = _q("dim_scd2_intervals")(spark, SF)
+    n_events = table(spark, SF, "events").count()
+    assert df.count() == n_events
+    cur = (
+        df.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+        .count()
+    )
+    assert cur == 0
+    # chain property via self-comparison: lead(valid_from) == valid_to
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from_us").asc(), F.col("event_id").asc()
+    )
+    chained = df.withColumn("nxt_from", F.lead("valid_from_us").over(w))
+    broken = chained.filter(
+        (F.col("valid_to_us").isNotNull() | F.col("nxt_from").isNotNull())
+        & (F.col("valid_to_us") != F.col("nxt_from"))
+    ).count()
+    assert broken == 0
+    # closed intervals are non-negative length
+    assert df.filter(F.col("valid_to_us") < F.col("valid_from_us")).count() == 0
+
+
+# ------------------------------------------------------- ts resamplers
+
+
+@pytest.fixture()
+def resample_fixture(tmp_path):
+    """User 10: events at 0:30 (v=1), 1:30 (v=2), 3:00 (v=9) after T0.
+    Hourly grid = 1:00, 2:00, 3:00 (3:00 coincides with an event).
+    User 11: single unaligned event -> empty grid (lo > hi)."""
+    d = str(tmp_path)
+    _write_events(
+        d,
+        [
+            (1, _T0 + _H // 2, 10, "click", 1.0),
+            (2, _T0 + 3 * _H // 2, 10, "click", 2.0),
+            (3, _T0 + 3 * _H, 10, "click", 9.0),
+            (4, _T0 + 9 * _H // 2, 11, "view", 7.0),
+        ],
+    )
+    return d
+
+
+def test_resample_ffill_known_instance(spark, resample_fixture):
+    got = {
+        (r.user_id, r.grid_us): r.last_value
+        for r in _q("ts_resample_hourly_ffill")(spark, resample_fixture).collect()
+    }
+    assert got == {
+        (10, _T0 + _H): 1.0,  # holds 0:30 value
+        (10, _T0 + 2 * _H): 2.0,  # holds 1:30 value
+        (10, _T0 + 3 * _H): 9.0,  # event exactly at the grid instant
+    }
+
+
+def test_resample_interp_known_instance(spark, resample_fixture):
+    got = {
+        (r.user_id, r.grid_us): r.v_interp
+        for r in _q("ts_resample_hourly_interp")(spark, resample_fixture).collect()
+    }
+    assert got == {
+        (10, _T0 + _H): 1.5,  # midpoint of (0:30, 1) .. (1:30, 2)
+        (10, _T0 + 2 * _H): 4.3333,  # 2 + 7 * (1800/5400), r4-rounded
+        (10, _T0 + 3 * _H): 9.0,  # exact hit
+    }
+
+
+def test_resample_interp_bounded_by_neighbors(spark):
+    """On the real fixture: every interpolated value lies within the
+    [min, max] of its user's observed values (linear interpolation
+    never extrapolates), and grid timestamps are hour-aligned."""
+    df = _q("ts_resample_hourly_interp")(spark, SF)
+    assert df.filter(F.col("grid_us") % _H != 0).count() == 0
+    from etl_arcgis_spark.tables import table
+    from etl_arcgis_spark.helpers import ev_us
+
+    bounds = (
+        table(spark, SF, "events")
+        .select("user_id", ev_us().alias("t"), "value")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    out = df.join(bounds, "user_id")
+    viol = out.filter(
+        (F.col("v_interp") < F.col("vmin") - 1e-4)
+        | (F.col("v_interp") > F.col("vmax") + 1e-4)
+    ).count()
+    assert viol == 0
+
+
+# --------------------------------------------------- graph_two_hop_reach
+
+
+def test_two_hop_reach_known_instance(spark, tmp_path):
+    """Bipartite graph c1-s1, c2-{s1,s2}, c3-s2, c4-s3: pairs sharing a
+    supplier are (1,2) and (2,3); counts key on the SMALLER customer id
+    (the c_a < c_b dedup), so expect {1: 1, 2: 1} and nothing else.
+    Duplicate lineitem rows must not inflate counts (distinct edges)."""
+    d = str(tmp_path)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([101, 102, 103, 104], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    li_rows = [
+        (101, 11),
+        (102, 11),
+        (102, 12),
+        (102, 12),  # duplicate edge: must not double-count
+        (103, 12),
+        (104, 13),
+    ]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+        }
+    )
+    pq.write_table(orders, f"{d}/orders.parquet")
+    pq.write_table(lineitem, f"{d}/lineitem.parquet")
+    got = {
+        r.custkey: r.n_two_hop_peers
+        for r in _q("graph_two_hop_reach")(spark, d).collect()
+    }
+    assert got == {1: 1, 2: 1}
