@@ -1181,3 +1181,157 @@ def agg_median_two_phase_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("o_orderpriority"))
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, o_orderstatus AS mode_status, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus ASC) AS rk
+      FROM c) r
+WHERE rk = 1
+ORDER BY o_orderpriority
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value, smallest-value
+    tie-break) — the categorical summary SQL:2023 added as mode().
+    Spelled as count-then-rank rather than Spark 3.4's mode()
+    aggregate because mode() leaves ties implementation-defined; the
+    count+rank spelling pins the tie deterministically on both
+    engines.
+
+    Scale: two map-side-combined aggregations — (group, value) counts
+    then a per-group rank over |distinct values per group| rows
+    (bounded by the value domain, not the input); the full input never
+    sorts."""
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), t AS (
+  SELECT g, CAST(sum(wt) AS BIGINT) AS total_wt FROM w GROUP BY g
+), c AS (
+  SELECT g, v, wt,
+         sum(wt) OVER (PARTITION BY g ORDER BY v ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT c.g AS l_returnflag, t.total_wt,
+       round(min(c.v), 4) AS wmedian
+FROM c JOIN t ON c.g = t.g
+WHERE c.cum >= (t.total_wt + 1) // 2
+GROUP BY c.g, t.total_wt
+ORDER BY c.g
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group: the smallest value whose
+    cumulative weight reaches ceil(W/2) — quantity-weighted price
+    medians, the inventory-weighted location statistic percentile_cont
+    cannot express. Entirely INTEGER threshold logic (bigint weights,
+    exact cumulative sums), so the boundary row is bit-deterministic;
+    within equal values the crossing row's value is order-independent,
+    which is why the oracle's single-window spelling needs no row
+    tie-break.
+
+    Spark side runs the same two-phase bucket-offset decomposition as
+    agg_median_two_phase_grouped, accumulating WEIGHT per bin instead
+    of row count: per-group stats broadcast -> 1000 equi-width bins ->
+    per-(group, bin) weight totals -> exclusive-offset window over
+    <= 1000 bin rows per group -> rank only inside each group's target
+    bin. No group ever gathers in one reducer (l_returnflag has 3
+    giant groups — exactly the shape where a naive per-group window
+    is 3 whole-table sort tasks).
+
+    Scale: phase-1 is a map-side-combined agg to |groups| x 1000 rows;
+    phase-2 touches only target-bin rows (~1/1000 of the input)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    stats = F.broadcast(
+        li.groupBy("g").agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("wt").alias("total_wt"),
+        )
+    )
+    binned = li.join(stats, "g").withColumn(
+        "bin",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(999),
+                F.floor(
+                    (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    bw = binned.groupBy("g", "bin").agg(
+        F.sum("wt").alias("bin_wt"), F.first("total_wt").alias("total_wt")
+    )
+    w_cum = Window.partitionBy("g").orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bw.select(
+        "g",
+        "bin",
+        "total_wt",
+        "bin_wt",
+        F.coalesce(F.sum("bin_wt").over(w_cum), F.lit(0)).alias("wt_before"),
+    ).withColumn("thresh", F.expr("(total_wt + 1) div 2"))
+    target = cum.filter(
+        (F.col("wt_before") < F.col("thresh"))
+        & ((F.col("wt_before") + F.col("bin_wt")) >= F.col("thresh"))
+    ).select("g", "bin", "wt_before", "thresh")
+    cand = binned.select("g", "bin", "v", "wt").join(F.broadcast(target), ["g", "bin"])
+    w_in = Window.partitionBy("g", "bin").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hit = (
+        cand.withColumn("cum_in", F.sum("wt").over(w_in))
+        .filter((F.col("wt_before") + F.col("cum_in")) >= F.col("thresh"))
+        .groupBy("g")
+        .agg(r4(F.min("v")).alias("wmedian"))
+    )
+    return (
+        hit.join(F.broadcast(stats.select("g", "total_wt")), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("total_wt").cast("bigint").alias("total_wt"),
+            "wmedian",
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )

@@ -374,3 +374,73 @@ def profile_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+_DRIFT_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=f"""
+WITH a AS (
+  SELECT event_type, count(*) AS na FROM events
+  WHERE epoch_us(ts) < {_DRIFT_SPLIT_US} GROUP BY 1
+), b AS (
+  SELECT event_type, count(*) AS nb FROM events
+  WHERE epoch_us(ts) >= {_DRIFT_SPLIT_US} GROUP BY 1
+), ta AS (SELECT CAST(sum(na) AS BIGINT) AS sa FROM a),
+   tb AS (SELECT CAST(sum(nb) AS BIGINT) AS sb FROM b)
+SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       CAST(coalesce(na, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_after,
+       round(coalesce(na, 0) / CAST(sa AS DOUBLE), 4) AS share_before,
+       round(coalesce(nb, 0) / CAST(sb AS DOUBLE), 4) AS share_after,
+       round(abs(coalesce(na, 0) / CAST(sa AS DOUBLE)
+               - coalesce(nb, 0) / CAST(sb AS DOUBLE)), 4) AS drift
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+CROSS JOIN ta CROSS JOIN tb
+ORDER BY event_type
+""",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between two time slices — the
+    data-quality monitor that catches schema-compatible but
+    semantically-shifted feeds (a category's share jumping is the
+    first sign of an upstream change no schema check sees). Per
+    category: before/after counts, shares, and the absolute share
+    delta (summing drift/2 over categories gives total variation
+    distance).
+
+    Scale: two filtered map-side-combined aggregates over one scan
+    (at 100 TB: two partition-pruned date ranges), a |categories|-row
+    full-outer merge, and two 1-row total broadcasts — output is
+    |categories| rows regardless of input size."""
+    from ..helpers import ev_us
+
+    ev = table(spark, sf_dir, "events").select("event_type", ev_us().alias("t"))
+    a = ev.filter(F.col("t") < _DRIFT_SPLIT_US).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = ev.filter(F.col("t") >= _DRIFT_SPLIT_US).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    ta = F.broadcast(a.agg(F.sum("na").alias("sa")))
+    tb = F.broadcast(b.agg(F.sum("nb").alias("sb")))
+    m = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.event_type") == F.col("b.event_type"), "full_outer")
+        .crossJoin(ta)
+        .crossJoin(tb)
+    )
+    na = F.coalesce(F.col("na"), F.lit(0))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    sh_a = na / F.col("sa").cast("double")
+    sh_b = nb / F.col("sb").cast("double")
+    return m.select(
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias("event_type"),
+        na.cast("bigint").alias("n_before"),
+        nb.cast("bigint").alias("n_after"),
+        r4(sh_a).alias("share_before"),
+        r4(sh_b).alias("share_after"),
+        r4(F.abs(sh_a - sh_b)).alias("drift"),
+    ).orderBy(F.asc("event_type"))

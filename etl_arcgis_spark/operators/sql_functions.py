@@ -529,3 +529,93 @@ UNPIVOT (val FOR metric IN (acctbal, nationkey))
 ORDER BY c_custkey, metric
 """
     )
+
+
+@query(
+    "pivot_sql_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_o,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_f,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def pivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (Spark 3.4+) — long-to-wide, the inverse of
+    unpivot_sql_clause: order counts by priority pivoted over the three
+    order statuses. The oracle keeps the portable conditional-aggregate
+    spelling (``count(*) FILTER``) because pre-PIVOT engines write the
+    pivot exactly that way — the two forms are the same logical plan.
+
+    Empty cells: Spark's PIVOT yields NULL where a (priority, status)
+    combination has no rows, the FILTER form yields 0 — coalesce
+    pins the count semantics (0) on the Spark side.
+
+    Scale: a pivot over an ENUMERATED value list is one hash aggregate
+    (each status becomes a conditional agg expression — no extra
+    shuffle, no distinct-values discovery job, which is why the IN
+    list is mandatory in a 100 TB pipeline: ``pivot(col)`` without
+    values adds a blocking distinct scan)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pivot_v")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       coalesce(status_o, CAST(0 AS BIGINT)) AS status_o,
+       coalesce(status_f, CAST(0 AS BIGINT)) AS status_f,
+       coalesce(status_p, CAST(0 AS BIGINT)) AS status_p
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders_pivot_v)
+PIVOT (count(*) FOR o_orderstatus IN ('O' AS status_o, 'F' AS status_f, 'P' AS status_p))
+ORDER BY o_orderpriority
+"""
+    )
+
+
+@query(
+    "math_try_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_quantity - 17.0 = 0 THEN NULL
+                  ELSE l_extendedprice / (l_quantity - 17.0) END, 4)
+         AS unit_margin,
+       CASE WHEN l_extendedprice * l_quantity > 1e7 THEN NULL
+            ELSE CAST(floor(l_extendedprice * l_quantity) AS BIGINT) END
+         AS gross_int,
+       round(CASE WHEN l_discount <= 0 THEN NULL ELSE ln(l_discount) END, 4)
+         AS log_disc
+FROM lineitem
+""",
+)
+def math_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: the ``try_*`` function family
+    (Spark 3.2+) that returns NULL instead of raising under ANSI SQL —
+    division by zero (``try_divide``), guarded overflow-style casts,
+    and domain errors (log of a non-positive) — the error-isolation
+    idiom every ANSI-enabled production pipeline uses for dirty
+    numeric data (the expression-level twin of A18's row-level
+    dead-letter quarantine). The oracle spells each guard as the
+    explicit CASE it desugars to.
+
+    Scale: pure narrow projection — whole-stage codegen, no shuffle,
+    no UDF; NULL propagation replaces per-row exception control flow."""
+    li = table(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice") * F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 17.0)).alias(
+            "unit_margin"
+        ),
+        # floor on BOTH engines: a bare double->BIGINT cast truncates in
+        # Spark but rounds half-even in DuckDB
+        F.when(gross > 1e7, F.lit(None)).otherwise(
+            F.floor(gross).cast("bigint")
+        ).alias("gross_int"),
+        r4(
+            F.when(F.col("l_discount") <= 0, F.lit(None)).otherwise(
+                F.log(F.col("l_discount"))
+            )
+        ).alias("log_disc"),
+    )

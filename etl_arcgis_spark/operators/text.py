@@ -1948,3 +1948,131 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .orderBy(F.asc("epoch"), F.asc("doc_id"))
     )
+
+
+@query(
+    "text_top_ngram_coverage",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                                       i -> l[i] || ' ' || l[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), c AS (
+  SELECT doc_id, bg, count(*) AS n FROM g GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_share,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 4) <= 0.08 AS keep
+FROM c GROUP BY doc_id
+""",
+)
+def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER Gopher/MassiveText repetition signal (Rae et al. 2021
+    §A1.1, public), complementing text_repetition_ratio's duplicate-
+    bigram fraction: TOP-n-gram coverage — the share of all bigram
+    occurrences claimed by the single most frequent bigram. A doc
+    looping one phrase shows near-1 coverage even when its overall
+    duplicate fraction is moderate; the published pipelines threshold
+    both (top-2-gram share <= 0.08 is keep, mirrored here as a
+    column).
+
+    Scale: one (doc_id, bigram) map-side-combined shuffle, then a
+    per-doc rollup of per-doc gram counts — never a global vocabulary;
+    unlike the array-HOF spelling of text_repetition_ratio this one
+    needs per-gram counts, so the explode+combine shape is the right
+    plan (distinct-counting HOFs can't rank)."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    c = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n")
+    share = r4(F.max("n") / tot.cast("double"))
+    return c.groupBy("doc_id").agg(
+        tot.cast("bigint").alias("n_bigrams"),
+        share.alias("top_share"),
+        (share <= 0.08).alias("keep"),
+    )
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(l) - 2)) AS pos, l FROM t
+), h AS (
+  SELECT doc_id, pos,
+         ((strpos('{_HEX}', substr(md5(l[pos] || ' ' || l[pos+1] || ' ' || l[pos+2]), 1, 1)) - 1) * 4096
+        + (strpos('{_HEX}', substr(md5(l[pos] || ' ' || l[pos+1] || ' ' || l[pos+2]), 2, 1)) - 1) * 256
+        + (strpos('{_HEX}', substr(md5(l[pos] || ' ' || l[pos+1] || ' ' || l[pos+2]), 3, 1)) - 1) * 16
+        + (strpos('{_HEX}', substr(md5(l[pos] || ' ' || l[pos+1] || ' ' || l[pos+2]), 4, 1)) - 1)) AS hv,
+         len(l) - 2 AS n_grams
+  FROM g
+), w AS (
+  SELECT doc_id, pos, n_grams,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM h
+)
+SELECT doc_id,
+       CAST(max(n_grams) - 3 AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints
+FROM w
+WHERE pos <= n_grams - 3
+GROUP BY doc_id
+""",
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token 3-gram
+    (deterministic 16-bit md5-prefix hash, the engine-portable trick
+    from text_feature_hashing), slide a window of 4 consecutive gram
+    hashes, keep each window's MINIMUM — the guaranteed-coverage
+    fingerprint set used for plagiarism/near-dup detection (any match
+    of >= w+k-1 tokens shares a fingerprint). Output: per-doc window
+    count and distinct-fingerprint count (the stored sketch size).
+
+    Scale: the sliding min is a per-doc window (bounded by doc
+    length, never table-sized); fingerprints then feed the standard
+    inverted-index join exactly like minhash bands. Entire pipeline is
+    codegen expressions — no UDF, no vocabulary."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        (F.size("l") - 2).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2), i -> "
+                "concat(element_at(l, i), ' ', element_at(l, i + 1), ' ', "
+                "element_at(l, i + 2)))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", "n_grams", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("m")
+    )
+    hexv = lambda i: F.instr(F.lit(_HEX), F.substring("m", i, 1)) - 1  # noqa: E731
+    h = grams.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)).alias("hv"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("pos")).rowsBetween(0, 3)
+    return (
+        h.withColumn("wmin", F.min("hv").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .groupBy("doc_id")
+        .agg(
+            (F.max("n_grams") - 3).cast("bigint").alias("n_windows"),
+            F.count_distinct("wmin").cast("bigint").alias("n_fingerprints"),
+        )
+    )

@@ -85,6 +85,7 @@ NLJ_OK = {
     "sample_epoch_shuffle",      # 2-row epoch table broadcast fan-out
     "profile_outliers_mad",      # 1-row median + 1-row MAD scalar broadcasts
     "analytics_rfm_segments",    # 1-row (r_cut, f_cut, m_cut) broadcast
+    "dq_distribution_drift",     # two 1-row slice-total broadcasts (sa, sb)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
