@@ -1202,3 +1202,86 @@ def multimodal_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(d, 6)) for i, d in enumerate(distortions)],
         "iteration INT, mean_distortion DOUBLE",
     )
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    lam: float = 0.5,
+    pool_size: int = 20,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k results maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    the standard diversity-aware re-rank between retrieval and the
+    context window (near-duplicate top hits waste prompt tokens; MMR
+    trades a little relevance for coverage).
+
+    Two-stage split is the scale design: stage 1 (DISTRIBUTED) scores
+    the whole corpus against the query and keeps the top ``pool_size``
+    by cosine — the same broadcast-1-row linear scan as
+    sim_knn_query_vector, any corpus size. Stage 2 (DRIVER) runs the
+    inherently-sequential greedy loop on the POOL ONLY — k x pool_size
+    dot products over <= pool_size rows collected to the driver; the
+    pool bound (not the corpus) caps driver memory, the same
+    constants-only collect pattern as the PQ codebook. Ties break by
+    vec_id; arithmetic is plain float64 in pool order — deterministic.
+    """
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="q_emb")) / (
+        F.col("norm") * F.col("q_norm")
+    )
+    pool_rows = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "norm", cos.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool_size)
+        .collect()
+    )
+    pool = [
+        (r.vec_id, [float(x) for x in r.embedding], float(r.norm), float(r.rel))
+        for r in pool_rows
+    ]
+
+    def cosine(a, an, b, bn):
+        return sum(x * y for x, y in zip(a, b)) / (an * bn)
+
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
+    chosen: list[tuple[list[float], float]] = []
+    remaining = list(pool)
+    for rank in range(1, min(k, len(pool)) + 1):
+        best = None
+        for vid, emb, nrm, rel in remaining:
+            penalty = max(
+                (cosine(emb, nrm, semb, snrm) for semb, snrm in chosen),
+                default=0.0,
+            )
+            score = lam * rel - (1.0 - lam) * penalty
+            # tie-break: higher score, then smaller vec_id
+            if best is None or (score, -vid) > (best[4], -best[0]):
+                best = (vid, emb, nrm, rel, score)
+        selected.append((rank, best[0], round(best[3], 4), round(best[4], 4)))
+        chosen.append((best[1], best[2]))
+        remaining = [p for p in remaining if p[0] != best[0]]
+    return spark.createDataFrame(
+        selected, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )
+
+
+@query("sim_mmr_rerank")  # greedy-sequential: no SQL oracle (weak)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90: MMR diversified top-5 for query vec_id=0 over a
+    distributed top-20 cosine pool (lam = 0.5). Weak registration —
+    the greedy selection is inherently sequential (each pick depends
+    on all previous picks), the documented no-oracle class; invariant
+    tests in tests/test_similarity_quality.py pin: lam=1 degenerates
+    to plain top-k relevance order, the first pick is always the
+    most-relevant pool member, selections are distinct pool members,
+    every score recomputes from raw embeddings, and the selected set's
+    mean pairwise similarity never exceeds plain top-k's."""
+    return mmr_rerank(spark, sf_dir, k=5, lam=0.5, pool_size=20)

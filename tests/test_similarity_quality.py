@@ -3,6 +3,8 @@ weak (no-oracle) queries get behavioral checks here instead."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_arcgis_spark import registry
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -105,3 +107,105 @@ def test_pq_distortion_monotone_nonincreasing(spark):
     # codebook shape: 8 subspaces x 16 centroids x 8 dims
     assert set(cb) == set(range(8))
     assert all(c.shape == (16, 8) for c in cb.values())
+
+
+# ------------------------------------------------------- MMR re-ranking
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    """lam=1 removes the diversity penalty: MMR must equal the plain
+    top-k relevance ranking (the sim_knn_query_vector order)."""
+    from etl_arcgis_spark.operators.similarity import mmr_rerank
+
+    got = mmr_rerank(spark, "/root/testdata/sf0.001", k=5, lam=1.0).collect()
+    knn = (
+        registry.all_queries()["sim_knn_query_vector"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .limit(5)
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [r.vec_id for r in knn]
+    # with no penalty the score IS lam * relevance
+    for r in got:
+        assert abs(r.mmr_score - r.relevance) < 1e-9
+
+
+def test_mmr_invariants(spark):
+    from etl_arcgis_spark.operators.similarity import mmr_rerank
+
+    df = mmr_rerank(spark, "/root/testdata/sf0.001", k=5, lam=0.5, pool_size=20)
+    rows = df.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    # first pick is the most relevant pool member (penalty is 0 then)
+    knn_top = (
+        registry.all_queries()["sim_knn_query_vector"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[0].vec_id == knn_top.vec_id
+    # recompute every score from raw embeddings: score must equal
+    # lam*rel - (1-lam)*max_sim(selected-so-far) (penalty may be
+    # NEGATIVE — cosine spans [-1, 1] — so no one-sided bound holds)
+    from etl_arcgis_spark.tables import table
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, "/root/testdata/sf0.001", "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5
+        )
+
+    qv = emb[0]
+    for i, r in enumerate(rows):
+        rel = cos(emb[r.vec_id], qv)
+        pen = max(
+            (cos(emb[r.vec_id], emb[p.vec_id]) for p in rows[:i]), default=0.0
+        )
+        assert abs(r.mmr_score - round(0.5 * rel - 0.5 * pen, 4)) <= 1e-4
+    # relevance of later picks never exceeds the first pick's
+    assert all(r.relevance <= rows[0].relevance + 1e-9 for r in rows)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """The point of MMR: with lam < 1 the average pairwise similarity
+    of the selected set is <= the plain top-k's (strictly, on any pool
+    containing near-duplicate top hits; here assert non-strict)."""
+    import itertools
+
+    from etl_arcgis_spark.operators.similarity import mmr_rerank
+    from etl_arcgis_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    mmr_ids = [r.vec_id for r in mmr_rerank(spark, sf, k=5, lam=0.3).collect()]
+    top_ids = [
+        r.vec_id
+        for r in registry.all_queries()["sim_knn_query_vector"](spark, sf)
+        .limit(5)
+        .collect()
+    ]
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf, "embeddings")
+        .filter(F.col("vec_id").isin([*mmr_ids, *top_ids]))
+        .collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    def avg_pairwise(ids):
+        ps = [cos(emb[a], emb[b]) for a, b in itertools.combinations(ids, 2)]
+        return sum(ps) / len(ps)
+
+    assert avg_pairwise(mmr_ids) <= avg_pairwise(top_ids) + 1e-9
