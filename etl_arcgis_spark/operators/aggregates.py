@@ -1184,53 +1184,6 @@ def agg_median_two_phase_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_mode_exact",
-    oracle="""
-WITH c AS (
-  SELECT o_orderpriority, o_orderstatus, count(*) AS n
-  FROM orders GROUP BY 1, 2
-)
-SELECT o_orderpriority, o_orderstatus AS mode_status, CAST(n AS BIGINT) AS n
-FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
-                                   ORDER BY n DESC, o_orderstatus ASC) AS rk
-      FROM c) r
-WHERE rk = 1
-ORDER BY o_orderpriority
-""",
-)
-def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group MODE (most frequent value, smallest-value
-    tie-break) — the categorical summary SQL:2023 added as mode().
-    Spelled as count-then-rank rather than Spark 3.4's mode()
-    aggregate because mode() leaves ties implementation-defined; the
-    count+rank spelling pins the tie deterministically on both
-    engines.
-
-    Scale: two map-side-combined aggregations — (group, value) counts
-    then a per-group rank over |distinct values per group| rows
-    (bounded by the value domain, not the input); the full input never
-    sorts."""
-    c = (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("n"), F.asc("o_orderstatus")
-    )
-    return (
-        c.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "o_orderpriority",
-            F.col("o_orderstatus").alias("mode_status"),
-            F.col("n").cast("bigint").alias("n"),
-        )
-        .orderBy(F.asc("o_orderpriority"))
-    )
-
-
-@query(
     "agg_weighted_median",
     oracle="""
 WITH w AS (
@@ -1334,4 +1287,84 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wmedian",
         )
         .orderBy(F.asc("l_returnflag"))
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       md5(string_agg(o_orderstatus, ',' ORDER BY o_orderkey ASC)) AS status_seq_md5
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG / string_agg WITH
+    ORDER BY): per group, the ','-joined status sequence in o_orderkey
+    order. Spark's listagg/collect_list is unordered by partition
+    layout, so the deterministic spelling is sort-by-key-inside-array:
+    collect (key, value) structs, array_sort (sorts on the leading
+    struct field), then project+join — the standard recipe for
+    order-sensitive aggs on an order-free engine. The compared value
+    is the md5 of the sequence (the full strings are MBs at sf0.1;
+    the hash pins exact equality without shipping them).
+
+    Scale: collect_list gathers each group's values into ONE row — fine
+    for bounded groups (statuses per priority band here), the wrong
+    tool for unbounded ones; at 100 TB, chunk the key space first
+    (bucketed_running_sums-style) or store sequences as arrays per
+    bounded sub-key. The docstring is the warning label."""
+    o = table(spark, sf_dir, "orders")
+    seq = F.array_join(
+        F.expr("transform(array_sort(collect_list(struct(o_orderkey, o_orderstatus))), s -> s.o_orderstatus)"),
+        ",",
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.md5(seq).alias("status_seq_md5"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_boolean_bitwise",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_above_1k,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       CAST(count(*) FILTER (o_totalprice > 100000) AS BIGINT) AS n_large,
+       CAST(bit_and(CAST(o_orderkey % 256 AS BIGINT)) AS BIGINT) AS key_bit_and,
+       CAST(bit_or(CAST(o_orderkey % 256 AS BIGINT)) AS BIGINT) AS key_bit_or
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean/bitwise aggregate family — bool_and / bool_or (ANSI
+    every/any), count_if (count FILTER), bit_and / bit_or — the
+    flag-rollup vocabulary of audit queries (\"did EVERY order clear
+    validation\", \"does ANY row carry the error bit\"). All are
+    commutative-associative single-pass aggregates.
+
+    Scale: every one partial-aggregates map-side (booleans and bit
+    masks are the cheapest possible accumulator state); no memory
+    growth with group size."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_large"),
+            F.bit_and((F.col("o_orderkey") % 256).cast("bigint")).alias("key_bit_and"),
+            F.bit_or((F.col("o_orderkey") % 256).cast("bigint")).alias("key_bit_or"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
     )

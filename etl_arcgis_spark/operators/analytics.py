@@ -1331,43 +1331,3 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("segment"))
     )
-
-
-@query(
-    "analytics_market_basket_pairs",
-    oracle="""
-WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-       CAST(count(*) AS BIGINT) AS support
-FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-GROUP BY 1, 2
-ORDER BY support DESC, p1 ASC, p2 ASC
-LIMIT 20
-""",
-)
-def analytics_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket pair mining: the top co-purchased part pairs by
-    order support — the frequent-itemset k=2 pass (the workhorse of
-    assoc-rule / also-bought pipelines; higher k iterates the same
-    join on the survivors). Edges dedup to (order, part) first so
-    multi-line quantities don't inflate support; p1 < p2 keeps each
-    pair once.
-
-    Scale: the self-join keys on l_orderkey — pairs per order are
-    (basket size choose 2), so the hot-key bound is max-basket², not
-    table size (TPC-H baskets are <= 7; retail baskets are bounded by
-    the receipt). Support counting is a map-side-combined hash agg;
-    for Apriori-style thresholds, filter parts below min-support
-    BEFORE the join (anti-monotone pruning) to shrink both sides."""
-    e = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = e.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = e.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    return (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
-        .limit(20)
-    )

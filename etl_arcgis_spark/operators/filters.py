@@ -499,40 +499,3 @@ def filter_spatial_polygon_crosses(spark: SparkSession, sf_dir: str) -> DataFram
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _SEG_CROSSES, ("customer",))
-
-
-@query(
-    "filter_exists_correlated",
-    oracle="""
-SELECT c_custkey, c_name
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-""",
-)
-def filter_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS / NOT EXISTS subqueries — the subquery
-    spelling of the semi/anti join pair (join_semi / join_anti are the
-    DataFrame form; task.ts:244/327's existence split is the
-    reference behavior both express). Identical SQL text on both
-    engines; Catalyst rewrites the pair into one LeftSemi and one
-    LeftAnti join against the same orders scan — predicate first, so
-    each side pushes its filter below the join.
-
-    Scale: two hash joins on the correlation key (AQE may broadcast
-    the filtered order sides); no per-row subquery execution exists
-    after decorrelation — the point of registering the subquery form."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-SELECT c_custkey, c_name
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-"""
-    )

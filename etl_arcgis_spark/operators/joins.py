@@ -1167,39 +1167,3 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("l_returnflag"))
     )
-
-
-@query(
-    "join_lateral_topn",
-    oracle="""
-SELECT c_custkey, o_orderkey, tp
-FROM customer c, LATERAL (
-  SELECT o_orderkey, round(o_totalprice, 4) AS tp
-  FROM orders WHERE o_custkey = c.c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
-""",
-)
-def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL join (SQL:1999; Spark 3.2+ lateral
-    subqueries): for every customer, its top-2 orders by value — the
-    declarative per-row-subquery spelling of window_rank_topk_per_
-    group. Registered with the IDENTICAL SQL text on both engines:
-    Catalyst DECORRELATES the lateral subquery into a ranked
-    window/join (DomainJoin rewrite) rather than executing one probe
-    per outer row — which is exactly why the spelling survives 100 TB:
-    the naive nested-loop semantics never reach the physical plan.
-
-    Scale: after decorrelation this is one shuffle on the correlation
-    key + a per-key ordered limit (same cost envelope as the window
-    top-k); no per-customer round-trips exist anywhere."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-SELECT c_custkey, o_orderkey, tp
-FROM customer c, LATERAL (
-  SELECT o_orderkey, round(o_totalprice, 4) AS tp
-  FROM orders WHERE o_custkey = c.c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
-"""
-    )

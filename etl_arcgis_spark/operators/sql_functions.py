@@ -571,51 +571,3 @@ PIVOT (count(*) FOR o_orderstatus IN ('O' AS status_o, 'F' AS status_f, 'P' AS s
 ORDER BY o_orderpriority
 """
     )
-
-
-@query(
-    "math_try_functions",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       round(CASE WHEN l_quantity - 17.0 = 0 THEN NULL
-                  ELSE l_extendedprice / (l_quantity - 17.0) END, 4)
-         AS unit_margin,
-       CASE WHEN l_extendedprice * l_quantity > 1e7 THEN NULL
-            ELSE CAST(floor(l_extendedprice * l_quantity) AS BIGINT) END
-         AS gross_int,
-       round(CASE WHEN l_discount <= 0 THEN NULL ELSE ln(l_discount) END, 4)
-         AS log_disc
-FROM lineitem
-""",
-)
-def math_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI-mode-safe arithmetic: the ``try_*`` function family
-    (Spark 3.2+) that returns NULL instead of raising under ANSI SQL —
-    division by zero (``try_divide``), guarded overflow-style casts,
-    and domain errors (log of a non-positive) — the error-isolation
-    idiom every ANSI-enabled production pipeline uses for dirty
-    numeric data (the expression-level twin of A18's row-level
-    dead-letter quarantine). The oracle spells each guard as the
-    explicit CASE it desugars to.
-
-    Scale: pure narrow projection — whole-stage codegen, no shuffle,
-    no UDF; NULL propagation replaces per-row exception control flow."""
-    li = table(spark, sf_dir, "lineitem")
-    gross = F.col("l_extendedprice") * F.col("l_quantity")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        r4(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 17.0)).alias(
-            "unit_margin"
-        ),
-        # floor on BOTH engines: a bare double->BIGINT cast truncates in
-        # Spark but rounds half-even in DuckDB
-        F.when(gross > 1e7, F.lit(None)).otherwise(
-            F.floor(gross).cast("bigint")
-        ).alias("gross_int"),
-        r4(
-            F.when(F.col("l_discount") <= 0, F.lit(None)).otherwise(
-                F.log(F.col("l_discount"))
-            )
-        ).alias("log_disc"),
-    )

@@ -278,57 +278,3 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_start_ms", "event_type", F.col("n").cast("bigint").alias("n"), "val_sum")
         .orderBy(F.asc("w_start_ms"), F.desc("n"), F.asc("event_type"))
     )
-
-
-@query(
-    "stream_interval_join",
-    oracle="""
-WITH p AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
-  WHERE event_type = 'purchase'
-), c AS (
-  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct FROM events
-  WHERE event_type = 'click'
-)
-SELECT p.user_id, p.event_id,
-       CAST(count(c.click_id) AS BIGINT) AS n_clicks_10m
-FROM p LEFT JOIN c
-  ON p.user_id = c.user_id
- AND c.ct >= p.t - 600000000 AND c.ct <= p.t
-GROUP BY 1, 2
-""",
-)
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stream-stream interval join, batch-spelled: for every
-    purchase, the number of the same user's clicks in the 10 minutes
-    leading up to it — the attribution join Structured Streaming runs
-    with two watermarked streams and a time-bound join condition
-    (purchase.ts BETWEEN click.ts AND click.ts + 10m is exactly the
-    state-expiry bound the engine derives). Registered on the batch
-    relation so the oracle pins semantics; the streaming twin uses the
-    same predicate verbatim in a stream-stream join.
-
-    Scale: equi-key on user_id plus a bounded time band — Spark
-    executes the equi part as the shuffle key and the band as a
-    post-join filter, so state/cost is (events per user per 10m), the
-    same bound the streaming engine keeps in its join state store;
-    never a cross product."""
-    ev = table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", ev_us().alias("t")
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"),
-        F.col("event_id").alias("click_id"),
-        ev_us().alias("ct"),
-    )
-    joined = p.join(
-        c,
-        (F.col("user_id") == F.col("cu"))
-        & (F.col("ct") >= F.col("t") - 600_000_000)
-        & (F.col("ct") <= F.col("t")),
-        "left",
-    )
-    return joined.groupBy("user_id", "event_id").agg(
-        F.count("click_id").cast("bigint").alias("n_clicks_10m")
-    )

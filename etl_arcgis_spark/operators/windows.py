@@ -419,3 +419,64 @@ FROM events
 """,
         ("events",),
     )
+
+
+@query(
+    "window_groups_frame_emulated",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {86_400_000_000} AS d, value FROM events
+), g AS (
+  SELECT user_id, d, sum(value) AS day_sum, count(*) AS day_n
+  FROM ev GROUP BY user_id, d
+), r AS (
+  SELECT user_id, d, day_sum, day_n,
+         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY d ASC)
+              AS BIGINT) AS rk
+  FROM g
+)
+SELECT user_id, CAST(d AS BIGINT) AS day,
+       CAST(day_n AS BIGINT) AS day_n,
+       round(sum(day_sum) OVER (PARTITION BY user_id ORDER BY rk ASC
+                                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4)
+         AS groups_sum
+FROM r
+""",
+)
+def window_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2011 GROUPS window frame (``GROUPS BETWEEN 1 PRECEDING
+    AND 1 FOLLOWING`` — peer groups, not rows or values), which NEITHER
+    engine implements (Spark: unsupported; DuckDB 1.0: parser error) —
+    emulated by its defining decomposition: collapse peers (equal
+    ORDER BY values) to one row each, number them with dense_rank, and
+    run a RANGE frame over the dense rank (adjacent ranks == adjacent
+    peer groups). Output: each user-day with the 3-day-GROUP windowed
+    value sum. Both engines spell the same decomposition — this is the
+    documented emulation recipe, pinned cross-engine, rather than a
+    differential against a native GROUPS implementation.
+
+    Scale: the peer-collapse is a map-side-combined aggregate (output
+    = |user-days|), and the window runs over the collapsed relation —
+    strictly SMALLER than the input, partitioned by user; the GROUPS
+    emulation is therefore cheaper than a row-frame over raw events."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {86_400_000_000}").alias("d"),
+        "value",
+    )
+    g = ev.groupBy("user_id", "d").agg(
+        F.sum("value").alias("day_sum"), F.count(F.lit(1)).alias("day_n")
+    )
+    w_rk = Window.partitionBy("user_id").orderBy(F.asc("d"))
+    r = g.withColumn("rk", F.dense_rank().over(w_rk).cast("bigint"))
+    w_g = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("rk"))
+        .rangeBetween(-1, 1)
+    )
+    return r.select(
+        "user_id",
+        F.col("d").cast("bigint").alias("day"),
+        F.col("day_n").cast("bigint").alias("day_n"),
+        r4(F.sum("day_sum").over(w_g)).alias("groups_sum"),
+    )

@@ -44,4 +44,5 @@ def test_contract_shape(spark):
         "multimodal_audio_spectrum",
         "multimodal_scene_cuts",   # r4: binary codec, unit-tested planted cuts
         "multimodal_pq_quantize",  # r4: iterative k-means, monotonicity-tested
+        "sim_mmr_rerank",          # r5: sequential greedy MMR, invariant-tested
     }

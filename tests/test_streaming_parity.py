@@ -461,79 +461,3 @@ def test_streaming_topk_per_window_matches_batch(spark, events_stream_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-3
-
-
-def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
-    """C89 streaming twin: a REAL watermarked stream-stream interval
-    join (clicks x purchases, same user, click in the 10 minutes before
-    the purchase) emits exactly the batch join's matched pairs. Inner
-    join: append-mode emission is watermark-independent for matches, so
-    availableNow yields the complete set (left-outer null emission
-    depends on final-watermark close — the batch-registered
-    stream_interval_join pins those semantics instead)."""
-    prepare(spark)
-    schema = table(spark, SF_DIR, "events").schema
-    raw = spark.readStream.schema(schema).parquet(events_stream_dir)
-    p = (
-        raw.filter("event_type = 'purchase'")
-        .select(
-            F.col("user_id").alias("pu"),
-            F.col("event_id").alias("pid"),
-            F.col("ts").alias("pts"),
-        )
-        .withWatermark("pts", "1 minute")
-    )
-    c = (
-        raw.filter("event_type = 'click'")
-        .select(
-            F.col("user_id").alias("cu"),
-            F.col("event_id").alias("cid"),
-            F.col("ts").alias("cts"),
-        )
-        .withWatermark("cts", "1 minute")
-    )
-    joined = p.join(
-        c,
-        F.expr("pu = cu AND cts >= pts - INTERVAL 10 MINUTES AND cts <= pts"),
-        "inner",
-    ).select("pid", "cid")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("ssj_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    got = {(r.pid, r.cid) for r in spark.sql("SELECT * FROM ssj_out").collect()}
-
-    ev = table(spark, SF_DIR, "events")
-    bp = ev.filter("event_type = 'purchase'").select(
-        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
-        F.unix_micros("ts").alias("pt"),
-    )
-    bc = ev.filter("event_type = 'click'").select(
-        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
-        F.unix_micros("ts").alias("ct"),
-    )
-    want = {
-        (r.pid, r.cid)
-        for r in bp.join(
-            bc,
-            (F.col("pu") == F.col("cu"))
-            & (F.col("ct") >= F.col("pt") - 600_000_000)
-            & (F.col("ct") <= F.col("pt")),
-        ).select("pid", "cid").collect()
-    }
-    assert got == want and len(got) > 0
-
-    # and the registered batch query's per-purchase counts sum to the
-    # same number of matched pairs
-    from etl_arcgis_spark import registry
-
-    total = (
-        registry.all_queries()["stream_interval_join"](spark, SF_DIR)
-        .agg(F.sum("n_clicks_10m"))
-        .collect()[0][0]
-    )
-    assert total == len(want)
