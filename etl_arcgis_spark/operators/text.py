@@ -1977,26 +1977,35 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     both (top-2-gram share <= 0.08 is keep, mirrored here as a
     column).
 
-    Scale: one (doc_id, bigram) map-side-combined shuffle, then a
-    per-doc rollup of per-doc gram counts — never a global vocabulary;
-    unlike the array-HOF spelling of text_repetition_ratio this one
-    needs per-gram counts, so the explode+combine shape is the right
-    plan (distinct-counting HOFs can't rank)."""
+    Scale: MAP-ONLY — a doc's grams all live in its own row, so the
+    max per-gram count is the longest equal run of the SORTED gram
+    array, computed with an aggregate() HOF carrying a (best, current,
+    prev) struct; no explode, no shuffle, no vocabulary (the r5
+    shuffle_report caught the first draft shuffling 55 gram records
+    per document through a (doc_id, bigram) combine — this spelling
+    moves zero). O(n log n) per doc inside codegen."""
     docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(l) - 1), "
-                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
-            )
-        ).alias("bg"),
+    docs = docs.filter(F.size("l") >= 2).withColumn(
+        "bgs",
+        F.expr(
+            "array_sort(transform(sequence(1, size(l) - 1), "
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))))"
+        ),
     )
-    c = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
-    tot = F.sum("n")
-    share = r4(F.max("n") / tot.cast("double"))
-    return c.groupBy("doc_id").agg(
-        tot.cast("bigint").alias("n_bigrams"),
+    maxrun = F.expr(
+        "aggregate(bgs, "
+        "struct(0 AS best, 0 AS cur, CAST(NULL AS STRING) AS prev), "
+        "(acc, x) -> struct("
+        "  greatest(acc.best, IF(x <=> acc.prev, acc.cur + 1, 1)), "
+        "  IF(x <=> acc.prev, acc.cur + 1, 1), "
+        "  x), "
+        "acc -> acc.best)"
+    )
+    n_bg = F.size("bgs")
+    share = r4(maxrun / n_bg.cast("double"))
+    return docs.select(
+        "doc_id",
+        n_bg.cast("bigint").alias("n_bigrams"),
         share.alias("top_share"),
         (share <= 0.08).alias("keep"),
     )
@@ -2041,38 +2050,40 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of >= w+k-1 tokens shares a fingerprint). Output: per-doc window
     count and distinct-fingerprint count (the stored sketch size).
 
-    Scale: the sliding min is a per-doc window (bounded by doc
-    length, never table-sized); fingerprints then feed the standard
-    inverted-index join exactly like minhash bands. Entire pipeline is
-    codegen expressions — no UDF, no vocabulary."""
-    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
-    grams = docs.select(
-        "doc_id",
-        (F.size("l") - 2).alias("n_grams"),
-        F.posexplode(
+    Scale: MAP-ONLY — grams, hashes, window minima, and the distinct
+    count all compute inside the document's own row with array HOFs
+    (the r5 shuffle_report caught the first draft shuffling every gram
+    row through a per-doc window — this spelling moves zero; per-doc
+    work is bounded by doc length). Fingerprints then feed the
+    standard inverted-index join exactly like minhash bands. Entire
+    pipeline is codegen expressions — no UDF, no vocabulary."""
+    hx = "0123456789abcdef"
+    hv = (
+        f"transform(sequence(1, size(l) - 2), i -> "
+        f"  ((instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 1, 1)) - 1) * 4096"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 2, 1)) - 1) * 256"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 3, 1)) - 1) * 16"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 4, 1)) - 1)))"
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("l", F.split("text", " "))
+        .filter(F.size("l") >= 6)  # >= 4 grams -> >= 1 full window
+        .withColumn("hv", F.expr(hv))
+        .withColumn(
+            "wmins",
             F.expr(
-                "transform(sequence(1, size(l) - 2), i -> "
-                "concat(element_at(l, i), ' ', element_at(l, i + 1), ' ', "
-                "element_at(l, i + 2)))"
-            )
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id", "n_grams", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("m")
-    )
-    hexv = lambda i: F.instr(F.lit(_HEX), F.substring("m", i, 1)) - 1  # noqa: E731
-    h = grams.select(
-        "doc_id",
-        "n_grams",
-        "pos",
-        (hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)).alias("hv"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("pos")).rowsBetween(0, 3)
-    return (
-        h.withColumn("wmin", F.min("hv").over(w))
-        .filter(F.col("pos") <= F.col("n_grams") - 3)
-        .groupBy("doc_id")
-        .agg(
-            (F.max("n_grams") - 3).cast("bigint").alias("n_windows"),
-            F.count_distinct("wmin").cast("bigint").alias("n_fingerprints"),
+                "transform(sequence(1, size(hv) - 3), "
+                "i -> array_min(slice(hv, i, 4)))"
+            ),
         )
+    )
+    return docs.select(
+        "doc_id",
+        F.size("wmins").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("wmins")).cast("bigint").alias("n_fingerprints"),
     )

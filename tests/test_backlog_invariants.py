@@ -240,3 +240,127 @@ def test_two_hop_reach_known_instance(spark, tmp_path):
         for r in _q("graph_two_hop_reach")(spark, d).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+# ------------------------------------------ r5 new-operator invariants
+
+
+def test_winnowing_match_guarantee(spark, tmp_path):
+    """THE winnowing property (Schleimer et al. 2003): two documents
+    sharing a run of >= w + k - 1 = 6 tokens must share at least one
+    fingerprint. Construct two docs with a 10-token common run inside
+    different surroundings and check fingerprint intersection via the
+    same HOF pipeline on a miniature fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t1 = "xx yy " + common + " zz ww"
+    t2 = "one two three " + common + " four"
+    d = str(tmp_path)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([t1, t2], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "n_chars": pa.array([len(t1), len(t2)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    # recompute per-doc fingerprint SETS with the operator's own hash
+    from etl_arcgis_spark.tables import table
+
+    docs = (
+        table(spark, d, "documents")
+        .withColumn("l", F.split("text", " "))
+    )
+    hx = "0123456789abcdef"
+    hv = (
+        f"transform(sequence(1, size(l) - 2), i -> "
+        f"  ((instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 1, 1)) - 1) * 4096"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 2, 1)) - 1) * 256"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 3, 1)) - 1) * 16"
+        f" + (instr('{hx}', substr(md5(concat(element_at(l, i), ' ', "
+        f"element_at(l, i + 1), ' ', element_at(l, i + 2))), 4, 1)) - 1)))"
+    )
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in docs.withColumn("hv", F.expr(hv))
+        .withColumn(
+            "fp",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(hv) - 3), "
+                "i -> array_min(slice(hv, i, 4))))"
+            ),
+        )
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert fps[1] & fps[2], "docs sharing a 10-token run must share a fingerprint"
+    # and the registered query agrees on the window counts
+    got = {
+        r.doc_id: (r.n_windows, r.n_fingerprints)
+        for r in _q("text_winnowing_fingerprint")(spark, d).collect()
+    }
+    for doc_id, (nw, nf) in got.items():
+        n_tokens = len((t1 if doc_id == 1 else t2).split())
+        assert nw == n_tokens - 2 - 3  # n_grams - 3
+        assert 1 <= nf <= nw
+
+
+def test_weighted_median_equals_naive_window(spark):
+    """The two-phase bucket-offset weighted median must equal the
+    naive single-window spelling exactly (same argument family as the
+    grouped two-phase median)."""
+    from pyspark.sql import Window
+
+    from etl_arcgis_spark.helpers import r4
+    from etl_arcgis_spark.tables import table
+
+    got = {
+        (r.l_returnflag): (r.total_wt, r.wmedian)
+        for r in _q("agg_weighted_median")(spark, SF).collect()
+    }
+    li = table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = li.groupBy("g").agg(F.sum("wt").alias("tw"))
+    naive = (
+        li.withColumn("cum", F.sum("wt").over(w))
+        .join(tot, "g")
+        .filter(F.col("cum") >= F.expr("(tw + 1) div 2"))
+        .groupBy("g")
+        .agg(F.first("tw").alias("tw"), r4(F.min("v")).alias("wm"))
+    )
+    want = {r.g: (r.tw, r.wm) for r in naive.collect()}
+    assert got == want
+
+
+def test_groups_frame_matches_bruteforce(spark, tmp_path):
+    """GROUPS-frame emulation vs a hand-computed instance: user 1 has
+    days [1, 1, 3, 7] (duplicate day = one peer group) with values
+    [1, 2, 4, 8]; GROUPS 1 PRECEDING..1 FOLLOWING over the 3 peer
+    groups gives day-sums [3+4, 3+4+8, 4+8]."""
+    _write_events(
+        str(tmp_path),
+        [
+            (1, _T0 + 1 * 86400 * _US, 1, "click", 1.0),
+            (2, _T0 + 1 * 86400 * _US + _H, 1, "click", 2.0),
+            (3, _T0 + 3 * 86400 * _US, 1, "click", 4.0),
+            (4, _T0 + 7 * 86400 * _US, 1, "click", 8.0),
+        ],
+    )
+    got = {
+        (r.day - (_T0 // (86400 * _US))): (r.day_n, r.groups_sum)
+        for r in _q("window_groups_frame_emulated")(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 7.0), 3: (1, 15.0), 7: (1, 12.0)}
