@@ -2087,3 +2087,136 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("wmins").cast("bigint").alias("n_windows"),
         F.size(F.array_distinct("wmins")).cast("bigint").alias("n_fingerprints"),
     )
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT source, w, count(*) AS n FROM tok GROUP BY source, w
+), t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source
+), d AS (
+  SELECT w,
+         coalesce(max(CASE WHEN c.source = 'src0' THEN n END), 0)
+           / CAST(max(CASE WHEN t.source = 'src0' THEN tot END) AS DOUBLE) AS p,
+         coalesce(max(CASE WHEN c.source = 'src1' THEN n END), 0)
+           / CAST(max(CASE WHEN t.source = 'src1' THEN tot END) AS DOUBLE) AS q
+  FROM c CROSS JOIN t
+  WHERE c.source = t.source
+  GROUP BY w
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_union,
+       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+           + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END),
+           4) AS js_nats
+FROM d
+""",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the symmetric, bounded (<= ln 2) corpus-drift
+    measure LLM curation uses to quantify how different two domains
+    are before deciding mixture weights (DSIR's importance weights,
+    text_dsir_importance, are the per-document version of the same
+    comparison; this is the corpus-level scalar).
+
+    Scale: per-source word counts are one map-side-combined shuffle;
+    the distributions merge with a full-vocabulary outer join (word-
+    keyed, balanced), and the divergence is a single sum — output is
+    one row. Smoothing-free: JS is finite on disjoint support (each
+    one-sided KL term uses the mixture as reference), which is why it
+    beats raw KL for corpus pairs.
+
+    Engine note: the oracle spells the pivot with conditional max
+    (CROSS JOIN t matched on source) — same values, set-based; the
+    Spark side uses the clearer two-frame outer join. ln() agrees
+    cross-engine (both correctly-rounded libm doubles, same operands).
+    """
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+    )
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    cp = (
+        c.join(tot, "source")
+        .select("source", "w", (F.col("n") / F.col("tot").cast("double")).alias("f"))
+    )
+    p = cp.filter(F.col("source") == "src0").select("w", F.col("f").alias("p"))
+    q = cp.filter(F.col("source") == "src1").select("w", F.col("f").alias("q"))
+    d = (
+        p.join(q, "w", "full_outer")
+        .select(
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    mid = (F.col("p") + F.col("q")) / 2
+    term_p = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / mid)).otherwise(0.0)
+    term_q = F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / mid)).otherwise(0.0)
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+        r4(F.sum(term_p) + F.sum(term_q)).alias("js_nats"),
+    )
+
+
+@query(
+    "sample_gumbel_topk_weighted",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         ((strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1)
+           / 65537.0 AS unif
+  FROM documents
+), k AS (
+  SELECT doc_id, n_chars, round(ln(unif) / n_chars, 10) AS key
+  FROM u
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(key * 1e6, 4) AS key_e6
+FROM k
+ORDER BY key DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def sample_gumbel_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-Res key (2006, public): each item ranks by
+    ``u^(1/w)`` — equivalently ``ln(u)/w`` — with u a deterministic
+    md5-derived uniform in (0, 1]; the top-k by key IS an exact
+    weight-proportional sample without replacement. One ranked pass,
+    no sequential draws — the distributed-sampling trick that replaces
+    the inherently serial urn process (here: character-weighted doc
+    selection, the same weighting as token-budget curation).
+
+    Determinism: u = (16-bit md5 prefix + 1) / 65537 — exact dyadic-
+    rational arithmetic into ln() on identical operands; the key is
+    rounded to 10 decimals BEFORE ranking so both engines rank the
+    same grid (the tie-break is doc_id).
+
+    Scale: map-only key computation + one TakeOrderedAndProject
+    top-k; at any corpus size this is the cheapest possible weighted
+    sampler (no global sort — per-partition top-k then merge)."""
+    d = table(spark, sf_dir, "documents")
+    m = F.md5(F.col("doc_id").cast("string"))
+    hexv = lambda i: F.instr(F.lit(_HEX), F.substring(m, i, 1)) - 1  # noqa: E731
+    unif = (hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4) + 1) / F.lit(
+        65537.0
+    )
+    key = F.round(F.log(unif) / F.col("n_chars"), 10)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            r4(key * 1e6).alias("key_e6"),
+        )
+        .orderBy(F.desc("key_e6"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -1166,3 +1166,97 @@ def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy(F.asc("funnel_level"))
     )
+
+
+@query(
+    "ts_transition_matrix",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY t ASC, event_id ASC) AS dst
+  FROM e
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY src)
+                             AS DOUBLE), 4) AS p
+FROM s WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+""",
+)
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of event_type A
+    being followed by B — the behavioral model behind next-event
+    prediction, anomaly scoring (improbable transitions), and the
+    Sankey/flow diagrams of product analytics.
+
+    Scale: one shuffle+sort per user for lead() (the same per-key
+    window every sessionizer pays), then a map-side-combined (src,
+    dst) count; the normalizing window runs over the |types|² count
+    grid (bounded by the category-pair domain, never the input)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ev_us().alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("src")
+    return (
+        c.select(
+            "src",
+            "dst",
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("n") / F.sum("n").over(w_src).cast("double")).alias("p"),
+        )
+        .orderBy(F.asc("src"), F.asc("dst"))
+    )
+
+
+@query(
+    "dq_freshness_staleness",
+    oracle="""
+WITH m AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+       CAST((gmax - max(epoch_us(ts))) // 60000000 AS BIGINT)
+         AS staleness_min
+FROM events CROSS JOIN m
+GROUP BY event_type, gmax
+ORDER BY event_type
+""",
+)
+def dq_freshness_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness monitor: per category, the last-seen timestamp
+    and its staleness (whole minutes behind the globally freshest
+    event) — the first-line data-quality alarm for a silently-stalled
+    upstream partition (a category whose staleness grows while others
+    stay near zero is a dead producer, invisible to row-count checks
+    until much later).
+
+    Scale: one map-side-combined max/count per category plus a 1-row
+    global-max broadcast; entirely integer time arithmetic (µs //
+    60e6), so the staleness is bit-deterministic."""
+    ev = table(spark, sf_dir, "events").select("event_type", ev_us().alias("t"))
+    m = F.broadcast(ev.agg(F.max("t").alias("gmax")))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("t").alias("last_seen"))
+        .crossJoin(m)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("last_seen").cast("bigint").alias("last_seen_us"),
+            F.expr("(gmax - last_seen) div 60000000").cast("bigint").alias(
+                "staleness_min"
+            ),
+        )
+        .orderBy(F.asc("event_type"))
+    )

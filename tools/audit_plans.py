@@ -86,6 +86,7 @@ NLJ_OK = {
     "profile_outliers_mad",      # 1-row median + 1-row MAD scalar broadcasts
     "analytics_rfm_segments",    # 1-row (r_cut, f_cut, m_cut) broadcast
     "dq_distribution_drift",     # two 1-row slice-total broadcasts (sa, sb)
+    "dq_freshness_staleness",    # 1-row global-max broadcast
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
