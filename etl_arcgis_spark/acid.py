@@ -554,3 +554,105 @@ def compact(
         },
     )
     return base_v + 1
+
+
+def table_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two snapshots — Delta CDF /
+    Iceberg changelog semantics computed LAZILY from retained
+    snapshots, no change log written at commit time. For every version
+    v in (v_from, v_to]: rows keyed into files ADDED by v are diffed
+    against rows keyed into files REMOVED by v (file-level
+    copy-on-write means every row-level change lives in that file
+    delta):
+
+      key only in added files            -> 'insert'
+      key only in removed files          -> 'delete'
+      key in both, any column differs    -> 'update_preimage' +
+                                            'update_postimage'
+      key in both, row identical         -> carried row inside a
+                                            rewritten file: NOT a
+                                            change, emitted as nothing
+
+    Appends `_change_type` and `_commit_version` columns to the table
+    schema. Requires the manifests in (v_from, v_to] and their parent
+    file sets to still be retained (pre-vacuum) — same constraint as
+    Delta CDF's retention.
+
+    Scale: per version, the diff reads ONLY the added/removed file
+    delta (merge rewrites scale with touched files, so the diff does
+    too — never the table), joins on the merge key, and compares rows
+    with one null-safe struct equality; downstream incremental
+    consumers get exactly-the-changes without re-scanning snapshots.
+    """
+    vs = _list_versions(root)
+    if v_to is None:
+        v_to = vs[-1] if vs else 0
+    if v_from >= v_to:
+        raise ValueError(f"empty change range ({v_from}, {v_to}]")
+    for v in range(v_from, v_to + 1):
+        if v not in vs:
+            raise FileNotFoundError(
+                f"snapshot v{v} not retained (vacuumed?) — CDF needs "
+                f"every manifest in [{v_from}, {v_to}]"
+            )
+    full = read(spark, root, v_to).schema  # widest schema in range
+    out: DataFrame | None = None
+    for v in range(v_from + 1, v_to + 1):
+        prev = {f["path"] for f in _read_manifest(root, v - 1)["files"]}
+        man = _read_manifest(root, v)
+        key = man["key"]
+        cur = {f["path"] for f in man["files"]}
+        added = sorted(cur - prev)
+        removed = sorted(prev - cur)
+
+        def _read_files(paths: list[str]) -> DataFrame:
+            if not paths:
+                df = read(spark, root, v_to).limit(0)
+            else:
+                df = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(root, p) for p in paths]
+                )
+            for fld in full.fields:
+                if fld.name not in df.columns:
+                    df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+            return df.select(*[fld.name for fld in full.fields])
+
+        after = _read_files(added)
+        before = _read_files(removed)
+        cols = [f.name for f in full.fields]
+        val_cols = [c for c in cols if c != key]
+        a = after.alias("a")
+        b = before.alias("b")
+        j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+        a_key = F.col(f"a.{key}")
+        b_key = F.col(f"b.{key}")
+        same = F.struct(*[F.col(f"a.{c}") for c in val_cols]).eqNullSafe(
+            F.struct(*[F.col(f"b.{c}") for c in val_cols])
+        )
+        ins = j.filter(a_key.isNotNull() & b_key.isNull()).select(
+            *[F.col(f"a.{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        del_ = j.filter(a_key.isNull() & b_key.isNotNull()).select(
+            *[F.col(f"b.{c}").alias(c) for c in cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        upd = j.filter(a_key.isNotNull() & b_key.isNotNull() & ~same)
+        pre = upd.select(
+            *[F.col(f"b.{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            *[F.col(f"a.{c}").alias(c) for c in cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        delta = (
+            ins.unionByName(del_)
+            .unionByName(pre)
+            .unionByName(post)
+            .withColumn("_commit_version", F.lit(v))
+        )
+        out = delta if out is None else out.unionByName(delta)
+    return out

@@ -428,3 +428,83 @@ def test_read_key_range_prunes_better_after_compact(spark, wide_tbl):
     assert len(acid._read_manifest(wide_tbl, v)["files"]) < len(
         acid._read_manifest(wide_tbl, v - 1)["files"]
     )
+
+
+# ------------------------------------------------------ change data feed
+
+
+def test_table_changes_insert_update_delete(spark, tbl):
+    """CDF between snapshots: a merge (update 2 + insert 4) then a
+    delete produce exactly the expected typed change rows, each tagged
+    with its commit version."""
+    acid.merge(spark, tbl, spark.createDataFrame([(2, "B"), (4, "d")], "id INT, v STRING"))
+    acid.delete_where(spark, tbl, "id = 1")
+    ch = acid.table_changes(spark, tbl, 1)  # (1, 3]
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "a", "delete", 3),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "update_preimage", 2),
+        (4, "d", "insert", 2),
+    ]
+
+
+def test_table_changes_carried_rows_are_not_changes(spark, wide_tbl):
+    """A narrow merge rewrites whole files; rows carried unchanged
+    inside the rewritten file must NOT appear in the feed, and a
+    compact() commit (pure rewrite) emits an empty feed."""
+    acid.merge(spark, wide_tbl, spark.createDataFrame([(3, "X")], "id INT, v STRING"))
+    ch = acid.table_changes(spark, wide_tbl, 1, 2).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in ch) == [
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+    ]
+    # fragment then compact: the compact version contributes nothing
+    acid.merge(spark, wide_tbl, spark.createDataFrame([(40, "Y")], "id INT, v STRING"))
+    v_before = acid.current_version(wide_tbl)
+    v_after = acid.compact(spark, wide_tbl)
+    assert v_after == v_before + 1
+    assert acid.table_changes(spark, wide_tbl, v_before, v_after).count() == 0
+
+
+def test_table_changes_replays_to_current_state(spark, tbl):
+    """Applying the feed (upserts + deletes in version order) onto the
+    v1 snapshot reconstructs the current snapshot — the CDC-consumer
+    round-trip invariant."""
+    acid.merge(spark, tbl, spark.createDataFrame([(1, "A"), (5, "e")], "id INT, v STRING"))
+    acid.merge(spark, tbl, spark.createDataFrame([(5, "E"), (6, "f")], "id INT, v STRING"))
+    acid.delete_where(spark, tbl, "id = 2")
+    state = {r.id: r.v for r in acid.read(spark, tbl, version=1).collect()}
+    ch = acid.table_changes(spark, tbl, 1).collect()
+    for r in sorted(ch, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["id"]] = r["v"]
+        elif r["_change_type"] == "delete":
+            state.pop(r["id"], None)
+    want = {r.id: r.v for r in acid.read(spark, tbl).collect()}
+    assert state == want
+
+
+def test_table_changes_schema_evolution(spark, wide_tbl):
+    """A schema-evolving merge's feed carries the evolved column; the
+    preimage (pre-evolution row) reads it as null."""
+    acid.merge(
+        spark, wide_tbl,
+        spark.createDataFrame([(3, "X", 0.9)], "id INT, v STRING, score DOUBLE"),
+    )
+    ch = {(r["_change_type"]): (r["v"], r["score"])
+          for r in acid.table_changes(spark, wide_tbl, 1).collect()}
+    assert ch["update_postimage"] == ("X", 0.9)
+    assert ch["update_preimage"] == ("v3", None)
+
+
+def test_table_changes_requires_retained_manifests(spark, tbl):
+    acid.merge(spark, tbl, spark.createDataFrame([(9, "i")], "id INT, v STRING"))
+    with pytest.raises(ValueError):
+        acid.table_changes(spark, tbl, 2, 2)  # empty range
+    os.remove(acid._manifest_path(tbl, 1))
+    with pytest.raises(FileNotFoundError):
+        acid.table_changes(spark, tbl, 1, 2)
