@@ -125,35 +125,63 @@ def _key_stats(path: str, key: str) -> list[Any] | None:
         return None
 
 
+def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
+    entry: dict[str, Any] = {
+        "path": os.path.relpath(final, root),
+        "bytes": os.path.getsize(final),
+    }
+    try:
+        import pyarrow.parquet as pq
+
+        entry["rows"] = pq.ParquetFile(final).metadata.num_rows
+    except Exception:  # noqa: BLE001
+        pass
+    if key is not None:
+        st = _key_stats(final, key)
+        if st is not None:
+            entry["key_range"] = st
+    return entry
+
+
 def _write_data_files(
-    df: DataFrame, root: str, key: str | None = None
+    df: DataFrame,
+    root: str,
+    key: str | None = None,
+    partition_by: str | None = None,
 ) -> list[dict[str, Any]]:
     """Write df as new immutable parquet files; return file entries
     (with per-file key min/max stats when ``key`` is given). Files are
-    invisible until a manifest references them."""
+    invisible until a manifest references them.
+
+    With ``partition_by``, files land under Hive-style
+    ``data/<col>=<val>/`` directories and each entry records its
+    partition value — the manifest-level unit of partition pruning
+    (Iceberg partition summaries, reduced to one identity-transform
+    column). Readers recover the partition column from the directory
+    via Spark's basePath mechanism."""
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
     entries = []
-    for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.replace(part, final)
-        entry: dict[str, Any] = {
-            "path": os.path.relpath(final, root),
-            "bytes": os.path.getsize(final),
-        }
-        try:
-            import pyarrow.parquet as pq
-
-            entry["rows"] = pq.ParquetFile(final).metadata.num_rows
-        except Exception:  # noqa: BLE001
-            pass
-        if key is not None:
-            st = _key_stats(final, key)
-            if st is not None:
-                entry["key_range"] = st
-        entries.append(entry)
+    if partition_by is None:
+        df.write.mode("overwrite").parquet(staging)
+        for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+            final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+            os.replace(part, final)
+            entries.append(_file_entry(final, root, key))
+    else:
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        for pdir in sorted(glob.glob(os.path.join(staging, f"{partition_by}=*"))):
+            pname = os.path.basename(pdir)  # "<col>=<val>"
+            pval = pname.split("=", 1)[1]
+            dest_dir = os.path.join(data_dir, pname)
+            os.makedirs(dest_dir, exist_ok=True)
+            for part in sorted(glob.glob(os.path.join(pdir, "part-*.parquet"))):
+                final = os.path.join(dest_dir, f"{uuid.uuid4().hex}.parquet")
+                os.replace(part, final)
+                e = _file_entry(final, root, key)
+                e["partition"] = pval
+                entries.append(e)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
 
@@ -173,18 +201,31 @@ def _publish(root: str, version: int, manifest: dict[str, Any]) -> None:
         os.remove(tmp)
 
 
-def create(spark: SparkSession, root: str, df: DataFrame, key: str) -> int:
-    """Create the table at snapshot v1."""
+def create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str,
+    partition_by: str | None = None,
+) -> int:
+    """Create the table at snapshot v1. ``partition_by`` (optional, a
+    string-typed column) makes the table Hive-partitioned: data files
+    nest under ``data/<col>=<val>/``, the manifest records each file's
+    partition value, and merge()/read_partition() prune whole
+    partitions before key-range stats even apply — the two-tier scan
+    planning (partition summary, then file stats) that makes a 100 TB
+    date/category-partitioned table affordable to update."""
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise ValueError(f"table already exists at {root}")
-    files = _write_data_files(df, root, key=key)
-    _publish(
-        root,
-        1,
-        {"version": 1, "key": key, "operation": "create", "files": files,
-         "rows": df.count()},
-    )
+    files = _write_data_files(df, root, key=key, partition_by=partition_by)
+    man: dict[str, Any] = {
+        "version": 1, "key": key, "operation": "create", "files": files,
+        "rows": df.count(),
+    }
+    if partition_by is not None:
+        man["partition_by"] = partition_by
+    _publish(root, 1, man)
     return 1
 
 
@@ -201,7 +242,44 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
         raise FileNotFoundError(f"snapshot v{v} is empty")
     # mergeSchema: schema evolution leaves older files physically
     # narrower; missing columns read as null (parquet union semantics)
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_paths(spark, root, man, paths)
+
+
+def _read_paths(
+    spark: SparkSession, root: str, man: dict[str, Any], paths: list[str]
+) -> DataFrame:
+    """Read an explicit file list under this table's layout: basePath
+    recovers the partition column from ``data/<col>=<val>/`` dirs when
+    the table is partitioned."""
+    reader = spark.read.option("mergeSchema", "true")
+    if man.get("partition_by") is not None:
+        reader = reader.option("basePath", os.path.join(root, "data"))
+    return reader.parquet(*paths)
+
+
+def read_partition(
+    spark: SparkSession,
+    root: str,
+    values: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-level PARTITION PRUNING: open only files whose recorded
+    partition value is in ``values`` — no directory listing, no footer
+    reads for skipped partitions (tier 1 of the two-tier scan plan;
+    read_key_range is tier 2)."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, v)
+    pcol = man.get("partition_by")
+    if pcol is None:
+        raise ValueError(f"table at {root} is not partitioned")
+    keep = [f for f in man["files"] if f.get("partition") in set(values)]
+    if not keep:
+        return read(spark, root, v).filter(F.lit(False))
+    return _read_paths(
+        spark, root, man, [os.path.join(root, f["path"]) for f in keep]
+    )
 
 
 def read_key_range(
@@ -230,8 +308,8 @@ def read_key_range(
     # that happens to contain no post-evolution file would otherwise
     # silently lack the evolved column (reads must be schema-stable
     # regardless of which files the range hits)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f["path"]) for f in keep]
+    df = _read_paths(
+        spark, root, man, [os.path.join(root, f["path"]) for f in keep]
     )
     full = read(spark, root, v).schema
     for fld in full.fields:
@@ -292,12 +370,34 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
             raise FileNotFoundError(f"no snapshot at {root}")
         man = _read_manifest(root, base_v)
         key = man["key"]
+        pcol = man.get("partition_by")
+        cand = man["files"]
+        if pcol is not None:
+            # partition pruning BEFORE key-range stats: only files in
+            # partitions the source actually writes can be touched
+            # (|distinct source partitions| is bounded — one collect)
+            if pcol not in source.columns:
+                raise ValueError(
+                    f"merge source must carry partition column {pcol!r}"
+                )
+            src_parts = {
+                str(r[0])
+                for r in source.select(pcol).distinct().collect()
+            }
+            cand = [f for f in cand if f.get("partition") in src_parts]
+            part_untouched = [
+                f for f in man["files"] if f.get("partition") not in src_parts
+            ]
+        else:
+            part_untouched = []
         touched, untouched = _split_by_key_overlap(
-            spark, root, man["files"], source, key
+            spark, root, cand, source, key
         )
+        untouched = part_untouched + untouched
         if touched:
-            target = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, f["path"]) for f in touched]
+            target = _read_paths(
+                spark, root, man,
+                [os.path.join(root, f["path"]) for f in touched],
             )
         else:  # no file overlaps: pure insert, but keep the schema
             target = read(spark, root, base_v).limit(0)
@@ -325,23 +425,22 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
                 for c in new_cols
             ],
         )
-        new_files = _write_data_files(merged, root, key=key)
+        new_files = _write_data_files(merged, root, key=key, partition_by=pcol)
         try:
-            _publish(
-                root,
-                base_v + 1,
-                {
-                    "version": base_v + 1,
-                    "key": key,
-                    "operation": "merge",
-                    "files": untouched + new_files,
-                    "rows": merged.count()
-                    + sum(f.get("rows", 0) for f in untouched),
-                    "parent": base_v,
-                    "rewrote_files": len(touched),
-                    "carried_files": len(untouched),
-                },
-            )
+            new_man: dict[str, Any] = {
+                "version": base_v + 1,
+                "key": key,
+                "operation": "merge",
+                "files": untouched + new_files,
+                "rows": merged.count()
+                + sum(f.get("rows", 0) for f in untouched),
+                "parent": base_v,
+                "rewrote_files": len(touched),
+                "carried_files": len(untouched),
+            }
+            if pcol is not None:
+                new_man["partition_by"] = pcol
+            _publish(root, base_v + 1, new_man)
             return base_v + 1
         except CommitConflict:
             continue  # someone else won; retry on their snapshot
@@ -389,21 +488,21 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if base_v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, base_v)
+    pcol = man.get("partition_by")
     remaining = read(spark, root, base_v).filter(f"NOT ({predicate})")
-    files = _write_data_files(remaining, root, key=man["key"])
-    _publish(
-        root,
-        base_v + 1,
-        {
-            "version": base_v + 1,
-            "key": man["key"],
-            "operation": "delete",
-            "files": files,
-            "rows": remaining.count(),
-            "parent": base_v,
-            "predicate": predicate,
-        },
-    )
+    files = _write_data_files(remaining, root, key=man["key"], partition_by=pcol)
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "delete",
+        "files": files,
+        "rows": remaining.count(),
+        "parent": base_v,
+        "predicate": predicate,
+    }
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
     return base_v + 1
 
 
@@ -441,7 +540,9 @@ def vacuum(
         for f in _read_manifest(root, v)["files"]:
             live.add(os.path.normpath(os.path.join(root, f["path"])))
     deleted = []
-    for p in glob.glob(os.path.join(root, "data", "*.parquet")):
+    for p in glob.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    ):
         if os.path.normpath(p) not in live and not _young(p):
             os.remove(p)
             deleted.append(p)
@@ -503,22 +604,42 @@ def compact(
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, base_v)
     key = man["key"]
+    pcol = man.get("partition_by")
     small = [f for f in man["files"] if f["bytes"] < target_file_bytes]
     keep = [f for f in man["files"] if f["bytes"] >= target_file_bytes]
     if len(small) <= 1:
         return base_v  # nothing to do
-    # greedy first-fit groups by byte budget
+    # greedy first-fit groups by byte budget; on a partitioned table a
+    # group NEVER crosses a partition (the rewrite must land back in
+    # its own <col>=<val> directory), so bins form per partition value
     groups: list[list[dict[str, Any]]] = []
     cur: list[dict[str, Any]] = []
     cur_bytes = 0
-    for f in sorted(small, key=lambda f: f.get("key_range", [None])[0] is None):
-        if cur and cur_bytes + f["bytes"] > target_file_bytes:
+    cur_part: Any = object()  # sentinel != any real partition value
+    order = sorted(
+        small,
+        key=lambda f: (
+            str(f.get("partition")),
+            f.get("key_range", [None])[0] is None,
+        ),
+    )
+    for f in order:
+        if cur and (
+            cur_bytes + f["bytes"] > target_file_bytes
+            or f.get("partition") != cur_part
+        ):
             groups.append(cur)
             cur, cur_bytes = [], 0
         cur.append(f)
         cur_bytes += f["bytes"]
+        cur_part = f.get("partition")
     if cur:
         groups.append(cur)
+    groups = [g for g in groups if len(g) > 1] or []
+    if not groups:
+        return base_v
+    grouped_paths = {f["path"] for g in groups for f in g}
+    keep = keep + [f for f in small if f["path"] not in grouped_paths]
     new_files: list[dict[str, Any]] = []
     # the table's current full schema: a group mixing pre- and post-
     # evolution files must rewrite under the UNION schema or the
@@ -526,9 +647,8 @@ def compact(
     # snapshot (only recoverable via time travel until vacuum)
     table_schema = read(spark, root, base_v).schema
     for g in groups:
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(root, f["path"]) for f in g])
+        df = _read_paths(
+            spark, root, man, [os.path.join(root, f["path"]) for f in g]
         )
         for fld in table_schema.fields:  # evolved cols absent from every
             if fld.name not in df.columns:  # file in this group: null-fill
@@ -538,21 +658,22 @@ def compact(
             .coalesce(1)
             .sortWithinPartitions(key)
         )
-        new_files.extend(_write_data_files(df, root, key=key))
-    _publish(
-        root,
-        base_v + 1,
-        {
-            "version": base_v + 1,
-            "key": key,
-            "operation": "compact",
-            "files": keep + new_files,
-            "rows": sum(f.get("rows", 0) for f in keep + new_files),
-            "parent": base_v,
-            "compacted_files": len(small),
-            "produced_files": len(new_files),
-        },
-    )
+        new_files.extend(
+            _write_data_files(df, root, key=key, partition_by=pcol)
+        )
+    new_man = {
+        "version": base_v + 1,
+        "key": key,
+        "operation": "compact",
+        "files": keep + new_files,
+        "rows": sum(f.get("rows", 0) for f in keep + new_files),
+        "parent": base_v,
+        "compacted_files": len(grouped_paths),
+        "produced_files": len(new_files),
+    }
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
     return base_v + 1
 
 
@@ -611,8 +732,8 @@ def table_changes(
             if not paths:
                 df = read(spark, root, v_to).limit(0)
             else:
-                df = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(root, p) for p in paths]
+                df = _read_paths(
+                    spark, root, man, [os.path.join(root, p) for p in paths]
                 )
             for fld in full.fields:
                 if fld.name not in df.columns:

@@ -508,3 +508,107 @@ def test_table_changes_requires_retained_manifests(spark, tbl):
     os.remove(acid._manifest_path(tbl, 1))
     with pytest.raises(FileNotFoundError):
         acid.table_changes(spark, tbl, 1, 2)
+
+
+# ---------------------------------------------------- partitioned tables
+
+
+@pytest.fixture()
+def part_tbl(spark, tmp_path):
+    """Partitioned on a 3-value category column; ids 0..89, 30 per
+    category, range-split so key stats exist within partitions."""
+    root = str(tmp_path / "ptbl")
+    df = (
+        spark.range(0, 90)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.element_at(
+                F.array(F.lit("red"), F.lit("green"), F.lit("blue")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("cat"),
+        )
+        .repartitionByRange(2, "id")
+    )
+    acid.create(spark, root, df, key="id", partition_by="cat")
+    return root
+
+
+def test_partitioned_create_read_roundtrip(spark, part_tbl):
+    df = acid.read(spark, part_tbl)
+    assert set(df.columns) == {"id", "v", "cat"}  # partition col recovered
+    rows = {r.id: (r.v, r.cat) for r in df.collect()}
+    assert len(rows) == 90
+    assert rows[0] == ("v0", "red") and rows[1] == ("v1", "green")
+    man = acid._read_manifest(part_tbl, 1)
+    assert man["partition_by"] == "cat"
+    assert all("partition" in f for f in man["files"])
+    assert {f["partition"] for f in man["files"]} == {"red", "green", "blue"}
+
+
+def test_partition_pruned_read(spark, part_tbl):
+    df = acid.read_partition(spark, part_tbl, ["red"])
+    got = sorted(r.id for r in df.collect())
+    assert got == [i for i in range(90) if i % 3 == 0]
+    # opened strictly fewer files than the table holds
+    man = acid._read_manifest(part_tbl, 1)
+    assert len(df.inputFiles()) < len(man["files"])
+    assert acid.read_partition(spark, part_tbl, ["nope"]).count() == 0
+
+
+def test_partitioned_merge_rewrites_only_hit_partition(spark, part_tbl):
+    """A merge writing only 'red' rows must carry every green/blue file
+    path-identical and keep partition dirs for its rewritten files."""
+    before = {f["path"] for f in acid._read_manifest(part_tbl, 1)["files"]}
+    src = spark.createDataFrame(
+        [(0, "X", "red"), (90, "new", "red")], "id INT, v STRING, cat STRING"
+    )
+    acid.merge(spark, part_tbl, src)
+    man = acid._read_manifest(part_tbl, 2)
+    carried = {f["path"] for f in man["files"]} & before
+    other = [f for f in man["files"] if f.get("partition") in ("green", "blue")]
+    assert all(f["path"] in carried for f in other)
+    assert man["partition_by"] == "cat"
+    rows = {r.id: (r.v, r.cat) for r in acid.read(spark, part_tbl).collect()}
+    assert rows[0] == ("X", "red") and rows[90] == ("new", "red")
+    assert rows[1] == ("v1", "green") and len(rows) == 91
+    # merge source missing the partition column is rejected
+    with pytest.raises(ValueError, match="partition column"):
+        acid.merge(
+            spark, part_tbl,
+            spark.createDataFrame([(5, "q")], "id INT, v STRING"),
+        )
+
+
+def test_partitioned_delete_compact_vacuum_cdf(spark, part_tbl):
+    acid.merge(
+        spark, part_tbl,
+        spark.createDataFrame([(3, "B3", "red")], "id INT, v STRING, cat STRING"),
+    )
+    acid.delete_where(spark, part_tbl, "cat = 'blue'")
+    rows = acid.read(spark, part_tbl)
+    assert rows.filter("cat = 'blue'").count() == 0
+    assert rows.count() == 60
+    # CDF across the partitioned merges/deletes
+    ch = acid.table_changes(spark, part_tbl, 1)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert 3 in by_type["update_postimage"]
+    assert by_type["delete"] == {i for i in range(90) if i % 3 == 2}
+    # compact within partitions: contents unchanged, dirs preserved
+    pre = sorted(map(tuple, rows.collect()))
+    v = acid.compact(spark, part_tbl)
+    man = acid._read_manifest(part_tbl, v)
+    assert man["operation"] == "compact"
+    assert all("partition" in f for f in man["files"])
+    assert sorted(map(tuple, acid.read(spark, part_tbl).collect())) == pre
+    # vacuum with recursive glob removes expired partitioned files
+    deleted = acid.vacuum(part_tbl, keep_versions=1, grace_seconds=0)
+    assert deleted
+    assert sorted(map(tuple, acid.read(spark, part_tbl).collect())) == pre
+
+
+def test_read_partition_rejects_unpartitioned_table(spark, tbl):
+    with pytest.raises(ValueError, match="not partitioned"):
+        acid.read_partition(spark, tbl, ["x"])
