@@ -712,7 +712,9 @@ def table_changes(
         v_to = vs[-1] if vs else 0
     if v_from >= v_to:
         raise ValueError(f"empty change range ({v_from}, {v_to}]")
-    for v in range(v_from, v_to + 1):
+    # v_from=0 means "since before the table existed": v1 (create)
+    # diffs against an implicit empty snapshot
+    for v in range(max(v_from, 1), v_to + 1):
         if v not in vs:
             raise FileNotFoundError(
                 f"snapshot v{v} not retained (vacuumed?) — CDF needs "
@@ -721,7 +723,11 @@ def table_changes(
     full = read(spark, root, v_to).schema  # widest schema in range
     out: DataFrame | None = None
     for v in range(v_from + 1, v_to + 1):
-        prev = {f["path"] for f in _read_manifest(root, v - 1)["files"]}
+        prev = (
+            set()
+            if v == 1
+            else {f["path"] for f in _read_manifest(root, v - 1)["files"]}
+        )
         man = _read_manifest(root, v)
         key = man["key"]
         cur = {f["path"] for f in man["files"]}

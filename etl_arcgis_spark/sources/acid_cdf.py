@@ -1,0 +1,230 @@
+"""Streaming Change-Data-Feed SOURCE over the snapshot-manifest ACID
+table — ``spark.readStream.format("acid_cdf").option("root", ...)``.
+
+The offset IS the table version: each micro-batch emits the row-level
+changes (insert / delete / update_preimage / update_postimage, per
+acid.table_changes semantics) for every snapshot committed since the
+last checkpointed version. This is the CDC tail consumer Delta exposes
+as ``readChangeFeed`` — here built on Spark 4's Python
+SimpleDataSourceStreamReader, with the manifest list as the
+replayable offset log:
+
+- ``initialOffset`` = the table's CURRENT version at stream start (a
+  new stream tails forward, like Kafka ``latest``; pass
+  ``startingVersion`` to begin earlier — 1 replays all history);
+- ``read`` advances to the latest committed version, emitting each
+  version's file-delta diff;
+- ``readBetweenOffsets`` re-derives a committed range bit-identically
+  from the immutable manifests + data files (exactly-once replay after
+  crash, provided vacuum retains the range — the same retention
+  contract as acid.table_changes).
+
+The per-batch diff runs DRIVER-SIDE in pyarrow/pandas: a simple stream
+reader executes outside the Spark session, and a commit's file delta
+is bounded by the files that merge touched, not the table (file-level
+copy-on-write) — the same reason acid.table_changes scales. For bulk
+historical backfill, use the distributed acid.table_changes and start
+the stream at the backfill's end version.
+
+Reference: dfpc-coe/etl-arcgis task.ts:50-51 (the scheduled pull this
+replaces with an exact incremental feed) + task.ts:235-350 (the upsert
+whose effects the feed re-derives row-level).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .. import acid
+
+FORMAT_NAME = "acid_cdf"
+
+_PA_TO_SPARK = {
+    "int8": IntegerType(),
+    "int16": IntegerType(),
+    "int32": IntegerType(),
+    "int64": LongType(),
+    "float": FloatType(),
+    "float32": FloatType(),
+    "double": DoubleType(),
+    "float64": DoubleType(),
+    "string": StringType(),
+    "large_string": StringType(),
+    "bool": BooleanType(),
+}
+
+
+def _table_schema(root: str) -> StructType:
+    """Union of the current snapshot's file schemas (widest wins), via
+    parquet footers only — no Spark job."""
+    import pyarrow.parquet as pq
+
+    man = acid._read_manifest_or_raise(root)
+    fields: dict[str, Any] = {}
+    for f in man["files"]:
+        sch = pq.ParquetFile(os.path.join(root, f["path"])).schema_arrow
+        for fld in sch:
+            if fld.name not in fields:
+                fields[fld.name] = fld.type
+    pcol = man.get("partition_by")
+    if pcol is not None and pcol not in fields:
+        fields[pcol] = "string"  # partition col lives in the dir name
+    out = []
+    for name, typ in fields.items():
+        s = str(typ)
+        if s.startswith("timestamp"):
+            out.append(StructField(name, TimestampType()))
+        else:
+            out.append(StructField(name, _PA_TO_SPARK.get(s, StringType())))
+    out.append(StructField("_change_type", StringType()))
+    out.append(StructField("_commit_version", LongType()))
+    return StructType(out)
+
+
+class AcidCdfStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self.names = [f.name for f in schema.fields]
+        self.root = options["root"]
+        start = options.get("startingversion")
+        self._starting = int(start) if start is not None else None
+
+    # -- offsets ----------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._starting is not None:
+            return {"version": self._starting - 1}
+        v = acid.current_version(self.root)
+        return {"version": v if v is not None else 0}
+
+    # -- reading ----------------------------------------------------
+
+    def _load(self, paths: list[str], pcol: str | None):
+        """Read data files into one pandas frame, reattaching the
+        partition value from the Hive dir name when partitioned."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        frames = []
+        for p in paths:
+            full = os.path.join(self.root, p)
+            df = pq.read_table(full).to_pandas()
+            if pcol is not None and pcol not in df.columns:
+                part_dir = os.path.basename(os.path.dirname(full))
+                if "=" in part_dir:
+                    df[pcol] = part_dir.split("=", 1)[1]
+            frames.append(df)
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    def _diff_version(self, v: int):
+        """Yield change tuples for snapshot v vs v-1 (file-delta diff,
+        same semantics as acid.table_changes)."""
+        import pandas as pd
+
+        man = acid._read_manifest(self.root, v)
+        key = man["key"]
+        pcol = man.get("partition_by")
+        if v == 1:  # the create commit diffs against an empty table
+            prev = set()
+        else:
+            prev = {
+                f["path"] for f in acid._read_manifest(self.root, v - 1)["files"]
+            }
+        cur = {f["path"] for f in man["files"]}
+        after = self._load(sorted(cur - prev), pcol)
+        before = self._load(sorted(prev - cur), pcol)
+        data_cols = [
+            n for n in self.names if n not in ("_change_type", "_commit_version")
+        ]
+        for df in (after, before):
+            for c in data_cols:
+                if len(df) and c not in df.columns:
+                    df[c] = None
+
+        def emit(frame, ctype):
+            for row in frame.itertuples(index=False):
+                d = dict(zip(frame.columns, row))
+                yield tuple(
+                    [
+                        None if (isinstance(d.get(n), float) and pd.isna(d.get(n)))
+                        else d.get(n)
+                        for n in data_cols
+                    ]
+                    + [ctype, v]
+                )
+
+        if len(after) == 0 and len(before) == 0:
+            return
+        if len(before) == 0:
+            yield from emit(after, "insert")
+            return
+        if len(after) == 0:
+            yield from emit(before, "delete")
+            return
+        a = after.set_index(key)
+        b = before.set_index(key)
+        a_keys, b_keys = set(a.index), set(b.index)
+        yield from emit(a.loc[sorted(a_keys - b_keys)].reset_index(), "insert")
+        yield from emit(b.loc[sorted(b_keys - a_keys)].reset_index(), "delete")
+        common = sorted(a_keys & b_keys)
+        if common:
+            av = a.loc[common, [c for c in data_cols if c != key and c in a.columns]]
+            bv = b.loc[common, [c for c in data_cols if c != key and c in b.columns]]
+            bv = bv.reindex(columns=av.columns)
+            neq = ~(
+                (av.fillna("\x00NULL").astype(str) == bv.fillna("\x00NULL").astype(str))
+                .all(axis=1)
+            )
+            changed = [k for k, flag in zip(common, neq) if flag]
+            if changed:
+                yield from emit(b.loc[changed].reset_index(), "update_preimage")
+                yield from emit(a.loc[changed].reset_index(), "update_postimage")
+
+    def _range_rows(self, start_v: int, end_v: int):
+        for v in range(start_v + 1, end_v + 1):
+            yield from self._diff_version(v)
+
+    def read(self, start: dict):
+        latest = acid.current_version(self.root)
+        start_v = start["version"]
+        if latest is None or latest <= start_v:
+            return iter([]), start
+        # materialized: the engine's prefetch cache copy.copy()s this
+        # iterator (a generator is not copyable); a commit's delta is
+        # bounded by the files it touched, so the list is too
+        return iter(list(self._range_rows(start_v, latest))), {"version": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        yield from self._range_rows(start["version"], end["version"])
+
+
+class AcidCdfDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return _table_schema(self.options["root"])
+
+    def simpleStreamReader(self, schema: StructType) -> AcidCdfStreamReader:  # noqa: N802
+        return AcidCdfStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AcidCdfDataSource)

@@ -612,3 +612,85 @@ def test_partitioned_delete_compact_vacuum_cdf(spark, part_tbl):
 def test_read_partition_rejects_unpartitioned_table(spark, tbl):
     with pytest.raises(ValueError, match="not partitioned"):
         acid.read_partition(spark, tbl, ["x"])
+
+
+# ------------------------------------------------- streaming CDF source
+
+
+def test_acid_cdf_stream_tails_commits(spark, tbl, tmp_path):
+    """The acid_cdf streaming source: a stream started BEFORE new
+    commits emits exactly their row-level changes on the next
+    availableNow pass, and a restart from the same checkpoint emits
+    only versions committed after it (exactly-once over the version
+    offset)."""
+    from etl_arcgis_spark.sources.acid_cdf import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("acid_cdf")
+            .option("root", tbl)
+            .option("startingVersion", 2)
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    acid.merge(spark, tbl, spark.createDataFrame([(2, "B"), (4, "d")], "id INT, v STRING"))
+    got = drain()
+    assert got == [
+        (2, "B", "update_postimage", 2),
+        (2, "b", "update_preimage", 2),
+        (4, "d", "insert", 2),
+    ]
+    # a later commit: restart from the SAME checkpoint appends ONLY v3
+    acid.delete_where(spark, tbl, "id = 1")
+    got2 = drain()
+    assert got2 == sorted(got + [(1, "a", "delete", 3)])
+
+
+def test_acid_cdf_stream_matches_distributed_changes(spark, tbl, tmp_path):
+    """Full-history stream (startingVersion=1) equals the distributed
+    acid.table_changes over the same range."""
+    from etl_arcgis_spark.sources.acid_cdf import register
+
+    register(spark)
+    acid.merge(spark, tbl, spark.createDataFrame([(1, "A"), (7, "g")], "id INT, v STRING"))
+    acid.merge(spark, tbl, spark.createDataFrame([(7, "G")], "id INT, v STRING"))
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("root", tbl)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdf_full")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdf_full").collect()
+    )
+    want = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in acid.table_changes(spark, tbl, 0).collect()
+    )
+    # stream starts at v1 -> diffs (0, latest] minus the v1 create
+    want_from_v2 = [w for w in want if w[3] >= 2]
+    got_from_v2 = [g for g in got if g[3] >= 2]
+    assert got_from_v2 == want_from_v2
