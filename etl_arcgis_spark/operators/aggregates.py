@@ -1435,3 +1435,41 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(skew).alias("skewness"),
         r4(kurt).alias("excess_kurtosis"),
     ).orderBy(F.asc("event_type"))
+
+
+@query("agg_approx_percentile_sketch")  # weak: GK sketch, merge-order dependent
+def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's Greenwald-Khanna sketch
+    (``approx_percentile``, accuracy=1000) per order priority — the
+    bounded-memory quantile path for when the exact two-phase median
+    (agg_median_two_phase_grouped) is still too much coordination:
+    one pass, O(accuracy) state per group, mergeable partials.
+
+    Weak registration (rows-only driver check): GK results depend on
+    partial-merge order, so no cross-engine oracle exists by design —
+    the guarantee is a RANK-ERROR BOUND (<= n/accuracy positions off),
+    which tests/test_backlog_invariants.py asserts against the exact
+    per-group percentiles.
+
+    Scale: the sketch IS the 100 TB answer for dashboards/monitoring
+    quantiles — constant state per group, no second pass, no target-
+    bin reread; switch to the exact two-phase decomposition only when
+    the value feeds a correctness-critical threshold."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
+            ).alias("q"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )

@@ -100,3 +100,39 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25 bag form: multiset intersection (intersectAll)."""
     a, b = _bag_slices(spark, sf_dir)
     return a.intersectAll(b)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+SELECT o_orderkey AS k, o_totalprice AS amount, 'order' AS kind
+FROM orders WHERE o_totalprice > 300000
+UNION ALL BY NAME
+SELECT 'lineitem' AS kind, l_extendedprice AS amount, l_orderkey AS k
+FROM lineitem WHERE l_extendedprice > 90000
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL BY NAME (DuckDB) ↔ ``unionByName`` (Spark): column
+    RESOLUTION by name instead of position — the union every
+    multi-source ingestion actually wants (positional UNION silently
+    crosses columns the moment two feeds order their schemas
+    differently; the second branch here is deliberately reordered to
+    prove resolution). The reference's multi-layer ingestion implies
+    exactly this merge when layers disagree on field order.
+
+    Scale: identical to UNION ALL — a no-shuffle concatenation of the
+    two filtered scans; name resolution is plan-time only."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("kind"),
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 90000
+    ).select(
+        F.lit("lineitem").alias("kind"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_orderkey").alias("k"),
+    )
+    return o.unionByName(li)

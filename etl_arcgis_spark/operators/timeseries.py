@@ -1260,3 +1260,133 @@ def dq_freshness_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH series AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS h, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT lag AS lag_h, a.y AS y0, b.y AS y1
+  FROM (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag) l
+  JOIN series a ON TRUE
+  JOIN series b ON b.h = a.h + lag
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round((avg(y0 * y1) - avg(y0) * avg(y1))
+             / (sqrt(avg(y0 * y0) - avg(y0) * avg(y0))
+              * sqrt(avg(y1 * y1) - avg(y1) * avg(y1))), 4) AS acf
+FROM lagged
+GROUP BY lag_h
+ORDER BY lag_h
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    {1, 2, 3, 6, 12, 24} hours — the seasonality diagnostic behind
+    every capacity-planning / anomaly-baseline job (a 24h spike in the
+    ACF is daily rhythm; slow decay is trend). Pearson correlation of
+    the series against its lag-shifted self, one row per lag, spelled
+    from raw moment averages identically on both engines (same
+    §5.3.8/moments discipline as agg_higher_moments).
+
+    Scale: the series itself is the aggregate (|hours| rows — bounded
+    by the time range, not event count); the lag join is an equi-join
+    on the hour key over that bounded series, fanned out over a 6-row
+    broadcast lag list. Cost is dominated by the one count-per-hour
+    map-side-combined pass."""
+    s = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    lags = spark.createDataFrame([(lag,) for lag in (1, 2, 3, 6, 12, 24)], "lag LONG")
+    a = s.select(F.col("h").alias("h0"), F.col("y").alias("y0"))
+    b = s.select(F.col("h").alias("h1"), F.col("y").alias("y1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("h1") == F.col("h0") + F.col("lag"))
+    )
+    acf = (
+        (F.avg(F.col("y0") * F.col("y1")) - F.avg("y0") * F.avg("y1"))
+        / (
+            F.sqrt(F.avg(F.col("y0") * F.col("y0")) - F.avg("y0") * F.avg("y0"))
+            * F.sqrt(F.avg(F.col("y1") * F.col("y1")) - F.avg("y1") * F.avg("y1"))
+        )
+    )
+    return (
+        pairs.groupBy(F.col("lag").alias("lag_h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"), r4(acf).alias("acf"))
+        .select(F.col("lag_h").cast("bigint").alias("lag_h"), "n_pairs", "acf")
+        .orderBy(F.asc("lag_h"))
+    )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS h, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS h, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagged AS (
+  SELECT lag AS lag_h, c.y AS y0, p.y AS y1
+  FROM (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l
+  JOIN c ON TRUE
+  JOIN p ON p.h = c.h + lag
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round((avg(y0 * y1) - avg(y0) * avg(y1))
+             / (sqrt(avg(y0 * y0) - avg(y0) * avg(y0))
+              * sqrt(avg(y1 * y1) - avg(y1) * avg(y1))), 4) AS xcf
+FROM lagged
+GROUP BY lag_h
+ORDER BY lag_h
+""",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click and purchase count
+    series at lags -2..+2 hours — the lead-lag analysis that answers
+    "do clicks LEAD purchases, and by how much?" (the peak lag is the
+    conversion latency at series granularity; the event-level twin is
+    analytics_conversion_latency). Same moment-average Pearson
+    spelling as ts_autocorrelation.
+
+    Scale: both series are bounded per-hour aggregates; the lag join
+    is series-sized with a 5-row broadcast fan-out — negligible next
+    to the two counting passes (one scan, two filtered aggregates)."""
+    ev = table(spark, sf_dir, "events")
+
+    def series(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        )
+
+    c = series("click").select(F.col("h").alias("h0"), F.col("y").alias("y0"))
+    p = series("purchase").select(F.col("h").alias("h1"), F.col("y").alias("y1"))
+    lags = spark.createDataFrame([(lag,) for lag in (-2, -1, 0, 1, 2)], "lag LONG")
+    pairs = (
+        c.crossJoin(F.broadcast(lags))
+        .join(p, F.col("h1") == F.col("h0") + F.col("lag"))
+    )
+    xcf = (
+        (F.avg(F.col("y0") * F.col("y1")) - F.avg("y0") * F.avg("y1"))
+        / (
+            F.sqrt(F.avg(F.col("y0") * F.col("y0")) - F.avg("y0") * F.avg("y0"))
+            * F.sqrt(F.avg(F.col("y1") * F.col("y1")) - F.avg("y1") * F.avg("y1"))
+        )
+    )
+    return (
+        pairs.groupBy(F.col("lag").alias("lag_h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"), r4(xcf).alias("xcf"))
+        .select(F.col("lag_h").cast("bigint").alias("lag_h"), "n_pairs", "xcf")
+        .orderBy(F.asc("lag_h"))
+    )

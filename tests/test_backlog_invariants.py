@@ -364,3 +364,30 @@ def test_groups_frame_matches_bruteforce(spark, tmp_path):
         for r in _q("window_groups_frame_emulated")(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 7.0), 3: (1, 15.0), 7: (1, 12.0)}
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """GK sketch guarantee: each approximate quantile's RANK in its
+    group is within n/accuracy of the target rank (accuracy=1000 =>
+    <= ~0.1% of rows off)."""
+    rows = _q("agg_approx_percentile_sketch")(spark, SF).collect()
+    from etl_arcgis_spark.tables import table
+
+    o = table(spark, SF, "orders").select("o_orderpriority", "o_totalprice")
+    vals = {}
+    for r in o.collect():
+        vals.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for r in rows:
+        v = sorted(vals[r.o_orderpriority])
+        n = len(v)
+        assert r.n == n
+        for p, got in ((0.25, r.p25), (0.5, r.p50), (0.75, r.p75)):
+            import bisect
+
+            lo = bisect.bisect_left(v, got)
+            hi = bisect.bisect_right(v, got)
+            target = p * (n - 1)
+            # any rank the value occupies must be near the target rank
+            err_bound = max(1.0, n / 1000.0) + 1
+            assert lo - err_bound <= target <= hi + err_bound, (
+                r.o_orderpriority, p, got, lo, hi, target)

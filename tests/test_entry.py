@@ -45,4 +45,5 @@ def test_contract_shape(spark):
         "multimodal_scene_cuts",   # r4: binary codec, unit-tested planted cuts
         "multimodal_pq_quantize",  # r4: iterative k-means, monotonicity-tested
         "sim_mmr_rerank",          # r5: sequential greedy MMR, invariant-tested
+        "agg_approx_percentile_sketch",  # r5: GK sketch, rank-error-bound-tested
     }
