@@ -87,6 +87,8 @@ NLJ_OK = {
     "analytics_rfm_segments",    # 1-row (r_cut, f_cut, m_cut) broadcast
     "dq_distribution_drift",     # two 1-row slice-total broadcasts (sa, sb)
     "dq_freshness_staleness",    # 1-row global-max broadcast
+    "ts_autocorrelation",        # 6-row lag-list broadcast fan-out
+    "ts_cross_correlation",      # 5-row lag-list broadcast fan-out
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
