@@ -99,30 +99,43 @@ def _read_manifest_or_raise(root: str) -> dict[str, Any]:
     return _read_manifest(root, v)
 
 
-def _key_stats(path: str, key: str) -> list[Any] | None:
-    """Per-file [min, max] of the key column, read from the parquet
-    footer (no Spark job) — the manifest-level stats that make file
-    pruning possible (Iceberg's lower_bounds/upper_bounds, reduced to
-    the merge key)."""
+def _col_stats(path: str) -> dict[str, list[Any]]:
+    """Per-file [min, max] of every primitive column, read from the
+    parquet footer (no Spark job) — Iceberg's lower_bounds /
+    upper_bounds. The merge key's entry drives copy-on-write pruning;
+    every other column's entry serves read_where() file skipping."""
+    out: dict[str, list[Any]] = {}
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if key not in idx:
-            return None
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[key]).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            return None
-        return [lo, hi]
+        for i in range(md.num_columns):
+            name = md.schema.column(i).name
+            if "." in name:  # nested field paths: skip
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None and _json_safe(lo) and _json_safe(hi):
+                out[name] = [lo, hi]
     except Exception:  # noqa: BLE001 — stats are an optimization only
-        return None
+        return {}
+    return out
+
+
+def _json_safe(v: Any) -> bool:
+    return isinstance(v, (int, float, str, bool))
+
+
+def _key_stats(path: str, key: str) -> list[Any] | None:
+    """Back-compat shim: the merge key's [min, max] from _col_stats."""
+    return _col_stats(path).get(key)
 
 
 def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
@@ -136,10 +149,11 @@ def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
         entry["rows"] = pq.ParquetFile(final).metadata.num_rows
     except Exception:  # noqa: BLE001
         pass
-    if key is not None:
-        st = _key_stats(final, key)
-        if st is not None:
-            entry["key_range"] = st
+    stats = _col_stats(final)
+    if stats:
+        entry["col_stats"] = stats
+    if key is not None and key in stats:
+        entry["key_range"] = stats[key]
     return entry
 
 
@@ -317,6 +331,44 @@ def read_key_range(
             df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
     df = df.select(*[fld.name for fld in full.fields])
     return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+
+
+def read_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned read on ANY primitive column (not just the merge
+    key): open only files whose manifest-recorded [min, max] for
+    ``col`` intersects [lo, hi], then apply the exact residual filter.
+    This is full Iceberg-style scan planning — partition pruning
+    (read_partition) above it, parquet row-group pruning below it.
+    Files without stats for the column read conservatively."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, v)
+    keep = []
+    for f in man["files"]:
+        st = f.get("col_stats", {}).get(col)
+        if st is None and col == man["key"]:
+            st = f.get("key_range")
+        if st is None or not (st[1] < lo or st[0] > hi):
+            keep.append(f)
+    if not keep:
+        return read(spark, root, v).filter(F.lit(False))
+    df = _read_paths(
+        spark, root, man, [os.path.join(root, f["path"]) for f in keep]
+    )
+    full = read(spark, root, v).schema
+    for fld in full.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    df = df.select(*[fld.name for fld in full.fields])
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
 
 def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 3) -> int:

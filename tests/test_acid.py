@@ -694,3 +694,38 @@ def test_acid_cdf_stream_matches_distributed_changes(spark, tbl, tmp_path):
     want_from_v2 = [w for w in want if w[3] >= 2]
     got_from_v2 = [g for g in got if g[3] >= 2]
     assert got_from_v2 == want_from_v2
+
+
+# ---------------------------------------------- column-stats file skipping
+
+
+def test_read_where_prunes_on_non_key_column(spark, tmp_path):
+    """Manifest col_stats cover every primitive column: a range read on
+    a NON-key column skips files whose [min, max] for that column
+    misses the range."""
+    root = str(tmp_path / "cstats")
+    df = (
+        spark.range(0, 100)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 10).cast("double").alias("amount"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartitionByRange(4, "id")  # amount ranges disjoint too
+    )
+    acid.create(spark, root, df, key="id")
+    man = acid._read_manifest(root, 1)
+    assert all("col_stats" in f and "amount" in f["col_stats"] for f in man["files"])
+    got = acid.read_where(spark, root, "amount", 100.0, 200.0)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 21))
+    assert len(got.inputFiles()) < len(man["files"])
+    # a range outside every file: zero files, empty result, same schema
+    none = acid.read_where(spark, root, "amount", 5000.0, 6000.0)
+    assert none.count() == 0 and set(none.columns) == {"id", "amount", "v"}
+
+
+def test_read_where_conservative_without_stats(spark, tbl):
+    """String columns carry stats too; and the result always equals the
+    plain filtered read regardless of pruning."""
+    got = sorted(map(tuple, acid.read_where(spark, tbl, "id", 2, 3).select("id", "v").collect()))
+    assert got == [(2, "b"), (3, "c")]

@@ -391,3 +391,39 @@ def test_approx_percentile_rank_error_bound(spark):
             err_bound = max(1.0, n / 1000.0) + 1
             assert lo - err_bound <= target <= hi + err_bound, (
                 r.o_orderpriority, p, got, lo, hi, target)
+
+
+def test_autocorrelation_known_periodic_series(spark, tmp_path):
+    """Alternating hourly counts (1, 3, 1, 3, ...) over 48 hours: a
+    period-2 series has acf(lag even) = 1 and acf(lag odd) = -1
+    exactly (values are two-point symmetric)."""
+    rows = []
+    eid = 0
+    for h in range(48):
+        for _ in range(3 if h % 2 else 1):
+            eid += 1
+            rows.append((eid, _T0 + h * _H + _H // 2, 1, "click", 1.0))
+    _write_events(str(tmp_path), rows)
+    got = {r.lag_h: r.acf for r in _q("ts_autocorrelation")(spark, str(tmp_path)).collect()}
+    assert got[2] == 1.0 and got[6] == 1.0 and got[12] == 1.0 and got[24] == 1.0
+    assert got[1] == -1.0 and got[3] == -1.0
+
+
+def test_cross_correlation_shifted_series_peak(spark, tmp_path):
+    """Purchases are clicks shifted +1 hour (identical varying
+    profile): the cross-correlation peaks at lag +1 with xcf = 1."""
+    rows = []
+    eid = 0
+    profile = [1, 4, 2, 5, 3, 6]  # varying so correlation is defined
+    for h in range(24):
+        n = profile[h % 6]
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _T0 + h * _H, 1, "click", 1.0))
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _T0 + (h + 1) * _H, 2, "purchase", 1.0))
+    _write_events(str(tmp_path), rows)
+    got = {r.lag_h: r.xcf for r in _q("ts_cross_correlation")(spark, str(tmp_path)).collect()}
+    assert got[1] == 1.0
+    assert all(v < 1.0 for k, v in got.items() if k != 1)
