@@ -371,7 +371,14 @@ def read_where(
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
 
-def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 3) -> int:
+def merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    max_retries: int = 3,
+    delete_condition: str | None = None,
+    update_condition: str | None = None,
+) -> int:
     """MERGE INTO (upsert): source rows replace target rows with the
     same key; unmatched source rows insert. Returns the new version.
 
@@ -396,7 +403,26 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
     can never match and would otherwise emit an all-NULL ghost row out
     of the full-outer join) and unique (duplicate source keys would
     multiply matched target rows; SQL MERGE errors on multiple
-    matches). Violations raise ValueError before any file is written."""
+    matches). Violations raise ValueError before any file is written.
+
+    Conditional clauses (the full MERGE matrix, SQL spelling —
+    predicates over ``s.*``/``t.*``):
+      - ``delete_condition``: WHEN MATCHED AND <cond> THEN DELETE —
+        the CDC tombstone apply (operators/timeseries.cdc_merge_apply
+        is the relational twin). A matched-and-condition row vanishes;
+        an UNMATCHED source row satisfying the condition inserts
+        nothing (a tombstone for an absent key is a no-op).
+      - ``update_condition``: WHEN MATCHED AND <cond> THEN UPDATE
+        (otherwise the matched target row is KEPT unchanged instead of
+        replaced). Default None = unconditional UPDATE SET *.
+    Unmatched source rows insert unless they satisfy
+    ``delete_condition``. Note: control columns in the source (the
+    ``op`` flag, priorities) persist into the table through schema
+    evolution like any other source column — project them away
+    (``source.drop("op")``... after using them is not possible since
+    conditions evaluate inside the join; instead carry them and drop
+    via a follow-up column projection, or accept them as lineage
+    columns, the Delta CDC-apply convention)."""
     base_man = _read_manifest_or_raise(root)
     key0 = base_man["key"]
     chk = source.agg(
@@ -461,17 +487,28 @@ def merge(spark: SparkSession, root: str, source: DataFrame, max_retries: int = 
         new_cols = [c for c in source.columns if c not in target.columns]
         cols = target.columns
         matched = F.col(f"s.{key}").isNotNull()
-        merged = tgt.join(
+        joined = tgt.join(
             src, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
-        ).select(
+        )
+        take_source = matched
+        if update_condition is not None:
+            # matched but condition false: keep the TARGET row
+            take_source = matched & (
+                F.col(f"t.{key}").isNull() | F.expr(update_condition)
+            )
+        if delete_condition is not None:
+            dele = F.expr(delete_condition)
+            # matched + delete-cond -> drop; unmatched tombstone -> no-op
+            joined = joined.filter(~(matched & F.coalesce(dele, F.lit(False))))
+        merged = joined.select(
             *[
-                F.when(matched, F.col(f"s.{c}"))
+                F.when(take_source, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
                 for c in cols
             ],
             *[
-                F.when(matched, F.col(f"s.{c}"))
+                F.when(take_source, F.col(f"s.{c}"))
                 .otherwise(F.lit(None))
                 .alias(c)
                 for c in new_cols

@@ -729,3 +729,47 @@ def test_read_where_conservative_without_stats(spark, tbl):
     plain filtered read regardless of pruning."""
     got = sorted(map(tuple, acid.read_where(spark, tbl, "id", 2, 3).select("id", "v").collect()))
     assert got == [(2, "b"), (3, "c")]
+
+
+# ---------------------------------------------- conditional MERGE clauses
+
+
+def test_merge_delete_condition_applies_tombstones(spark, tbl):
+    """WHEN MATCHED AND s.op = 'D' THEN DELETE: matched tombstones
+    remove rows, tombstones for absent keys are no-ops, and non-
+    tombstone rows upsert normally — the transactional spelling of
+    cdc_merge_apply."""
+    src = spark.createDataFrame(
+        [(1, "A", "U"), (2, None, "D"), (9, None, "D"), (5, "e", "U")],
+        "id INT, v STRING, op STRING",
+    )
+    acid.merge(spark, tbl, src, delete_condition="s.op = 'D'")
+    got = {r.id: r.v for r in acid.read(spark, tbl).select("id", "v").collect()}
+    assert got == {1: "A", 3: "c", 5: "e"}  # 2 deleted, 9 no-op
+
+
+def test_merge_update_condition_keeps_unqualified_rows(spark, tbl):
+    """WHEN MATCHED AND <cond> THEN UPDATE: a matched row failing the
+    condition keeps its TARGET version; inserts are unaffected."""
+    src = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", -1), (7, "g", -5)],
+        "id INT, v STRING, prio INT",
+    )
+    acid.merge(spark, tbl, src, update_condition="s.prio > 0")
+    got = {r.id: r.v for r in acid.read(spark, tbl).select("id", "v").collect()}
+    # 1 updated (prio>0), 2 kept as 'b' (prio<0), 7 inserted regardless
+    assert got == {1: "A", 2: "b", 3: "c", 7: "g"}
+
+
+def test_merge_conditions_compose(spark, tbl):
+    src = spark.createDataFrame(
+        [(1, "A", "U", 1), (2, None, "D", 1), (3, "C", "U", 0)],
+        "id INT, v STRING, op STRING, prio INT",
+    )
+    acid.merge(
+        spark, tbl, src,
+        delete_condition="s.op = 'D'",
+        update_condition="s.prio > 0",
+    )
+    got = {r.id: r.v for r in acid.read(spark, tbl).select("id", "v").collect()}
+    assert got == {1: "A", 3: "c"}  # 2 deleted; 3 kept (prio=0)
