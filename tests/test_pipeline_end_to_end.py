@@ -158,3 +158,119 @@ def test_streaming_incoming_to_outgoing_loop(spark, layer, tmp_path):
     assert got == want and len(got) == 4
     # paged into multiple micro-batches -> multiple commit epochs
     assert len(list(sink.glob("_committed_*"))) >= 2
+
+
+def test_medallion_bronze_cdf_silver(spark, tmp_path):
+    """End-to-end lakehouse composition (the medallion architecture on
+    this engine's own pieces): raw events stream -> keyed ACID bronze
+    table (acid_upsert_sink) -> acid_cdf streaming source tails the
+    bronze commits -> incremental silver aggregate. The silver side
+    consumes ONLY the change feed — no bronze re-scan — and must agree
+    with a from-scratch aggregate over the bronze table.
+    """
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from etl_arcgis_spark import acid
+    from etl_arcgis_spark.sources.acid_cdf import register
+    from etl_arcgis_spark.streaming.pipelines import acid_upsert_sink
+    from etl_arcgis_spark.tables import prepare, table
+
+    prepare(spark)
+    register(spark)
+    sf = "/root/testdata/sf0.001"
+    src_dir = tmp_path / "raw_in"
+    src_dir.mkdir()
+    _sh.copy(f"{sf}/events.parquet", src_dir / "part-0.parquet")
+    bronze = str(tmp_path / "bronze")
+
+    # ---- bronze: keyed last-write-wins ACID table from the stream
+    schema = table(spark, sf, "events").schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    q = acid_upsert_sink(stream, bronze).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    v1 = acid.current_version(bronze)
+    assert v1 is not None
+
+    # ---- silver: tail the bronze CDF and maintain a per-key count +
+    # sum of CURRENT values incrementally (insert/update deltas)
+    silver_out = str(tmp_path / "silver")
+    cdf = (
+        spark.readStream.format("acid_cdf")
+        .option("root", bronze)
+        .option("startingVersion", 1)
+        .load()
+    )
+    qs = (
+        cdf.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", silver_out)
+        .option("checkpointLocation", str(tmp_path / "ck_silver"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(120)
+    feed = spark.read.parquet(silver_out)
+    # reconstruct current state from the feed alone
+    net = (
+        feed.withColumn(
+            "w",
+            F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+            .when(F.col("_change_type").isin("delete", "update_preimage"), -1),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").alias("n_live"),
+            F.round(F.sum(F.col("value") * F.col("w")), 4).alias("cur_value"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+    want = (
+        acid.read(spark, bronze)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("value"), 4).alias("cur_value"),
+        )
+    )
+    got_rows = sorted(map(tuple, net.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    # ---- a second bronze commit flows through the SAME checkpoint
+    upd = spark.createDataFrame(
+        [(10**9, acid.read(spark, bronze).select("user_id").first()[0], 999.0)],
+        "event_id LONG, user_id LONG, value DOUBLE",
+    ).withColumn("us", F.lit(10**18))
+    acid.merge(spark, bronze, upd.select("user_id", "us", "event_id", "value"))
+    qs2 = (
+        spark.readStream.format("acid_cdf")
+        .option("root", bronze)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", silver_out)
+        .option("checkpointLocation", str(tmp_path / "ck_silver"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs2.awaitTermination(120)
+    feed2 = spark.read.parquet(silver_out)
+    assert feed2.filter(F.col("_commit_version") > v1).count() > 0
+    net2 = (
+        feed2.withColumn(
+            "w",
+            F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+            .when(F.col("_change_type").isin("delete", "update_preimage"), -1),
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value") * F.col("w")), 4).alias("cur_value"))
+    )
+    want2 = (
+        acid.read(spark, bronze)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("cur_value"))
+    )
+    assert sorted(map(tuple, net2.collect())) == sorted(map(tuple, want2.collect()))
