@@ -235,7 +235,7 @@ def create(
     files = _write_data_files(df, root, key=key, partition_by=partition_by)
     man: dict[str, Any] = {
         "version": 1, "key": key, "operation": "create", "files": files,
-        "rows": df.count(),
+        "rows": df.count(), "schema": df.schema.json(),
     }
     if partition_by is not None:
         man["partition_by"] = partition_by
@@ -253,6 +253,15 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     man = _read_manifest(root, v)
     paths = [os.path.join(root, f["path"]) for f in man["files"]]
     if not paths:
+        # an empty TABLE is legitimate state (e.g. delete-all): the
+        # manifest carries the schema so readers still get a typed
+        # empty relation; only pre-r5 manifests lack it
+        if "schema" in man:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(man["schema"]))
+            )
         raise FileNotFoundError(f"snapshot v{v} is empty")
     # mergeSchema: schema evolution leaves older files physically
     # narrower; missing columns read as null (parquet union semantics)
@@ -520,6 +529,7 @@ def merge(
                 "version": base_v + 1,
                 "key": key,
                 "operation": "merge",
+                "schema": merged.schema.json(),
                 "files": untouched + new_files,
                 "rows": merged.count()
                 + sum(f.get("rows", 0) for f in untouched),
@@ -584,6 +594,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         "version": base_v + 1,
         "key": man["key"],
         "operation": "delete",
+        "schema": remaining.schema.json(),
         "files": files,
         "rows": remaining.count(),
         "parent": base_v,
@@ -754,6 +765,7 @@ def compact(
         "version": base_v + 1,
         "key": key,
         "operation": "compact",
+        "schema": table_schema.json(),
         "files": keep + new_files,
         "rows": sum(f.get("rows", 0) for f in keep + new_files),
         "parent": base_v,

@@ -773,3 +773,86 @@ def test_merge_conditions_compose(spark, tbl):
     )
     got = {r.id: r.v for r in acid.read(spark, tbl).select("id", "v").collect()}
     assert got == {1: "A", 3: "c"}  # 2 deleted; 3 kept (prio=0)
+
+
+# ----------------------------------------------- model-based randomized
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.dictionaries(
+                st.integers(min_value=0, max_value=12),
+                st.text(alphabet="abcXYZ", min_size=1, max_size=3),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("delete_le"),
+            st.integers(min_value=0, max_value=12),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_acid_random_ops_match_dict_model(spark, tmp_path_factory, ops):
+    """Model-based check: any sequence of merges and range deletes on
+    the ACID table equals a plain python dict applying the same ops —
+    at the final version AND at every intermediate version via time
+    travel (snapshot immutability)."""
+    root = str(tmp_path_factory.mktemp("model") / "tbl")
+    base = {0: "a0", 5: "a5"}
+    acid.create(
+        spark,
+        root,
+        spark.createDataFrame(list(base.items()), "id INT, v STRING"),
+        key="id",
+    )
+    model = dict(base)
+    snapshots = {1: dict(model)}
+    v = 1
+    for kind, arg in ops:
+        if kind == "merge":
+            src = spark.createDataFrame(list(arg.items()), "id INT, v STRING")
+            v = acid.merge(spark, root, src)
+            model.update(arg)
+        else:
+            v = acid.delete_where(spark, root, f"id <= {arg}")
+            model = {k: x for k, x in model.items() if k > arg}
+        snapshots[v] = dict(model)
+    for ver, want in snapshots.items():
+        if not want:
+            # empty snapshots are unreadable by design (no files)
+            try:
+                got = {r.id: r.v for r in acid.read(spark, root, ver).collect()}
+            except FileNotFoundError:
+                continue
+            assert got == {}
+            continue
+        got = {r.id: r.v for r in acid.read(spark, root, ver).collect()}
+        assert got == want, (ver, got, want)
+
+
+def test_delete_all_leaves_readable_empty_table(spark, tbl):
+    """Deleting every row is legitimate state: the manifest carries the
+    schema, so read() returns a TYPED empty relation and a follow-up
+    merge repopulates it."""
+    acid.delete_where(spark, tbl, "id >= 0")
+    empty = acid.read(spark, tbl)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+    acid.merge(spark, tbl, spark.createDataFrame([(1, "back")], "id INT, v STRING"))
+    assert _rows(acid.read(spark, tbl)) == [(1, "back")]
