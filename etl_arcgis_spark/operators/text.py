@@ -2227,3 +2227,72 @@ def sample_gumbel_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_e6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "sample_length_bucketed_batches",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CASE WHEN length(string_split(text, ' ')) < 32 THEN 0
+                   WHEN length(string_split(text, ' ')) < 64 THEN 1
+                   WHEN length(string_split(text, ' ')) < 128 THEN 2
+                   ELSE 3 END AS BIGINT) AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok, bucket,
+         (row_number() OVER (PARTITION BY bucket
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC) - 1) // 8 AS batch_in_bucket
+  FROM d
+)
+SELECT bucket, CAST(batch_in_bucket AS BIGINT) AS batch_in_bucket,
+       CAST(count(*) AS BIGINT) AS batch_rows,
+       CAST(max(n_tok) AS BIGINT) AS max_len,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(max(n_tok) * count(*) AS BIGINT) AS padded_tokens
+FROM r
+GROUP BY bucket, batch_in_bucket
+""",
+)
+def sample_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching: documents bin into 4 length
+    buckets, shuffle deterministically within their bucket (md5
+    order), and pack into batches of 8; per batch the real-token vs
+    padded-token counts quantify PADDING WASTE — the reason training
+    loaders bucket by length at all (batching unsorted docs pads every
+    sequence to the batch max; bucketing bounds the waste to the
+    bucket's length spread). Σ padded - Σ real across batches is the
+    compute thrown away.
+
+    Scale: bucket assignment is map-only; the within-bucket rank is a
+    4-partition window (bucket count is fixed, but each bucket is
+    corpus-sized — at cluster SF swap the rank for
+    scale_patterns.bucketed_global_rank per bucket, the documented
+    composition); the batch rollup is a map-side-combined aggregate."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("n_tok") < 32, 0)
+        .when(F.col("n_tok") < 64, 1)
+        .when(F.col("n_tok") < 128, 2)
+        .otherwise(3)
+        .cast("bigint"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_in_bucket", F.expr("(rn - 1) div 8").cast("bigint")
+    )
+    return (
+        r.groupBy("bucket", "batch_in_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("batch_rows"),
+            F.max("n_tok").cast("bigint").alias("max_len"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            (F.max("n_tok") * F.count(F.lit(1))).cast("bigint").alias("padded_tokens"),
+        )
+    )

@@ -384,3 +384,29 @@ def test_bucketed_global_rank_nulls_rank_first(spark):
     alln = spark.createDataFrame([(None, i) for i in range(4)], "v DOUBLE, k LONG")
     got2 = bucketed_global_rank(alln, "v", "k", n_bins=4)
     assert _rows(got2.select("k", "grank")) == [(i, i + 1) for i in range(4)]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=100
+    ),
+    bucket_width=st.sampled_from([1, 7, 32]),
+)
+def test_bucketed_running_sums_hypothesis(spark, vals, bucket_width):
+    """Randomized equivalence of the two-phase running sum with the
+    naive global window across arbitrary integer sequences and bucket
+    widths (including width 1 = one bucket per row)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "d LONG, a LONG"
+    )
+    got = bucketed_running_sums(
+        df, "d", F.expr(f"d div {bucket_width}"), {"a": "ca"}
+    )
+    w = Window.orderBy(F.asc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select("d", F.sum("a").over(w).alias("ca"))
+    assert _rows(got.select("d", "ca")) == _rows(naive)
