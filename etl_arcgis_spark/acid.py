@@ -581,6 +581,60 @@ def _split_by_key_overlap(
     return touched, untouched
 
 
+def append(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Append-only commit (the reference's INSERT mode, task.ts:455-457
+    / A14, made transactional): write new files, carry EVERY existing
+    file forward path-identical — no join, no rewrite, key duplicates
+    allowed by design (event-log semantics; use merge() for keyed
+    upsert). The cheapest possible commit: cost = new data only."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    pcol = man.get("partition_by")
+    if pcol is not None and pcol not in df.columns:
+        raise ValueError(f"append must carry partition column {pcol!r}")
+    new_files = _write_data_files(df, root, key=man["key"], partition_by=pcol)
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "append",
+        "schema": df.schema.json(),
+        "files": man["files"] + new_files,
+        "rows": man.get("rows", 0) + df.count(),
+        "parent": base_v,
+    }
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def restore(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE (Delta's ROLLBACK): publish a NEW snapshot whose file
+    list is exactly snapshot ``version``'s — history moves forward
+    (the bad commits stay queryable via time travel until vacuum), the
+    data files are shared, no data IO at all. The operational undo for
+    a bad merge/delete."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    if version == base_v:
+        return base_v
+    old = _read_manifest(root, version)
+    new_man = dict(old)
+    new_man.update(
+        {
+            "version": base_v + 1,
+            "operation": "restore",
+            "parent": base_v,
+            "restored_from": version,
+        }
+    )
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     """Transactional DELETE: publish a snapshot without matching rows."""
     base_v = current_version(root)

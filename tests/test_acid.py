@@ -856,3 +856,30 @@ def test_delete_all_leaves_readable_empty_table(spark, tbl):
     assert set(empty.columns) == {"id", "v"}
     acid.merge(spark, tbl, spark.createDataFrame([(1, "back")], "id INT, v STRING"))
     assert _rows(acid.read(spark, tbl)) == [(1, "back")]
+
+
+def test_append_and_restore(spark, tbl):
+    """Append carries every file path-identical and allows duplicate
+    keys (event-log semantics); restore publishes a new snapshot whose
+    content IS an older snapshot's, with history intact."""
+    before_files = {f["path"] for f in acid._read_manifest(tbl, 1)["files"]}
+    acid.append(spark, tbl, spark.createDataFrame([(2, "dup"), (9, "i")], "id INT, v STRING"))
+    man = acid._read_manifest(tbl, 2)
+    assert man["operation"] == "append"
+    assert before_files <= {f["path"] for f in man["files"]}
+    rows = _rows(acid.read(spark, tbl))
+    assert rows == [(1, "a"), (2, "b"), (2, "dup"), (3, "c"), (9, "i")]
+    # a bad delete, then restore to v2
+    acid.delete_where(spark, tbl, "id >= 0")
+    assert acid.read(spark, tbl).count() == 0
+    v = acid.restore(spark, tbl, 2)
+    assert v == 4 and acid.current_version(tbl) == 4
+    assert _rows(acid.read(spark, tbl)) == rows
+    # the bad state is still time-travelable; CDF over the restore
+    # emits the rows coming back as inserts
+    assert acid.read(spark, tbl, version=3).count() == 0
+    ch = acid.table_changes(spark, tbl, 3, 4)
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+    assert ch.count() == 5
+    hist = acid.history(tbl)
+    assert [h["operation"] for h in hist] == ["create", "append", "delete", "restore"]
