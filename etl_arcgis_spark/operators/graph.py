@@ -439,3 +439,60 @@ def kcore_rounds(und: DataFrame, k: int, rounds: int) -> list[tuple[int, int, in
         und = und.repartition(_PARTS, "a").localCheckpoint()
         rows.append((r, surv.count(), und.count() // 2))
     return rows
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), dc AS (
+  SELECT c, CAST(count(*) AS DOUBLE) AS dc FROM e GROUP BY c
+), ds AS (
+  SELECT s, CAST(count(*) AS DOUBLE) AS ds FROM e GROUP BY s
+), j AS (
+  SELECT dc.dc AS x, ds.ds AS y
+  FROM e JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       round((avg(x * y) - avg(x) * avg(y))
+             / (sqrt(avg(x * x) - avg(x) * avg(x))
+              * sqrt(avg(y * y) - avg(y) * avg(y))), 4) AS assortativity
+FROM j
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier bipartite graph:
+    the Pearson correlation, over EDGES, between the two endpoints'
+    degrees (Newman 2002, public) — positive means hubs connect to
+    hubs (resilient core), negative means hubs fan out to leaves (the
+    usual commerce shape). The network-structure scalar that tells a
+    sampler whether degree-stratified negatives are needed.
+
+    Scale: two degree aggregates (map-side combined) joined back onto
+    the distinct edge list — two broadcast-sized dimension joins at
+    fixture SF, plain shuffle joins at 100 TB; the correlation is one
+    pass of moment averages (same §5.3 discipline as
+    agg_higher_moments / ts_autocorrelation)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).cast("double").alias("x"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("y"))
+    j = e.join(dc, "c").join(ds, "s")
+    corr = (
+        (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+        / (
+            F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+            * F.sqrt(F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y"))
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        r4(corr).alias("assortativity"),
+    )
