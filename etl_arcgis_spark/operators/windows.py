@@ -480,3 +480,58 @@ def window_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_n").cast("bigint").alias("day_n"),
         r4(F.sum("day_sum").over(w_g)).alias("groups_sum"),
     )
+
+
+@query(
+    "window_frame_exclude_emulated",
+    oracle="""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value,
+         sum(value) OVER fr AS frame_sum,
+         count(*) OVER fr AS frame_n
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id
+                ORDER BY epoch_us(ts) ASC, event_id ASC
+                ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+)
+SELECT user_id, event_id,
+       round(value, 4) AS value,
+       CASE WHEN frame_n > 1
+            THEN round((frame_sum - value) / (frame_n - 1), 4) END AS peer_avg,
+       CASE WHEN frame_n > 1
+            THEN round(value - (frame_sum - value) / (frame_n - 1), 4) END
+         AS vs_peers
+FROM w
+""",
+)
+def window_frame_exclude_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2011 frame EXCLUDE CURRENT ROW clause, which Spark does
+    not implement — emulated by its defining identity: the peer
+    average over a +/-5-row frame EXCLUDING the row itself is
+    ``(frame_sum - value) / (frame_n - 1)``. Output: each event's
+    value, its peers' average, and the deviation — the
+    compare-against-neighbors shape (fraud/outlier scoring against a
+    local cohort) that EXCLUDE exists for. Single-row frames yield
+    NULL (no peers), matching EXCLUDE semantics.
+
+    Scale: ONE window pass (both aggregates share the frame sort);
+    the emulation adds two scalar expressions, zero extra shuffles —
+    strictly cheaper than a self-join spelling."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ev_us().alias("t"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(-5, 5)
+    )
+    fs = F.sum("value").over(w)
+    fn = F.count(F.lit(1)).over(w)
+    peer = (fs - F.col("value")) / (fn - 1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        r4(F.col("value")).alias("value"),
+        F.when(fn > 1, r4(peer)).alias("peer_avg"),
+        F.when(fn > 1, r4(F.col("value") - peer)).alias("vs_peers"),
+    )
