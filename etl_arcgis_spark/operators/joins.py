@@ -1167,3 +1167,72 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("l_returnflag"))
     )
+
+
+@query(
+    "join_band_bucketed",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS cid, value AS cv FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS pid, value AS pv FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT cid, pid, pv - cv AS gap
+  FROM c JOIN p ON p.pv >= c.cv - 2.0 AND p.pv <= c.cv + 2.0
+)
+SELECT CAST(floor(cv / 50.0) AS BIGINT) AS cv_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(gap)), 4) AS avg_abs_gap
+FROM pairs JOIN c USING (cid)
+GROUP BY 1
+ORDER BY cv_bucket
+""",
+)
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE band join — |p.value - c.value| <= w with NO equi
+    conjunct — spelled scale-safe by range-bucket decomposition
+    (the optimization range-join-native engines apply internally;
+    Spark would otherwise plan a broadcast nested loop over the whole
+    cross product): bucket both sides at width w, explode each left
+    row onto its 3 candidate buckets {b-1, b, b+1} (every band match
+    lies within one bucket of the left row), equi-join ON THE BUCKET,
+    then apply the exact band as a residual filter. The oracle states
+    the plain range join; the bucketed plan must produce identical
+    pairs.
+
+    Scale: the shuffle key is the bucket — cost is Σ per-bucket
+    |left|x|right| (the true output-bound work), never |left|x|right|
+    global; skewed value clusters are AQE-splittable like any hot
+    equi key. The 3x left-side fan-out is the entire overhead."""
+    ev = table(spark, sf_dir, "events")
+    w = 2.0
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("value").alias("cv")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") / w).alias("pb"),
+        F.col("value").alias("pv"),
+    )
+    c3 = c.select(
+        "cid",
+        "cv",
+        F.explode(
+            F.array(
+                F.floor(F.col("cv") / w) - 1,
+                F.floor(F.col("cv") / w),
+                F.floor(F.col("cv") / w) + 1,
+            )
+        ).alias("cb"),
+    )
+    pairs = c3.join(p, F.col("cb") == F.col("pb")).filter(
+        (F.col("pv") >= F.col("cv") - w) & (F.col("pv") <= F.col("cv") + w)
+    )
+    return (
+        pairs.groupBy(F.floor(F.col("cv") / 50.0).cast("bigint").alias("cv_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            r4(F.avg(F.abs(F.col("pv") - F.col("cv")))).alias("avg_abs_gap"),
+        )
+        .orderBy(F.asc("cv_bucket"))
+    )

@@ -535,3 +535,55 @@ def window_frame_exclude_emulated(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(fn > 1, r4(peer)).alias("peer_avg"),
         F.when(fn > 1, r4(F.col("value") - peer)).alias("vs_peers"),
     )
+
+
+@query(
+    "window_match_vshape",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+         lag(value, 2) OVER w AS v2,
+         lag(value, 1) OVER w AS v1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_vshapes,
+       round(max(v2 - v1), 4) AS deepest_drop
+FROM s
+WHERE v2 IS NOT NULL AND v2 > v1 AND value > v1
+GROUP BY user_id
+""",
+)
+def window_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (the MATCH_RECOGNIZE / CEP gap in
+    Spark) for the fixed pattern DOWN-then-UP — a "V" in each user's
+    value sequence (v[t-2] > v[t-1] < v[t]): per user, how many V
+    dips and the deepest drop. The lag-conjunction spelling is the
+    standard emulation for FIXED-length patterns; variable-length
+    patterns (A B+ C) compile to the sessionize/streaks machinery
+    (ts_active_streaks) instead.
+
+    Scale: one per-user window sort (shared by both lags), then a
+    filter + map-side-combined aggregate; linear, no joins. Flink CEP
+    holds NFA state per key for the same job — this is the batch
+    equivalent at one sort's cost."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", ev_us().alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 1).over(w).alias("v1"),
+    )
+    hit = s.filter(
+        F.col("v2").isNotNull()
+        & (F.col("v2") > F.col("v1"))
+        & (F.col("value") > F.col("v1"))
+    )
+    return hit.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+        r4(F.max(F.col("v2") - F.col("v1"))).alias("deepest_drop"),
+    )
