@@ -444,3 +444,73 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(sh_b).alias("share_after"),
         r4(F.abs(sh_a - sh_b)).alias("drift"),
     ).orderBy(F.asc("event_type"))
+
+
+@query(
+    "dq_control_chart",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), lim AS (
+  SELECT event_type,
+         avg(y) AS mu,
+         sqrt(avg(y * y) - avg(y) * avg(y)) AS sigma
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(max(lim.mu), 4) AS center,
+       round(max(lim.mu + 3 * lim.sigma), 4) AS ucl,
+       CAST(count(*) FILTER (h.y > lim.mu + 3 * lim.sigma
+                          OR h.y < lim.mu - 3 * lim.sigma) AS BIGINT)
+         AS n_out_of_control
+FROM hourly h JOIN lim ON h.event_type = lim.event_type
+GROUP BY h.event_type
+ORDER BY h.event_type
+""",
+)
+def dq_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart over the hourly event-rate series, per
+    category: center line (mean hourly count), 3-sigma upper control
+    limit, and the count of out-of-control hours — the classic SPC
+    monitor that separates common-cause noise from assignable events
+    (a feed outage or a bot burst trips the limit; normal variance
+    never does). Population sigma from raw moments, same §5.3
+    discipline as agg_higher_moments.
+
+    Scale: the hourly series is the bounded aggregate (|categories| x
+    |hours|); limits are a |categories|-row broadcast back onto it.
+    In production this pairs with dq_freshness_staleness — rate
+    anomalies and staleness are the two failure axes."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    lim = F.broadcast(
+        hourly.groupBy("event_type").agg(
+            F.avg("y").alias("mu"),
+            F.sqrt(F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias(
+                "sigma"
+            ),
+        )
+    )
+    j = hourly.join(lim, "event_type")
+    out = (F.col("y") > F.col("mu") + 3 * F.col("sigma")) | (
+        F.col("y") < F.col("mu") - 3 * F.col("sigma")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            r4(F.max("mu")).alias("center"),
+            r4(F.max(F.col("mu") + 3 * F.col("sigma"))).alias("ucl"),
+            F.sum(out.cast("long")).cast("bigint").alias("n_out_of_control"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
