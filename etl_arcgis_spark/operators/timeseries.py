@@ -1390,3 +1390,74 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lag_h").cast("bigint").alias("lag_h"), "n_pairs", "xcf")
         .orderBy(F.asc("lag_h"))
     )
+
+
+@query(
+    "ts_sax_symbols",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS h, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT avg(y) AS mu, sqrt(avg(y * y) - avg(y) * avg(y)) AS sigma,
+         min(h) AS h0
+  FROM hourly
+), paa AS (
+  SELECT (h - h0) // 4 AS seg, avg((y - mu) / sigma) AS z
+  FROM hourly CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT CAST(seg AS BIGINT) AS seg,
+       round(z, 4) AS paa_z,
+       CASE WHEN z < -0.6745 THEN 'a'
+            WHEN z < 0 THEN 'b'
+            WHEN z < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM paa
+ORDER BY seg
+""",
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh et al. 2003, public): z-normalize
+    the hourly event-count series, Piecewise-Aggregate-Approximate it
+    into 4-hour segments, and map each segment mean to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (±0.6745, 0) — the
+    discretization that turns time series into strings so the whole
+    text toolbox (n-gram counts, winnowing fingerprints, suffix
+    matching) applies to motif/anomaly discovery. Compose with
+    text_winnowing_fingerprint for SAX-word fingerprints.
+
+    Scale: the series is the bounded per-hour aggregate; stats are a
+    1-row broadcast; PAA is a second bounded aggregate. Symbol
+    boundaries are exact comparisons on identically-computed doubles
+    (same operand order both engines)."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    stats = F.broadcast(
+        hourly.agg(
+            F.avg("y").alias("mu"),
+            F.sqrt(F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias(
+                "sigma"
+            ),
+            F.min("h").alias("h0"),
+        )
+    )
+    paa = (
+        hourly.crossJoin(stats)
+        .groupBy(F.expr("(h - h0) div 4").alias("seg"))
+        .agg(F.avg((F.col("y") - F.col("mu")) / F.col("sigma")).alias("z"))
+    )
+    sym = (
+        F.when(F.col("z") < -0.6745, "a")
+        .when(F.col("z") < 0, "b")
+        .when(F.col("z") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        F.col("seg").cast("bigint").alias("seg"),
+        r4(F.col("z")).alias("paa_z"),
+        sym.alias("symbol"),
+    ).orderBy(F.asc("seg"))

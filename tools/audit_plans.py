@@ -89,6 +89,7 @@ NLJ_OK = {
     "dq_freshness_staleness",    # 1-row global-max broadcast
     "ts_autocorrelation",        # 6-row lag-list broadcast fan-out
     "ts_cross_correlation",      # 5-row lag-list broadcast fan-out
+    "ts_sax_symbols",            # 1-row (mu, sigma, h0) stats broadcast
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
