@@ -133,6 +133,55 @@ def _json_safe(v: Any) -> bool:
     return isinstance(v, (int, float, str, bool))
 
 
+_BLOOM_BITS = 1024  # 128 bytes/file/column
+_BLOOM_K = 3
+
+
+def _bloom_positions(value: Any) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(repr(value).encode()).hexdigest()
+    return [
+        int(h[i * 8 : (i + 1) * 8], 16) % _BLOOM_BITS for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_of_column(path: str, col: str) -> str | None:
+    """Base64 Bloom filter of a column's distinct values, read back
+    from the just-written parquet file (pyarrow, single column, no
+    Spark job) — the per-file point-lookup index Iceberg/Delta attach
+    for high-cardinality keys, where [min, max] ranges are too loose
+    to skip anything (e.g. uuid-ish keys interleaved across files)."""
+    try:
+        import base64
+
+        import pyarrow.parquet as pq
+
+        vals = pq.read_table(path, columns=[col]).column(0)
+        bits = bytearray(_BLOOM_BITS // 8)
+        n = 0
+        for v in vals.unique().to_pylist():
+            if v is None:
+                continue
+            n += 1
+            if n > 100_000:  # sidecar is for file-sized key sets
+                return None
+            for pos in _bloom_positions(v):
+                bits[pos // 8] |= 1 << (pos % 8)
+        return base64.b64encode(bytes(bits)).decode()
+    except Exception:  # noqa: BLE001 — index is an optimization only
+        return None
+
+
+def _bloom_may_contain(b64: str, value: Any) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(value)
+    )
+
+
 def _key_stats(path: str, key: str) -> list[Any] | None:
     """Back-compat shim: the merge key's [min, max] from _col_stats."""
     return _col_stats(path).get(key)
@@ -154,6 +203,10 @@ def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
         entry["col_stats"] = stats
     if key is not None and key in stats:
         entry["key_range"] = stats[key]
+    if key is not None:
+        bloom = _bloom_of_column(final, key)
+        if bloom is not None:
+            entry["key_bloom"] = bloom
     return entry
 
 
@@ -378,6 +431,43 @@ def read_where(
             df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
     df = df.select(*[fld.name for fld in full.fields])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def read_point(
+    spark: SparkSession, root: str, value: Any, version: int | None = None
+) -> DataFrame:
+    """Point lookup on the merge key through BOTH per-file indexes:
+    key_range (misses when files partition the key space) AND the
+    Bloom sidecar (misses when ranges are loose — interleaved keys) —
+    a file is opened only if range-possible AND bloom-positive. Bloom
+    false positives cost one extra file read; false negatives cannot
+    happen (every written key sets its bits)."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, v)
+    key = man["key"]
+    keep = []
+    for f in man["files"]:
+        rng = f.get("key_range")
+        if rng is not None and (value < rng[0] or value > rng[1]):
+            continue
+        bloom = f.get("key_bloom")
+        if bloom is not None and not _bloom_may_contain(bloom, value):
+            continue
+        keep.append(f)
+    if not keep:
+        return read(spark, root, v).filter(F.lit(False))
+    df = _read_paths(
+        spark, root, man, [os.path.join(root, f["path"]) for f in keep]
+    )
+    full = read(spark, root, v).schema
+    for fld in full.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return df.select(*[fld.name for fld in full.fields]).filter(
+        F.col(key) == value
+    )
 
 
 def merge(

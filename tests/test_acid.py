@@ -883,3 +883,47 @@ def test_append_and_restore(spark, tbl):
     assert ch.count() == 5
     hist = acid.history(tbl)
     assert [h["operation"] for h in hist] == ["create", "append", "delete", "restore"]
+
+
+# -------------------------------------------------- bloom point lookups
+
+
+def test_read_point_bloom_skips_interleaved_files(spark, tmp_path):
+    """Keys written INTERLEAVED across files (hash-partitioned) make
+    every file's [min, max] range cover every lookup — range pruning
+    alone opens everything; the Bloom sidecar still skips most files,
+    and lookups return exactly the matching row (no false negatives
+    across all keys)."""
+    root = str(tmp_path / "bloomtbl")
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartition(8, "id")  # hash layout: ranges overlap heavily
+    )
+    acid.create(spark, root, df, key="id")
+    man = acid._read_manifest(root, 1)
+    assert all("key_bloom" in f for f in man["files"])
+    n_files = len(man["files"])
+    assert n_files >= 4
+    opened = []
+    for k in (0, 17, 399, 123):
+        got = acid.read_point(spark, root, k)
+        rows = got.collect()
+        assert [(r.id, r.v) for r in rows] == [(k, f"v{k}")]
+        opened.append(len(got.inputFiles()))
+    # bloom must beat opening every file on at least most lookups
+    assert sum(opened) < 4 * n_files
+    # absent key: typed empty result
+    assert acid.read_point(spark, root, 10_000).count() == 0
+
+
+def test_read_point_survives_merge_and_partitions(spark, part_tbl):
+    acid.merge(
+        spark, part_tbl,
+        spark.createDataFrame([(3, "X", "red")], "id INT, v STRING, cat STRING"),
+    )
+    got = acid.read_point(spark, part_tbl, 3).collect()
+    assert [(r.id, r.v, r.cat) for r in got] == [(3, "X", "red")]
