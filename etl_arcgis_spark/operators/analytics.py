@@ -1331,3 +1331,109 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("segment"))
     )
+
+
+_KM_DAY_US = 86_400_000_000
+
+
+@query(
+    "analytics_survival_km",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) // {_KM_DAY_US} AS d0,
+         max(epoch_us(ts)) // {_KM_DAY_US} AS d1
+  FROM events GROUP BY user_id
+), obs AS (SELECT max(d1) AS dmax FROM u),
+lif AS (
+  SELECT d1 - d0 AS dur,
+         CAST(d1 = dmax AS INT) AS censored
+  FROM u CROSS JOIN obs
+), grid AS (
+  SELECT dur,
+         CAST(sum(1 - censored) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM lif GROUP BY dur
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lif),
+risk AS (
+  SELECT dur, d_events,
+         n - coalesce(sum(leaving) OVER (ORDER BY dur ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST(dur AS BIGINT) AS duration_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       d_events AS n_events,
+       round(CASE WHEN min(CASE WHEN n_at_risk = d_events THEN 0.0 ELSE 1.0 END)
+                  OVER (ORDER BY dur ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0.0
+             THEN 0.0
+             ELSE exp(sum(ln(1.0 - CAST(d_events AS DOUBLE) / n_at_risk))
+                  OVER (ORDER BY dur ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 4)
+         AS survival
+FROM risk
+ORDER BY duration_days
+""",
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last activity), with RIGHT-CENSORING: users whose last
+    event falls on the observation window's final day are censored
+    (still alive — treating them as churned is the classic retention
+    bias KM exists to fix; Kaplan & Meier 1958, public). Output per
+    distinct duration: risk-set size, churn events, and S(t) — the
+    cumulative product Π(1 - d_i/n_i) spelled as exp(Σ ln(·)) so it
+    runs as a running-sum window; a risk set consumed entirely
+    (d = n) pins S to exactly 0 from there on via the windowed min
+    flag (no -inf arithmetic).
+
+    Scale: per-user min/max is one map-side-combined pass; everything
+    after runs on the DURATION GRID (bounded by the observation
+    window's day count, never user count) — the windows are
+    |grid|-row, allowlisted bounded."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_KM_DAY_US}").alias("d")
+    )
+    u = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    obs = F.broadcast(u.agg(F.max("d1").alias("dmax")))
+    lif = u.crossJoin(obs).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        (F.col("d1") == F.col("dmax")).cast("int").alias("censored"),
+    )
+    grid = lif.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    tot = F.broadcast(lif.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w_prev = Window.orderBy(F.asc("dur")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(tot).select(
+        "dur",
+        "d_events",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    w_cum = Window.orderBy(F.asc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dead = F.when(F.col("n_at_risk") == F.col("d_events"), 0.0).otherwise(1.0)
+    surv = F.when(
+        F.min(dead).over(w_cum) == 0.0, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d_events").cast("double") / F.col("n_at_risk"))
+            ).over(w_cum)
+        )
+    )
+    return risk.select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d_events").alias("n_events"),
+        r4(surv).alias("survival"),
+    ).orderBy(F.asc("duration_days"))

@@ -90,6 +90,7 @@ NLJ_OK = {
     "ts_autocorrelation",        # 6-row lag-list broadcast fan-out
     "ts_cross_correlation",      # 5-row lag-list broadcast fan-out
     "ts_sax_symbols",            # 1-row (mu, sigma, h0) stats broadcast
+    "analytics_survival_km",     # 1-row dmax + 1-row total broadcasts
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
@@ -115,6 +116,7 @@ WINDOW_BOUNDED_OK = {
     "text_zipf_fit": "rank window over the top-1000 limit (bounded 1000 rows)",
     "sample_pps_systematic": "offset window over per-bucket totals (|buckets| rows, bucketed_running_sums)",
     "corpus_curate_select": "offset window over per-bucket totals (|buckets| rows, two-phase PPS stage)",
+    "analytics_survival_km": "risk-set/survival windows over the duration grid (bounded by observation-window days)",
 }
 
 
