@@ -1461,3 +1461,62 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("z")).alias("paa_z"),
         sym.alias("symbol"),
     ).orderBy(F.asc("seg"))
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    oracle=f"""
+WITH series AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_forecasts,
+       round(avg(abs(a.y - b.y)), 4) AS mae,
+       round(avg(abs(a.y - b.y) / a.y) FILTER (a.y > 0), 4) AS mape
+FROM series a JOIN series b
+  ON a.event_type = b.event_type AND b.h = a.h - 24
+GROUP BY a.event_type
+ORDER BY a.event_type
+""",
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict every hour's event
+    count as the SAME HOUR YESTERDAY (the baseline any real
+    forecasting model must beat — if your model's MAE isn't under
+    this, ship the naive), scored per category with MAE and MAPE over
+    all hours with a 24h-old reference. This is the standard
+    walk-forward evaluation shape: the join key IS the backtest
+    alignment, no leakage possible by construction.
+
+    Scale: the hourly series is the bounded aggregate; the alignment
+    join is an equi-join on (category, hour) over that series; errors
+    aggregate map-side. The same skeleton scores ANY precomputed
+    forecast column against actuals."""
+    series = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    a = series.select("event_type", "h", F.col("y").alias("ya"))
+    b = series.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"), F.col("y").alias("yb")
+    )
+    j = a.join(
+        b,
+        (F.col("event_type") == F.col("et2")) & (F.col("h2") == F.col("h") - 24),
+    )
+    err = F.abs(F.col("ya") - F.col("yb"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            r4(F.avg(err)).alias("mae"),
+            r4(F.avg(F.when(F.col("ya") > 0, err / F.col("ya")))).alias("mape"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
