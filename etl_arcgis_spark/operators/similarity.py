@@ -1285,3 +1285,95 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every score recomputes from raw embeddings, and the selected set's
     mean pairwise similarity never exceeds plain top-k's."""
     return mmr_rerank(spark, sf_dir, k=5, lam=0.5, pool_size=20)
+
+
+def pca_whiten(
+    spark: SparkSession, sf_dir: str, n_components: int = 16
+) -> tuple[DataFrame, Any]:
+    """PCA whitening of the embedding table: the distributed part
+    computes the d x d covariance (d = 64 here — ONE aggregate of
+    d + d² sums via the outer-product expansion, map-side combined);
+    the d x d eigendecomposition runs on the DRIVER (4096 doubles —
+    constants, like the PQ codebook), and the projection back out is
+    a broadcast matrix expression per row. This is how embedding
+    whitening actually runs at 100 TB: the data-sized passes are two
+    map-only scans + one bounded aggregate; linear algebra never sees
+    more than d² numbers.
+
+    Returns (whitened DataFrame [vec_id, white<array<double>>],
+    eigenvalues desc)."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = len(e.select("embedding").first()[0])
+    sums = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+            for i in range(d)
+        ],
+    ).collect()[0]
+    n = sums["n"]
+    mean = np.array([sums[f"s{i}"] for i in range(d)]) / n
+    # second pass: upper-triangle second moments in one aggregate
+    prods = e.agg(
+        *[
+            F.sum(
+                F.element_at("embedding", i + 1).cast("double")
+                * F.element_at("embedding", j + 1).cast("double")
+            ).alias(f"p{i}_{j}")
+            for i in range(d)
+            for j in range(i, d)
+        ]
+    ).collect()[0]
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            c = prods[f"p{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    lam = vals[order]
+    w = vecs[:, order] / np.sqrt(np.maximum(lam, 1e-12))  # d x k whitener
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    cols = []
+    for k in range(n_components):
+        expr = None
+        for i in range(d):
+            term = (
+                F.element_at("embedding", i + 1).cast("double") - F.lit(float(mean[i]))
+            ) * F.lit(float(w[i, k]))
+            expr = term if expr is None else expr + term
+        cols.append(expr)
+    out = e.select("vec_id", F.array(*cols).alias("white"))
+    _ = mean_lit
+    return out, lam
+
+
+@query("sim_pca_whiten")  # weak: eigendecomposition has no SQL oracle
+def sim_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113: PCA whitening summary — per retained component, the
+    variance of the whitened corpus along it (must be ~1: that IS
+    whitening) and the original eigenvalue. Weak registration
+    (driver-side eigh on the d x d covariance has no cross-engine SQL
+    twin); tests/test_similarity_quality.py asserts the whitened
+    covariance is the identity and components are variance-sorted."""
+    out, lam = pca_whiten(spark, sf_dir, n_components=8)
+    rows = out.agg(
+        *[
+            F.round(
+                F.avg(F.element_at("white", k + 1) * F.element_at("white", k + 1))
+                - F.avg(F.element_at("white", k + 1))
+                * F.avg(F.element_at("white", k + 1)),
+                4,
+            ).alias(f"v{k}")
+            for k in range(8)
+        ]
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (k, float(round(float(lam[k]), 6)), float(rows[f"v{k}"]))
+            for k in range(8)
+        ],
+        "component INT, eigenvalue DOUBLE, whitened_var DOUBLE",
+    )

@@ -2296,3 +2296,65 @@ def sample_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFram
             (F.max("n_tok") * F.count(F.lit(1))).cast("bigint").alias("padded_tokens"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH ref AS (
+  SELECT DISTINCT bg FROM (
+    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM (SELECT string_split(text, ' ') AS l FROM documents
+          WHERE source = 'src0')
+  )
+), g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                                       i -> l[i] || ' ' || l[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE source <> 'src0')
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (ref.bg IS NULL) AS BIGINT) AS n_novel,
+       round(count(*) FILTER (ref.bg IS NULL) / CAST(count(*) AS DOUBLE), 4)
+         AS novelty
+FROM g LEFT JOIN ref ON g.bg = ref.bg
+GROUP BY g.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty against a reference corpus (src0): per document,
+    the fraction of its bigram OCCURRENCES absent from the reference's
+    bigram set — the memorization/novelty axis LLM evals measure on
+    generations (low novelty = the text restates the reference; the
+    inverse of dedup_decontaminate_ngrams' overlap direction, scored
+    per-occurrence instead of filtered).
+
+    Scale: the reference distinct-gram set builds with one map-side-
+    combined pass; the membership test is a LEFT join keyed on the
+    gram (broadcast when the reference fits, shuffle otherwise; a
+    Bloom filter of the reference set is the lossy-but-tiny variant —
+    same sidecar machinery as acid.read_point). Per-doc rollup is the
+    usual combine."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    grams = F.expr(
+        "transform(sequence(1, size(l) - 1), "
+        "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+    )
+    ref = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("bg"))
+        .distinct()
+        .withColumn("in_ref", F.lit(1))
+    )
+    g = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(grams).alias("bg")
+    )
+    j = g.join(ref, "bg", "left")
+    novel = F.sum(F.when(F.col("in_ref").isNull(), 1).otherwise(0))
+    return g.join(ref, "bg", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        novel.cast("bigint").alias("n_novel"),
+        r4(novel / F.count(F.lit(1)).cast("double")).alias("novelty"),
+    )

@@ -46,4 +46,5 @@ def test_contract_shape(spark):
         "multimodal_pq_quantize",  # r4: iterative k-means, monotonicity-tested
         "sim_mmr_rerank",          # r5: sequential greedy MMR, invariant-tested
         "agg_approx_percentile_sketch",  # r5: GK sketch, rank-error-bound-tested
+        "sim_pca_whiten",          # r5: driver-side eigh, identity-cov-tested
     }

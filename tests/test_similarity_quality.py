@@ -209,3 +209,31 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         return sum(ps) / len(ps)
 
     assert avg_pairwise(mmr_ids) <= avg_pairwise(top_ids) + 1e-9
+
+
+# -------------------------------------------------------- PCA whitening
+
+
+def test_pca_whiten_identity_covariance(spark):
+    """Whitening's defining property: the whitened corpus has unit
+    variance along every retained component and ~zero cross-component
+    covariance; eigenvalues come out sorted descending."""
+    from etl_arcgis_spark.operators.similarity import pca_whiten
+
+    out, lam = pca_whiten(spark, "/root/testdata/sf0.001", n_components=6)
+    assert all(lam[i] >= lam[i + 1] - 1e-12 for i in range(len(lam) - 1))
+    rows = out.collect()
+    import numpy as np
+
+    W = np.array([r.white for r in rows])
+    cov = np.cov(W, rowvar=False, bias=True)
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-6)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6
+    # registered summary agrees
+    from etl_arcgis_spark import registry
+
+    summary = registry.all_queries()["sim_pca_whiten"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(abs(r.whitened_var - 1.0) < 1e-3 for r in summary)
