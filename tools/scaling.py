@@ -56,6 +56,14 @@ HEADLINE = [
     "dedup_minhash_banding_exact",
     "dedup_simhash_hamming_pairs",
     "sim_ivf_knn",
+    # round-5 additions: the weighted two-phase decomposition, the
+    # re-spelled packing running sum, the map-only text ops, and the
+    # bucketed band join (the no-equi-key scale spelling)
+    "agg_weighted_median",
+    "sample_pack_sequences",
+    "text_winnowing_fingerprint",
+    "text_top_ngram_coverage",
+    "join_band_bucketed",
 ]
 
 
