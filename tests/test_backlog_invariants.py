@@ -427,3 +427,28 @@ def test_cross_correlation_shifted_series_peak(spark, tmp_path):
     got = {r.lag_h: r.xcf for r in _q("ts_cross_correlation")(spark, str(tmp_path)).collect()}
     assert got[1] == 1.0
     assert all(v < 1.0 for k, v in got.items() if k != 1)
+
+
+def test_control_chart_flags_planted_burst(spark, tmp_path):
+    """A 30-day steady series (2 events/hour) with ONE planted 80-event
+    burst hour: exactly that category trips the 3-sigma limit exactly
+    once; a same-shape category without the burst trips zero."""
+    rows = []
+    eid = 0
+    for h in range(720):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, _T0 + h * _H, 1, "click", 1.0))
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, _T0 + h * _H, 2, "view", 1.0))
+    for _ in range(80):  # the burst: hour 100, clicks only
+        eid += 1
+        rows.append((eid, _T0 + 100 * _H + 60 * _US, 1, "click", 1.0))
+    _write_events(str(tmp_path), rows)
+    got = {
+        r.event_type: (r.n_hours, r.n_out_of_control)
+        for r in _q("dq_control_chart")(spark, str(tmp_path)).collect()
+    }
+    assert got["click"] == (720, 1)
+    assert got["view"] == (720, 0)
