@@ -9,6 +9,7 @@ drops to Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2357,4 +2358,46 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         novel.cast("bigint").alias("n_novel"),
         r4(novel / F.count(F.lit(1)).cast("double")).alias("novelty"),
+    )
+
+
+@query("text_zlib_compression_ratio")  # weak: no zlib in SQL engines
+def text_zlib_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-ratio quality signal (Gopher/RefinedWeb-class
+    curation, public): zlib-compress each document and report
+    compressed/raw byte ratio — low ratio = repetitive/templated text
+    (compressors ARE repetition detectors; this catches long-range
+    boilerplate the bigram signals miss), near-1 = high-entropy noise;
+    natural prose sits in between. Both tails get a keep=false flag at
+    the published-style thresholds (0.35, 0.95).
+
+    Weak registration: no SQL engine exposes zlib, so there is no
+    cross-engine oracle — but the computation is exactly reproducible
+    (zlib level 6 is deterministic bytes-in/bytes-out), and
+    tests/test_backlog_invariants.py pins ordering properties on
+    constructed repetitive/random/natural docs.
+
+    Scale: Arrow-batched pandas UDF (the declared Python surface) —
+    one map-only pass, ~100 MB/s/core for zlib-6; the bytes never
+    leave the executor."""
+    @F.pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(ratio)
+
+    d = table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        zratio(F.col("text")).alias("zratio"),
+    )
+    return out.withColumn(
+        "keep", (F.col("zratio") > 0.35) & (F.col("zratio") < 0.95)
     )

@@ -452,3 +452,45 @@ def test_control_chart_flags_planted_burst(spark, tmp_path):
     }
     assert got["click"] == (720, 1)
     assert got["view"] == (720, 0)
+
+
+def test_zlib_ratio_orders_text_classes(spark, tmp_path):
+    """Compression ratio must order text classes: looped boilerplate
+    compresses far below varied prose, which compresses below
+    hex-noise; the keep flag drops both tails."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    random.seed(7)
+    rep = "buy now click here " * 60
+    # genuinely varied prose: 300 distinct tokens, no repetition
+    words = [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}{i}" for i in range(300)]
+    random.shuffle(words)
+    prose = " ".join(words)
+    noise = "".join(random.choice("0123456789abcdef") for _ in range(1000))
+    texts = [rep, prose, noise]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["a"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.zratio, r.keep)
+        for r in _q("text_zlib_compression_ratio")(spark, str(tmp_path)).collect()
+    }
+    assert got[1][0] < got[2][0] < got[3][0]
+    assert got[1][1] is False            # boilerplate tail dropped
+    assert got[2][1] is True             # prose kept
+    assert got[3][0] > 0.5               # noise barely compresses
+    # determinism: zlib-6 is bytes-stable — rerun equals
+    again = {
+        r.doc_id: r.zratio
+        for r in _q("text_zlib_compression_ratio")(spark, str(tmp_path)).collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}

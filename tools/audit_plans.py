@@ -44,6 +44,8 @@ PYTHON_OK = {
     "multimodal_audio_spectrum",  # FFT features inside the Arrow batch
     "multimodal_scene_cuts",      # frame-diff detector inside the Arrow batch
     "multimodal_pq_quantize",     # PQ assign step (argmin over broadcast codebook) in the Arrow batch
+    "text_zlib_compression_ratio",  # zlib inside the Arrow batch IS the operator
+    "sim_pca_whiten",               # driver-side eigh summary; projection is codegen
 }
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
