@@ -1520,3 +1520,67 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@query(
+    "ts_entropy_rate",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY t ASC, event_id ASC) AS dst
+  FROM e
+), c AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+), tot AS (SELECT sum(n) AS total FROM c),
+probs AS (
+  SELECT src, n, n / sum(n) OVER (PARTITION BY src) AS p FROM c
+),
+row_h AS (
+  SELECT src, sum(n) AS row_n, -sum(p * ln(p)) AS h_src
+  FROM probs GROUP BY src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_states,
+       round(sum((row_n / total) * h_src), 4) AS entropy_rate_nats,
+       round(ln(count(*)), 4) AS max_entropy_nats
+FROM row_h CROSS JOIN tot
+""",
+)
+def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = Σ_s π(s) · H(next | s), with π the empirical transition-source
+    distribution — the single number that says how PREDICTABLE user
+    behavior is (0 = deterministic flows, ln|states| = uniform
+    chaos); the information-theoretic summary of ts_transition_matrix
+    and the denominator for behavioral-model lift claims.
+
+    Scale: everything after the lead() pass lives on the |states|²
+    count grid; the conditional entropies and the mixture are bounded
+    aggregates with a 1-row total broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ev_us().alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w_src = Window.partitionBy("src")
+    p_cond = (F.col("n") / F.sum("n").over(w_src)).alias("p")
+    probs = c.select("src", "n", p_cond)
+    row = probs.groupBy("src").agg(
+        F.sum("n").alias("row_n"),
+        (-F.sum(F.col("p") * F.log("p"))).alias("h_src"),
+    )
+    tot = F.broadcast(c.agg(F.sum("n").alias("total")))
+    return row.crossJoin(tot).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        r4(F.sum((F.col("row_n") / F.col("total")) * F.col("h_src"))).alias(
+            "entropy_rate_nats"
+        ),
+        r4(F.log(F.count(F.lit(1)).cast("double"))).alias("max_entropy_nats"),
+    )

@@ -93,6 +93,7 @@ NLJ_OK = {
     "ts_cross_correlation",      # 5-row lag-list broadcast fan-out
     "ts_sax_symbols",            # 1-row (mu, sigma, h0) stats broadcast
     "analytics_survival_km",     # 1-row dmax + 1-row total broadcasts
+    "ts_entropy_rate",           # 1-row transition-total broadcast
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
