@@ -1473,3 +1473,53 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("o_orderpriority"))
     )
+
+
+@query(
+    "stats_regression_funcs",
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def stats_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 linear-regression aggregate family (regr_slope /
+    regr_intercept / regr_r2 / regr_count / regr_avgx / regr_avgy) —
+    per-group OLS of price on quantity, spelled with the BUILT-IN
+    aggregates on BOTH engines (Spark 3.4+ and DuckDB implement the
+    same standard definitions from identical moment accumulations, so
+    the pair is hash-comparable — unlike skewness/kurtosis, whose
+    bias conventions diverge and forced agg_higher_moments' explicit
+    spelling). r2 rounds to 8 decimals: it is a near-zero ratio and
+    the 4-decimal grid would erase it.
+
+    Scale: single-pass commutative moment aggregates — the cheapest
+    model fit that exists; regression over 100 TB is exactly one
+    map-side-combined pass per group."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+
+    def rn(c, d):  # helpers.r4 generalized to d decimals (§5.3 contract)
+        scale = float(10**d)
+        return F.signum(c) * F.floor(F.abs(c) * scale + 0.5) / scale
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            rn(F.regr_slope(y, x), 4).alias("slope"),
+            rn(F.regr_intercept(y, x), 4).alias("intercept"),
+            rn(F.regr_r2(y, x), 8).alias("r2"),
+            rn(F.regr_avgx(y, x), 4).alias("avg_x"),
+            rn(F.regr_avgy(y, x), 4).alias("avg_y"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )
