@@ -1267,3 +1267,120 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("bucket"))
     )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS w
+  FROM raw
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.5
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join with AllPairs/
+    PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08) as the candidate generator — bigram-shingle sets,
+    J >= 0.5. The theorem: under ANY fixed total order of the
+    vocabulary, two sets with J(A,B) >= t must share a token within
+    each one's first |A| - ceil(t*|A|) + 1 tokens, so joining only
+    those PREFIXES (ordered rarest-document-frequency-first, ties by
+    token) finds every qualifying pair while the frequent tokens —
+    exactly the ones with ruinous posting lists — never enter the
+    join. A length filter (|A| >= t*|B|) prunes candidates further;
+    both filters are lossless, so the final array_intersect
+    verification returns the exact all-pairs answer and the oracle is
+    the plain inverted-index ground truth.
+
+    Contrast with the registry's other generators: minhash_lsh_dedup
+    is approximate, dedup_ngram_jaccard joins on EVERY shared gram
+    (posting lists bounded only by the source block). Prefix filtering
+    is the exact-answer scale path: per-doc join fan-out is the prefix
+    length (~half the doc at t=0.5), and each prefix token is globally
+    RARE, so posting lists stay short without any blocking key.
+
+    Scale notes: the global token order needs no global sort — each
+    doc ranks its own tokens by the broadcast-joinable (df, w) key
+    inside a doc-partitioned window. Verification joins the candidate
+    pairs to per-doc sorted token arrays (doc-bounded) and computes
+    size(array_intersect) JVM-side. Reference parity: task.ts:393-458
+    dedupes by exact OBJECTID only; this is the fuzzy extension the
+    brief mandates."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, 0.5)
+    return pairs.select("id_a", "id_b", r4(F.col("jac")).alias("jaccard"))
+
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, t: float) -> DataFrame:
+    """Exact bigram-Jaccard pairs (id_a < id_b, J >= ``t``) via prefix
+    filtering — the candidate generator behind
+    :func:`dedup_prefix_filter_join`; returns ``jac`` unrounded.
+    Lossless vs brute force (test_prefix_filter.py proves equality)."""
+    docs = docs.withColumn("l", F.split("text", " "))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("w"),
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    df_tab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    )
+    ranked = toks.join(df_tab, "w").select("doc_id", "w", "df")
+    prefix = (
+        ranked.withColumn("pos", pos)
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("n_tok") - F.ceil(F.lit(t) * F.col("n_tok")) + 1)
+        .select("doc_id", "w", "n_tok")
+    )
+    pa = prefix.select(F.col("doc_id").alias("id_a"), "w", F.col("n_tok").alias("na"))
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("w").alias("w_b"), F.col("n_tok").alias("nb")
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("w") == F.col("w_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+            & (F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("w")).alias("ws"))
+    aa = arrs.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    ab = arrs.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    jac = inter.cast("double") / (F.size("ws_a") + F.size("ws_b") - inter)
+    return (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= t)
+    )
