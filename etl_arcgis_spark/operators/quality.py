@@ -514,3 +514,63 @@ def dq_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS ab,
+         count(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+), e AS (
+  SELECT k, sz FROM classes CROSS JOIN (SELECT unnest([2, 5, 10]) AS k)
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+       CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS BIGINT) AS n_rows_at_risk,
+       round(coalesce(sum(CASE WHEN sz < k THEN sz END), 0) * 1.0 / sum(sz), 4)
+         AS pct_at_risk
+FROM e GROUP BY k ORDER BY k
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney, 2002) over the quasi-identifier
+    (nation, market segment, account-balance band): an equivalence
+    class smaller than k means its members are re-identifiable by
+    those attributes alone. For each policy threshold k in {2, 5, 10}:
+    how many classes fall below k, how many rows they hold, and the
+    at-risk fraction — the go/no-go table a training-data release
+    review reads before shipping a corpus containing user attributes.
+
+    `floor()` is spelled explicitly before the BIGINT cast on both
+    engines (SURVEY §5.3.8 — raw double→int casts truncate on Spark
+    but round half-even on DuckDB).
+
+    Scale: one hash-aggregate over the quasi-identifier (map-side
+    combined), then a 3x row explode of the CLASS table (|classes|
+    rows, not |customer|) and a second tiny aggregate — no cross join,
+    no window, no driver collect. At 100 TB the class table is the
+    only shuffle and it is bounded by the quasi-identifier domain.
+    Reference parity: task.ts has no privacy surface; this is part of
+    the mandated training-data pipeline extension tier."""
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("ab"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (2, 5, 10)])).alias("k")
+    e = classes.select(ks, "sz")
+    risk = F.when(F.col("sz") < F.col("k"), F.col("sz"))
+    return (
+        e.groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.sum((F.col("sz") < F.col("k")).cast("long")).cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(F.sum(risk), F.lit(0)).cast("bigint").alias("n_rows_at_risk"),
+            r4(F.coalesce(F.sum(risk), F.lit(0)) / F.sum("sz")).alias("pct_at_risk"),
+        )
+        .orderBy(F.asc("k"))
+    )
