@@ -2401,3 +2401,92 @@ def text_zlib_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "keep", (F.col("zratio") > 0.35) & (F.col("zratio") < 0.95)
     )
+
+
+@query(
+    "text_cdc_chunks",
+    oracle="""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, source, i AS pos, l[i] AS w
+  FROM tok, unnest(generate_series(1, len(l))) AS t(i)
+), b AS (
+  SELECT doc_id, source, pos, w,
+         CASE WHEN substring(md5(w), 32, 1) IN ('0', '8') THEN 1 ELSE 0 END AS cut
+  FROM pos
+), c AS (
+  SELECT doc_id, source, pos, w,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM b
+), ch AS (
+  SELECT doc_id, source, chunk_id,
+         string_agg(w, ' ' ORDER BY pos) AS chunk,
+         count(*) AS n_tok
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT chunk) * 1.0 / count(*), 4) AS dup_ratio,
+       round(avg(n_tok), 4) AS avg_chunk_tokens
+FROM ch GROUP BY source ORDER BY source
+""",
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    rsync/LBFS/FastCDC, applied to token streams): a chunk boundary
+    falls AFTER any token whose md5's last hex digit is in {0, 8} —
+    a content-derived 1-in-8 cut, so expected chunk length is 8 tokens
+    and, unlike fixed-stride chunking (text_chunk_sliding), an
+    insertion early in a document shifts NO downstream boundaries:
+    identical passages yield byte-identical chunks wherever they
+    appear. The query reports the chunk-level dedup signal per source
+    — total vs distinct chunks, duplicated fraction, mean chunk size —
+    the measurement a corpus pipeline runs to decide whether
+    passage-level dedup is worth a pass.
+
+    Scale: boundary flags are a map-only expression; chunk assembly is
+    one doc-partitioned running sum + one (doc, chunk) hash aggregate;
+    the per-source rollup is |sources|-bounded. Nothing global — at
+    100 TB this is the same plan with more partitions. Chunk ids key
+    on content hashes, so the distinct-count shuffle carries md5-sized
+    keys, not chunk text, in the production variant (here the chunk
+    string itself for oracle comparability)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH tok AS (SELECT doc_id, source, split(text, ' ') AS l FROM documents),
+pos0 AS (
+  SELECT doc_id, source, pos + 1 AS pos, w
+  FROM tok LATERAL VIEW posexplode(l) AS pos, w
+), b AS (
+  SELECT doc_id, source, pos, w,
+         CASE WHEN substring(md5(w), 32, 1) IN ('0', '8') THEN 1 ELSE 0 END AS cut
+  FROM pos0
+), c AS (
+  SELECT doc_id, source, pos, w,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM b
+), ch AS (
+  SELECT doc_id, source, chunk_id,
+         array_join(transform(array_sort(collect_list(struct(pos, w))), s -> s.w),
+                    ' ') AS chunk,
+         count(*) AS n_tok
+  FROM c GROUP BY doc_id, source, chunk_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT chunk) * 1.0 / count(*), 4) AS dup_ratio,
+       round(avg(n_tok), 4) AS avg_chunk_tokens
+FROM ch GROUP BY source ORDER BY source ASC
+""",
+        ("documents",),
+    )
