@@ -1523,3 +1523,86 @@ def stats_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("l_returnflag"))
     )
+
+
+@query(
+    "stats_ttest_welch",
+    oracle="""
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS s1,
+    sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END) AS s2,
+    sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * l_extendedprice
+             ELSE 0 END) AS q1,
+    sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * l_extendedprice
+             ELSE 0 END) AS q2
+  FROM lineitem
+), v AS (
+  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM m
+)
+SELECT n1, n2,
+       round(m1 - m2, 4) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             4) AS welch_df
+FROM v
+""",
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch, Biometrika
+    1947): does returned merchandise (l_returnflag = 'R') price
+    differently from delivered ('N')? Emits the t statistic and the
+    Welch-Satterthwaite degrees of freedom; the p-value lookup is a
+    client-side scalar (incomplete beta) and deliberately out of the
+    query. Moments are spelled EXPLICITLY (sum, sum-of-squares) on
+    both engines instead of var_samp so neither engine's streaming-
+    variance algorithm (Welford vs two-pass) enters the comparison;
+    the t and df ratios are scale-free, so the §5.3.1 magnitude check
+    passes at any SF (numerator and denominator noise cancel to
+    ~1e-9 relative, four orders under the r4 grid).
+
+    Scale: ONE conditional-aggregate pass over the fact table — six
+    map-side-combined sums, a single 1-row shuffle, constant-time
+    tail. The canonical 100 TB A/B-test readout. Reference parity:
+    task.ts:393-458 forwards outStatistics; this composes the same
+    aggregate surface into an inferential statistic (extension tier)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    is1 = F.col("l_returnflag") == "R"
+    is2 = F.col("l_returnflag") == "N"
+    m = li.agg(
+        F.sum(is1.cast("long")).cast("bigint").alias("n1"),
+        F.sum(is2.cast("long")).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, x).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(is2, x).otherwise(0.0)).alias("s2"),
+        F.sum(F.when(is1, x * x).otherwise(0.0)).alias("q1"),
+        F.sum(F.when(is2, x * x).otherwise(0.0)).alias("q2"),
+    )
+    v = m.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return v.select(
+        "n1",
+        "n2",
+        r4(F.col("m1") - F.col("m2")).alias("mean_diff"),
+        r4((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        r4(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )
