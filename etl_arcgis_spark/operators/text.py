@@ -2454,39 +2454,53 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     on content hashes, so the distinct-count shuffle carries md5-sized
     keys, not chunk text, in the production variant (here the chunk
     string itself for oracle comparability)."""
-    from ..tables import sql_over
-
-    return sql_over(
-        spark,
-        sf_dir,
-        """
-WITH tok AS (SELECT doc_id, source, split(text, ' ') AS l FROM documents),
-pos0 AS (
-  SELECT doc_id, source, pos + 1 AS pos, w
-  FROM tok LATERAL VIEW posexplode(l) AS pos, w
-), b AS (
-  SELECT doc_id, source, pos, w,
-         CASE WHEN substring(md5(w), 32, 1) IN ('0', '8') THEN 1 ELSE 0 END AS cut
-  FROM pos0
-), c AS (
-  SELECT doc_id, source, pos, w,
-         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS chunk_id
-  FROM b
-), ch AS (
-  SELECT doc_id, source, chunk_id,
-         array_join(transform(array_sort(collect_list(struct(pos, w))), s -> s.w),
-                    ' ') AS chunk,
-         count(*) AS n_tok
-  FROM c GROUP BY doc_id, source, chunk_id
-)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
-       round(1.0 - count(DISTINCT chunk) * 1.0 / count(*), 4) AS dup_ratio,
-       round(avg(n_tok), 4) AS avg_chunk_tokens
-FROM ch GROUP BY source ORDER BY source ASC
-""",
-        ("documents",),
+    # In-row chunk assembly (zero-shuffle): the boundary positions and
+    # the chunk segments are pure functions of the row's OWN token
+    # array, so the whole CDC step is array HOFs — no posexplode into
+    # a doc-partitioned window (the naive spelling shuffled every
+    # token row; shuffle_report measured 57 records/doc, this spelling
+    # shuffles only the (source, chunk) rollup). The oracle keeps the
+    # readable window spelling as ground truth. Staged withColumns:
+    # Catalyst does not CSE inside lambdas.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("l", F.split("text", " "))
+        # cut AFTER token i when md5's last hex digit is in {0, 8}
+        .withColumn(
+            "b",
+            F.expr(
+                "filter(sequence(1, size(l)), "
+                "i -> substring(md5(element_at(l, i)), 32, 1) IN ('0', '8'))"
+            ),
+        )
+        .withColumn(
+            "segs",
+            F.expr(
+                "filter(transform(sequence(1, size(b) + 1), j -> named_struct("
+                "  's', CASE WHEN j = 1 THEN 1 ELSE element_at(b, j - 1) + 1 END,"
+                "  'e', CASE WHEN j <= size(b) THEN element_at(b, j) ELSE size(l) END"
+                ")), seg -> seg.e >= seg.s)"
+            ),
+        )
+        .withColumn(
+            "chunks",
+            F.expr(
+                "transform(segs, seg -> named_struct("
+                "  'chunk', array_join(slice(l, seg.s, seg.e - seg.s + 1), ' '),"
+                "  'n_tok', seg.e - seg.s + 1))"
+            ),
+        )
+    )
+    ch = docs.select("source", F.explode("chunks").alias("c"))
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct(F.col("c.chunk")).cast("bigint").alias("n_distinct"),
+            r4(1.0 - F.countDistinct(F.col("c.chunk")) / F.count(F.lit(1))).alias(
+                "dup_ratio"
+            ),
+            r4(F.avg(F.col("c.n_tok"))).alias("avg_chunk_tokens"),
+        )
+        .orderBy(F.asc("source"))
     )
