@@ -64,6 +64,12 @@ HEADLINE = [
     "text_winnowing_fingerprint",
     "text_top_ngram_coverage",
     "join_band_bucketed",
+    # round-5 late additions: prefix-filtered set-similarity (bounded
+    # posting lists), inverted-index link prediction, and the in-row
+    # HOF CDC chunker (zero-shuffle chunk assembly)
+    "dedup_prefix_filter_join",
+    "graph_adamic_adar_top_link",
+    "text_cdc_chunks",
 ]
 
 
