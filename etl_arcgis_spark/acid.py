@@ -922,6 +922,98 @@ def compact(
     return base_v + 1
 
 
+def compact_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: tuple[str, str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE ZORDER BY (a, b): recluster the table's data files
+    along the Morton (Z-order) interleave of two integer columns, so
+    every rewritten file covers a RECTANGLE-ish region of the (a, b)
+    plane and its manifest col_stats become tight on BOTH columns at
+    once — after which read_where() prunes files for a predicate on
+    EITHER dimension (the multi-dimensional layout Delta/Iceberg's
+    OPTIMIZE ZORDER computes; etl_zorder_key is the same interleave
+    as a query). Plain compact() sorts by the single table key, which
+    leaves the second dimension scattered across every file.
+
+    Unlike bin-packing (which must preserve file groups), z-ordering
+    is a RECLUSTER: all files (per partition value, on partitioned
+    tables) pool into one range-shuffle by zkey into
+    ceil(total_bytes/target) output files. Same snapshot protocol —
+    readers on older manifests never block, a crash leaves vacuum-able
+    orphans, and the optimistic publish serializes with writers.
+
+    At 100 TB: one range shuffle per maintenance window over the
+    partitions selected for rewrite; every selective rectangle query
+    afterwards opens O(perimeter) files instead of O(table). The
+    16+16-bit interleave caps useful distinct cells at 65k per axis —
+    file-level (not row-level) locality, which is all manifest
+    pruning can use."""
+    a, b = cols
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    key = man["key"]
+    pcol = man.get("partition_by")
+    for c in (a, b):
+        if c == pcol:
+            raise ValueError(f"cannot z-order by partition column {c!r}")
+    table_schema = read(spark, root, base_v).schema
+    for c in (a, b):
+        if c not in table_schema.fieldNames():
+            raise ValueError(f"z-order column {c!r} not in table schema")
+    zterms = " + ".join(
+        [f"((({a} & 65535) >> {i} & 1) * {1 << (2 * i)})" for i in range(16)]
+        + [f"((({b} & 65535) >> {i} & 1) * {1 << (2 * i + 1)})" for i in range(16)]
+    )
+    # pool files per partition value (z-order never crosses partitions)
+    pools: dict[Any, list[dict[str, Any]]] = {}
+    for f in man["files"]:
+        pools.setdefault(f.get("partition"), []).append(f)
+    new_files: list[dict[str, Any]] = []
+    for pval, pool in sorted(pools.items(), key=lambda kv: str(kv[0])):
+        total = sum(f["bytes"] for f in pool)
+        pool_rows = sum(f.get("rows", 0) for f in pool)
+        # clamp by row count: a degenerate byte target must not schedule
+        # more range partitions than there are rows to spread
+        n_out = max(1, min(-(-total // target_file_bytes), max(pool_rows, 1)))
+        df = _read_paths(
+            spark, root, man, [os.path.join(root, f["path"]) for f in pool]
+        )
+        for fld in table_schema.fields:  # schema evolution: null-fill
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        df = (
+            df.select(*[fld.name for fld in table_schema.fields])
+            .withColumn("__zkey", F.expr(zterms).cast("bigint"))
+            .repartitionByRange(n_out, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        # a pool is one partition value; partition_by=pcol keeps the
+        # Hive data/<col>=<val>/ layout basePath recovery relies on
+        new_files.extend(_write_data_files(df, root, key=key, partition_by=pcol))
+    new_man = {
+        "version": base_v + 1,
+        "key": key,
+        "operation": "zorder",
+        "zorder_by": [a, b],
+        "schema": table_schema.json(),
+        "files": new_files,
+        "rows": sum(f.get("rows", 0) for f in new_files),
+        "parent": base_v,
+        "compacted_files": len(man["files"]),
+        "produced_files": len(new_files),
+    }
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def table_changes(
     spark: SparkSession, root: str, v_from: int, v_to: int | None = None
 ) -> DataFrame:

@@ -927,3 +927,66 @@ def test_read_point_survives_merge_and_partitions(spark, part_tbl):
     )
     got = acid.read_point(spark, part_tbl, 3).collect()
     assert [(r.id, r.v, r.cat) for r in got] == [(3, "X", "red")]
+
+
+def test_compact_zorder_tightens_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: a key-sorted layout clusters only the key
+    dimension — every file spans the FULL range of the second column,
+    so read_where() on it can prune nothing. After compact_zorder on
+    (a, b) the rewritten files cover z-ranges (rectangles), manifest
+    col_stats tighten on BOTH columns, and the same b-predicate opens
+    strictly fewer files. Contents and time travel are unaffected."""
+    root = str(tmp_path / "ztbl")
+    # 16x16 grid; id = a-major, so id-ranged files each span all of b
+    rows = [(a * 16 + b, a, b) for a in range(16) for b in range(16)]
+    df = (
+        spark.createDataFrame(rows, "id INT, a INT, b INT")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    acid.create(spark, root, df, key="id")
+    man1 = acid._read_manifest(root, 1)
+    assert len(man1["files"]) == 4
+
+    def files_hit(man, col, lo, hi):
+        hit = 0
+        for f in man["files"]:
+            st = f.get("col_stats", {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                hit += 1
+        return hit
+
+    # key-sorted layout: a b-slice intersects EVERY file
+    assert files_hit(man1, "b", 0, 3) == 4
+    rows_before = sorted(map(tuple, acid.read(spark, root).collect()))
+
+    # target ~ quarter of the pool -> 4 z-range files (the quadrants)
+    pool_bytes = sum(f["bytes"] for f in man1["files"])
+    v = acid.compact_zorder(
+        spark, root, ("a", "b"), target_file_bytes=-(-pool_bytes // 4)
+    )
+    man2 = acid._read_manifest(root, v)
+    assert man2["operation"] == "zorder" and man2["zorder_by"] == ["a", "b"]
+    assert len(man2["files"]) <= 6  # ~4; never the degenerate per-row split
+    assert man2["rows"] == 256
+    # contents identical; time travel still serves the old layout
+    assert sorted(map(tuple, acid.read(spark, root).collect())) == rows_before
+    assert sorted(map(tuple, acid.read(spark, root, 1).collect())) == rows_before
+    # z-clustered files: the same b-slice now skips files, and a-slices
+    # still prune too (both dimensions live in the layout)
+    assert files_hit(man2, "b", 0, 3) < len(man2["files"])
+    assert files_hit(man2, "a", 0, 3) < len(man2["files"])
+    # read_where returns the exact slice either way
+    got = sorted(r.id for r in acid.read_where(spark, root, "b", 0, 3).collect())
+    assert got == sorted(a * 16 + b for a in range(16) for b in range(4))
+
+
+def test_compact_zorder_rejects_bad_columns(spark, tmp_path):
+    root = str(tmp_path / "zbad")
+    acid.create(
+        spark, root,
+        spark.createDataFrame([(1, 2, 3)], "id INT, a INT, b INT"),
+        key="id",
+    )
+    with pytest.raises(ValueError):
+        acid.compact_zorder(spark, root, ("a", "nope"))
