@@ -1606,3 +1606,87 @@ def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+WITH pool AS (
+  SELECT l_discount AS v, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), per_v AS (
+  SELECT v, count(*) AS cnt, sum(g1) AS cnt1 FROM pool GROUP BY v
+), ranked AS (
+  SELECT v, cnt, cnt1,
+         coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS midrank
+  FROM per_v
+), agg AS (
+  SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+         CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+         sum(cnt1 * midrank) AS r1,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT n1, n2,
+       round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - CAST(ties AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1.0)))),
+             4) AS z_score
+FROM agg
+""",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney, 1947) — the
+    nonparametric twin of `stats_ttest_welch`: do returned ('R') and
+    delivered ('N') line items draw their DISCOUNTS from the same
+    distribution? Midranks come from the per-distinct-value grid (the
+    discount domain is 11 values), not a row-level global rank: group
+    sizes + an offset window over the bounded value grid — the same
+    ECDF-support pattern as `stats_ks_two_sample` (audit-allowlisted;
+    an unbounded value domain routes through
+    scale_patterns.bucketed_running_sums instead). z uses the
+    tie-corrected variance — with 11 distinct values, ties ARE the
+    distribution.
+
+    Determinism: midranks are exact multiples of 0.5 and every
+    product/sum stays under 2^53, so U is BITWISE identical across
+    engines (no accumulation-order noise); z adds one IEEE sqrt,
+    correctly rounded on both. Scale: one conditional aggregate to
+    the |values|-row grid, an 11-row window, a 1-row tail."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    per_v = li.groupBy(F.col("l_discount").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("cnt1"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("v")).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "midrank",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("bigint").alias("n2"),
+        F.sum(F.col("cnt1") * F.col("midrank")).alias("r1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        r4(u).alias("u_stat"),
+        r4((u - n1 * n2 / 2.0) / sigma).alias("z_score"),
+    )

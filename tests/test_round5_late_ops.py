@@ -154,3 +154,20 @@ def test_cdc_boundary_locality_and_reconstruction(spark):
     # boundary — the defining CDC property)
     assert chunks[0][1:] == chunks[1][1:]
     assert chunks[1][0] == "zz " + chunks[0][0]
+
+
+def test_mannwhitney_known_instance(spark, tmp_path):
+    # group R = {0.01, 0.02, 0.03}, N = {0.04, 0.05, 0.06}: every R
+    # below every N -> U = 0, z at its minimum for n1=n2=3; no ties.
+    rows = [("R", 0.01), ("R", 0.02), ("R", 0.03),
+            ("N", 0.04), ("N", 0.05), ("N", 0.06)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_discount double")
+    d = tmp_path / "mw"
+    df.write.parquet(str(d / "lineitem.parquet"))
+    from etl_arcgis_spark.operators.aggregates import stats_mannwhitney_u
+
+    r = stats_mannwhitney_u(spark, str(d)).collect()[0]
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.u_stat == 0.0
+    # no ties: sigma = sqrt(9*7/12) = 2.2913; z = (0-4.5)/2.2913
+    assert abs(r.z_score - (-4.5 / (9 * 7 / 12.0) ** 0.5)) < 1e-3

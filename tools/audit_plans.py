@@ -118,6 +118,7 @@ WINDOW_BOUNDED_OK = {
     "sample_token_budget_waterfill": "rank/prefix window over per-source aggregate (|sources| rows)",
     "text_zipf_fit": "rank window over the top-1000 limit (bounded 1000 rows)",
     "sample_pps_systematic": "offset window over per-bucket totals (|buckets| rows, bucketed_running_sums)",
+    "stats_mannwhitney_u": "offset window over per-distinct-value counts (midrank grid; 11 discount values)",
     "corpus_curate_select": "offset window over per-bucket totals (|buckets| rows, two-phase PPS stage)",
     "analytics_survival_km": "risk-set/survival windows over the duration grid (bounded by observation-window days)",
 }
