@@ -477,9 +477,15 @@ def merge(
     max_retries: int = 3,
     delete_condition: str | None = None,
     update_condition: str | None = None,
-) -> int:
+    staged: bool = False,
+) -> int | str:
     """MERGE INTO (upsert): source rows replace target rows with the
-    same key; unmatched source rows insert. Returns the new version.
+    same key; unmatched source rows insert. Returns the new version —
+    or, with ``staged=True``, a Write-Audit-Publish token: the full
+    merge runs and its would-be manifest lands in ``.audit-<token>``,
+    INVISIBLE to every reader, until publish_staged() promotes it
+    atomically (or abort_staged() discards it). Audit the staged
+    snapshot with read_staged() first — the Iceberg WAP pattern.
 
     File-level copy-on-write with stats pruning: a data file is
     REWRITTEN only if at least one source key falls inside its
@@ -629,6 +635,16 @@ def merge(
             }
             if pcol is not None:
                 new_man["partition_by"] = pcol
+            if staged:
+                token = uuid.uuid4().hex
+                apath = os.path.join(root, f".audit-{token}.json")
+                tmp = apath + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(new_man, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, apath)
+                return token
             _publish(root, base_v + 1, new_man)
             return base_v + 1
         except CommitConflict:
@@ -783,6 +799,16 @@ def vacuum(
     for v in keep:
         for f in _read_manifest(root, v)["files"]:
             live.add(os.path.normpath(os.path.join(root, f["path"])))
+    # staged (Write-Audit-Publish) snapshots count as live until
+    # explicitly published or aborted — an audit may outlast any grace
+    # window, so its files must never age out from under it
+    for apath in glob.glob(os.path.join(root, ".audit-*.json")):
+        try:
+            with open(apath) as fh:
+                for f in json.load(fh)["files"]:
+                    live.add(os.path.normpath(os.path.join(root, f["path"])))
+        except (OSError, ValueError):
+            continue  # mid-write or corrupt: leave its files to the grace rule
     deleted = []
     for p in glob.glob(
         os.path.join(root, "data", "**", "*.parquet"), recursive=True
@@ -821,6 +847,49 @@ def history(root: str) -> list[dict[str, Any]]:
         }
         for v in _list_versions(root)
     ]
+
+
+def _audit_path(root: str, token: str) -> str:
+    return os.path.join(root, f".audit-{token}.json")
+
+
+def read_staged(spark: SparkSession, root: str, token: str) -> DataFrame:
+    """Read a staged (unpublished) snapshot by WAP token — the AUDIT
+    step: run data-quality checks against exactly what publish would
+    make visible, while every other reader still sees the current
+    version."""
+    with open(_audit_path(root, token)) as fh:
+        man = json.load(fh)
+    return _read_paths(
+        spark, root, man, [os.path.join(root, f["path"]) for f in man["files"]]
+    )
+
+
+def publish_staged(root: str, token: str) -> int:
+    """PUBLISH: atomically promote a staged snapshot. Optimistic —
+    raises CommitConflict if any commit landed after the stage was
+    written (the audit validated a stale parent; re-stage and re-audit,
+    same rule as a lost merge race). On success the audit file is
+    consumed."""
+    apath = _audit_path(root, token)
+    with open(apath) as fh:
+        man = json.load(fh)
+    cur = current_version(root)
+    if cur != man["parent"]:
+        raise CommitConflict(
+            f"staged snapshot audited against v{man['parent']} but table is at v{cur}"
+        )
+    man["version"] = man["parent"] + 1
+    _publish(root, man["version"], man)
+    os.remove(apath)
+    return man["version"]
+
+
+def abort_staged(root: str, token: str) -> None:
+    """ABORT: discard a staged snapshot that failed its audit. The
+    staged data files become unreferenced and age out through
+    vacuum()'s normal orphan collection."""
+    os.remove(_audit_path(root, token))
 
 
 def compact(

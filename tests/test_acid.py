@@ -990,3 +990,64 @@ def test_compact_zorder_rejects_bad_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         acid.compact_zorder(spark, root, ("a", "nope"))
+
+
+def test_wap_stage_audit_publish(spark, tbl):
+    """Write-Audit-Publish: a staged merge is invisible to readers,
+    read_staged sees exactly the would-be snapshot, publish promotes
+    it atomically, and the audit file is consumed."""
+    v0 = acid.current_version(tbl)
+    rows_v0 = sorted(map(tuple, acid.read(spark, tbl).collect()))
+    src = spark.createDataFrame([(1, "AUDITED"), (999, "NEW")], "id INT, v STRING")
+    token = acid.merge(spark, tbl, src, staged=True)
+    assert isinstance(token, str)
+    # invisible: current version and contents unchanged
+    assert acid.current_version(tbl) == v0
+    assert sorted(map(tuple, acid.read(spark, tbl).collect())) == rows_v0
+    # audit: the staged read shows the merge applied
+    staged = {r.id: r.v for r in acid.read_staged(spark, tbl, token).collect()}
+    assert staged[1] == "AUDITED" and staged[999] == "NEW"
+    # publish: atomic promote, token consumed
+    v1 = acid.publish_staged(tbl, token)
+    assert v1 == v0 + 1 and acid.current_version(tbl) == v1
+    now = {r.id: r.v for r in acid.read(spark, tbl).collect()}
+    assert now[1] == "AUDITED" and now[999] == "NEW"
+    import glob as _g
+    assert not _g.glob(os.path.join(tbl, ".audit-*.json"))
+
+
+def test_wap_abort_and_vacuum_orphans(spark, tbl):
+    """An aborted stage leaves no visible change; its data files are
+    vacuum-able orphans after the grace window, but while STAGED they
+    are vacuum-LIVE even with grace 0."""
+    v0 = acid.current_version(tbl)
+    src = spark.createDataFrame([(2, "BAD")], "id INT, v STRING")
+    token = acid.merge(spark, tbl, src, staged=True)
+    with open(acid._audit_path(tbl, token)) as fh:
+        staged_files = {f["path"] for f in json.load(fh)["files"]}
+    # staged files survive an aggressive vacuum (audit refs are live)
+    deleted = acid.vacuum(tbl, keep_versions=10, grace_seconds=0)
+    assert not any(os.path.basename(p) in
+                   {os.path.basename(f) for f in staged_files} for p in deleted)
+    acid.abort_staged(tbl, token)
+    assert acid.current_version(tbl) == v0
+    # after abort the same files are orphans and collectable
+    deleted = acid.vacuum(tbl, keep_versions=10, grace_seconds=0)
+    new_only = {os.path.basename(f) for f in staged_files} - {
+        os.path.basename(os.path.join(tbl, f["path"]))
+        for f in acid._read_manifest(tbl, v0)["files"]
+    }
+    assert new_only and new_only <= {os.path.basename(p) for p in deleted}
+
+
+def test_wap_publish_conflicts_with_interleaved_commit(spark, tbl):
+    """A commit landing between stage and publish invalidates the
+    audit: publish_staged raises CommitConflict and the stage stays
+    for re-audit or abort."""
+    src = spark.createDataFrame([(3, "STAGED")], "id INT, v STRING")
+    token = acid.merge(spark, tbl, src, staged=True)
+    acid.merge(spark, tbl,
+               spark.createDataFrame([(4, "RACER")], "id INT, v STRING"))
+    with pytest.raises(acid.CommitConflict):
+        acid.publish_staged(tbl, token)
+    acid.abort_staged(tbl, token)
