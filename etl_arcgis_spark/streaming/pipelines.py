@@ -497,3 +497,76 @@ def acid_upsert_sink(stream: DataFrame, table_root: str, key: str = "user_id") -
             acid.merge(spark, table_root, latest)
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def acid_wap_sink(
+    stream: DataFrame,
+    table_root: str,
+    expectation: str,
+    quarantine_dir: str,
+    key: str = "user_id",
+) -> Any:
+    """Streaming Write-Audit-Publish with an EXPECTATION — the Delta
+    Live Tables pattern on the snapshot-manifest table: every
+    micro-batch is MERGEd as a *staged* snapshot (acid.merge
+    staged=True, invisible to readers), the staged table is audited
+    against ``expectation`` (a SQL predicate every row of the
+    WOULD-BE table must satisfy), and only a clean audit publishes.
+    A failing batch is aborted — readers never glimpse it — and the
+    offending batch lands in ``quarantine_dir`` with its epoch and
+    violation count for replay (the dead-letter discipline of
+    operators/quarantine.py, lifted to the transaction boundary;
+    reference parity: task.ts can only refuse a whole HTTP submit).
+
+    The audit validates the POST-merge table, not the batch: an
+    expectation like ``balance >= 0`` can pass on the delta yet fail
+    on the merged state, which is exactly what WAP exists to catch.
+
+    Scale: the stage is the same file-pruned copy-on-write merge; the
+    audit is one filtered count over the staged snapshot (stats-pruned
+    like any read); publish is an atomic hard-link. A conflict with a
+    concurrent writer surfaces as CommitConflict at publish — the
+    batch re-stages on the new snapshot (bounded retry), preserving
+    exactly-once visibility."""
+    from pyspark.sql import Window
+
+    from .. import acid
+
+    w = Window.partitionBy(key).orderBy(F.desc("us"), F.desc("event_id"))
+
+    def stage_audit_publish(batch_df: DataFrame, epoch: int) -> None:
+        spark = batch_df.sparkSession
+        latest = (
+            batch_df.withColumn("us", F.unix_micros("ts"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(key, "us", "event_id", "value")
+        )
+        if acid.current_version(table_root) is None:
+            acid.create(spark, table_root, latest, key=key)
+            return
+        for _ in range(3):  # re-stage on publish conflicts
+            token = acid.merge(spark, table_root, latest, staged=True)
+            bad = (
+                acid.read_staged(spark, table_root, token)
+                .filter(f"NOT ({expectation})")
+                .count()
+            )
+            if bad:
+                acid.abort_staged(table_root, token)
+                (
+                    latest.withColumn("epoch", F.lit(epoch))
+                    .withColumn("violations", F.lit(bad))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+                return
+            try:
+                acid.publish_staged(table_root, token)
+                return
+            except acid.CommitConflict:
+                acid.abort_staged(table_root, token)
+                continue
+        raise acid.CommitConflict(f"wap sink lost 3 races at {table_root}")
+
+    return stream.writeStream.foreachBatch(stage_audit_publish)

@@ -1051,3 +1051,66 @@ def test_wap_publish_conflicts_with_interleaved_commit(spark, tbl):
     with pytest.raises(acid.CommitConflict):
         acid.publish_staged(tbl, token)
     acid.abort_staged(tbl, token)
+
+
+def test_acid_wap_sink_quarantines_bad_batch(spark, tmp_path):
+    """Streaming WAP with an expectation: a clean batch publishes, a
+    violating batch is aborted pre-visibility and lands in quarantine,
+    a subsequent clean batch publishes on the untainted state."""
+    import shutil as _sh
+
+    from etl_arcgis_spark.streaming.pipelines import acid_wap_sink
+    from etl_arcgis_spark.tables import prepare, table
+
+    prepare(spark)
+    sf = "/root/testdata/sf0.001"
+    src_dir = tmp_path / "wap_in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "wap_ckpt")
+    root = str(tmp_path / "wap_tbl")
+    qdir = str(tmp_path / "wap_quarantine")
+    ev = table(spark, sf, "events")
+    schema = ev.schema
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = (
+            acid_wap_sink(stream, root, "value > -1e17", qdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: clean slice -> creates the table
+    ev.limit(50).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    _sh.copy(glob.glob(str(tmp_path / "b1" / "part-*.parquet"))[0],
+             src_dir / "b1.parquet")
+    run_batch()
+    v1 = acid.current_version(root)
+    assert v1 is not None
+
+    # batch 2: planted violation -> aborted + quarantined, version frozen
+    bad = ev.limit(5).withColumn("value", F.lit(-1e18))
+    bad.write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    _sh.copy(glob.glob(str(tmp_path / "b2" / "part-*.parquet"))[0],
+             src_dir / "b2.parquet")
+    run_batch()
+    assert acid.current_version(root) == v1
+    quar = spark.read.parquet(qdir)
+    assert quar.count() > 0 and quar.filter("violations > 0").count() > 0
+    assert acid.read(spark, root).filter("value <= -1e17").count() == 0
+    assert not glob.glob(os.path.join(root, ".audit-*.json"))  # aborted
+
+    # batch 3: clean rows for NEW keys -> publishes on the clean state
+    fix = (
+        ev.limit(5)
+        .withColumn("user_id", F.col("user_id") + 1_000_000)
+        .withColumn("value", F.lit(42.0))
+    )
+    fix.write.mode("overwrite").parquet(str(tmp_path / "b3"))
+    _sh.copy(glob.glob(str(tmp_path / "b3" / "part-*.parquet"))[0],
+             src_dir / "b3.parquet")
+    run_batch()
+    assert acid.current_version(root) == v1 + 1
+    assert acid.read(spark, root).filter("user_id >= 1000000").count() > 0
