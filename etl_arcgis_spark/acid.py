@@ -1189,3 +1189,54 @@ def table_changes(
         )
         out = delta if out is None else out.unionByName(delta)
     return out
+
+
+def files_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Iceberg's ``.files`` metadata table: one row per data file in a
+    snapshot — path, bytes, rows, partition value, key range — as a
+    DataFrame, so maintenance planning (what would compact/zorder
+    touch? how skewed are file sizes? which partitions fragment?) is
+    itself a query instead of manifest spelunking. Reads ONLY the
+    manifest: no data IO, O(|files|) driver rows."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, v)
+    rows = [
+        (
+            f["path"],
+            int(f.get("bytes", 0)),
+            int(f.get("rows", 0)),
+            str(f.get("partition")) if f.get("partition") is not None else None,
+            str(f.get("key_range", [None, None])[0]),
+            str(f.get("key_range", [None, None])[1]),
+        )
+        for f in man["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, bytes long, rows long, partition string, "
+        "key_min string, key_max string",
+    )
+
+
+def snapshots_table(spark: SparkSession, root: str) -> DataFrame:
+    """Iceberg's ``.snapshots`` / Delta's DESCRIBE HISTORY as a
+    DataFrame: one row per retained snapshot with operation, row
+    count, parent, and file count — the commit log queryable with the
+    same engine that writes it."""
+    rows = []
+    for v in _list_versions(root):
+        m = _read_manifest(root, v)
+        rows.append(
+            (
+                int(m["version"]),
+                str(m.get("operation")),
+                int(m.get("rows", 0)),
+                int(m["parent"]) if m.get("parent") is not None else None,
+                len(m.get("files", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version long, operation string, rows long, parent long, n_files long"
+    )

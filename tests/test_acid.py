@@ -1114,3 +1114,22 @@ def test_acid_wap_sink_quarantines_bad_batch(spark, tmp_path):
     run_batch()
     assert acid.current_version(root) == v1 + 1
     assert acid.read(spark, root).filter("user_id >= 1000000").count() > 0
+
+
+def test_metadata_tables(spark, wide_tbl):
+    """files_table / snapshots_table mirror the manifest exactly and
+    stay consistent through a merge."""
+    ft = acid.files_table(spark, wide_tbl)
+    man = acid._read_manifest(wide_tbl, 1)
+    assert ft.count() == len(man["files"])
+    assert ft.agg(F.sum("rows")).collect()[0][0] == man["rows"]
+    acid.merge(spark, wide_tbl,
+               spark.createDataFrame([(5, "M")], "id INT, v STRING"))
+    st = acid.snapshots_table(spark, wide_tbl).orderBy("version").collect()
+    assert [r.version for r in st] == [1, 2]
+    assert st[0].operation == "create" and st[1].operation == "merge"
+    assert st[1].parent == 1 and st[1].rows == 100
+    ft2 = acid.files_table(spark, wide_tbl)
+    assert ft2.count() == len(acid._read_manifest(wide_tbl, 2)["files"])
+    # time travel: the v1 file listing is still addressable
+    assert acid.files_table(spark, wide_tbl, version=1).count() == len(man["files"])
