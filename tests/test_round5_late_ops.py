@@ -171,3 +171,21 @@ def test_mannwhitney_known_instance(spark, tmp_path):
     assert r.u_stat == 0.0
     # no ties: sigma = sqrt(9*7/12) = 2.2913; z = (0-4.5)/2.2913
     assert abs(r.z_score - (-4.5 / (9 * 7 / 12.0) ** 0.5)) < 1e-3
+
+
+def test_k_anonymity_planted_singleton(spark, tmp_path):
+    # 10 identical-QI customers + ONE singleton (unique nation) ->
+    # exactly one class below every k, holding exactly one row.
+    rows = [(i, 7, "AUTO", 500.0) for i in range(10)] + [(99, 23, "AUTO", 500.0)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    d = tmp_path / "ka"
+    df.write.parquet(str(d / "customer.parquet"))
+    out = {r.k: r for r in dq_k_anonymity(spark, str(d)).collect()}
+    assert out[2].n_classes_below == 1 and out[2].n_rows_at_risk == 1
+    assert out[5].n_classes_below == 1 and out[5].n_rows_at_risk == 1
+    # at k=10 the 10-member class itself falls below too (10 < 10 is
+    # false -> still just the singleton)
+    assert out[10].n_classes_below == 1 and out[10].n_rows_at_risk == 1
+    assert abs(out[2].pct_at_risk - 1 / 11) < 1e-3
