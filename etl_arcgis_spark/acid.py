@@ -248,6 +248,7 @@ def _write_data_files(
                 os.replace(part, final)
                 e = _file_entry(final, root, key)
                 e["partition"] = pval
+                e["spec"] = partition_by  # the layout col this file is nested under
                 entries.append(e)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
@@ -321,16 +322,44 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     return _read_paths(spark, root, man, paths)
 
 
+def _file_spec(f: dict[str, Any], table_pcol: str | None) -> str | None:
+    """The partition column a file's path is physically nested under.
+    Files written since spec-stamping carry it explicitly; legacy
+    entries default to the manifest's table-level spec when they have
+    a partition value (pre-evolution tables were single-spec)."""
+    if "spec" in f:
+        return f["spec"]
+    return table_pcol if f.get("partition") is not None else None
+
+
 def _read_paths(
     spark: SparkSession, root: str, man: dict[str, Any], paths: list[str]
 ) -> DataFrame:
-    """Read an explicit file list under this table's layout: basePath
-    recovers the partition column from ``data/<col>=<val>/`` dirs when
-    the table is partitioned."""
-    reader = spark.read.option("mergeSchema", "true")
-    if man.get("partition_by") is not None:
-        reader = reader.option("basePath", os.path.join(root, "data"))
-    return reader.parquet(*paths)
+    """Read an explicit file list under this table's layout(s).
+    Partition-spec EVOLUTION means one snapshot can mix layouts
+    (Iceberg: each file belongs to the spec it was written under), so
+    the read groups files by their per-file spec: each group's
+    basePath pass recovers ITS directory column, and the groups
+    union by name — a column that is layout in one spec is plain data
+    in the others, so every row ends up fully populated."""
+    table_pcol = man.get("partition_by")
+    spec_of = {
+        os.path.normpath(os.path.join(root, f["path"])): _file_spec(f, table_pcol)
+        for f in man.get("files", [])
+    }
+    groups: dict[str | None, list[str]] = {}
+    for p in paths:
+        groups.setdefault(spec_of.get(os.path.normpath(p), table_pcol), []).append(p)
+    dfs = []
+    for spec in sorted(groups, key=str):
+        reader = spark.read.option("mergeSchema", "true")
+        if spec is not None:
+            reader = reader.option("basePath", os.path.join(root, "data"))
+        dfs.append(reader.parquet(*groups[spec]))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def read_partition(
@@ -350,12 +379,37 @@ def read_partition(
     pcol = man.get("partition_by")
     if pcol is None:
         raise ValueError(f"table at {root} is not partitioned")
-    keep = [f for f in man["files"] if f.get("partition") in set(values)]
-    if not keep:
+    vals = set(values)
+    # manifest pruning applies to files laid out under the CURRENT
+    # spec; files from an older spec (partition evolution) may hold
+    # rows of any current-partition value, so they read fully with an
+    # exact residual filter — still no directory listing, and the old
+    # files migrate to the new layout as merges/compactions rewrite
+    # them
+    same = [
+        f for f in man["files"]
+        if _file_spec(f, pcol) == pcol and f.get("partition") in vals
+    ]
+    other = [f for f in man["files"] if _file_spec(f, pcol) != pcol]
+    parts = []
+    if same:
+        parts.append(
+            _read_paths(
+                spark, root, man, [os.path.join(root, f["path"]) for f in same]
+            )
+        )
+    if other:
+        parts.append(
+            _read_paths(
+                spark, root, man, [os.path.join(root, f["path"]) for f in other]
+            ).filter(F.col(pcol).cast("string").isin(*vals))
+        )
+    if not parts:
         return read(spark, root, v).filter(F.lit(False))
-    return _read_paths(
-        spark, root, man, [os.path.join(root, f["path"]) for f in keep]
-    )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def read_key_range(
@@ -567,10 +621,16 @@ def merge(
                 str(r[0])
                 for r in source.select(pcol).distinct().collect()
             }
-            cand = [f for f in cand if f.get("partition") in src_parts]
-            part_untouched = [
-                f for f in man["files"] if f.get("partition") not in src_parts
+            # trust a file's partition value only if its layout spec IS
+            # the current spec; files from an older spec (partition
+            # evolution) stay candidates and fall through to key-range
+            # pruning — conservative, never wrong
+            cand = [
+                f for f in cand
+                if _file_spec(f, pcol) != pcol or f.get("partition") in src_parts
             ]
+            kept = {f["path"] for f in cand}
+            part_untouched = [f for f in man["files"] if f["path"] not in kept]
         else:
             part_untouched = []
         touched, untouched = _split_by_key_overlap(
@@ -849,6 +909,58 @@ def history(root: str) -> list[dict[str, Any]]:
     ]
 
 
+def evolve_partition_spec(
+    spark: SparkSession, root: str, new_partition_by: str | None
+) -> int:
+    """Iceberg-style PARTITION SPEC EVOLUTION: change the table's
+    layout column METADATA-ONLY — no data rewrite. Existing files keep
+    the spec they were written under (stamped per file, like Iceberg's
+    per-manifest spec id); new merges/compactions write under the new
+    spec, so the layout migrates lazily as files are rewritten anyway.
+    Readers handle mixed layouts transparently (_read_paths groups by
+    per-file spec); partition pruning trusts a file's partition value
+    only under the current spec and falls back to exact residual
+    filters / key-range stats for older-spec files — conservative,
+    never wrong.
+
+    ``new_partition_by`` must be an existing string-typed data column
+    (it IS data in every old file, which is what makes the lazy
+    migration sound), or None to de-partition."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    old_pcol = man.get("partition_by")
+    if new_partition_by == old_pcol:
+        return base_v
+    if new_partition_by is not None:
+        schema_cols = set(read(spark, root, base_v).columns)
+        if new_partition_by not in schema_cols:
+            raise ValueError(
+                f"partition column {new_partition_by!r} not in table schema"
+            )
+    files = []
+    for f in man["files"]:
+        e = dict(f)
+        e["spec"] = _file_spec(f, old_pcol)  # pin the legacy default
+        files.append(e)
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "evolve-spec",
+        "files": files,
+        "rows": man.get("rows", sum(f.get("rows", 0) for f in files)),
+        "parent": base_v,
+        "previous_partition_by": old_pcol,
+    }
+    if man.get("schema") is not None:
+        new_man["schema"] = man["schema"]
+    if new_partition_by is not None:
+        new_man["partition_by"] = new_partition_by
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def _audit_path(root: str, token: str) -> str:
     return os.path.join(root, f".audit-{token}.json")
 
@@ -932,20 +1044,21 @@ def compact(
     order = sorted(
         small,
         key=lambda f: (
+            str(_file_spec(f, pcol)),
             str(f.get("partition")),
             f.get("key_range", [None])[0] is None,
         ),
     )
     for f in order:
+        fkey = (_file_spec(f, pcol), f.get("partition"))
         if cur and (
-            cur_bytes + f["bytes"] > target_file_bytes
-            or f.get("partition") != cur_part
+            cur_bytes + f["bytes"] > target_file_bytes or fkey != cur_part
         ):
             groups.append(cur)
             cur, cur_bytes = [], 0
         cur.append(f)
         cur_bytes += f["bytes"]
-        cur_part = f.get("partition")
+        cur_part = fkey
     if cur:
         groups.append(cur)
     groups = [g for g in groups if len(g) > 1] or []
@@ -1038,10 +1151,12 @@ def compact_zorder(
         [f"((({a} & 65535) >> {i} & 1) * {1 << (2 * i)})" for i in range(16)]
         + [f"((({b} & 65535) >> {i} & 1) * {1 << (2 * i + 1)})" for i in range(16)]
     )
-    # pool files per partition value (z-order never crosses partitions)
+    # pool files per (spec, partition) value (z-order never crosses
+    # partitions; an older spec's files pool separately and land back
+    # under the CURRENT spec — reclustering migrates the layout)
     pools: dict[Any, list[dict[str, Any]]] = {}
     for f in man["files"]:
-        pools.setdefault(f.get("partition"), []).append(f)
+        pools.setdefault((_file_spec(f, pcol), f.get("partition")), []).append(f)
     new_files: list[dict[str, Any]] = []
     for pval, pool in sorted(pools.items(), key=lambda kv: str(kv[0])):
         total = sum(f["bytes"] for f in pool)

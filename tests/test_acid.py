@@ -1133,3 +1133,79 @@ def test_metadata_tables(spark, wide_tbl):
     assert ft2.count() == len(acid._read_manifest(wide_tbl, 2)["files"])
     # time travel: the v1 file listing is still addressable
     assert acid.files_table(spark, wide_tbl, version=1).count() == len(man["files"])
+
+
+@pytest.fixture()
+def ptbl(spark, tmp_path):
+    """A cat-partitioned table whose rows also carry a region column
+    (the future spec)."""
+    root = str(tmp_path / "ptbl")
+    rows = [(i, f"v{i}", f"c{i % 2}", f"r{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id INT, v STRING, cat STRING, region STRING")
+    acid.create(spark, root, df, key="id", partition_by="cat")
+    return root
+
+
+def test_partition_spec_evolution_mixed_reads(spark, ptbl):
+    """Metadata-only evolve: old files keep the cat layout, reads see
+    identical rows, and read_partition on the NEW spec is exact via
+    residual filtering over old-spec files."""
+    before = sorted(map(tuple, acid.read(spark, ptbl).collect()))
+    v = acid.evolve_partition_spec(spark, ptbl, "region")
+    man = acid._read_manifest(ptbl, v)
+    assert man["operation"] == "evolve-spec"
+    assert man["partition_by"] == "region" and man["previous_partition_by"] == "cat"
+    assert all(f["spec"] == "cat" for f in man["files"])  # layout unchanged
+    assert sorted(map(tuple, acid.read(spark, ptbl).collect())) == before
+    got = sorted(
+        r.id for r in acid.read_partition(spark, ptbl, ["r0"]).collect()
+    )
+    assert got == [i for i in range(30) if i % 3 == 0]
+
+
+def test_partition_spec_evolution_merge_migrates(spark, ptbl):
+    """A merge after evolution writes its rewrites under the NEW spec
+    while carrying old-spec files untouched; contents stay exact and
+    the new files are region-nested."""
+    acid.evolve_partition_spec(spark, ptbl, "region")
+    src = spark.createDataFrame(
+        [(1, "UPD", "c1", "r1"), (100, "NEW", "c0", "r1")],
+        "id INT, v STRING, cat STRING, region STRING",
+    )
+    v = acid.merge(spark, ptbl, src)
+    man = acid._read_manifest(ptbl, v)
+    specs = {f.get("spec", man.get("partition_by")) for f in man["files"]}
+    assert "region" in specs  # rewrites landed under the new spec
+    new_files = [f for f in man["files"] if f.get("spec") == "region"]
+    assert all(f["path"].startswith("data/region=") for f in new_files)
+    now = {r.id: (r.v, r.region) for r in acid.read(spark, ptbl).collect()}
+    assert now[1] == ("UPD", "r1") and now[100] == ("NEW", "r1")
+    assert len(now) == 31
+    # partition read on the new spec still exact across mixed specs
+    r1 = sorted(r.id for r in acid.read_partition(spark, ptbl, ["r1"]).collect())
+    assert r1 == sorted(
+        [i for i in range(30) if i % 3 == 1 and i != 1] + [1, 100]
+    )
+
+
+def test_partition_spec_evolution_compact_migrates_layout(spark, ptbl):
+    """Compaction after evolution pools per (spec, partition) and
+    rewrites under the current spec — the lazy layout migration."""
+    acid.evolve_partition_spec(spark, ptbl, "region")
+    v = acid.compact(spark, ptbl, target_file_bytes=1 << 20)
+    man = acid._read_manifest(ptbl, v)
+    assert man["operation"] == "compact"
+    rewritten = [f for f in man["files"] if f.get("spec") == "region"]
+    assert rewritten and all(
+        f["path"].startswith("data/region=") for f in rewritten
+    )
+    assert sorted(r.id for r in acid.read(spark, ptbl).collect()) == list(range(30))
+
+
+def test_partition_spec_evolution_to_none_and_validation(spark, ptbl):
+    acid.evolve_partition_spec(spark, ptbl, None)
+    man = acid._read_manifest_or_raise(ptbl)
+    assert "partition_by" not in man
+    assert sorted(r.id for r in acid.read(spark, ptbl).collect()) == list(range(30))
+    with pytest.raises(ValueError):
+        acid.evolve_partition_spec(spark, ptbl, "nope")
