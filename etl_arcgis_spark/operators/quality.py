@@ -574,3 +574,59 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("k"))
     )
+
+
+@query(
+    "dq_score_calibration",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), s AS (
+  SELECT doc_id, y,
+         CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS score
+  FROM t
+), b AS (
+  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin, score, y FROM s
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(score), 4) AS avg_score,
+       round(avg(CAST(y AS DOUBLE)), 4) AS label_rate,
+       round(abs(avg(score) - avg(CAST(y AS DOUBLE))), 4) AS abs_gap
+FROM b GROUP BY bin ORDER BY bin
+""",
+)
+def dq_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration (reliability) table for a filtering signal —
+    the evaluation a classifier-filtered corpus pipeline (FineWeb-Edu
+    style) runs before trusting a quality score as a keep-probability:
+    decile-bin the score, compare each bin's mean score (confidence)
+    with its empirical proxy-label rate (here lang='en' as the binary
+    proxy), and report the per-bin gap. Expected Calibration Error is
+    the n-weighted sum of abs_gap over these rows — left to the
+    consumer so the query stays a pure reliability table.
+
+    Binning floors score*10 on BOTH engines over identical IEEE
+    doubles, so bin assignment is deterministic even at bin-boundary
+    rationals. Scale: one map-only score pass (array HOFs, no
+    shuffle) into a 10-row hash aggregate."""
+    docs = table(spark, sf_dir, "documents").withColumn("l", F.split("text", " "))
+    score = F.size(F.array_distinct("l")).cast("double") / F.size("l")
+    y = (F.col("lang") == "en").cast("double")
+    b = docs.select(
+        F.least(F.lit(9), F.floor(score * 10)).cast("bigint").alias("bin"),
+        score.alias("score"),
+        y.alias("y"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("score")).alias("avg_score"),
+            r4(F.avg("y")).alias("label_rate"),
+            r4(F.abs(F.avg("score") - F.avg("y"))).alias("abs_gap"),
+        )
+        .orderBy(F.asc("bin"))
+    )

@@ -1584,3 +1584,91 @@ def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r4(F.log(F.count(F.lit(1)).cast("double"))).alias("max_entropy_nats"),
     )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // {3600_000_000} AS hb,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), trend AS (
+  SELECT event_type, hb // 24 AS day, avg(x) AS day_mean
+  FROM hourly GROUP BY 1, 2
+), det AS (
+  SELECT h.event_type, h.hb % 24 AS hod, h.x - t.day_mean AS d
+  FROM hourly h JOIN trend t
+    ON t.event_type = h.event_type AND t.day = h.hb // 24
+), seas AS (
+  SELECT event_type, hod, avg(d) AS s FROM det GROUP BY 1, 2
+), parts AS (
+  SELECT d.event_type, d.d, d.d - s.s AS r
+  FROM det d JOIN seas s
+    ON s.event_type = d.event_type AND s.hod = d.hod
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(greatest(0.0,
+             1.0 - (avg(r * r) - avg(r) * avg(r))
+                   / (avg(d * d) - avg(d) * avg(d))), 4) AS seasonal_strength
+FROM parts GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal STRENGTH (Hyndman & Athanasopoulos, FPP3 §4.4):
+    F_s = max(0, 1 - Var(remainder)/Var(detrended)) per category on
+    the hourly event-rate series, with a mean-based STL-lite
+    decomposition — trend = daily mean, seasonal = hour-of-day mean of
+    the detrended series, remainder = what's left. The scalar the
+    forecasting stack reads to decide whether `ts_seasonal_profile`'s
+    168-cell baseline (or `ts_seasonal_naive_backtest`'s lag model)
+    is even applicable to a series. Variances are spelled from
+    explicit moments (avg of squares minus squared avg) on both
+    engines — builtin var_samp algorithms differ — and the final
+    ratio is scale-free, so the §5.3.1 magnitude check passes at any
+    SF.
+
+    Scale: the hourly rollup is the only fact-sized aggregate
+    (map-side combined); trend is |types|x|days| rows, seasonal
+    |types|x24 — both broadcastable; everything downstream is
+    bounded-size joins + one moment pass."""
+    t = ev_us()
+    hourly = (
+        table(spark, sf_dir, "events")
+        .select("event_type", (t / 3_600_000_000).cast("bigint").alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    trend = (
+        hourly.withColumn("day", (F.col("hb") / 24).cast("bigint"))
+        .groupBy("event_type", "day")
+        .agg(F.avg("x").alias("day_mean"))
+    )
+    det = (
+        hourly.withColumn("day", (F.col("hb") / 24).cast("bigint"))
+        .join(trend, ["event_type", "day"])
+        .select(
+            "event_type",
+            (F.col("hb") % 24).alias("hod"),
+            (F.col("x") - F.col("day_mean")).alias("d"),
+        )
+    )
+    seas = det.groupBy("event_type", "hod").agg(F.avg("d").alias("s"))
+    parts = det.join(seas, ["event_type", "hod"]).select(
+        "event_type", "d", (F.col("d") - F.col("s")).alias("r")
+    )
+    var = lambda c: F.avg(c * c) - F.avg(c) * F.avg(c)  # noqa: E731
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            r4(
+                F.greatest(
+                    F.lit(0.0), 1.0 - var(F.col("r")) / var(F.col("d"))
+                )
+            ).alias("seasonal_strength"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
