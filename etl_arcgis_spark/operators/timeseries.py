@@ -1610,9 +1610,11 @@ WITH hourly AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_hours,
-       round(greatest(0.0,
-             1.0 - (avg(r * r) - avg(r) * avg(r))
-                   / (avg(d * d) - avg(d) * avg(d))), 4) AS seasonal_strength
+       round(CASE WHEN (avg(d * d) - avg(d) * avg(d)) <= 0 THEN 0.0
+             ELSE greatest(0.0,
+                  1.0 - (avg(r * r) - avg(r) * avg(r))
+                        / (avg(d * d) - avg(d) * avg(d))) END, 4)
+         AS seasonal_strength
 FROM parts GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -1665,8 +1667,12 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hours"),
             r4(
-                F.greatest(
-                    F.lit(0.0), 1.0 - var(F.col("r")) / var(F.col("d"))
+                # a flat detrended series (Var(d)=0) has NO seasonality
+                # by definition — and 0/0 would be NaN, not 0
+                F.when(var(F.col("d")) <= 0, F.lit(0.0)).otherwise(
+                    F.greatest(
+                        F.lit(0.0), 1.0 - var(F.col("r")) / var(F.col("d"))
+                    )
                 )
             ).alias("seasonal_strength"),
         )

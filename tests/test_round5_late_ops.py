@@ -189,3 +189,49 @@ def test_k_anonymity_planted_singleton(spark, tmp_path):
     # false -> still just the singleton)
     assert out[10].n_classes_below == 1 and out[10].n_rows_at_risk == 1
     assert abs(out[2].pct_at_risk - 1 / 11) < 1e-3
+
+
+def test_calibration_bins_partition_corpus(spark):
+    from etl_arcgis_spark.operators.quality import dq_score_calibration
+    from etl_arcgis_spark.tables import table
+
+    out = dq_score_calibration(spark, SF).collect()
+    n_docs = table(spark, SF, "documents").count()
+    assert sum(r.n for r in out) == n_docs
+    for r in out:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.label_rate <= 1.0 and 0.0 <= r.avg_score <= 1.0
+        assert abs(r.abs_gap - abs(r.avg_score - r.label_rate)) < 2e-4
+    ece = sum(r.n * r.abs_gap for r in out) / n_docs
+    assert 0.0 <= ece <= 1.0
+
+
+def test_seasonal_strength_planted_series(spark, tmp_path):
+    """A pure hour-of-day pattern scores ~1; a perfectly flat series
+    scores exactly 0 (the Var(d)=0 guard, not NaN)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(7):
+        for hod in range(24):
+            # 'seasonal': 1 event normally, 40 at hour 3 — strong hod
+            # pattern identical across days (trend removes nothing)
+            for _ in range(40 if hod == 3 else 1):
+                rows.append((eid, "seasonal", base + dt.timedelta(days=day, hours=hod), 1, 1.0))
+                eid += 1
+            # 'flat': exactly 2 events every hour -> detrended == 0
+            for _ in range(2):
+                rows.append((eid, "flat", base + dt.timedelta(days=day, hours=hod), 1, 1.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, user_id long, value double"
+    )
+    d = tmp_path / "seas"
+    df.write.parquet(str(d / "events.parquet"))
+    from etl_arcgis_spark.operators.timeseries import ts_seasonal_strength
+
+    out = {r.event_type: r for r in ts_seasonal_strength(spark, str(d)).collect()}
+    assert out["flat"].seasonal_strength == 0.0
+    assert out["seasonal"].seasonal_strength > 0.95
