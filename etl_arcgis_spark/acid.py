@@ -342,14 +342,20 @@ def _read_paths(
     basePath pass recovers ITS directory column, and the groups
     union by name — a column that is layout in one spec is plain data
     in the others, so every row ends up fully populated."""
-    table_pcol = man.get("partition_by")
-    spec_of = {
-        os.path.normpath(os.path.join(root, f["path"])): _file_spec(f, table_pcol)
-        for f in man.get("files", [])
-    }
+    data_dir = os.path.join(root, "data")
+
+    def _layout_of(p: str) -> str | None:
+        # a file's physical layout is readable from its own path —
+        # data/<col>=<val>/... — which stays correct even for paths
+        # from a DIFFERENT manifest than ``man`` (table_changes diffs
+        # pass removed files from the parent snapshot)
+        head = os.path.dirname(os.path.relpath(os.path.normpath(p), data_dir))
+        first = head.split(os.sep, 1)[0] if head else ""
+        return first.split("=", 1)[0] if "=" in first else None
+
     groups: dict[str | None, list[str]] = {}
     for p in paths:
-        groups.setdefault(spec_of.get(os.path.normpath(p), table_pcol), []).append(p)
+        groups.setdefault(_layout_of(p), []).append(p)
     dfs = []
     for spec in sorted(groups, key=str):
         reader = spark.read.option("mergeSchema", "true")

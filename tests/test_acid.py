@@ -1209,3 +1209,26 @@ def test_partition_spec_evolution_to_none_and_validation(spark, ptbl):
     assert sorted(r.id for r in acid.read(spark, ptbl).collect()) == list(range(30))
     with pytest.raises(ValueError):
         acid.evolve_partition_spec(spark, ptbl, "nope")
+
+
+def test_cdf_across_spec_evolution(spark, ptbl):
+    """CDF straddling an evolve: the metadata-only commit itself emits
+    ZERO change rows (paths identical), and a post-evolve merge whose
+    removed set comes from the pre-evolve layout still diffs exactly
+    (path-derived layout grouping in _read_paths)."""
+    v1 = acid.current_version(ptbl)
+    v2 = acid.evolve_partition_spec(spark, ptbl, "region")
+    src = spark.createDataFrame(
+        [(2, "CHG", "c0", "r2"), (200, "INS", "c1", "r2")],
+        "id INT, v STRING, cat STRING, region STRING",
+    )
+    v3 = acid.merge(spark, ptbl, src)
+    # evolve commit: no row-level changes
+    ev_only = acid.table_changes(spark, ptbl, v1, v2)
+    assert ev_only.count() == 0
+    # merge commit: exactly one update pair + one insert
+    ch = acid.table_changes(spark, ptbl, v2, v3)
+    by_type = {r["_change_type"]: r for r in ch.collect() if r.id in (2, 200)}
+    assert by_type["insert"].id == 200
+    assert by_type["update_postimage"].v == "CHG"
+    assert by_type["update_preimage"].v == "v2"
