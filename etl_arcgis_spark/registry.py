@@ -161,6 +161,31 @@ analytics_rfm_segments etl_quarantine_split
 """.split()
 )
 
+# The round-6 rotation tail: the 40 extension names registered in round
+# 5 that had not yet earned a driver row when round 6 opened (plus the
+# three _R5_BACKLOG_PIN stragglers, they total 43 — exactly the set the
+# r5 verdict ordered landed, fitting one 50-name driver window). Pinned
+# at contract tier so no round-6 registration can displace them.
+_R6_BACKLOG_PIN = frozenset(
+    """
+join_band_bucketed window_groups_frame_emulated
+window_frame_exclude_emulated window_match_vshape set_union_by_name
+pivot_sql_clause agg_weighted_median agg_string_concat_ordered
+agg_boolean_bitwise agg_higher_moments agg_approx_percentile_sketch
+stats_regression_funcs stats_ttest_welch stats_mannwhitney_u
+text_top_ngram_coverage text_winnowing_fingerprint text_js_divergence
+sample_gumbel_topk_weighted sample_length_bucketed_batches
+text_ngram_novelty text_zlib_compression_ratio text_cdc_chunks
+sim_mmr_rerank sim_pca_whiten dedup_prefix_filter_join
+dq_distribution_drift dq_control_chart dq_k_anonymity
+dq_score_calibration ts_transition_matrix dq_freshness_staleness
+ts_autocorrelation ts_cross_correlation ts_sax_symbols
+ts_seasonal_naive_backtest ts_entropy_rate ts_seasonal_strength
+graph_degree_assortativity graph_adamic_adar_top_link
+analytics_survival_km
+""".split()
+)
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -241,7 +266,7 @@ def all_queries() -> dict[str, QueryFn]:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in verified:
             tier = 2
-        elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN:
+        elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN or n in _R6_BACKLOG_PIN:
             tier = 0  # contract / pinned-backlog, never driver-checked
         else:
             tier = 1  # extension, never driver-checked
