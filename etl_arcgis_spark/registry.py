@@ -186,6 +186,11 @@ analytics_survival_km
 """.split()
 )
 
+# The two two-round stragglers the r5 verdict ordered at the very front
+# of the round-6 driver window (A18's query and the r3-registered pareto
+# frontier — the only names that have sat out two rotation windows).
+_R6_FRONT = ("etl_quarantine_split", "analytics_pareto_frontier")
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -264,6 +269,8 @@ def all_queries() -> dict[str, QueryFn]:
     def key(n: str) -> tuple[int, int, int]:
         if n in _FAILED_LAST:
             tier = -1  # fixed driver ERRORs re-verify first
+        elif n in _R6_FRONT and n not in verified:
+            tier = -1  # stragglers lead the round-6 window
         elif n in verified:
             tier = 2
         elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN or n in _R6_BACKLOG_PIN:
