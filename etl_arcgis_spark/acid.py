@@ -135,12 +135,43 @@ def _json_safe(v: Any) -> bool:
 
 _BLOOM_BITS = 1024  # 128 bytes/file/column
 _BLOOM_K = 3
+# Hash-scheme version stamped next to every stored bloom. v2 hashes a
+# type-canonical encoding (numerics normalized through float) so a
+# double column's stored 5.0 and a lookup with int 5 hash identically —
+# the repr()-based v1 scheme hashed them differently, producing a FALSE
+# NEGATIVE (file skipped, matching rows silently dropped). read_point
+# trusts a sidecar only when its recorded version matches.
+_BLOOM_VERSION = 2
+
+
+def _bloom_canonical(value: Any) -> str:
+    """Type-canonical encoding hashed into the bloom. Numerics (int,
+    float, Decimal) that compare equal MUST encode identically — the
+    parquet column may be double-typed while the lookup passes a
+    Python int (or vice versa), and a bloom false negative silently
+    drops rows. Normalize every numeric through its float value when
+    that round-trips exactly; a non-float-representable int (>2^53)
+    keeps its exact repr, which is consistent because no float lookup
+    can equal it without being bit-identical anyway."""
+    if isinstance(value, bool):
+        return f"bool:{value!r}"
+    import decimal
+
+    if isinstance(value, (int, float, decimal.Decimal)):
+        try:
+            f = float(value)
+        except (OverflowError, ValueError):
+            return f"num:{value!r}"
+        if f == value:
+            return f"num:{f!r}"
+        return f"num:{value!r}"  # lossy float (huge int / high-prec Decimal)
+    return f"{type(value).__name__}:{value!r}"
 
 
 def _bloom_positions(value: Any) -> list[int]:
     import hashlib
 
-    h = hashlib.md5(repr(value).encode()).hexdigest()
+    h = hashlib.md5(_bloom_canonical(value).encode()).hexdigest()
     return [
         int(h[i * 8 : (i + 1) * 8], 16) % _BLOOM_BITS for i in range(_BLOOM_K)
     ]
@@ -187,6 +218,27 @@ def _key_stats(path: str, key: str) -> list[Any] | None:
     return _col_stats(path).get(key)
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_hive_value(raw: str) -> str | None:
+    """Decode the ``<val>`` half of a Hive-style ``<col>=<val>``
+    directory name into the logical partition value Spark wrote.
+    Spark %-escapes filesystem-hostile characters (':' -> '%3A',
+    ' ' -> '%20', ... — ExternalCatalogUtils.escapePathName) and spells
+    NULL as ``__HIVE_DEFAULT_PARTITION__``; recording the RAW directory
+    string in the manifest made merge()/read_partition() compare
+    escaped text against ``str(source value)``, silently mis-pruning
+    any partition value containing an escaped character (e.g. a
+    timestamp's colons) and treating NULL partitions as the literal
+    sentinel string."""
+    if raw == _HIVE_NULL:
+        return None
+    import urllib.parse
+
+    return urllib.parse.unquote(raw)
+
+
 def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
     entry: dict[str, Any] = {
         "path": os.path.relpath(final, root),
@@ -207,6 +259,7 @@ def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
         bloom = _bloom_of_column(final, key)
         if bloom is not None:
             entry["key_bloom"] = bloom
+            entry["bloom_v"] = _BLOOM_VERSION
     return entry
 
 
@@ -239,8 +292,8 @@ def _write_data_files(
     else:
         df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
         for pdir in sorted(glob.glob(os.path.join(staging, f"{partition_by}=*"))):
-            pname = os.path.basename(pdir)  # "<col>=<val>"
-            pval = pname.split("=", 1)[1]
+            pname = os.path.basename(pdir)  # "<col>=<val>", val escaped
+            pval = _decode_hive_value(pname.split("=", 1)[1])
             dest_dir = os.path.join(data_dir, pname)
             os.makedirs(dest_dir, exist_ok=True)
             for part in sorted(glob.glob(os.path.join(pdir, "part-*.parquet"))):
@@ -356,9 +409,27 @@ def _read_paths(
     groups: dict[str | None, list[str]] = {}
     for p in paths:
         groups.setdefault(_layout_of(p), []).append(p)
+    # Pin the read schema from the manifest whenever it carries one:
+    # an explicit schema (a) replaces footer-merging (mergeSchema) with
+    # by-name resolution — older, physically narrower files read their
+    # missing columns as null — and (b) disables partition-column TYPE
+    # INFERENCE, which would otherwise re-type a string partition value
+    # like '007' to int 7 (changing dtype AND value) and choke on
+    # values Spark cannot cast back. Directory values still unescape
+    # ('%3A' -> ':') and __HIVE_DEFAULT_PARTITION__ still reads as
+    # NULL — that is the path parser, not inference.
+    pinned = None
+    if man.get("schema"):
+        from pyspark.sql.types import StructType
+
+        pinned = StructType.fromJson(json.loads(man["schema"]))
     dfs = []
     for spec in sorted(groups, key=str):
-        reader = spark.read.option("mergeSchema", "true")
+        reader = spark.read
+        if pinned is not None:
+            reader = reader.schema(pinned)
+        else:  # legacy manifest without a schema: footer merging
+            reader = reader.option("mergeSchema", "true")
         if spec is not None:
             reader = reader.option("basePath", os.path.join(root, "data"))
         dfs.append(reader.parquet(*groups[spec]))
@@ -371,13 +442,16 @@ def _read_paths(
 def read_partition(
     spark: SparkSession,
     root: str,
-    values: list[str],
+    values: list[str | None],
     version: int | None = None,
 ) -> DataFrame:
     """Manifest-level PARTITION PRUNING: open only files whose recorded
     partition value is in ``values`` — no directory listing, no footer
     reads for skipped partitions (tier 1 of the two-tier scan plan;
-    read_key_range is tier 2)."""
+    read_key_range is tier 2). ``values`` holds LOGICAL values — the
+    str() of what was written (manifest entries are unescaped from the
+    Hive dir names, so ':' and friends compare literally), with None
+    selecting the NULL partition."""
     v = version if version is not None else current_version(root)
     if v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
@@ -405,10 +479,18 @@ def read_partition(
             )
         )
     if other:
+        nonnull = [x for x in vals if x is not None]
+        resid = (
+            F.col(pcol).cast("string").isin(*nonnull)
+            if nonnull
+            else F.lit(False)
+        )
+        if None in vals:  # isin() never matches NULL; spell it out
+            resid = resid | F.col(pcol).isNull()
         parts.append(
             _read_paths(
                 spark, root, man, [os.path.join(root, f["path"]) for f in other]
-            ).filter(F.col(pcol).cast("string").isin(*vals))
+            ).filter(resid)
         )
     if not parts:
         return read(spark, root, v).filter(F.lit(False))
@@ -501,7 +583,12 @@ def read_point(
     Bloom sidecar (misses when ranges are loose — interleaved keys) —
     a file is opened only if range-possible AND bloom-positive. Bloom
     false positives cost one extra file read; false negatives cannot
-    happen (every written key sets its bits)."""
+    happen (every written key sets its bits, and numerics hash through
+    a type-canonical encoding so a double-typed column probed with an
+    equal int hashes to the same bits — see _bloom_canonical). A
+    sidecar from an older hash scheme (no ``bloom_v`` stamp) is
+    ignored rather than trusted: skipping on a stale-scheme negative
+    would be the silent-row-drop bug the stamp exists to prevent."""
     v = version if version is not None else current_version(root)
     if v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
@@ -513,7 +600,11 @@ def read_point(
         if rng is not None and (value < rng[0] or value > rng[1]):
             continue
         bloom = f.get("key_bloom")
-        if bloom is not None and not _bloom_may_contain(bloom, value):
+        if (
+            bloom is not None
+            and f.get("bloom_v") == _BLOOM_VERSION
+            and not _bloom_may_contain(bloom, value)
+        ):
             continue
         keep.append(f)
     if not keep:
@@ -623,8 +714,12 @@ def merge(
                 raise ValueError(
                     f"merge source must carry partition column {pcol!r}"
                 )
+            # logical values: None stays None (manifest partition
+            # entries are decoded from the Hive dir names, so a NULL
+            # partition is None on both sides — not 'None' / the
+            # __HIVE_DEFAULT_PARTITION__ sentinel string)
             src_parts = {
-                str(r[0])
+                None if r[0] is None else str(r[0])
                 for r in source.select(pcol).distinct().collect()
             }
             # trust a file's partition value only if its layout spec IS
@@ -1226,7 +1321,10 @@ def table_changes(
     Appends `_change_type` and `_commit_version` columns to the table
     schema. Requires the manifests in (v_from, v_to] and their parent
     file sets to still be retained (pre-vacuum) — same constraint as
-    Delta CDF's retention.
+    Delta CDF's retention. Requires KEY-UNIQUE tables: append() admits
+    duplicate merge keys, but a duplicated key inside a file delta has
+    no well-defined row-level diff — detected and rejected with a
+    ValueError rather than multiplying pre/postimages.
 
     Scale: per version, the diff reads ONLY the added/removed file
     delta (merge rewrites scale with touched files, so the diff does
@@ -1275,6 +1373,35 @@ def table_changes(
 
         after = _read_files(added)
         before = _read_files(removed)
+        # append() deliberately admits duplicate merge keys, and a
+        # duplicated key that lives on only ONE side of the diff is
+        # still well-defined (each row is its own insert/delete). What
+        # has NO row-level diff is a key duplicated in a delta AND
+        # present on the other side: the full_outer join would multiply
+        # pre/postimages, emitting phantom changes. Fail fast with the
+        # contract instead of returning a silently-wrong feed.
+        for side, df_side, df_other in (
+            ("added", after, before),
+            ("removed", before, after),
+        ):
+            dup = (
+                df_side.groupBy(key)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(key)
+                .join(df_other.select(key), key, "semi")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"CDF diff at v{v}: merge key {dup[0][0]!r} is "
+                    f"duplicated in the {side} files and present on "
+                    "the other side of the delta — no well-defined "
+                    "row-level diff exists (append() with duplicate "
+                    "keys breaks CDF for later rewrites of those "
+                    "keys; dedupe with dedup_key_last_write first)"
+                )
         cols = [f.name for f in full.fields]
         val_cols = [c for c in cols if c != key]
         a = after.alias("a")
@@ -1323,17 +1450,22 @@ def files_table(spark: SparkSession, root: str, version: int | None = None) -> D
     if v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, v)
-    rows = [
-        (
-            f["path"],
-            int(f.get("bytes", 0)),
-            int(f.get("rows", 0)),
-            str(f.get("partition")) if f.get("partition") is not None else None,
-            str(f.get("key_range", [None, None])[0]),
-            str(f.get("key_range", [None, None])[1]),
+    rows = []
+    for f in man["files"]:
+        # a missing key_range is SQL NULL, not the string 'None' —
+        # maintenance queries filter `key_min IS NULL`, and 'None'
+        # would both dodge that filter and sort as a real value
+        kr = f.get("key_range") or [None, None]
+        rows.append(
+            (
+                f["path"],
+                int(f.get("bytes", 0)),
+                int(f.get("rows", 0)),
+                str(f.get("partition")) if f.get("partition") is not None else None,
+                str(kr[0]) if kr[0] is not None else None,
+                str(kr[1]) if kr[1] is not None else None,
+            )
         )
-        for f in man["files"]
-    ]
     return spark.createDataFrame(
         rows,
         "path string, bytes long, rows long, partition string, "

@@ -179,6 +179,23 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
             return
         a = after.set_index(key)
         b = before.set_index(key)
+        # Same contract as acid.table_changes: a key duplicated in a
+        # delta is fine while it stays on one side (each row is its
+        # own insert/delete), but duplicated AND present on the other
+        # side has no row-level diff — the .loc alignment below would
+        # multiply images or raise a cryptic pandas reindex error
+        # mid-stream. Fail with the contract instead.
+        both = set(a.index) & set(b.index)
+        for side, idx in (("added", a.index), ("removed", b.index)):
+            bad = sorted(k for k in set(idx[idx.duplicated()]) if k in both)
+            if bad:
+                raise ValueError(
+                    f"CDF stream at v{v}: merge key {bad[0]!r} is "
+                    f"duplicated in the {side} files and present on "
+                    "the other side of the delta — the CDF source "
+                    "requires key-unique diffs (no duplicate-key "
+                    "append() for keys later rewritten)"
+                )
         a_keys, b_keys = set(a.index), set(b.index)
         yield from emit(a.loc[sorted(a_keys - b_keys)].reset_index(), "insert")
         yield from emit(b.loc[sorted(b_keys - a_keys)].reset_index(), "delete")

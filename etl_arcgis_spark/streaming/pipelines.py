@@ -543,6 +543,20 @@ def acid_wap_sink(
             .select(key, "us", "event_id", "value")
         )
         if acid.current_version(table_root) is None:
+            # The FIRST batch is audited too: the would-be table after
+            # create() IS the batch itself (empty target), so auditing
+            # the batch is exactly the post-merge audit every later
+            # batch gets. Skipping it would publish a violating first
+            # batch to all readers — the one hole in audit-every-batch.
+            bad = latest.filter(f"NOT ({expectation})").count()
+            if bad:
+                (
+                    latest.withColumn("epoch", F.lit(epoch))
+                    .withColumn("violations", F.lit(bad))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+                return
             acid.create(spark, table_root, latest, key=key)
             return
         for _ in range(3):  # re-stage on publish conflicts

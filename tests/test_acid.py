@@ -1232,3 +1232,283 @@ def test_cdf_across_spec_evolution(spark, ptbl):
     assert by_type["insert"].id == 200
     assert by_type["update_postimage"].v == "CHG"
     assert by_type["update_preimage"].v == "v2"
+
+
+# ------------------------------------------- round-6 hardening (ADVICE r5)
+
+
+def test_partition_values_escape_and_null_roundtrip(spark, tmp_path):
+    """Partition values that Spark %-escapes in directory names (colons,
+    spaces) plus a NULL partition and a numeric-looking string must
+    round-trip LOGICALLY: the manifest records the unescaped value
+    (None for NULL), read() keeps the declared string dtype (no
+    partition-type re-inference turning '007' into int 7), and both
+    read_partition() and merge() prune against the logical value."""
+    root = str(tmp_path / "esctbl")
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (2, "b", "2024-01-01 00:00:00"),
+            (3, "c", "x:y/z"),
+            (4, "d", None),
+            (5, "e", "007"),
+        ],
+        "id INT, v STRING, p STRING",
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    man = acid._read_manifest(root, 1)
+    got_parts = {f["partition"] for f in man["files"]}
+    assert got_parts == {"2024-01-01 00:00:00", "x:y/z", None, "007"}
+    # full read: schema pinned from manifest — string stays string,
+    # '007' stays '007', NULL partition reads back as NULL
+    full = acid.read(spark, root)
+    assert dict(full.dtypes)["p"] == "string"
+    back = {r.id: r.p for r in full.collect()}
+    assert back == {
+        1: "2024-01-01 00:00:00",
+        2: "2024-01-01 00:00:00",
+        3: "x:y/z",
+        4: None,
+        5: "007",
+    }
+    # partition-pruned reads on the logical values
+    assert acid.read_partition(spark, root, ["2024-01-01 00:00:00"]).count() == 2
+    assert {r.id for r in acid.read_partition(spark, root, ["x:y/z"]).collect()} == {3}
+    assert {r.id for r in acid.read_partition(spark, root, [None]).collect()} == {4}
+    assert {r.id for r in acid.read_partition(spark, root, ["007"]).collect()} == {5}
+    # merge INTO the escaped partition: the hit file must be classified
+    # touched (escaped-vs-logical comparison would call it untouched
+    # and commit a duplicate key)
+    src = spark.createDataFrame(
+        [(2, "B", "2024-01-01 00:00:00")], "id INT, v STRING, p STRING"
+    )
+    acid.merge(spark, root, src)
+    after = acid.read(spark, root)
+    assert after.count() == 5  # no duplicate id=2
+    assert {r.v for r in after.filter("id = 2").collect()} == {"B"}
+
+
+def test_partition_null_merge_touches_null_partition(spark, tmp_path):
+    """A merge whose source rows land in the NULL partition must treat
+    the NULL-partition file as a candidate (None == None), not skip it
+    via the old 'None'-string / sentinel mismatch."""
+    root = str(tmp_path / "nulltbl")
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "red")], "id INT, v STRING, p STRING"
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    src = spark.createDataFrame([(1, "A", None)], "id INT, v STRING, p STRING")
+    acid.merge(spark, root, src)
+    out = acid.read(spark, root)
+    assert out.count() == 2
+    assert [r.v for r in out.filter("id = 1").collect()] == ["A"]
+
+
+def test_read_point_numeric_dtype_mismatch_no_false_negative(spark, tmp_path):
+    """Bloom canonicalization: a DOUBLE-typed merge key stores 5.0; a
+    lookup with Python int 5 (or float 5.0) must still open the file —
+    the v1 repr()-hash scheme made the bloom report negative while the
+    key range passed, silently dropping the row."""
+    root = str(tmp_path / "dbltbl")
+    df = spark.createDataFrame(
+        [(float(i), f"v{i}") for i in range(50)], "id DOUBLE, v STRING"
+    ).repartition(4, "id")
+    acid.create(spark, root, df, key="id")
+    man = acid._read_manifest(root, 1)
+    assert all(f.get("bloom_v") == acid._BLOOM_VERSION for f in man["files"])
+    for probe in (5, 5.0, 17, 17.0):
+        got = acid.read_point(spark, root, probe).collect()
+        assert [(r.id, r.v) for r in got] == [(float(probe), f"v{int(probe)}")]
+
+
+def test_read_point_ignores_legacy_bloom_scheme(spark, tmp_path):
+    """A sidecar without the bloom_v stamp (written by the old hash
+    scheme) must be IGNORED, not trusted: trusting a stale-scheme
+    negative is exactly the silent-row-drop failure mode."""
+    root = str(tmp_path / "legtbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id INT, v STRING"
+    )
+    acid.create(spark, root, df, key="id")
+    v = acid.current_version(root)
+    mpath = acid._manifest_path(root, v)
+    man = json.load(open(mpath))
+    import base64 as _b64
+
+    for f in man["files"]:
+        f.pop("bloom_v", None)
+        # a legacy bloom that would (wrongly) report negative for all
+        f["key_bloom"] = _b64.b64encode(bytes(acid._BLOOM_BITS // 8)).decode()
+    json.dump(man, open(mpath, "w"))
+    got = acid.read_point(spark, root, 7).collect()
+    assert [(r.id, r.v) for r in got] == [(7, "v7")]
+
+
+def test_files_table_missing_key_range_is_sql_null(spark, tmp_path):
+    """files_table renders an absent key_range as SQL NULL (not the
+    string 'None'), so `key_min IS NULL` maintenance filters see it."""
+    root = str(tmp_path / "nokr")
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    acid.create(spark, root, df, key="id")
+    v = acid.current_version(root)
+    mpath = acid._manifest_path(root, v)
+    man = json.load(open(mpath))
+    for f in man["files"]:
+        f.pop("key_range", None)
+    json.dump(man, open(mpath, "w"))
+    ft = acid.files_table(spark, root)
+    assert ft.filter("key_min IS NULL").count() == ft.count()
+    assert ft.filter("key_min = 'None'").count() == 0
+
+
+def test_cdf_rejects_duplicate_key_rewrite(spark, tbl):
+    """append() may introduce duplicate keys; a later rewrite of such a
+    key has no row-level diff — table_changes must fail fast with the
+    key-unique contract instead of multiplying pre/postimages."""
+    acid.append(
+        spark, tbl,
+        spark.createDataFrame([(2, "dup")], "id INT, v STRING"),
+    )
+    acid.merge(
+        spark, tbl, spark.createDataFrame([(2, "ONE")], "id INT, v STRING")
+    )
+    with pytest.raises(ValueError, match="duplicated"):
+        acid.table_changes(spark, tbl, 2, 3).collect()
+    # the append itself (dup key on ONE side only) still diffs fine
+    ch = acid.table_changes(spark, tbl, 1, 2)
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+
+
+def test_acid_wap_sink_audits_first_batch(spark, tmp_path):
+    """A violating FIRST micro-batch must be quarantined, not published
+    via the create() path: the audit-every-batch contract includes the
+    batch that would create the table."""
+    import shutil as _sh
+
+    from etl_arcgis_spark.streaming.pipelines import acid_wap_sink
+    from etl_arcgis_spark.tables import prepare, table
+
+    prepare(spark)
+    sf = "/root/testdata/sf0.001"
+    src_dir = tmp_path / "wapf_in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "wapf_ckpt")
+    root = str(tmp_path / "wapf_tbl")
+    qdir = str(tmp_path / "wapf_quarantine")
+    ev = table(spark, sf, "events")
+    schema = ev.schema
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = (
+            acid_wap_sink(stream, root, "value > -1e17", qdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 violates the expectation -> NO table, batch quarantined
+    bad = ev.limit(5).withColumn("value", F.lit(-1e18))
+    bad.write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    _sh.copy(glob.glob(str(tmp_path / "f1" / "part-*.parquet"))[0],
+             src_dir / "f1.parquet")
+    run_batch()
+    assert acid.current_version(root) is None
+    quar = spark.read.parquet(qdir)
+    assert quar.filter("violations > 0").count() > 0
+
+    # batch 2 is clean -> creates the table, clean rows only
+    good = ev.limit(8)
+    good.write.mode("overwrite").parquet(str(tmp_path / "f2"))
+    _sh.copy(glob.glob(str(tmp_path / "f2" / "part-*.parquet"))[0],
+             src_dir / "f2.parquet")
+    run_batch()
+    assert acid.current_version(root) is not None
+    assert acid.read(spark, root).filter("value <= -1e17").count() == 0
+
+
+def test_vacuum_grace_protects_in_flight_writer(spark, tbl):
+    """The vacuum-vs-writer race, deterministically: a writer that has
+    finished commit step 1 (data files on disk) but not step 3 (manifest
+    publish) leaves files indistinguishable from crash orphans. A
+    vacuum with the grace window must SKIP them; the about-to-publish
+    snapshot must then read intact. (With grace 0 the same vacuum
+    deletes them — proving the window is the only protection.)"""
+    src = spark.createDataFrame([(2, "MID"), (7, "new")], "id INT, v STRING")
+    # step 1 of a merge commit: write the data files, no manifest yet
+    man = acid._read_manifest_or_raise(tbl)
+    new_files = acid._write_data_files(src, tbl, key=man["key"])
+    paths = [os.path.join(tbl, f["path"]) for f in new_files]
+    assert all(os.path.exists(p) for p in paths)
+    # maintenance vacuum races in with the default grace window
+    deleted = acid.vacuum(tbl, keep_versions=1)
+    assert all(os.path.exists(p) for p in paths), deleted
+    # the writer completes step 2+3: publish a manifest referencing them
+    new_man = {
+        "version": man["version"] + 1,
+        "key": man["key"],
+        "operation": "merge",
+        "parent": man["version"],
+        "files": man["files"] + new_files,
+        "rows": man["rows"] + 2,
+        "schema": man["schema"],
+    }
+    acid._publish(tbl, man["version"] + 1, new_man)
+    got = sorted((r.id, r.v) for r in acid.read(spark, tbl).collect())
+    assert (7, "new") in got and (2, "MID") in got
+    # counterfactual on a THROWAWAY copy: grace 0 collects young
+    # unreferenced files — the exclusive-maintenance-only mode
+    import shutil as _sh
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root2 = os.path.join(td, "copy")
+        _sh.copytree(tbl, root2)
+        man2 = acid._read_manifest_or_raise(root2)
+        orphan_files = acid._write_data_files(
+            spark.createDataFrame([(99, "orphan")], "id INT, v STRING"),
+            root2,
+            key=man2["key"],
+        )
+        opaths = [os.path.join(root2, f["path"]) for f in orphan_files]
+        acid.vacuum(root2, keep_versions=1, grace_seconds=0.0)
+        assert not any(os.path.exists(p) for p in opaths)
+
+
+def test_vacuum_racing_live_merges_from_threads(spark, tbl):
+    """Vacuum running concurrently with real threaded merges (default
+    grace): every merge lands, no snapshot ever loses a referenced or
+    in-flight file, and the final table state is exactly the merged
+    result."""
+    import threading
+
+    errs: list[Exception] = []
+
+    def do_merges():
+        try:
+            for i in range(4):
+                acid.merge(
+                    spark, tbl,
+                    spark.createDataFrame(
+                        [(100 + i, f"m{i}")], "id INT, v STRING"
+                    ),
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def do_vacuums():
+        try:
+            for _ in range(6):
+                acid.vacuum(tbl, keep_versions=1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_merges)
+    t2 = threading.Thread(target=do_vacuums)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = sorted((r.id, r.v) for r in acid.read(spark, tbl).collect())
+    assert [(g for g in got)]  # readable
+    assert [(100 + i, f"m{i}") for i in range(4)] == [g for g in got if g[0] >= 100]
+    assert [g for g in got if g[0] < 100] == [(1, "a"), (2, "b"), (3, "c")]
