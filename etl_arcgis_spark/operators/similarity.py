@@ -1306,47 +1306,93 @@ def pca_whiten(
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d = len(e.select("embedding").first()[0])
-    sums = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
-            for i in range(d)
-        ],
-    ).collect()[0]
-    n = sums["n"]
-    mean = np.array([sums[f"s{i}"] for i in range(d)]) / n
-    # second pass: upper-triangle second moments in one aggregate
-    prods = e.agg(
-        *[
-            F.sum(
-                F.element_at("embedding", i + 1).cast("double")
-                * F.element_at("embedding", j + 1).cast("double")
-            ).alias(f"p{i}_{j}")
-            for i in range(d)
-            for j in range(i, d)
-        ]
-    ).collect()[0]
-    cov = np.zeros((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            c = prods[f"p{i}_{j}"] / n - mean[i] * mean[j]
-            cov[i, j] = cov[j, i] = c
+
+    # Moment pass: per-PARTITION partial sums (n, Σx, XᵀX) accumulated
+    # NumPy-side in one Arrow-batched mapInPandas — the same plan shape
+    # as the PQ trainer above. The r5 spelling built the d(d+1)/2
+    # second moments as Catalyst aggregate COLUMNS, which is 2,080
+    # expressions at d=64 but 0.3M–1.2M at production embedding dims
+    # (d=768–1536) — a plan that cannot compile. Here the expression
+    # count is O(1) in d; each partition emits one (d + d²)-double row,
+    # and a 64-bucket tree combine (grouped applyInPandas, MLlib
+    # treeAggregate's shape) bounds what the driver ever collects.
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    def _partials(it):
+        from pyspark import TaskContext
+
+        gid = TaskContext.get().partitionId() % 64
+        n = 0
+        s = np.zeros(d)
+        xtx = np.zeros((d, d))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            xtx += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {
+                    "gid": [gid],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "xtx": [xtx.reshape(-1).tolist()],
+                }
+            )
+
+    def _combine(_key, pdf):
+        return pd.DataFrame(
+            {
+                "n": [int(pdf["n"].sum())],
+                "s": [np.sum([np.asarray(v) for v in pdf["s"]], axis=0).tolist()],
+                "xtx": [
+                    np.sum([np.asarray(v) for v in pdf["xtx"]], axis=0).tolist()
+                ],
+            }
+        )
+
+    part_schema = "gid int, n long, s array<double>, xtx array<double>"
+    combined = (
+        e.select("embedding")
+        .mapInPandas(_partials, schema=part_schema)
+        .groupBy("gid")
+        .applyInPandas(_combine, schema="n long, s array<double>, xtx array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in combined)
+    mean = np.sum([np.asarray(r["s"]) for r in combined], axis=0) / n
+    xtx = np.sum(
+        [np.asarray(r["xtx"]).reshape(d, d) for r in combined], axis=0
+    )
+    cov = xtx / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:n_components]
     lam = vals[order]
     w = vecs[:, order] / np.sqrt(np.maximum(lam, 1e-12))  # d x k whitener
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    cols = []
-    for k in range(n_components):
-        expr = None
-        for i in range(d):
-            term = (
-                F.element_at("embedding", i + 1).cast("double") - F.lit(float(mean[i]))
-            ) * F.lit(float(w[i, k]))
-            expr = term if expr is None else expr + term
-        cols.append(expr)
-    out = e.select("vec_id", F.array(*cols).alias("white"))
-    _ = mean_lit
+
+    # Projection back out: (X - mean) @ W as a vectorized Arrow batch —
+    # also O(1) Catalyst expressions (the r5 spelling emitted d·k
+    # leaf terms, 98k at d=1536/k=64). mean and W ride the closure as
+    # d·k constants, the per-batch work is one GEMM.
+    mean_c, w_c = mean.copy(), w.copy()
+
+    def _project(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            white = (X - mean_c) @ w_c
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "white": list(map(list, white))}
+            )
+
+    out = e.mapInPandas(_project, schema="vec_id long, white array<double>")
     return out, lam
 
 
