@@ -1512,3 +1512,46 @@ def test_vacuum_racing_live_merges_from_threads(spark, tbl):
     assert [(g for g in got)]  # readable
     assert [(100 + i, f"m{i}") for i in range(4)] == [g for g in got if g[0] >= 100]
     assert [g for g in got if g[0] < 100] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_partition_escape_roundtrip_adversarial_values(spark, tmp_path):
+    """Adversarial partition strings through the full manifest
+    round-trip: everything Spark %-escapes (space, colon, slash,
+    equals, percent — including values that LOOK pre-escaped, like
+    'a%2Fb', which must NOT double-decode) plus unicode. For each
+    value: the manifest records the logical string, read() returns it
+    intact, read_partition() prunes to exactly its rows, and a merge
+    into it stays duplicate-free."""
+    vals = [
+        "plain",
+        "a b",
+        "a:b",
+        "a/b",
+        "a=b",
+        "%41",       # literal percent-escape lookalike -> stays '%41'
+        "a%2Fb",     # pre-escaped lookalike -> stays 'a%2Fb'
+        "héllo",
+        "07",
+    ]
+    root = str(tmp_path / "advtbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", p) for i, p in enumerate(vals)],
+        "id INT, v STRING, p STRING",
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    man = acid._read_manifest(root, 1)
+    assert {f["partition"] for f in man["files"]} == set(vals)
+    back = {r.id: r.p for r in acid.read(spark, root).collect()}
+    assert back == {i: p for i, p in enumerate(vals)}
+    for i, p in enumerate(vals):
+        got = acid.read_partition(spark, root, [p]).collect()
+        assert [(r.id, r.p) for r in got] == [(i, p)], p
+    # merge into every partition at once: each hit file is touched
+    src = spark.createDataFrame(
+        [(i, f"V{i}", p) for i, p in enumerate(vals)],
+        "id INT, v STRING, p STRING",
+    )
+    acid.merge(spark, root, src)
+    out = acid.read(spark, root)
+    assert out.count() == len(vals)
+    assert {r.v for r in out.collect()} == {f"V{i}" for i in range(len(vals))}

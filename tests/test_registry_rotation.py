@@ -37,8 +37,10 @@ def test_unverified_queries_register_first(monkeypatch, tmp_path):
     n = len(names)
     assert names.index("scan_project_filter") > n - 60
     assert names.index("minhash_lsh_dedup") > n - 60
-    # unverified contract families lead (scans/filters right behind the error)
-    assert names[1].startswith("scan_")
+    # the r6 front pin (two-round stragglers) shares the lead tier,
+    # then the unverified contract families (scans/filters)
+    assert set(names[1:3]) == set(registry._R6_FRONT)
+    assert names[3].startswith("scan_")
 
 
 def test_later_round_green_clears_earlier_error(monkeypatch, tmp_path):
@@ -79,7 +81,9 @@ def test_later_round_error_demotes_earlier_green(monkeypatch, tmp_path):
 
 def test_no_correctness_files_preserves_priority_order(monkeypatch, tmp_path):
     names = _ordered_names(monkeypatch, tmp_path, {})
-    assert names[0].startswith("scan_")  # contract families lead
+    # the r6 front-pinned stragglers lead, then contract families
+    assert set(names[:2]) == set(registry._R6_FRONT)
+    assert names[2].startswith("scan_")
     assert len(names) == len(set(names))
 
 
@@ -123,8 +127,14 @@ def test_contract_tier_beats_extension_module_priority(monkeypatch, tmp_path):
     extension names from HIGH priority modules (e.g. scans)."""
     names = _ordered_names(monkeypatch, tmp_path, {})
     positions = {n: i for i, n in enumerate(names)}
-    # the r5 backlog pin shares the contract tier by design — exclude it
-    pinned = registry._CONTRACT_NAMES | registry._R5_BACKLOG_PIN
+    # the r5/r6 backlog pins share the contract tier by design — and
+    # the r6 front pin leads it — exclude all of them
+    pinned = (
+        registry._CONTRACT_NAMES
+        | registry._R5_BACKLOG_PIN
+        | registry._R6_BACKLOG_PIN
+        | set(registry._R6_FRONT)
+    )
     contract_max = max(positions[n] for n in registry._CONTRACT_NAMES)
     ext_min = min(positions[n] for n in registry.QUERIES if n not in pinned)
     assert contract_max < ext_min

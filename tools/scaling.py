@@ -70,6 +70,9 @@ HEADLINE = [
     "dedup_prefix_filter_join",
     "graph_adamic_adar_top_link",
     "text_cdc_chunks",
+    # round-6: the re-spelled whitening (Arrow moment partials + tree
+    # combine — expression count now O(1) in d, cost linear in rows)
+    "sim_pca_whiten",
 ]
 
 
