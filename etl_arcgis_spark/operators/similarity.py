@@ -1228,6 +1228,15 @@ def mmr_rerank(
     constants-only collect pattern as the PQ codebook. Ties break by
     vec_id; arithmetic is plain float64 in pool order — deterministic.
     """
+    # the driver-side greedy loop is O(k * pool_size) dot products over
+    # pool_size collected rows — keep the pool a CONSTANT, never a
+    # data-sized value (r5 verdict: "flag so it never silently grows")
+    if pool_size > 1024:
+        raise ValueError(
+            f"mmr_rerank pool_size={pool_size} exceeds the driver-side "
+            "bound (1024); MMR's greedy stage is sequential by nature — "
+            "re-rank a bounded retrieval pool, not a corpus"
+        )
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")

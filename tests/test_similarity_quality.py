@@ -237,3 +237,14 @@ def test_pca_whiten_identity_covariance(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert all(abs(r.whitened_var - 1.0) < 1e-3 for r in summary)
+
+
+def test_mmr_pool_size_hard_bound(spark):
+    """The driver-side greedy stage must refuse a data-sized pool: the
+    pool bound is what makes the collect() constants-only."""
+    import pytest as _pt
+
+    from etl_arcgis_spark.operators.similarity import mmr_rerank
+
+    with _pt.raises(ValueError, match="pool_size"):
+        mmr_rerank(spark, "/root/testdata/sf0.001", pool_size=100_000)
