@@ -1555,3 +1555,64 @@ def test_partition_escape_roundtrip_adversarial_values(spark, tmp_path):
     out = acid.read(spark, root)
     assert out.count() == len(vals)
     assert {r.v for r in out.collect()} == {f"V{i}" for i in range(len(vals))}
+
+
+def test_cdf_replay_across_evolution_with_escaped_and_null_partitions(
+    spark, tmp_path
+):
+    """Interplay of the r6 escaping fix with spec evolution and CDF:
+    a table partitioned on values that Spark %-escapes (timestamps with
+    colons) plus a NULL partition, evolved to a second escaped-value
+    spec mid-history, mutated before and after — CDF replayed from v0
+    must reconstruct the final snapshot exactly (the replay-to-state
+    identity), and partition-pruned reads stay exact on BOTH specs."""
+    root = str(tmp_path / "cdfevo")
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", "us: east"),
+        (2, "b", "2024-01-01 00:00:00", None),
+        (3, "c", "2024-01-02 12:30:00", "us: west"),
+        (4, "d", None, "us: east"),
+    ]
+    schema = "id INT, v STRING, day STRING, zone STRING"
+    acid.create(spark, root, spark.createDataFrame(rows, schema),
+                key="id", partition_by="day")
+    acid.merge(
+        spark, root,
+        spark.createDataFrame(
+            [(2, "B", "2024-01-01 00:00:00", None)], schema
+        ),
+    )
+    acid.evolve_partition_spec(spark, root, "zone")
+    acid.merge(
+        spark, root,
+        spark.createDataFrame(
+            [(5, "e", "2024-01-03 08:00:00", "eu: north"),
+             (3, "C", "2024-01-02 12:30:00", "us: west")], schema
+        ),
+    )
+    final = {r.id: (r.v, r.day, r.zone)
+             for r in acid.read(spark, root).collect()}
+    assert final == {
+        1: ("a", "2024-01-01 00:00:00", "us: east"),
+        2: ("B", "2024-01-01 00:00:00", None),
+        3: ("C", "2024-01-02 12:30:00", "us: west"),
+        4: ("d", None, "us: east"),
+        5: ("e", "2024-01-03 08:00:00", "eu: north"),
+    }
+    # replay-to-state: apply the change feed over an empty state
+    ch = acid.table_changes(spark, root, 0).collect()
+    state: dict[int, tuple] = {}
+    for r in sorted(ch, key=lambda r: (r["_commit_version"],)):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r.id] = (r.v, r.day, r.zone)
+        elif r["_change_type"] == "delete":
+            state.pop(r.id, None)
+    assert state == final
+    # pruned reads on both specs, escaped + NULL values
+    assert {r.id for r in acid.read_partition(
+        spark, root, ["2024-01-01 00:00:00"],
+        version=2).collect()} == {1, 2}
+    assert {r.id for r in acid.read_partition(
+        spark, root, ["us: west"]).collect()} == {3}
+    assert {r.id for r in acid.read_partition(
+        spark, root, [None]).collect()} == {2}
