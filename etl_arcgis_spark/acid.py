@@ -560,6 +560,19 @@ def read_where(
         st = f.get("col_stats", {}).get(col)
         if st is None and col == man["key"]:
             st = f.get("key_range")
+        if st is None and _file_spec(f, man.get("partition_by")) == col:
+            # ``col`` is this file's LAYOUT column: it never appears in
+            # the parquet data (hence no col_stats), but the manifest's
+            # decoded directory value is exact [v, v] stats. A NULL
+            # partition means every row has col IS NULL — no row can
+            # satisfy a BETWEEN, skip the file outright. String bounds
+            # only (dir values are strings; comparing one to a numeric
+            # bound would be a type pun, so those read conservatively).
+            pv = f.get("partition")
+            if pv is None:
+                continue
+            if isinstance(lo, str) and isinstance(hi, str):
+                st = [pv, pv]
         if st is None or not (st[1] < lo or st[0] > hi):
             keep.append(f)
     if not keep:

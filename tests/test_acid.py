@@ -1616,3 +1616,25 @@ def test_cdf_replay_across_evolution_with_escaped_and_null_partitions(
         spark, root, ["us: west"]).collect()} == {3}
     assert {r.id for r in acid.read_partition(
         spark, root, [None]).collect()} == {2}
+
+
+def test_read_where_prunes_on_layout_column(spark, part_tbl):
+    """read_where on the PARTITION column: layout columns never appear
+    in the files' col_stats (they are directory-encoded), but the
+    manifest partition value is exact [v, v] stats — a range probe must
+    open only the matching partitions' files and return exact rows."""
+    man = acid._read_manifest_or_raise(part_tbl)
+    red_files = {f["path"] for f in man["files"] if f["partition"] == "red"}
+    got = acid.read_where(spark, part_tbl, "cat", "red", "red")
+    rows = got.collect()
+    assert {r.cat for r in rows} == {"red"}
+    assert len(got.inputFiles()) == len(red_files)
+    # a NULL partition's file is skipped outright for any BETWEEN
+    root2 = part_tbl + "_null"
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "blue")], "id INT, v STRING, cat STRING"
+    )
+    acid.create(spark, root2, df, key="id", partition_by="cat")
+    got2 = acid.read_where(spark, root2, "cat", "blue", "blue")
+    assert [(r.id, r.cat) for r in got2.collect()] == [(2, "blue")]
+    assert len(got2.inputFiles()) == 1
