@@ -1497,7 +1497,9 @@ def snapshots_table(spark: SparkSession, root: str) -> DataFrame:
         rows.append(
             (
                 int(m["version"]),
-                str(m.get("operation")),
+                # same NULL discipline as files_table: absent metadata
+                # is SQL NULL, never the string 'None'
+                str(m["operation"]) if m.get("operation") is not None else None,
                 int(m.get("rows", 0)),
                 int(m["parent"]) if m.get("parent") is not None else None,
                 len(m.get("files", [])),
