@@ -1437,3 +1437,88 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_events").alias("n_events"),
         r4(surv).alias("survival"),
     ).orderBy(F.asc("duration_days"))
+
+
+@query(
+    "analytics_abc_classification",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT *,
+         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+         CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+  FROM c
+)
+SELECT CASE WHEN CAST(cum_c - rev_c AS DOUBLE) / total_c < 0.80 THEN 'A'
+            WHEN CAST(cum_c - rev_c AS DOUBLE) / total_c < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(rev_c) / 100.0, 4) AS class_revenue,
+       round(CAST(sum(rev_c) AS DOUBLE) / any_value(total_c), 4)
+         AS revenue_share
+FROM r GROUP BY 1
+""",
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory/customer classification: customers ranked
+    by total order revenue, class A = customers before the cumulative
+    80% revenue line, B = to 95%, C = the tail — the classic warehouse
+    segmentation (single-axis complement of the multi-objective
+    analytics_pareto_frontier).
+
+    Exactness: revenue is summed in integer CENTS (floor(x*100+0.5) —
+    identical double math on both engines), so the cumulative sums are
+    order-independent integers and the 80/95% boundary classification
+    cannot drift on float addition order.
+
+    Scale: the cumulative share needs a GLOBAL running sum over
+    |customers| rows — never an unpartitioned window. Spelled as the
+    two-phase bucket-offset chain: bucketed_global_rank gives each
+    customer its dense rank by (revenue DESC, custkey), then
+    bucketed_running_sums accumulates revenue per 64-rank bucket with
+    a bounded offsets window (|buckets| rows, broadcast back). The
+    grand total is a 1-row broadcast."""
+    from .scale_patterns import bucketed_global_rank, bucketed_running_sums
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("rev_c")
+    ).withColumn("neg_rev", -F.col("rev_c"))
+    ranked = bucketed_global_rank(
+        per_cust, "neg_rev", "o_custkey", out_rank="grank", out_n="n_cust"
+    )
+    cum = bucketed_running_sums(
+        ranked,
+        "grank",
+        F.expr("grank div 64"),
+        {"rev_c": "cum_c"},
+    )
+    total = F.broadcast(per_cust.agg(F.sum("rev_c").alias("total_c")))
+    classed = cum.crossJoin(total).withColumn(
+        "abc_class",
+        F.when(
+            (F.col("cum_c") - F.col("rev_c")).cast("double") / F.col("total_c")
+            < 0.80,
+            F.lit("A"),
+        )
+        .when(
+            (F.col("cum_c") - F.col("rev_c")).cast("double") / F.col("total_c")
+            < 0.95,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C")),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        r4(F.sum("rev_c") / 100.0).alias("class_revenue"),
+        r4(
+            F.sum("rev_c").cast("double") / F.any_value("total_c")
+        ).alias("revenue_share"),
+    )

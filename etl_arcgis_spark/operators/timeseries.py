@@ -1678,3 +1678,143 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@query(
+    "analytics_attribution_last_touch",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t FROM events
+), tt AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM ev
+)
+SELECT coalesce(touch_type, '(none)') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS attributed_revenue
+FROM tt WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, last-touch model: every purchase credits
+    its revenue to the user's most recent preceding touch event (click
+    or view); purchases with no prior touch land in '(none)'. The
+    classic companion to the funnel/conversion family (task.ts's query
+    passthrough cannot express this — it needs ordered per-user state).
+
+    Scale: one window PARTITIONED BY user_id (the natural shuffle key —
+    same partitioning every per-user op in this module reuses), frame
+    [unbounded, -1] with last(ignorenulls) — no self-join, no explode;
+    the attribution group-by reduces to |touch types| rows. Ordering
+    ties break on event_id, so attribution is deterministic."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", ev_us().alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.sum("value")).alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "analytics_session_paths",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), n AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM f
+), s AS (
+  SELECT user_id, sid,
+         array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path
+  FROM n GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM s GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+""",
+)
+def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: 30-minute-gap sessionization per user,
+    each session reduced to its first-5-event-type path string, top 20
+    paths by session count. The behavioral-sequence complement of
+    ts_sessionize_stats (which measures sessions; this ranks WHAT
+    happens inside them).
+
+    Scale: the gap flag and session id are per-user windows on the
+    same user_id partitioning; path assembly is array_sort over the
+    session's collected (t, event_id, type) structs — in-group, no
+    extra shuffle beyond the session group-by; the final top-20 is
+    TakeOrderedAndProject (never a global sort). Ordering ties break
+    (count DESC, path ASC) so the cut is deterministic."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ev_us().alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    is_new = F.when(
+        F.lag("t").over(w).isNull()
+        | ((F.col("t") - F.lag("t").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("is_new", is_new)  # stage: no nested window exprs
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("t", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("t", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

@@ -94,6 +94,7 @@ NLJ_OK = {
     "ts_sax_symbols",            # 1-row (mu, sigma, h0) stats broadcast
     "analytics_survival_km",     # 1-row dmax + 1-row total broadcasts
     "ts_entropy_rate",           # 1-row transition-total broadcast
+    "analytics_abc_classification",  # 1-row (min,max,n) rank stats + 1-row revenue-total broadcasts
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
@@ -121,6 +122,7 @@ WINDOW_BOUNDED_OK = {
     "stats_mannwhitney_u": "offset window over per-distinct-value counts (midrank grid; 11 discount values)",
     "corpus_curate_select": "offset window over per-bucket totals (|buckets| rows, two-phase PPS stage)",
     "analytics_survival_km": "risk-set/survival windows over the duration grid (bounded by observation-window days)",
+    "analytics_abc_classification": "offset windows over 1024 bin counts + 64-rank bucket totals (bucketed_global_rank -> bucketed_running_sums chain)",
 }
 
 
