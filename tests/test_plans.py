@@ -553,3 +553,25 @@ def test_audit_allowlists_reference_real_queries():
     ):
         stale = set(lst) - registered
         assert not stale, f"{name} entries not registered: {sorted(stale)}"
+
+
+def test_session_paths_topk_avoids_full_sort(spark):
+    """The top-20 path cut must be TakeOrderedAndProject, not a global
+    sort of the path histogram."""
+    p = plan_of(spark, "analytics_session_paths")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_attribution_windows_are_user_partitioned(spark):
+    """Last-touch attribution's window must partition by user_id — an
+    unpartitioned frame here would be the single-task global sort."""
+    df = registry.all_queries()["analytics_attribution_last_touch"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for line in p.splitlines():
+        s = line.strip(" +-*:")
+        if s.startswith("Window "):
+            assert "user_id" in s.split("], [")[1], s
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
