@@ -916,21 +916,73 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
 
 
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
-    """Transactional DELETE: publish a snapshot without matching rows."""
+    """Transactional DELETE, file-pruned copy-on-write: one scan finds
+    which data files actually CONTAIN matching rows (per-file match
+    counts via input_file_name — |files| driver rows); only those files
+    are rewritten without their matches, every other file carries into
+    the new snapshot path-identical. Delta/Iceberg DELETE shape:
+    deleting one partition/day from a 100 TB table rewrites that
+    slice's files, never the table (the pre-r6 spelling rewrote every
+    file on every delete). Smaller file deltas also keep CDF diffs
+    delta-sized.
+
+    SQL DELETE semantics on NULLs: a row is deleted iff the predicate
+    is TRUE; rows where it evaluates NULL/UNKNOWN survive (the pre-r6
+    ``NOT (pred)`` spelling silently deleted them)."""
     base_v = current_version(root)
     if base_v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, base_v)
     pcol = man.get("partition_by")
-    remaining = read(spark, root, base_v).filter(f"NOT ({predicate})")
-    files = _write_data_files(remaining, root, key=man["key"], partition_by=pcol)
+    touched: list[dict[str, Any]] = []
+    untouched: list[dict[str, Any]] = list(man["files"])
+    deleted_rows = 0
+    if man["files"]:
+        df = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in man["files"]],
+        )
+        hits = (
+            df.filter(predicate)
+            .groupBy(F.input_file_name().alias("_file"))
+            .count()
+            .collect()
+        )
+        import urllib.parse as _up
+
+        def _norm_uri(u: str) -> str:
+            # input_file_name yields file:-scheme URIs whose %-escaped
+            # partition dirs are escaped AGAIN ('%3A' -> '%253A');
+            # one unquote recovers the on-disk path exactly
+            if u.startswith("file:"):
+                u = _up.unquote(_up.urlparse(u).path)
+            return os.path.normpath(u)
+
+        hit = {_norm_uri(r["_file"]) for r in hits}
+        deleted_rows = sum(r["count"] for r in hits)
+        touched = [
+            f for f in man["files"]
+            if os.path.normpath(os.path.join(root, f["path"])) in hit
+        ]
+        hit_paths = {f["path"] for f in touched}
+        untouched = [f for f in man["files"] if f["path"] not in hit_paths]
+    new_files = untouched
+    if touched:
+        remaining = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in touched],
+        ).filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+        new_files = untouched + _write_data_files(
+            remaining, root, key=man["key"], partition_by=pcol
+        )
     new_man = {
         "version": base_v + 1,
         "key": man["key"],
         "operation": "delete",
-        "schema": remaining.schema.json(),
-        "files": files,
-        "rows": remaining.count(),
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": new_files,
+        "rows": max(0, int(man.get("rows", 0)) - int(deleted_rows)),
         "parent": base_v,
         "predicate": predicate,
     }

@@ -1638,3 +1638,59 @@ def test_read_where_prunes_on_layout_column(spark, part_tbl):
     got2 = acid.read_where(spark, root2, "cat", "blue", "blue")
     assert [(r.id, r.cat) for r in got2.collect()] == [(2, "blue")]
     assert len(got2.inputFiles()) == 1
+
+
+def test_delete_where_rewrites_only_hit_files(spark, part_tbl):
+    """File-pruned copy-on-write DELETE: deleting one partition's rows
+    rewrites only that partition's files — every other file carries
+    into the new snapshot path-identical (no full-table rewrite)."""
+    man0 = acid._read_manifest_or_raise(part_tbl)
+    other_files = {
+        f["path"] for f in man0["files"] if f["partition"] != "red"
+    }
+    red_rows = acid.read(spark, part_tbl).filter("cat = 'red'").count()
+    assert red_rows > 0
+    total = acid.read(spark, part_tbl).count()
+    v = acid.delete_where(spark, part_tbl, "cat = 'red'")
+    man1 = acid._read_manifest(part_tbl, v)
+    assert other_files <= {f["path"] for f in man1["files"]}
+    assert man1["rows"] == total - red_rows
+    out = acid.read(spark, part_tbl)
+    assert out.count() == total - red_rows
+    assert out.filter("cat = 'red'").count() == 0
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE deletes where the predicate is TRUE; a row where it
+    evaluates NULL must SURVIVE (the old NOT(pred) spelling dropped
+    it)."""
+    root = str(tmp_path / "nulldel")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id INT, x DOUBLE"
+    )
+    acid.create(spark, root, df, key="id")
+    acid.delete_where(spark, root, "x < 0")
+    got = sorted((r.id, r.x) for r in acid.read(spark, root).collect())
+    assert got == [(1, 5.0), (2, None)]
+
+
+def test_delete_where_escaped_partition_predicate(spark, tmp_path):
+    """The per-file match scan must survive %-escaped partition dirs
+    (input_file_name double-escapes them in the URI): deleting by an
+    escaped partition value prunes exactly, carries the others."""
+    root = str(tmp_path / "escdel")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "x:y"), (3, "c", None)],
+        "id INT, v STRING, p STRING",
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    man0 = acid._read_manifest_or_raise(root)
+    keep_files = {
+        f["path"] for f in man0["files"]
+        if f["partition"] != "2024-01-01 00:00:00"
+    }
+    v = acid.delete_where(spark, root, "p = '2024-01-01 00:00:00'")
+    man1 = acid._read_manifest(root, v)
+    assert keep_files <= {f["path"] for f in man1["files"]}
+    got = sorted((r.id, r.p) for r in acid.read(spark, root).collect())
+    assert got == [(2, "x:y"), (3, None)]
