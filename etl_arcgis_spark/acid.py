@@ -992,6 +992,121 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     return base_v + 1
 
 
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> int:
+    """Transactional predicate UPDATE (Delta's ``UPDATE t SET ... WHERE
+    ...``), file-pruned copy-on-write like delete_where: one scan finds
+    the files containing matching rows; only those rewrite, with each
+    SET column replaced by ``CASE WHEN pred THEN expr ELSE old END``;
+    every other file carries path-identical. The keyed path for upserts
+    stays merge() — this is the maintenance shape (backfills, GDPR
+    redaction, unit fixes) where the filter, not a key set, names the
+    rows. Rows where the predicate is NULL/UNKNOWN are NOT updated
+    (SQL UPDATE semantics). SET targets must be existing columns —
+    schema evolution stays merge()'s job, so carried-file rows never
+    silently lack an updated column."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    pcol = man.get("partition_by")
+    cols = [
+        f["name"]
+        for f in json.loads(
+            man.get("schema")
+            or read(spark, root, base_v).schema.json()
+        )["fields"]
+    ]
+    bad = [c for c in set_exprs if c not in cols]
+    if bad:
+        raise ValueError(
+            f"update_where SET targets {bad} are not table columns "
+            f"{cols}; add columns via merge() schema evolution first"
+        )
+    if pcol is not None and pcol in set_exprs:
+        raise ValueError(
+            f"update_where cannot SET the partition column {pcol!r} — "
+            "rows would need to move between partitions; use merge()"
+        )
+    touched: list[dict[str, Any]] = []
+    untouched: list[dict[str, Any]] = list(man["files"])
+    n_updated = 0
+    if man["files"]:
+        df = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in man["files"]],
+        )
+        hits = (
+            df.filter(predicate)
+            .groupBy(F.input_file_name().alias("_file"))
+            .count()
+            .collect()
+        )
+        import urllib.parse as _up
+
+        def _norm_uri(u: str) -> str:
+            if u.startswith("file:"):
+                u = _up.unquote(_up.urlparse(u).path)
+            return os.path.normpath(u)
+
+        hit = {_norm_uri(r["_file"]) for r in hits}
+        n_updated = sum(r["count"] for r in hits)
+        touched = [
+            f for f in man["files"]
+            if os.path.normpath(os.path.join(root, f["path"])) in hit
+        ]
+        hit_paths = {f["path"] for f in touched}
+        untouched = [f for f in man["files"] if f["path"] not in hit_paths]
+    new_files = untouched
+    if touched:
+        updated = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in touched],
+        )
+        # SQL UPDATE evaluates the predicate AND every SET expression
+        # against the OLD row: stage the flag and all new values first,
+        # then swap — sequential withColumn would leak one SET's new
+        # value into the next SET's (or the predicate's) inputs
+        order = updated.columns
+        updated = updated.withColumn("__upd", F.expr(f"({predicate})"))
+        for c, expr in set_exprs.items():
+            updated = updated.withColumn(
+                f"__new_{c}",
+                F.when(F.col("__upd"), F.expr(f"({expr})"))
+                .otherwise(F.col(c))
+                .cast(updated.schema[c].dataType),
+            )
+        updated = updated.select(
+            *[
+                (F.col(f"__new_{c}").alias(c) if c in set_exprs else F.col(c))
+                for c in order
+            ]
+        )
+        new_files = untouched + _write_data_files(
+            updated, root, key=man["key"], partition_by=pcol
+        )
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "update",
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": new_files,
+        "rows": int(man.get("rows", 0)),
+        "parent": base_v,
+        "predicate": predicate,
+        "updated_rows": int(n_updated),
+    }
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def vacuum(
     root: str, keep_versions: int = 2, grace_seconds: float = 3600.0
 ) -> list[str]:

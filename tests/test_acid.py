@@ -1694,3 +1694,61 @@ def test_delete_where_escaped_partition_predicate(spark, tmp_path):
     assert keep_files <= {f["path"] for f in man1["files"]}
     got = sorted((r.id, r.p) for r in acid.read(spark, root).collect())
     assert got == [(2, "x:y"), (3, None)]
+
+
+def test_update_where_file_pruned_and_old_row_semantics(spark, part_tbl):
+    """Predicate UPDATE: only files with matches rewrite (others carry
+    path-identical), every SET expression and the predicate evaluate
+    against the OLD row (two SETs swapping a pair of columns must not
+    see each other's new values), NULL-predicate rows stay untouched,
+    and CDF emits exactly the update pre/postimages."""
+    man0 = acid._read_manifest_or_raise(part_tbl)
+    other_files = {
+        f["path"] for f in man0["files"] if f["partition"] != "red"
+    }
+    before = {r.id: r.v for r in acid.read(spark, part_tbl).collect()}
+    red_ids = {
+        r.id for r in acid.read(spark, part_tbl).filter("cat='red'").collect()
+    }
+    v = acid.update_where(
+        spark, part_tbl, "cat = 'red'", {"v": "upper(v) || '!'"}
+    )
+    man1 = acid._read_manifest(part_tbl, v)
+    assert man1["operation"] == "update"
+    assert man1["updated_rows"] == len(red_ids)
+    assert other_files <= {f["path"] for f in man1["files"]}
+    after = {r.id: r.v for r in acid.read(spark, part_tbl).collect()}
+    assert set(after) == set(before)
+    for i, val in before.items():
+        want = val.upper() + "!" if i in red_ids else val
+        assert after[i] == want
+    # CDF over the update: pre/postimages only for updated keys
+    ch = acid.table_changes(spark, part_tbl, v - 1, v).collect()
+    assert {r["_change_type"] for r in ch} <= {
+        "update_preimage", "update_postimage"
+    }
+    assert {r.id for r in ch} == red_ids
+
+
+def test_update_where_old_row_swap_and_guards(spark, tmp_path):
+    root = str(tmp_path / "updswap")
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "id INT, a INT, b INT"
+    )
+    acid.create(spark, root, df, key="id")
+    acid.update_where(spark, root, "id = 1", {"a": "b", "b": "a"})
+    got = {r.id: (r.a, r.b) for r in acid.read(spark, root).collect()}
+    assert got == {1: (20, 10), 2: (30, 40)}  # swapped from OLD values
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not table columns"):
+        acid.update_where(spark, root, "id = 1", {"nope": "1"})
+    # partition-column SET refused on a partitioned table
+    root2 = str(tmp_path / "updpart")
+    acid.create(
+        spark, root2,
+        spark.createDataFrame([(1, "x", "p0")], "id INT, v STRING, p STRING"),
+        key="id", partition_by="p",
+    )
+    with _pt.raises(ValueError, match="partition column"):
+        acid.update_where(spark, root2, "id = 1", {"p": "'p1'"})
