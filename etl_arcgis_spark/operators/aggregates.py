@@ -1690,3 +1690,94 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(u).alias("u_stat"),
         r4((u - n1 * n2 / 2.0) / sigma).alias("z_score"),
     )
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n, avg(x) AS mx,
+         (sum(x*y) - sum(x)*sum(y)/count(*)) / count(*) AS cxy,
+         (sum(x*x) - sum(x)*sum(x)/count(*)) / count(*) AS vx
+  FROM u
+), a AS (
+  SELECT u.*, m.cxy / m.vx AS theta,
+         u.y - (m.cxy / m.vx) * (u.x - m.mx) AS y_adj
+  FROM u, m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(any_value(theta), 4) AS theta,
+       round(avg(CASE WHEN arm = 1 THEN y END)
+             - avg(CASE WHEN arm = 0 THEN y END), 4) AS diff_raw,
+       round(avg(CASE WHEN arm = 1 THEN y_adj END)
+             - avg(CASE WHEN arm = 0 THEN y_adj END), 4) AS diff_adj,
+       round(1.0 - ((sum(y_adj*y_adj) - sum(y_adj)*sum(y_adj)/count(*)) / count(*))
+                   / ((sum(y*y) - sum(y)*sum(y)/count(*)) / count(*)), 4)
+         AS var_reduction
+FROM a
+""",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    experimentation-platform adjustment): per-user pre-period metric X
+    (first half of the event window) as covariate for the post-period
+    metric Y; theta = cov(X,Y)/var(X); Y_adj = Y − theta·(X − mean X).
+    Reports the raw and adjusted arm difference (arm = user_id parity —
+    a deterministic stand-in for assignment) and the achieved variance
+    reduction. The experiment-analytics complement of
+    stats_ttest_welch (which tests; this tightens).
+
+    Scale: pass 1 reduces events to one (x, y) row per user (the
+    user_id shuffle every per-user op shares); pass 2 is a 1-row moment
+    aggregate broadcast back over the per-user rows (the theta/mean
+    constants); pass 3 is the final 1-row report. Nothing is ever
+    collected except the single output row; explicit sum/sumsq moments
+    keep engine variance algorithms out of the comparison."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    n = F.count(F.lit(1))
+    m = F.broadcast(
+        u.agg(
+            n.alias("n"),
+            F.avg("x").alias("mx"),
+            (
+                (F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y") / n) / n
+            ).alias("cxy"),
+            (
+                (F.sum(F.col("x") * F.col("x"))
+                 - F.sum("x") * F.sum("x") / n) / n
+            ).alias("vx"),
+        )
+    )
+    a = u.crossJoin(m).withColumn(
+        "theta", F.col("cxy") / F.col("vx")
+    ).withColumn(
+        "y_adj",
+        F.col("y") - F.col("theta") * (F.col("x") - F.col("mx")),
+    )
+    var_of = lambda c: (  # noqa: E731 — explicit-moment variance
+        F.sum(F.col(c) * F.col(c)) - F.sum(c) * F.sum(c) / F.count(F.lit(1))
+    ) / F.count(F.lit(1))
+    return a.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r4(F.any_value("theta")).alias("theta"),
+        r4(
+            F.avg(F.when(F.col("arm") == 1, F.col("y")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("y")))
+        ).alias("diff_raw"),
+        r4(
+            F.avg(F.when(F.col("arm") == 1, F.col("y_adj")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("y_adj")))
+        ).alias("diff_adj"),
+        r4(1.0 - var_of("y_adj") / var_of("y")).alias("var_reduction"),
+    )

@@ -1245,3 +1245,39 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("cv_bucket"))
     )
+
+
+@query(
+    "join_relational_division",
+    oracle="""
+SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) =
+       (SELECT count(DISTINCT o_orderpriority) FROM orders)
+""",
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION ('for all'): customers who have placed
+    orders in EVERY priority class — Codd's divide, the classic
+    universal-quantification query (textbook spelling is the double
+    NOT EXISTS; task.ts's forwarded grammar cannot express it). The
+    count-matching strategy used here is the scale spelling: group the
+    dividend by candidate key, compare its distinct-divisor count to
+    the divisor's total — one aggregation, no nested anti-join cascade
+    (which would plan two extra joins against the fact).
+
+    Scale: one o_custkey shuffle with partial count-distinct; the
+    divisor cardinality is a scalar subquery (1-row broadcast literal
+    at execution). Output is the qualifying-customer list with order
+    counts — |customers|-bounded."""
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) =
+       (SELECT count(DISTINCT o_orderpriority) FROM orders)
+""",
+        ("orders",),
+    )

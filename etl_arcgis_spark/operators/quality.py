@@ -630,3 +630,78 @@ def dq_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("bin"))
     )
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+WITH pairs AS (
+  SELECT 'o_custkey->o_orderpriority' AS fd,
+         CAST(o_custkey AS VARCHAR) AS det,
+         CAST(o_orderpriority AS VARCHAR) AS dep FROM orders
+  UNION ALL
+  SELECT 'l_orderkey->l_returnflag',
+         CAST(l_orderkey AS VARCHAR), CAST(l_returnflag AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey->l_tax',
+         CAST(l_partkey AS VARCHAR), CAST(l_tax AS VARCHAR) FROM lineitem
+), g AS (
+  SELECT fd, det, count(DISTINCT dep) AS ndep FROM pairs GROUP BY fd, det
+)
+SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (ndep > 1) AS BIGINT) AS n_violating,
+       round(CAST(count(*) FILTER (ndep > 1) AS DOUBLE) / count(*), 4)
+         AS violation_share,
+       CAST(max(ndep) AS BIGINT) AS max_distinct_dep
+FROM g GROUP BY fd
+""",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (Metanome/data-profiling family):
+    for each candidate FD ``det -> dep``, how many determinant groups
+    carry MORE than one dependent value — n_groups, violating groups,
+    violation share, and the worst fan-out. The schema-level complement
+    of dq_k_anonymity/dq_rule_checks: rule checks validate rows, this
+    validates STRUCTURE (is this column still a key? did an upstream
+    join fan out?).
+
+    Scale: one shuffle per FD on the determinant (the unavoidable
+    group-by), count_distinct within groups is partial-aggregated;
+    output is |FD list| rows. Everything is cast to string so one union
+    carries heterogeneous column types."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.select(
+            F.lit("o_custkey->o_orderpriority").alias("fd"),
+            F.col("o_custkey").cast("string").alias("det"),
+            F.col("o_orderpriority").cast("string").alias("dep"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_orderkey->l_returnflag").alias("fd"),
+                F.col("l_orderkey").cast("string").alias("det"),
+                F.col("l_returnflag").cast("string").alias("dep"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_partkey->l_tax").alias("fd"),
+                F.col("l_partkey").cast("string").alias("det"),
+                F.col("l_tax").cast("string").alias("dep"),
+            )
+        )
+    )
+    g = pairs.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("ndep")
+    )
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("ndep") > 1, 1)).cast("bigint").alias("n_violating"),
+        r4(
+            F.count(F.when(F.col("ndep") > 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("violation_share"),
+        F.max("ndep").cast("bigint").alias("max_distinct_dep"),
+    )

@@ -95,6 +95,7 @@ NLJ_OK = {
     "analytics_survival_km",     # 1-row dmax + 1-row total broadcasts
     "ts_entropy_rate",           # 1-row transition-total broadcast
     "analytics_abc_classification",  # 1-row (min,max,n) rank stats + 1-row revenue-total broadcasts
+    "stats_cuped_adjustment",    # 1-row moment (n, mx, cxy, vx) broadcast over per-user rows
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
