@@ -163,7 +163,11 @@ def _bloom_canonical(value: Any) -> str:
         except (OverflowError, ValueError):
             return f"num:{value!r}"
         if f == value:
-            return f"num:{f!r}"
+            # collapse the IEEE signed zero: -0.0 == 0 must hash like 0
+            # (a double column storing -0.0 probed with int 0 would
+            # otherwise be the false-negative class all over again —
+            # caught by the Hypothesis property test)
+            return f"num:{(f + 0.0)!r}"
         return f"num:{value!r}"  # lossy float (huge int / high-prec Decimal)
     return f"{type(value).__name__}:{value!r}"
 
