@@ -64,7 +64,7 @@ NLJ_OK = {
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
     "sample_source_rebalance",   # 1-row grand-total broadcast
-    "stats_ks_two_sample",       # 1-row sample-sizes broadcast
+    "stats_ks_two_sample",       # 1-row sample-sizes + 1-row (min,max) bin-stats broadcasts
     "graph_triangle_count",      # 1-row edge/node-count broadcast
     "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
     "dedup_semantic_buckets",    # k-row (8) seed-vector broadcast cross join
@@ -115,7 +115,7 @@ WINDOW_BOUNDED_OK = {
     "stats_gini_revenue": "offset window over 1024 bin counts (bucketed_global_rank)",
     "text_vocab_growth": "offset window over per-bucket totals (|buckets| rows)",
     "window_ntile_percent": "offset window over 1024 bin counts (bucketed_global_rank)",
-    "stats_ks_two_sample": "cumulative window over per-distinct-value counts (ECDF support; bounded by value grid)",
+    "stats_ks_two_sample": "offset window over 1024 equi-width bin totals (bucketed_running_sums; r7 re-spell — the old value-grid cumulative window was NOT provably bounded)",
     "sql_recursive_month_spine": "window over generated month spine (~80 rows)",
     "sample_token_budget_waterfill": "rank/prefix window over per-source aggregate (|sources| rows)",
     "text_zipf_fit": "rank window over the top-1000 limit (bounded 1000 rows)",
