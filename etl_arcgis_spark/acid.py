@@ -141,7 +141,13 @@ _BLOOM_K = 3
 # the repr()-based v1 scheme hashed them differently, producing a FALSE
 # NEGATIVE (file skipped, matching rows silently dropped). read_point
 # trusts a sidecar only when its recorded version matches.
-_BLOOM_VERSION = 2
+# v3: non-float-representable numerics (huge ints, high-precision
+# Decimals) canonicalize through a scale-normalized Decimal string —
+# v2 repr()'d them, so equal Decimals with different SCALE (a
+# DECIMAL(38,20) column reads back Decimal('5.10000000000000000000');
+# a probe passes Decimal('5.1')) hashed differently: the same
+# false-negative class the v2 scheme existed to kill (ADVICE r6 #2).
+_BLOOM_VERSION = 3
 
 
 def _bloom_canonical(value: Any) -> str:
@@ -150,9 +156,10 @@ def _bloom_canonical(value: Any) -> str:
     parquet column may be double-typed while the lookup passes a
     Python int (or vice versa), and a bloom false negative silently
     drops rows. Normalize every numeric through its float value when
-    that round-trips exactly; a non-float-representable int (>2^53)
-    keeps its exact repr, which is consistent because no float lookup
-    can equal it without being bit-identical anyway."""
+    that round-trips exactly; a non-float-representable numeric (int
+    >2^53, high-precision Decimal) encodes via a scale-normalized
+    Decimal string so equal values with different scale/exponent
+    spellings hash identically (bloom_v 3)."""
     if isinstance(value, bool):
         return f"bool:{value!r}"
     import decimal
@@ -161,6 +168,12 @@ def _bloom_canonical(value: Any) -> str:
         try:
             f = float(value)
         except (OverflowError, ValueError):
+            # int beyond float range (~1.8e308): same normalized-
+            # Decimal encoding as the lossy branch below, so it still
+            # matches an equal Decimal probe. Signaling-NaN Decimals
+            # (ValueError) keep their repr — NaN matches nothing.
+            if isinstance(value, int):
+                return f"num:{decimal.Decimal(value).normalize()}"
             return f"num:{value!r}"
         if f == value:
             # collapse the IEEE signed zero: -0.0 == 0 must hash like 0
@@ -168,7 +181,20 @@ def _bloom_canonical(value: Any) -> str:
             # otherwise be the false-negative class all over again —
             # caught by the Hypothesis property test)
             return f"num:{(f + 0.0)!r}"
-        return f"num:{value!r}"  # lossy float (huge int / high-prec Decimal)
+        # lossy float (huge int / high-precision Decimal): encode via a
+        # SCALE-NORMALIZED Decimal string so that equal values with
+        # different textual forms (Decimal('5.1') vs the
+        # Decimal('5.10000000000000000000') a DECIMAL(38,20) column
+        # reads back; int 10**30 vs Decimal('1E+30')) hash identically.
+        # normalize() is a pure function of the VALUE under a fixed
+        # context, so equal -> equal always holds; context rounding of
+        # >prec-digit inputs can only merge unequal values (a bloom
+        # false POSITIVE — one wasted file read, never a dropped row).
+        if isinstance(value, decimal.Decimal):
+            if value.is_finite():
+                return f"num:{value.normalize()}"
+            return f"num:{value!r}"  # NaN never equals anything anyway
+        return f"num:{decimal.Decimal(value).normalize()}"  # huge int
     return f"{type(value).__name__}:{value!r}"
 
 
@@ -223,6 +249,19 @@ def _key_stats(path: str, key: str) -> list[Any] | None:
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Partition-value ENCODING version stamped on file entries (like
+# bloom_v). v2 = logical values: the Hive dir string is %-unescaped and
+# the NULL sentinel becomes None before it is recorded. Pre-r6
+# manifests (no stamp) hold RAW escaped dir strings ('%3A',
+# '__HIVE_DEFAULT_PARTITION__') — and after the r6 decode fix a LOGICAL
+# value may itself legitimately contain '%3A', so an unstamped entry's
+# encoding is undecidable after the fact. Readers therefore never PRUNE
+# on an unstamped partition value: the file stays a candidate and the
+# exact residual filter (or key-range stats) decides — conservative,
+# never wrong. Entries migrate to stamped logical values whenever a
+# merge/compaction rewrites the file (ADVICE r6 #3).
+_PART_VERSION = 2
 
 
 def _decode_hive_value(raw: str) -> str | None:
@@ -305,6 +344,7 @@ def _write_data_files(
                 os.replace(part, final)
                 e = _file_entry(final, root, key)
                 e["partition"] = pval
+                e["part_v"] = _PART_VERSION  # logical-value encoding stamp
                 e["spec"] = partition_by  # the layout col this file is nested under
                 entries.append(e)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
@@ -465,16 +505,18 @@ def read_partition(
         raise ValueError(f"table at {root} is not partitioned")
     vals = set(values)
     # manifest pruning applies to files laid out under the CURRENT
-    # spec; files from an older spec (partition evolution) may hold
-    # rows of any current-partition value, so they read fully with an
-    # exact residual filter — still no directory listing, and the old
-    # files migrate to the new layout as merges/compactions rewrite
-    # them
-    same = [
-        f for f in man["files"]
-        if _file_spec(f, pcol) == pcol and f.get("partition") in vals
-    ]
-    other = [f for f in man["files"] if _file_spec(f, pcol) != pcol]
+    # spec whose partition value carries the logical-encoding stamp
+    # (part_v); files from an older spec (partition evolution) OR with
+    # an unstamped (possibly raw-escaped, pre-r6) partition value may
+    # hold rows of any current-partition value, so they read fully
+    # with an exact residual filter — still no directory listing, and
+    # the old files migrate to the new layout/encoding as merges/
+    # compactions rewrite them
+    def _trusted(f: dict[str, Any]) -> bool:
+        return _file_spec(f, pcol) == pcol and f.get("part_v") == _PART_VERSION
+
+    same = [f for f in man["files"] if _trusted(f) and f.get("partition") in vals]
+    other = [f for f in man["files"] if not _trusted(f)]
     parts = []
     if same:
         parts.append(
@@ -564,14 +606,21 @@ def read_where(
         st = f.get("col_stats", {}).get(col)
         if st is None and col == man["key"]:
             st = f.get("key_range")
-        if st is None and _file_spec(f, man.get("partition_by")) == col:
+        if (
+            st is None
+            and _file_spec(f, man.get("partition_by")) == col
+            and f.get("part_v") == _PART_VERSION
+        ):
             # ``col`` is this file's LAYOUT column: it never appears in
             # the parquet data (hence no col_stats), but the manifest's
-            # decoded directory value is exact [v, v] stats. A NULL
-            # partition means every row has col IS NULL — no row can
-            # satisfy a BETWEEN, skip the file outright. String bounds
-            # only (dir values are strings; comparing one to a numeric
-            # bound would be a type pun, so those read conservatively).
+            # decoded directory value is exact [v, v] stats — IF the
+            # entry carries the logical-encoding stamp; an unstamped
+            # (pre-r6) value may be raw-escaped, so those files read
+            # conservatively. A NULL partition means every row has col
+            # IS NULL — no row can satisfy a BETWEEN, skip the file
+            # outright. String bounds only (dir values are strings;
+            # comparing one to a numeric bound would be a type pun, so
+            # those read conservatively).
             pv = f.get("partition")
             if pv is None:
                 continue
@@ -740,12 +789,16 @@ def merge(
                 for r in source.select(pcol).distinct().collect()
             }
             # trust a file's partition value only if its layout spec IS
-            # the current spec; files from an older spec (partition
-            # evolution) stay candidates and fall through to key-range
-            # pruning — conservative, never wrong
+            # the current spec AND the value carries the logical-
+            # encoding stamp (part_v); files from an older spec
+            # (partition evolution) or with unstamped (possibly
+            # raw-escaped, pre-r6) values stay candidates and fall
+            # through to key-range pruning — conservative, never wrong
             cand = [
                 f for f in cand
-                if _file_spec(f, pcol) != pcol or f.get("partition") in src_parts
+                if _file_spec(f, pcol) != pcol
+                or f.get("part_v") != _PART_VERSION
+                or f.get("partition") in src_parts
             ]
             kept = {f["path"] for f in cand}
             part_untouched = [f for f in man["files"] if f["path"] not in kept]
@@ -919,6 +972,62 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     return base_v + 1
 
 
+def _hit_file_split(
+    spark: SparkSession,
+    root: str,
+    man: dict[str, Any],
+    predicate: str,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int]:
+    """One scan's per-file predicate match counts, resolved back to
+    manifest entries: (touched, untouched, n_matched_rows).
+
+    Paths compare as os.path.realpath on BOTH sides: input_file_name()
+    URIs resolve through symlinks to absolute paths, so a relative (or
+    symlinked) ``root`` joined with the manifest-relative path must be
+    realpath'd too — the r6 spelling normpath'd the manifest side only,
+    and a relative root made the sets disjoint: touched=[] while
+    n_matched stayed nonzero, a silent no-op DELETE/UPDATE that still
+    decremented the published row metadata (ADVICE r6 #1). Any hit URI
+    that resolves to no manifest entry now raises instead of silently
+    dropping the file from the rewrite set."""
+    df = _read_paths(
+        spark, root, man,
+        [os.path.join(root, f["path"]) for f in man["files"]],
+    )
+    hits = (
+        df.filter(predicate)
+        .groupBy(F.input_file_name().alias("_file"))
+        .count()
+        .collect()
+    )
+    import urllib.parse as _up
+
+    def _norm_uri(u: str) -> str:
+        # input_file_name yields file:-scheme URIs whose %-escaped
+        # partition dirs are escaped AGAIN ('%3A' -> '%253A');
+        # one unquote recovers the on-disk path exactly
+        if u.startswith("file:"):
+            u = _up.unquote(_up.urlparse(u).path)
+        return os.path.realpath(u)
+
+    by_real = {
+        os.path.realpath(os.path.join(root, f["path"])): f["path"]
+        for f in man["files"]
+    }
+    hit_real = {_norm_uri(r["_file"]) for r in hits}
+    unknown = hit_real - by_real.keys()
+    if unknown:
+        raise RuntimeError(
+            f"predicate scan hit file(s) outside the manifest at {root}: "
+            f"{sorted(unknown)[:3]} — path-scheme mismatch would silently "
+            "no-op the rewrite"
+        )
+    hit_paths = {by_real[p] for p in hit_real}
+    touched = [f for f in man["files"] if f["path"] in hit_paths]
+    untouched = [f for f in man["files"] if f["path"] not in hit_paths]
+    return touched, untouched, sum(r["count"] for r in hits)
+
+
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     """Transactional DELETE, file-pruned copy-on-write: one scan finds
     which data files actually CONTAIN matching rows (per-file match
@@ -942,34 +1051,9 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     untouched: list[dict[str, Any]] = list(man["files"])
     deleted_rows = 0
     if man["files"]:
-        df = _read_paths(
-            spark, root, man,
-            [os.path.join(root, f["path"]) for f in man["files"]],
+        touched, untouched, deleted_rows = _hit_file_split(
+            spark, root, man, predicate
         )
-        hits = (
-            df.filter(predicate)
-            .groupBy(F.input_file_name().alias("_file"))
-            .count()
-            .collect()
-        )
-        import urllib.parse as _up
-
-        def _norm_uri(u: str) -> str:
-            # input_file_name yields file:-scheme URIs whose %-escaped
-            # partition dirs are escaped AGAIN ('%3A' -> '%253A');
-            # one unquote recovers the on-disk path exactly
-            if u.startswith("file:"):
-                u = _up.unquote(_up.urlparse(u).path)
-            return os.path.normpath(u)
-
-        hit = {_norm_uri(r["_file"]) for r in hits}
-        deleted_rows = sum(r["count"] for r in hits)
-        touched = [
-            f for f in man["files"]
-            if os.path.normpath(os.path.join(root, f["path"])) in hit
-        ]
-        hit_paths = {f["path"] for f in touched}
-        untouched = [f for f in man["files"] if f["path"] not in hit_paths]
     new_files = untouched
     if touched:
         remaining = _read_paths(
@@ -1040,31 +1124,9 @@ def update_where(
     untouched: list[dict[str, Any]] = list(man["files"])
     n_updated = 0
     if man["files"]:
-        df = _read_paths(
-            spark, root, man,
-            [os.path.join(root, f["path"]) for f in man["files"]],
+        touched, untouched, n_updated = _hit_file_split(
+            spark, root, man, predicate
         )
-        hits = (
-            df.filter(predicate)
-            .groupBy(F.input_file_name().alias("_file"))
-            .count()
-            .collect()
-        )
-        import urllib.parse as _up
-
-        def _norm_uri(u: str) -> str:
-            if u.startswith("file:"):
-                u = _up.unquote(_up.urlparse(u).path)
-            return os.path.normpath(u)
-
-        hit = {_norm_uri(r["_file"]) for r in hits}
-        n_updated = sum(r["count"] for r in hits)
-        touched = [
-            f for f in man["files"]
-            if os.path.normpath(os.path.join(root, f["path"])) in hit
-        ]
-        hit_paths = {f["path"] for f in touched}
-        untouched = [f for f in man["files"] if f["path"] not in hit_paths]
     new_files = untouched
     if touched:
         updated = _read_paths(
@@ -1078,11 +1140,50 @@ def update_where(
         order = updated.columns
         updated = updated.withColumn("__upd", F.expr(f"({predicate})"))
         for c, expr in set_exprs.items():
+            dt = updated.schema[c].dataType.simpleString()
             updated = updated.withColumn(
+                f"__raw_{c}", F.expr(f"({expr})")
+            ).withColumn(
                 f"__new_{c}",
-                F.when(F.col("__upd"), F.expr(f"({expr})"))
-                .otherwise(F.col(c))
-                .cast(updated.schema[c].dataType),
+                F.when(
+                    F.col("__upd"),
+                    F.expr(f"try_cast(__raw_{c} AS {dt})"),
+                ).otherwise(F.col(c)),
+            )
+        # cast-integrity gate (ADVICE r6 #4): the SET expression must
+        # cast to the column's existing dtype. A plain cast either
+        # NULLs malformed input silently (non-ANSI — silent corruption
+        # in a GDPR/backfill maintenance API) or throws an opaque
+        # mid-job SparkNumberFormatException (ANSI). try_cast makes
+        # failure observable in BOTH modes, then one agg over the
+        # touched files counts matched rows whose raw SET value is
+        # non-null but whose cast result is null; any such row fails
+        # the whole UPDATE with a clean error before a file is
+        # written.
+        viol = updated.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("__upd"), F.lit(False))
+                        & F.col(f"__raw_{c}").isNotNull()
+                        & F.col(f"__new_{c}").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias(c)
+                for c in set_exprs
+            ]
+        ).collect()[0]
+        bad_casts = {c: int(viol[c]) for c in set_exprs if viol[c]}
+        if bad_casts:
+            tgt_types = {
+                c: updated.schema[c].dataType.simpleString()
+                for c in bad_casts
+            }
+            raise ValueError(
+                f"update_where SET expression(s) do not cast to the "
+                f"column type: {bad_casts} matched row(s) would be "
+                f"silently NULLed (targets {tgt_types}); fix the "
+                "expression or cast explicitly"
             )
         updated = updated.select(
             *[

@@ -1323,8 +1323,11 @@ def pca_whiten(
     # expressions at d=64 but 0.3M–1.2M at production embedding dims
     # (d=768–1536) — a plan that cannot compile. Here the expression
     # count is O(1) in d; each partition emits one (d + d²)-double row,
-    # and a 64-bucket tree combine (grouped applyInPandas, MLlib
-    # treeAggregate's shape) bounds what the driver ever collects.
+    # and a TWO-level tree combine (grouped applyInPandas, MLlib
+    # treeAggregate's shape) reduces them 64-way and then to a single
+    # row executor-side, so the driver collects exactly O(d²) bytes —
+    # one (d + d²)-double row (~18.9 MB at d=1536), never the 64
+    # bucket partials (~1.2 GB at d=1536; ADVICE r6 #5).
     import pandas as pd  # noqa: F401  (mapInPandas batches)
 
     def _partials(it):
@@ -1365,11 +1368,18 @@ def pca_whiten(
         )
 
     part_schema = "gid int, n long, s array<double>, xtx array<double>"
+    moment_schema = "n long, s array<double>, xtx array<double>"
     combined = (
         e.select("embedding")
         .mapInPandas(_partials, schema=part_schema)
         .groupBy("gid")
-        .applyInPandas(_combine, schema="n long, s array<double>, xtx array<double>")
+        .applyInPandas(_combine, schema=moment_schema)
+        # level 2: reduce the ≤64 bucket partials to ONE row on an
+        # executor before collect — _combine reuses cleanly because it
+        # only reads (n, s, xtx), ignoring whatever grouping column
+        # rides along
+        .groupBy(F.lit(0).alias("g2"))
+        .applyInPandas(_combine, schema=moment_schema)
         .collect()
     )
     n = sum(r["n"] for r in combined)

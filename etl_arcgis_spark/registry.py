@@ -70,7 +70,12 @@ def _verified_names() -> set[str]:
     # re-verification (it would otherwise hide past the first-50 window
     # forever).
     latest: dict[str, bool] = {}
+    _LATEST_CLEAN_ROUND.clear()
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -84,13 +89,20 @@ def _verified_names() -> set[str]:
             err = r.get("err")
             if err is None and r.get("hash_match"):
                 latest[name] = True
+                _LATEST_CLEAN_ROUND[name] = rnd
             elif err == "no_oracle" and r.get("spark_rows") is not None:
                 latest[name] = True
+                _LATEST_CLEAN_ROUND[name] = rnd
             else:
                 latest[name] = False
     _FAILED_LAST.clear()
     _FAILED_LAST.update(n for n, ok in latest.items() if not ok)
     return {n for n, ok in latest.items() if ok}
+
+
+# Latest round whose driver row ran clean, per name — refreshed by
+# _verified_names(); drives the _R7_REFRESH_PIN dissolve condition.
+_LATEST_CLEAN_ROUND: dict[str, int] = {}
 
 
 # Names whose most recent driver row was an ERROR / mismatch — refreshed
@@ -191,6 +203,29 @@ analytics_survival_km
 # frontier — the only names that have sat out two rotation windows).
 _R6_FRONT = ("etl_quarantine_split", "analytics_pareto_frontier")
 
+# Rotation lap 2 (r7, VERDICT r6 'next' #1): every name whose
+# implementation changed AFTER its only driver row — the driver's hard
+# signal is stale for these even though local sweeps stay green. Built
+# mechanically by tools/staleness.py (function-source diff between HEAD
+# and each row-round's commit), ordered OLDEST driver row first; plus
+# sim_pca_whiten, whose pca_whiten HELPER was re-spelled in r6/r7
+# (helper-level changes are the tool's declared blind spot) and
+# stats_ks_two_sample / sim_pca_whiten again re-spelled this round.
+# Ordered tuple — window position follows staleness age.
+_R7_REFRESH_PIN = (
+    "agg_count_distinct_exact",        # row r1, re-spelled r4
+    "agg_groupby_stats",               # row r1, re-spelled r6
+    "analytics_top_revenue_supplier",  # row r1, re-spelled r4
+    "stats_gini_revenue",              # row r1, re-spelled r4
+    "stats_ks_two_sample",             # row r1, re-spelled r7 (bucketed ECDF)
+    "filter_spatial_polygon_intersects",  # row r2, re-spelled r3
+    "join_star_multiway",              # row r2, r6 orders-geo bridge
+    "window_ntile_percent",            # row r2, re-spelled r4
+    "agg_equidepth_histogram",         # row r3, re-spelled r4
+    "agg_median_two_phase",            # row r3, re-spelled r4
+    "sim_pca_whiten",                  # row r6 (weak), r7 two-level combine
+)
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -266,11 +301,25 @@ def all_queries() -> dict[str, QueryFn]:
     prio = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
     insertion = {n: i for i, n in enumerate(QUERIES)}
 
+    refresh_pos = {n: i for i, n in enumerate(_R7_REFRESH_PIN)}
+
     def key(n: str) -> tuple[int, int, int]:
         if n in _FAILED_LAST:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in _R6_FRONT and n not in verified:
             tier = -1  # stragglers lead the round-6 window
+        elif (
+            n in refresh_pos
+            and n in verified
+            and _LATEST_CLEAN_ROUND.get(n, 0) <= 6
+        ):
+            # rotation lap 2: re-spelled-after-row names re-verify even
+            # though verified, ordered by staleness age (tuple order).
+            # The pin DISSOLVES once a clean r7+ driver row lands (or
+            # if the name is unverified — then the normal unchecked
+            # tiers already front-load it), so later rounds don't
+            # re-spend window slots on it.
+            return (0, -len(refresh_pos) + refresh_pos[n], insertion[n])
         elif n in verified:
             tier = 2
         elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN or n in _R6_BACKLOG_PIN:

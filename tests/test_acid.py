@@ -1752,3 +1752,173 @@ def test_update_where_old_row_swap_and_guards(spark, tmp_path):
     )
     with _pt.raises(ValueError, match="partition column"):
         acid.update_where(spark, root2, "id = 1", {"p": "'p1'"})
+
+
+# ---------------------------------------------------------------- round 7
+# ADVICE r6 hardening: path-scheme-safe DELETE/UPDATE file matching,
+# scale-normalized Decimal bloom encoding (v3), partition-encoding
+# version stamps (part_v), and the UPDATE cast-integrity gate.
+
+
+def test_delete_update_where_relative_root(spark, tmp_path):
+    """ADVICE r6 #1: with a RELATIVE table root, the old hit-file
+    matching compared relative manifest paths against absolute
+    input_file_name URIs — disjoint sets, so DELETE/UPDATE no-op'd
+    silently while still decrementing the published row metadata. Both
+    sides now resolve through os.path.realpath. (The relative path is
+    taken from the session's launch cwd so Python and the JVM resolve
+    it identically — exactly how a user passes a relative root.)"""
+    root_abs = str(tmp_path / "reltbl")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id INT, x DOUBLE"
+    )
+    acid.create(spark, root_abs, df, key="id")
+    rel = os.path.relpath(root_abs, os.getcwd())
+    assert not os.path.isabs(rel)
+    v = acid.delete_where(spark, rel, "id = 2")
+    man = acid._read_manifest(root_abs, v)
+    assert man["rows"] == 2
+    got = sorted(r.id for r in acid.read(spark, rel).collect())
+    assert got == [1, 3]  # row actually gone, not just metadata
+    acid.update_where(spark, rel, "id = 3", {"x": "x + 10"})
+    got2 = sorted((r.id, r.x) for r in acid.read(spark, root_abs).collect())
+    assert got2 == [(1, 1.0), (3, 13.0)]
+
+
+def test_delete_where_symlinked_root(spark, tmp_path):
+    """A root reached via a symlink must match hit files exactly:
+    realpath on both sides makes link/real spellings converge."""
+    real = tmp_path / "realtbl"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    acid.create(spark, str(real), df, key="id")
+    link = tmp_path / "linktbl"
+    os.symlink(real, link)
+    v = acid.delete_where(spark, str(link), "id = 1")
+    assert v == 2
+    got = [(r.id, r.v) for r in acid.read(spark, str(real)).collect()]
+    assert got == [(2, "b")]
+
+
+def test_update_where_rejects_noncastable_set(spark, tmp_path):
+    """ADVICE r6 #4: a SET expression that cannot cast to the column's
+    dtype (SET doublecol = 'abc') used to write NULL into every matched
+    row without a sound. The cast-integrity gate fails the UPDATE
+    before any file is written; a deliberate SET NULL still passes."""
+    import pytest as _pt
+
+    root = str(tmp_path / "badcast")
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "id INT, x DOUBLE")
+    acid.create(spark, root, df, key="id")
+    with _pt.raises(ValueError, match="silently NULLed"):
+        acid.update_where(spark, root, "id = 1", {"x": "'abc'"})
+    assert acid.current_version(root) == 1  # nothing committed
+    got = {r.id: r.x for r in acid.read(spark, root).collect()}
+    assert got == {1: 1.5, 2: 2.5}
+    # deliberate NULL and a castable string both pass
+    acid.update_where(spark, root, "id = 1", {"x": "NULL"})
+    acid.update_where(spark, root, "id = 2", {"x": "'9.25'"})
+    got = {r.id: r.x for r in acid.read(spark, root).collect()}
+    assert got == {1: None, 2: 9.25}
+
+
+def test_legacy_raw_partition_entries_never_pruned(spark, tmp_path):
+    """ADVICE r6 #3: pre-r6 manifests recorded RAW escaped dir strings
+    ('%3A', '__HIVE_DEFAULT_PARTITION__') as partition values, and a
+    post-fix logical value may itself contain '%3A' — undecidable
+    after the fact. Entries without the part_v stamp are therefore
+    never pruned on: reads fall back to the residual filter, merges
+    keep the files as rewrite candidates, and rewritten files migrate
+    to stamped logical values."""
+    root = str(tmp_path / "legpart")
+    df = spark.createDataFrame(
+        [(1, "a", "x:y"), (2, "b", "x:y"), (3, "c", None), (4, "d", "plain")],
+        "id INT, v STRING, p STRING",
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    v = acid.current_version(root)
+    mpath = acid._manifest_path(root, v)
+    man = json.load(open(mpath))
+    for f in man["files"]:
+        f.pop("part_v", None)
+        # the RAW escaped dir string a pre-r6 manifest recorded
+        f["partition"] = os.path.basename(
+            os.path.dirname(f["path"])
+        ).split("=", 1)[1]
+    json.dump(man, open(mpath, "w"))
+    raws = {f["partition"] for f in json.load(open(mpath))["files"]}
+    assert "x%3Ay" in raws and "__HIVE_DEFAULT_PARTITION__" in raws
+    # read_partition with LOGICAL values still finds every row
+    got = sorted(
+        r.id for r in acid.read_partition(spark, root, ["x:y"]).collect()
+    )
+    assert got == [1, 2]
+    assert sorted(
+        r.id for r in acid.read_partition(spark, root, [None]).collect()
+    ) == [3]
+    # read_where on the layout column must not trust the raw value
+    got_w = sorted(
+        r.id for r in acid.read_where(spark, root, "p", "x:y", "x:y").collect()
+    )
+    assert got_w == [1, 2]
+    # merge into the escaped partition rewrites it (not pruned away)
+    src = spark.createDataFrame(
+        [(2, "B", "x:y")], "id INT, v STRING, p STRING"
+    )
+    v2 = acid.merge(spark, root, src)
+    rows = sorted((r.id, r.v) for r in acid.read(spark, root).collect())
+    assert rows == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    man2 = acid._read_manifest(root, v2)
+    assert any(
+        f.get("part_v") == acid._PART_VERSION and f.get("partition") == "x:y"
+        for f in man2["files"]
+    )
+
+
+def test_new_partition_entries_carry_part_v(spark, part_tbl):
+    man = acid._read_manifest_or_raise(part_tbl)
+    assert all(f.get("part_v") == acid._PART_VERSION for f in man["files"])
+
+
+def test_read_point_ignores_v2_bloom_sidecars(spark, tmp_path):
+    """The v3 encoding change (scale-normalized Decimals) means a v2
+    sidecar's bits can disagree with v3 probes — readers must ignore
+    v2-stamped sidecars entirely, like unstamped v1 ones."""
+    root = str(tmp_path / "v2tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id INT, v STRING"
+    )
+    acid.create(spark, root, df, key="id")
+    mpath = acid._manifest_path(root, 1)
+    man = json.load(open(mpath))
+    import base64 as _b64
+
+    for f in man["files"]:
+        f["bloom_v"] = 2  # stale scheme stamp
+        # a v2 bloom that (wrongly, under v3 hashing) reports negative
+        f["key_bloom"] = _b64.b64encode(bytes(acid._BLOOM_BITS // 8)).decode()
+    json.dump(man, open(mpath, "w"))
+    got = acid.read_point(spark, root, 7).collect()
+    assert [(r.id, r.v) for r in got] == [(7, "v7")]
+
+
+def test_read_point_decimal_scale_no_false_negative(spark, tmp_path):
+    """ADVICE r6 #2 end-to-end: a DECIMAL(38,10) key column reads back
+    Decimal('5.1000000000') from parquet while the probe passes
+    Decimal('5.1') — equal values, different scale. The v3 canonical
+    encoding hashes them identically, so the bloom opens the file."""
+    import decimal as _dec
+
+    root = str(tmp_path / "dectbl")
+    rows = [
+        (_dec.Decimal(f"{i}.1"), f"v{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id DECIMAL(38,10), v STRING").repartition(
+        4, "id"
+    )
+    acid.create(spark, root, df, key="id")
+    man = acid._read_manifest(root, 1)
+    assert all(f.get("bloom_v") == acid._BLOOM_VERSION for f in man["files"])
+    for probe in (_dec.Decimal("5.1"), _dec.Decimal("5.1000000000"),
+                  _dec.Decimal("17.1")):
+        got = acid.read_point(spark, root, probe).collect()
+        assert [r.v for r in got] == [f"v{int(probe)}"]

@@ -44,14 +44,51 @@ def test_bool_never_collides_with_int():
 
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=2**53 + 1, max_value=2**80))
-def test_big_int_exact_repr_unless_float_equal(i):
-    """Above 2^53 an int keeps its exact repr unless float(i) == i —
-    in which case the float probe is bit-identical anyway."""
+def test_big_int_matches_equal_decimal(i):
+    """Above 2^53 an int encodes via the scale-normalized Decimal
+    string (bloom_v 3) unless float(i) == i — in which case the float
+    probe is bit-identical anyway. Either way an equal Decimal probe
+    (however it spells its exponent) must hash the same."""
     c = acid._bloom_canonical(i)
     if float(i) == i:
         assert c == acid._bloom_canonical(float(i))
-    else:
-        assert c == f"num:{i!r}"
+    assert c == acid._bloom_canonical(decimal.Decimal(i))
+    # exponent spelling of the same value (1230 vs 1.23E+3)
+    assert c == acid._bloom_canonical(
+        decimal.Decimal(i).scaleb(-5).scaleb(5)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.decimals(
+        allow_nan=False, allow_infinity=False, places=10,
+        min_value=-(10**18), max_value=10**18,
+    ),
+    st.integers(min_value=0, max_value=25),
+)
+def test_equal_decimals_different_scale_hash_identically(d, extra_scale):
+    """The ADVICE r6 #2 class: a DECIMAL(38,20) column reads back
+    Decimal('5.10000000000000000000') while the probe passes
+    Decimal('5.1') — equal values, different scale, MUST encode
+    identically or read_point silently drops matching rows."""
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60  # widening may exceed the default 28-digit context
+        widened = d.quantize(decimal.Decimal(1).scaleb(-(10 + extra_scale)))
+    assert widened == d
+    assert acid._bloom_canonical(d) == acid._bloom_canonical(widened)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(10**25), max_value=10**25))
+def test_int_vs_decimal_always_match(i):
+    """Every int (float-representable or not) hashes like its equal
+    Decimal, whatever scale the Decimal carries."""
+    d = decimal.Decimal(i)
+    assert acid._bloom_canonical(i) == acid._bloom_canonical(d)
+    if abs(i) <= 10**20:  # keep within 28-digit context after widening
+        wide = d.quantize(decimal.Decimal("1.000"))
+        assert acid._bloom_canonical(i) == acid._bloom_canonical(wide)
 
 
 def test_decode_hive_value_sentinel_and_escapes():

@@ -109,14 +109,17 @@ def test_unchecked_contract_names_pin_into_first_50(monkeypatch, tmp_path):
         monkeypatch, tmp_path, {"CORRECTNESS_r01.json": green}
     )
     positions = {n: i for i, n in enumerate(names)}
-    # every unchecked contract name precedes every other registration —
-    # i.e. they fill positions 0..len(contract)-1, so whenever fewer
-    # than 50 are unchecked (the steady state) they ALL sit inside the
-    # driver's first-50 window.
+    # every unchecked contract name precedes every other registration
+    # EXCEPT active r7 refresh pins (re-spelled-after-row names share
+    # the front tier by design — here the simulated green r01 rows make
+    # the non-contract pin names active) — so whenever fewer than 50
+    # are unchecked (the steady state) they ALL sit inside the driver's
+    # first-50 window.
+    active_pins = [n for n in registry._R7_REFRESH_PIN if n in green]
     late = [
         n
         for n in registry._CONTRACT_NAMES
-        if positions[n] >= len(registry._CONTRACT_NAMES)
+        if positions[n] >= len(registry._CONTRACT_NAMES) + len(active_pins)
     ]
     assert not late, f"contract names displaced by extensions: {late}"
 
