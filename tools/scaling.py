@@ -73,6 +73,9 @@ HEADLINE = [
     # round-6: the re-spelled whitening (Arrow moment partials + tree
     # combine — expression count now O(1) in d, cost linear in rows)
     "sim_pca_whiten",
+    # round-7: the re-spelled KS ECDF (bucketed_running_sums over 1024
+    # equi-width bins — the former unbounded value-grid window gone)
+    "stats_ks_two_sample",
 ]
 
 
