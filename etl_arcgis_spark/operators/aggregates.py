@@ -1811,3 +1811,107 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("diff_adj"),
         r4(1.0 - var_of("y_adj") / var_of("y")).alias("var_reduction"),
     )
+
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+WITH j AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j),
+mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY x),
+my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY y),
+mi AS (
+  SELECT sum((n_xy / CAST(n AS DOUBLE))
+             * ln((n_xy * CAST(n AS DOUBLE)) / (n_x * CAST(n_y AS DOUBLE)))) AS mi
+  FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+),
+hx AS (
+  SELECT -sum((n_x / CAST(n AS DOUBLE)) * ln(n_x / CAST(n AS DOUBLE))) AS h_x
+  FROM mx CROSS JOIN t
+),
+hy AS (
+  SELECT -sum((n_y / CAST(n AS DOUBLE)) * ln(n_y / CAST(n AS DOUBLE))) AS h_y
+  FROM my CROSS JOIN t
+)
+SELECT round(mi, 4) AS mi_nats,
+       round(h_x, 4) AS h_priority,
+       round(h_y, 4) AS h_status,
+       round(mi / sqrt(h_x * h_y), 4) AS norm_mi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+""",
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and order
+    status, plus both marginal entropies and the normalized MI
+    (MI / sqrt(H(X)·H(Y))) — the dependence measure feature-selection
+    and leakage audits use where chi-square (stats_chi2_independence)
+    only tests the null. Pure contingency arithmetic:
+    MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) with every probability an
+    exact ratio of integer counts.
+
+    Determinism: all counts are exact bigints; each term is a
+    bit-identical double expression of those counts (long/long
+    division is double on both engines); the ≤|X|·|Y| term sums (15
+    cells here) carry only last-bit accumulation noise — absorbed by
+    the r4 grid.
+
+    Scale: one map-side-combined group-by collapses the table to
+    |X|·|Y| cells; marginals and the grand total are re-aggregations
+    of those cells (broadcast equi-joins + three 1-row cross joins —
+    nothing data-sized past the first shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    j = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    t = j.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    mx = j.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = j.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    full = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+    )
+    mi = full.agg(
+        F.sum(
+            (F.col("n_xy") / F.col("n").cast("double"))
+            * F.log(
+                (F.col("n_xy") * F.col("n").cast("double"))
+                / (F.col("n_x") * F.col("n_y").cast("double"))
+            )
+        ).alias("mi")
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(t))
+        .agg(
+            (-F.sum(
+                (F.col("n_x") / F.col("n").cast("double"))
+                * F.log(F.col("n_x") / F.col("n").cast("double"))
+            )).alias("h_x")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(t))
+        .agg(
+            (-F.sum(
+                (F.col("n_y") / F.col("n").cast("double"))
+                * F.log(F.col("n_y") / F.col("n").cast("double"))
+            )).alias("h_y")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            r4(F.col("mi")).alias("mi_nats"),
+            r4(F.col("h_x")).alias("h_priority"),
+            r4(F.col("h_y")).alias("h_status"),
+            r4(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias(
+                "norm_mi"
+            ),
+        )
+    )

@@ -1442,3 +1442,112 @@ def sim_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component INT, eigenvalue DOUBLE, whitened_var DOUBLE",
     )
+
+
+@query(
+    "sim_ndcg_eval",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),
+q AS (SELECT * FROM n WHERE vec_id < 20),
+c AS (SELECT * FROM n WHERE vec_id >= 20),
+s AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT q_id, q_label, c_label,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC)
+           AS pos
+  FROM s
+),
+d AS (
+  SELECT q_id, q_label AS label,
+         sum(CASE WHEN c_label = q_label
+                  THEN 1.0 / log2(pos + 1) ELSE 0.0 END) AS dcg
+  FROM r WHERE pos <= 10 GROUP BY q_id, q_label
+),
+rel AS (SELECT label, CAST(count(*) AS BIGINT) AS n_rel FROM c GROUP BY label)
+SELECT q_id, d.label, n_rel,
+       round(dcg, 4) AS dcg10,
+       round(dcg / list_sum(list_transform(
+           generate_series(1, CAST(least(10, n_rel) AS INT)),
+           i -> 1.0 / log2(i + 1))), 4) AS ndcg10
+FROM d JOIN rel ON d.label = rel.label
+""",
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of brute-force cosine retrieval with same-label
+    relevance, per query — the ranking-quality metric every
+    embedding-model / RAG-retrieval evaluation reports (Järvelin &
+    Kekäläinen 2002). The first 20 vectors are the query set, the rest
+    the corpus; a retrieved vector is relevant iff it shares the
+    query's label; IDCG truncates at min(10, #relevant-in-corpus).
+    Distinct from sim_matryoshka_recall (set recall of a truncated
+    index vs the full one) — this grades the ORDER of a single ranking
+    against labels.
+
+    Determinism: both engines compute the cosine as a SEQUENTIAL
+    double dot product (Spark HOF aggregate / DuckDB list_dot_product
+    over DOUBLE[]) — bit-identical, so the rank order (cos DESC,
+    vec_id ASC) is identical BEFORE any rounding; DCG's ≤10-term float
+    sum and the log2 calls carry last-bit noise only, absorbed by r4.
+
+    Scale: 20 broadcast query rows against a linear corpus scan — one
+    codegen stage computes all cosines; the per-query top-10 is a
+    window PARTITIONED by query id (20 independent top-k's, each a
+    per-partition heap under WindowGroupLimit, no global sort); label
+    prevalence is a broadcast re-aggregation."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = e.filter(F.col("vec_id") >= 20)
+    cos = F.expr(_DOT.format(a="q_emb", b="embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    top = scored.withColumn("pos", F.row_number().over(w)).filter(
+        F.col("pos") <= 10
+    )
+    d = top.groupBy(F.col("q_id"), F.col("q_label").alias("label")).agg(
+        F.sum(
+            F.when(
+                F.col("c_label") == F.col("q_label"),
+                F.lit(1.0) / F.log2(F.col("pos") + 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg")
+    )
+    rel = c.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, int(least(10, n_rel))), 0D, "
+        "(acc, i) -> acc + 1.0D / log2(i + 1))"
+    )
+    return (
+        d.join(F.broadcast(rel), "label")
+        .select(
+            "q_id",
+            "label",
+            "n_rel",
+            r4(F.col("dcg")).alias("dcg10"),
+            r4(F.col("dcg") / idcg).alias("ndcg10"),
+        )
+    )

@@ -2504,3 +2504,85 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("source"))
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM v GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b, n_inter,
+       round(n_inter / CAST(sa.n_vocab + sb.n_vocab - n_inter AS DOUBLE), 4)
+         AS jaccard
+FROM inter
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+""",
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document SOURCES — the
+    corpus-composition diagnostic a data-mixing pipeline runs before
+    setting source weights (two sources with near-identical
+    vocabularies add redundancy, not coverage). Distinct from the
+    row-level dedup family: this compares the DISTINCT-token SETS of
+    whole sources, not documents.
+
+    Scale: the (source, token) distinct is one map-side-combined hash
+    agg over exploded tokens; the intersection is a token-keyed
+    equi-join whose per-token fan-out is bounded by |sources|² (a
+    handful), never a document pair explosion; source sizes broadcast.
+    Tokenization matches text_tokenize_wordcount (split on ' ')."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        ).distinct()
+    )
+    sz = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            r4(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -1818,3 +1818,86 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.priority,
+         (b.rev - a.rev) / (b.midx - a.midx) AS slope
+  FROM m a JOIN m b
+    ON a.priority = b.priority AND b.midx > a.midx
+),
+s AS (
+  SELECT priority,
+         round(quantile_cont(slope, 0.5), 4) AS ts_slope,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY priority
+),
+mm AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_months FROM m GROUP BY priority
+)
+SELECT s.priority, ts_slope, n_months, n_pairs
+FROM s JOIN mm ON s.priority = mm.priority
+""",
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per order priority: the MEDIAN
+    of all pairwise slopes of the monthly-revenue series — the
+    breakdown-resistant alternative to the OLS slope
+    (stats_regression_funcs), standard for drift/trend monitoring where
+    a few outlier months would swing least squares (Theil 1950, Sen
+    1968 — public-domain statistics).
+
+    Determinism: monthly revenue is rounded to 2 decimals BEFORE the
+    pairwise stage, so every slope is a ratio of bit-identical doubles
+    on both engines (the raw money sum carries ~1e-7 cross-engine
+    accumulation noise, far below the cent grid but large enough to
+    flip a median SELECTION between near-equal slopes); both engines
+    interpolate the even-count median identically (Spark percentile /
+    DuckDB quantile_cont).
+
+    Scale: the pairwise self-join is bounded by the CALENDAR, not the
+    table — the monthly aggregate has |priorities| x |months| rows
+    (~400 here; the month grid grows with the time span, never with
+    row count), so the O(months²) pair stage is a constant-sized
+    equi-join however large orders gets. The data-sized work is one
+    map-side-combined group-by."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.priority") == F.col("b.priority"))
+        & (F.col("b.midx") > F.col("a.midx")),
+    ).select(
+        F.col("a.priority").alias("priority"),
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / (F.col("b.midx") - F.col("a.midx"))
+        ).alias("slope"),
+    )
+    s = pairs.groupBy("priority").agg(
+        r4(F.expr("percentile(slope, 0.5)")).alias("ts_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    mm = m.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    return s.join(F.broadcast(mm), "priority").select(
+        "priority", "ts_slope", "n_months", "n_pairs"
+    )

@@ -47,6 +47,10 @@ PYTHON_OK = {
     "text_zlib_compression_ratio",  # zlib inside the Arrow batch IS the operator
     "sim_pca_whiten",               # driver-side eigh summary; projection is codegen
 }
+
+# round-7 additions documented inline below (NLJ_OK):
+#   stats_mutual_information — three 1-row aggregate cross joins
+#   sim_ndcg_eval — 20-row query-vector broadcast (sim_knn family)
 # bounded/broadcast nested-loop shapes that are intentional
 NLJ_OK = {
     "join_cross_dims",       # tiny dims cross join
@@ -71,6 +75,8 @@ NLJ_OK = {
     "sample_temperature_mix",    # 1-row grand-total + 1-row partition-fn Z broadcasts
     "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
     "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
+    "stats_mutual_information",  # 1-row grand-total + 1-row entropy broadcasts
+    "sim_ndcg_eval",             # 20-row query-vector broadcast (sim_knn family)
     "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
     "text_heavy_hitters",        # 1-row token-total broadcast
     "agg_median_two_phase",      # 1-row (min, max, n) stats broadcast under the binning
