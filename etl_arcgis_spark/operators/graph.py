@@ -583,3 +583,112 @@ def graph_adamic_adar_top_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("custkey"))
     )
+
+
+def _oracle_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 3):
+        rounds.append(
+            f"""v{k} AS (
+  SELECT e.dst AS node, {prev}.label, sum(e.w) AS wsum
+  FROM edges e JOIN {prev} ON e.src = {prev}.node
+  GROUP BY 1, 2
+), l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY wsum DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, w FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+),
+{rounds_sql}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l2
+GROUP BY label
+ORDER BY n_nodes DESC, community ASC
+LIMIT 20
+"""
+
+
+@query("graph_label_propagation", oracle=_oracle_lpa())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C142: TWO synchronous rounds of weighted label propagation
+    (Raghavan et al. 2007) over the customer<->supplier bipartite
+    graph — community detection, the complement of the min-label
+    CONNECTED-COMPONENTS propagation in dedup_cluster_components
+    (frequency argmax finds dense communities; min-label finds mere
+    reachability). Every node starts as its own label; each round a
+    node adopts the label with the highest incident edge weight among
+    its neighbors, ties broken by lexicographically smallest label —
+    fully deterministic, so the unrolled rounds are oracle-expressible
+    as chained CTEs. Output: the 20 largest communities after round 2.
+
+    Scale: each round is one edge-labels equi-join + one (node, label)
+    weighted count + a node-PARTITIONED rank (argmax per node, never a
+    global sort); edge weights are exact bigints so the argmax has no
+    float ambiguity. At cluster scale the per-round label vector would
+    be localCheckpoint()ed like the pagerank loop above."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(2):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vnode").orderBy(
+                F.desc("wsum"), F.asc("label")
+            )
+        )
+        labels = (
+            votes.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(20)
+    )
