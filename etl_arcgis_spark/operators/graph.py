@@ -585,6 +585,54 @@ def graph_adamic_adar_top_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
+    """Shared 2-round weighted LPA over the customer<->supplier graph:
+    returns (directed-doubled weighted edges, round-2 labels) — used by
+    graph_label_propagation (community sizes) and graph_modularity
+    (partition quality)."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(2):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vnode").orderBy(
+                F.desc("wsum"), F.asc("label")
+            )
+        )
+        labels = (
+            votes.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+        )
+    return edges, labels
+
+
 def _oracle_lpa() -> str:
     rounds = []
     prev = "l0"
@@ -646,49 +694,78 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort); edge weights are exact bigints so the argmax has no
     float ambiguity. At cluster scale the per-round label vector would
     be localCheckpoint()ed like the pagerank loop above."""
-    li = table(spark, sf_dir, "lineitem")
-    od = table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(od, li["l_orderkey"] == od["o_orderkey"])
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    edges = e0.unionByName(
-        e0.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    from pyspark.sql import Window
-
-    for _ in range(2):
-        votes = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("vnode"), "label")
-            .agg(F.sum("w").alias("wsum"))
-        )
-        rn = F.row_number().over(
-            Window.partitionBy("vnode").orderBy(
-                F.desc("wsum"), F.asc("label")
-            )
-        )
-        labels = (
-            votes.withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select(F.col("vnode").alias("node"), "label")
-        )
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
+    )
+
+
+def _oracle_modularity() -> str:
+    # same CTE chain as _oracle_lpa, different final aggregation
+    lpa = _oracle_lpa()
+    head, _, _tail = lpa.rpartition("SELECT label AS community")
+    return head + """SELECT
+  round(sum(q_c), 4) AS modularity,
+  CAST(count(*) AS BIGINT) AS n_communities
+FROM (
+  SELECT c.label,
+         sum(CASE WHEN c.label = c2.label THEN e.w ELSE 0 END)
+           / CAST(t.tw AS DOUBLE)
+         - power(sum(e.w) / CAST(t.tw AS DOUBLE), 2) AS q_c
+  FROM edges e
+  JOIN l2 c  ON e.src = c.node
+  JOIN l2 c2 ON e.dst = c2.node
+  CROSS JOIN (SELECT CAST(sum(w) AS BIGINT) AS tw FROM edges) t
+  GROUP BY c.label, t.tw
+)
+"""
+
+
+@query("graph_modularity", oracle=_oracle_modularity())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C143: Newman modularity Q of the round-2 LPA partition —
+    Q = Σ_c [intra_c/W − (deg_c/W)²] over the directed-doubled
+    weighted edge list (W = total directed weight = 2m). The quality
+    score community detection is judged by (Newman & Girvan 2004);
+    paired with graph_label_propagation, it gives detect + evaluate.
+
+    Determinism: intra_c, deg_c and W are exact bigint sums; each
+    community's term is a bit-identical double expression; the
+    ≤|communities| term sum carries last-bit noise only — r4 absorbs.
+
+    Scale: two label-keyed broadcast-able equi-joins stamp src/dst
+    communities onto edges (labels ≤ nodes, typically ≪ edges), one
+    map-side-combined per-community aggregate, one 1-row total-weight
+    broadcast. Nothing beyond the LPA rounds themselves is iterative."""
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
+    lsrc = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("c_src")
+    )
+    ldst = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("c_dst")
+    )
+    tw = edges.agg(F.sum("w").cast("bigint").alias("tw"))
+    stamped = (
+        edges.join(lsrc, "src")
+        .join(ldst, "dst")
+        .crossJoin(F.broadcast(tw))
+    )
+    per_c = stamped.groupBy(F.col("c_src").alias("label"), "tw").agg(
+        F.sum(
+            F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        ).alias("intra"),
+        F.sum("w").alias("deg"),
+    )
+    q_c = (
+        F.col("intra") / F.col("tw").cast("double")
+        - F.pow(F.col("deg") / F.col("tw").cast("double"), F.lit(2))
+    )
+    return per_c.agg(
+        r4(F.sum(q_c)).alias("modularity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
     )

@@ -77,6 +77,7 @@ NLJ_OK = {
     "text_perplexity_unigram",   # 1-row token-total broadcast under the LM join
     "stats_mutual_information",  # 1-row grand-total + 1-row entropy broadcasts
     "sim_ndcg_eval",             # 20-row query-vector broadcast (sim_knn family)
+    "graph_modularity",          # 1-row total-edge-weight broadcast
     "sim_hybrid_search",         # 1-row query-vector + corpus-stats + max-bm broadcasts
     "text_heavy_hitters",        # 1-row token-total broadcast
     "agg_median_two_phase",      # 1-row (min, max, n) stats broadcast under the binning
