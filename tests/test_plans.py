@@ -575,3 +575,55 @@ def test_attribution_windows_are_user_partitioned(spark):
         if s.startswith("Window "):
             assert "user_id" in s.split("], [")[1], s
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_ndcg_query_side_broadcast_and_group_limit(spark):
+    """sim_ndcg_eval: the 20-row query set must ride a broadcast
+    nested loop (corpus never shuffles for the scoring), and the
+    per-query top-10 must push a group limit below the rank window
+    (20 independent heaps, no global sort)."""
+    p = plan_of(spark, "sim_ndcg_eval")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_vocab_overlap_is_equi_join_not_cartesian(spark):
+    """text_source_vocab_overlap: the intersection must be a
+    token-KEYED join (source inequality as residual), never a
+    cartesian of the vocab tables."""
+    p = plan_of(spark, "text_source_vocab_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_theil_sen_pair_stage_carries_equi_key(spark):
+    """ts_theil_sen_trend: the O(months²) pair stage must join on the
+    priority equi-key (midx inequality as residual) — bounded by the
+    calendar grid, never a cartesian."""
+    p = plan_of(spark, "ts_theil_sen_trend")
+    assert "CartesianProduct" not in p
+
+
+def test_mutual_information_single_data_shuffle(spark):
+    """stats_mutual_information: everything past the contingency
+    group-by must be broadcast re-aggregation — no sort-merge join of
+    data-sized inputs."""
+    p = plan_of(spark, "stats_mutual_information")
+    assert "SortMergeJoin" not in p
+
+
+def test_lpa_argmax_partitioned_and_modularity_broadcast(spark):
+    """graph_label_propagation: every rank window is PARTITIONED (the
+    per-node argmax); graph_modularity: the total-weight leg is a
+    1-row broadcast."""
+    p = plan_of(spark, "graph_label_propagation")
+    assert "WindowGroupLimit" in p or "Window" in p
+    # the audit's unpartitioned-window detector covers the stronger
+    # claim; here pin no cartesian in the vote joins
+    assert "CartesianProduct" not in p
+    p2 = plan_of(spark, "graph_modularity")
+    assert "BroadcastNestedLoopJoin" in p2  # the 1-row tw broadcast
+    assert "CartesianProduct" not in p2
