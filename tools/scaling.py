@@ -76,6 +76,11 @@ HEADLINE = [
     # round-7: the re-spelled KS ECDF (bucketed_running_sums over 1024
     # equi-width bins — the former unbounded value-grid window gone)
     "stats_ks_two_sample",
+    # round-7 graph additions: the iterative-propagation family reps
+    # (per-round edge-message joins bounded by degree; modularity is a
+    # single grouped pass over the LPA labels)
+    "graph_label_propagation",
+    "graph_modularity",
 ]
 
 
