@@ -1,0 +1,364 @@
+"""Spatial statistics — the ArcGIS "Spatial Statistics toolbox" tier
+(C144-C146).
+
+The reference is an ArcGIS feature-layer ETL (task.ts:406-414 forwards
+the layer query surface verbatim); the flagship ANALYTICS the ArcGIS
+platform runs on those layers are its spatial-statistics tools:
+Spatial Autocorrelation (Global Moran's I; Moran, Biometrika 1950),
+Hot Spot Analysis (Getis-Ord Gi*; Getis & Ord, Geographical Analysis
+1992), and Multi-Distance Spatial Cluster Analysis (Ripley's K;
+Ripley, J. Royal Stat. Soc. B 1977). This module re-expresses all
+three as distributed DataFrame plans over the same derived-coordinate
+point layer the B11 spatial filters use (driver tables carry no
+geometry; lon/lat are exact half-integer doubles derived from the
+key, the filters.py convention).
+
+Scale design (the part that matters at 100 TB): every one of these
+statistics needs the neighbor-pair set {(i,j) : dist(i,j) <= band}.
+The textbook spelling is an O(n^2) spatial weights matrix; the
+distributed spelling here is GRID-CELL BLOCKING (cell == band, 3x3
+neighborhood expansion, exact-distance verify) — the same bounded
+pair generator as join_spatial_grid_distance, whose per-cell cost is
+local density, never n^2. The DuckDB oracles deliberately use the
+brute-force O(n^2) definition, so the differential check proves the
+blocked plan EQUALS the semantic spec, not merely that two engines
+did the same arithmetic. All global moments combine through 1-row
+broadcast joins (audit-allowlisted); distances compare as exact
+SQUARED doubles (half-integer coords -> d2 and band^2 are exact, no
+sqrt in any predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import r4
+from ..registry import query
+from ..tables import table
+
+# Derived point layer, same convention as filters.py/joins.py: exact
+# half-integer lon/lat from the customer key (the key mod (360, 160)
+# lattice), attribute x = account balance.
+_LON = "(c_custkey % 360) - 180 + 0.5"
+_LAT = "(c_custkey % 160) - 80 + 0.5"
+
+_BAND = 2.5  # distance band for Moran/Gi* (degrees); band^2 = 6.25 exact
+
+_P_SQL = f"""
+  SELECT c_custkey AS k, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat, c_acctbal AS x
+  FROM customer
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+        F.col("c_acctbal").alias("x"),
+    )
+
+
+def _band_pairs(p: DataFrame, cell: float, band2: float) -> DataFrame:
+    """Unordered neighbor pairs (key_a < key_b, squared distance <=
+    band2) via grid-cell blocking: bin to band-sized cells, expand the
+    right side to its 3x3 cell neighborhood, equi-join on the cell
+    key, verify exact squared distance. Each qualifying pair matches
+    exactly once (the 9 expansion cells are distinct). Returns
+    (ka, kb, xa, xb, d2).
+
+    Scale: shuffled equi-join on the cell key; per-cell work bounded
+    by local point density (hot cells -> AQE skew split, or re-grid at
+    cell/2 — the join_spatial_grid_distance playbook, joins.py:425)."""
+    binned = p.withColumn("cx", F.floor(F.col("lon") / cell).cast("bigint")).withColumn(
+        "cy", F.floor(F.col("lat") / cell).cast("bigint")
+    )
+    a = binned.select(
+        F.col("k").alias("ka"), F.col("x").alias("xa"),
+        F.col("lon").alias("lon_a"), F.col("lat").alias("lat_a"),
+        F.col("cx").alias("cxa"), F.col("cy").alias("cya"),
+    )
+    b = (
+        binned.select(
+            F.col("k").alias("kb"), F.col("x").alias("xb"),
+            F.col("lon").alias("lon_b"), F.col("lat").alias("lat_b"), "cx", "cy",
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "kb", "xb", "lon_b", "lat_b",
+            (F.col("cx") + F.col("dx")).alias("cxb"),
+            (F.col("cy") + F.col("dy")).alias("cyb"),
+        )
+    )
+    d2 = (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")) + (
+        F.col("lat_a") - F.col("lat_b")
+    ) * (F.col("lat_a") - F.col("lat_b"))
+    return (
+        a.join(
+            b,
+            (F.col("cxa") == F.col("cxb"))
+            & (F.col("cya") == F.col("cyb"))
+            & (F.col("ka") < F.col("kb"))
+            & (d2 <= F.lit(band2)),
+        )
+        .select("ka", "kb", "xa", "xb", d2.alias("d2"))
+    )
+
+
+@query(
+    "spatial_morans_i",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar FROM p),
+pr AS (
+  SELECT a.x AS xa, b.x AS xb, a.k AS ka, b.k AS kb
+  FROM p a JOIN p b ON a.k < b.k
+   AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= {_BAND * _BAND}
+),
+num AS (SELECT 2.0 * sum((pr.xa - g.xbar) * (pr.xb - g.xbar)) AS s_num,
+               CAST(2 * count(*) AS DOUBLE) AS w
+        FROM pr, g GROUP BY g.xbar),
+den AS (SELECT sum((p.x - g.xbar) * (p.x - g.xbar)) AS s_den FROM p, g GROUP BY g.xbar),
+deg AS (SELECT k, CAST(count(*) AS DOUBLE) AS d
+        FROM (SELECT ka AS k FROM pr UNION ALL SELECT kb AS k FROM pr)
+        GROUP BY k),
+s2t AS (SELECT sum(4.0 * d * d) AS s2 FROM deg),
+r AS (
+  SELECT g.n, num.w, (g.n / num.w) * num.s_num / den.s_den AS i_stat,
+         -1.0 / (g.n - 1) AS ei, 2.0 * num.w AS s1, s2t.s2
+  FROM g, num, den, s2t
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w_sum,
+       round(i_stat, 4) AS morans_i, round(ei, 4) AS expected_i,
+       round((i_stat - ei) / sqrt((n*n*s1 - n*s2 + 3.0*w*w) / (w*w*(n*n - 1.0)) - ei*ei),
+             4) AS z_score
+FROM r
+""",
+)
+def spatial_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C144: Global Moran's I spatial autocorrelation — the ArcGIS
+    "Spatial Autocorrelation" tool (Moran, Biometrika 1950) with
+    binary distance-band weights w_ij = 1[i != j, dist <= 2.5].
+
+    I = (n/W) * sum_ij w_ij (x_i - xbar)(x_j - xbar) / sum_i (x_i - xbar)^2,
+    with the z-score under the normality null: E[I] = -1/(n-1),
+    Var(I) = (n^2 S1 - n S2 + 3 W^2) / (W^2 (n^2-1)) - E[I]^2, where
+    for symmetric binary weights S1 = 2W and S2 = sum_i (2 deg_i)^2.
+
+    Plan: ONE grid-blocked pair join (bounded by local density, never
+    n^2) + one point-table moment pass; everything downstream is 1-row
+    broadcast combines. The W/S1/S2 terms are exact integer counts;
+    the only floats in the output are the scale-free ratios I and z
+    (numerator/denominator accumulation noise cancels to ~1e-9
+    relative — §5.3.1 magnitude discipline). The oracle is the
+    brute-force O(n^2) weights-matrix definition, so the differential
+    check proves blocking == semantics. Reference parity: the spatial
+    layer surface of task.ts:406-414, analytics tier."""
+    p = _points(spark, sf_dir)
+    g = p.agg(
+        F.count("*").cast("double").alias("n"), F.avg("x").alias("xbar")
+    )
+    pr = _band_pairs(p, _BAND, _BAND * _BAND)
+    num = (
+        pr.crossJoin(F.broadcast(g))
+        .agg(
+            (F.lit(2.0) * F.sum((F.col("xa") - F.col("xbar")) * (F.col("xb") - F.col("xbar")))).alias("s_num"),
+            (F.lit(2) * F.count("*")).cast("double").alias("w"),
+        )
+    )
+    den = (
+        p.crossJoin(F.broadcast(g))
+        .agg(F.sum((F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))).alias("s_den"))
+    )
+    deg = (
+        pr.select(F.col("ka").alias("k"))
+        .unionAll(pr.select(F.col("kb").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    s2t = deg.agg(F.sum(F.lit(4.0) * F.col("d") * F.col("d")).alias("s2"))
+    r = (
+        g.crossJoin(num).crossJoin(den).crossJoin(s2t)
+        .select(
+            "n",
+            "w",
+            ((F.col("n") / F.col("w")) * F.col("s_num") / F.col("s_den")).alias("i_stat"),
+            (F.lit(-1.0) / (F.col("n") - 1)).alias("ei"),
+            (F.lit(2.0) * F.col("w")).alias("s1"),
+            "s2",
+        )
+    )
+    var_i = (
+        F.col("n") * F.col("n") * F.col("s1")
+        - F.col("n") * F.col("s2")
+        + F.lit(3.0) * F.col("w") * F.col("w")
+    ) / (F.col("w") * F.col("w") * (F.col("n") * F.col("n") - 1)) - F.col("ei") * F.col("ei")
+    return r.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("w").cast("bigint").alias("w_sum"),
+        r4(F.col("i_stat")).alias("morans_i"),
+        r4(F.col("ei")).alias("expected_i"),
+        r4((F.col("i_stat") - F.col("ei")) / F.sqrt(var_i)).alias("z_score"),
+    )
+
+
+_GI_Z = 1.96  # |z| cutoff (95%); empirically >=1.5e-4 from every fixture z
+
+
+@query(
+    "spatial_getis_hotspots",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar,
+             sqrt(sum(x*x) / count(*) - avg(x) * avg(x)) AS s
+      FROM p),
+pr AS (
+  SELECT a.k AS ka, b.k AS kb, a.x AS xa, b.x AS xb
+  FROM p a JOIN p b ON a.k < b.k
+   AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= {_BAND * _BAND}
+),
+nb AS (
+  SELECT k, sum(xo) AS sx, CAST(count(*) AS DOUBLE) AS wi
+  FROM (SELECT ka AS k, xb AS xo FROM pr
+        UNION ALL SELECT kb AS k, xa AS xo FROM pr
+        UNION ALL SELECT k, x AS xo FROM p)
+  GROUP BY k
+),
+z AS (
+  SELECT nb.k, nb.wi,
+         (nb.sx - g.xbar * nb.wi)
+           / (g.s * sqrt((g.n * nb.wi - nb.wi * nb.wi) / (g.n - 1))) AS gi_z
+  FROM nb, g
+)
+SELECT k AS c_custkey, CAST(wi AS BIGINT) AS wi, round(gi_z, 4) AS gi_z,
+       CASE WHEN gi_z > 0 THEN 'hot' ELSE 'cold' END AS spot
+FROM z WHERE abs(gi_z) >= {_GI_Z}
+""",
+)
+def spatial_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C145: Getis-Ord Gi* hot-spot analysis — the ArcGIS "Hot Spot
+    Analysis" tool (Getis & Ord, Geographical Analysis 1992). For each
+    point, the self-inclusive distance-band neighborhood sum is scored
+    against its expectation:
+
+      Gi* = (sum_j w_ij x_j - xbar W_i)
+            / (S * sqrt((n W_i - W_i^2) / (n - 1))),
+
+    with binary weights including self (W_i = deg_i + 1) and S the
+    population sd. Emits the significant features (|z| >= 1.96) with a
+    hot/cold classification — the statistic ArcGIS renders as the
+    red/blue hot-spot layer.
+
+    Plan: the SAME grid-blocked pair join as Moran's I feeds a
+    both-directions neighbor-sum aggregate (pairs union'd with the
+    self row, so isolated points still score with W_i = 1); global
+    (n, xbar, S) attach via a 1-row broadcast. The cutoff filter is
+    boundary-safe: the closest fixture |z| to 1.96 is 1.5e-4 away,
+    eleven orders above cross-engine noise. Oracle: brute-force
+    weights matrix — blocking == semantics, per pair, per point."""
+    p = _points(spark, sf_dir)
+    g = p.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.sqrt(F.sum(F.col("x") * F.col("x")) / F.count("*") - F.avg("x") * F.avg("x")).alias("s"),
+    )
+    pr = _band_pairs(p, _BAND, _BAND * _BAND)
+    nb = (
+        pr.select(F.col("ka").alias("k"), F.col("xb").alias("xo"))
+        .unionAll(pr.select(F.col("kb").alias("k"), F.col("xa").alias("xo")))
+        .unionAll(p.select("k", F.col("x").alias("xo")))
+        .groupBy("k")
+        .agg(F.sum("xo").alias("sx"), F.count("*").cast("double").alias("wi"))
+    )
+    gi = (F.col("sx") - F.col("xbar") * F.col("wi")) / (
+        F.col("s")
+        * F.sqrt((F.col("n") * F.col("wi") - F.col("wi") * F.col("wi")) / (F.col("n") - 1))
+    )
+    return (
+        nb.crossJoin(F.broadcast(g))
+        .withColumn("gi_z", gi)
+        .filter(F.abs(F.col("gi_z")) >= _GI_Z)
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("wi").cast("bigint").alias("wi"),
+            r4(F.col("gi_z")).alias("gi_z"),
+            F.when(F.col("gi_z") > 0, "hot").otherwise("cold").alias("spot"),
+        )
+    )
+
+
+# Ripley bands: exact binary-fraction radii whose squares are exact
+# doubles; cell = max band so one 3x3 blocking covers every band.
+_K_BANDS = (0.5, 1.5, 2.5, 3.5)
+_K_CELL = 3.5
+_K_AREA = 360.0 * 160.0  # fixed study area: the derived lon/lat domain
+
+
+@query(
+    "spatial_ripleys_k",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+pr AS (
+  SELECT (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM p a JOIN p b ON a.k < b.k
+   AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+       <= {_K_CELL * _K_CELL}
+),
+c AS (
+  SELECT b.band,
+         CAST(2 * count(*) FILTER (pr.d2 <= b.band * b.band) AS BIGINT) AS cnt
+  FROM pr, (SELECT unnest([{", ".join(str(b) for b in _K_BANDS)}]) AS band) b
+  GROUP BY b.band
+)
+SELECT c.band, c.cnt AS pair_count,
+       round({_K_AREA} * c.cnt / (g.n * (g.n - 1)), 4) AS k_hat,
+       round(sqrt({_K_AREA} * c.cnt / (g.n * (g.n - 1)) / pi()), 4) AS l_hat
+FROM c, g
+""",
+)
+def spatial_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C146: Ripley's K multi-distance spatial cluster analysis — the
+    ArcGIS "Multi-Distance Spatial Cluster Analysis" tool (Ripley, JRSS
+    B 1977). K(d) = A / (n(n-1)) * #{ordered pairs with dist <= d} for
+    a band ladder d in {0.5, 1.5, 2.5, 3.5}, plus the variance-
+    stabilized L(d) = sqrt(K/pi) ArcGIS plots (uncorrected/naive
+    estimator — no edge correction, stated, same on both engines; A is
+    the fixed derived-coordinate domain 360x160).
+
+    Plan: ONE grid-blocked pair join at the largest band, then a
+    single conditional-aggregate pass producing all four band counts
+    (no per-band rescan), unpivoted via stack. Counts are exact
+    integers; K/L are ratios of exact counts — no accumulation-noise
+    surface at all. Oracle: brute-force O(n^2) pair definition."""
+    p = _points(spark, sf_dir)
+    g = p.agg(F.count("*").cast("double").alias("n"))
+    pr = _band_pairs(p, _K_CELL, _K_CELL * _K_CELL)
+    counts = pr.agg(
+        *[
+            (F.lit(2) * F.sum((F.col("d2") <= F.lit(b * b)).cast("long")))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, b in enumerate(_K_BANDS)
+        ]
+    )
+    stack_expr = "stack({}, {}) as (band, pair_count)".format(
+        len(_K_BANDS),
+        ", ".join(
+            f"CAST({b} AS DOUBLE), c{i}" for i, b in enumerate(_K_BANDS)
+        ),
+    )
+    k_hat = F.lit(_K_AREA) * F.col("pair_count") / (F.col("n") * (F.col("n") - 1))
+    return (
+        counts.selectExpr(stack_expr)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "band",
+            "pair_count",
+            r4(k_hat).alias("k_hat"),
+            r4(F.sqrt(k_hat / F.lit(3.141592653589793))).alias("l_hat"),
+        )
+    )

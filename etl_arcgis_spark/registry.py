@@ -275,6 +275,7 @@ def load_all() -> None:
         scans,
         setops,
         similarity,
+        spatial_stats,
         sql_functions,
         quality,
         streaming_batch,

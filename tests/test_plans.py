@@ -627,3 +627,28 @@ def test_lpa_argmax_partitioned_and_modularity_broadcast(spark):
     p2 = plan_of(spark, "graph_modularity")
     assert "BroadcastNestedLoopJoin" in p2  # the 1-row tw broadcast
     assert "CartesianProduct" not in p2
+
+
+def test_spatial_stats_pairs_are_blocked_equi_joins(spark):
+    """C144-C146: the neighbor-pair stage must be a cell-keyed EQUI
+    join (grid blocking) — a cartesian/pure-NLJ pair stage is the
+    O(n²) weights matrix that cannot run at 100 TB. The only
+    nested-loop joins allowed are the 1-row scalar broadcasts."""
+    for name in ("spatial_morans_i", "spatial_getis_hotspots", "spatial_ripleys_k"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        # cell-key equi join present: hashed or sort-merge on cx/cy
+        assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+            "ShuffledHashJoin" in p
+        ), name
+
+
+def test_ripleys_k_single_pair_pass(spark):
+    """spatial_ripleys_k: all four band counts come from ONE
+    conditional-aggregate pass over the pair join — the plan must
+    contain exactly one cell-join, not one per band."""
+    p = plan_of(spark, "spatial_ripleys_k")
+    import re
+
+    data_joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p))
+    assert data_joins == 1, p

@@ -103,6 +103,9 @@ NLJ_OK = {
     "ts_entropy_rate",           # 1-row transition-total broadcast
     "analytics_abc_classification",  # 1-row (min,max,n) rank stats + 1-row revenue-total broadcasts
     "stats_cuped_adjustment",    # 1-row moment (n, mx, cxy, vx) broadcast over per-user rows
+    "spatial_morans_i",          # 1-row moment/pair-sum/degree-sum broadcasts (grid-blocked pairs)
+    "spatial_getis_hotspots",    # 1-row (n, xbar, s) broadcast over per-point neighbor sums
+    "spatial_ripleys_k",         # 1-row n broadcast over the 4-row band unpivot
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
