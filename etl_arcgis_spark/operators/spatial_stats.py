@@ -362,3 +362,145 @@ def spatial_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sqrt(k_hat / F.lit(3.141592653589793))).alias("l_hat"),
         )
     )
+
+
+@query(
+    "spatial_std_ellipse",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(lon) AS mx, avg(lat) AS my,
+         sum(lon * lon) AS sxx, sum(lat * lat) AS syy, sum(lon * lat) AS sxy
+  FROM p
+), v AS (
+  SELECT n, mx, my, sxx / n - mx * mx AS vx, syy / n - my * my AS vy,
+         sxy / n - mx * my AS vxy
+  FROM m
+), e AS (
+  SELECT n, mx, my, vx, vy, vxy,
+         0.5 * atan2(2 * vxy, vx - vy) AS theta
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n, round(mx, 4) AS mean_x, round(my, 4) AS mean_y,
+       round(sqrt(vx + vy), 4) AS std_dist,
+       round(degrees(theta), 4) AS theta_deg,
+       round(sqrt(greatest(0.0,
+             vx * cos(theta) * cos(theta)
+             + 2 * vxy * sin(theta) * cos(theta)
+             + vy * sin(theta) * sin(theta))), 4) AS sigma_major,
+       round(sqrt(greatest(0.0,
+             vx * sin(theta) * sin(theta)
+             - 2 * vxy * sin(theta) * cos(theta)
+             + vy * cos(theta) * cos(theta))), 4) AS sigma_minor
+FROM e
+""",
+)
+def spatial_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C147: Mean center, standard distance, and standard deviational
+    ellipse — the ArcGIS "Measuring Geographic Distributions" toolset
+    (Mean Center / Standard Distance / Directional Distribution;
+    Yuill, Area 1971). One bivariate-moment pass gives the center
+    (mx, my), the standard distance sqrt(vx + vy), the ellipse
+    rotation theta = atan2(2 v_xy, v_x - v_y) / 2, and the two sigma
+    axes in the rotated frame (raw sigmas; ArcGIS's 1-std ellipse is
+    these times sqrt(2)).
+
+    Numerical notes (why this is oracle-exact): the sf0.001 layer is
+    DEGENERATE — all 150 points sit on one diagonal line, so the minor
+    axis is mathematically 0 and cross-engine noise can push the
+    variance form to -1e-13; both engines clamp with greatest(0, .)
+    before sqrt so the rounded output agrees. theta's atan2 is safe
+    because v_xy stays far from 0 on every fixture (the discontinuity
+    needs BOTH arguments near 0).
+
+    Scale: one map-side-combined 6-sum aggregate over the point table;
+    constant-time tail. The cheapest 100 TB query in the module."""
+    p = _points(spark, sf_dir)
+    m = p.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("lon").alias("mx"),
+        F.avg("lat").alias("my"),
+        F.sum(F.col("lon") * F.col("lon")).alias("sxx"),
+        F.sum(F.col("lat") * F.col("lat")).alias("syy"),
+        F.sum(F.col("lon") * F.col("lat")).alias("sxy"),
+    )
+    v = m.select(
+        "n", "mx", "my",
+        (F.col("sxx") / F.col("n") - F.col("mx") * F.col("mx")).alias("vx"),
+        (F.col("syy") / F.col("n") - F.col("my") * F.col("my")).alias("vy"),
+        (F.col("sxy") / F.col("n") - F.col("mx") * F.col("my")).alias("vxy"),
+    )
+    e = v.withColumn(
+        "theta", F.lit(0.5) * F.atan2(F.lit(2.0) * F.col("vxy"), F.col("vx") - F.col("vy"))
+    )
+    ct, st = F.cos(F.col("theta")), F.sin(F.col("theta"))
+    maj = F.col("vx") * ct * ct + F.lit(2.0) * F.col("vxy") * st * ct + F.col("vy") * st * st
+    mnr = F.col("vx") * st * st - F.lit(2.0) * F.col("vxy") * st * ct + F.col("vy") * ct * ct
+    return e.select(
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("mx")).alias("mean_x"),
+        r4(F.col("my")).alias("mean_y"),
+        r4(F.sqrt(F.col("vx") + F.col("vy"))).alias("std_dist"),
+        r4(F.degrees(F.col("theta"))).alias("theta_deg"),
+        r4(F.sqrt(F.greatest(F.lit(0.0), maj))).alias("sigma_major"),
+        r4(F.sqrt(F.greatest(F.lit(0.0), mnr))).alias("sigma_minor"),
+    )
+
+
+_NEAR_K = 3  # neighbors per feature in the near table
+
+
+@query(
+    "spatial_near_table",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+pr AS (
+  SELECT a.k AS src, b.k AS nbr,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM p a JOIN p b ON a.k <> b.k
+   AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= {_BAND * _BAND}
+),
+r AS (
+  SELECT src, nbr, d2,
+         row_number() OVER (PARTITION BY src ORDER BY d2, nbr) AS rk
+  FROM pr
+)
+SELECT src AS c_custkey, CAST(rk AS INT) AS rk, nbr AS nbr_key,
+       round(sqrt(d2), 4) AS dist
+FROM r WHERE rk <= {_NEAR_K}
+""",
+)
+def spatial_near_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C148: Generate Near Table — the ArcGIS proximity tool: for each
+    feature, its {_NEAR_K} nearest neighbors within the search radius,
+    ranked by distance (ties broken by neighbor key — the lattice
+    layer has coincident points, so a value tie-break is mandatory
+    for determinism).
+
+    Plan: DIRECTED grid-blocked candidate join (same 3x3 blocking, no
+    key ordering, self excluded) -> per-source rank window -> rk <= k.
+    Catalyst turns the rank filter into WindowGroupLimit, so each
+    shuffle partition keeps only k rows per source before the final
+    sort — the per-feature state is O(k), never the candidate list.
+    Scale: candidates bounded by local density; the window partitions
+    by source feature (plan-asserted: no unpartitioned window)."""
+    p = _points(spark, sf_dir)
+    # directed pairs: reuse the unordered generator both ways instead
+    # of re-deriving a directed variant — (a<b) U (b<a) == (a != b).
+    und = _band_pairs(p, _BAND, _BAND * _BAND)
+    pr = und.select(
+        F.col("ka").alias("src"), F.col("kb").alias("nbr"), "d2"
+    ).unionAll(und.select(F.col("kb").alias("src"), F.col("ka").alias("nbr"), "d2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("nbr").asc())
+    return (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEAR_K)
+        .select(
+            F.col("src").alias("c_custkey"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("nbr").alias("nbr_key"),
+            r4(F.sqrt(F.col("d2"))).alias("dist"),
+        )
+    )

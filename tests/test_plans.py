@@ -652,3 +652,24 @@ def test_ripleys_k_single_pair_pass(spark):
 
     data_joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p))
     assert data_joins == 1, p
+
+
+def test_near_table_window_partitioned_with_group_limit(spark):
+    """spatial_near_table: the per-feature rank must be PARTITIONED by
+    source and carry Catalyst's WindowGroupLimit (O(k) state per
+    feature before the final sort)."""
+    p = plan_of(spark, "spatial_near_table")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_jackknife_single_block_aggregate(spark):
+    """stats_jackknife_blocks: one 256-group hash aggregate over the
+    fact scan; everything downstream is 1-row broadcast arithmetic —
+    no second data-sized pass, no sort-merge join."""
+    p = plan_of(spark, "stats_jackknife_blocks")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    import re
+    # exactly one scan of the orders fact
+    assert len(re.findall(r"Scan parquet", p)) == 1, p

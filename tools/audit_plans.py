@@ -134,6 +134,7 @@ WINDOW_BOUNDED_OK = {
     "corpus_curate_select": "offset window over per-bucket totals (|buckets| rows, two-phase PPS stage)",
     "analytics_survival_km": "risk-set/survival windows over the duration grid (bounded by observation-window days)",
     "analytics_abc_classification": "offset windows over 1024 bin counts + 64-rank bucket totals (bucketed_global_rank -> bucketed_running_sums chain)",
+    "stats_jackknife_blocks": "totals window over 256 md5-hex block partials (single-scan spelling; the crossJoin-broadcast alternative re-scans the fact table)",
 }
 
 
