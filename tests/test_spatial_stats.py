@@ -1,0 +1,155 @@
+"""Property tests for the spatial-statistics tier (C144-C149).
+
+The oracle diff (tools/check.py) already proves the registered
+queries equal their brute-force O(n^2) definitions on the fixture
+lattice — but the fixture lattice is benign: every coordinate is a
+half-integer, no point sits ON a cell boundary, and all cells are
+well-populated. These tests attack the blocking helper where the
+fixtures can't: random points at and around cell boundaries, negative
+coordinates (floor-division sign behavior), coincident points, and
+near-band-radius distances.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark.operators.spatial_stats import _band_pairs
+
+
+def _brute_pairs(pts, band2):
+    out = set()
+    for i, (ka, xa, lon_a, lat_a) in enumerate(pts):
+        for kb, xb, lon_b, lat_b in pts[i + 1 :]:
+            d2 = (lon_a - lon_b) ** 2 + (lat_a - lat_b) ** 2
+            if d2 <= band2 and ka != kb:
+                out.add((min(ka, kb), max(ka, kb)))
+    return out
+
+
+def _run_case(spark, pts, cell, band2):
+    df = spark.createDataFrame(
+        [(k, float(x), float(lon), float(lat)) for k, x, lon, lat in pts],
+        "k bigint, x double, lon double, lat double",
+    )
+    got = {
+        (r.ka, r.kb)
+        for r in _band_pairs(df, cell, band2).select("ka", "kb").collect()
+    }
+    want = _brute_pairs(pts, band2)
+    assert got == want, (
+        f"cell={cell} band2={band2}: blocked^brute symmetric diff = "
+        f"{got.symmetric_difference(want)}"
+    )
+
+
+def test_blocking_equals_brute_force_on_adversarial_points(spark):
+    """Blocked pair generation == brute force on boundary-adversarial
+    random sets: points exactly ON cell boundaries, negative coords
+    (floor() vs truncation sign trap), coincident points, distances
+    within an ulp of the band radius."""
+    rng = random.Random(0xC144)
+    cell = 2.5
+    band2 = cell * cell
+    for trial in range(8):
+        pts = []
+        k = 0
+        for _ in range(60):
+            mode = rng.randrange(4)
+            if mode == 0:  # uniform incl. negatives
+                lon = rng.uniform(-10, 10)
+                lat = rng.uniform(-10, 10)
+            elif mode == 1:  # exactly on a cell boundary (multiples of cell)
+                lon = cell * rng.randint(-4, 4)
+                lat = cell * rng.randint(-4, 4)
+            elif mode == 2 and pts:  # coincident with an earlier point
+                _, _, lon, lat = pts[rng.randrange(len(pts))]
+            else:  # near-band distance from an earlier point
+                if pts:
+                    _, _, plon, plat = pts[rng.randrange(len(pts))]
+                    ang = rng.uniform(0, 2 * math.pi)
+                    r = cell + rng.choice([-1e-9, 0.0, 1e-9])
+                    lon, lat = plon + r * math.cos(ang), plat + r * math.sin(ang)
+                else:
+                    lon = lat = 0.0
+            pts.append((k, rng.uniform(-100, 100), lon, lat))
+            k += 1
+        _run_case(spark, pts, cell, band2)
+
+
+def test_blocking_respects_exact_band_inclusivity(spark):
+    """d2 == band2 exactly must be INCLUDED (<=, matching both the
+    oracle SQL and the weights-matrix definition): two points at
+    exactly the band distance along an axis."""
+    pts = [(0, 1.0, 0.0, 0.0), (1, 2.0, 2.5, 0.0), (2, 3.0, 2.5000001, 0.0)]
+    df_pairs = _brute_pairs(pts, 6.25)
+    assert (0, 1) in df_pairs and (0, 2) not in df_pairs
+    _run_case(spark, pts, 2.5, 6.25)
+
+
+def test_jackknife_matches_direct_formula(spark):
+    """stats_jackknife_blocks' streaming spelling (q - B*m^2) equals
+    the direct sum((theta_b - theta_dot)^2) formula computed in
+    Python over the same md5 blocks at sf0.001."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    rows = con.execute(
+        """
+        SELECT (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 AS b,
+               count(*) AS nb, sum(o_totalprice) AS sb
+        FROM orders GROUP BY b
+        """
+    ).fetchall()
+    n = sum(r[1] for r in rows)
+    s = sum(r[2] for r in rows)
+    thetas = [(s - sb) / (n - nb) for _, nb, sb in rows]
+    tdot = sum(thetas) / len(thetas)
+    se = math.sqrt(
+        (len(thetas) - 1) / len(thetas) * sum((t - tdot) ** 2 for t in thetas)
+    )
+
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    row = (
+        registry.all_queries()["stats_jackknife_blocks"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .collect()[0]
+    )
+    assert row.n == n
+    assert row.n_blocks == len(rows)
+    assert abs(row.jack_se - se) < 1e-3
+    assert abs(row.mean_price - s / n) < 1e-2 + 1e-6
+
+
+def test_gi_star_isolated_point_scores_with_self_weight(spark):
+    """A point with NO in-band neighbor must still appear in the Gi*
+    neighbor-sum base with W_i = 1 (self-inclusive weights): verify
+    via the module's own aggregation on a 3-point set where one point
+    is isolated."""
+    from etl_arcgis_spark.operators.spatial_stats import _BAND
+
+    df = spark.createDataFrame(
+        [(0, 10.0, 0.0, 0.0), (1, 20.0, 1.0, 0.0), (2, 30.0, 50.0, 50.0)],
+        "k bigint, x double, lon double, lat double",
+    )
+    pr = _band_pairs(df, _BAND, _BAND * _BAND)
+    nb = (
+        pr.select(F.col("ka").alias("k"), F.col("xb").alias("xo"))
+        .unionAll(pr.select(F.col("kb").alias("k"), F.col("xa").alias("xo")))
+        .unionAll(df.select("k", F.col("x").alias("xo")))
+        .groupBy("k")
+        .agg(F.sum("xo").alias("sx"), F.count("*").alias("wi"))
+    )
+    got = {r.k: (r.sx, r.wi) for r in nb.collect()}
+    assert got == {0: (30.0, 2), 1: (30.0, 2), 2: (30.0, 1)}
