@@ -504,3 +504,224 @@ def spatial_near_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sqrt(F.col("d2"))).alias("dist"),
         )
     )
+
+
+@query(
+    "spatial_shoelace_area",
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey,
+         CAST(3 + (c_custkey % 4) AS INT) AS nv,
+         CAST(1 + (c_custkey % 3) AS DOUBLE) AS r,
+         CAST({_LON} AS DOUBLE) AS cx,
+         CAST({_LAT} AS DOUBLE) AS cy
+  FROM customer
+), v AS (
+  SELECT c_custkey, nv,
+         list_transform(range(0, nv),
+           i -> {{'x': cx + r * cos(2 * pi() * i / nv),
+                  'y': cy + r * sin(2 * pi() * i / nv)}}) AS verts
+  FROM base
+), c AS (
+  SELECT c_custkey, nv,
+         list_transform(range(0, nv),
+           i -> {{'cr': verts[i + 1].x * verts[((i + 1) % nv) + 1].y
+                       - verts[((i + 1) % nv) + 1].x * verts[i + 1].y,
+                  'mx': verts[i + 1].x + verts[((i + 1) % nv) + 1].x,
+                  'my': verts[i + 1].y + verts[((i + 1) % nv) + 1].y}}) AS e
+  FROM v
+), s AS (
+  SELECT c_custkey, nv,
+         list_sum(list_transform(e, t -> t.cr)) AS s_cr,
+         list_sum(list_transform(e, t -> t.mx * t.cr)) AS s_mx,
+         list_sum(list_transform(e, t -> t.my * t.cr)) AS s_my
+  FROM c
+)
+SELECT c_custkey, nv AS n_vertices, round(abs(s_cr) / 2, 4) AS area,
+       round(s_mx / (3 * s_cr), 4) AS centroid_x,
+       round(s_my / (3 * s_cr), 4) AS centroid_y
+FROM s
+""",
+)
+def spatial_shoelace_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C150: Calculate Geometry — polygon ring area + centroid via the
+    shoelace formula (Gauss), the per-feature geometry computation
+    behind ArcGIS's "Calculate Geometry Attributes". Rings are
+    synthesized per feature (regular 3-6-gons at the derived center,
+    the same no-geometry-fixture convention as the B11 surface) so the
+    HOF pipeline is exercised over VARIABLE-length vertex arrays:
+
+      verts   = transform(sequence, i -> (x_i, y_i))
+      edges   = transform(sequence, i -> (cross_i, x_i+x_j, y_i+y_j))
+      area    = |sum cross_i| / 2
+      centroid= sum((x_i+x_j) * cross_i) / (3 * sum cross_i)  (and y)
+
+    Everything is IN-ROW higher-order-function arithmetic — zero
+    shuffle, zero Python, one whole-stage-codegen projection over the
+    scan; this is the shape a 100 TB per-feature geometry pass must
+    have. Edges are STAGED into an intermediate array before the three
+    sums (Catalyst does not CSE inside lambda bodies — the round-5
+    winnowing lesson); the per-edge structs are computed once, each
+    aggregate folds the materialized array."""
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(3) + F.col("c_custkey") % 4).cast("int").alias("nv"),
+        (F.lit(1) + F.col("c_custkey") % 3).cast("double").alias("r"),
+        F.expr(_LON).cast("double").alias("cx"),
+        F.expr(_LAT).cast("double").alias("cy"),
+    )
+    two_pi = 2.0 * 3.141592653589793
+    v = base.withColumn(
+        "verts",
+        F.transform(
+            F.sequence(F.lit(0), F.col("nv") - 1),
+            lambda i: F.struct(
+                (F.col("cx") + F.col("r") * F.cos(F.lit(two_pi) * i / F.col("nv"))).alias("x"),
+                (F.col("cy") + F.col("r") * F.sin(F.lit(two_pi) * i / F.col("nv"))).alias("y"),
+            ),
+        ),
+    )
+    def edge(i):
+        a = F.element_at(F.col("verts"), i + 1)
+        b = F.element_at(F.col("verts"), ((i + 1) % F.col("nv")) + 1)
+        cr = a["x"] * b["y"] - b["x"] * a["y"]
+        return F.struct(
+            cr.alias("cr"), (a["x"] + b["x"]).alias("mx"), (a["y"] + b["y"]).alias("my")
+        )
+
+    c = v.withColumn("e", F.transform(F.sequence(F.lit(0), F.col("nv") - 1), edge))
+    s = c.select(
+        "c_custkey",
+        "nv",
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, t: acc + t["cr"]).alias("s_cr"),
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, t: acc + t["mx"] * t["cr"]).alias("s_mx"),
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, t: acc + t["my"] * t["cr"]).alias("s_my"),
+    )
+    return s.select(
+        "c_custkey",
+        F.col("nv").alias("n_vertices"),
+        r4(F.abs(F.col("s_cr")) / 2).alias("area"),
+        r4(F.col("s_mx") / (F.lit(3.0) * F.col("s_cr"))).alias("centroid_x"),
+        r4(F.col("s_my") / (F.lit(3.0) * F.col("s_cr"))).alias("centroid_y"),
+    )
+
+
+# Summarize-Within zones: translated copies of a compact non-convex
+# hexagon; .1-.9 fractional vertices so no half-integer lattice point
+# lies on an edge (the filters.py convention). Zone A holds zero
+# sf0.001 points by construction — the left-join zero-row case.
+_SW_BASE = [
+    (-60.3, -40.2), (20.7, -40.2), (20.7, 10.4),
+    (-10.6, 35.9), (-10.6, -5.3), (-60.3, 15.8),
+]
+_SW_ZONES = {"A": (0.0, 0.0), "C": (-70.0, -30.0), "D": (-40.0, 35.0)}
+
+
+def _sw_zone_rows():
+    for zid, (dx, dy) in sorted(_SW_ZONES.items()):
+        yield zid, [(x + dx, y + dy) for x, y in _SW_BASE]
+
+
+def _sw_oracle() -> str:
+    zone_selects = []
+    for zid, poly in _sw_zone_rows():
+        verts = ", ".join("{'x': %r, 'y': %r}" % (x, y) for x, y in poly)
+        zone_selects.append(f"SELECT '{zid}' AS zone_id, [{verts}] AS verts")
+    zones = " UNION ALL ".join(zone_selects)
+    return f"""
+WITH p AS (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat, c_acctbal AS bal
+  FROM customer
+), z AS ({zones}),
+hit AS (
+  SELECT z.zone_id, p.c_custkey, p.bal
+  FROM z JOIN p
+    ON list_sum(list_transform(range(1, len(z.verts) + 1),
+         i -> CASE WHEN ((z.verts[i].y > p.lat)
+                         <> (z.verts[(i % len(z.verts)) + 1].y > p.lat))
+                    AND (p.lon < (z.verts[(i % len(z.verts)) + 1].x - z.verts[i].x)
+                                 * (p.lat - z.verts[i].y)
+                                 / (z.verts[(i % len(z.verts)) + 1].y - z.verts[i].y)
+                                 + z.verts[i].x)
+              THEN 1 ELSE 0 END)) % 2 = 1
+)
+SELECT z.zone_id,
+       CAST(count(hit.c_custkey) AS BIGINT) AS n_points,
+       round(coalesce(sum(hit.bal), 0.0), 2) AS sum_bal,
+       round(avg(hit.bal), 4) AS avg_bal
+FROM z LEFT JOIN hit ON z.zone_id = hit.zone_id
+GROUP BY z.zone_id
+"""
+
+
+@query("spatial_summarize_within", oracle=_sw_oracle())
+def spatial_summarize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C151: Summarize Within — the ArcGIS overlay-analysis tool:
+    aggregate point attributes per containing polygon zone. Unlike
+    filter_spatial_point_in_polygon (ONE polygon compiled into the
+    predicate), the zones here are DATA — a polygon table with
+    variable-length vertex arrays — and containment is an even-odd
+    ray-cast evaluated as a higher-order function over each zone's
+    vertex array inside the join condition.
+
+    Plan: the bounded zone table BROADCASTS under a nested-loop join
+    whose per-(zone, point) cost is O(|ring|) codegen'd arithmetic —
+    for a bounded zone set this is the right 100 TB plan (every point
+    partition streams once past all zones; no shuffle of the fact
+    side). For zone tables that are themselves huge, the scale path is
+    the grid-blocking of _band_pairs keyed by zone bbox cells — the
+    same escape hatch join_spatial_grid_distance documents. The LEFT
+    join keeps zero-point zones in the output (zone A at sf0.001):
+    count 0, sum 0.00, avg NULL — the ArcGIS contract.
+
+    Division-by-zero note: horizontal edges make the ray slope term
+    0/0; both engines evaluate it only under the straddle conjunct
+    being true (Spark: NULL-safe comparison folds to false; DuckDB:
+    CASE short-circuit), and a horizontal edge can never straddle, so
+    the term is dead on both."""
+    p = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    zones = spark.createDataFrame(
+        [
+            (zid, [{"x": float(x), "y": float(y)} for x, y in poly])
+            for zid, poly in _sw_zone_rows()
+        ],
+        "zone_id string, verts array<struct<x: double, y: double>>",
+    )
+    nv = F.size(F.col("verts"))
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), nv),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                (F.element_at(F.col("verts"), i)["y"] > F.col("lat"))
+                != (F.element_at(F.col("verts"), (i % nv) + 1)["y"] > F.col("lat"))
+            )
+            & (
+                F.col("lon")
+                < (
+                    F.element_at(F.col("verts"), (i % nv) + 1)["x"]
+                    - F.element_at(F.col("verts"), i)["x"]
+                )
+                * (F.col("lat") - F.element_at(F.col("verts"), i)["y"])
+                / (
+                    F.element_at(F.col("verts"), (i % nv) + 1)["y"]
+                    - F.element_at(F.col("verts"), i)["y"]
+                )
+                + F.element_at(F.col("verts"), i)["x"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    hit = F.broadcast(zones).join(p, crossings % 2 == 1, "left")
+    return hit.groupBy("zone_id").agg(
+        F.count("c_custkey").cast("bigint").alias("n_points"),
+        F.round(F.coalesce(F.sum("bal"), F.lit(0.0)), 2).alias("sum_bal"),
+        r4(F.avg("bal")).alias("avg_bal"),
+    )

@@ -673,3 +673,22 @@ def test_jackknife_single_block_aggregate(spark):
     import re
     # exactly one scan of the orders fact
     assert len(re.findall(r"Scan parquet", p)) == 1, p
+
+
+def test_shoelace_zero_shuffle_in_row_hofs(spark):
+    """spatial_shoelace_area: per-feature geometry must be pure in-row
+    HOF arithmetic — no shuffle exchange, no Python, single scan."""
+    p = plan_of(spark, "spatial_shoelace_area")
+    assert "Exchange hashpartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_summarize_within_broadcasts_zone_side(spark):
+    """spatial_summarize_within: the zone table must be the BUILT
+    (broadcast) side of the nested-loop containment join — BuildLeft
+    with zones on the left; a plan that broadcasts the point/fact side
+    dies at 100 TB."""
+    p = plan_of(spark, "spatial_summarize_within")
+    assert "BroadcastNestedLoopJoin BuildLeft, LeftOuter" in p
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p

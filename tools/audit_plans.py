@@ -106,6 +106,7 @@ NLJ_OK = {
     "spatial_morans_i",          # 1-row moment/pair-sum/degree-sum broadcasts (grid-blocked pairs)
     "spatial_getis_hotspots",    # 1-row (n, xbar, s) broadcast over per-point neighbor sums
     "spatial_ripleys_k",         # 1-row n broadcast over the 4-row band unpivot
+    "spatial_summarize_within",  # 3-row zone-polygon table broadcast (BuildLeft), fact side streams
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
