@@ -1,5 +1,5 @@
 """Spatial statistics — the ArcGIS "Spatial Statistics toolbox" tier
-(C144-C146).
+(C144-C148, C150-C151).
 
 The reference is an ArcGIS feature-layer ETL (task.ts:406-414 forwards
 the layer query surface verbatim); the flagship ANALYTICS the ArcGIS
