@@ -692,3 +692,48 @@ def test_summarize_within_broadcasts_zone_side(spark):
     assert "BroadcastNestedLoopJoin BuildLeft, LeftOuter" in p
     import re
     assert len(re.findall(r"Scan parquet", p)) == 1, p
+
+
+def test_local_morans_general_g_blocked_pairs(spark):
+    """C152-C153: like the global statistics, the pair stage must be a
+    cell-keyed equi join; nested-loop joins only as 1-row scalar
+    broadcasts, never a data-sized cartesian."""
+    for name in ("spatial_local_morans", "spatial_general_g"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+            "ShuffledHashJoin" in p
+        ), name
+
+
+def test_near_join_group_limit_and_left_join(spark):
+    """spatial_near_join: the nearest-pick window must be partitioned
+    by the source feature with WindowGroupLimit (O(1) state per
+    feature), and the radius-miss path must come back as a LEFT join
+    on the full input layer — no cartesian anywhere."""
+    p = plan_of(spark, "spatial_near_join")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "LeftOuter" in p
+
+
+def test_quadkey_rollup_single_expand_pass(spark):
+    """spatial_quadkey_rollup: both pyramid levels must come from ONE
+    Expand + hash aggregate over a single scan — one rescan per LOD
+    is the anti-pattern tile pre-aggregation exists to avoid."""
+    p = plan_of(spark, "spatial_quadkey_rollup")
+    assert "Expand" in p
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_kernel_density_no_pair_join(spark):
+    """spatial_kernel_density: the quartic kernel's finite support
+    means NO join at all — explode to 9 candidate cells, filter, one
+    hash aggregate. Any join in this plan is a smell."""
+    p = plan_of(spark, "spatial_kernel_density")
+    assert "Join" not in p, p
+    assert "Exchange hashpartitioning" in p  # the per-cell aggregate
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p

@@ -107,6 +107,8 @@ NLJ_OK = {
     "spatial_getis_hotspots",    # 1-row (n, xbar, s) broadcast over per-point neighbor sums
     "spatial_ripleys_k",         # 1-row n broadcast over the 4-row band unpivot
     "spatial_summarize_within",  # 3-row zone-polygon table broadcast (BuildLeft), fact side streams
+    "spatial_local_morans",      # 1-row (n, xbar, m2) moment broadcast over per-point lag rows
+    "spatial_general_g",         # 1-row moment x 1-row pair-sum broadcast combine (grid-blocked pairs)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
