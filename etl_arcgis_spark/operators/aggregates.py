@@ -2029,3 +2029,319 @@ def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean - F.lit(1.96) * se, 2).alias("ci_lo"),
         F.round(mean + F.lit(1.96) * se, 2).alias("ci_hi"),
     )
+
+
+def _midranks(per_v: DataFrame, v: str = "v", cnt: str = "cnt") -> DataFrame:
+    """Tie-averaged (mid)ranks for a per-distinct-value count table,
+    with NO unpartitioned window over the value grid and NO extra
+    data pass: bucket by the value's IEEE-754 EXPONENT —
+
+        v > 0 -> floor(log2(v));  v = 0 -> -1100;
+        v < 0 -> -2200 - floor(log2(-v))
+
+    — which is (a) monotone in v, and (b) PROVABLY bounded by the
+    double format itself (exponents span ~[-1074, 1023], so <= ~4400
+    buckets can ever exist, independent of the data). That kills the
+    (min, max) broadcast the equi-width spelling needs — a broadcast
+    whose aggregate re-plans the fact subtree into a SECOND scan per
+    rank column (measured: 5 fact scans -> 3 for Spearman).
+
+    The ``bucketed_running_sums`` two-phase shape then gives the
+    inclusive cumulative count (offsets window over the bounded
+    bucket set, per-value cumulative PARTITIONED by bucket);
+    midrank = cum - cnt + (cnt + 1)/2. Correctness does not depend
+    on cross-engine log2 ulp agreement: ANY per-engine-monotone
+    bucketing yields the same cumulative (the bucket boundaries are
+    just cut points in the same sorted order)."""
+    bucket = (
+        F.when(F.col(v) > 0, F.floor(F.log2(F.col(v))))
+        .when(F.col(v) == 0, F.lit(-1100))
+        .otherwise(F.lit(-2200) - F.floor(F.log2(-F.col(v))))
+        .cast("bigint")
+    )
+    cum = bucketed_running_sums(per_v, v, bucket, {cnt: "_cum"})
+    return cum.select(
+        v,
+        (
+            F.col("_cum") - F.col(cnt) + (F.col(cnt) + 1) / 2.0
+        ).alias("midrank"),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+WITH li AS (
+  SELECT l_extendedprice AS va, CAST(l_quantity AS DOUBLE) AS vb FROM lineitem
+),
+pa AS (SELECT va AS v, CAST(count(*) AS DOUBLE) AS cnt FROM li GROUP BY va),
+pb AS (SELECT vb AS v, CAST(count(*) AS DOUBLE) AS cnt FROM li GROUP BY vb),
+ra AS (
+  SELECT v, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS mr
+  FROM pa
+),
+rb AS (
+  SELECT v, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS mr
+  FROM pb
+),
+j AS (
+  SELECT ra.mr AS x, rb.mr AS y
+  FROM li JOIN ra ON li.va = ra.v JOIN rb ON li.vb = rb.v
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS spearman_rho
+FROM m
+""",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C157: Spearman rank correlation (Spearman, Am. J. Psychol.
+    1904) between line-item price and quantity — Pearson's r over
+    TIE-AVERAGED midranks, the correct general-ties estimator (the
+    classic 6*sum d^2 shortcut is only valid tie-free, and l_quantity
+    is 50 massively-tied values).
+
+    Scale spelling: ranks never materialize per row via a global
+    sort. Each column reduces to its per-distinct-value count table;
+    midranks come from the two-phase cumulative over IEEE-EXPONENT
+    buckets (see _midranks — monotone, bounded by the double format,
+    zero extra data passes; the offsets window input can never
+    exceed ~4400 rows), and rows then equi-join their two midranks
+    back by VALUE (the quantity side auto-broadcasts at 50 rows);
+    one moment pass yields rho. Five single-column fact scans total:
+    Catalyst plans a shared subtree once PER REFERENCE, and each
+    rank build references its per-value table twice (bucket totals +
+    probe), so 2x2 rank scans + the two-column moment probe = 6
+    column-reads — byte-identical to the fused explode-both-columns
+    alternative (2 references x 2 columns + probe), and each extra
+    scan is a narrow columnar read with map-side partial agg. The
+    strictly-cheaper shape (persist the per-value aggregates, 4
+    column-reads) is a cluster-side materialization choice, not
+    expressible side-effect-free in a registered query.
+
+    Numerics: midranks are exact multiples of 0.5; the raw-moment
+    numerator n*Sxy - Sx*Sy carries ~1e-13 relative cross-engine
+    noise at sf0.1 magnitudes (terms ~1e23, §5.3.1 analysis) — nine
+    orders under the r4 grid on the scale-free rho. Oracle: the
+    textbook unpartitioned-window midrank over the same formula."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("va"),
+        F.col("l_quantity").cast("double").alias("vb"),
+    )
+    pa = li.groupBy(F.col("va").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    pb = li.groupBy(F.col("vb").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    ra = _midranks(pa).select(F.col("v").alias("va"), F.col("midrank").alias("x"))
+    rb = _midranks(pb).select(F.col("v").alias("vb"), F.col("midrank").alias("y"))
+    j = li.join(ra, "va").join(rb, "vb")
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        n.cast("bigint").alias("n"), r4(rho).alias("spearman_rho")
+    )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS DOUBLE) AS ng,
+         sum(o_totalprice) AS sg, sum(o_totalprice * o_totalprice) AS ssg
+  FROM orders GROUP BY o_orderpriority
+),
+t AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(ng) AS n, sum(sg) AS s,
+         sum(ssg) AS ss, sum(sg * sg / ng) AS sb
+  FROM g
+),
+r AS (
+  SELECT k, n,
+         sb - s * s / n AS ssb,
+         ss - s * s / n AS sst
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 4) AS f_stat,
+       round(ssb / sst * 1e6, 4) AS eta2_ppm
+FROM r
+""",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C158: one-way ANOVA F (Fisher, Statistical Methods 1925): does
+    mean order value differ across the five order priorities? Sums of
+    squares decompose into per-group sufficient statistics —
+
+      SSB = sum_g s_g^2/n_g - S^2/N,   SST = sum ss_g - S^2/N,
+      F = (SSB/(k-1)) / ((SST-SSB)/(N-k))
+
+    — so the whole test is ONE 5-group aggregate plus a 5-row tail;
+    the same single-pass shape as stats_ttest_welch, generalized to
+    k groups. Effect size reports as eta^2 in ppm: random priority
+    assignment makes eta^2 ~ 1e-5, far below the r4 grid on the raw
+    ratio (the C153 General G ppm-scaling rationale).
+
+    Numerics: SSB is a difference of ~1e15 terms with a ~1e10 true
+    value; 1e-16-relative accumulation noise lands ~1e-10 RELATIVE on
+    SSB — the scale-free F and eta^2 then sit nine orders under their
+    rounding grids (§5.3.1). Oracle: identical decomposition."""
+    g = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("o_totalprice").alias("sg"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ssg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sb"),
+    )
+    r = t.select(
+        "k",
+        "n",
+        (F.col("sb") - F.col("s") * F.col("s") / F.col("n")).alias("ssb"),
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("sst"),
+    )
+    k, n, ssb, sst = F.col("k"), F.col("n"), F.col("ssb"), F.col("sst")
+    return r.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        r4((ssb / (k - 1)) / ((sst - ssb) / (n - k))).alias("f_stat"),
+        r4(ssb / sst * 1e6).alias("eta2_ppm"),
+    )
+
+
+_BOOT_B = 64  # Poisson-bootstrap replicates
+# Poisson(1) cumulative CDF ladder (exact double literals, identical
+# on both engines): P(X <= k) for k = 0..5; u above the last rung
+# truncates to 6 (P ~ 6e-5 — part of the declared resampling design).
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    """SQL CASE ladder: Poisson(1) inverse CDF of uniform ``u``."""
+    arms = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@query(
+    "stats_bootstrap_poisson",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_totalprice AS x, r.rep,
+         (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 4, 1)) - 1) AS h
+  FROM orders, (SELECT unnest(range(0, {_BOOT_B})) AS rep) r
+),
+w AS (
+  SELECT rep, x, {_boot_w_sql("(h + 0.5) / 65536.0")} AS wt FROM reps
+),
+theta AS (
+  SELECT rep, sum(wt * x) / sum(wt) AS th FROM w GROUP BY rep
+),
+se AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b, avg(th) AS tbar,
+         sum(th * th) AS q
+  FROM theta
+)
+SELECT CAST(b AS BIGINT) AS b_reps,
+       round(tbar, 2) AS boot_mean,
+       round(sqrt((q - b * tbar * tbar) / (b - 1)), 4) AS boot_se,
+       round(tbar - 1.96 * sqrt((q - b * tbar * tbar) / (b - 1)), 2) AS ci_lo,
+       round(tbar + 1.96 * sqrt((q - b * tbar * tbar) / (b - 1)), 2) AS ci_hi
+FROM se
+""",
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C159: Poisson bootstrap standard error (Hanley & MacGibbon,
+    2006; the STREAMING/distributed bootstrap — Chamandy et al.,
+    Google 2012): classic multinomial resampling needs n draws
+    coordinated across the cluster, but replacing each row's
+    replicate count with independent Poisson(1) weights approximates
+    it to O(1/n) and needs NO coordination at all — each row computes
+    its own 64 replicate weights from a deterministic md5 hash
+    (engine-portable 4-hex-digit uniform -> inverse-CDF ladder of
+    exact double literals), making the whole resample ONE pass:
+
+      explode x 64 -> per-replicate weighted mean -> SE over 64 rows.
+
+    The 64x row expansion happens map-side and collapses into the
+    64-group hash aggregate before any shuffle (the shuffle carries
+    64 rows per partition) — the complement of stats_jackknife_blocks
+    (delete-one-block) on the same metric, mean order price; the two
+    agree to within ~1 SE on every fixture. Truncating the ladder at
+    6 loses P ~ 6e-5 of the Poisson mass — deterministic, identical
+    on both engines, and immaterial to a variance estimate. Money-
+    scale outputs on the cents grid, SE on r4 (§5.3.1)."""
+    od = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x")
+    )
+    reps = od.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    )
+    hexes = "0123456789abcdef"
+    h = F.md5(
+        F.concat(F.col("k").cast("string"), F.lit(":"), F.col("rep").cast("string"))
+    )
+    u16 = (
+        (F.instr(F.lit(hexes), F.substring(h, 1, 1)) - 1) * 4096
+        + (F.instr(F.lit(hexes), F.substring(h, 2, 1)) - 1) * 256
+        + (F.instr(F.lit(hexes), F.substring(h, 3, 1)) - 1) * 16
+        + (F.instr(F.lit(hexes), F.substring(h, 4, 1)) - 1)
+    )
+    u = (u16 + 0.5) / 65536.0
+    wt = F.lit(6)
+    for kk in range(len(_BOOT_CDF) - 1, -1, -1):
+        wt = F.when(u < F.lit(_BOOT_CDF[kk]), F.lit(kk)).otherwise(wt)
+    theta = (
+        reps.withColumn("wt", wt)
+        .groupBy("rep")
+        .agg((F.sum(F.col("wt") * F.col("x")) / F.sum("wt")).alias("th"))
+    )
+    se_in = theta.agg(
+        F.count(F.lit(1)).cast("double").alias("b"),
+        F.avg("th").alias("tbar"),
+        F.sum(F.col("th") * F.col("th")).alias("q"),
+    )
+    b, tbar, q = F.col("b"), F.col("tbar"), F.col("q")
+    se = F.sqrt((q - b * tbar * tbar) / (b - 1))
+    return se_in.select(
+        b.cast("bigint").alias("b_reps"),
+        F.round(tbar, 2).alias("boot_mean"),
+        r4(se).alias("boot_se"),
+        F.round(tbar - 1.96 * se, 2).alias("ci_lo"),
+        F.round(tbar + 1.96 * se, 2).alias("ci_hi"),
+    )

@@ -737,3 +737,40 @@ def test_kernel_density_no_pair_join(spark):
     assert "Exchange hashpartitioning" in p  # the per-cell aggregate
     import re
     assert len(re.findall(r"Scan parquet", p)) == 1, p
+
+
+def test_spearman_windows_partitioned_by_bin(spark):
+    """stats_spearman_corr: the only unpartitioned windows are the
+    two IEEE-exponent bucket-offsets passes (<= ~4400 rows each, the
+    bound comes from the double format); the per-value cumulative
+    runs PARTITIONED by bucket, and the fact is scanned exactly 5x
+    (2 per rank build — Catalyst plans shared subtrees per reference
+    — plus the moment probe; 6 column-reads, see the docstring)."""
+    p = plan_of(spark, "stats_spearman_corr")
+    assert "CartesianProduct" not in p
+    assert "Exchange hashpartitioning" in p
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 5, p
+
+
+def test_anova_single_scan_no_window(spark):
+    """stats_anova_oneway: one 5-group aggregate over one scan, a
+    5-row tail, no window at all."""
+    p = plan_of(spark, "stats_anova_oneway")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bootstrap_poisson_single_scan_map_side_combine(spark):
+    """stats_bootstrap_poisson: the 64x replicate explode must stay
+    map-side — ONE scan, ONE shuffle keyed by replicate id (partial
+    aggregate before the exchange), no window, no Python."""
+    p = plan_of(spark, "stats_bootstrap_poisson")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # partial_ aggregate functions before the exchange == map-side combine
+    assert "partial_sum" in p or "Partial" in p, p
