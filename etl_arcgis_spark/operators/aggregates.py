@@ -2345,3 +2345,118 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tbar - 1.96 * se, 2).alias("ci_lo"),
         F.round(tbar + 1.96 * se, 2).alias("ci_hi"),
     )
+
+
+# BH step-up critical values: Phi^{-1}(1 - k*alpha/(2m)) for k=1..25,
+# m=25 nations, alpha=0.05 — EXACT double literals precomputed by
+# bisection over math.erf (stdlib), shared verbatim by both engines so
+# the reject decision never touches a cross-engine exp/erf surface.
+_BH_M = 25
+_BH_THR = (
+    3.090232306167805, 2.8781617390954706, 2.7477813854449895,
+    2.6520698079021887, 2.5758293035488986, 2.5121443279304563,
+    2.4572633902054353, 2.408915545815457, 2.365618126864291,
+    2.326347874040838, 2.2903678778552665, 2.2571292444862223,
+    2.2262117693171737, 2.19728637664105, 2.1700903775845592,
+    2.144410620911838, 2.1200716897421508, 2.0969274291643396,
+    2.074854734393309, 2.053748910631821, 2.03352014925305,
+    2.0140908120181376, 1.9953933101678243, 1.9773684281819452,
+    1.9599639845400536,
+)
+
+
+@query(
+    "stats_bh_fdr",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS DOUBLE) AS n,
+         sum(c_acctbal) AS s, sum(c_acctbal * c_acctbal) AS ss
+  FROM customer GROUP BY 1
+),
+t AS (
+  SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss FROM g
+),
+z AS (
+  SELECT g.nk, g.n,
+         (g.s / g.n - t.ts / t.tn)
+         / (sqrt((t.tss - t.ts * t.ts / t.tn) / (t.tn - 1)) / sqrt(g.n)) AS z
+  FROM g, t
+),
+r AS (
+  SELECT nk, n, z,
+         row_number() OVER (ORDER BY abs(z) DESC, nk) AS k
+  FROM z
+),
+f AS (
+  SELECT *,
+         CASE WHEN abs(z) >= list_extract({list(_BH_THR)}, CAST(k AS INT))
+              THEN k ELSE 0 END AS hit
+  FROM r
+),
+km AS (SELECT max(hit) AS kmax FROM f)
+SELECT f.nk AS nationkey, CAST(f.n AS BIGINT) AS n_cust,
+       round(f.z, 4) AS z_score, CAST(f.k AS BIGINT) AS bh_rank,
+       round(list_extract({list(_BH_THR)}, CAST(f.k AS INT)), 4) AS bh_crit_z,
+       CASE WHEN f.k <= km.kmax THEN 1 ELSE 0 END AS rejected
+FROM f, km
+""",
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C161: Benjamini-Hochberg FDR step-up (Benjamini & Hochberg,
+    JRSS-B 1995) over the 25 per-nation "mean account balance differs
+    from global" two-sided z-tests — the multiple-testing control a
+    metrics platform applies before flagging segments.
+
+    The decision is spelled on |z| against PRECOMPUTED per-rank
+    critical values Phi^{{-1}}(1 - k*alpha/2m) (exact double literals,
+    identical on both engines): BH's "largest k with p_(k) <= k*alpha/m"
+    is, by monotonicity of p in |z|, "largest k with |z|_(k) >=
+    crit_k" — so no normal CDF is ever evaluated at query time and
+    the only cross-engine surface is z itself (~1e-15 relative, nine+
+    orders under the probed decision margins).
+
+    Scale: ONE customer scan -> 25-group moment aggregate; the global
+    moments, ranking and step-up ALL run as windows over that 25-row
+    aggregate (bounded by the nation dimension — audit-allowlisted;
+    a separate global agg + crossJoin would re-plan the fact subtree
+    into a second scan, the Spearman shared-subtree lesson).
+    Step-up in closed form: kmax = max(k * hit_k); reject k <= kmax."""
+    g = table(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nk")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c_acctbal").alias("s"),
+        F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("ss"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    z_in = g.select(
+        "nk",
+        "n",
+        "s",
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("s").over(w_all).alias("ts"),
+        F.sum("ss").over(w_all).alias("tss"),
+    )
+    sd = F.sqrt((F.col("tss") - F.col("ts") * F.col("ts") / F.col("tn")) / (F.col("tn") - 1))
+    zc = (F.col("s") / F.col("n") - F.col("ts") / F.col("tn")) / (sd / F.sqrt(F.col("n")))
+    r = z_in.select("nk", "n", zc.alias("z")).withColumn(
+        "k",
+        F.row_number().over(Window.orderBy(F.desc(F.abs(F.col("z"))), F.asc("nk"))),
+    )
+    thr = F.element_at(F.array(*[F.lit(v) for v in _BH_THR]), F.col("k"))
+    f = r.withColumn(
+        "hit", F.when(F.abs(F.col("z")) >= thr, F.col("k")).otherwise(F.lit(0))
+    )
+    kmax = F.max("hit").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return f.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").cast("bigint").alias("n_cust"),
+        r4(F.col("z")).alias("z_score"),
+        F.col("k").cast("bigint").alias("bh_rank"),
+        r4(thr).alias("bh_crit_z"),
+        F.when(F.col("k") <= kmax, F.lit(1)).otherwise(F.lit(0)).alias("rejected"),
+    )

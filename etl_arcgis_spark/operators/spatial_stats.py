@@ -1207,3 +1207,197 @@ def spatial_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density",
         )
     )
+
+
+_WEISZFELD_ITERS = 8
+_WEISZFELD_EPS = 1e-12  # identical d floor on both engines
+
+
+def _median_center_oracle() -> str:
+    """Unrolled Weiszfeld CTE chain (same iterate count, same start,
+    same d floor as the Spark spelling)."""
+    ctes = [
+        f"p AS (SELECT CAST({_LON} AS DOUBLE) AS lon,"
+        f" CAST({_LAT} AS DOUBLE) AS lat FROM customer)",
+        "c0 AS (SELECT avg(lon) AS cx, avg(lat) AS cy,"
+        " CAST(count(*) AS BIGINT) AS n FROM p)",
+    ]
+    for i in range(1, _WEISZFELD_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT sum(lon / d) / sum(1 / d) AS cx,"
+            f" sum(lat / d) / sum(1 / d) AS cy FROM ("
+            f"SELECT lon, lat, greatest(sqrt((lon - cx) * (lon - cx)"
+            f" + (lat - cy) * (lat - cy)), {_WEISZFELD_EPS!r}) AS d"
+            f" FROM p, c{i - 1}))"
+        )
+    last = f"c{_WEISZFELD_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT c0.n AS n_points,
+       round(c0.cx, 4) AS mean_x, round(c0.cy, 4) AS mean_y,
+       round({last}.cx, 4) AS median_x, round({last}.cy, 4) AS median_y
+FROM c0, {last}
+"""
+    )
+
+
+@query("spatial_median_center", oracle=_median_center_oracle())
+def spatial_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C162: ArcGIS "Median Center" (Measuring Geographic
+    Distributions; task.ts:406-414 forwards the server-side geometry
+    stats this family re-implements natively): the geometric median —
+    the point minimizing the SUM of Euclidean distances — via 8
+    unrolled Weiszfeld (1937) fixed-point iterations seeded at the
+    mean center, alongside that mean center (the tool's companion
+    output):
+
+      c_{k+1} = sum(p_i / d_i) / sum(1 / d_i),  d_i = max(|p_i - c_k|, 1e-12)
+
+    Iterative-algorithm class (like graph_label_propagation): each
+    iteration is ONE full aggregate over the points with the previous
+    1-row center broadcast (crossJoin of a scalar — the allowlisted
+    shape), so the unrolled plan is a linear chain of 9+1 scans (8
+    iterates + seed, +1 re-reference of the seed in the output row) —
+    the honest cost of a fixed-point method; at 100 TB you'd persist
+    the point projection once and every iteration reads the cached
+    columnar pair, which is exactly how LPA's rounds are documented.
+
+    Cross-engine: both engines run the SAME iterate count from the
+    SAME seed with the SAME distance floor, so the 8th iterate agrees
+    to accumulation noise (~1e-15 relative per pass; the Weiszfeld map
+    is contractive near the optimum so noise does not amplify);
+    convergence-to-optimum is NOT part of the contract. The d floor
+    never binds on the half-integer lattice (iterates sit strictly
+    between lattice points — probed: min d ~ 0.3 at all fixtures)."""
+    p = _points(spark, sf_dir).select("lon", "lat")
+    c0 = p.agg(
+        F.avg("lon").alias("cx"),
+        F.avg("lat").alias("cy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cur = c0.select("cx", "cy")
+    for _ in range(_WEISZFELD_ITERS):
+        j = p.crossJoin(F.broadcast(cur))
+        d = F.greatest(
+            F.sqrt(
+                (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx"))
+                + (F.col("lat") - F.col("cy")) * (F.col("lat") - F.col("cy"))
+            ),
+            F.lit(_WEISZFELD_EPS),
+        )
+        cur = j.select(
+            (F.col("lon") / d).alias("wx"),
+            (F.col("lat") / d).alias("wy"),
+            (F.lit(1.0) / d).alias("w"),
+        ).agg(
+            (F.sum("wx") / F.sum("w")).alias("cx"),
+            (F.sum("wy") / F.sum("w")).alias("cy"),
+        )
+    return c0.crossJoin(F.broadcast(cur.select(
+        F.col("cx").alias("mx"), F.col("cy").alias("my")
+    ))).select(
+        F.col("n").alias("n_points"),
+        r4(F.col("cx")).alias("mean_x"),
+        r4(F.col("cy")).alias("mean_y"),
+        r4(F.col("mx")).alias("median_x"),
+        r4(F.col("my")).alias("median_y"),
+    )
+
+
+@query(
+    "spatial_directional_mean",
+    oracle=f"""
+WITH od AS (
+  SELECT year(o.o_orderdate) AS yr,
+         CAST({_S_LON} AS DOUBLE) - CAST({_LON} AS DOUBLE) AS dx,
+         CAST({_S_LAT} AS DOUBLE) - CAST({_LAT} AS DOUBLE) AS dy
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+u AS (
+  SELECT yr, dx / sqrt(dx * dx + dy * dy) AS ux,
+         dy / sqrt(dx * dx + dy * dy) AS uy,
+         sqrt(dx * dx + dy * dy) AS len
+  FROM od WHERE dx <> 0 OR dy <> 0
+),
+g AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n_lines,
+         sum(ux) AS sx, sum(uy) AS sy, avg(len) AS mlen
+  FROM u GROUP BY yr
+)
+SELECT yr, n_lines,
+       round(degrees(atan2(sy, sx)), 4) AS mean_bearing_deg,
+       round(1 - sqrt(sx * sx + sy * sy) / n_lines, 4) AS circ_variance,
+       round(mlen, 4) AS mean_length
+FROM g
+""",
+)
+def spatial_directional_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C163: ArcGIS "Linear Directional Mean" (Measuring Geographic
+    Distributions) over the customer->supplier order-flow lines, per
+    order year — the circular mean bearing, circular variance
+    (1 - mean resultant length, Mardia & Jupp 2000) and mean line
+    length of the OD flow field.
+
+    No trig in the data path: cos/sin of each bearing ARE the unit
+    vector components dx/|d|, dy/|d| — IEEE sqrt and divide are
+    correctly-rounded, so per-line unit vectors are BIT-IDENTICAL
+    across engines and the only cross-engine surfaces are the
+    aggregation order (~1e-15 relative) and the final per-group
+    atan2/degrees on the summed resultant. Zero-length lines
+    (coincident lattice endpoints — an exact integer test on
+    half-integer coords) are dropped, matching the tool's treatment
+    of degenerate features.
+
+    Scale: one fact-fact equi-join (lineitem x orders on the order
+    key) + two dimension joins (auto-broadcast here; key-shuffles at
+    100 TB), then a 7-group map-side-combined aggregate — the star
+    join's plan shape with a 6-sum tail. No window, no Python."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.expr(_LON).cast("double").alias("cx"),
+        F.expr(_LAT).cast("double").alias("cy"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.expr(_S_LON).cast("double").alias("sx_"),
+        F.expr(_S_LAT).cast("double").alias("sy_"),
+    )
+    od = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("ck"))
+        .join(s, F.col("l_suppkey") == F.col("sk"))
+        .select(
+            "yr",
+            (F.col("sx_") - F.col("cx")).alias("dx"),
+            (F.col("sy_") - F.col("cy")).alias("dy"),
+        )
+        .where((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    ln = F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+    u = od.select(
+        "yr",
+        (F.col("dx") / ln).alias("ux"),
+        (F.col("dy") / ln).alias("uy"),
+        ln.alias("len"),
+    )
+    g = u.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("ux").alias("sx"),
+        F.sum("uy").alias("sy"),
+        F.avg("len").alias("mlen"),
+    )
+    sx, sy, n = F.col("sx"), F.col("sy"), F.col("n_lines")
+    return g.select(
+        "yr",
+        "n_lines",
+        r4(F.degrees(F.atan2(sy, sx))).alias("mean_bearing_deg"),
+        r4(F.lit(1) - F.sqrt(sx * sx + sy * sy) / n).alias("circ_variance"),
+        r4(F.col("mlen")).alias("mean_length"),
+    )

@@ -1901,3 +1901,139 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(mm), "priority").select(
         "priority", "ts_slope", "n_months", "n_pairs"
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.priority,
+         CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM m a JOIN m b ON a.priority = b.priority AND b.midx > a.midx
+  GROUP BY 1
+),
+n AS (
+  SELECT priority, CAST(count(*) AS DOUBLE) AS n FROM m GROUP BY 1
+),
+t AS (
+  SELECT priority, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT priority, rev, CAST(count(*) AS DOUBLE) AS t
+        FROM m GROUP BY 1, 2)
+  GROUP BY 1
+),
+v AS (
+  SELECT n.priority, n.n, s.s_stat,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_term, 0)) / 18.0 AS var_s
+  FROM n JOIN s ON n.priority = s.priority
+  LEFT JOIN t ON n.priority = t.priority
+)
+SELECT priority, CAST(n AS BIGINT) AS n_months, s_stat,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0 END, 4) AS z_mk,
+       CASE WHEN s_stat > 0 AND (s_stat - 1) / sqrt(var_s) >= 1.96 THEN 'increasing'
+            WHEN s_stat < 0 AND (s_stat + 1) / sqrt(var_s) <= -1.96 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM v
+""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C160: Mann-Kendall trend test (Mann 1945, Kendall 1975) per
+    order priority over the monthly-revenue series — the TEST
+    companion to C138's Theil-Sen slope ESTIMATOR (the standard
+    pairing in environmental/drift monitoring):
+
+      S = sum_{i<j} sign(x_j - x_i),
+      Var(S) = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18,
+      z = (S -+ 1)/sqrt(Var)  (continuity-corrected).
+
+    Plan shape: where Theil-Sen spells the O(months^2) stage as a
+    calendar-bounded pair JOIN, Mann-Kendall spells it IN-ROW — the
+    monthly series collects to one array per priority (bounded by the
+    calendar, never by row count) and nested aggregate() HOFs compute
+    S and the run-length tie term inside the row: ONE fact scan, one
+    map-side-combined monthly aggregate, one 5-row collect step, ZERO
+    pair join and zero second fact reference. Per the no-lambda-CSE
+    rule the rev sequence is staged to a column before the HOFs.
+
+    Determinism: monthly revenue rounds to the cent grid BEFORE any
+    sign comparison (bit-identical inputs on both engines — the
+    Theil-Sen argument); S and the tie term are exact integers, so z
+    is a deterministic function of exact ints. Label margins probed:
+    min |z - (+-1.96)| across fixtures is recorded next to the sign
+    probes (tools/probe notes in tests/test_timeseries.py)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    g = m.groupBy("priority").agg(
+        F.sort_array(F.collect_list(F.struct("midx", "rev"))).alias("a"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    # stage intermediates: time-ordered revs, value-sorted revs
+    g = g.select(
+        "priority",
+        "n",
+        F.expr("transform(a, s -> s.rev)").alias("seq"),
+        F.array_sort(F.expr("transform(a, s -> s.rev)")).alias("rv"),
+    )
+    s_stat = F.expr(
+        """
+IF(n < 2, 0L,
+  aggregate(sequence(0, n - 2), 0L,
+    (acc, i) -> acc + aggregate(sequence(i + 1, n - 1), 0L,
+      (ac2, j) -> ac2 + CAST(sign(seq[j] - seq[i]) AS BIGINT))))
+"""
+    )
+    tie_term = F.expr(
+        """
+IF(n < 2, 0.0D,
+  aggregate(sequence(1, n - 1),
+    named_struct('run', 1L, 'tot', 0.0D),
+    (acc, i) -> IF(rv[i] = rv[i - 1],
+                   named_struct('run', acc.run + 1, 'tot', acc.tot),
+                   named_struct('run', 1L,
+                                'tot', acc.tot + CAST(acc.run * (acc.run - 1)
+                                       * (2 * acc.run + 5) AS DOUBLE))),
+    acc -> acc.tot + CAST(acc.run * (acc.run - 1) * (2 * acc.run + 5) AS DOUBLE)))
+"""
+    )
+    r = g.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_months"),
+        s_stat.alias("s_stat"),
+        (
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - tie_term
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    s, v = F.col("s_stat"), F.col("var_s")
+    z = (
+        F.when(s > 0, (s - 1) / F.sqrt(v))
+        .when(s < 0, (s + 1) / F.sqrt(v))
+        .otherwise(F.lit(0.0))
+    )
+    return r.select(
+        "priority",
+        "n_months",
+        "s_stat",
+        r4(z).alias("z_mk"),
+        F.when(z >= 1.96, F.lit("increasing"))
+        .when(z <= -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    )

@@ -774,3 +774,49 @@ def test_bootstrap_poisson_single_scan_map_side_combine(spark):
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # partial_ aggregate functions before the exchange == map-side combine
     assert "partial_sum" in p or "Partial" in p, p
+
+
+def test_mann_kendall_in_row_no_pair_join(spark):
+    """ts_mann_kendall: the O(months^2) stage is in-row HOF work —
+    ONE scan, one monthly aggregate, NO self-join, no second fact
+    reference (the Theil-Sen pair join's zero-join twin)."""
+    p = plan_of(spark, "ts_mann_kendall")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_bh_fdr_single_scan_bounded_windows(spark):
+    """stats_bh_fdr: one customer scan; global moments come from the
+    25-row group table (not a second fact scan); windows run over the
+    bounded nation aggregate."""
+    p = plan_of(spark, "stats_bh_fdr")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "BroadcastNestedLoopJoin" not in p  # moments via bounded windows, no crossJoin
+    assert "CartesianProduct" not in p
+
+
+def test_median_center_unrolled_chain(spark):
+    """spatial_median_center: 8 Weiszfeld iterates + seed + the seed's
+    output re-reference = 10 scans in a linear chain of 1-row
+    broadcast crossJoins; no window, no Python, no pair join."""
+    p = plan_of(spark, "spatial_median_center")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 10, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_directional_mean_star_shape(spark):
+    """spatial_directional_mean: star-join shape — fact-fact equi-join
+    plus broadcast dims, map-side-combined 7-group aggregate; no
+    window, no cartesian, no Python."""
+    p = plan_of(spark, "spatial_directional_mean")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "partial_sum" in p or "Partial" in p, p

@@ -61,6 +61,7 @@ NLJ_OK = {
     "agg_histogram_price",   # 1-row min/max bounds broadcast
     "analytics_funnel_steps",  # three 1-row step counts cross-joined
     "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
+    "spatial_median_center",   # 9 x 1-row Weiszfeld iterate broadcasts
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
@@ -139,6 +140,7 @@ WINDOW_BOUNDED_OK = {
     "analytics_abc_classification": "offset windows over 1024 bin counts + 64-rank bucket totals (bucketed_global_rank -> bucketed_running_sums chain)",
     "stats_jackknife_blocks": "totals window over 256 md5-hex block partials (single-scan spelling; the crossJoin-broadcast alternative re-scans the fact table)",
     "stats_spearman_corr": "offset windows over IEEE-exponent bucket totals (<= ~4400 possible buckets, bounded by the double format, one per rank column)",
+    "stats_bh_fdr": "rank + step-up-max windows over the 25-row nation aggregate (bounded by the nation dimension)",
 }
 
 
