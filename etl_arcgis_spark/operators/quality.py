@@ -705,3 +705,126 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violation_share"),
         F.max("ndep").cast("bigint").alias("max_distinct_dep"),
     )
+
+
+# IND-discovery candidate columns (table, column), bit position = index.
+# All integer-typed key-ish columns of the fixture schema; <= 63 so one
+# BIGINT bitmask row per distinct value covers the whole lattice.
+_IND_COLS = (
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("region", "r_regionkey"),
+    ("events", "user_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def _ind_oracle() -> str:
+    n = len(_IND_COLS)
+    names = "[" + ", ".join(f"'{t}.{c}'" for t, c in _IND_COLS) + "]"
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({c} AS BIGINT) AS v, CAST({1 << i} AS BIGINT) AS bit"
+        f" FROM {t} WHERE {c} IS NOT NULL"
+        for i, (t, c) in enumerate(_IND_COLS)
+    )
+    return f"""
+WITH vals AS (
+{unions}
+),
+masks AS (
+  SELECT v, bit_or(bit) AS mask FROM vals GROUP BY v
+),
+member AS (
+  SELECT i.i AS a, m.mask
+  FROM masks m, (SELECT unnest(range(0, {n})) AS i) i
+  WHERE (m.mask >> CAST(i.i AS INT)) & 1 = 1
+),
+contained AS (
+  SELECT a, bit_and(mask) AS inds, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM member GROUP BY a
+)
+SELECT list_extract({names}, CAST(c.a AS INT) + 1) AS fk_col,
+       list_extract({names}, CAST(j.i AS INT) + 1) AS pk_col,
+       c.n_distinct AS n_distinct_fk
+FROM contained c, (SELECT unnest(range(0, {n})) AS i) j
+WHERE (c.inds >> CAST(j.i AS INT)) & 1 = 1 AND j.i <> c.a
+"""
+
+
+@query("dq_inclusion_dependencies", oracle=_ind_oracle())
+def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C165: unary inclusion-dependency DISCOVERY (SPIDER/Metanome
+    family — Bauckmann et al. 2006; the schema-profiling complement
+    of C63's known-edge integrity audit and C135's FD discovery):
+    which column pairs (A, B) among all 16 integer key-ish columns
+    satisfy A ⊆ B — the candidate-foreign-key lattice a catalog tool
+    mines from an undocumented warehouse.
+
+    Distributed spelling is 2 hash aggregates, NO per-pair work:
+    every (column, value) occurrence maps to a BIGINT one-hot bit;
+    bit_or per VALUE builds the membership mask (map-side combine
+    collapses duplicate values before the one big shuffle); exploding
+    each mask's set bits and bit_and-ing per COLUMN leaves exactly
+    the columns that contain EVERY value of A. The full O(n²) pair
+    lattice is answered by two linear passes + a 16-row tail —
+    integer-exact end to end (no float surface at all).
+
+    The discovered lattice on the fixtures includes the 8 designed FK
+    edges plus the value-range accidents (r_regionkey ⊆ n_nationkey
+    etc.) — reporting those IS correct IND semantics; ranking real
+    FKs above accidents is a downstream heuristic."""
+    n = len(_IND_COLS)
+    parts = []
+    for i, (t, c) in enumerate(_IND_COLS):
+        parts.append(
+            table(spark, sf_dir, t)
+            .where(F.col(c).isNotNull())
+            .select(
+                F.col(c).cast("bigint").alias("v"),
+                F.lit(1 << i).cast("bigint").alias("bit"),
+            )
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionAll(p)
+    masks = vals.groupBy("v").agg(F.bit_or("bit").alias("mask"))
+    member = masks.select(
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {n - 1}),"
+                " i -> (shiftright(mask, i) % 2) = 1)"
+            )
+        ).alias("a"),
+        "mask",
+    )
+    contained = member.groupBy("a").agg(
+        F.bit_and("mask").alias("inds"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    names = F.array(*[F.lit(f"{t}.{c}") for t, c in _IND_COLS])
+    out = contained.select(
+        F.col("a"),
+        F.col("n_distinct"),
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {n - 1}),"
+                " i -> (shiftright(inds, i) % 2) = 1 AND i != a)"
+            )
+        ).alias("b"),
+    )
+    return out.select(
+        F.element_at(names, F.col("a") + 1).alias("fk_col"),
+        F.element_at(names, F.col("b") + 1).alias("pk_col"),
+        F.col("n_distinct").alias("n_distinct_fk"),
+    )

@@ -2586,3 +2586,59 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "text_lexical_richness",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+pw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS ttr,
+       round(CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS hapax_ratio,
+       round(ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(cnt) AS DOUBLE)), 4)
+         AS herdan_c
+FROM pw GROUP BY source
+""",
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C166: lexical-richness profile per source — type-token ratio,
+    hapax-legomenon share (Baayen, Word Frequency Distributions 2001)
+    and Herdan's C (log-log TTR, the scale-robust variant; Herdan
+    1960) — the vocabulary-health triple a corpus-curation pipeline
+    tracks per ingest source (template/boilerplate sources crater the
+    hapax share long before dedup metrics move; complements
+    text_vocab_growth's corpus-level Heaps curve with a per-source
+    snapshot).
+
+    Scale: one explode -> (source, word) hash aggregate (map-side
+    combined — the wordcount shape) -> per-source count/count-if tail;
+    all counts are exact BIGINTs, floats appear only in the three
+    final ratios (scale-free, §5.3.1 grid-safe; ln differs by <=1 ulp
+    across libm — ~1e-12 on the rounded grid, negligible over tens of
+    groups)."""
+    pw = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = F.count(F.lit(1)).cast("bigint")
+    n = F.sum("cnt").cast("bigint")
+    v1 = F.count(F.when(F.col("cnt") == 1, 1)).cast("bigint")
+    return pw.groupBy("source").agg(
+        n.alias("n_tokens"),
+        v.alias("n_types"),
+        v1.alias("n_hapax"),
+        r4(v.cast("double") / n).alias("ttr"),
+        r4(v1.cast("double") / v).alias("hapax_ratio"),
+        r4(F.log(v.cast("double")) / F.log(n.cast("double"))).alias("herdan_c"),
+    )

@@ -2037,3 +2037,112 @@ IF(n < 2, 0.0D,
         .otherwise(F.lit("no trend"))
         .alias("trend"),
     )
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+),
+g AS (
+  SELECT user_id, event_type,
+         CAST(t - lag(t) OVER w AS DOUBLE) AS gap,
+         CAST(lag(t) OVER w - lag(t, 2) OVER w AS DOUBLE) AS prev_gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, event_type,
+         CAST(count(gap) AS DOUBLE) AS n, sum(gap) AS s1, sum(gap * gap) AS s2,
+         CAST(count(CASE WHEN prev_gap IS NOT NULL THEN 1 END) AS DOUBLE) AS np,
+         sum(CASE WHEN prev_gap IS NOT NULL THEN gap END) AS p1,
+         sum(CASE WHEN prev_gap IS NOT NULL THEN prev_gap END) AS p2,
+         sum(CASE WHEN prev_gap IS NOT NULL THEN gap * gap END) AS p11,
+         sum(CASE WHEN prev_gap IS NOT NULL THEN prev_gap * prev_gap END) AS p22,
+         sum(gap * prev_gap) AS p12
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type,
+         (sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
+         / (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n) AS bness,
+         CASE WHEN np >= 4
+                   AND (np * p11 - p1 * p1) > 0 AND (np * p22 - p2 * p2) > 0
+              THEN (np * p12 - p1 * p2)
+                   / sqrt((np * p11 - p1 * p1) * (np * p22 - p2 * p2)) END AS mem
+  FROM s
+  WHERE n >= 5 AND (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n) > 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_series,
+       round(avg(bness), 4) AS avg_burstiness,
+       round(avg(mem), 4) AS avg_memory
+FROM b GROUP BY event_type
+""",
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C164: burstiness + memory coefficient of inter-event times
+    (Goh & Barabási, EPL 2008) per event type — the two-coordinate
+    signature separating bursty human/failure activity (B>0) from
+    Poisson (B~0) and pacemaker-regular (B<0) streams:
+
+      B = (sigma - mu)/(sigma + mu) over a series' inter-event gaps,
+      M = corr(gap_i, gap_{i+1})  (lag-1 gap autocorrelation),
+
+    averaged over (user, event_type) series with >= 5 gaps (M needs
+    >= 4 consecutive-gap pairs and positive variances — degenerate
+    constant-gap series contribute B but not M, matching NULL-skip
+    avg semantics on both engines).
+
+    Scale: gaps and previous-gaps come from ONE user-partitioned
+    window pass (two lag offsets share the frame); per-series moments
+    are a map-side-combined hash aggregate; the tail is |event_type|
+    rows. Gaps are exact integer microseconds (helpers.ev_us), so
+    every per-series moment is a sum of exact products — the only
+    cross-engine surface is accumulation order (~1e-16 relative),
+    nine orders under the r4 grid on the scale-free B and M."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ev_us(F.col("ts")).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("t") - F.lag("t", 1).over(w)).cast("double").alias("gap"),
+        (F.lag("t", 1).over(w) - F.lag("t", 2).over(w))
+        .cast("double")
+        .alias("prev_gap"),
+    ).where(F.col("gap").isNotNull())
+    pg = F.col("prev_gap").isNotNull()
+    s = g.groupBy("user_id", "event_type").agg(
+        F.count("gap").cast("double").alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+        F.count(F.when(pg, 1)).cast("double").alias("np"),
+        F.sum(F.when(pg, F.col("gap"))).alias("p1"),
+        F.sum(F.when(pg, F.col("prev_gap"))).alias("p2"),
+        F.sum(F.when(pg, F.col("gap") * F.col("gap"))).alias("p11"),
+        F.sum(F.when(pg, F.col("prev_gap") * F.col("prev_gap"))).alias("p22"),
+        F.sum(F.col("gap") * F.col("prev_gap")).alias("p12"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    np_, p1, p2 = F.col("np"), F.col("p1"), F.col("p2")
+    p11, p22, p12 = F.col("p11"), F.col("p22"), F.col("p12")
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    mu = s1 / n
+    mem = F.when(
+        (np_ >= 4) & ((np_ * p11 - p1 * p1) > 0) & ((np_ * p22 - p2 * p2) > 0),
+        (np_ * p12 - p1 * p2)
+        / F.sqrt((np_ * p11 - p1 * p1) * (np_ * p22 - p2 * p2)),
+    )
+    b = s.where((n >= 5) & ((sd + mu) > 0)).select(
+        "event_type",
+        ((sd - mu) / (sd + mu)).alias("bness"),
+        mem.alias("mem"),
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+        r4(F.avg("bness")).alias("avg_burstiness"),
+        r4(F.avg("mem")).alias("avg_memory"),
+    )

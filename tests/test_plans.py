@@ -820,3 +820,41 @@ def test_directional_mean_star_shape(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     assert "partial_sum" in p or "Partial" in p, p
+
+
+def test_burstiness_one_window_pass(spark):
+    """ts_burstiness: both lag offsets share ONE user-partitioned
+    window pass; per-series moments are a map-side-combined hash agg;
+    no cartesian, no Python."""
+    p = plan_of(spark, "ts_burstiness")
+    import re
+    assert len(re.findall(r"\bWindow\b", p)) == 1, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "partial_sum" in p or "Partial" in p, p
+
+
+def test_ind_discovery_two_aggregates_no_pair_join(spark):
+    """dq_inclusion_dependencies: the O(n^2) column lattice must come
+    from two hash aggregates (bit_or per value, bit_and per column) —
+    no join of any kind in the plan, one scan per candidate table."""
+    p = plan_of(spark, "dq_inclusion_dependencies")
+    assert "Join" not in p, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    import re
+    # one scan PER CANDIDATE COLUMN (16), each pruned to that single
+    # column — narrower total I/O than merging same-table branches
+    assert len(re.findall(r"Scan parquet", p)) == 16, p
+    assert p.count("ReadSchema: struct<c_custkey:bigint>") == 1, p
+
+
+def test_lexical_richness_wordcount_shape(spark):
+    """text_lexical_richness: explode -> (source, word) map-side-
+    combined agg -> per-source tail; one scan, no window, no Python."""
+    p = plan_of(spark, "text_lexical_richness")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "partial_" in p, p
