@@ -30,7 +30,7 @@ sqrt in any predicate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import r4
@@ -1400,4 +1400,279 @@ def spatial_directional_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.degrees(F.atan2(sy, sx))).alias("mean_bearing_deg"),
         r4(F.lit(1) - F.sqrt(sx * sx + sy * sy) / n).alias("circ_variance"),
         r4(F.col("mlen")).alias("mean_length"),
+    )
+
+
+_EH_CELL = 10.0  # degrees; grid is <= 36 x 16 cells over the lattice span
+_EH_Z = 1.96
+
+
+@query(
+    "spatial_emerging_hotspots",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST(floor(CAST({_LON} AS DOUBLE) / {_EH_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST({_LAT} AS DOUBLE) / {_EH_CELL}) AS BIGINT) AS cy
+  FROM customer
+),
+binned AS (
+  SELECT p.cx, p.cy, year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         round(sum(o.o_totalprice), 2) AS v
+  FROM orders o JOIN pts p ON o.o_custkey = p.k
+  GROUP BY 1, 2, 3
+),
+cells AS (SELECT DISTINCT cx, cy FROM pts),
+span AS (
+  SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
+  FROM orders
+),
+cube AS (
+  SELECT g.cx, g.cy, g.m, coalesce(b.v, 0.0) AS v
+  FROM (SELECT c.cx, c.cy, mm.m
+        FROM cells c CROSS JOIN
+             (SELECT unnest(generate_series(lo, hi)) AS m FROM span) mm) g
+  LEFT JOIN binned b ON b.cx = g.cx AND b.cy = g.cy AND b.m = g.m
+),
+contrib AS (
+  SELECT cu.cx + o1.dx AS tx, cu.cy + o2.dy AS ty, cu.m + o3.dt AS tm,
+         cu.v
+  FROM cube cu,
+       (SELECT unnest([-1, 0, 1]) AS dx) o1,
+       (SELECT unnest([-1, 0, 1]) AS dy) o2,
+       (SELECT unnest([-1, 0, 1]) AS dt) o3
+),
+nb AS (
+  SELECT tx, ty, tm, sum(v) AS sx, CAST(count(*) AS DOUBLE) AS wi
+  FROM contrib GROUP BY 1, 2, 3
+),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn, avg(v) AS xbar,
+         sqrt(sum(v * v) / count(*) - avg(v) * avg(v)) AS s
+  FROM cube
+),
+z AS (
+  SELECT cu.cx, cu.cy, cu.m,
+         round((nb.sx - mom.xbar * nb.wi)
+               / (mom.s * sqrt((mom.nn * nb.wi - nb.wi * nb.wi)
+                               / (mom.nn - 1))), 4) AS gz
+  FROM cube cu
+  JOIN nb ON nb.tx = cu.cx AND nb.ty = cu.cy AND nb.tm = cu.m
+  CROSS JOIN mom
+),
+mk AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(CASE WHEN b.gz > a.gz THEN 1
+                       WHEN b.gz < a.gz THEN -1 ELSE 0 END) AS BIGINT) AS s_mk
+  FROM z a JOIN z b ON a.cx = b.cx AND a.cy = b.cy AND b.m > a.m
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT cx, cy, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT cx, cy, gz, CAST(count(*) AS DOUBLE) AS t
+        FROM z GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+per_cell AS (
+  SELECT z.cx, z.cy,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(count(CASE WHEN z.gz >= {_EH_Z} THEN 1 END) AS BIGINT) AS n_hot,
+         CAST(count(CASE WHEN z.gz <= -{_EH_Z} THEN 1 END) AS BIGINT) AS n_cold,
+         max(CASE WHEN z.m = (SELECT hi FROM span) THEN z.gz END) AS last_z
+  FROM z GROUP BY 1, 2
+),
+r AS (
+  SELECT pc.*, mk.s_mk,
+         (CAST(pc.n_bins AS DOUBLE) * (pc.n_bins - 1) * (2 * pc.n_bins + 5)
+          - coalesce(t.tie_term, 0)) / 18.0 AS var_s
+  FROM per_cell pc
+  JOIN mk ON mk.cx = pc.cx AND mk.cy = pc.cy
+  LEFT JOIN ties t ON t.cx = pc.cx AND t.cy = pc.cy
+),
+f AS (
+  SELECT cx, cy, n_bins, n_hot, n_cold, last_z,
+         CASE WHEN s_mk > 0 THEN (s_mk - 1) / sqrt(var_s)
+              WHEN s_mk < 0 THEN (s_mk + 1) / sqrt(var_s)
+              ELSE 0 END AS z_mk
+  FROM r
+)
+SELECT cx AS cell_x, cy AS cell_y, n_bins, n_hot, n_cold,
+       round(z_mk, 4) AS mk_z,
+       CASE WHEN last_z >= {_EH_Z} AND z_mk >= {_EH_Z} THEN 'intensifying hot'
+            WHEN last_z >= {_EH_Z} AND n_hot = 1 THEN 'new hot'
+            WHEN n_hot * 10 >= n_bins * 9 THEN 'persistent hot'
+            WHEN last_z <= -{_EH_Z} AND z_mk <= -{_EH_Z} THEN 'intensifying cold'
+            WHEN last_z <= -{_EH_Z} AND n_cold = 1 THEN 'new cold'
+            WHEN n_cold * 10 >= n_bins * 9 THEN 'persistent cold'
+            WHEN n_hot > 0 OR n_cold > 0 THEN 'sporadic'
+            ELSE 'none' END AS pattern
+FROM f
+""",
+)
+def spatial_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C167: ArcGIS "Emerging Hot Spot Analysis" (Space Time Pattern
+    Mining toolbox) — the flagship space-time composite, built from
+    parts this engine already proves separately: a DENSE space-time
+    cube (customer-layer cells x full month span, zero-filled) of
+    monthly order revenue, the spatio-temporal Getis-Ord Gi* over the
+    27-bin (3x3 spatial x +-1 month) neighborhood per bin, and a
+    Mann-Kendall trend test over each cell's monthly z series,
+    classified into a simplified 8-label ArcGIS taxonomy
+    (new/intensifying/persistent hot & cold, sporadic, none).
+
+    Plan shape, stage by stage (no pair join anywhere):
+    - cube: cells (distinct customer cells, grid-bounded <= 576) x
+      month sequence (calendar-bounded), LEFT join onto the binned
+      fact aggregate — zero-filled so absence of activity is COLD,
+      the cube semantics ArcGIS uses;
+    - Gi*: each bin EXPLODES to its 27 (target, v) contributions and
+      a hash aggregate re-collects them per target (the C156 kernel-
+      density trick — neighborhood joins become Expand + groupBy);
+      global cube moments via one bounded window (grid x calendar);
+    - Mann-Kendall: per-cell in-row nested-HOF S and run-length tie
+      term (mk_s_expr/mk_tie_expr, shared with C160) over the
+      month-ordered z array — months are calendar-bounded.
+
+    Determinism: per-bin revenue rounds to the cent grid; gi_z rounds
+    to r4 BEFORE the trend/flag stage, so every downstream sign, count
+    and MK input is an exact grid value on both engines (probed: min
+    |raw z x 1e4 - midpoint| and min |gi_z| - 1.96 margins recorded in
+    tests). mk_z is then a deterministic function of exact integers.
+    Citation: task.ts:406-414 (server-side spatial stats surface this
+    family re-implements natively); Getis & Ord 1992; Mann 1945."""
+    from .timeseries import mk_s_expr, mk_tie_expr
+
+    pts = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.expr(_LON).cast("double") / _EH_CELL).alias("cx"),
+        F.floor(F.expr(_LAT).cast("double") / _EH_CELL).alias("cy"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    binned = (
+        o.join(pts, o.o_custkey == pts.k)
+        .groupBy("cx", "cy", "m")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    )
+    cells = pts.select("cx", "cy").distinct()
+    span = table(spark, sf_dir, "orders").agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("lo"),
+        F.max(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("hi"),
+    )
+    months = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("m"), "hi"
+    )
+    cube = (
+        cells.crossJoin(F.broadcast(months))
+        .join(binned, ["cx", "cy", "m"], "left")
+        .select("cx", "cy", "m", "hi", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)
+        ]
+    )
+    contrib = cube.select(
+        "v", F.explode(offsets).alias("o"), "cx", "cy", "m"
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        (F.col("m") + F.col("o.dt")).alias("tm"),
+        "v",
+    )
+    nb = contrib.groupBy("tx", "ty", "tm").agg(
+        F.sum("v").alias("sx"), F.count(F.lit(1)).cast("double").alias("wi")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cube_m = cube.select(
+        "cx",
+        "cy",
+        "m",
+        "hi",
+        "v",
+        F.count(F.lit(1)).over(w_all).cast("double").alias("nn"),
+        F.avg("v").over(w_all).alias("xbar"),
+        F.sum(F.col("v") * F.col("v")).over(w_all).alias("svv"),
+    )
+    s_glob = F.sqrt(F.col("svv") / F.col("nn") - F.col("xbar") * F.col("xbar"))
+    z = cube_m.join(
+        nb,
+        (F.col("cx") == F.col("tx"))
+        & (F.col("cy") == F.col("ty"))
+        & (F.col("m") == F.col("tm")),
+    ).select(
+        "cx",
+        "cy",
+        "m",
+        "hi",
+        F.round(
+            (F.col("sx") - F.col("xbar") * F.col("wi"))
+            / (
+                s_glob
+                * F.sqrt(
+                    (F.col("nn") * F.col("wi") - F.col("wi") * F.col("wi"))
+                    / (F.col("nn") - 1)
+                )
+            ),
+            4,
+        ).alias("gz"),
+    )
+    per_cell = z.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count(F.when(F.col("gz") >= _EH_Z, 1)).cast("bigint").alias("n_hot"),
+        F.count(F.when(F.col("gz") <= -_EH_Z, 1)).cast("bigint").alias("n_cold"),
+        F.max(F.when(F.col("m") == F.col("hi"), F.col("gz"))).alias("last_z"),
+        F.expr("transform(sort_array(collect_list(struct(m, gz))), s -> s.gz)").alias(
+            "seq"
+        ),
+    ).withColumn("rv", F.array_sort(F.col("seq")))
+    r = per_cell.select(
+        "cx",
+        "cy",
+        F.col("n").cast("bigint").alias("n_bins"),
+        "n_hot",
+        "n_cold",
+        "last_z",
+        mk_s_expr("seq", "n").alias("s_mk"),
+        (
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - mk_tie_expr("rv", "n")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    s_mk, v_s = F.col("s_mk"), F.col("var_s")
+    z_mk = (
+        F.when(s_mk > 0, (s_mk - 1) / F.sqrt(v_s))
+        .when(s_mk < 0, (s_mk + 1) / F.sqrt(v_s))
+        .otherwise(F.lit(0.0))
+    )
+    hot_last = F.col("last_z") >= _EH_Z
+    cold_last = F.col("last_z") <= -_EH_Z
+    return r.select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        "n_bins",
+        "n_hot",
+        "n_cold",
+        r4(z_mk).alias("mk_z"),
+        F.when(hot_last & (z_mk >= _EH_Z), F.lit("intensifying hot"))
+        .when(hot_last & (F.col("n_hot") == 1), F.lit("new hot"))
+        .when(F.col("n_hot") * 10 >= F.col("n_bins") * 9, F.lit("persistent hot"))
+        .when(cold_last & (z_mk <= -_EH_Z), F.lit("intensifying cold"))
+        .when(cold_last & (F.col("n_cold") == 1), F.lit("new cold"))
+        .when(F.col("n_cold") * 10 >= F.col("n_bins") * 9, F.lit("persistent cold"))
+        .when((F.col("n_hot") > 0) | (F.col("n_cold") > 0), F.lit("sporadic"))
+        .otherwise(F.lit("none"))
+        .alias("pattern"),
     )

@@ -1903,6 +1903,39 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mk_s_expr(seq: str, n: str):
+    """Mann-Kendall S = sum_{i<j} sign(seq[j] - seq[i]) as an in-row
+    nested-HOF expression over a time-ordered value array ``seq`` of
+    length ``n`` (both column names). Exact BIGINT given exact inputs;
+    O(n^2) work stays inside the row — no pair join."""
+    return F.expr(
+        f"""
+IF({n} < 2, 0L,
+  aggregate(sequence(0, {n} - 2), 0L,
+    (acc, i) -> acc + aggregate(sequence(i + 1, {n} - 1), 0L,
+      (ac2, j) -> ac2 + CAST(sign({seq}[j] - {seq}[i]) AS BIGINT))))
+"""
+    )
+
+
+def mk_tie_expr(rv: str, n: str):
+    """Mann-Kendall variance tie term sum_t t(t-1)(2t+5) via a
+    run-length fold over a VALUE-sorted array ``rv`` of length ``n``."""
+    return F.expr(
+        f"""
+IF({n} < 2, 0.0D,
+  aggregate(sequence(1, {n} - 1),
+    named_struct('run', 1L, 'tot', 0.0D),
+    (acc, i) -> IF({rv}[i] = {rv}[i - 1],
+                   named_struct('run', acc.run + 1, 'tot', acc.tot),
+                   named_struct('run', 1L,
+                                'tot', acc.tot + CAST(acc.run * (acc.run - 1)
+                                       * (2 * acc.run + 5) AS DOUBLE))),
+    acc -> acc.tot + CAST(acc.run * (acc.run - 1) * (2 * acc.run + 5) AS DOUBLE)))
+"""
+    )
+
+
 @query(
     "ts_mann_kendall",
     oracle="""
@@ -1986,27 +2019,8 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(a, s -> s.rev)").alias("seq"),
         F.array_sort(F.expr("transform(a, s -> s.rev)")).alias("rv"),
     )
-    s_stat = F.expr(
-        """
-IF(n < 2, 0L,
-  aggregate(sequence(0, n - 2), 0L,
-    (acc, i) -> acc + aggregate(sequence(i + 1, n - 1), 0L,
-      (ac2, j) -> ac2 + CAST(sign(seq[j] - seq[i]) AS BIGINT))))
-"""
-    )
-    tie_term = F.expr(
-        """
-IF(n < 2, 0.0D,
-  aggregate(sequence(1, n - 1),
-    named_struct('run', 1L, 'tot', 0.0D),
-    (acc, i) -> IF(rv[i] = rv[i - 1],
-                   named_struct('run', acc.run + 1, 'tot', acc.tot),
-                   named_struct('run', 1L,
-                                'tot', acc.tot + CAST(acc.run * (acc.run - 1)
-                                       * (2 * acc.run + 5) AS DOUBLE))),
-    acc -> acc.tot + CAST(acc.run * (acc.run - 1) * (2 * acc.run + 5) AS DOUBLE)))
-"""
-    )
+    s_stat = mk_s_expr("seq", "n")
+    tie_term = mk_tie_expr("rv", "n")
     r = g.select(
         "priority",
         F.col("n").cast("bigint").alias("n_months"),

@@ -858,3 +858,16 @@ def test_lexical_richness_wordcount_shape(spark):
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     assert "partial_" in p, p
+
+
+def test_emerging_hotspots_no_pair_join(spark):
+    """spatial_emerging_hotspots: the 27-bin space-time neighborhood
+    must be the Expand + hash-agg spelling (C156 trick) — the only
+    joins are the fact-to-layer equi-join, the dense-cube left join
+    and the neighbor-sum equi-join back; no cartesian over data-sized
+    input (the cells x months crossJoin is grid x calendar bounded),
+    no Python, and the O(months^2) Mann-Kendall stage is in-row."""
+    p = plan_of(spark, "spatial_emerging_hotspots")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "Expand" in p or "Generate explode" in p, p

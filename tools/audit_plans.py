@@ -62,6 +62,7 @@ NLJ_OK = {
     "analytics_funnel_steps",  # three 1-row step counts cross-joined
     "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
     "spatial_median_center",   # 9 x 1-row Weiszfeld iterate broadcasts
+    "spatial_emerging_hotspots",  # cells x months dense-cube build: <=576 grid cells x calendar-bounded month list
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
@@ -141,6 +142,7 @@ WINDOW_BOUNDED_OK = {
     "stats_jackknife_blocks": "totals window over 256 md5-hex block partials (single-scan spelling; the crossJoin-broadcast alternative re-scans the fact table)",
     "stats_spearman_corr": "offset windows over IEEE-exponent bucket totals (<= ~4400 possible buckets, bounded by the double format, one per rank column)",
     "stats_bh_fdr": "rank + step-up-max windows over the 25-row nation aggregate (bounded by the nation dimension)",
+    "spatial_emerging_hotspots": "cube-moment window over the dense space-time cube (<= 576 grid cells x calendar months — bounded by geography x calendar, never by row count)",
 }
 
 
