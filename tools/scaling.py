@@ -81,6 +81,14 @@ HEADLINE = [
     # single grouped pass over the LPA labels)
     "graph_label_propagation",
     "graph_modularity",
+    # round-7 session-2 reps: the value-join midrank build (Spearman),
+    # the 64x map-side replicate explode (bootstrap), the bitmask IND
+    # lattice (2 hash aggs over a 16-column union), and the space-time
+    # cube composite (Expand+agg neighborhood, bounded cube windows)
+    "stats_spearman_corr",
+    "stats_bootstrap_poisson",
+    "dq_inclusion_dependencies",
+    "spatial_emerging_hotspots",
 ]
 
 
