@@ -1676,3 +1676,193 @@ def spatial_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("pattern"),
     )
+
+
+_DB_EPS = 0.8     # eps (and the blocking cell size)
+_DB_EPS2 = 0.64   # eps^2 — the SAME double literal on both engines
+_DB_MINPTS = 4    # core if >= 4 points (incl self) within eps
+
+
+def _dbscan_hash_xy_sql() -> str:
+    """Engine-portable pseudo-uniform layer in [0,100)^2 from md5 of
+    the customer key (the C159 hex-ladder trick): coordinates are a
+    DETERMINISTIC pure function of exact integers evaluated with the
+    same literals and op order on both engines, so x/y — and therefore
+    every d^2-vs-eps^2 comparison — are BIT-IDENTICAL cross-engine
+    (the customer lattice itself is unusable here: its occupied
+    positions form one diagonal chain at any eps that connects
+    anything, a degenerate single snake cluster)."""
+
+    def axis(col, off):
+        digits = " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {off + i}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        return f"CAST({digits} AS DOUBLE) / 65536.0 * 100.0 AS {col}"
+
+    return (
+        "h AS MATERIALIZED (SELECT c_custkey AS k,"
+        " md5(CAST(c_custkey AS VARCHAR) || ':pt') AS h FROM customer),\n"
+        f"p AS MATERIALIZED (SELECT k, {axis('x', 1)}, {axis('y', 5)} FROM h)"
+    )
+
+
+@query(
+    "spatial_dbscan",
+    oracle=f"""
+WITH RECURSIVE {_dbscan_hash_xy_sql()},
+pr AS MATERIALIZED (
+  SELECT a.k AS ka, b.k AS kb FROM p a JOIN p b
+  ON a.k < b.k
+   AND a.x - b.x BETWEEN -{_DB_EPS} AND {_DB_EPS}
+   AND a.y - b.y BETWEEN -{_DB_EPS} AND {_DB_EPS}
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_DB_EPS2}
+),
+deg AS (
+  SELECT k, count(*) AS d
+  FROM (SELECT ka AS k FROM pr UNION ALL SELECT kb FROM pr) GROUP BY k
+),
+core AS MATERIALIZED (
+  SELECT p.k FROM p LEFT JOIN deg ON deg.k = p.k
+  WHERE coalesce(deg.d, 0) + 1 >= {_DB_MINPTS}
+),
+ce AS (
+  SELECT ka, kb FROM pr
+  WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)
+),
+edges AS MATERIALIZED (SELECT ka AS src, kb AS dst FROM ce
+          UNION ALL SELECT kb, ka FROM ce),
+walk(id, root) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(root) AS c FROM walk GROUP BY id),
+nbr AS (SELECT ka AS k, kb AS nk FROM pr UNION ALL SELECT kb, ka FROM pr),
+border AS (
+  SELECT nbr.k, min(comp.c) AS c
+  FROM nbr JOIN comp ON comp.id = nbr.nk
+  WHERE nbr.k NOT IN (SELECT k FROM core)
+  GROUP BY nbr.k
+),
+clusters AS (
+  SELECT c AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_core,
+         CAST(0 AS BIGINT) AS n_border
+  FROM comp GROUP BY c
+),
+borders AS (SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS nb
+            FROM border GROUP BY c),
+merged AS (
+  SELECT cl.cluster_id, cl.n_core, coalesce(b.nb, 0) AS n_border
+  FROM clusters cl LEFT JOIN borders b ON b.cluster_id = cl.cluster_id
+)
+SELECT cluster_id, n_core, n_border, n_core + n_border AS n_total FROM merged
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       (SELECT count(*) FROM p)
+       - (SELECT count(*) FROM comp)
+       - (SELECT count(*) FROM border)
+""",
+)
+def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C168: ArcGIS "Density-based Clustering" (DBSCAN; Ester et al.,
+    KDD 1996) over an engine-portable hashed point layer: core points
+    (>= minPts neighbors within eps), clusters = connected components
+    of the core-core eps-graph, border points adopt the MIN adjacent
+    core's cluster (deterministic where the paper leaves it
+    arbitrary), the rest is noise (cluster_id -1).
+
+    Distributed spelling reuses the repo's two scale primitives:
+    - the eps-neighbor pair join is grid-cell blocked (_band_pairs:
+      3x3 cell expansion, equi-join, exact d^2 verify — pair volume
+      bounded by local density, never n^2);
+    - components run through dedup.propagate_min_labels (min-label
+      propagation + pointer jumping, O(log diameter) rounds, each one
+      edge join + groupBy min; labels localCheckpoint per round).
+    Parameters are chosen SUBCRITICAL for the uniform layer (mean
+    eps-degree ~3 < the ~4.5 continuum-percolation threshold), so
+    components stay small (probed: max 70 points / 1118 clusters at
+    sf0.1) and the oracle's recursive-CTE closure is feasible; the
+    degenerate alternative — the customer lattice — forms one
+    diameter-2880 snake at any connecting eps (see _dbscan_hash_xy_sql).
+
+    Cross-engine: coordinates are bit-identical pure functions of the
+    key (md5 hex ladder, same literals/op order), so every d^2 <= eps^2
+    pair decision and every count is EXACT — no float noise surface
+    anywhere in the output (all-BIGINT columns)."""
+    from .dedup import propagate_min_labels
+
+    hexes = "0123456789abcdef"
+    h = F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":pt")))
+
+    def axis(off):
+        u16 = sum(
+            (F.instr(F.lit(hexes), F.substring(h, off + i, 1)) - 1) * (16 ** (3 - i))
+            for i in range(4)
+        )
+        return u16.cast("double") / 65536.0 * 100.0
+
+    p = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        axis(1).alias("lon"),
+        axis(5).alias("lat"),
+        F.lit(0.0).alias("x"),
+    )
+    pairs = _band_pairs(p, _DB_EPS, _DB_EPS2).select("ka", "kb")
+    deg = (
+        pairs.select(F.col("ka").alias("k"))
+        .unionAll(pairs.select(F.col("kb").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    flagged = p.select("k").join(deg, "k", "left").select(
+        "k", (F.coalesce("d", F.lit(0)) + 1 >= _DB_MINPTS).alias("is_core")
+    )
+    core = flagged.where("is_core").select("k")
+    ce = (
+        pairs.join(core.select(F.col("k").alias("ka")), "ka", "semi")
+        .join(core.select(F.col("k").alias("kb")), "kb", "semi")
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+    comp = propagate_min_labels(core.select(F.col("k").alias("doc_id")), ce)
+    nbr = pairs.select(F.col("ka").alias("k"), F.col("kb").alias("nk")).unionAll(
+        pairs.select(F.col("kb").alias("k"), F.col("ka").alias("nk"))
+    )
+    border = (
+        flagged.where(~F.col("is_core"))
+        .select("k")
+        .join(nbr, "k")
+        .join(
+            comp.select(F.col("doc_id").alias("nk"), "component_id"), "nk"
+        )
+        .groupBy("k")
+        .agg(F.min("component_id").alias("c"))
+    )
+    clusters = comp.groupBy(F.col("component_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core")
+    )
+    borders = border.groupBy(F.col("c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    merged = clusters.join(borders, "cluster_id", "left").select(
+        "cluster_id",
+        "n_core",
+        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_border"),
+    ).select(
+        "cluster_id",
+        "n_core",
+        "n_border",
+        (F.col("n_core") + F.col("n_border")).cast("bigint").alias("n_total"),
+    )
+    n_all = p.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(comp.agg(F.count(F.lit(1)).alias("nc")))
+    ).crossJoin(F.broadcast(border.agg(F.count(F.lit(1)).alias("nb"))))
+    noise = n_all.select(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.lit(0).cast("bigint").alias("n_core"),
+        F.lit(0).cast("bigint").alias("n_border"),
+        (F.col("n") - F.col("nc") - F.col("nb")).cast("bigint").alias("n_total"),
+    )
+    return merged.unionAll(noise)

@@ -871,3 +871,15 @@ def test_emerging_hotspots_no_pair_join(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     assert "Expand" in p or "Generate explode" in p, p
+
+
+def test_dbscan_blocked_pair_join_no_cartesian(spark):
+    """spatial_dbscan: the eps-neighbor stage must ride the grid-cell
+    equi-join (never a cartesian/BNLJ over the point pairs); the
+    component stage's lineage is checkpointed (ExistingRDD) per the
+    propagate_min_labels contract; no Python anywhere."""
+    p = plan_of(spark, "spatial_dbscan")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # the only BNLJs are the noise row's two 1-row count crossJoins
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p

@@ -63,6 +63,7 @@ NLJ_OK = {
     "text_collocation_lift",   # 1-row unigram/bigram totals broadcast
     "spatial_median_center",   # 9 x 1-row Weiszfeld iterate broadcasts
     "spatial_emerging_hotspots",  # cells x months dense-cube build: <=576 grid cells x calendar-bounded month list
+    "spatial_dbscan",          # noise-row tail: two 1-row count crossJoins
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
