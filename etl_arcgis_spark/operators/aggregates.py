@@ -2460,3 +2460,283 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(thr).alias("bh_crit_z"),
         F.when(F.col("k") <= kmax, F.lit(1)).otherwise(F.lit(0)).alias("rejected"),
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+WITH pv AS (
+  SELECT o_totalprice AS v, CAST(count(*) AS DOUBLE) AS cnt
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT v, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND 1 PRECEDING), 0)
+            + (cnt + 1) / 2.0 AS midrank
+  FROM pv
+),
+pg AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+rg AS (
+  SELECT pg.grp, sum(pg.cnt * mr.midrank) AS r_g, sum(pg.cnt) AS n_g
+  FROM pg JOIN mr ON pg.v = mr.v
+  GROUP BY pg.grp
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(n_g) AS n,
+         sum(r_g * r_g / n_g) AS srr
+  FROM rg
+),
+tie AS (
+  SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS t FROM pv WHERE cnt > 1
+),
+h AS (
+  SELECT tot.k, tot.n,
+         12.0 / (tot.n * (tot.n + 1)) * tot.srr - 3.0 * (tot.n + 1) AS h_raw,
+         1.0 - tie.t / (tot.n * tot.n * tot.n - tot.n) AS c
+  FROM tot, tie
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round(h_raw, 4) AS h_stat, round(h_raw / c, 4) AS h_adj
+FROM h
+""",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C169: Kruskal-Wallis H (Kruskal & Wallis, JASA 1952) — the
+    rank-based NONPARAMETRIC companion to C158's one-way ANOVA F on
+    the identical question (does order value differ across the five
+    priorities?), with the standard tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N):
+
+      H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1),   H_adj = H/C.
+
+    Rank spelling reuses C157's midrank machinery conceptually but
+    needs NO bucketing: per-group rank sums decompose through the
+    per-distinct-value table — R_g = sum_v cnt_gv * midrank_v — so the
+    oracle-side window runs over distinct values while the Spark side
+    uses the same exponent-bucketed two-phase cumulative as Spearman
+    (_midranks). EXACTNESS: midranks are exact multiples of 0.5 and
+    counts are exact ints, so every R_g (<= N^2 ~ 2.25e10 at sf0.1,
+    far under 2^53) is EXACT in doubles on both engines — H is then a
+    deterministic rational expression of exact values; the r4 grid
+    carries zero accumulation risk (contrast §5.3.1 money sums).
+
+    Scale: four single-column fact scans (the _midranks pair + the
+    (group, value) aggregate + the tie-term re-reference of the
+    per-value table — the per-reference re-plan documented on C157),
+    one value-keyed equi-join, 5-row tail."""
+    o = table(spark, sf_dir, "orders")
+    pv = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    mr = _midranks(pv)
+    pg = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    rg = (
+        pg.join(mr, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("cnt") * F.col("midrank")).alias("r_g"),
+            F.sum("cnt").alias("n_g"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = rg.select(
+        F.count(F.lit(1)).over(w_all).cast("double").alias("k"),
+        F.sum("n_g").over(w_all).alias("n"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).over(w_all).alias("srr"),
+    ).limit(1)
+    tie = pv.where(F.col("cnt") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")),
+            F.lit(0.0),
+        ).alias("t")
+    )
+    h = tot.crossJoin(F.broadcast(tie))
+    k, n, srr, t = F.col("k"), F.col("n"), F.col("srr"), F.col("t")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * srr - F.lit(3.0) * (n + 1)
+    c = F.lit(1.0) - t / (n * n * n - n)
+    return h.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        r4(h_raw).alias("h_stat"),
+        r4(h_raw / c).alias("h_adj"),
+    )
+
+
+@query(
+    "stats_levene_bf",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS grp, quantile_cont(o_totalprice, 0.5) AS md
+  FROM orders GROUP BY 1
+),
+z AS (
+  SELECT o.o_orderpriority AS grp, abs(o.o_totalprice - med.md) AS z
+  FROM orders o JOIN med ON o.o_orderpriority = med.grp
+),
+g AS (
+  SELECT grp, CAST(count(*) AS DOUBLE) AS ng, sum(z) AS sg,
+         sum(z * z) AS ssg
+  FROM z GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(ng) AS n, sum(sg) AS s,
+         sum(ssg) AS ss, sum(sg * sg / ng) AS sb
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round(((sb - s * s / n) / (k - 1))
+             / ((ss - sb) / (n - k)), 4) AS w_stat
+FROM t
+""",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C170: Brown-Forsythe test (Brown & Forsythe, JASA 1974 — the
+    median-centered, robust variant of Levene 1960): does the VARIANCE
+    of order value differ across priorities? Completes the k-group
+    test triple on one fixture question: C158 tests means
+    (parametric), C169 tests distributions (rank-based), this tests
+    spreads —
+
+      W = ((N-k)/(k-1)) * sum n_g (Zbar_g - Zbar)^2 / sum (Z - Zbar_g)^2,
+      Z_ij = |x_ij - median_g|,
+
+    spelled through the same sufficient-statistics decomposition as
+    C158 (SSB/SSW over the transformed Z), so the whole test is one
+    5-row exact-percentile aggregate, a broadcast join back, and one
+    5-group moment pass. Group medians interpolate identically on both
+    engines (Spark percentile == DuckDB quantile_cont, the C138
+    cross-check); Z moments carry the standard §5.3.1 accumulation
+    noise, nine orders under the r4 grid on the scale-free W.
+
+    Scale: two fact scans (median build + probe — the per-reference
+    re-plan), both single-column with map-side combine."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("md")
+    )
+    z = o.join(
+        F.broadcast(med), o.o_orderpriority == med.grp
+    ).select("grp", F.abs(F.col("o_totalprice") - F.col("md")).alias("z"))
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("z").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).alias("ssg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sb"),
+    )
+    k, n, s, ss, sb = (F.col(c) for c in ("k", "n", "s", "ss", "sb"))
+    return t.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        r4(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k))).alias("w_stat"),
+    )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+WITH med AS (SELECT quantile_cont(value, 0.5) AS md FROM events),
+ev AS (
+  SELECT epoch_us(ts) AS t, event_id,
+         CASE WHEN value > med.md THEN 1 ELSE 0 END AS s
+  FROM events, med WHERE value <> med.md
+),
+lagged AS (
+  SELECT s, lag(s) OVER (ORDER BY t, event_id) AS ps FROM ev
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(s) AS DOUBLE) AS np,
+         CAST(1 + count(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 END)
+              AS DOUBLE) AS r
+  FROM lagged
+),
+f AS (SELECT n, np, n - np AS nn, r, 2.0 * np * (n - np) AS p2 FROM agg)
+SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_above,
+       CAST(nn AS BIGINT) AS n_below, CAST(r AS BIGINT) AS runs,
+       round((r - (p2 / n + 1))
+             / sqrt(p2 * (p2 - n) / (n * n * (n - 1))), 4) AS z_runs
+FROM f
+""",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C171: Wald-Wolfowitz runs test (Ann. Math. Stat. 1940) for
+    randomness of the event-value stream: dichotomize each event by
+    the global median (equal values dropped, the standard treatment),
+    count runs R of consecutive same-sign events in time order, and
+    z-score against E[R] = 2n+n-/N + 1 — the monitoring check that a
+    metric stream isn't trending/oscillating.
+
+    The interesting scale problem is GLOBAL ADJACENCY without a global
+    sort: consecutive-pair sign changes decompose into (a) within-DAY
+    changes via a day-partitioned lag window and (b) cross-day
+    boundaries via min_by/max_by (first/last sign per day) compared
+    through a lag over the day-summary table — bounded by the
+    CALENDAR, never by row count (the bucketed_running_sums adjacency
+    analogue; audit-allowlisted). R = 1 + within + cross.
+
+    Determinism: the median interpolates identically on both engines
+    (percentile == quantile_cont, C138/C170 precedent); every sign,
+    count and R is then an exact integer and z a deterministic
+    rational — no accumulation surface at all."""
+    e = table(spark, sf_dir, "events")
+    med = e.agg(F.expr("percentile(value, 0.5)").alias("md"))
+    ev = (
+        e.crossJoin(F.broadcast(med))
+        .where(F.col("value") != F.col("md"))
+        .select(
+            ev_us(F.col("ts")).alias("t"),
+            "event_id",
+            F.floor(ev_us(F.col("ts")) / 86_400_000_000).alias("day"),
+            F.when(F.col("value") > F.col("md"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_in = Window.partitionBy("day").orderBy("t", "event_id")
+    lagged = ev.withColumn("ps", F.lag("s").over(w_in))
+    base = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("s").cast("double").alias("np"),
+        F.count(
+            F.when(F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1)
+        ).cast("double").alias("within"),
+    )
+    bs = ev.groupBy("day").agg(
+        F.min_by("s", F.struct("t", "event_id")).alias("first_s"),
+        F.max_by("s", F.struct("t", "event_id")).alias("last_s"),
+    )
+    w_b = Window.orderBy("day")
+    cross = bs.withColumn("pl", F.lag("last_s").over(w_b)).agg(
+        F.count(
+            F.when(F.col("pl").isNotNull() & (F.col("first_s") != F.col("pl")), 1)
+        ).cast("double").alias("cross")
+    )
+    f = base.crossJoin(F.broadcast(cross)).select(
+        "n",
+        "np",
+        (F.col("n") - F.col("np")).alias("nn"),
+        (F.lit(1.0) + F.col("within") + F.col("cross")).alias("r"),
+        (F.lit(2.0) * F.col("np") * (F.col("n") - F.col("np"))).alias("p2"),
+    )
+    n, np_, nn, rr, p2 = (F.col(c) for c in ("n", "np", "nn", "r", "p2"))
+    z = (rr - (p2 / n + 1)) / F.sqrt(p2 * (p2 - n) / (n * n * (n - 1)))
+    return f.select(
+        n.cast("bigint").alias("n"),
+        np_.cast("bigint").alias("n_above"),
+        nn.cast("bigint").alias("n_below"),
+        rr.cast("bigint").alias("runs"),
+        r4(z).alias("z_runs"),
+    )

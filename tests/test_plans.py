@@ -885,3 +885,35 @@ def test_dbscan_blocked_pair_join_no_cartesian(spark):
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # the only BNLJs are the noise row's two 1-row count crossJoins
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+def test_kruskal_wallis_rank_decomposition(spark):
+    """stats_kruskal_wallis: rank sums decompose through per-distinct-
+    value tables — 4 single-column fact scans (midrank pair + group-
+    value agg + tie re-reference), no global row-level sort, no Python."""
+    p = plan_of(spark, "stats_kruskal_wallis")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 4, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_levene_bf_two_scans(spark):
+    """stats_levene_bf: exact group medians build once and broadcast
+    back — 2 fact scans, broadcast join, no window."""
+    p = plan_of(spark, "stats_levene_bf")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 2, p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_runs_test_day_partitioned_adjacency(spark):
+    """stats_runs_test: global adjacency = day-PARTITIONED lag +
+    cross-day boundary lag over the day-summary table; the only
+    unpartitioned window input is calendar-bounded."""
+    p = plan_of(spark, "stats_runs_test")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # the within-day lag must be hash-partitioned
+    assert "hashpartitioning(day" in p, p

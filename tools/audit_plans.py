@@ -64,6 +64,8 @@ NLJ_OK = {
     "spatial_median_center",   # 9 x 1-row Weiszfeld iterate broadcasts
     "spatial_emerging_hotspots",  # cells x months dense-cube build: <=576 grid cells x calendar-bounded month list
     "spatial_dbscan",          # noise-row tail: two 1-row count crossJoins
+    "stats_kruskal_wallis",    # 1-row tie-term broadcast onto the 1-row totals
+    "stats_runs_test",         # 1-row global-median + 1-row cross-day-boundary broadcasts
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
@@ -144,6 +146,8 @@ WINDOW_BOUNDED_OK = {
     "stats_spearman_corr": "offset windows over IEEE-exponent bucket totals (<= ~4400 possible buckets, bounded by the double format, one per rank column)",
     "stats_bh_fdr": "rank + step-up-max windows over the 25-row nation aggregate (bounded by the nation dimension)",
     "spatial_emerging_hotspots": "cube-moment window over the dense space-time cube (<= 576 grid cells x calendar months — bounded by geography x calendar, never by row count)",
+    "stats_kruskal_wallis": "totals + offset windows over the 5-row per-group rank-sum table and the IEEE-exponent bucket totals (nation/priority dimension + double-format bound, the C157 pattern)",
+    "stats_runs_test": "cross-day boundary lag over the day-summary table (bounded by the CALENDAR — one row per day with events)",
 }
 
 
