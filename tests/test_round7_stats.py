@@ -173,3 +173,29 @@ def test_burstiness_known_series(spark):
         * (nmp * sum(b * b for b in y) - sum(y) ** 2)
     )
     assert abs(r.avg_memory - round(num / den, 4)) < 1e-9
+
+
+def test_midranks_match_brute_force(spark):
+    """aggregates._midranks (IEEE-exponent bucketed two-phase
+    cumulative) equals the textbook tie-averaged midrank on value sets
+    that stress the bucketing: negatives, zero, values straddling
+    power-of-two boundaries, heavy ties, and sub-1 magnitudes."""
+    from etl_arcgis_spark.operators.aggregates import _midranks
+
+    values = [
+        -8.0, -8.0, -3.5, -1.0, -0.25, 0.0, 0.0, 0.0, 0.25, 0.5,
+        0.5, 1.0, 1.0, 2.0, 2.0000001, 4.0, 4.0, 4.0, 7.9, 8.0,
+        1023.5, 1024.0, 1e-300, -1e-300, 123456.789,
+    ]
+    rows = [(float(v),) for v in values]
+    df = spark.createDataFrame(rows, "v double")
+    pv = df.groupBy("v").agg(F.count("*").cast("double").alias("cnt"))
+    got = {r["v"]: r["midrank"] for r in _midranks(pv).collect()}
+    # brute: sort all values, midrank = average 1-based rank per value
+    svals = sorted(values)
+    import collections
+    want = {}
+    for v, n in collections.Counter(values).items():
+        lo = svals.index(v) + 1
+        want[v] = (lo + (lo + n - 1)) / 2.0
+    assert got == want, (got, want)
