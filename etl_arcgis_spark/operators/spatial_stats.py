@@ -1866,3 +1866,132 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("nc") - F.col("nb")).cast("bigint").alias("n_total"),
     )
     return merged.unionAll(noise)
+
+
+_QZ_TOL = 0.5     # quantization tolerance (grid cell size)
+_QZ_OX = -180.0   # grid origin
+_QZ_OY = -80.0
+
+
+@query(
+    "etl_quantize_geometry",
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey,
+         CAST(3 + (c_custkey % 4) AS INT) AS nv,
+         CAST(1 + (c_custkey % 3) AS DOUBLE) AS r,
+         CAST({_LON} AS DOUBLE) AS cx,
+         CAST({_LAT} AS DOUBLE) AS cy
+  FROM customer
+), v AS (
+  SELECT c_custkey, nv,
+         list_transform(range(0, nv),
+           i -> {{'qx': CAST(floor((cx + r * cos(2 * pi() * i / nv)
+                                    - {_QZ_OX}) / {_QZ_TOL} + 1e-9) AS BIGINT),
+                  'qy': CAST(floor((cy + r * sin(2 * pi() * i / nv)
+                                    - {_QZ_OY}) / {_QZ_TOL} + 1e-9) AS BIGINT)}}) AS q
+  FROM base
+), k AS (
+  SELECT c_custkey, nv,
+         list_filter(range(0, nv),
+           i -> q[i + 1] != q[((i + nv - 1) % nv) + 1]) AS keep, q
+  FROM v
+), kq AS (
+  SELECT c_custkey, nv,
+         CASE WHEN len(keep) = 0 THEN [q[1]]
+              ELSE list_transform(keep, i -> q[i + 1]) END AS kv
+  FROM k
+), a AS (
+  SELECT c_custkey, nv, CAST(len(kv) AS BIGINT) AS nv_out,
+         CASE WHEN len(kv) < 3 THEN 0
+              ELSE abs(list_sum(list_transform(range(0, len(kv)),
+                j -> kv[j + 1].qx * kv[(j + 1) % len(kv) + 1].qy
+                   - kv[(j + 1) % len(kv) + 1].qx * kv[j + 1].qy))) END AS cr2
+  FROM kq
+)
+SELECT c_custkey, CAST(nv AS BIGINT) AS nv_in, nv_out,
+       round(cr2 * {_QZ_TOL * _QZ_TOL} / 2, 4) AS area_q
+FROM a
+""",
+)
+def etl_quantize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14+/C172: ArcGIS ``quantizationParameters`` — the feature-
+    service vector-tile protocol (tolerance-grid coordinate
+    quantization + vertex generalization) the reference forwards
+    verbatim with every query (task.ts:406-414): each ring's vertices
+    snap to the tolerance grid (floor((x - origin)/tol), integer
+    coords), consecutive vertices that collapse into the same cell
+    dedupe CYCLICALLY (wrap-around compare, the ring-closure rule),
+    and the generalized ring reports its vertex reduction and its
+    quantized area.
+
+    Everything is in-row HOF arithmetic over the C150 variable-length
+    ring fixture — zero shuffle, zero Python, one codegen projection.
+    EXACTNESS: after the floor, coordinates are BIGINTs, so the cyclic
+    dedupe, vertex counts and the shoelace cross-sum are exact integer
+    arithmetic — area_q = |sum| * tol^2/2 is an exact rational and the
+    r4 round carries no noise. The only cross-engine surface is the
+    floor itself, made PROVABLY deterministic by a 1e-9 nudge:
+    exactly-representable trig hits (cos(0)=1 — 61% of this fixture's
+    vertices) land exactly on cell boundaries, where a 1-ulp libm
+    divergence (~5e-14 at these magnitudes) would flip the cell; the
+    nudge snaps boundary hits INTO the cell identically on both
+    engines (1e-9 >> ulp noise), while irrational vertices sit >=
+    0.098 grid units from any boundary (probed at all SFs) so the
+    nudge can never flip them.
+    Degenerate full collapse (all vertices in one cell) keeps one
+    vertex, area 0 — matching the tile protocol's point-degeneration."""
+    two_pi = 6.283185307179586
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(3) + (F.col("c_custkey") % 4)).cast("int").alias("nv"),
+        (F.lit(1) + (F.col("c_custkey") % 3)).cast("double").alias("r"),
+        F.expr(_LON).cast("double").alias("cx"),
+        F.expr(_LAT).cast("double").alias("cy"),
+    )
+    v = base.select(
+        "c_custkey",
+        "nv",
+        F.expr(
+            f"""
+transform(sequence(0, nv - 1), i -> named_struct(
+  'qx', CAST(floor((cx + r * cos({two_pi} * i / nv) - {_QZ_OX}) / {_QZ_TOL} + 1e-9) AS BIGINT),
+  'qy', CAST(floor((cy + r * sin({two_pi} * i / nv) - {_QZ_OY}) / {_QZ_TOL} + 1e-9) AS BIGINT)))
+"""
+        ).alias("q"),
+    )
+    k = v.select(
+        "c_custkey",
+        "nv",
+        "q",
+        F.expr(
+            "filter(sequence(0, nv - 1), i -> q[i] != q[(i + nv - 1) % nv])"
+        ).alias("keep"),
+    )
+    kq = k.select(
+        "c_custkey",
+        "nv",
+        F.expr(
+            "CASE WHEN size(keep) = 0 THEN array(q[0])"
+            " ELSE transform(keep, i -> q[i]) END"
+        ).alias("kv"),
+    )
+    a = kq.select(
+        "c_custkey",
+        F.col("nv").cast("bigint").alias("nv_in"),
+        F.size("kv").cast("bigint").alias("nv_out"),
+        F.expr(
+            """
+CASE WHEN size(kv) < 3 THEN 0L
+     ELSE abs(aggregate(sequence(0, size(kv) - 1), 0L,
+       (acc, j) -> acc + kv[j].qx * kv[(j + 1) % size(kv)].qy
+                       - kv[(j + 1) % size(kv)].qx * kv[j].qy)) END
+"""
+        ).alias("cr2"),
+    )
+    return a.select(
+        "c_custkey",
+        "nv_in",
+        "nv_out",
+        r4(F.col("cr2") * (_QZ_TOL * _QZ_TOL) / 2).alias("area_q"),
+    )

@@ -917,3 +917,14 @@ def test_runs_test_day_partitioned_adjacency(spark):
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # the within-day lag must be hash-partitioned
     assert "hashpartitioning(day" in p, p
+
+
+def test_quantize_geometry_zero_shuffle(spark):
+    """etl_quantize_geometry: pure in-row HOF generalization — one
+    scan, no exchange-producing operator at all, no Python."""
+    p = plan_of(spark, "etl_quantize_geometry")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Exchange" not in p, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
