@@ -1995,3 +1995,137 @@ CASE WHEN size(kv) < 3 THEN 0L
         "nv_out",
         r4(F.col("cr2") * (_QZ_TOL * _QZ_TOL) / 2).alias("area_q"),
     )
+
+
+_CLQ_K = 8     # neighbor cap (within the _BAND radius)
+_CLQ_L = 840   # lcm(1..8): scales n_aB/n_a into an exact integer
+
+
+@query(
+    "spatial_colocation_quotient",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey AS k, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat, c_mktsegment AS cat
+  FROM customer
+),
+und AS (
+  SELECT a.k AS ka, b.k AS kb,
+         (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+  FROM p a JOIN p b
+    ON a.k < b.k
+   AND a.lon - b.lon BETWEEN -{_BAND} AND {_BAND}
+   AND a.lat - b.lat BETWEEN -{_BAND} AND {_BAND}
+   AND (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) <= {_BAND * _BAND}
+),
+pr AS (
+  SELECT ka AS src, kb AS nbr, d2 FROM und
+  UNION ALL SELECT kb, ka, d2 FROM und
+),
+rk AS (
+  SELECT src, nbr,
+         row_number() OVER (PARTITION BY src ORDER BY d2, nbr) AS r
+  FROM pr
+),
+nn AS (SELECT src, nbr FROM rk WHERE r <= {_CLQ_K}),
+na AS (SELECT src, CAST(count(*) AS BIGINT) AS n_a FROM nn GROUP BY src),
+lab AS (
+  SELECT nn.src, ps.cat AS cat_a, pn.cat AS cat_b, na.n_a
+  FROM nn
+  JOIN p ps ON ps.k = nn.src
+  JOIN p pn ON pn.k = nn.nbr
+  JOIN na ON na.src = nn.src
+),
+num AS (
+  SELECT cat_a, cat_b,
+         CAST(sum({_CLQ_L} / n_a) AS BIGINT) AS num_l,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_src
+  FROM lab GROUP BY 1, 2
+),
+cats AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_c FROM p GROUP BY cat),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+SELECT num.cat_a, num.cat_b, num.n_src,
+       round(CAST(num.num_l AS DOUBLE) / {_CLQ_L} / ca.n_c
+             * (tot.n - 1)
+             / (CASE WHEN num.cat_a = num.cat_b THEN cb.n_c - 1
+                     ELSE cb.n_c END), 4) AS clq
+FROM num
+JOIN cats ca ON ca.cat = num.cat_a
+JOIN cats cb ON cb.cat = num.cat_b
+CROSS JOIN tot
+""",
+)
+def spatial_colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C173: ArcGIS "Colocation Analysis" — the colocation quotient
+    (Leibovici et al. 2013; Wang et al., the tool's citation): for
+    ordered category pair (A, B), are B points over-represented among
+    A points' nearest neighbors, relative to B's global share?
+
+      CLQ_{{A->B}} = (1/N_A) sum_{{a in A}} n_aB / n_a
+                   / (N_B' / (N - 1)),   N_B' = N_B - [A == B]
+
+    over each point's within-radius neighbors capped at k=8 (ranked by
+    (d^2, key) — the C148 tie-break convention; lattice coincidences
+    make a value tie-break mandatory). Category = c_mktsegment.
+
+    EXACTNESS trick: n_a <= 8, so scaling each point's fraction by
+    L = lcm(1..8) = 840 makes every contribution L*n_aB/n_a an exact
+    INTEGER — the numerator sums as exact BIGINTs in any order, and
+    CLQ is a deterministic rational of exact integers (no
+    accumulation surface; the r4 round is noise-free).
+
+    Plan: the C148 shape (grid-blocked directed candidates ->
+    WindowGroupLimit rank <= k) + two category joins + one 25-row
+    tail; the only unpartitioned work is 5-row/1-row broadcasts."""
+    p = _points(spark, sf_dir).drop("x").join(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("cat")
+        ),
+        "k",
+    )
+    und = _band_pairs(
+        p.withColumn("x", F.lit(0.0)), _BAND, _BAND * _BAND
+    ).select("ka", "kb", "d2")
+    pr = und.select(
+        F.col("ka").alias("src"), F.col("kb").alias("nbr"), "d2"
+    ).unionAll(und.select(F.col("kb").alias("src"), F.col("ka").alias("nbr"), "d2"))
+    w = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("nbr").asc())
+    nn = (
+        pr.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _CLQ_K)
+        .select("src", "nbr")
+    )
+    na = nn.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    cats_src = p.select(F.col("k").alias("src"), F.col("cat").alias("cat_a"))
+    cats_nbr = p.select(F.col("k").alias("nbr"), F.col("cat").alias("cat_b"))
+    lab = nn.join(cats_src, "src").join(cats_nbr, "nbr").join(na, "src")
+    num = lab.groupBy("cat_a", "cat_b").agg(
+        F.sum(F.lit(_CLQ_L) / F.col("n_a")).cast("bigint").alias("num_l"),
+        F.countDistinct("src").cast("bigint").alias("n_src"),
+    )
+    cats = p.groupBy("cat").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    tot = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ca = cats.select(F.col("cat").alias("cat_a"), F.col("n_c").alias("na_c"))
+    cb = cats.select(F.col("cat").alias("cat_b"), F.col("n_c").alias("nb_c"))
+    r = (
+        num.join(F.broadcast(ca), "cat_a")
+        .join(F.broadcast(cb), "cat_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nb_eff = F.when(
+        F.col("cat_a") == F.col("cat_b"), F.col("nb_c") - 1
+    ).otherwise(F.col("nb_c"))
+    return r.select(
+        "cat_a",
+        "cat_b",
+        "n_src",
+        r4(
+            F.col("num_l").cast("double")
+            / _CLQ_L
+            / F.col("na_c")
+            * (F.col("n") - 1)
+            / nb_eff
+        ).alias("clq"),
+    )

@@ -928,3 +928,13 @@ def test_quantize_geometry_zero_shuffle(spark):
     assert "Exchange" not in p, p
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_colocation_quotient_group_limit(spark):
+    """spatial_colocation_quotient: the kNN stage must keep O(k) state
+    per feature (WindowGroupLimit under the rank filter), candidates
+    ride the grid-blocked equi-join, and the tail is dimension-sized."""
+    p = plan_of(spark, "spatial_colocation_quotient")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p

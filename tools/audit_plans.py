@@ -66,6 +66,7 @@ NLJ_OK = {
     "spatial_dbscan",          # noise-row tail: two 1-row count crossJoins
     "stats_kruskal_wallis",    # 1-row tie-term broadcast onto the 1-row totals
     "stats_runs_test",         # 1-row global-median + 1-row cross-day-boundary broadcasts
+    "spatial_colocation_quotient",  # 1-row total-count broadcast onto the 25-row CLQ tail
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
