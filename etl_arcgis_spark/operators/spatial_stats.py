@@ -2129,3 +2129,163 @@ def spatial_colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / nb_eff
         ).alias("clq"),
     )
+
+
+_ISA_BANDS = (1.5, 2.5, 3.5, 4.5)  # increasing distance bands
+_ISA_MAX2 = 20.25                  # 4.5^2 — the single pair join's radius
+
+
+@query(
+    "spatial_incremental_morans",
+    oracle=f"""
+WITH p AS ({_P_SQL}),
+g AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar,
+         sum((x - (SELECT avg(x) FROM p)) * (x - (SELECT avg(x) FROM p))) AS s_den
+  FROM p
+),
+pr AS MATERIALIZED (
+  SELECT a.x AS xa, b.x AS xb, a.k AS ka, b.k AS kb,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM p a JOIN p b ON a.k < b.k
+   AND a.lon - b.lon BETWEEN -4.5 AND 4.5
+   AND a.lat - b.lat BETWEEN -4.5 AND 4.5
+   AND (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= {_ISA_MAX2}
+),
+nums AS MATERIALIZED (
+  SELECT {", ".join(f'''2.0 * sum(CASE WHEN pr.d2 <= {b*b} THEN (pr.xa - g.xbar) * (pr.xb - g.xbar) END) AS num{i},
+         CAST(2 * count(CASE WHEN pr.d2 <= {b*b} THEN 1 END) AS DOUBLE) AS w{i}''' for i, b in enumerate(_ISA_BANDS))}
+  FROM pr, g GROUP BY g.xbar
+),
+deg AS (
+  SELECT k, {", ".join(f"CAST(count(CASE WHEN d2 <= {b*b} THEN 1 END) AS DOUBLE) AS d{i}" for i, b in enumerate(_ISA_BANDS))}
+  FROM (SELECT ka AS k, d2 FROM pr UNION ALL SELECT kb, d2 FROM pr)
+  GROUP BY k
+),
+s2s AS MATERIALIZED (
+  SELECT {", ".join(f"sum(4.0 * d{i} * d{i}) AS s2_{i}" for i in range(len(_ISA_BANDS)))} FROM deg
+),
+bands AS (
+  {" UNION ALL ".join(f'''SELECT {b} AS band, nums.num{i} AS num, nums.w{i} AS w, s2s.s2_{i} AS s2, g.n, g.s_den
+   FROM nums, s2s, g''' for i, b in enumerate(_ISA_BANDS))}
+),
+z AS (
+  SELECT band, CAST(w AS BIGINT) AS w_sum,
+         round((n / w) * num / s_den, 4) AS morans_i,
+         round(((n / w) * num / s_den - (-1.0 / (n - 1)))
+               / sqrt((n*n*(2.0*w) - n*s2 + 3.0*w*w) / (w*w*(n*n - 1.0))
+                      - (1.0 / ((n - 1) * (n - 1)))), 4) AS z_score
+  FROM bands
+)
+SELECT band, w_sum, morans_i, z_score,
+       CASE WHEN z_score = (SELECT max(z_score) FROM z) THEN 1 ELSE 0 END AS is_peak
+FROM z
+""",
+)
+def spatial_incremental_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C174: ArcGIS "Incremental Spatial Autocorrelation" — Global
+    Moran's I (C144) swept over increasing distance bands, reporting
+    the z-score per band and flagging the PEAK band (the tool's
+    recommended analysis scale for Gi*/kernel bandwidths).
+
+    One pair join at the LARGEST band feeds every band via conditional
+    aggregation (the C146 Ripley's K trick): num_b/W_b from one
+    4-condition pass over pairs, per-node degrees per band from one
+    4-condition pass over pair endpoints (S2_b = sum 4 deg_b^2), all
+    combined as 1-row broadcasts and exploded into the 4-row band
+    table. W/S2 are exact integer counts; I and z are scale-free
+    ratios (§5.3.1); the peak flag compares z AFTER the r4 round (both
+    engines compare identical grid values; inter-band z gaps probed
+    >> the grid step). The 4-row max window is audit-allowlisted."""
+    p = _points(spark, sf_dir)
+    g = p.agg(
+        F.count("*").cast("double").alias("n"), F.avg("x").alias("xbar")
+    )
+    pr = _band_pairs(p, _ISA_BANDS[-1], _ISA_MAX2)
+    prg = pr.crossJoin(F.broadcast(g))
+    num_aggs = []
+    for i, b in enumerate(_ISA_BANDS):
+        in_b = F.col("d2") <= b * b
+        num_aggs.append(
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.when(
+                        in_b,
+                        (F.col("xa") - F.col("xbar"))
+                        * (F.col("xb") - F.col("xbar")),
+                    )
+                )
+            ).alias(f"num{i}")
+        )
+        num_aggs.append(
+            (F.lit(2) * F.count(F.when(in_b, 1))).cast("double").alias(f"w{i}")
+        )
+    nums = prg.agg(*num_aggs)
+    den = p.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))
+        ).alias("s_den")
+    )
+    ends = pr.select(F.col("ka").alias("k"), "d2").unionAll(
+        pr.select(F.col("kb").alias("k"), "d2")
+    )
+    deg = ends.groupBy("k").agg(
+        *[
+            F.count(F.when(F.col("d2") <= b * b, 1))
+            .cast("double")
+            .alias(f"d{i}")
+            for i, b in enumerate(_ISA_BANDS)
+        ]
+    )
+    s2s = deg.agg(
+        *[
+            F.sum(F.lit(4.0) * F.col(f"d{i}") * F.col(f"d{i}")).alias(f"s2_{i}")
+            for i in range(len(_ISA_BANDS))
+        ]
+    )
+    row = (
+        nums.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(s2s))
+        .crossJoin(F.broadcast(g))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"num{i}").alias("num"),
+                F.col(f"w{i}").alias("w"),
+                F.col(f"s2_{i}").alias("s2"),
+            )
+            for i, b in enumerate(_ISA_BANDS)
+        ]
+    )
+    bands = row.select(
+        "n", "s_den", F.explode(band_structs).alias("t")
+    ).select("n", "s_den", "t.band", "t.num", "t.w", "t.s2")
+    n, w, num, s2, s_den = (
+        F.col(c) for c in ("n", "w", "num", "s2", "s_den")
+    )
+    i_stat = (n / w) * num / s_den
+    ei = F.lit(-1.0) / (n - 1)
+    var = (n * n * (F.lit(2.0) * w) - n * s2 + F.lit(3.0) * w * w) / (
+        w * w * (n * n - 1.0)
+    ) - F.lit(1.0) / ((n - 1) * (n - 1))
+    z = bands.select(
+        "band",
+        w.cast("bigint").alias("w_sum"),
+        r4(i_stat).alias("morans_i"),
+        r4((i_stat - ei) / F.sqrt(var)).alias("z_score"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return z.select(
+        "band",
+        "w_sum",
+        "morans_i",
+        "z_score",
+        F.when(
+            F.col("z_score") == F.max("z_score").over(w_all), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_peak"),
+    )

@@ -938,3 +938,19 @@ def test_colocation_quotient_group_limit(spark):
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_incremental_morans_single_pair_join(spark):
+    """spatial_incremental_morans: ONE grid-blocked pair join at the
+    max band feeds all 4 bands via conditional aggregation (the
+    Ripley trick) — exactly one equi-join of the point table with
+    itself, no cartesian, no Python."""
+    p = plan_of(spark, "spatial_incremental_morans")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    import re
+    # per-reference re-plan (the C157 lesson): the pair subtree (2
+    # point scans) is referenced by nums and by the degree pass, the
+    # moment row by several combines — 10 narrow scans of the POINT
+    # table (a dimension here); at scale the pair table would persist
+    assert len(re.findall(r"Scan parquet", p)) == 10, p

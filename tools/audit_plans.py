@@ -67,6 +67,7 @@ NLJ_OK = {
     "stats_kruskal_wallis",    # 1-row tie-term broadcast onto the 1-row totals
     "stats_runs_test",         # 1-row global-median + 1-row cross-day-boundary broadcasts
     "spatial_colocation_quotient",  # 1-row total-count broadcast onto the 25-row CLQ tail
+    "spatial_incremental_morans",   # 1-row moment/num/degree-sum broadcast combines (one pair join feeds all bands)
     "dq_rule_checks",          # 1-row fact-count broadcast prices rates
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
@@ -149,6 +150,7 @@ WINDOW_BOUNDED_OK = {
     "spatial_emerging_hotspots": "cube-moment window over the dense space-time cube (<= 576 grid cells x calendar months — bounded by geography x calendar, never by row count)",
     "stats_kruskal_wallis": "totals + offset windows over the 5-row per-group rank-sum table and the IEEE-exponent bucket totals (nation/priority dimension + double-format bound, the C157 pattern)",
     "stats_runs_test": "cross-day boundary lag over the day-summary table (bounded by the CALENDAR — one row per day with events)",
+    "spatial_incremental_morans": "peak-z max window over the 4-row band table",
 }
 
 
