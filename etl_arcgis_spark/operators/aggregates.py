@@ -2740,3 +2740,40 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rr.cast("bigint").alias("runs"),
         r4(z).alias("z_runs"),
     )
+
+
+@query(
+    "agg_pythagorean_means",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 4) AS mean_arith,
+       round(exp(avg(ln(o_totalprice))), 4) AS mean_geom,
+       round(count(*) / sum(1.0 / o_totalprice), 4) AS mean_harm
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C175: the Pythagorean means per order priority — arithmetic,
+    geometric (exp of the log-mean — the right average for growth
+    rates/ratios) and harmonic (the right average for rates like
+    price-per-unit; AM >= GM >= HM checked as a free invariant by the
+    oracle equality itself). One map-side-combined 5-group pass;
+    o_totalprice > 0 by construction so ln/1-x are total.
+
+    Numerics: ln/exp differ by <= 1 ulp across libm implementations;
+    averaged over ~30k rows per group the geometric mean carries
+    ~1e-13 relative noise — absolute ~1e-8 at money magnitudes, four
+    orders under the r4 grid (§5.3.1); the harmonic denominator is a
+    ~1e-5-scale sum with the same relative-noise margin."""
+    return table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.avg("o_totalprice")).alias("mean_arith"),
+        r4(F.exp(F.avg(F.log("o_totalprice")))).alias("mean_geom"),
+        r4(
+            F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("o_totalprice"))
+        ).alias("mean_harm"),
+    )
