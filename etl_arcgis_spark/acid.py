@@ -168,12 +168,17 @@ def _bloom_canonical(value: Any) -> str:
         try:
             f = float(value)
         except (OverflowError, ValueError):
-            # int beyond float range (~1.8e308): same normalized-
-            # Decimal encoding as the lossy branch below, so it still
-            # matches an equal Decimal probe. Signaling-NaN Decimals
+            # numeric beyond float range (~1.8e308): same normalized-
+            # Decimal encoding as the lossy branch below, so an int
+            # 10**400 and Decimal('1E+400') still hash identically
+            # (ADVICE r8 — the repr fallback here broke the v3
+            # equal->equal invariant for huge finite Decimals, a latent
+            # false-negative class). Signaling-NaN Decimals
             # (ValueError) keep their repr — NaN matches nothing.
             if isinstance(value, int):
                 return f"num:{decimal.Decimal(value).normalize()}"
+            if isinstance(value, decimal.Decimal) and value.is_finite():
+                return f"num:{value.normalize()}"
             return f"num:{value!r}"
         if f == value:
             # collapse the IEEE signed zero: -0.0 == 0 must hash like 0
@@ -1141,8 +1146,16 @@ def update_where(
         updated = updated.withColumn("__upd", F.expr(f"({predicate})"))
         for c, expr in set_exprs.items():
             dt = updated.schema[c].dataType.simpleString()
+            # The raw SET expression is guarded under the predicate
+            # (ADVICE r7): SQL UPDATE only evaluates SET expressions on
+            # predicate-matched rows, so an expression that is only safe
+            # there (e.g. 100 / x under predicate x <> 0, or
+            # element_at/assert_true) must not run — and possibly throw —
+            # on non-matched rows sharing the file. CASE WHEN evaluates
+            # branches lazily per-row, so unmatched rows never touch it.
             updated = updated.withColumn(
-                f"__raw_{c}", F.expr(f"({expr})")
+                f"__raw_{c}",
+                F.when(F.col("__upd"), F.expr(f"({expr})")),
             ).withColumn(
                 f"__new_{c}",
                 F.when(

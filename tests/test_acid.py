@@ -1922,3 +1922,43 @@ def test_read_point_decimal_scale_no_false_negative(spark, tmp_path):
                   _dec.Decimal("17.1")):
         got = acid.read_point(spark, root, probe).collect()
         assert [r.v for r in got] == [f"v{int(probe)}"]
+
+
+# ---------------------------------------------------------------- round 8
+# ADVICE r7/r8 hardening: SET expressions guarded under the predicate.
+
+
+def test_update_where_set_expr_guarded_by_predicate(spark, tmp_path):
+    """ADVICE r8 #1: the cast-integrity gate used to evaluate the raw
+    SET expression (__raw_{c}) unconditionally on every row of every
+    touched file. A SET expression only safe on predicate-matched rows
+    (100 div x under predicate x <> 0, element_at on short arrays)
+    then threw on the NON-matched rows sharing the file — a behavior
+    regression vs SQL UPDATE, which evaluates SET only where the
+    predicate holds. The raw value is now CASE-guarded under __upd."""
+    root = str(tmp_path / "updguard")
+    # coalesce(1): both rows MUST share one parquet file so the
+    # unguarded spelling would actually evaluate 100/0
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, 4, 5)], "id INT, x INT, y INT"
+    ).coalesce(1)
+    acid.create(spark, root, df, key="id")
+    man = acid._read_manifest(root, 1)
+    assert len(man["files"]) == 1  # precondition: rows co-located
+    acid.update_where(
+        spark, root, "x <> 0", {"y": "CAST(100 / x AS INT)"}
+    )
+    got = {r.id: r.y for r in acid.read(spark, root).collect()}
+    assert got == {1: 5, 2: 25}  # non-matched row untouched, no throw
+    # element_at variant: only safe where the array is long enough
+    root2 = str(tmp_path / "updguard2")
+    df2 = spark.createDataFrame(
+        [(1, [10], 0), (2, [10, 20, 30], 0)],
+        "id INT, arr ARRAY<INT>, v INT",
+    ).coalesce(1)
+    acid.create(spark, root2, df2, key="id")
+    acid.update_where(
+        spark, root2, "size(arr) >= 3", {"v": "element_at(arr, 3)"}
+    )
+    got2 = {r.id: r.v for r in acid.read(spark, root2).collect()}
+    assert got2 == {1: 0, 2: 30}

@@ -99,3 +99,35 @@ def test_decode_hive_value_sentinel_and_escapes():
     # to the literal '%41' — decode exactly once
     assert acid._decode_hive_value("%2541") == "%41"
     assert acid._decode_hive_value("plain") == "plain"
+
+
+def test_huge_finite_decimal_matches_equal_huge_int():
+    """ADVICE r8 #2: a finite Decimal beyond double range (1E+400) hits
+    the OverflowError branch; it must normalize like the equal huge int
+    (10**400), not keep its repr — equal values hashing differently is
+    the v3 false-negative class. Infinite/NaN Decimals stay repr-coded."""
+    assert acid._bloom_canonical(decimal.Decimal("1E+400")) == \
+        acid._bloom_canonical(10**400)
+    assert acid._bloom_canonical(decimal.Decimal("-2.5E+400")) == \
+        acid._bloom_canonical(decimal.Decimal("-25E+399"))
+    # Infinity converts to float inf (no OverflowError) and compares
+    # equal to it, so it rides the exact-float path like float('inf')
+    assert acid._bloom_canonical(decimal.Decimal("Infinity")) == \
+        acid._bloom_canonical(float("inf"))
+    # signaling NaN raises ValueError and keeps its repr (matches nothing)
+    snan = decimal.Decimal("sNaN")
+    assert acid._bloom_canonical(snan) == f"num:{snan!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**30),
+    st.integers(min_value=380, max_value=420),
+)
+def test_huge_decimal_scale_spellings_hash_identically(mant, exp):
+    """Equal huge finite Decimals with different exponent spellings
+    (mant E+exp vs mant*10 E+(exp-1)) encode identically."""
+    a = decimal.Decimal(mant).scaleb(exp)
+    b = decimal.Decimal(mant * 10).scaleb(exp - 1)
+    assert a == b
+    assert acid._bloom_canonical(a) == acid._bloom_canonical(b)

@@ -60,9 +60,14 @@ def round_commits() -> dict[int, str]:
         if subj.startswith("round ") and ":" in subj:
             try:
                 rnd = int(subj.split(":")[0].split()[1])
-            except ValueError:
+            except (ValueError, IndexError):
                 continue
-            commits[rnd] = h + "^"  # parent = last builder commit of round N
+            # git log is newest-first: keep only the NEWEST artifact
+            # commit per round (ADVICE r8) — a round with multiple
+            # artifact commits must anchor on the latest one, else
+            # queries touched between them misclassify as stale/fresh.
+            if rnd not in commits:
+                commits[rnd] = h + "^"  # parent = last builder commit
     return commits
 
 
