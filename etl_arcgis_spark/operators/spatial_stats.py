@@ -2289,3 +2289,255 @@ def spatial_incremental_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z_score") == F.max("z_score").over(w_all), F.lit(1)
         ).otherwise(F.lit(0)).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-surface closure (round 8): the last two forwarded leaf params.
+# maxAllowableOffset (server-side geometry generalization) and
+# geometryPrecision (coordinate decimal rounding) — task.ts:410-414
+# forwards both verbatim with every layer query; Esri documents them as
+# on-the-fly vertex thinning / decimal truncation applied to the
+# response geometry. C172 (quantizationParameters) closed the third
+# member of this family; these two reuse its in-row HOF machinery.
+
+_GG_TOL2 = 1600   # maxAllowableOffset = 40 integer units, squared
+_GG_SWEEPS = 3    # deviation-thinning sweeps to fixpoint (probed in tests)
+_GG_HEX = "0123456789abcdef"
+
+
+def _gg_jit(axis: str, engine: str) -> str:
+    """Two-hex-digit md5 ladder -> integer jitter in [-25, 25], bit-
+    identical on both engines (the corpus.py bucket recipe). `j` is the
+    in-scope lambda variable (vertex index), c_custkey the outer key."""
+    if engine == "spark":
+        h = (
+            "md5(concat(cast(c_custkey as string), ':', "
+            f"cast(j as string), ':{axis}'))"
+        )
+        pos, sub = "instr", "substring"
+    else:
+        h = (
+            "md5(CAST(c_custkey AS VARCHAR) || ':' || "
+            f"CAST(j AS VARCHAR) || ':{axis}')"
+        )
+        pos, sub = "strpos", "substr"
+    v = (
+        f"(({pos}('{_GG_HEX}', {sub}({h}, 1, 1)) - 1) * 16"
+        f" + {pos}('{_GG_HEX}', {sub}({h}, 2, 1)) - 1)"
+    )
+    return f"(CAST({v} % 51 AS BIGINT) - 25)"
+
+
+def _gg_ring0(engine: str) -> str:
+    """Initial ring: nv vertices equally spaced along the perimeter of
+    an axis-aligned square of half-side s (integer units), plus md5
+    jitter — EXACT integer coordinates on both engines, no trig. The
+    perimeter position t = j*step maps piecewise-linearly to (x, y);
+    8*s is divisible by every nv in {8, 9, 12, 18} (s = 720*r), so t
+    and the coordinates are exact BIGINTs."""
+    div = "DIV" if engine == "spark" else "//"
+    t = "(j * step)"
+    e = f"({t} {div} (2 * s))"
+    f_ = f"({t} % (2 * s))"
+    bx = (
+        f"(CASE {e} WHEN 0 THEN s WHEN 1 THEN s - {f_}"
+        f" WHEN 2 THEN -s ELSE -s + {f_} END)"
+    )
+    by = (
+        f"(CASE {e} WHEN 0 THEN -s + {f_} WHEN 1 THEN s"
+        f" WHEN 2 THEN s - {f_} ELSE -s END)"
+    )
+    jx, jy = _gg_jit("x", engine), _gg_jit("y", engine)
+    if engine == "spark":
+        return (
+            "transform(sequence(0, CAST(nv AS INT) - 1), j -> "
+            f"named_struct('x', {bx} + {jx}, 'y', {by} + {jy}))"
+        )
+    return (
+        "list_transform(range(0, nv), j -> "
+        f"{{'x': {bx} + {jx}, 'y': {by} + {jy}}})"
+    )
+
+
+def _gg_droppable(a: str, engine: str) -> str:
+    """Vertex i of ring array `a` is droppable iff its perpendicular
+    deviation from the chord joining its cyclic neighbors is <= the
+    allowable offset: dev = |cross| / |chord| <= tol, compared as the
+    EXACT integer inequality cross^2 <= TOL2 * chord^2 (coords are
+    BIGINTs, so both sides are exact — no float, no libm, identical
+    keep/drop decisions on both engines)."""
+    if engine == "spark":
+        m = f"size({a})"
+
+        def idx(e: str) -> str:
+            return f"{a}[{e}]"
+
+    else:
+        m = f"len({a})"
+
+        def idx(e: str) -> str:
+            return f"{a}[({e}) + 1]"
+
+    p = idx(f"(i + {m} - 1) % {m}")
+    c = idx("i")
+    n = idx(f"(i + 1) % {m}")
+    cross = (
+        f"(({n}.x - {p}.x) * ({c}.y - {p}.y)"
+        f" - ({c}.x - {p}.x) * ({n}.y - {p}.y))"
+    )
+    chord2 = (
+        f"(({n}.x - {p}.x) * ({n}.x - {p}.x)"
+        f" + ({n}.y - {p}.y) * ({n}.y - {p}.y))"
+    )
+    return f"({cross} * {cross} <= {_GG_TOL2} * {chord2})"
+
+
+def _gg_keep(a: str, engine: str) -> str:
+    drop = _gg_droppable(a, engine)
+    if engine == "spark":
+        return f"filter(sequence(0, size({a}) - 1), i -> NOT {drop})"
+    return f"list_filter(range(0, len({a})), i -> NOT {drop})"
+
+
+def _gg_apply(a: str, ki: str, engine: str) -> str:
+    """One sweep: simultaneously drop every droppable vertex. Rings at
+    or below 3 vertices stop thinning; an (unreachable — corners keep
+    deviation >> tol by construction) all-droppable sweep keeps the
+    ring unchanged so the recursion is total on both engines."""
+    if engine == "spark":
+        return (
+            f"CASE WHEN size({a}) <= 3 THEN {a}"
+            f" WHEN size({ki}) = 0 THEN {a}"
+            f" ELSE transform({ki}, i -> {a}[i]) END"
+        )
+    return (
+        f"CASE WHEN len({a}) <= 3 THEN {a}"
+        f" WHEN len({ki}) = 0 THEN {a}"
+        f" ELSE list_transform({ki}, i -> {a}[(i) + 1]) END"
+    )
+
+
+def _gg_area2(a: str, engine: str) -> str:
+    """Twice the shoelace area of the final ring — exact BIGINT."""
+    if engine == "spark":
+        m = f"size({a})"
+        return (
+            f"CASE WHEN {m} < 3 THEN 0L ELSE "
+            f"abs(aggregate(sequence(0, {m} - 1), 0L, (acc, j) -> "
+            f"acc + {a}[j].x * {a}[(j + 1) % {m}].y"
+            f" - {a}[(j + 1) % {m}].x * {a}[j].y)) END"
+        )
+    m = f"len({a})"
+    return (
+        f"CAST(CASE WHEN {m} < 3 THEN 0 ELSE "
+        f"abs(list_sum(list_transform(range(0, {m}), j -> "
+        f"{a}[j + 1].x * {a}[(j + 1) % {m} + 1].y"
+        f" - {a}[(j + 1) % {m} + 1].x * {a}[j + 1].y))) END AS BIGINT)"
+    )
+
+
+def _gg_oracle(sweeps: int = _GG_SWEEPS) -> str:
+    parts = [
+        f"""
+WITH base AS (
+  SELECT c_custkey,
+         CAST(([8, 9, 12, 18])[CAST(c_custkey % 4 AS INT) + 1] AS BIGINT) AS nv,
+         CAST(720 * (1 + c_custkey % 3) AS BIGINT) AS s
+  FROM customer
+), prep AS (
+  SELECT c_custkey, nv, s, (8 * s) // nv AS step FROM base
+), v0 AS (
+  SELECT c_custkey, nv, {_gg_ring0('duck')} AS kv0 FROM prep
+)"""
+    ]
+    cur = "kv0"
+    src = "v0"
+    for t in range(1, sweeps + 1):
+        ki = f"ki{t}"
+        nxt = f"kv{t}"
+        parts.append(
+            f""", k{t} AS (
+  SELECT c_custkey, nv, {cur}, {_gg_keep(cur, 'duck')} AS {ki} FROM {src}
+), v{t} AS (
+  SELECT c_custkey, nv, {_gg_apply(cur, ki, 'duck')} AS {nxt} FROM k{t}
+)"""
+        )
+        cur, src = nxt, f"v{t}"
+    parts.append(
+        f"""
+SELECT c_custkey, CAST(nv AS BIGINT) AS nv_in,
+       CAST(len({cur}) AS BIGINT) AS nv_out,
+       {_gg_area2(cur, 'duck')} AS area2_gen
+FROM {src}"""
+    )
+    return "".join(parts)
+
+
+def _generalized_rings(
+    spark: SparkSession, sf_dir: str, sweeps: int = _GG_SWEEPS
+) -> tuple[DataFrame, str]:
+    """Shared builder: the jittered square-perimeter ring fixture plus
+    `sweeps` staged thinning passes; returns (df, final kv column)."""
+    df = (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.expr(
+                "CAST(element_at(array(8, 9, 12, 18), "
+                "CAST(c_custkey % 4 AS INT) + 1) AS BIGINT)"
+            ).alias("nv"),
+            F.expr("CAST(720 * (1 + c_custkey % 3) AS BIGINT)").alias("s"),
+        )
+        .withColumn("step", F.expr("(8 * s) DIV nv"))
+        .withColumn("kv0", F.expr(_gg_ring0("spark")))
+    )
+    cur = "kv0"
+    for t in range(1, sweeps + 1):
+        ki = f"ki{t}"
+        df = df.withColumn(ki, F.expr(_gg_keep(cur, "spark")))
+        df = df.withColumn(f"kv{t}", F.expr(_gg_apply(cur, ki, "spark")))
+        cur = f"kv{t}"
+    return df, cur
+
+
+@query("etl_generalize_geometry", oracle=_gg_oracle())
+def etl_generalize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14++/C176: ArcGIS ``maxAllowableOffset`` — server-side geometry
+    generalization, the last structured member of the forwarded query
+    surface (task.ts:410-414 passes it verbatim with every layer
+    query; Esri documents it as on-the-fly vertex thinning such that
+    the generalized geometry deviates from the original by at most the
+    offset). The classic algorithm is Douglas-Peucker; the
+    cross-engine-deterministic distributed spelling here is ITERATIVE
+    DEVIATION THINNING (the bottom-up dual): each sweep drops every
+    vertex whose perpendicular deviation from the chord of its cyclic
+    neighbors is <= the offset, repeated to fixpoint (_GG_SWEEPS
+    sweeps; the fixpoint is probed at all SFs by
+    tests/test_spatial_stats.py). Same output contract as DP: every
+    surviving vertex deviates more than the offset from its local
+    chord, collinear runs collapse to their endpoints, corners
+    survive.
+
+    EXACTNESS (the C172 discipline, strengthened — zero libm): ring
+    vertices are nv points equally spaced on the perimeter of an
+    integer square (half-side s = 720r units; 8s divisible by every
+    nv in {8, 9, 12, 18}) plus md5-ladder integer jitter in [-25, 25]
+    — exact BIGINTs on both engines, no trig anywhere. The drop test
+    compares cross^2 <= tol^2 * chord^2 in exact integer arithmetic
+    (|coords| <= 2185, so cross^2 <= 1.6e15 and tol^2*chord^2 <= 6e10,
+    both far inside BIGINT), the sweep is a simultaneous set-drop (no
+    order dependence), and the reported doubled shoelace area of the
+    generalized ring is an exact integer — every output column is a
+    BIGINT with zero float surface.
+
+    Scale: pure in-row HOF projection over <= 18-vertex arrays — one
+    scan, zero Exchange, zero Python (plan-pinned); at 100 TB this is
+    embarrassingly parallel map work, exactly how a feature service
+    generalizes tiles on the way out."""
+    df, cur = _generalized_rings(spark, sf_dir)
+    return df.select(
+        "c_custkey",
+        F.col("nv").alias("nv_in"),
+        F.size(cur).cast("bigint").alias("nv_out"),
+        F.expr(_gg_area2(cur, "spark")).alias("area2_gen"),
+    )

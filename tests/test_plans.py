@@ -954,3 +954,14 @@ def test_incremental_morans_single_pair_join(spark):
     # moment row by several combines — 10 narrow scans of the POINT
     # table (a dimension here); at scale the pair table would persist
     assert len(re.findall(r"Scan parquet", p)) == 10, p
+
+
+def test_generalize_geometry_zero_shuffle(spark):
+    """etl_generalize_geometry: iterative in-row HOF thinning — one
+    scan, zero Exchange, zero Python (the C172 plan contract)."""
+    p = plan_of(spark, "etl_generalize_geometry")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Exchange" not in p, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p

@@ -153,3 +153,33 @@ def test_gi_star_isolated_point_scores_with_self_weight(spark):
     )
     got = {r.k: (r.sx, r.wi) for r in nb.collect()}
     assert got == {0: (30.0, 2), 1: (30.0, 2), 2: (30.0, 1)}
+
+
+def test_generalize_geometry_fixpoint_and_iteration(spark):
+    """etl_generalize_geometry: _GG_SWEEPS sweeps reach the thinning
+    FIXPOINT (sweep _GG_SWEEPS+1 changes nothing — the DP output
+    contract: every surviving vertex deviates more than the offset
+    from its local chord), and the iteration is REAL (sweep 2 drops
+    vertices sweep 1 could not — survivors whose neighbors died).
+    Compared Python-side: a filter over the staged sweep columns
+    triggers Catalyst alias-substitution blowup, the projection-only
+    shape the registered query uses does not."""
+    from etl_arcgis_spark.operators.spatial_stats import (
+        _GG_SWEEPS,
+        _generalized_rings,
+    )
+
+    df, _ = _generalized_rings(
+        spark, "/root/testdata/sf0.01", sweeps=_GG_SWEEPS + 1
+    )
+    pdf = df.select(
+        F.size("kv1").alias("n1"),
+        F.size("kv2").alias("n2"),
+        F.col(f"kv{_GG_SWEEPS}").cast("string").alias("a_last"),
+        F.col(f"kv{_GG_SWEEPS + 1}").cast("string").alias("a_extra"),
+    ).toPandas()
+    # bracket access: .last is a pandas method, it shadows columns
+    assert (pdf["a_last"] == pdf["a_extra"]).all()  # fixpoint reached
+    assert (pdf.n1 != pdf.n2).sum() > 0           # sweep 2 did real work
+    # corners always survive: every generalized ring stays a polygon
+    assert pdf["a_last"].str.count("\\{").min() >= 3
