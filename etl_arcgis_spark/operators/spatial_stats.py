@@ -2541,3 +2541,120 @@ def etl_generalize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cur).cast("bigint").alias("nv_out"),
         F.expr(_gg_area2(cur, "spark")).alias("area2_gen"),
     )
+
+
+def _gp_jit(axis: str, engine: str) -> str:
+    """Five-hex-digit md5 ladder -> m in [0, 1048575], then the ODD
+    dyadic-free jitter (2*(m % 1000000) + 1) / 2000000 in (0, 1).
+    The odd numerator makes an exact decimal midpoint at 4 (or 1)
+    decimals impossible — a midpoint would need numerator = 100000
+    mod 200000 (even) — so the downstream floor-based rounding never
+    sits on a tie. Every operation (%, *, +, /) is IEEE-correctly-
+    rounded, so both engines hold the bit-identical double."""
+    if engine == "spark":
+        h = f"md5(concat(cast(c_custkey as string), ':gp{axis}'))"
+        pos, sub = "instr", "substring"
+    else:
+        h = f"md5(CAST(c_custkey AS VARCHAR) || ':gp{axis}')"
+        pos, sub = "strpos", "substr"
+    digits = " + ".join(
+        f"({pos}('{_GG_HEX}', {sub}({h}, {d + 1}, 1)) - 1) * {16 ** (4 - d)}"
+        for d in range(5)
+    )
+    return f"((2 * (CAST({digits} AS BIGINT) % 1000000) + 1) / 2000000.0)"
+
+
+def _gp_snap(x: str, p: int) -> str:
+    """Half-up-toward-+inf decimal rounding as an explicit floor
+    formula — identical text on both engines, no engine round() and
+    therefore no tie-rule dependence: floor of the same double is the
+    same integer everywhere. Returns the scaled BIGINT coordinate."""
+    scale = 10 ** p
+    return f"CAST(floor(({x}) * {scale} + 0.5) AS BIGINT)"
+
+
+_GP_SQL_COLS = f"""
+  CAST({_LON} AS DOUBLE) + {{jx}} AS lon,
+  CAST({_LAT} AS DOUBLE) + {{jy}} AS lat
+"""
+
+
+@query(
+    "etl_geometry_precision",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST({_LON} AS DOUBLE) + {_gp_jit('x', 'duck')} AS lon,
+         CAST({_LAT} AS DOUBLE) + {_gp_jit('y', 'duck')} AS lat
+  FROM customer
+), snapped AS (
+  SELECT c_mktsegment,
+         {_gp_snap('lon', 4)} AS ulon4, {_gp_snap('lat', 4)} AS ulat4,
+         {_gp_snap('lon', 1)} AS ulon1, {_gp_snap('lat', 1)} AS ulat1,
+         {_gp_snap('lon', 0)} AS ulon0, {_gp_snap('lat', 0)} AS ulat0
+  FROM pts
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(count(DISTINCT ulon4 * 4000000 + ulat4) AS BIGINT) AS n_cells4,
+       CAST(count(DISTINCT ulon1 * 4000 + ulat1) AS BIGINT) AS n_cells1,
+       CAST(count(DISTINCT ulon0 * 400 + ulat0) AS BIGINT) AS n_cells0,
+       CAST(sum(ulon4) AS BIGINT) AS sum_ulon4,
+       CAST(min(ulat4) AS BIGINT) AS min_ulat4
+FROM snapped
+GROUP BY c_mktsegment
+""",
+)
+def etl_geometry_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14++/C177: ArcGIS ``geometryPrecision`` — the number of decimal
+    places in response geometry coordinates, forwarded verbatim by the
+    reference with every layer query (task.ts:410-414). Semantics:
+    every coordinate rounds to p decimals on the way out; collapsing
+    coincident snapped vertices is the consumer-visible effect (fewer
+    distinct locations at coarser precision).
+
+    Spelled as the explicit floor formula floor(x*10^p + 0.5) — NOT
+    engine round() — so no tie-break rule is ever consulted: both
+    engines hold bit-identical doubles (half-integer lattice base +
+    odd-numerator dyadic-free md5 jitter, IEEE ops only, zero libm)
+    and floor of the same double is the same integer. The jitter's odd
+    numerator over 2e6 makes exact decimal midpoints at p in {1, 4}
+    impossible (parity argument in _gp_jit), so the formula is also
+    SEMANTICALLY half-up, not accidentally tie-dependent. Outputs are
+    scaled-BIGINT coordinates and counts — zero float surface.
+
+    The per-segment precision ladder n_cells4 >= n_cells1 >= n_cells0
+    (at p=0 every lattice-sharing customer collapses into one cell —
+    jitter < 1 cannot cross an integer-degree boundary from an X.5
+    base) is exactly what a precision knob does to a feature payload. Scale: one scan, one
+    hash aggregate with map-side combine; distinct-cell counts ride
+    the same shuffle key (c_mktsegment, 5 groups)."""
+    jx, jy = _gp_jit("x", "spark"), _gp_jit("y", "spark")
+    pts = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr(f"CAST({_LON} AS DOUBLE) + {jx}").alias("lon"),
+        F.expr(f"CAST({_LAT} AS DOUBLE) + {jy}").alias("lat"),
+    )
+    snapped = pts.select(
+        "c_mktsegment",
+        F.expr(_gp_snap("lon", 4)).alias("ulon4"),
+        F.expr(_gp_snap("lat", 4)).alias("ulat4"),
+        F.expr(_gp_snap("lon", 1)).alias("ulon1"),
+        F.expr(_gp_snap("lat", 1)).alias("ulat1"),
+        F.expr(_gp_snap("lon", 0)).alias("ulon0"),
+        F.expr(_gp_snap("lat", 0)).alias("ulat0"),
+    )
+    return snapped.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_pts"),
+        F.countDistinct(
+            F.col("ulon4") * 4000000 + F.col("ulat4")
+        ).alias("n_cells4"),
+        F.countDistinct(F.col("ulon1") * 4000 + F.col("ulat1")).alias(
+            "n_cells1"
+        ),
+        F.countDistinct(F.col("ulon0") * 400 + F.col("ulat0")).alias(
+            "n_cells0"
+        ),
+        F.sum("ulon4").alias("sum_ulon4"),
+        F.min("ulat4").alias("min_ulat4"),
+    )
