@@ -304,3 +304,176 @@ FROM b
 """,
         ("orders",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: general outSR reprojection (the reference only ever emits
+# 3857 — task.ts:194,230-233, covered by A10 — but the forwarded query
+# surface admits any wkid; task.ts:410-414). UTM is the canonical
+# second projection family: zone derived from lon, transverse-Mercator
+# Krueger series to n^4 (Karney, J. Geodesy 2011, "Transverse Mercator
+# with an accuracy of a few nanometers" — public constants for WGS84).
+# Every constant is embedded as a 17-digit literal so both engines
+# parse the identical double; sinh/cosh/atanh are spelled via exp/ln
+# (identical text on both engines), and radians/degrees are literal
+# multiplies — the only cross-engine surface is libm ulp noise under
+# the r4 grid (midpoint margin probed over the finite lattice value
+# set in tests/test_geo_utm.py).
+
+_UTM_A = 6367449.145823415        # rectifying radius A
+_UTM_K0A = 6364902.166165086      # k0 * A, k0 = 0.9996
+_UTM_E = 0.08181919084262149      # eccentricity e = 2*sqrt(n)/(1+n)
+_UTM_AL = (0.0008377318206303529, 7.608527714248998e-07,
+           1.1976380015605232e-09, 2.4433761945220637e-12)
+_UTM_BE = (0.0008377321640600574, 5.905869567933988e-08,
+           1.6734888803548486e-10, 2.1677377630220362e-13)
+_UTM_DE = (0.003356551469125213, 6.571873083960133e-06,
+           1.76465640047585e-08, 5.4004820816935436e-11)
+_UTM_RAD = 0.017453292519943295
+_UTM_DEG = 57.29577951308232
+
+
+def _sh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2)"
+
+
+def _ch(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2)"
+
+
+def _ath(x: str) -> str:
+    return f"(0.5 * ln((1 + ({x})) / (1 - ({x}))))"
+
+
+def _utm_fwd_stages() -> list[tuple[str, str]]:
+    """(name, engine-neutral SQL expr) stages computing UTM easting/
+    northing from columns lon/lat. Same text runs on Spark and DuckDB."""
+    al = _UTM_AL
+    xi_sum = " + ".join(
+        f"{al[j - 1]!r} * sin({2 * j} * xip) * {_ch(f'{2 * j} * etap')}"
+        for j in (1, 2, 3, 4)
+    )
+    eta_sum = " + ".join(
+        f"{al[j - 1]!r} * cos({2 * j} * xip) * {_sh(f'{2 * j} * etap')}"
+        for j in (1, 2, 3, 4)
+    )
+    return [
+        ("zone", "CAST(floor((lon + 180) / 6) AS BIGINT) + 1"),
+        ("lamr", f"(lon - (zone * 6 - 183)) * {_UTM_RAD!r}"),
+        ("sp", f"sin(lat * {_UTM_RAD!r})"),
+        ("tt", _sh(f"{_ath('sp')} - {_UTM_E!r} * {_ath(f'{_UTM_E!r} * sp')}")),
+        ("xip", "atan(tt / cos(lamr))"),
+        ("etap", _ath("sin(lamr) / sqrt(1 + tt * tt)")),
+        ("easting", f"500000 + {_UTM_K0A!r} * (etap + {eta_sum})"),
+        (
+            "northing",
+            f"{_UTM_K0A!r} * (xip + {xi_sum})"
+            " + CASE WHEN lat < 0 THEN 10000000 ELSE 0 END",
+        ),
+    ]
+
+
+def _utm_inv_stages() -> list[tuple[str, str]]:
+    """Inverse UTM -> lon/lat from columns zone/easting/northing (test
+    surface for the round-trip closure property): Krueger beta series,
+    conformal-to-geodetic via the delta series plus ONE fixed-point
+    refinement phi = atan(sinh(psi + e*atanh(e*sin(phi)))) — the
+    contraction factor is e^2 ~ 0.0067, taking the n^4 series residual
+    (~2.7e-6 m at |lat| ~ 63.5) below 1e-8 m."""
+    be = _UTM_BE
+    de = _UTM_DE
+    xip_sum = " + ".join(
+        f"{be[j - 1]!r} * sin({2 * j} * xi) * {_ch(f'{2 * j} * eta')}"
+        for j in (1, 2, 3, 4)
+    )
+    etap_sum = " + ".join(
+        f"{be[j - 1]!r} * cos({2 * j} * xi) * {_sh(f'{2 * j} * eta')}"
+        for j in (1, 2, 3, 4)
+    )
+    d_sum = " + ".join(
+        f"{de[j - 1]!r} * sin({2 * j} * chi)" for j in (1, 2, 3, 4)
+    )
+    e = repr(_UTM_E)
+    return [
+        # the hemisphere is NOT recoverable from the coordinates (a
+        # southern northing is 1e7 - |N| < 1e7): UTM positions are
+        # (zone, hemisphere, E, N) — callers supply `south`, exactly
+        # as the forward emits `hemi`
+        ("xi", f"(northing - CASE WHEN south THEN 10000000"
+               f" ELSE 0 END) / {_UTM_K0A!r}"),
+        ("eta", f"(easting - 500000) / {_UTM_K0A!r}"),
+        ("xipi", f"xi - ({xip_sum})"),
+        ("etapi", f"eta - ({etap_sum})"),
+        ("chi", f"asin(sin(xipi) / {_ch('etapi')})"),
+        ("phi0", f"chi + {d_sum}"),
+        ("psi", _ath("sin(xipi) / " + _ch("etapi"))),
+        ("phir", "atan(" + _sh(f"psi + {e} * " + _ath(f"{e} * sin(phi0)")) + ")"),
+        ("lat_inv", f"phir * {_UTM_DEG!r}"),
+        (
+            "lon_inv",
+            f"(zone * 6 - 183) + atan({_sh('etapi')} / cos(xipi))"
+            f" * {_UTM_DEG!r}",
+        ),
+    ]
+
+
+def _utm_oracle() -> str:
+    stages = _utm_fwd_stages()
+    ctes = [
+        f"""WITH s0 AS (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat
+  FROM customer
+)"""
+    ]
+    prev = "s0"
+    for i, (name, expr) in enumerate(stages, 1):
+        ctes.append(f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "".join(ctes)
+        + f"""
+SELECT c_custkey, zone,
+       CASE WHEN lat < 0 THEN 'S' ELSE 'N' END AS hemi,
+       round(easting, 4) AS easting, round(northing, 4) AS northing
+FROM {prev}"""
+    )
+
+
+@query("geo_reproject_utm", oracle=_utm_oracle())
+def geo_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+/C178: general ``outSR`` — EPSG:4326 -> UTM (EPSG:326xx/
+    327xx), the zone derived per-row from lon. The reference's ETL
+    hard-codes 3857 (task.ts:194,230-233; A10/geo_reproject_webmercator
+    covers it) but forwards outSR verbatim (task.ts:410-414), so the
+    generic surface needs a second, non-trivial projection family: the
+    transverse-Mercator Krueger series to n^4 gives sub-mm forward
+    accuracy (Karney 2011). Pure whole-stage-codegen SQL math, one
+    projection stage per series term group — no UDF, no shuffle.
+
+    Determinism recipe (the A10 discipline, hardened): all series
+    constants are 17-digit literals (both engines parse the identical
+    double), hyperbolics are spelled via exp/ln with IDENTICAL text on
+    both engines, degree<->radian conversions are literal multiplies
+    (never radians()/pi(), whose operation order differs per engine),
+    and the fixture lattice keeps a FINITE value set (160 lats x 6
+    in-zone lon offsets) whose r4 midpoint margins are probed in
+    tests/test_geo_utm.py — libm ulp noise (~1e-8 at 1e7 magnitude)
+    cannot cross the probed margin. Zone boundaries are safe exactly:
+    half-integer lon is never a multiple of 6. The inverse series
+    (_utm_inv_stages) closes the round trip to < 1e-6 m (property
+    test), the published contract of the n^4 truncation."""
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+    )
+    for name, expr in _utm_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "c_custkey",
+        "zone",
+        F.expr("CASE WHEN lat < 0 THEN 'S' ELSE 'N' END").alias("hemi"),
+        r4(F.col("easting")).alias("easting"),
+        r4(F.col("northing")).alias("northing"),
+    )
