@@ -2658,3 +2658,113 @@ def etl_geometry_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ulon4").alias("sum_ulon4"),
         F.min("ulat4").alias("min_ulat4"),
     )
+
+
+# Jittered point layer: the half-integer lattice plus the dyadic md5
+# jitter in (0, 1) (the _gp_jit recipe — bit-identical doubles on both
+# engines). Separates the lattice's exact-duplicate positions
+# (c_custkey vs c_custkey + 1440), giving a non-degenerate nearest-
+# neighbor structure: consecutive keys sit at base offset (1, 1), so
+# every point's true NN is within 2*sqrt(2) < 3 of it (wrap keys use
+# the other-side consecutive key, same bound; probed differentially by
+# the brute-force oracle below).
+_ANN_BAND = 3.0
+
+
+def _jittered_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jx, jy = _gp_jit("x", "spark"), _gp_jit("y", "spark")
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.expr(f"CAST({_LON} AS DOUBLE) + {jx}").alias("lon"),
+        F.expr(f"CAST({_LAT} AS DOUBLE) + {jy}").alias("lat"),
+        F.col("c_acctbal").alias("x"),
+    )
+
+
+_JP_SQL = f"""
+  SELECT c_custkey AS k,
+         CAST({_LON} AS DOUBLE) + {_gp_jit('x', 'duck')} AS lon,
+         CAST({_LAT} AS DOUBLE) + {_gp_jit('y', 'duck')} AS lat
+  FROM customer
+"""
+
+
+@query(
+    "spatial_avg_nearest_neighbor",
+    oracle=f"""
+WITH p AS MATERIALIZED ({_JP_SQL}),
+nn AS (
+  SELECT a.k,
+         min((a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)) AS d2
+  FROM p a JOIN p b ON a.k <> b.k
+  GROUP BY a.k
+),
+s1 AS (
+  SELECT sum(sqrt(d2)) AS s_nn, CAST(count(*) AS BIGINT) AS n_resolved
+  FROM nn
+),
+s2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         (max(lon) - min(lon)) * (max(lat) - min(lat)) AS area
+  FROM p
+)
+SELECT n, n_resolved,
+       round(s_nn / n, 4) AS d_obs,
+       round(0.5 / sqrt(n / area), 4) AS d_exp,
+       round((s_nn / n) / (0.5 / sqrt(n / area)), 4) AS ann_ratio,
+       round((s_nn / n - 0.5 / sqrt(n / area))
+             / (0.26136 / sqrt(n * n / area)), 4) AS z_score
+FROM s2, s1
+""",
+)
+def spatial_avg_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C179: Average Nearest Neighbor — the last flagship member of the
+    ArcGIS "Analyzing Patterns" toolbox (with Moran's I C144, Ripley's
+    K C146, General G C153): observed mean nearest-neighbor distance
+    vs the expectation 1/(2*sqrt(n/A)) under CSR (Clark & Evans 1954),
+    ratio < 1 = clustered, > 1 = dispersed, z = (Do - De) / SE with
+    SE = 0.26136 / sqrt(n^2/A) (Esri's documented constant), A = the
+    bounding-rectangle study area (Esri's default).
+
+    Plan: the C148 kNN shape reduced to rank-1 — grid-blocked pair
+    generation (_band_pairs, cell = band = 3.0) -> directed union ->
+    min(d2) per source (a hash aggregate, cheaper than the rank
+    window) -> one global aggregate, combined with the bbox/count
+    moments via a 1-row broadcast (audit-allowlisted). The oracle is
+    BRUTE-FORCE TRUE NN over all n^2 pairs — engine agreement proves
+    the 3.0-band blocking loses no point's true nearest neighbor on
+    the jittered lattice (consecutive keys sit within 2*sqrt(2) < 3),
+    the same blocked-equals-spec discipline as C144-C146. n_resolved
+    is emitted precisely so a dropped isolated point can never hide.
+    Floats: both engines hold bit-identical coordinates (dyadic md5
+    jitter, IEEE ops only), so every d2 comparison and min() agree
+    exactly; only the final sum carries order noise (~1e-12 against
+    the 1e-4 grid at d_obs ~ 0.5)."""
+    p = _jittered_points(spark, sf_dir)
+    und = _band_pairs(p, _ANN_BAND, _ANN_BAND * _ANN_BAND)
+    pr = und.select(F.col("ka").alias("src"), "d2").unionAll(
+        und.select(F.col("kb").alias("src"), "d2")
+    )
+    nn = pr.groupBy("src").agg(F.min("d2").alias("d2"))
+    s1 = nn.agg(
+        F.sum(F.sqrt("d2")).alias("s_nn"),
+        F.count("*").alias("n_resolved"),
+    )
+    s2 = p.agg(
+        F.count("*").alias("n"),
+        ((F.max("lon") - F.min("lon")) * (F.max("lat") - F.min("lat"))).alias(
+            "area"
+        ),
+    )
+    c = s2.crossJoin(F.broadcast(s1))
+    d_obs = F.col("s_nn") / F.col("n")
+    d_exp = 0.5 / F.sqrt(F.col("n") / F.col("area"))
+    se = 0.26136 / F.sqrt(F.col("n") * F.col("n") / F.col("area"))
+    return c.select(
+        "n",
+        "n_resolved",
+        r4(d_obs).alias("d_obs"),
+        r4(d_exp).alias("d_exp"),
+        r4(d_obs / d_exp).alias("ann_ratio"),
+        r4((d_obs - d_exp) / se).alias("z_score"),
+    )

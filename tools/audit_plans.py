@@ -116,6 +116,7 @@ NLJ_OK = {
     "spatial_summarize_within",  # 3-row zone-polygon table broadcast (BuildLeft), fact side streams
     "spatial_local_morans",      # 1-row (n, xbar, m2) moment broadcast over per-point lag rows
     "spatial_general_g",         # 1-row moment x 1-row pair-sum broadcast combine (grid-blocked pairs)
+    "spatial_avg_nearest_neighbor",  # 1-row NN-sum x 1-row bbox/count broadcast combine (grid-blocked pairs)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
