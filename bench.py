@@ -69,6 +69,11 @@ def main() -> None:
     m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else sf_dir
     os.environ.setdefault("SPARK_GRAFT_CACHE", "1")  # cached fixture reads
+    # Host-load snapshots (r7 verdict order #2): the driver-vs-idle
+    # convention (BASELINE.md) is only checkable if the confound is IN
+    # the artifact. loadavg BEFORE session start = external load; the
+    # post-run reading includes our own 32 executor threads.
+    loadavg_pre = list(os.getloadavg())
     # shuffle sized to the data; passed explicitly (the module-level
     # default in session.py is frozen at import time, before this runs).
     # Default 4: the headline shuffles all reduce to tiny outputs (6-2k
@@ -188,6 +193,7 @@ def main() -> None:
         )
         for n, t in timings.items()
     }
+    loadavg_post = list(os.getloadavg())
     print(
         json.dumps(
             {
@@ -202,6 +208,9 @@ def main() -> None:
                 "jobs_per_query": n_jobs,
                 "baseline_sec": BASELINE_SEC,
                 "floor_adjusted_ratio_vs_baseline": ratios,
+                "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+                "loadavg_post": [round(x, 2) for x in loadavg_post],
+                "n_cpus": os.cpu_count(),
             }
         )
     )
