@@ -477,3 +477,123 @@ def geo_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("easting")).alias("easting"),
         r4(F.col("northing")).alias("northing"),
     )
+
+
+# Hilbert-curve clustering key (C180). The merge step of the classic
+# xy2d walk (Wikipedia/Butz): per bit level i (high->low), quadrant
+# q = (3*rx) XOR ry spelled branch-free as CASE (rx=1 -> 3-ry, else
+# ry), then the n-1-x/y reflection + swap rotation. The rot(n) variant
+# keeps x, y in [0, n) at every step — no negative value ever meets a
+# shift/mask, so arithmetic-shift semantics never differ cross-engine.
+_H_N = 65536  # order-16 curve: 65536 cells per axis, like the Z key
+
+
+def _h_merge(
+    ax: str, ay: str, ad: str, i: str, engine: str, n: int = _H_N
+) -> dict[str, str]:
+    """One Hilbert level: returns SQL for the next (x, y, d) given the
+    accumulator fields and the level variable. Only the bit-extract
+    spelling differs per engine (shiftright vs >>). ``n`` is the curve
+    size (2^order); the dense-grid property test uses a small order."""
+    if engine == "spark":
+        rx = f"(shiftright({ax}, {i}) & 1)"
+        ry = f"(shiftright({ay}, {i}) & 1)"
+        s2 = f"shiftleft(CAST(1 AS BIGINT), 2 * {i})"
+    else:
+        rx = f"(({ax} >> {i}) & 1)"
+        ry = f"(({ay} >> {i}) & 1)"
+        s2 = f"(CAST(1 AS BIGINT) << (2 * {i}))"
+    q = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    flipx = f"CASE WHEN {rx} = 1 THEN {n - 1} - {ax} ELSE {ax} END"
+    flipy = f"CASE WHEN {rx} = 1 THEN {n - 1} - {ay} ELSE {ay} END"
+    return {
+        # ry = 1: no rotation. ry = 0: optional reflection, then swap.
+        "x": f"CASE WHEN {ry} = 1 THEN {ax} ELSE {flipy} END",
+        "y": f"CASE WHEN {ry} = 1 THEN {ay} ELSE {flipx} END",
+        "d": f"{ad} + {s2} * {q}",
+    }
+
+
+def _h_spark_expr(order: int = 16, n: int = _H_N) -> str:
+    m = _h_merge("a.hx", "a.hy", "a.hd", "i", "spark", n)
+    return f"""
+aggregate(
+  sequence({order - 1}, 0, -1),
+  named_struct('hx', x, 'hy', y, 'hd', CAST(0 AS BIGINT)),
+  (a, i) -> named_struct(
+    'hx', {m['x']},
+    'hy', {m['y']},
+    'hd', {m['d']}),
+  a -> a.hd)
+"""
+
+
+_H_SPARK_EXPR = _h_spark_expr()
+
+_H_DUCK_MERGE = _h_merge("hx", "hy", "hd", "lvl", "duck")
+
+
+@query(
+    "etl_hilbert_key",
+    oracle=f"""
+WITH RECURSIVE b AS (
+  SELECT o_orderkey,
+         o_custkey & 65535 AS x,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y
+  FROM orders
+),
+walk AS (
+  SELECT o_orderkey, x, y, 15 AS lvl,
+         CAST(x AS BIGINT) AS hx, CAST(y AS BIGINT) AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM b
+  UNION ALL
+  SELECT o_orderkey, x, y, lvl - 1,
+         {_H_DUCK_MERGE['x']} AS hx,
+         {_H_DUCK_MERGE['y']} AS hy,
+         {_H_DUCK_MERGE['d']} AS hd
+  FROM walk WHERE lvl >= 0
+)
+SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, hd AS hkey
+FROM walk WHERE lvl = -1
+""",
+)
+def etl_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C180: Hilbert-curve clustering key over the same two hot filter
+    dimensions as the Z key (etl_zorder_key) — the OTHER space-filling
+    curve lakehouse OPTIMIZE implementations offer (Delta/Iceberg
+    expose both; Hilbert preserves locality strictly better: every
+    consecutive pair of cells on the curve is Manhattan-distance 1,
+    where the Z curve jumps at quadrant seams, so range scans touch
+    fewer row groups for the same rectangle).
+
+    The 16-level xy2d walk runs IN-ROW as one aggregate() HOF with a
+    (x, y, d) struct accumulator — zero shuffle, zero Python, exact
+    BIGINT arithmetic throughout; the oracle replays the identical
+    merge text via a 16-step recursive CTE. The rot(n) reflection
+    keeps coordinates non-negative at every level so cross-engine
+    arithmetic-shift semantics never come into play. Bijectivity and
+    the unit-step property are pinned on a dense 32x32 grid in
+    tests/test_plans.py (the full-curve properties, not samples).
+
+    Scale: computing hkey is map-only; the payoff step
+    (repartitionByRange(hkey) + sortWithinPartitions before write) is
+    the same one-shuffle ingest clustering as the Z key, with strictly
+    tighter min/max row-group envelopes."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey & 65535 AS BIGINT) AS x,
+         CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535 AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y, CAST({_H_SPARK_EXPR} AS BIGINT) AS hkey
+FROM b
+""",
+        ("orders",),
+    )

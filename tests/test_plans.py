@@ -965,3 +965,38 @@ def test_generalize_geometry_zero_shuffle(spark):
     assert "Exchange" not in p, p
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_hilbert_key_zero_shuffle_plan(spark):
+    """etl_hilbert_key: in-row HOF walk — single scan, no Exchange,
+    no Python."""
+    p = plan_of(spark, "etl_hilbert_key")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_hilbert_curve_bijective_unit_steps(spark):
+    """FULL-curve properties on a dense 32x32 grid (order-5 curve):
+    the key is a bijection onto 0..1023 and consecutive keys are
+    Manhattan-distance-1 cells — the strict-locality guarantee that
+    separates Hilbert from the Z curve (which jumps at quadrant
+    seams). Sample checks can't establish either; the dense grid
+    does."""
+    from etl_arcgis_spark.operators.etl import _h_spark_expr
+
+    df = (
+        spark.range(32 * 32)
+        .selectExpr(
+            "CAST(id % 32 AS BIGINT) AS x", "CAST(id DIV 32 AS BIGINT) AS y"
+        )
+        .selectExpr("x", "y", f"CAST({_h_spark_expr(5, 32)} AS BIGINT) AS d")
+    )
+    rows = df.collect()
+    by_d = {r.d: (r.x, r.y) for r in rows}
+    assert sorted(by_d) == list(range(1024))  # bijective onto 0..1023
+    assert all(
+        abs(by_d[d][0] - by_d[d + 1][0]) + abs(by_d[d][1] - by_d[d + 1][1]) == 1
+        for d in range(1023)
+    )  # every curve step is a unit step
