@@ -435,7 +435,11 @@ def _file_spec(f: dict[str, Any], table_pcol: str | None) -> str | None:
 
 
 def _read_paths(
-    spark: SparkSession, root: str, man: dict[str, Any], paths: list[str]
+    spark: SparkSession,
+    root: str,
+    man: dict[str, Any],
+    paths: list[str],
+    with_meta: bool = False,
 ) -> DataFrame:
     """Read an explicit file list under this table's layout(s).
     Partition-spec EVOLUTION means one snapshot can mix layouts
@@ -443,7 +447,18 @@ def _read_paths(
     the read groups files by their per-file spec: each group's
     basePath pass recovers ITS directory column, and the groups
     union by name — a column that is layout in one spec is plain data
-    in the others, so every row ends up fully populated."""
+    in the others, so every row ends up fully populated.
+
+    MERGE-ON-READ deletes (Iceberg v2 positional deletes): when the
+    manifest carries ``deletes`` entries, every read applies them here
+    — the single chokepoint all reader entry points (read,
+    read_partition, read_key_range, read_point, CDF, the CoW rewrite
+    scans) route through — as a left-anti join on (file basename, row
+    position). Basenames are writer-generated uuid4 hex, so the pair
+    is a sound row identity with NO uri normalization; row positions
+    come from the parquet reader's ``_metadata.row_index``.
+    ``with_meta=True`` keeps the (__mor_file, __mor_pos) columns in
+    the output — the position-capture path of delete_where_mor."""
     data_dir = os.path.join(root, "data")
 
     def _layout_of(p: str) -> str | None:
@@ -472,6 +487,7 @@ def _read_paths(
         from pyspark.sql.types import StructType
 
         pinned = StructType.fromJson(json.loads(man["schema"]))
+    dels = man.get("deletes") or []
     dfs = []
     for spec in sorted(groups, key=str):
         reader = spark.read
@@ -481,10 +497,31 @@ def _read_paths(
             reader = reader.option("mergeSchema", "true")
         if spec is not None:
             reader = reader.option("basePath", os.path.join(root, "data"))
-        dfs.append(reader.parquet(*groups[spec]))
+        df = reader.parquet(*groups[spec])
+        if dels or with_meta:
+            # hidden metadata cols must be projected per group, BEFORE
+            # the unionByName (union output carries no hidden columns)
+            df = df.select(
+                "*",
+                F.col("_metadata.file_name").alias("__mor_file"),
+                F.col("_metadata.row_index").alias("__mor_pos"),
+            )
+        dfs.append(df)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
+    if dels:
+        dl = spark.read.schema("dfile STRING, dpos BIGINT").parquet(
+            *[os.path.join(root, e["path"]) for e in dels]
+        )
+        out = out.join(
+            dl,
+            (F.col("__mor_file") == dl.dfile)
+            & (F.col("__mor_pos") == dl.dpos),
+            "left_anti",
+        )
+    if (dels or with_meta) and not with_meta:
+        out = out.drop("__mor_file", "__mor_pos")
     return out
 
 
@@ -857,6 +894,12 @@ def merge(
         )
         new_files = _write_data_files(merged, root, key=key, partition_by=pcol)
         try:
+            # untouched entries' recorded row counts do not know about
+            # a merge-on-read overlay — subtract the per-file deleted
+            # counts so the manifest `rows` stays exact; the overlay
+            # itself carries forward (stale entries for rewritten
+            # files are no-ops: basenames are fresh uuids)
+            mor_del = _mor_deleted_counts(man)
             new_man: dict[str, Any] = {
                 "version": base_v + 1,
                 "key": key,
@@ -864,11 +907,17 @@ def merge(
                 "schema": merged.schema.json(),
                 "files": untouched + new_files,
                 "rows": merged.count()
-                + sum(f.get("rows", 0) for f in untouched),
+                + sum(
+                    f.get("rows", 0)
+                    - mor_del.get(os.path.basename(f["path"]), 0)
+                    for f in untouched
+                ),
                 "parent": base_v,
                 "rewrote_files": len(touched),
                 "carried_files": len(untouched),
             }
+            if man.get("deletes"):
+                new_man["deletes"] = man["deletes"]
             if pcol is not None:
                 new_man["partition_by"] = pcol
             if staged:
@@ -946,6 +995,8 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
         "rows": man.get("rows", 0) + df.count(),
         "parent": base_v,
     }
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
     if pcol is not None:
         new_man["partition_by"] = pcol
     _publish(root, base_v + 1, new_man)
@@ -995,39 +1046,35 @@ def _hit_file_split(
     decremented the published row metadata (ADVICE r6 #1). Any hit URI
     that resolves to no manifest entry now raises instead of silently
     dropping the file from the rewrite set."""
+    # Hit files identified by the parquet reader's own _metadata
+    # basename (via _read_paths with_meta) rather than
+    # input_file_name(): basenames are writer-generated uuids, so the
+    # match is path-scheme/symlink/escaping-independent (the whole
+    # ADVICE r6 #1 class by construction), and — unlike
+    # input_file_name(), which Spark refuses over multi-source plans —
+    # it survives the merge-on-read anti-join (so match counts are
+    # post-overlay, never re-counting already-deleted rows).
     df = _read_paths(
         spark, root, man,
         [os.path.join(root, f["path"]) for f in man["files"]],
+        with_meta=True,
     )
     hits = (
         df.filter(predicate)
-        .groupBy(F.input_file_name().alias("_file"))
+        .groupBy(F.col("__mor_file").alias("_file"))
         .count()
         .collect()
     )
-    import urllib.parse as _up
-
-    def _norm_uri(u: str) -> str:
-        # input_file_name yields file:-scheme URIs whose %-escaped
-        # partition dirs are escaped AGAIN ('%3A' -> '%253A');
-        # one unquote recovers the on-disk path exactly
-        if u.startswith("file:"):
-            u = _up.unquote(_up.urlparse(u).path)
-        return os.path.realpath(u)
-
-    by_real = {
-        os.path.realpath(os.path.join(root, f["path"])): f["path"]
-        for f in man["files"]
-    }
-    hit_real = {_norm_uri(r["_file"]) for r in hits}
-    unknown = hit_real - by_real.keys()
+    by_base = {os.path.basename(f["path"]): f["path"] for f in man["files"]}
+    hit_base = {r["_file"] for r in hits}
+    unknown = hit_base - by_base.keys()
     if unknown:
         raise RuntimeError(
             f"predicate scan hit file(s) outside the manifest at {root}: "
-            f"{sorted(unknown)[:3]} — path-scheme mismatch would silently "
+            f"{sorted(unknown)[:3]} — basename mismatch would silently "
             "no-op the rewrite"
         )
-    hit_paths = {by_real[p] for p in hit_real}
+    hit_paths = {by_base[b] for b in hit_base}
     touched = [f for f in man["files"] if f["path"] in hit_paths]
     untouched = [f for f in man["files"] if f["path"] not in hit_paths]
     return touched, untouched, sum(r["count"] for r in hits)
@@ -1078,6 +1125,151 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         "rows": max(0, int(man.get("rows", 0)) - int(deleted_rows)),
         "parent": base_v,
         "predicate": predicate,
+    }
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def _mor_deleted_counts(man: dict) -> dict:
+    """basename -> rows removed by merge-on-read delete entries. Used
+    by writers that carry untouched file entries forward to keep the
+    manifest `rows` metadata exact (a file entry's recorded row count
+    does not know about the overlay)."""
+    out: dict[str, int] = {}
+    for e in man.get("deletes") or []:
+        for bn, c in (e.get("targets") or {}).items():
+            out[bn] = out.get(bn, 0) + int(c)
+    return out
+
+
+def delete_where_mor(spark: SparkSession, root: str, predicate: str) -> int:
+    """Transactional DELETE, MERGE-ON-READ (Iceberg v2 positional
+    deletes): instead of rewriting the touched data files (the
+    delete_where copy-on-write path), commit a small parquet DELETE
+    FILE of (file basename, row position) pairs; every data file
+    carries into the new snapshot path-identical and every reader
+    applies the overlay as an anti-join (_read_paths). The write cost
+    is proportional to the DELETED ROWS, not the touched files — the
+    shape Iceberg/Delta deletion vectors use for frequent small
+    deletes (GDPR erasure trickle, event retractions) where CoW write
+    amplification dominates. compact_deletes() folds the overlay back
+    into plain files when read amplification grows.
+
+    Same SQL DELETE semantics as delete_where: rows delete iff the
+    predicate is TRUE (NULL/UNKNOWN survive); positions are captured
+    AFTER applying any existing overlay, so re-deleting an
+    already-deleted row can never double-count."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    entries = list(man.get("deletes") or [])
+    n = 0
+    if man["files"]:
+        hits = (
+            _read_paths(
+                spark, root, man,
+                [os.path.join(root, f["path"]) for f in man["files"]],
+                with_meta=True,
+            )
+            .filter(f"({predicate})")
+            .select(
+                F.col("__mor_file").alias("dfile"),
+                F.col("__mor_pos").alias("dpos"),
+            )
+        )
+        staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        import pyarrow.parquet as pq
+
+        del_dir = os.path.join(root, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+            meta_rows = pq.ParquetFile(part).metadata.num_rows
+            if meta_rows == 0:
+                continue
+            tbl = pq.read_table(part, columns=["dfile"])
+            import collections
+
+            targets = collections.Counter(tbl.column(0).to_pylist())
+            final = os.path.join(del_dir, f"{uuid.uuid4().hex}.parquet")
+            os.replace(part, final)
+            entries.append(
+                {
+                    "path": os.path.relpath(final, root),
+                    "rows": int(meta_rows),
+                    "targets": {bn: int(c) for bn, c in targets.items()},
+                }
+            )
+            n += int(meta_rows)
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "delete_mor",
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": man["files"],
+        "rows": max(0, int(man.get("rows", 0)) - n),
+        "parent": base_v,
+        "predicate": predicate,
+        "deletes": entries,
+        "deleted_rows": n,
+    }
+    if man.get("partition_by") is not None:
+        new_man["partition_by"] = man["partition_by"]
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def compact_deletes(spark: SparkSession, root: str) -> int:
+    """Fold the merge-on-read delete overlay back into plain data
+    files (Iceberg's rewrite_position_delete_files + data-file
+    rewrite, reduced to one maintenance op): rewrite ONLY the data
+    files some delete entry targets (reads apply the overlay, so the
+    rewrite materializes the surviving rows), carry every untargeted
+    file path-identical, and publish a snapshot with no ``deletes``.
+    Read amplification returns to zero; the overlay parquet files age
+    out via vacuum once their referencing manifests expire."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    entries = man.get("deletes") or []
+    if not entries:
+        return base_v  # idempotent no-op
+    targeted = set()
+    for e in entries:
+        targeted.update((e.get("targets") or {}).keys())
+    touched = [
+        f for f in man["files"] if os.path.basename(f["path"]) in targeted
+    ]
+    untouched = [
+        f for f in man["files"] if os.path.basename(f["path"]) not in targeted
+    ]
+    pcol = man.get("partition_by")
+    new_files = untouched
+    if touched:
+        survivors = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in touched],
+        )
+        new_files = untouched + _write_data_files(
+            survivors, root, key=man["key"], partition_by=pcol
+        )
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "compact_deletes",
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": new_files,
+        "rows": man.get("rows", 0),
+        "parent": base_v,
+        "resolved_delete_files": len(entries),
     }
     if pcol is not None:
         new_man["partition_by"] = pcol
@@ -1219,6 +1411,8 @@ def update_where(
         "predicate": predicate,
         "updated_rows": int(n_updated),
     }
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
     if pcol is not None:
         new_man["partition_by"] = pcol
     _publish(root, base_v + 1, new_man)
@@ -1256,22 +1450,28 @@ def vacuum(
     keep = set(versions[-keep_versions:]) if versions else set()
     live: set[str] = set()
     for v in keep:
-        for f in _read_manifest(root, v)["files"]:
+        kept_man = _read_manifest(root, v)
+        for f in kept_man["files"]:
             live.add(os.path.normpath(os.path.join(root, f["path"])))
+        for e in kept_man.get("deletes") or []:
+            live.add(os.path.normpath(os.path.join(root, e["path"])))
     # staged (Write-Audit-Publish) snapshots count as live until
     # explicitly published or aborted — an audit may outlast any grace
     # window, so its files must never age out from under it
     for apath in glob.glob(os.path.join(root, ".audit-*.json")):
         try:
             with open(apath) as fh:
-                for f in json.load(fh)["files"]:
-                    live.add(os.path.normpath(os.path.join(root, f["path"])))
-        except (OSError, ValueError):
+                aman = json.load(fh)
+            for f in aman["files"]:
+                live.add(os.path.normpath(os.path.join(root, f["path"])))
+            for e in aman.get("deletes") or []:
+                live.add(os.path.normpath(os.path.join(root, e["path"])))
+        except (OSError, ValueError, KeyError):
             continue  # mid-write or corrupt: leave its files to the grace rule
     deleted = []
     for p in glob.glob(
         os.path.join(root, "data", "**", "*.parquet"), recursive=True
-    ):
+    ) + glob.glob(os.path.join(root, "deletes", "*.parquet")):
         if os.path.normpath(p) not in live and not _young(p):
             os.remove(p)
             deleted.append(p)
@@ -1352,6 +1552,8 @@ def evolve_partition_spec(
         "parent": base_v,
         "previous_partition_by": old_pcol,
     }
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
     if man.get("schema") is not None:
         new_man["schema"] = man["schema"]
     if new_partition_by is not None:
@@ -1492,11 +1694,18 @@ def compact(
         "operation": "compact",
         "schema": table_schema.json(),
         "files": keep + new_files,
-        "rows": sum(f.get("rows", 0) for f in keep + new_files),
+        # visible rows are invariant under compaction; with a
+        # merge-on-read overlay the kept entries' recorded counts
+        # overstate, so trust the running total instead of recounting
+        "rows": man.get("rows", 0)
+        if man.get("deletes")
+        else sum(f.get("rows", 0) for f in keep + new_files),
         "parent": base_v,
         "compacted_files": len(grouped_paths),
         "produced_files": len(new_files),
     }
+    if man.get("deletes"):
+        new_man["deletes"] = man["deletes"]
     if pcol is not None:
         new_man["partition_by"] = pcol
     _publish(root, base_v + 1, new_man)
@@ -1733,6 +1942,62 @@ def table_changes(
             .unionByName(post)
             .withColumn("_commit_version", F.lit(v))
         )
+        # MERGE-ON-READ deletes: a delete_mor commit changes no data
+        # files (the file diff above is empty), so surface its delta
+        # from the DELETE-ENTRY diff instead — the pre-image rows are
+        # read from v's data files under the PARENT overlay (so rows
+        # already deleted earlier can't reappear), semi-joined against
+        # the entries v added.
+        prev_man = None if v == 1 else _read_manifest(root, v - 1)
+        prev_del_paths = {
+            e["path"]
+            for e in ((prev_man.get("deletes") if prev_man else None) or [])
+        }
+        new_dels = [
+            e
+            for e in man.get("deletes") or []
+            if e["path"] not in prev_del_paths
+        ]
+        if new_dels:
+            man_pre = dict(man)
+            man_pre["deletes"] = [
+                e
+                for e in man.get("deletes") or []
+                if e["path"] in prev_del_paths
+            ]
+            tgt = set()
+            for e in new_dels:
+                tgt.update((e.get("targets") or {}).keys())
+            tgt_paths = [
+                os.path.join(root, f["path"])
+                for f in man["files"]
+                if os.path.basename(f["path"]) in tgt
+            ]
+            if tgt_paths:
+                pre_img = _read_paths(
+                    spark, root, man_pre, tgt_paths, with_meta=True
+                )
+                dl_new = spark.read.schema("dfile STRING, dpos BIGINT").parquet(
+                    *[os.path.join(root, e["path"]) for e in new_dels]
+                )
+                hit = pre_img.join(
+                    dl_new,
+                    (pre_img["__mor_file"] == dl_new.dfile)
+                    & (pre_img["__mor_pos"] == dl_new.dpos),
+                    "semi",
+                ).drop("__mor_file", "__mor_pos")
+                for fld in full.fields:
+                    if fld.name not in hit.columns:
+                        hit = hit.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                mor_delta = hit.select(
+                    *[fld.name for fld in full.fields]
+                ).select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                ).withColumn("_commit_version", F.lit(v))
+                delta = delta.unionByName(mor_delta)
         out = delta if out is None else out.unionByName(delta)
     return out
 

@@ -1,0 +1,191 @@
+"""Merge-on-read positional deletes (Iceberg v2 semantics) for the
+acid table format: delete files instead of file rewrites, overlay
+applied at every reader entry point, compact_deletes folds it back,
+vacuum protects referenced overlay files, CDF surfaces MoR deletes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from etl_arcgis_spark import acid
+
+
+def _mk(spark, tmp_path, name="mor", n=10):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i * 10, f"v{i}") for i in range(1, n + 1)], "id INT, x INT, v STRING"
+    ).coalesce(2)
+    acid.create(spark, root, df, key="id")
+    return root
+
+
+def test_mor_delete_files_not_rewritten(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    files_v1 = sorted(f["path"] for f in acid._read_manifest(root, 1)["files"])
+    v = acid.delete_where_mor(spark, root, "x >= 70")
+    assert v == 2
+    man = acid._read_manifest(root, 2)
+    # data files carried PATH-IDENTICAL — the whole point of MoR
+    assert sorted(f["path"] for f in man["files"]) == files_v1
+    assert len(man["deletes"]) == 1
+    assert man["deletes"][0]["rows"] == 4
+    assert man["rows"] == 6
+    got = sorted(r.id for r in acid.read(spark, root).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    # time travel: v1 still sees everything
+    assert acid.read(spark, root, 1).count() == 10
+
+
+def test_mor_null_predicate_rows_survive(spark, tmp_path):
+    root = str(tmp_path / "mornull")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 100)], "id INT, x INT"
+    ).coalesce(1)
+    acid.create(spark, root, df, key="id")
+    acid.delete_where_mor(spark, root, "x > 50")
+    got = sorted(r.id for r in acid.read(spark, root).collect())
+    assert got == [1, 2]  # NULL predicate -> row survives (SQL DELETE)
+
+
+def test_mor_no_double_count_on_redelete(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    acid.delete_where_mor(spark, root, "x >= 70")
+    v = acid.delete_where_mor(spark, root, "x >= 50")  # overlaps prior
+    man = acid._read_manifest(root, v)
+    # positions captured AFTER the existing overlay: only ids 5, 6 new
+    assert man["deleted_rows"] == 2
+    assert man["rows"] == 4
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [1, 2, 3, 4]
+
+
+def test_mor_compact_deletes_roundtrip(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    acid.delete_where_mor(spark, root, "id IN (2, 4)")
+    before = sorted((r.id, r.x, r.v) for r in acid.read(spark, root).collect())
+    v = acid.compact_deletes(spark, root)
+    man = acid._read_manifest(root, v)
+    assert not man.get("deletes")
+    assert man["rows"] == 8
+    after = sorted((r.id, r.x, r.v) for r in acid.read(spark, root).collect())
+    assert after == before
+    # idempotent no-op when nothing to compact
+    assert acid.compact_deletes(spark, root) == v
+
+
+def test_mor_compact_rewrites_only_targeted_files(spark, tmp_path):
+    root = str(tmp_path / "mortgt")
+    # two files with disjoint id ranges; delete only touches file 1
+    df1 = spark.createDataFrame([(i, i) for i in range(1, 6)], "id INT, x INT").coalesce(1)
+    acid.create(spark, root, df1, key="id")
+    df2 = spark.createDataFrame([(i, i) for i in range(10, 16)], "id INT, x INT").coalesce(1)
+    acid.append(spark, root, df2)
+    acid.delete_where_mor(spark, root, "id = 3")
+    man_pre = acid._read_manifest(root, acid.current_version(root))
+    targeted = set()
+    for e in man_pre["deletes"]:
+        targeted.update(e["targets"].keys())
+    untargeted_paths = {
+        f["path"]
+        for f in man_pre["files"]
+        if os.path.basename(f["path"]) not in targeted
+    }
+    assert untargeted_paths  # the second file is untouched
+    v = acid.compact_deletes(spark, root)
+    man_post = acid._read_manifest(root, v)
+    # untargeted files carried path-identical through the compaction
+    assert untargeted_paths <= {f["path"] for f in man_post["files"]}
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [
+        1, 2, 4, 5, 10, 11, 12, 13, 14, 15,
+    ]
+
+
+def test_mor_interleaves_with_cow_ops(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    acid.delete_where_mor(spark, root, "id = 1")
+    # append: overlay carries, new rows visible
+    acid.append(spark, root, spark.createDataFrame([(11, 110, "v11")], "id INT, x INT, v STRING"))
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == list(range(2, 12))
+    man = acid._read_manifest(root, acid.current_version(root))
+    assert man["rows"] == 10 and man.get("deletes")
+    # merge updating an UNDELETED key: rows metadata stays exact
+    src = spark.createDataFrame([(5, 500, "upd")], "id INT, x INT, v STRING")
+    acid.merge(spark, root, src)
+    man = acid._read_manifest(root, acid.current_version(root))
+    assert man["rows"] == 10
+    got = {r.id: r.x for r in acid.read(spark, root).collect()}
+    assert got[5] == 500 and 1 not in got
+    # CoW update_where on the MoR table: overlay still applies after
+    acid.update_where(spark, root, "id = 2", {"x": "999"})
+    got = {r.id: r.x for r in acid.read(spark, root).collect()}
+    assert got[2] == 999 and 1 not in got and len(got) == 10
+    # CoW delete_where: counts post-overlay, overlay carried
+    acid.delete_where(spark, root, "id IN (1, 3)")  # 1 already MoR-deleted
+    man = acid._read_manifest(root, acid.current_version(root))
+    assert man["rows"] == 9
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [
+        2, 4, 5, 6, 7, 8, 9, 10, 11,
+    ]
+
+
+def test_mor_partitioned_table(spark, tmp_path):
+    root = str(tmp_path / "morpart")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 1.0) for i in range(1, 9)],
+        "id INT, p STRING, x DOUBLE",
+    )
+    acid.create(spark, root, df, key="id", partition_by="p")
+    acid.delete_where_mor(spark, root, "x >= 6.0")
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [1, 2, 3, 4, 5]
+    # partition-pruned read applies the overlay too (single chokepoint)
+    got = sorted(r.id for r in acid.read_partition(spark, root, ["p1"]).collect())
+    assert got == [1, 3, 5]
+
+
+def test_mor_vacuum_protects_then_collects(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    acid.delete_where_mor(spark, root, "id = 1")
+    # referenced overlay file survives even grace-0 vacuum
+    deleted = acid.vacuum(root, grace_seconds=0.0)
+    assert glob.glob(os.path.join(root, "deletes", "*.parquet"))
+    assert acid.read(spark, root).count() == 9
+    # compact + two more versions -> the overlay's referencing
+    # manifests expire (keep_versions=2), grace-0 vacuum collects it
+    acid.compact_deletes(spark, root)
+    acid.append(spark, root, spark.createDataFrame([(21, 1, "a")], "id INT, x INT, v STRING"))
+    acid.append(spark, root, spark.createDataFrame([(22, 2, "b")], "id INT, x INT, v STRING"))
+    deleted = acid.vacuum(root, grace_seconds=0.0)
+    assert any(os.sep + "deletes" + os.sep in p for p in deleted)
+    assert glob.glob(os.path.join(root, "deletes", "*.parquet")) == []
+    assert acid.read(spark, root).count() == 11
+
+
+def test_mor_cdf_emits_delete_rows(spark, tmp_path):
+    root = _mk(spark, tmp_path, n=6)
+    acid.delete_where_mor(spark, root, "id IN (2, 5)")
+    ch = acid.table_changes(spark, root, 1).collect()
+    dels = sorted(
+        (r.id, r._commit_version) for r in ch if r._change_type == "delete"
+    )
+    assert dels == [(2, 2), (5, 2)]
+    # pre-image content is the deleted row, not a null shell
+    by_id = {r.id: r for r in ch if r._change_type == "delete"}
+    assert by_id[2].x == 20 and by_id[2].v == "v2"
+    # a second MoR delete only emits ITS OWN rows (parent overlay
+    # excluded from the pre-image)
+    acid.delete_where_mor(spark, root, "id <= 3")
+    ch2 = acid.table_changes(spark, root, 2).collect()
+    dels2 = sorted(r.id for r in ch2 if r._change_type == "delete")
+    assert dels2 == [1, 3]  # id 2 already deleted at v2
+
+
+def test_mor_restore_brings_overlay_back(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    acid.delete_where_mor(spark, root, "id = 1")       # v2
+    acid.compact_deletes(spark, root)                  # v3: overlay folded
+    acid.restore(spark, root, 2)                       # v4 = v2's state
+    man = acid._read_manifest(root, 4)
+    assert man.get("deletes")
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == list(range(2, 11))
