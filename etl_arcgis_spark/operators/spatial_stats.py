@@ -2768,3 +2768,106 @@ def spatial_avg_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(d_obs / d_exp).alias("ann_ratio"),
         r4((d_obs - d_exp) / se).alias("z_score"),
     )
+
+
+_HEX_R = 2.0  # hex circumradius (degrees) — cells well above jitter scale
+_SQRT3_3 = 0.5773502691896257  # sqrt(3)/3 as a shared 17-digit literal
+
+
+def _hex_stage1() -> str:
+    """Fractional axial coords (pointy-top hexes, Red Blob Games'
+    standard axial/cube algebra): identical text on both engines."""
+    return (
+        f"({_SQRT3_3!r} * lon - lat / 3) / {_HEX_R!r} AS qf, "
+        f"(2 * lat / 3) / {_HEX_R!r} AS rf"
+    )
+
+
+def _hex_stage2() -> str:
+    """Cube rounding, tie-free floor(x+0.5) spelling. All inputs are
+    bit-identical doubles cross-engine (dyadic jitter + IEEE ops with
+    literal constants), so every comparison lands identically."""
+    return """
+  CAST(floor(qf + 0.5) AS BIGINT) AS q1,
+  CAST(floor(rf + 0.5) AS BIGINT) AS r1,
+  CAST(floor((-qf - rf) + 0.5) AS BIGINT) AS s1,
+  abs(floor(qf + 0.5) - qf) AS dq,
+  abs(floor(rf + 0.5) - rf) AS dr,
+  abs(floor((-qf - rf) + 0.5) - (-qf - rf)) AS ds
+"""
+
+
+def _hex_stage3() -> str:
+    return """
+  CASE WHEN dq > dr AND dq > ds THEN -r1 - s1 ELSE q1 END AS hq,
+  CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q1 - s1 ELSE r1 END AS hr
+"""
+
+
+@query(
+    "spatial_hex_tessellation",
+    oracle=f"""
+WITH p AS ({_JP_SQL}),
+a AS (SELECT k, lon, lat, {_hex_stage1()} FROM p),
+b AS (SELECT k, qf, rf, {_hex_stage2()} FROM a),
+c AS (SELECT k, {_hex_stage3()} FROM b),
+j AS (
+  SELECT c.hq, c.hr, cu.c_acctbal
+  FROM c JOIN customer cu ON cu.c_custkey = c.k
+)
+SELECT hq, hr,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM j
+GROUP BY hq, hr
+""",
+)
+def spatial_hex_tessellation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C181: Generate Tessellation (hexagon bin) + Summarize — the
+    ArcGIS hex-binning pair (hexagons tile with uniform neighbor
+    distance, the preferred aggregation cell for point density maps;
+    squares/quadkeys are C155). Points map to axial hex coordinates
+    (pointy-top, circumradius {_HEX_R}) and snap via CUBE ROUNDING:
+    round each cube component, then repair the one with the largest
+    rounding error so q + r + s = 0 stays invariant — the standard
+    exact algorithm, spelled with the tie-free floor(x+0.5) formula.
+
+    Determinism: jittered-lattice coords are bit-identical doubles on
+    both engines (dyadic md5 jitter, IEEE ops, literal constants —
+    sqrt(3)/3 embedded as a 17-digit literal, never computed), so
+    every rounding-error comparison and the final (hq, hr) agree
+    exactly; outputs are BIGINT cells, counts, and money cents via the
+    floor(x*100 + 0.5) spelling (a bare double->BIGINT cast truncates
+    on one engine and rounds on the other — SURVEY 5.3.8).
+
+    Scale: projection + ONE map-side-combined hash aggregate on the
+    cell key — the same shape as the C155 quadkey rollup; no pair
+    join, no window, no Python."""
+    p = _jittered_points(spark, sf_dir)
+    a = p.select(
+        "k",
+        "x",
+        F.expr(f"({_SQRT3_3!r} * lon - lat / 3) / {_HEX_R!r}").alias("qf"),
+        F.expr(f"(2 * lat / 3) / {_HEX_R!r}").alias("rf"),
+    )
+    b = a.select("k", "x", "qf", "rf", *[
+        F.expr(e.strip().rsplit(" AS ", 1)[0]).alias(
+            e.strip().rsplit(" AS ", 1)[1]
+        )
+        for e in _hex_stage2().strip().split(",\n")
+    ])
+    c = b.select(
+        "k",
+        "x",
+        F.expr(
+            "CASE WHEN dq > dr AND dq > ds THEN -r1 - s1 ELSE q1 END"
+        ).alias("hq"),
+        F.expr(
+            "CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds"
+            " THEN -q1 - s1 ELSE r1 END"
+        ).alias("hr"),
+    )
+    return c.groupBy("hq", "hr").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(F.expr("CAST(floor(x * 100 + 0.5) AS BIGINT)")).alias("sum_cents"),
+    )
