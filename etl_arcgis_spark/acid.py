@@ -357,6 +357,13 @@ def _write_data_files(
 
 
 def _publish(root: str, version: int, manifest: dict[str, Any]) -> None:
+    import time as _time
+
+    # commit wall-clock stamp (Delta/Iceberg commit info): the basis of
+    # timestamp time travel (version_as_of). Set HERE so every writer —
+    # including restore(), which clones an old manifest dict — gets a
+    # fresh stamp.
+    manifest["committed_at"] = _time.time()
     tmp = os.path.join(root, f".manifest-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -459,18 +466,22 @@ def _read_paths(
     come from the parquet reader's ``_metadata.row_index``.
     ``with_meta=True`` keeps the (__mor_file, __mor_pos) columns in
     the output — the position-capture path of delete_where_mor."""
-    data_dir = os.path.join(root, "data")
+    def _layout_of(p: str) -> tuple[str | None, str | None]:
+        # a file's physical layout is readable from its own path — the
+        # parent dir is <col>=<val> iff the file is Hive-partitioned
+        # (column names cannot contain '='; data file basenames are
+        # uuids). Returns (partition column, basePath for recovery).
+        # Path-shape detection (not root-relative) keeps this correct
+        # for EXTERNAL entries too: a shallow clone references the
+        # source table's files outside this root, and table_changes
+        # passes removed files from the parent snapshot.
+        d = os.path.dirname(os.path.normpath(p))
+        last = os.path.basename(d)
+        if "=" in last:
+            return last.split("=", 1)[0], os.path.dirname(d)
+        return None, None
 
-    def _layout_of(p: str) -> str | None:
-        # a file's physical layout is readable from its own path —
-        # data/<col>=<val>/... — which stays correct even for paths
-        # from a DIFFERENT manifest than ``man`` (table_changes diffs
-        # pass removed files from the parent snapshot)
-        head = os.path.dirname(os.path.relpath(os.path.normpath(p), data_dir))
-        first = head.split(os.sep, 1)[0] if head else ""
-        return first.split("=", 1)[0] if "=" in first else None
-
-    groups: dict[str | None, list[str]] = {}
+    groups: dict[tuple[str | None, str | None], list[str]] = {}
     for p in paths:
         groups.setdefault(_layout_of(p), []).append(p)
     # Pin the read schema from the manifest whenever it carries one:
@@ -489,15 +500,15 @@ def _read_paths(
         pinned = StructType.fromJson(json.loads(man["schema"]))
     dels = man.get("deletes") or []
     dfs = []
-    for spec in sorted(groups, key=str):
+    for spec, base in sorted(groups, key=str):
         reader = spark.read
         if pinned is not None:
             reader = reader.schema(pinned)
         else:  # legacy manifest without a schema: footer merging
             reader = reader.option("mergeSchema", "true")
         if spec is not None:
-            reader = reader.option("basePath", os.path.join(root, "data"))
-        df = reader.parquet(*groups[spec])
+            reader = reader.option("basePath", base)
+        df = reader.parquet(*groups[(spec, base)])
         if dels or with_meta:
             # hidden metadata cols must be projected per group, BEFORE
             # the unionByName (union output carries no hidden columns)
@@ -1132,6 +1143,83 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         new_man["partition_by"] = pcol
     _publish(root, base_v + 1, new_man)
     return base_v + 1
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the latest
+    snapshot committed at or before the given unix time. Commit stamps
+    are written by _publish, so every snapshot has one; a table whose
+    first commit is after ``ts`` has no as-of state and raises."""
+    best = None
+    for v in _list_versions(root):
+        c = _read_manifest(root, v).get("committed_at")
+        if c is not None and c <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {root} committed at or before {ts}"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
+    """read() at the snapshot current as of unix time ``ts``."""
+    return read(spark, root, version_as_of(root, ts))
+
+
+def clone(spark: SparkSession, src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE (Delta's CLONE, Iceberg snapshot-ref flavor): a
+    new table whose v1 manifest references the SOURCE's current data
+    (and merge-on-read delete) files by relative path — zero data IO,
+    instant fork. Copy-on-write then diverges naturally: a merge or
+    delete on the clone rewrites only its touched files INTO THE
+    CLONE's data dir, the rest keep pointing at the source. Reads
+    handle external entries because layout detection is path-shape
+    based (_read_paths), and clone-side vacuum only sweeps the clone's
+    own data dir, never the source's.
+
+    Delta's documented shallow-clone hazard applies identically: a
+    VACUUM on the SOURCE that expires files the clone still references
+    breaks the clone. Compact (or fully rewrite) the clone to make it
+    self-contained before retiring source snapshots."""
+    src_v = current_version(src_root)
+    if src_v is None:
+        raise FileNotFoundError(f"no snapshot at {src_root}")
+    if current_version(dst_root) is not None:
+        raise ValueError(f"table already exists at {dst_root}")
+    man = _read_manifest(src_root, src_v)
+    os.makedirs(dst_root, exist_ok=True)
+
+    def _rel(rel_to_src: str) -> str:
+        return os.path.relpath(
+            os.path.join(os.path.abspath(src_root), rel_to_src),
+            os.path.abspath(dst_root),
+        )
+
+    files = []
+    for f in man["files"]:
+        e = dict(f)
+        e["path"] = _rel(f["path"])
+        files.append(e)
+    new_man: dict[str, Any] = {
+        "version": 1,
+        "key": man["key"],
+        "operation": "clone",
+        "schema": man.get("schema")
+        or read(spark, src_root, src_v).schema.json(),
+        "files": files,
+        "rows": man.get("rows", 0),
+        "cloned_from": os.path.abspath(src_root),
+        "cloned_version": src_v,
+    }
+    if man.get("deletes"):
+        new_man["deletes"] = [
+            {**e, "path": _rel(e["path"])} for e in man["deletes"]
+        ]
+    if man.get("partition_by") is not None:
+        new_man["partition_by"] = man["partition_by"]
+    _publish(dst_root, 1, new_man)
+    return 1
 
 
 def _mor_deleted_counts(man: dict) -> dict:
