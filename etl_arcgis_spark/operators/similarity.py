@@ -1551,3 +1551,221 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("dcg") / idcg).alias("ndcg10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C182: deterministic Lloyd k-means (round 8).
+
+_KM_K = 8        # clusters
+_KM_ITERS = 3    # unrolled Lloyd iterations
+_KM_SCALE = 1000  # vector quantization scale
+_KM_D = 64       # embedding dimensionality (fixture contract)
+_KM_HEX = "0123456789abcdef"
+
+
+def _km_dist(qv: str, cv: str, engine: str) -> str:
+    """Squared distance between BIGINT vector ``qv`` and double
+    centroid ``cv`` — a sequential fold in INDEX ORDER on both engines,
+    so given bit-identical inputs the double accumulation is
+    bit-identical too (no reordering surface)."""
+    if engine == "spark":
+        return (
+            f"aggregate(sequence(0, {_KM_D - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + (CAST({qv}[i] AS DOUBLE) - {cv}[i])"
+            f" * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))"
+        )
+    return (
+        f"list_sum(list_transform(range(0, {_KM_D}), "
+        f"i -> (CAST({qv}[i + 1] AS DOUBLE) - {cv}[i + 1])"
+        f" * (CAST({qv}[i + 1] AS DOUBLE) - {cv}[i + 1])))"
+    )
+
+
+def _km_argmin(engine: str) -> str:
+    """(cid, d2) of the nearest centroid from the in-row ``cents``
+    array — sort by (distance, cid): the cid tiebreak makes equal-
+    distance assignments deterministic."""
+    if engine == "spark":
+        return (
+            "array_sort(transform(cents, c -> named_struct("
+            f"'d', {_km_dist('qv', 'c.cvec', 'spark')}, 'cid', c.cid)))[0]"
+        )
+    return (
+        "(list_sort(list_transform(cents, c -> "
+        f"{{'d': {_km_dist('qv', 'c.cvec', 'duck')}, 'cid': c.cid}})))[1]"
+    )
+
+
+def _km_oracle() -> str:
+    h = "md5(CAST(vec_id AS VARCHAR))"
+    bucket = (
+        f"((strpos('{_KM_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + strpos('{_KM_HEX}', substr({h}, 2, 1)) - 1) % {_KM_K}"
+    )
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv,
+         {bucket} AS bucket, {h} AS h
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(bucket AS BIGINT) AS cid,
+         list_transform(arg_min(qv, h), x -> CAST(x AS DOUBLE)) AS cvec
+  FROM q GROUP BY bucket
+),
+ca0 AS (SELECT list({{'cid': cid, 'cvec': cvec}}) AS cents FROM c0)"""
+    ]
+    prev = "ca0"
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+e{t} AS (
+  SELECT q.vec_id, q.label, q.qv, ({_km_argmin('duck')}).cid AS cid
+  FROM q, {prev}
+),
+x{t} AS (
+  SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val
+  FROM e{t}
+),
+m{t} AS (
+  SELECT cid, pos, sum(val) AS s, count(*) AS c
+  FROM x{t} GROUP BY cid, pos
+),
+c{t} AS (
+  SELECT cid,
+         list_transform(list({{'s': s, 'c': c}} ORDER BY pos),
+                        e -> CAST(e.s AS DOUBLE) / e.c) AS cvec
+  FROM m{t} GROUP BY cid
+),
+ca{t} AS (SELECT list({{'cid': cid, 'cvec': cvec}}) AS cents FROM c{t})"""
+        )
+        prev = f"ca{t}"
+    parts.append(
+        f""",
+fin AS (
+  SELECT q.vec_id, q.label,
+         ({_km_argmin('duck')}).cid AS cid,
+         ({_km_argmin('duck')}).d AS d2
+  FROM q, {prev}
+),
+agg AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         round(sum(d2) / count(*), 4) AS avg_d2
+  FROM fin GROUP BY cid
+),
+lab AS (
+  SELECT cid, label, CAST(count(*) AS BIGINT) AS ln,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY count(*) DESC, label ASC) AS rn
+  FROM fin GROUP BY cid, label
+)
+SELECT agg.cid, agg.n_vectors,
+       CAST(lab.label AS BIGINT) AS top_label, lab.ln AS top_label_n,
+       agg.avg_d2
+FROM agg JOIN lab ON lab.cid = agg.cid AND lab.rn = 1"""
+    )
+    return "".join(parts)
+
+
+@query("ml_kmeans_clusters", oracle=_km_oracle())
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C182: Lloyd k-means over the embeddings table (k={_KM_K},
+    {_KM_ITERS} unrolled iterations) — THE corpus-clustering primitive
+    of a training-data pipeline (topic balancing, mixture reweighting,
+    per-cluster sampling; also ArcGIS's attribute-space "Grouping
+    Analysis"). Emits per-cluster size, majority label (+ count — a
+    purity readout against the fixture's generative labels) and mean
+    within-cluster squared distance.
+
+    DETERMINISM (the reason a float-iterative algorithm can carry an
+    exact oracle): vectors quantize to integers (floor(x*1000+0.5) on
+    bit-identical doubles), so every M-step sum is an EXACT BIGINT
+    regardless of accumulation order, every centroid component is ONE
+    IEEE division of exact integers (bit-identical on both engines),
+    and every E-step distance folds in fixed index order — so
+    assignments, including ties (cid tiebreak), are cross-engine
+    EXACT through all iterations. Seeds are the min-md5 vector of
+    each of 8 md5 buckets (one hash aggregate, no global sort).
+
+    Scale: per iteration, one posexplode + map-side-combined hash
+    aggregate (n x 64 rows) for the M-step and one 8-row broadcast
+    for the E-step; the embeddings scan repeats per iteration (an
+    honest multi-pass — iterative ML on a 100 TB corpus would cache
+    the quantized vectors, and each pass is embarrassingly parallel).
+    Empty clusters drop out identically on both engines."""
+    hexes = _KM_HEX
+    h = F.md5(F.col("vec_id").cast("string"))
+    bucket = (
+        (
+            (F.instr(F.lit(hexes), F.substring(h, 1, 1)) - 1) * 16
+            + F.instr(F.lit(hexes), F.substring(h, 2, 1))
+            - 1
+        )
+        % _KM_K
+    ).cast("bigint")
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qv"),
+        bucket.alias("bucket"),
+        h.alias("h"),
+    )
+    c0 = q.groupBy(F.col("bucket").alias("cid")).agg(
+        F.expr("transform(min_by(qv, h), x -> CAST(x AS DOUBLE))").alias(
+            "cvec"
+        )
+    )
+    cents = c0.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("cents")
+    )
+    for _t in range(_KM_ITERS):
+        e = q.crossJoin(F.broadcast(cents)).withColumn(
+            "cid", F.expr(_km_argmin("spark") + ".cid")
+        )
+        m = (
+            e.select("cid", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+        )
+        c_t = m.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'pos', pos, 's', s, 'c', c))), "
+                "e -> CAST(e.s AS DOUBLE) / e.c)"
+            ).alias("cvec")
+        )
+        cents = c_t.agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cents")
+        )
+    fin = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("best", F.expr(_km_argmin("spark")))
+        .select("vec_id", "label", F.col("best.cid").alias("cid"),
+                F.col("best.d").alias("d2"))
+    )
+    agg = fin.groupBy("cid").agg(
+        F.count("*").alias("n_vectors"),
+        r4(F.sum("d2") / F.count("*")).alias("avg_d2"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("ln").desc(), F.col("label").asc()
+    )
+    lab = (
+        fin.groupBy("cid", "label")
+        .agg(F.count("*").alias("ln"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return agg.join(lab, "cid").select(
+        "cid",
+        "n_vectors",
+        F.col("label").cast("bigint").alias("top_label"),
+        F.col("ln").alias("top_label_n"),
+        "avg_d2",
+    )
