@@ -2642,3 +2642,122 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(v1.cast("double") / v).alias("hapax_ratio"),
         r4(F.log(v.cast("double")) / F.log(n.cast("double"))).alias("herdan_c"),
     )
+
+
+_QM_SCORE = "CAST(n_chars AS DOUBLE) / (1 + size(split(text, ' ')))"
+_QM_SCORE_DUCK = "CAST(n_chars AS DOUBLE) / (1 + len(string_split(text, ' ')))"
+
+
+@query(
+    "text_quantile_map_scores",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {_QM_SCORE_DUCK} AS score FROM documents
+),
+a AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d WHERE source <> 'src0'
+),
+ref AS (
+  SELECT score AS v,
+         row_number() OVER (ORDER BY score ASC, doc_id ASC) - 1 AS idx,
+         count(*) OVER () AS nr
+  FROM d WHERE source = 'src0'
+),
+pos AS (
+  SELECT doc_id, source, score,
+         CASE WHEN n = 1 THEN 0.0
+              ELSE CAST(rk - 1 AS DOUBLE) / (n - 1) END
+         * (SELECT max(nr) - 1 FROM ref) AS p
+  FROM a
+),
+ip AS (
+  SELECT doc_id, source, score, p,
+         CAST(floor(p) AS BIGINT) AS lo_i,
+         CAST(least(floor(p) + 1,
+                    (SELECT max(nr) - 1 FROM ref)) AS BIGINT) AS hi_i
+  FROM pos
+)
+SELECT ip.doc_id, ip.source,
+       round(ip.score, 4) AS score,
+       round(rl.v + (ip.p - ip.lo_i) * (rh.v - rl.v), 4) AS mapped
+FROM ip
+JOIN ref rl ON rl.idx = ip.lo_i
+JOIN ref rh ON rh.idx = ip.hi_i
+""",
+)
+def text_quantile_map_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C183: cross-source QUANTILE MAPPING — align every source's
+    quality-score distribution onto a reference source's (the
+    domain-adaptation / bias-correction transform: a threshold tuned
+    on the reference then applies to every source without per-source
+    re-tuning; same mechanics as climate-model quantile-mapping bias
+    correction). Each doc's within-source quantile p = (rank-1)/(n-1)
+    is looked up in the reference's order statistics with linear
+    interpolation between the two bracketing values.
+
+    Determinism: the score is an exact-integer ratio (chars per
+    token), ranks are exact (value + doc_id tiebreak), p and the
+    interpolation are identical IEEE arithmetic on identical doubles.
+
+    Scale: per-source rank windows (partitioned), then two equi-joins
+    against the reference's order statistics — a table the size of
+    ONE source, broadcast; nothing global ever sorts."""
+    from pyspark.sql import Window as _W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_QM_SCORE).alias("score")
+    )
+    wsrc = _W.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    a = (
+        d.filter(F.col("source") != "src0")
+        .withColumn("rk", F.row_number().over(wsrc))
+        .withColumn("n", F.count("*").over(_W.partitionBy("source")))
+    )
+    ref = (
+        d.filter(F.col("source") == "src0")
+        .withColumn("idx", F.row_number().over(wsrc) - 1)
+        .withColumn("nr", F.count("*").over(_W.partitionBy("source")))
+        .select(F.col("score").alias("v"), "idx", "nr")
+    )
+    nr1 = ref.agg(F.max("nr").alias("nr")).select(
+        (F.col("nr") - 1).alias("ref_max")
+    )
+    pos = a.crossJoin(F.broadcast(nr1)).select(
+        "doc_id",
+        "source",
+        "score",
+        (
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rk") - 1).cast("double") / (F.col("n") - 1)
+            )
+            * F.col("ref_max")
+        ).alias("p"),
+        F.col("ref_max"),
+    )
+    ip = pos.select(
+        "doc_id",
+        "source",
+        "score",
+        "p",
+        F.floor("p").cast("bigint").alias("lo_i"),
+        F.least(F.floor("p") + 1, F.col("ref_max")).cast("bigint").alias(
+            "hi_i"
+        ),
+    )
+    rl = ref.select(F.col("idx").alias("lo_i"), F.col("v").alias("vl"))
+    rh = ref.select(F.col("idx").alias("hi_i"), F.col("v").alias("vh"))
+    out = ip.join(F.broadcast(rl), "lo_i").join(F.broadcast(rh), "hi_i")
+    return out.select(
+        "doc_id",
+        "source",
+        r4(F.col("score")).alias("score"),
+        r4(
+            F.col("vl") + (F.col("p") - F.col("lo_i")) * (F.col("vh") - F.col("vl"))
+        ).alias("mapped"),
+    )

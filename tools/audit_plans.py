@@ -79,6 +79,7 @@ NLJ_OK = {
     "graph_triangle_count",      # 1-row edge/node-count broadcast
     "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
     "ml_kmeans_clusters",        # 4 x 1-row 8-centroid broadcast combines (unrolled Lloyd E-steps)
+    "text_quantile_map_scores",  # 1-row reference-size broadcast prices the quantile positions
     "dedup_semantic_buckets",    # k-row (8) seed-vector broadcast cross join
     "sample_temperature_mix",    # 1-row grand-total + 1-row partition-fn Z broadcasts
     "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
