@@ -1281,3 +1281,137 @@ HAVING count(DISTINCT o_orderpriority) =
 """,
         ("orders",),
     )
+
+
+# C184: longest-prefix-match CIDR join (round 8).
+_LPM_LENS = (8, 16, 24)
+# Knuth multiplicative hash -> synthetic 32-bit IP per event (exact
+# BIGINT arithmetic on both engines; no md5 ladder needed)
+_LPM_IP = "(event_id * 2654435761) % 4294967296"
+
+
+def _lpm_mask(ip: str, length: int, engine: str) -> str:
+    div = "DIV" if engine == "spark" else "//"
+    block = 1 << (32 - length)
+    return f"(({ip}) {div} {block}) * {block}"
+
+
+def _lpm_cidr_sql(engine: str) -> str:
+    """Nested CIDR dimension from the nation table: per nation a /8,
+    a /16 inside it, and a /24 inside that — so probes match 0-3
+    prefixes and LPM must actually pick the deepest."""
+    rows = []
+    for ln in _LPM_LENS:
+        base = "CAST((n_nationkey * 10 + 1) % 256 AS BIGINT) * 16777216"
+        net = {
+            8: base,
+            16: f"{base} + CAST(n_nationkey % 256 AS BIGINT) * 65536",
+            24: (
+                f"{base} + CAST(n_nationkey % 256 AS BIGINT) * 65536"
+                f" + CAST((n_nationkey * 7) % 256 AS BIGINT) * 256"
+            ),
+        }[ln]
+        rows.append(
+            f"SELECT n_name AS net_label, CAST({ln} AS BIGINT) AS pfx_len, "
+            f"CAST({net} AS BIGINT) AS net FROM nation"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "join_ip_cidr_lpm",
+    oracle=f"""
+WITH cidr AS ({_lpm_cidr_sql('duck')}),
+probe AS (
+  SELECT event_id, CAST({_LPM_IP} AS BIGINT) AS ip FROM events
+),
+cand AS (
+  SELECT p.event_id, c.net_label, c.pfx_len
+  FROM probe p
+  JOIN cidr c
+    ON c.pfx_len = 8  AND {_lpm_mask('p.ip', 8, 'duck')} = c.net
+  UNION ALL
+  SELECT p.event_id, c.net_label, c.pfx_len
+  FROM probe p
+  JOIN cidr c
+    ON c.pfx_len = 16 AND {_lpm_mask('p.ip', 16, 'duck')} = c.net
+  UNION ALL
+  SELECT p.event_id, c.net_label, c.pfx_len
+  FROM probe p
+  JOIN cidr c
+    ON c.pfx_len = 24 AND {_lpm_mask('p.ip', 24, 'duck')} = c.net
+),
+best AS (
+  SELECT event_id, max(pfx_len) AS pfx_len,
+         arg_max(net_label, pfx_len) AS net_label
+  FROM cand GROUP BY event_id
+)
+SELECT net_label, pfx_len, CAST(count(*) AS BIGINT) AS n_events
+FROM best GROUP BY net_label, pfx_len
+""",
+)
+def join_ip_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C184: LONGEST-PREFIX-MATCH CIDR enrichment — the geo-IP /
+    network-allowlist join every log-ETL runs (map an IP to the most
+    specific announcing prefix). The naive spelling is a theta join on
+    "ip BETWEEN net_lo AND net_hi" with a per-IP argmax; the scalable
+    spelling used here is the standard LPM decomposition: explode the
+    probe by the DISTINCT PREFIX LENGTHS present (3 here; <= 32 ever),
+    mask the IP to each length, EQUI-join (broadcast — a CIDR table is
+    dimension-sized), and keep the longest match per probe with one
+    max_by aggregate. Every operation is exact BIGINT arithmetic
+    (multiplicative-hash IPs, power-of-two masks via integer
+    division); ties are impossible (one net per (nation, length)).
+
+    Scale: shuffle-free broadcast equi-joins + one hash aggregate on
+    event_id (map-side combinable); 3x probe fan-out is the price of
+    replacing an unbounded range join — exactly how BigQuery/Trino
+    docs recommend spelling ip_trie lookups in pure SQL."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.expr(f"CAST({_LPM_IP} AS BIGINT)").alias("ip")
+    )
+    na = table(spark, sf_dir, "nation")
+    cidr = None
+    for ln in _LPM_LENS:
+        base = "CAST((n_nationkey * 10 + 1) % 256 AS BIGINT) * 16777216"
+        net = {
+            8: base,
+            16: f"{base} + CAST(n_nationkey % 256 AS BIGINT) * 65536",
+            24: (
+                f"{base} + CAST(n_nationkey % 256 AS BIGINT) * 65536"
+                f" + CAST((n_nationkey * 7) % 256 AS BIGINT) * 256"
+            ),
+        }[ln]
+        part = na.select(
+            F.col("n_name").alias("net_label"),
+            F.lit(ln).cast("bigint").alias("pfx_len"),
+            F.expr(f"CAST({net} AS BIGINT)").alias("net"),
+        )
+        cidr = part if cidr is None else cidr.unionAll(part)
+    lens = ",".join(str(x) for x in _LPM_LENS)
+    probe = ev.select(
+        "event_id",
+        F.explode(F.expr(f"array({lens})")).alias("pfx_len"),
+        "ip",
+    ).withColumn(
+        "masked",
+        F.expr(
+            "CASE pfx_len "
+            + " ".join(
+                f"WHEN {ln} THEN {_lpm_mask('ip', ln, 'spark')}"
+                for ln in _LPM_LENS
+            )
+            + " END"
+        ),
+    )
+    cand = probe.join(
+        F.broadcast(cidr),
+        (probe.pfx_len == cidr.pfx_len) & (probe.masked == cidr.net),
+    ).select("event_id", "net_label", probe.pfx_len.alias("plen"))
+    best = cand.groupBy("event_id").agg(
+        F.max("plen").alias("pfx_len"),
+        F.expr("max_by(net_label, plen)").alias("net_label"),
+    )
+    return best.groupBy("net_label", "pfx_len").agg(
+        F.count("*").alias("n_events")
+    )
