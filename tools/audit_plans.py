@@ -80,6 +80,7 @@ NLJ_OK = {
     "window_pct_of_total",       # 1-row grand-total broadcast (not empty OVER())
     "ml_kmeans_clusters",        # 4 x 1-row 8-centroid broadcast combines (unrolled Lloyd E-steps)
     "text_quantile_map_scores",  # 1-row reference-size broadcast prices the quantile positions
+    "stats_theil_decomposition",  # 1-row moment + 5-row group-sum broadcast combines
     "dedup_semantic_buckets",    # k-row (8) seed-vector broadcast cross join
     "sample_temperature_mix",    # 1-row grand-total + 1-row partition-fn Z broadcasts
     "text_bm25_score",           # 1-row corpus stats (N, avgdl) broadcast
