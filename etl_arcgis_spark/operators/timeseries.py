@@ -2160,3 +2160,97 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("bness")).alias("avg_burstiness"),
         r4(F.avg("mem")).alias("avg_memory"),
     )
+
+
+_HOLT_A = 0.5   # level smoothing (alpha)
+_HOLT_B = 0.25  # trend smoothing (beta) — exact binary fractions
+_HOLT_H = 7     # forecast horizon (observation steps)
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT user_id, epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+         sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, list(y ORDER BY day_us) AS ys
+  FROM d GROUP BY user_id
+),
+s2 AS (SELECT user_id, ys, len(ys) AS n FROM s WHERE len(ys) >= 3),
+walk AS (
+  SELECT user_id, ys, n, 2 AS i,
+         ys[2] AS l, ys[2] - ys[1] AS b
+  FROM s2
+  UNION ALL
+  SELECT user_id, ys, n, i + 1,
+         {_HOLT_A!r} * ys[i + 1] + {1 - _HOLT_A!r} * (l + b) AS l,
+         {_HOLT_B!r} * (({_HOLT_A!r} * ys[i + 1] + {1 - _HOLT_A!r} * (l + b)) - l)
+           + {1 - _HOLT_B!r} * b AS b
+  FROM walk WHERE i < n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + {_HOLT_H} * b, 4) AS forecast_h7
+FROM walk WHERE i = n
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C186: Holt linear-trend (double exponential) smoothing per user
+    over the daily-sum series — the trend-aware sibling of the EWMA
+    smoother (C-family ts_ewma_halflife) and the level+trend state
+    behind short-horizon forecasting (Holt 1957):
+
+      l_t = a*y_t + (1-a)(l_{{t-1}} + b_{{t-1}})
+      b_t = B(l_t - l_{{t-1}}) + (1-B) b_{{t-1}}
+
+    initialized l_2 = y_2, b_2 = y_2 - y_1, forecast y^ = l_T + h*b_T.
+    A recursion no window frame can express: spelled as an IN-ROW
+    aggregate() fold over the user's day-ordered series (<= 31
+    elements — calendar-bounded), with the identical recursion
+    replayed by the oracle as a recursive CTE.
+
+    Determinism: a = 0.5 and B = 0.25 are exact binary fractions; the
+    day sums carry only group-sum order noise (~1e-13 relative), the
+    branch-free fold cannot amplify it (contraction), and both engines
+    fold in identical day order — r4 sits ~7 orders above the noise.
+
+    Scale: one map-side-combined day aggregate, one per-user
+    collect_list bounded by the calendar, zero Python, no window at
+    all (the fold IS the state machine)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (ev_us() - ev_us() % 86_400_000_000).alias("day_us"),
+        "value",
+    )
+    d = ev.groupBy("user_id", "day_us").agg(F.sum("value").alias("y"))
+    s = d.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct"
+            "('day_us', day_us, 'y', y))), e -> e.y)"
+        ).alias("ys")
+    ).filter(F.size("ys") >= 3)
+    a, b1 = repr(_HOLT_A), repr(1 - _HOLT_A)
+    bb, b2 = repr(_HOLT_B), repr(1 - _HOLT_B)
+    fold = f"""
+aggregate(
+  slice(ys, 3, size(ys) - 2),
+  named_struct('l', ys[1], 'b', ys[1] - ys[0]),
+  (st, y) -> named_struct(
+    'l', {a} * y + {b1} * (st.l + st.b),
+    'b', {bb} * (({a} * y + {b1} * (st.l + st.b)) - st.l) + {b2} * st.b))
+"""
+    out = s.select(
+        "user_id",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.expr(fold).alias("st"),
+    )
+    return out.select(
+        "user_id",
+        "n_days",
+        r4(F.col("st.l")).alias("level"),
+        r4(F.col("st.b")).alias("trend"),
+        r4(F.col("st.l") + _HOLT_H * F.col("st.b")).alias("forecast_h7"),
+    )
