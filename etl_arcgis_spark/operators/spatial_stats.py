@@ -2871,3 +2871,107 @@ def spatial_hex_tessellation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pts"),
         F.sum(F.expr("CAST(floor(x * 100 + 0.5) AS BIGINT)")).alias("sum_cents"),
     )
+
+
+_LOF_K = 3
+_LOF_BAND = 6.0   # >= 4*sqrt(2): jittered keys k+-1..3 stay in-band, so
+                  # every point's true 3rd NN is inside the band
+_LOF_ORACLE_BAND = 10.0  # oracle prefilter, strictly wider on purpose
+
+
+@query(
+    "spatial_lof_outliers",
+    oracle=f"""
+WITH p AS MATERIALIZED ({_JP_SQL}),
+pr AS (
+  SELECT a.k AS src, b.k AS nbr,
+         sqrt((a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)) AS d
+  FROM p a JOIN p b
+    ON a.k <> b.k
+   AND a.lon - b.lon BETWEEN -{_LOF_ORACLE_BAND} AND {_LOF_ORACLE_BAND}
+   AND a.lat - b.lat BETWEEN -{_LOF_ORACLE_BAND} AND {_LOF_ORACLE_BAND}
+),
+rk AS (
+  SELECT src, nbr, d,
+         row_number() OVER (PARTITION BY src ORDER BY d, nbr) AS r
+  FROM pr
+),
+knn AS (SELECT src, nbr, d FROM rk WHERE r <= {_LOF_K}),
+kd AS (SELECT src, max(d) AS kdist FROM knn GROUP BY src),
+reach AS (
+  SELECT knn.src, knn.nbr, greatest(kb.kdist, knn.d) AS rd
+  FROM knn JOIN kd kb ON kb.src = knn.nbr
+),
+lrd AS (SELECT src, {_LOF_K} / sum(rd) AS lrd FROM reach GROUP BY src),
+lof AS (
+  SELECT knn.src, sum(ln.lrd) / ({_LOF_K} * la.lrd) AS lof
+  FROM knn
+  JOIN lrd ln ON ln.src = knn.nbr
+  JOIN lrd la ON la.src = knn.src
+  GROUP BY knn.src, la.lrd
+)
+SELECT lof.src AS k, round(kd.kdist, 4) AS kdist,
+       round(lrd.lrd, 4) AS lrd, round(lof.lof, 4) AS lof
+FROM lof JOIN kd ON kd.src = lof.src JOIN lrd ON lrd.src = lof.src
+""",
+)
+def spatial_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C187: Local Outlier Factor (Breunig et al., SIGMOD 2000) — the
+    canonical density-ratio anomaly detector (points whose local
+    density is low RELATIVE to their neighbors' score > 1), over the
+    jittered point layer with k = {_LOF_K}:
+
+      kdist(b)   = distance to b's k-th neighbor
+      reach(a,b) = max(kdist(b), d(a,b))
+      lrd(a)     = k / sum_b reach(a,b)
+      LOF(a)     = mean_b lrd(b) / lrd(a)
+
+    Plan: the C148 grid-blocked kNN (WindowGroupLimit rank <= k), then
+    two equi-joins that ship the k-distances and lrds back along the
+    kNN edges — every stage is key-partitioned, nothing global. The
+    {_LOF_BAND}-degree band provably contains every point's true 3rd
+    NN (keys k±1..±3 sit within 4*sqrt(2) after jitter); the oracle
+    deliberately uses a WIDER {_LOF_ORACLE_BAND}-degree brute pass so
+    engine agreement re-proves the bound rather than assuming it.
+    Distances are identical doubles cross-engine (bit-identical
+    coords, sqrt correctly rounded); the 3-term reach/lrd sums carry
+    ulp-order noise ~12 orders under the r4 grid."""
+    p = _jittered_points(spark, sf_dir)
+    und = _band_pairs(p, _LOF_BAND, _LOF_BAND * _LOF_BAND)
+    pr = und.select(
+        F.col("ka").alias("src"), F.col("kb").alias("nbr"), "d2"
+    ).unionAll(
+        und.select(F.col("kb").alias("src"), F.col("ka").alias("nbr"), "d2")
+    ).withColumn("d", F.sqrt("d2"))
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("nbr").asc())
+    knn = (
+        pr.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _LOF_K)
+        .select("src", "nbr", "d")
+    )
+    kd = knn.groupBy("src").agg(F.max("d").alias("kdist"))
+    reach = knn.join(
+        kd.select(F.col("src").alias("nbr"), F.col("kdist").alias("kdist_b")),
+        "nbr",
+    ).select("src", "nbr", F.greatest("kdist_b", "d").alias("rd"))
+    lrd = reach.groupBy("src").agg(
+        (F.lit(_LOF_K) / F.sum("rd")).alias("lrd")
+    )
+    lof = (
+        knn.join(
+            lrd.select(F.col("src").alias("nbr"), F.col("lrd").alias("lrd_b")),
+            "nbr",
+        )
+        .join(lrd, "src")
+        .groupBy("src", "lrd")
+        .agg((F.sum("lrd_b") / (_LOF_K * F.first("lrd"))).alias("lof"))
+    )
+    return (
+        lof.join(kd, "src")
+        .select(
+            F.col("src").alias("k"),
+            r4(F.col("kdist")).alias("kdist"),
+            r4(F.col("lrd")).alias("lrd"),
+            r4(F.col("lof")).alias("lof"),
+        )
+    )
