@@ -2830,23 +2830,43 @@ def stats_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-11 against the 1e-4 grid (the 5.3.1 magnitude check), and ln's
     per-row ulp noise is 12 orders below the grid.
 
-    Scale: two map-side-combined aggregates (global + per-group) plus
-    bounded 1-row/5-row broadcast combines; nothing sorts, nothing
-    pairs."""
+    Scale: exactly TWO data passes — group moments, then one joined
+    pass that aggregates the per-group AND global terms together (the
+    global moments derive exactly from the 5-row group table, and the
+    cross-row combines are unbounded-frame windows over that same
+    5-row table, the single-scan spelling of the BH-FDR lesson);
+    nothing sorts, nothing pairs."""
+    # TWO data passes total (the multi-reference re-plan lesson: a
+    # naive tot/g1/gt/direct spelling re-scans orders 10x): pass 1
+    # builds the 5-row group moments; the GLOBAL moments derive from
+    # those exactly (sum of group sums); pass 2 joins mu_g and mu back
+    # via one 5-row broadcast and aggregates BOTH the per-group and
+    # the global Theil terms in the same map-side-combined aggregate.
     x = table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("double").alias("v"),
-    )
-    tot = x.agg(
-        F.count("*").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("mu")
     )
     g1 = x.groupBy("grp").agg(
         F.count("*").alias("n_g"),
         F.sum("v").alias("s_g"),
         F.avg("v").alias("mu_g"),
     )
-    gt = (
-        x.join(F.broadcast(g1.select("grp", "mu_g")), "grp")
+    from pyspark.sql import Window as _W
+
+    wall = _W.rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    gm = g1.select(
+        "grp",
+        "n_g",
+        "s_g",
+        "mu_g",
+        (F.sum("s_g").over(wall) / F.sum("n_g").over(wall)).alias("mu"),
+        F.sum("s_g").over(wall).alias("s"),
+        F.sum("n_g").over(wall).alias("n"),
+    )
+    both = (
+        x.join(F.broadcast(gm), "grp")
         .groupBy("grp")
         .agg(
             (
@@ -2855,42 +2875,39 @@ def stats_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.log(F.col("v") / F.col("mu_g"))
                 )
                 / F.count("*")
-            ).alias("t_g")
+            ).alias("t_g"),
+            F.sum(
+                (F.col("v") / F.col("mu")) * F.log(F.col("v") / F.col("mu"))
+            ).alias("tot_term"),
         )
     )
-    g = g1.join(gt, "grp")
-    direct = (
-        x.crossJoin(F.broadcast(tot))
-        .agg(
-            (
-                F.sum((F.col("v") / F.col("mu")) * F.log(F.col("v") / F.col("mu")))
-                / F.max("n")
-            ).alias("t_total")
-        )
-    )
-    parts = g.crossJoin(F.broadcast(tot)).select(
+    parts = both.join(F.broadcast(gm), "grp").select(
         "grp",
         "n_g",
         "t_g",
+        "tot_term",
+        F.col("n"),
         (F.col("s_g") / F.col("s")).alias("share_x"),
         ((F.col("s_g") / F.col("s")) * F.log(F.col("mu_g") / F.col("mu"))).alias(
             "between_g"
         ),
         ((F.col("s_g") / F.col("s")) * F.col("t_g")).alias("within_g"),
     )
-    sums = parts.agg(
-        F.sum("between_g").alias("tb"), F.sum("within_g").alias("tw")
+    sums = parts.select(
+        "grp",
+        "n_g",
+        "t_g",
+        "share_x",
+        F.sum("between_g").over(wall).alias("tb"),
+        F.sum("within_g").over(wall).alias("tw"),
+        (F.sum("tot_term").over(wall) / F.col("n")).alias("t_total"),
     )
-    return (
-        parts.crossJoin(F.broadcast(sums))
-        .crossJoin(F.broadcast(direct))
-        .select(
-            "grp",
-            "n_g",
-            r4(F.col("t_g")).alias("theil_g"),
-            r4(F.col("share_x")).alias("share_x"),
-            r4(F.col("tb")).alias("theil_between"),
-            r4(F.col("tw")).alias("theil_within"),
-            r4(F.col("t_total")).alias("theil_total"),
-        )
+    return sums.select(
+        "grp",
+        "n_g",
+        r4(F.col("t_g")).alias("theil_g"),
+        r4(F.col("share_x")).alias("share_x"),
+        r4(F.col("tb")).alias("theil_between"),
+        r4(F.col("tw")).alias("theil_within"),
+        r4(F.col("t_total")).alias("theil_total"),
     )

@@ -2935,7 +2935,14 @@ def spatial_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine agreement re-proves the bound rather than assuming it.
     Distances are identical doubles cross-engine (bit-identical
     coords, sqrt correctly rounded); the 3-term reach/lrd sums carry
-    ulp-order noise ~12 orders under the r4 grid."""
+    ulp-order noise ~12 orders under the r4 grid.
+
+    Plan note: the kNN edge table is referenced by four downstream
+    joins, and Catalyst re-plans shared subtrees per reference (the
+    C157 lesson) — at fixture scale the repeated bounded pair-gen
+    scans are cheap and honest; a 100 TB deployment would checkpoint
+    the kNN table once (one narrow (src, nbr, d) materialization) and
+    every stage after it is edge-keyed equi-join work."""
     p = _jittered_points(spark, sf_dir)
     und = _band_pairs(p, _LOF_BAND, _LOF_BAND * _LOF_BAND)
     pr = und.select(

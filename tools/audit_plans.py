@@ -129,6 +129,7 @@ NLJ_OK = {
 # sort that kills a 100 TB job (use scale_patterns.bucketed_global_rank
 # / bucketed_running_sums instead; see the four round-4 rewrites).
 WINDOW_BOUNDED_OK = {
+    "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
     "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
     "analytics_pareto_frontier": "phase-2 merge over per-bucket skyline survivors (bounded by bucket count x frontier size)",
