@@ -189,3 +189,49 @@ def test_mor_restore_brings_overlay_back(spark, tmp_path):
     man = acid._read_manifest(root, 4)
     assert man.get("deletes")
     assert sorted(r.id for r in acid.read(spark, root).collect()) == list(range(2, 11))
+
+
+def test_mor_with_staged_wap_merge(spark, tmp_path):
+    """Interplay: a Write-Audit-Publish staged merge on a table with a
+    MoR overlay must carry the deletes into the audit manifest (the
+    staged snapshot is overlay-correct when audited AND when
+    published), and vacuum must protect the overlay while staged."""
+    root = str(tmp_path / "morwap")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 6)], "id INT, v STRING"
+    ).coalesce(1)
+    acid.create(spark, root, df, key="id")
+    acid.delete_where_mor(spark, root, "id = 2")
+    token = acid.merge(
+        spark, root,
+        spark.createDataFrame([(9, "nine")], "id INT, v STRING"),
+        staged=True,
+    )
+    staged = sorted(r.id for r in acid.read_staged(spark, root, token).collect())
+    assert staged == [1, 3, 4, 5, 9]  # overlay applied in the audit read
+    assert acid.vacuum(root, grace_seconds=0.0) == [] or all(
+        "deletes" not in p for p in acid.vacuum(root, grace_seconds=0.0)
+    )
+    acid.publish_staged(root, token)
+    got = sorted(r.id for r in acid.read(spark, root).collect())
+    assert got == [1, 3, 4, 5, 9]
+    assert acid._read_manifest(root, acid.current_version(root)).get("deletes")
+
+
+def test_mor_zorder_resolves_overlay(spark, tmp_path):
+    """Interplay: OPTIMIZE ZORDER rewrites every file (reads apply the
+    overlay), so the new snapshot needs no deletes and reads equal."""
+    root = str(tmp_path / "morz")
+    df = spark.createDataFrame(
+        [(i, i % 5, i * 2, "x") for i in range(1, 21)],
+        "id INT, a INT, b INT, v STRING",
+    ).coalesce(2)
+    acid.create(spark, root, df, key="id")
+    acid.delete_where_mor(spark, root, "id IN (3, 7, 11)")
+    before = sorted(r.id for r in acid.read(spark, root).collect())
+    v = acid.compact_zorder(spark, root, ("a", "b"))
+    man = acid._read_manifest(root, v)
+    assert not man.get("deletes")
+    assert man["rows"] == 17
+    after = sorted(r.id for r in acid.read(spark, root).collect())
+    assert after == before == [i for i in range(1, 21) if i not in (3, 7, 11)]

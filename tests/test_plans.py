@@ -1000,3 +1000,86 @@ def test_hilbert_curve_bijective_unit_steps(spark):
         abs(by_d[d][0] - by_d[d + 1][0]) + abs(by_d[d][1] - by_d[d + 1][1]) == 1
         for d in range(1023)
     )  # every curve step is a unit step
+
+
+def test_geometry_precision_single_agg(spark):
+    """etl_geometry_precision: one scan, one hash aggregate on the
+    5-value segment key — map-side combinable, no window/Python."""
+    p = plan_of(spark, "etl_geometry_precision")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_utm_reproject_no_exchange(spark):
+    """geo_reproject_utm: pure codegen series math — no Exchange, no
+    Python, single scan."""
+    p = plan_of(spark, "geo_reproject_utm")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_hex_tessellation_single_agg_no_pairs(spark):
+    """spatial_hex_tessellation: projection + ONE cell-keyed hash
+    aggregate — the C155 quadkey shape; no join at all."""
+    p = plan_of(spark, "spatial_hex_tessellation")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_ann_ratio_no_cartesian_no_python(spark):
+    """spatial_avg_nearest_neighbor: grid-blocked pair join + 1-row
+    broadcast combine — never a cartesian product."""
+    p = plan_of(spark, "spatial_avg_nearest_neighbor")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_cidr_lpm_broadcast_equi_join(spark):
+    """join_ip_cidr_lpm: the LPM decomposition must EQUI-join against
+    the broadcast CIDR dimension (never a range/nested-loop join) and
+    reduce map-side."""
+    p = plan_of(spark, "join_ip_cidr_lpm")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_theil_two_data_passes(spark):
+    """stats_theil_decomposition: the round-8 respell — at most 3
+    parquet scans (group-moment pass + fused term pass + the 5-row
+    re-planned moment subtree), down from 10 in the naive spelling."""
+    p = plan_of(spark, "stats_theil_decomposition")
+    import re
+    assert len(re.findall(r"Scan parquet", p)) <= 3, p
+    assert "CartesianProduct" not in p
+
+
+def test_holt_no_window_no_python(spark):
+    """ts_holt_linear: the recursion lives in an in-row fold — no
+    Window operator anywhere, no Python."""
+    p = plan_of(spark, "ts_holt_linear")
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_kmeans_broadcast_esteps_no_cartesian_data_join(spark):
+    """ml_kmeans_clusters: every E-step is a 1-row broadcast combine;
+    the only joins over DATA-sized relations are hash joins."""
+    p = plan_of(spark, "ml_kmeans_clusters")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_lof_window_group_limit_and_no_cartesian(spark):
+    """spatial_lof_outliers: the kNN stage keeps O(k) state per source
+    (WindowGroupLimit under rank <= 3) and candidates ride the
+    grid-blocked equi-join."""
+    p = plan_of(spark, "spatial_lof_outliers")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
