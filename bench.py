@@ -114,6 +114,7 @@ def main() -> None:
     # baseline).
     timings: dict[str, float] = {}
     n_jobs: dict[str, int] = {}
+    loadavg_mid: list[float] = []  # 1-min loadavg sampled after each query
     tracker = spark.sparkContext.statusTracker()
     for pass_i in range(2):
         for name in HEADLINE:
@@ -134,6 +135,7 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             med = round(statistics.median(runs), 4)
             timings[name] = min(timings.get(name, med), med)
+            loadavg_mid.append(round(os.getloadavg()[0], 2))
 
     # Local-mode floors, measured IN THIS RUN so the judge can verify
     # them. floor_job: rerun of a pre-built tiny plan (pure job-launch
@@ -209,6 +211,7 @@ def main() -> None:
                 "baseline_sec": BASELINE_SEC,
                 "floor_adjusted_ratio_vs_baseline": ratios,
                 "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+                "loadavg_mid": loadavg_mid,
                 "loadavg_post": [round(x, 2) for x in loadavg_post],
                 "n_cpus": os.cpu_count(),
             }

@@ -378,6 +378,21 @@ def _publish(root: str, version: int, manifest: dict[str, Any]) -> None:
         os.remove(tmp)
 
 
+def _check_reserved_cols(df: DataFrame, what: str) -> None:
+    """``__mor_file``/``__mor_pos`` are projected as hidden row-identity
+    metadata by _read_paths; a user table already carrying either name
+    would produce a duplicate-column DataFrame on MoR reads and the
+    post-overlay drop() would remove BOTH copies, corrupting reads.
+    Rejected at every ingest point (Delta reserves ``_change_type`` and
+    friends the same way)."""
+    bad = [c for c in df.columns if c.startswith("__mor_")]
+    if bad:
+        raise ValueError(
+            f"{what} uses reserved column name(s) {bad}: the '__mor_' "
+            "prefix is reserved for merge-on-read row-identity metadata"
+        )
+
+
 def create(
     spark: SparkSession,
     root: str,
@@ -392,6 +407,7 @@ def create(
     partitions before key-range stats even apply — the two-tier scan
     planning (partition summary, then file stats) that makes a 100 TB
     date/category-partitioned table affordable to update."""
+    _check_reserved_cols(df, "create()")
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise ValueError(f"table already exists at {root}")
@@ -798,6 +814,7 @@ def merge(
     conditions evaluate inside the join; instead carry them and drop
     via a follow-up column projection, or accept them as lineage
     columns, the Delta CDC-apply convention)."""
+    _check_reserved_cols(source, "merge() source")
     base_man = _read_manifest_or_raise(root)
     key0 = base_man["key"]
     chk = source.agg(
@@ -989,6 +1006,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
     file forward path-identical — no join, no rewrite, key duplicates
     allowed by design (event-log semantics; use merge() for keyed
     upsert). The cheapest possible commit: cost = new data only."""
+    _check_reserved_cols(df, "append()")
     base_v = current_version(root)
     if base_v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
@@ -1148,12 +1166,20 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
 def version_as_of(root: str, ts: float) -> int:
     """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the latest
     snapshot committed at or before the given unix time. Commit stamps
-    are written by _publish, so every snapshot has one; a table whose
-    first commit is after ``ts`` has no as-of state and raises."""
+    are written by _publish; manifests published before stamping
+    existed (pre-upgrade tables) fall back to the manifest file's
+    mtime — the publish hard-link's own timestamp, the same signal
+    Delta uses for commits without commitInfo. A table whose first
+    commit is after ``ts`` has no as-of state and raises."""
     best = None
     for v in _list_versions(root):
         c = _read_manifest(root, v).get("committed_at")
-        if c is not None and c <= ts:
+        if c is None:
+            try:
+                c = os.path.getmtime(_manifest_path(root, v))
+            except OSError:
+                continue
+        if c <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -1294,6 +1320,10 @@ def delete_where_mor(spark: SparkSession, root: str, predicate: str) -> int:
                 }
             )
             n += int(meta_rows)
+        # only part files were moved out; _SUCCESS/.crc/zero-row parts
+        # would otherwise accumulate under root forever (vacuum also
+        # sweeps aged .stage-* dirs as crash orphans)
+        shutil.rmtree(staging, ignore_errors=True)
     new_man = {
         "version": base_v + 1,
         "key": man["key"],
@@ -1573,9 +1603,10 @@ def vacuum(
             continue
         try:
             if os.path.isdir(tmp):
-                for f in glob.glob(os.path.join(tmp, "*")):
-                    os.remove(f)
-                os.rmdir(tmp)
+                # rmtree, not glob("*")+rmdir: Spark leaves DOTFILES
+                # (.part-*.crc, ._SUCCESS.crc) the glob misses, which
+                # made rmdir fail and the stage dir immortal
+                shutil.rmtree(tmp)
             else:
                 os.remove(tmp)
             deleted.append(tmp)
@@ -1943,10 +1974,11 @@ def table_changes(
     full = read(spark, root, v_to).schema  # widest schema in range
     out: DataFrame | None = None
     for v in range(v_from + 1, v_to + 1):
+        prev_man = None if v == 1 else _read_manifest(root, v - 1)
         prev = (
             set()
-            if v == 1
-            else {f["path"] for f in _read_manifest(root, v - 1)["files"]}
+            if prev_man is None
+            else {f["path"] for f in prev_man["files"]}
         )
         man = _read_manifest(root, v)
         key = man["key"]
@@ -1954,20 +1986,30 @@ def table_changes(
         added = sorted(cur - prev)
         removed = sorted(prev - cur)
 
-        def _read_files(paths: list[str]) -> DataFrame:
+        def _read_files(paths: list[str], side_man: dict[str, Any]) -> DataFrame:
             if not paths:
                 df = read(spark, root, v_to).limit(0)
             else:
                 df = _read_paths(
-                    spark, root, man, [os.path.join(root, p) for p in paths]
+                    spark, root, side_man,
+                    [os.path.join(root, p) for p in paths],
                 )
             for fld in full.fields:
                 if fld.name not in df.columns:
                     df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
             return df.select(*[fld.name for fld in full.fields])
 
-        after = _read_files(added)
-        before = _read_files(removed)
+        # added files read under the CHILD manifest's overlay; REMOVED
+        # files are the parent snapshot's rows, so they must read under
+        # the PARENT manifest's overlay. Reading the pre-image under the
+        # child is wrong exactly when the child RESOLVED the overlay
+        # (compact_deletes / zorder publish with no `deletes` key):
+        # rows already deleted by an earlier delete_where_mor would
+        # reappear in `before`, and a maintenance commit — which, like
+        # Delta CDF under OPTIMIZE, must emit NO changes — would emit
+        # phantom 'delete' events re-exposing erased row content.
+        after = _read_files(added, man)
+        before = _read_files(removed, prev_man if prev_man is not None else man)
         # append() deliberately admits duplicate merge keys, and a
         # duplicated key that lives on only ONE side of the diff is
         # still well-defined (each row is its own insert/delete). What
@@ -2036,7 +2078,6 @@ def table_changes(
         # read from v's data files under the PARENT overlay (so rows
         # already deleted earlier can't reappear), semi-joined against
         # the entries v added.
-        prev_man = None if v == 1 else _read_manifest(root, v - 1)
         prev_del_paths = {
             e["path"]
             for e in ((prev_man.get("deletes") if prev_man else None) or [])

@@ -235,3 +235,88 @@ def test_mor_zorder_resolves_overlay(spark, tmp_path):
     assert man["rows"] == 17
     after = sorted(r.id for r in acid.read(spark, root).collect())
     assert after == before == [i for i in range(1, 21) if i not in (3, 7, 11)]
+
+
+def test_cdf_emits_nothing_over_compact_deletes(spark, tmp_path):
+    """ADVICE r8 (high): the CDF pre-image must read removed files under
+    the PARENT manifest's overlay. compact_deletes publishes with no
+    `deletes` key, so a child-manifest read re-exposed rows already
+    deleted at the delete_mor commit as phantom 'delete' events — Delta
+    CDF emits NOTHING for OPTIMIZE/compaction commits."""
+    root = _mk(spark, tmp_path, name="cdfcomp")
+    acid.delete_where_mor(spark, root, "id IN (2, 5)")  # v2
+    v = acid.compact_deletes(spark, root)               # v3: maintenance
+    assert acid.table_changes(spark, root, 2, v).count() == 0
+    # the whole-range feed still carries exactly the v2 deletes once
+    ch = acid.table_changes(spark, root, 1, v).collect()
+    dels = sorted((r.id, r._commit_version) for r in ch if r._change_type == "delete")
+    assert dels == [(2, 2), (5, 2)]
+
+
+def test_cdf_emits_nothing_over_zorder_after_mor(spark, tmp_path):
+    root = str(tmp_path / "cdfz")
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 3) for i in range(1, 13)], "id INT, a INT, b INT"
+    ).coalesce(2)
+    acid.create(spark, root, df, key="id")
+    acid.delete_where_mor(spark, root, "id IN (4, 9)")  # v2
+    v = acid.compact_zorder(spark, root, ("a", "b"))    # v3 resolves overlay
+    assert acid.table_changes(spark, root, 2, v).count() == 0
+
+
+def test_mor_staging_dir_cleaned(spark, tmp_path):
+    """ADVICE r8 (low): delete_where_mor must not leave .stage-* dirs
+    (_SUCCESS, .crc, zero-row parts) behind under root."""
+    root = _mk(spark, tmp_path, name="stageclean")
+    acid.delete_where_mor(spark, root, "id >= 8")
+    assert glob.glob(os.path.join(root, ".stage-*")) == []
+
+
+def test_vacuum_sweeps_stage_dir_with_dotfiles(spark, tmp_path):
+    """ADVICE r8 (low): a crashed writer's .stage-* dir contains
+    DOTFILES (.part-*.crc); vacuum's old glob('*')+rmdir missed them
+    and the dir was immortal. rmtree collects it once aged."""
+    root = _mk(spark, tmp_path, name="stalestage")
+    stale = os.path.join(root, ".stage-deadbeef")
+    os.makedirs(stale)
+    for fn in ("_SUCCESS", ".part-0000.crc", "part-0000.parquet"):
+        with open(os.path.join(stale, fn), "w") as fh:
+            fh.write("x")
+    old = 0
+    os.utime(stale, (old, old))
+    deleted = acid.vacuum(root, grace_seconds=3600.0)
+    assert stale in deleted and not os.path.exists(stale)
+
+
+def test_version_as_of_mtime_fallback(spark, tmp_path):
+    """ADVICE r8 (low): manifests published before commit stamping
+    (no committed_at) fall back to the manifest file's mtime instead
+    of being invisible to timestamp travel."""
+    import json as _json
+    import time as _time
+
+    root = _mk(spark, tmp_path, name="asofold")
+    mp = acid._manifest_path(root, 1)
+    man = _json.load(open(mp))
+    del man["committed_at"]  # simulate a pre-upgrade manifest
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+    assert acid.version_as_of(root, _time.time() + 60) == 1
+    assert acid.read_as_of(spark, root, _time.time() + 60).count() == 10
+
+
+def test_reserved_mor_columns_rejected(spark, tmp_path):
+    """ADVICE r8 (low): user columns named __mor_* would collide with
+    the hidden row-identity metadata and corrupt MoR reads (the
+    post-overlay drop() removes BOTH copies) — rejected at create,
+    append and merge."""
+    import pytest
+
+    bad = spark.createDataFrame([(1, "a")], "id INT, __mor_file STRING")
+    with pytest.raises(ValueError, match="reserved"):
+        acid.create(spark, str(tmp_path / "resv1"), bad, key="id")
+    root = _mk(spark, tmp_path, name="resv2")
+    with pytest.raises(ValueError, match="reserved"):
+        acid.append(spark, root, bad)
+    with pytest.raises(ValueError, match="reserved"):
+        acid.merge(spark, root, bad)
