@@ -311,15 +311,31 @@ def _file_entry(final: str, root: str, key: str | None) -> dict[str, Any]:
     return entry
 
 
+def _next_seq(man: dict[str, Any], base_v: int) -> int:
+    """Next table-level DATA SEQUENCE NUMBER (Iceberg v2): a monotone
+    counter independent of snapshot version, carried in the manifest as
+    ``last_seq``. Equality deletes apply only to data files with a
+    STRICTLY LOWER sequence number, so a row re-inserted after (or by
+    the same commit as) an equality delete survives it. Version numbers
+    can't serve: clone/restore reset or reorder them while the seq
+    counter must stay monotone over the table's whole write history.
+    Pre-upgrade manifests lack last_seq — anchor at the version, and
+    their unstamped file entries read as seq 0 (oldest: every equality
+    delete applies to them, which is correct — they predate all)."""
+    return max(int(man.get("last_seq", 0)), base_v) + 1
+
+
 def _write_data_files(
     df: DataFrame,
     root: str,
     key: str | None = None,
     partition_by: str | None = None,
+    seq: int | None = None,
 ) -> list[dict[str, Any]]:
     """Write df as new immutable parquet files; return file entries
     (with per-file key min/max stats when ``key`` is given). Files are
-    invisible until a manifest references them.
+    invisible until a manifest references them. ``seq`` stamps the
+    entries' data sequence number (see _next_seq).
 
     With ``partition_by``, files land under Hive-style
     ``data/<col>=<val>/`` directories and each entry records its
@@ -336,7 +352,10 @@ def _write_data_files(
         for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
             final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
             os.replace(part, final)
-            entries.append(_file_entry(final, root, key))
+            e = _file_entry(final, root, key)
+            if seq is not None:
+                e["seq"] = seq
+            entries.append(e)
     else:
         df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
         for pdir in sorted(glob.glob(os.path.join(staging, f"{partition_by}=*"))):
@@ -351,6 +370,8 @@ def _write_data_files(
                 e["partition"] = pval
                 e["part_v"] = _PART_VERSION  # logical-value encoding stamp
                 e["spec"] = partition_by  # the layout col this file is nested under
+                if seq is not None:
+                    e["seq"] = seq
                 entries.append(e)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
@@ -385,11 +406,14 @@ def _check_reserved_cols(df: DataFrame, what: str) -> None:
     post-overlay drop() would remove BOTH copies, corrupting reads.
     Rejected at every ingest point (Delta reserves ``_change_type`` and
     friends the same way)."""
-    bad = [c for c in df.columns if c.startswith("__mor_")]
+    bad = [
+        c for c in df.columns if c.startswith("__mor_") or c.startswith("__eq_")
+    ]
     if bad:
         raise ValueError(
             f"{what} uses reserved column name(s) {bad}: the '__mor_' "
-            "prefix is reserved for merge-on-read row-identity metadata"
+            "and '__eq_' prefixes are reserved for merge-on-read "
+            "row-identity / equality-delete metadata"
         )
 
 
@@ -411,10 +435,10 @@ def create(
     os.makedirs(root, exist_ok=True)
     if current_version(root) is not None:
         raise ValueError(f"table already exists at {root}")
-    files = _write_data_files(df, root, key=key, partition_by=partition_by)
+    files = _write_data_files(df, root, key=key, partition_by=partition_by, seq=1)
     man: dict[str, Any] = {
         "version": 1, "key": key, "operation": "create", "files": files,
-        "rows": df.count(), "schema": df.schema.json(),
+        "rows": df.count(), "schema": df.schema.json(), "last_seq": 1,
     }
     if partition_by is not None:
         man["partition_by"] = partition_by
@@ -472,14 +496,29 @@ def _read_paths(
     union by name — a column that is layout in one spec is plain data
     in the others, so every row ends up fully populated.
 
-    MERGE-ON-READ deletes (Iceberg v2 positional deletes): when the
-    manifest carries ``deletes`` entries, every read applies them here
-    — the single chokepoint all reader entry points (read,
+    MERGE-ON-READ deletes (Iceberg v2, BOTH delete-file kinds): when
+    the manifest carries ``deletes`` entries, every read applies them
+    here — the single chokepoint all reader entry points (read,
     read_partition, read_key_range, read_point, CDF, the CoW rewrite
-    scans) route through — as a left-anti join on (file basename, row
-    position). Basenames are writer-generated uuid4 hex, so the pair
-    is a sound row identity with NO uri normalization; row positions
-    come from the parquet reader's ``_metadata.row_index``.
+    scans) route through.
+
+    - POSITIONAL entries (no ``kind``, the default): left-anti join on
+      (file basename, row position). Basenames are writer-generated
+      uuid4 hex, so the pair is a sound row identity with NO uri
+      normalization; row positions come from the parquet reader's
+      ``_metadata.row_index``.
+    - EQUALITY entries (``kind: "equality"``, Iceberg v2 equality
+      delete files — the kind streaming CDC writers emit): a broadcast
+      left-anti join on the entry's ``cols`` with NULL-SAFE equality
+      (the Iceberg spec matches null to null), guarded by the data
+      SEQUENCE NUMBER — the delete applies only to rows from files with
+      ``seq`` strictly below the entry's, so a row re-inserted by the
+      same or a later commit (upsert_mor) survives its own tombstone.
+      Equality files are small by contract (keys, not row positions);
+      compact_deletes folds them away when read amplification grows —
+      at 100 TB each entry is one broadcast anti-join, same as
+      Iceberg's own reader.
+
     ``with_meta=True`` keeps the (__mor_file, __mor_pos) columns in
     the output — the position-capture path of delete_where_mor."""
     def _layout_of(p: str) -> tuple[str | None, str | None]:
@@ -514,7 +553,9 @@ def _read_paths(
         from pyspark.sql.types import StructType
 
         pinned = StructType.fromJson(json.loads(man["schema"]))
-    dels = man.get("deletes") or []
+    all_dels = man.get("deletes") or []
+    dels = [e for e in all_dels if e.get("kind", "positional") == "positional"]
+    eq_dels = [e for e in all_dels if e.get("kind") == "equality"]
     dfs = []
     for spec, base in sorted(groups, key=str):
         reader = spark.read
@@ -525,7 +566,7 @@ def _read_paths(
         if spec is not None:
             reader = reader.option("basePath", base)
         df = reader.parquet(*groups[(spec, base)])
-        if dels or with_meta:
+        if dels or eq_dels or with_meta:
             # hidden metadata cols must be projected per group, BEFORE
             # the unionByName (union output carries no hidden columns)
             df = df.select(
@@ -547,7 +588,32 @@ def _read_paths(
             & (F.col("__mor_pos") == dl.dpos),
             "left_anti",
         )
-    if (dels or with_meta) and not with_meta:
+    if eq_dels:
+        # per-row data sequence number from the manifest's per-file
+        # stamps (missing = 0: pre-upgrade files predate every equality
+        # delete). A tiny broadcast dim, O(|files|) driver rows.
+        sdf = spark.createDataFrame(
+            [
+                (os.path.basename(f["path"]), int(f.get("seq", 0)))
+                for f in man["files"]
+            ],
+            "__sq_file STRING, __mor_seq BIGINT",
+        )
+        out = out.join(
+            F.broadcast(sdf), out["__mor_file"] == sdf["__sq_file"], "left"
+        ).drop("__sq_file")
+        for e in eq_dels:
+            cols = list(e["cols"])
+            kdf = (
+                spark.read.parquet(os.path.join(root, e["path"]))
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+            )
+            cond = F.col("__mor_seq") < F.lit(int(e.get("seq", 0)))
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            out = out.join(F.broadcast(kdf), cond, "left_anti")
+        out = out.drop("__mor_seq")
+    if (dels or eq_dels or with_meta) and not with_meta:
         out = out.drop("__mor_file", "__mor_pos")
     return out
 
@@ -920,7 +986,10 @@ def merge(
                 for c in new_cols
             ],
         )
-        new_files = _write_data_files(merged, root, key=key, partition_by=pcol)
+        new_seq = _next_seq(man, base_v)
+        new_files = _write_data_files(
+            merged, root, key=key, partition_by=pcol, seq=new_seq
+        )
         try:
             # untouched entries' recorded row counts do not know about
             # a merge-on-read overlay — subtract the per-file deleted
@@ -943,6 +1012,7 @@ def merge(
                 "parent": base_v,
                 "rewrote_files": len(touched),
                 "carried_files": len(untouched),
+                "last_seq": new_seq,
             }
             if man.get("deletes"):
                 new_man["deletes"] = man["deletes"]
@@ -1014,7 +1084,10 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
     pcol = man.get("partition_by")
     if pcol is not None and pcol not in df.columns:
         raise ValueError(f"append must carry partition column {pcol!r}")
-    new_files = _write_data_files(df, root, key=man["key"], partition_by=pcol)
+    new_seq = _next_seq(man, base_v)
+    new_files = _write_data_files(
+        df, root, key=man["key"], partition_by=pcol, seq=new_seq
+    )
     new_man = {
         "version": base_v + 1,
         "key": man["key"],
@@ -1023,6 +1096,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
         "files": man["files"] + new_files,
         "rows": man.get("rows", 0) + df.count(),
         "parent": base_v,
+        "last_seq": new_seq,
     }
     if man.get("deletes"):
         new_man["deletes"] = man["deletes"]
@@ -1044,6 +1118,7 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     if version == base_v:
         return base_v
     old = _read_manifest(root, version)
+    cur = _read_manifest(root, base_v)
     new_man = dict(old)
     new_man.update(
         {
@@ -1051,6 +1126,13 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
             "operation": "restore",
             "parent": base_v,
             "restored_from": version,
+            # the seq counter never goes backwards: a restore revives an
+            # old FILE list, but the next equality delete must still
+            # outrank every file ever written
+            "last_seq": max(
+                int(old.get("last_seq", version)),
+                int(cur.get("last_seq", base_v)),
+            ),
         }
     )
     _publish(root, base_v + 1, new_man)
@@ -1136,13 +1218,14 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             spark, root, man, predicate
         )
     new_files = untouched
+    new_seq = _next_seq(man, base_v)
     if touched:
         remaining = _read_paths(
             spark, root, man,
             [os.path.join(root, f["path"]) for f in touched],
         ).filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         new_files = untouched + _write_data_files(
-            remaining, root, key=man["key"], partition_by=pcol
+            remaining, root, key=man["key"], partition_by=pcol, seq=new_seq
         )
     new_man = {
         "version": base_v + 1,
@@ -1154,6 +1237,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         "rows": max(0, int(man.get("rows", 0)) - int(deleted_rows)),
         "parent": base_v,
         "predicate": predicate,
+        "last_seq": new_seq,
     }
     if man.get("deletes"):
         new_man["deletes"] = man["deletes"]
@@ -1237,6 +1321,10 @@ def clone(spark: SparkSession, src_root: str, dst_root: str) -> int:
         "rows": man.get("rows", 0),
         "cloned_from": os.path.abspath(src_root),
         "cloned_version": src_v,
+        # carry the SOURCE's seq counter: cloned file entries keep their
+        # original seqs, so the clone's own next seq must outrank them
+        # (version numbers restart at 1 here — exactly why seq != version)
+        "last_seq": int(man.get("last_seq", src_v)),
     }
     if man.get("deletes"):
         new_man["deletes"] = [
@@ -1336,9 +1424,233 @@ def delete_where_mor(spark: SparkSession, root: str, predicate: str) -> int:
         "predicate": predicate,
         "deletes": entries,
         "deleted_rows": n,
+        "last_seq": int(man.get("last_seq", base_v)),
     }
     if man.get("partition_by") is not None:
         new_man["partition_by"] = man["partition_by"]
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def _eq_delete_entry(
+    spark: SparkSession,
+    root: str,
+    man: dict[str, Any],
+    keys: DataFrame,
+    seq: int,
+) -> tuple[dict[str, Any], int]:
+    """Write one Iceberg-v2 EQUALITY DELETE FILE (distinct key tuples,
+    parquet under deletes/) and return (manifest entry, matched rows in
+    the current snapshot). The matched-row count costs one read-side
+    scan — Iceberg itself skips it and lets row counts go approximate;
+    we pay the scan (NOT a rewrite — write amplification stays zero) to
+    keep the manifest ``rows`` metadata and CDF accounting exact, and
+    to record per-file ``targets`` so compact_deletes rewrites only
+    affected files."""
+    cols = list(keys.columns)
+    if not cols:
+        raise ValueError("equality delete needs at least one column")
+    if man.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema_cols = {
+            f.name for f in StructType.fromJson(json.loads(man["schema"])).fields
+        }
+        missing = [c for c in cols if c not in schema_cols]
+        if missing:
+            raise ValueError(
+                f"equality-delete column(s) {missing} not in table schema"
+            )
+    kdist = keys.distinct()
+    # per-file matched counts under the CURRENT overlay, one scan
+    targets: dict[str, int] = {}
+    n = 0
+    if man["files"]:
+        cur = _read_paths(
+            spark, root, man,
+            [os.path.join(root, f["path"]) for f in man["files"]],
+            with_meta=True,
+        )
+        kren = kdist.select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+        cond = None
+        for c in cols:
+            t = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            cond = t if cond is None else cond & t
+        hit_counts = (
+            cur.join(F.broadcast(kren), cond, "semi")
+            .groupBy("__mor_file")
+            .count()
+            .collect()
+        )
+        targets = {r["__mor_file"]: int(r["count"]) for r in hit_counts}
+        n = sum(targets.values())
+    # write the key tuples (small by contract: keys, not positions)
+    staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
+    kdist.coalesce(1).write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    del_dir = os.path.join(root, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    entry: dict[str, Any] | None = None
+    for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        n_keys = pq.ParquetFile(part).metadata.num_rows
+        if n_keys == 0:
+            continue
+        final = os.path.join(del_dir, f"{uuid.uuid4().hex}.parquet")
+        os.replace(part, final)
+        entry = {
+            "path": os.path.relpath(final, root),
+            "kind": "equality",
+            "cols": cols,
+            "rows": int(n_keys),
+            "seq": int(seq),
+            "targets": targets,
+        }
+        break  # coalesce(1): at most one non-empty part
+    shutil.rmtree(staging, ignore_errors=True)
+    if entry is None:  # zero key tuples: no entry to commit
+        return {}, 0
+    return entry, n
+
+
+def delete_eq(spark: SparkSession, root: str, keys: DataFrame) -> int:
+    """Transactional DELETE BY KEY, merge-on-read with an Iceberg-v2
+    EQUALITY DELETE file: every row whose ``keys.columns`` values
+    null-safely equal some key tuple is deleted — no data file is read
+    back or rewritten beyond one counting scan, and the delete file
+    stores KEY TUPLES, not row positions, so the writer never needs to
+    know where the rows live. This is the delete-file kind streaming
+    CDC writers emit (delete_where_mor's positional files require the
+    writer to locate each row first; an equality file is writable
+    straight from the CDC key stream).
+
+    The SEQUENCE-NUMBER rule makes re-inserts sound: the entry stamps
+    the commit's data sequence number and applies only to data files
+    with a strictly lower stamp, so appending the key again later (or
+    in the same commit — upsert_mor) is visible despite the tombstone.
+
+    Cites the reference's keyed-delete leg of the upsert protocol
+    (task.ts:235-350, query-by-key then act); the lakehouse form of A13
+    for high-churn keys. Overlay resolution: compact_deletes()."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    _check_reserved_cols(keys, "delete_eq() keys")
+    man = _read_manifest(root, base_v)
+    new_seq = _next_seq(man, base_v)
+    entry, n = _eq_delete_entry(spark, root, man, keys, new_seq)
+    entries = list(man.get("deletes") or [])
+    if entry:
+        entries.append(entry)
+    new_man = {
+        "version": base_v + 1,
+        "key": man["key"],
+        "operation": "delete_eq",
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": man["files"],
+        "rows": max(0, int(man.get("rows", 0)) - n),
+        "parent": base_v,
+        "deletes": entries,
+        "deleted_rows": n,
+        "eq_cols": list(keys.columns),
+        "last_seq": new_seq,
+    }
+    if man.get("partition_by") is not None:
+        new_man["partition_by"] = man["partition_by"]
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def upsert_mor(spark: SparkSession, root: str, source: DataFrame) -> int:
+    """MERGE-ON-READ UPSERT in ONE commit (the Iceberg v2 CDC write
+    pattern): an equality-delete file tombstones the source's keys in
+    all EXISTING data files, and the source rows append as new data
+    files stamped with the SAME sequence number — which the equality
+    delete, applying only to strictly-lower stamps, leaves alone. Old
+    versions of the keys die, new versions live, and NOTHING is
+    rewritten: write cost = new data + one small key file, versus
+    merge()'s copy-on-write rewrite of every file a key touches. This
+    is the lakehouse spelling a 100 TB streaming CDC ingest actually
+    uses (merge-on-read amortizes the rewrite into compact_deletes
+    maintenance windows).
+
+    Same source preconditions as merge(): non-null, unique merge keys.
+    Same visible result as merge(spark, root, source) — parity-tested —
+    but CDF surfaces it as delete + insert rows (the Iceberg changelog
+    convention for equality-delete upserts) rather than Delta's
+    update_pre/postimage pairs."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    _check_reserved_cols(source, "upsert_mor() source")
+    man = _read_manifest(root, base_v)
+    key = man["key"]
+    chk = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_nonnull"),
+        F.count_distinct(key).alias("n_distinct"),
+    ).collect()[0]
+    if chk["n"] != chk["n_nonnull"]:
+        raise ValueError(
+            f"upsert_mor source has {chk['n'] - chk['n_nonnull']} NULL "
+            f"{key!r} key(s); MERGE requires non-null merge keys"
+        )
+    if chk["n"] != chk["n_distinct"]:
+        raise ValueError(
+            f"upsert_mor source has duplicate {key!r} keys "
+            f"({chk['n']} rows, {chk['n_distinct']} distinct); dedupe "
+            "first (e.g. dedup_key_last_write)"
+        )
+    pcol = man.get("partition_by")
+    if pcol is not None and pcol not in source.columns:
+        raise ValueError(f"upsert_mor must carry partition column {pcol!r}")
+    # UPDATE SET * semantics (merge parity): the source must carry every
+    # table column — a narrower source would silently null out the
+    # surviving columns of the keys it replaces
+    from pyspark.sql.types import StructType
+
+    if man.get("schema"):
+        tbl_schema = StructType.fromJson(json.loads(man["schema"]))
+    else:
+        tbl_schema = read(spark, root, base_v).schema
+    narrow = [f.name for f in tbl_schema.fields if f.name not in source.columns]
+    if narrow:
+        raise ValueError(
+            f"upsert_mor source is missing table column(s) {narrow}; "
+            "MERGE UPDATE SET * requires a full-width source"
+        )
+    new_seq = _next_seq(man, base_v)
+    entry, n_del = _eq_delete_entry(
+        spark, root, man, source.select(key), new_seq
+    )
+    new_files = _write_data_files(
+        source, root, key=key, partition_by=pcol, seq=new_seq
+    )
+    entries = list(man.get("deletes") or [])
+    if entry:
+        entries.append(entry)
+    # schema evolution like merge(): source-only columns append; old
+    # files read them as null through the pinned manifest schema
+    merged_fields = list(tbl_schema.fields) + [
+        f for f in source.schema.fields if f.name not in tbl_schema.fieldNames()
+    ]
+    new_man = {
+        "version": base_v + 1,
+        "key": key,
+        "operation": "upsert_mor",
+        "schema": StructType(merged_fields).json(),
+        "files": man["files"] + new_files,
+        "rows": max(0, int(man.get("rows", 0)) - n_del) + int(chk["n"]),
+        "parent": base_v,
+        "matched_rows": n_del,
+        "inserted_rows": int(chk["n"]),
+        "last_seq": new_seq,
+    }
+    if entries:
+        new_man["deletes"] = entries
+    if pcol is not None:
+        new_man["partition_by"] = pcol
     _publish(root, base_v + 1, new_man)
     return base_v + 1
 
@@ -1370,13 +1682,14 @@ def compact_deletes(spark: SparkSession, root: str) -> int:
     ]
     pcol = man.get("partition_by")
     new_files = untouched
+    new_seq = _next_seq(man, base_v)
     if touched:
         survivors = _read_paths(
             spark, root, man,
             [os.path.join(root, f["path"]) for f in touched],
         )
         new_files = untouched + _write_data_files(
-            survivors, root, key=man["key"], partition_by=pcol
+            survivors, root, key=man["key"], partition_by=pcol, seq=new_seq
         )
     new_man = {
         "version": base_v + 1,
@@ -1388,6 +1701,7 @@ def compact_deletes(spark: SparkSession, root: str) -> int:
         "rows": man.get("rows", 0),
         "parent": base_v,
         "resolved_delete_files": len(entries),
+        "last_seq": new_seq,
     }
     if pcol is not None:
         new_man["partition_by"] = pcol
@@ -1515,7 +1829,8 @@ def update_where(
             ]
         )
         new_files = untouched + _write_data_files(
-            updated, root, key=man["key"], partition_by=pcol
+            updated, root, key=man["key"], partition_by=pcol,
+            seq=_next_seq(man, base_v),
         )
     new_man = {
         "version": base_v + 1,
@@ -1528,6 +1843,7 @@ def update_where(
         "parent": base_v,
         "predicate": predicate,
         "updated_rows": int(n_updated),
+        "last_seq": _next_seq(man, base_v),
     }
     if man.get("deletes"):
         new_man["deletes"] = man["deletes"]
@@ -1670,6 +1986,7 @@ def evolve_partition_spec(
         "rows": man.get("rows", sum(f.get("rows", 0) for f in files)),
         "parent": base_v,
         "previous_partition_by": old_pcol,
+        "last_seq": int(man.get("last_seq", base_v)),
     }
     if man.get("deletes"):
         new_man["deletes"] = man["deletes"]
@@ -1792,6 +2109,7 @@ def compact(
     # evolved column's values are silently dropped from the new
     # snapshot (only recoverable via time travel until vacuum)
     table_schema = read(spark, root, base_v).schema
+    new_seq = _next_seq(man, base_v)
     for g in groups:
         df = _read_paths(
             spark, root, man, [os.path.join(root, f["path"]) for f in g]
@@ -1804,8 +2122,11 @@ def compact(
             .coalesce(1)
             .sortWithinPartitions(key)
         )
+        # rewritten files take the NEW sequence number: any carried
+        # equality-delete entry (lower seq) no longer applies to them —
+        # correct, because the rewrite read already applied the overlay
         new_files.extend(
-            _write_data_files(df, root, key=key, partition_by=pcol)
+            _write_data_files(df, root, key=key, partition_by=pcol, seq=new_seq)
         )
     new_man = {
         "version": base_v + 1,
@@ -1822,6 +2143,7 @@ def compact(
         "parent": base_v,
         "compacted_files": len(grouped_paths),
         "produced_files": len(new_files),
+        "last_seq": new_seq,
     }
     if man.get("deletes"):
         new_man["deletes"] = man["deletes"]
@@ -1906,7 +2228,11 @@ def compact_zorder(
         )
         # a pool is one partition value; partition_by=pcol keeps the
         # Hive data/<col>=<val>/ layout basePath recovery relies on
-        new_files.extend(_write_data_files(df, root, key=key, partition_by=pcol))
+        new_files.extend(
+            _write_data_files(
+                df, root, key=key, partition_by=pcol, seq=_next_seq(man, base_v)
+            )
+        )
     new_man = {
         "version": base_v + 1,
         "key": key,
@@ -1918,6 +2244,7 @@ def compact_zorder(
         "parent": base_v,
         "compacted_files": len(man["files"]),
         "produced_files": len(new_files),
+        "last_seq": _next_seq(man, base_v),
     }
     if pcol is not None:
         new_man["partition_by"] = pcol
@@ -2094,27 +2421,34 @@ def table_changes(
                 for e in man.get("deletes") or []
                 if e["path"] in prev_del_paths
             ]
-            tgt = set()
-            for e in new_dels:
-                tgt.update((e.get("targets") or {}).keys())
-            tgt_paths = [
-                os.path.join(root, f["path"])
-                for f in man["files"]
-                if os.path.basename(f["path"]) in tgt
+            pos_new = [
+                e for e in new_dels
+                if e.get("kind", "positional") == "positional"
             ]
-            if tgt_paths:
-                pre_img = _read_paths(
+            eq_new = [e for e in new_dels if e.get("kind") == "equality"]
+
+            def _pre_image(entries: list[dict[str, Any]]) -> DataFrame | None:
+                # targets recorded at commit time name only files that
+                # EXISTED then — files added by the same commit
+                # (upsert_mor) are never in them, so the pre-image
+                # reads old files only, under the PARENT overlay
+                tgt = set()
+                for e in entries:
+                    tgt.update((e.get("targets") or {}).keys())
+                tgt_paths = [
+                    os.path.join(root, f["path"])
+                    for f in man["files"]
+                    if os.path.basename(f["path"]) in tgt
+                ]
+                if not tgt_paths:
+                    return None
+                return _read_paths(
                     spark, root, man_pre, tgt_paths, with_meta=True
                 )
-                dl_new = spark.read.schema("dfile STRING, dpos BIGINT").parquet(
-                    *[os.path.join(root, e["path"]) for e in new_dels]
-                )
-                hit = pre_img.join(
-                    dl_new,
-                    (pre_img["__mor_file"] == dl_new.dfile)
-                    & (pre_img["__mor_pos"] == dl_new.dpos),
-                    "semi",
-                ).drop("__mor_file", "__mor_pos")
+
+            def _emit_deletes(hit: DataFrame) -> None:
+                nonlocal delta
+                hit = hit.drop("__mor_file", "__mor_pos")
                 for fld in full.fields:
                     if fld.name not in hit.columns:
                         hit = hit.withColumn(
@@ -2127,17 +2461,50 @@ def table_changes(
                     F.lit("delete").alias("_change_type"),
                 ).withColumn("_commit_version", F.lit(v))
                 delta = delta.unionByName(mor_delta)
+
+            pre_img = _pre_image(pos_new)
+            if pre_img is not None:
+                dl_new = spark.read.schema("dfile STRING, dpos BIGINT").parquet(
+                    *[os.path.join(root, e["path"]) for e in pos_new]
+                )
+                _emit_deletes(
+                    pre_img.join(
+                        dl_new,
+                        (pre_img["__mor_file"] == dl_new.dfile)
+                        & (pre_img["__mor_pos"] == dl_new.dpos),
+                        "semi",
+                    )
+                )
+            for e in eq_new:  # one semi-join per new equality file
+                pre_img = _pre_image([e])
+                if pre_img is None:
+                    continue
+                cols_e = list(e["cols"])
+                kdf = (
+                    spark.read.parquet(os.path.join(root, e["path"]))
+                    .select(*[F.col(c).alias(f"__eq_{c}") for c in cols_e])
+                )
+                cond = None
+                for c in cols_e:
+                    t = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                    cond = t if cond is None else cond & t
+                _emit_deletes(pre_img.join(F.broadcast(kdf), cond, "semi"))
         out = delta if out is None else out.unionByName(delta)
     return out
 
 
 def files_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Iceberg's ``.files`` metadata table: one row per data file in a
-    snapshot — path, bytes, rows, partition value, key range — as a
-    DataFrame, so maintenance planning (what would compact/zorder
-    touch? how skewed are file sizes? which partitions fragment?) is
-    itself a query instead of manifest spelunking. Reads ONLY the
-    manifest: no data IO, O(|files|) driver rows."""
+    """Iceberg's ``.files`` metadata table: one row per file in a
+    snapshot — data files AND merge-on-read delete files, distinguished
+    by ``content`` (DATA / POSITION_DELETES / EQUALITY_DELETES, the
+    Iceberg three-way breakdown) — so maintenance planning (what would
+    compact/zorder touch? how much delete-overlay read amplification
+    has accumulated? which partitions fragment?) is itself a query
+    instead of manifest spelunking. ``seq`` is the data sequence number
+    (0 for pre-upgrade entries); for delete files ``rows`` is the
+    number of delete records (positions / key tuples). Reads ONLY the
+    manifest plus one os.stat per delete file: no data IO,
+    O(|files|) driver rows."""
     v = version if version is not None else current_version(root)
     if v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
@@ -2151,17 +2518,38 @@ def files_table(spark: SparkSession, root: str, version: int | None = None) -> D
         rows.append(
             (
                 f["path"],
+                "DATA",
                 int(f.get("bytes", 0)),
                 int(f.get("rows", 0)),
                 str(f.get("partition")) if f.get("partition") is not None else None,
                 str(kr[0]) if kr[0] is not None else None,
                 str(kr[1]) if kr[1] is not None else None,
+                int(f.get("seq", 0)),
+            )
+        )
+    for e in man.get("deletes") or []:
+        try:
+            nbytes = os.path.getsize(os.path.join(root, e["path"]))
+        except OSError:
+            nbytes = 0
+        rows.append(
+            (
+                e["path"],
+                "EQUALITY_DELETES"
+                if e.get("kind") == "equality"
+                else "POSITION_DELETES",
+                nbytes,
+                int(e.get("rows", 0)),
+                None,
+                None,
+                None,
+                int(e.get("seq", 0)),
             )
         )
     return spark.createDataFrame(
         rows,
-        "path string, bytes long, rows long, partition string, "
-        "key_min string, key_max string",
+        "path string, content string, bytes long, rows long, "
+        "partition string, key_min string, key_max string, seq long",
     )
 
 

@@ -1119,7 +1119,7 @@ def test_acid_wap_sink_quarantines_bad_batch(spark, tmp_path):
 def test_metadata_tables(spark, wide_tbl):
     """files_table / snapshots_table mirror the manifest exactly and
     stay consistent through a merge."""
-    ft = acid.files_table(spark, wide_tbl)
+    ft = acid.files_table(spark, wide_tbl).filter("content = 'DATA'")
     man = acid._read_manifest(wide_tbl, 1)
     assert ft.count() == len(man["files"])
     assert ft.agg(F.sum("rows")).collect()[0][0] == man["rows"]
