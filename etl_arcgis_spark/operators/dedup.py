@@ -1420,3 +1420,107 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, t: float) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jac"))
         .filter(F.col("jac") >= t)
     )
+
+
+@query(
+    "dedup_substring_exact",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(ws, i, i + 4), ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+  WHERE len(ws) >= 5
+), firstk AS MATERIALIZED (
+  SELECT h, min(doc_id * 100000 + pos) AS fk FROM g GROUP BY h
+), dups AS MATERIALIZED (
+  SELECT g.doc_id, g.pos FROM g JOIN firstk f ON g.h = f.h
+  WHERE g.doc_id * 100000 + g.pos > f.fk
+), tok_pos AS (
+  SELECT doc_id, i - 1 AS p
+  FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+), cov AS (
+  SELECT t.doc_id, count(DISTINCT t.p) AS removed
+  FROM tok_pos t
+  JOIN dups d ON t.doc_id = d.doc_id AND t.p BETWEEN d.pos AND d.pos + 4
+  GROUP BY t.doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(ws) - coalesce(cov.removed, 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(cov.removed, 0) * 10000 // len(ws) AS BIGINT) AS removal_bp
+FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id
+""",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT REPEATED-SUBSTRING dedup at token granularity (the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    class, k-gram spelling): every k-token window (k=5) whose exact
+    text occurred EARLIER in the corpus — earlier = smaller
+    (doc_id, pos), the same first-occurrence-wins contract as
+    dedup_line_level but over OVERLAPPING spans — marks its k tokens
+    for removal; overlapping duplicated spans merge. Output per doc:
+    total/removed/kept token mass and the removal rate in basis points
+    (integer 10000·removed DIV total — engine-exact, no float
+    rounding). The corpus-level removed mass is what the suffix-array
+    pass of the paper would delete; the per-doc ratio is the curation
+    signal (a doc that is mostly repeated substrings of earlier docs is
+    boilerplate).
+
+    Distinct from dedup_line_level (disjoint 8-word chunks, chunk keep
+    ratio) and text_ngram_novelty (gram-set novelty fraction): this is
+    TOKEN-MASS coverage under overlapping spans with interval merging —
+    the quantity an actual substring-dedup rewrite removes.
+
+    Scale shape (the 100 TB story): tokens never leave their row —
+    grams are in-row slices hashed to 16 bytes; the only shuffles are
+    (1) one partial-agg groupBy(gram-hash) for the global first
+    occurrence and (2) one co-partitioned join back on the same hash,
+    exactly exact-dedup's pattern. Duplicate positions return to their
+    doc via one groupBy(doc_id) whose payload is a bounded int array
+    (positions within ONE doc), and the interval-merge fold runs
+    in-row via aggregate() — no window over the corpus, no pair
+    generation, no suffix array materialized across the cluster (the
+    paper's suffix array is a single-node construction; the k-gram
+    first-occurrence relaxation is what makes it embarrassingly
+    parallel at corpus scale)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH w AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, pos, md5(array_join(slice(ws, pos + 1, 5), ' ')) AS h
+  FROM w LATERAL VIEW explode(sequence(0, size(ws) - 5)) t AS pos
+  WHERE size(ws) >= 5
+), firstk AS (
+  SELECT h, min(doc_id * 100000 + pos) AS fk FROM g GROUP BY h
+), dups AS (
+  SELECT g.doc_id, g.pos FROM g JOIN firstk f ON g.h = f.h
+  WHERE g.doc_id * 100000 + g.pos > f.fk
+), cov AS (
+  SELECT doc_id,
+         aggregate(
+           array_sort(collect_list(pos)),
+           named_struct('tot', 0L, 'e', CAST(-1 AS BIGINT)),
+           (acc, p) -> named_struct(
+             'tot', acc.tot + greatest(0L, CAST(p + 4 AS BIGINT)
+                                       - greatest(CAST(p - 1 AS BIGINT), acc.e)),
+             'e', greatest(acc.e, CAST(p + 4 AS BIGINT))),
+           acc -> acc.tot) AS removed
+  FROM dups GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(size(w.ws) AS BIGINT) AS n_tokens,
+       coalesce(c.removed, 0L) AS removed_tokens,
+       CAST(size(w.ws) AS BIGINT) - coalesce(c.removed, 0L) AS kept_tokens,
+       coalesce(c.removed, 0L) * 10000L DIV size(w.ws) AS removal_bp
+FROM w LEFT JOIN cov c ON w.doc_id = c.doc_id
+""",
+        ("documents",),
+    )

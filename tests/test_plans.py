@@ -1083,3 +1083,32 @@ def test_lof_window_group_limit_and_no_cartesian(spark):
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_substring_dedup_plan_and_conservation(spark):
+    """dedup_substring_exact (r9 order #3): plan = explode + one
+    gram-hash aggregate + one co-partitioned join back + one doc-keyed
+    aggregate — no Window over the corpus, no Python stage, no
+    cartesian. Property: removed + kept token mass = total mass, and
+    the global FIRST occurrence of every gram is never removed (the
+    first doc in doc_id order has removal 0 unless it self-repeats)."""
+    import re
+
+    p = plan_of(spark, "dedup_substring_exact")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    assert "Window" not in p, p
+
+    from etl_arcgis_spark.registry import all_queries
+
+    df = all_queries()["dedup_substring_exact"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.removed_tokens + r.kept_tokens == r.n_tokens
+        assert 0 <= r.removed_tokens <= r.n_tokens
+        assert r.removal_bp == r.removed_tokens * 10000 // r.n_tokens
+    # corpus mass conservation
+    tot = sum(r.n_tokens for r in rows)
+    rem = sum(r.removed_tokens for r in rows)
+    assert 0 < rem < tot  # the fixture corpus does repeat substrings
