@@ -2982,3 +2982,112 @@ def spatial_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("lof")).alias("lof"),
         )
     )
+
+
+@query(
+    "spatial_huff_model",
+    oracle="""
+WITH cust AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+         CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS y
+  FROM customer
+), st AS MATERIALIZED (
+  SELECT s_suppkey,
+         CAST(((s_suppkey * 37) % 360) - 180 AS DOUBLE) AS x,
+         CAST(((s_suppkey * 53) % 160) - 80 AS DOUBLE) AS y,
+         CAST(1 + (s_suppkey % 9) AS DOUBLE) AS a
+  FROM supplier
+), w AS MATERIALIZED (
+  SELECT c.c_custkey, st.s_suppkey,
+         st.a / ((c.x - st.x) * (c.x - st.x) + (c.y - st.y) * (c.y - st.y)) AS w
+  FROM cust c CROSS JOIN st
+), tot AS MATERIALIZED (
+  SELECT c_custkey, sum(w) AS tw FROM w GROUP BY c_custkey
+)
+SELECT w.s_suppkey AS store_key,
+       CAST(max(st.a) AS BIGINT) AS attractiveness,
+       round(sum(w.w / tot.tw), 4) AS captured_demand,
+       round(100.0 * sum(w.w / tot.tw) / (SELECT count(*) FROM cust), 4)
+         AS market_share_pct
+FROM w
+JOIN tot ON w.c_custkey = tot.c_custkey
+JOIN st ON st.s_suppkey = w.s_suppkey
+GROUP BY w.s_suppkey
+""",
+)
+def spatial_huff_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUFF GRAVITY MODEL (ArcGIS Business Analyst's Huff Model tool;
+    Huff 1963): the probability a consumer at origin i patronizes
+    store j is the store's attractiveness over squared distance,
+    normalized across all stores — P_ij = (A_j/d²_ij) / Σ_k A_k/d²_ik
+    (distance-decay exponent λ=2, the classical calibration, which
+    keeps d² an exact IEEE value on the lattice: customers sit on the
+    half-integer grid, stores on the integer grid, so d² = n + 0.5 is
+    exact and never zero). Output per store: total captured demand
+    Σ_i P_ij (each customer carries one demand unit) and market share
+    — the trade-area summary the tool reports.
+
+    Scale shape — the OD star with DEMAND-POINT AGGREGATION, which is
+    how the tool itself runs (block centroids, not addresses): origins
+    first aggregate to weighted lattice cells (customer positions are
+    (c%360, c%160)-periodic → ≤2880 distinct cells at ANY scale
+    factor, multiplicity m per cell), so the OD expansion is
+    |cells|×|S|, not |customers|×|S| — the fact table is reduced to a
+    BOUNDED relation before the gravity math, all of it
+    whole-stage-codegen (no lambda HOFs: an earlier in-row-fold
+    spelling paid ~12 s of interpreted HOF evaluation at sf0.1; this
+    one runs the same math in ~1 s). Per-cell normalizers come from a
+    partitioned window over the OD rows (one skinny shuffle); capture
+    returns via groupBy(store) partial aggregation. At planetary store
+    counts you'd additionally bound the competitor set by distance
+    cutoff / grid blocking (the C179/C187 trick); Huff trade areas are
+    local by construction.
+
+    Floats: every w_ij = A/d² is one IEEE division of exact values;
+    engine divergence is group-sum ORDER only (the cell-weighted sum
+    Σ m·P vs the oracle's per-customer sum), ~1e-12 absolute against
+    the 5e-5 r4 grid (SURVEY §5.3.1 magnitude check)."""
+    from ..helpers import r4
+
+    origins = (
+        table(spark, sf_dir, "customer")
+        .selectExpr(
+            "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS x",
+            "CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS y",
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+    )
+    stores = table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "CAST(((s_suppkey * 37) % 360) - 180 AS DOUBLE) AS sx",
+        "CAST(((s_suppkey * 53) % 160) - 80 AS DOUBLE) AS sy",
+        "CAST(1 + (s_suppkey % 9) AS DOUBLE) AS a",
+    )
+    n_cust = table(spark, sf_dir, "customer").count()  # plan literal
+    od = origins.crossJoin(F.broadcast(stores)).withColumn(
+        "w",
+        F.col("a")
+        / (
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+            + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+        ),
+    )
+    tw = F.sum("w").over(Window.partitionBy("x", "y"))
+    return (
+        od.withColumn("p", F.col("w") / tw)
+        .groupBy(F.col("s_suppkey").alias("store_key"))
+        .agg(
+            F.max(F.col("a").cast("bigint")).alias("attractiveness"),
+            F.sum(F.col("m") * F.col("p")).alias("cap"),
+        )
+        .select(
+            "store_key",
+            "attractiveness",
+            r4("cap").alias("captured_demand"),
+            r4(F.lit(100.0) * F.col("cap") / F.lit(float(n_cust))).alias(
+                "market_share_pct"
+            ),
+        )
+    )

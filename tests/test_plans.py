@@ -1112,3 +1112,21 @@ def test_substring_dedup_plan_and_conservation(spark):
     tot = sum(r.n_tokens for r in rows)
     rem = sum(r.removed_tokens for r in rows)
     assert 0 < rem < tot  # the fixture corpus does repeat substrings
+
+
+def test_huff_model_codegen_od_star(spark):
+    """spatial_huff_model (r9 order #7): demand-point-aggregated OD
+    star — no Python stage, no cartesian on the FACT (the only cross
+    join is origins×broadcast(stores) over the bounded lattice-cell
+    relation), window partitioned by cell. Property: market shares sum
+    to 100% (each customer's probabilities sum to 1)."""
+    p = plan_of(spark, "spatial_huff_model")
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    from etl_arcgis_spark.registry import all_queries
+
+    df = all_queries()["spatial_huff_model"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 10  # sf0.001 suppliers
+    assert abs(sum(r.market_share_pct for r in rows) - 100.0) < 1e-6
+    assert abs(sum(r.captured_demand for r in rows) - 150.0) < 1e-6
+    assert all(r.captured_demand > 0 for r in rows)
