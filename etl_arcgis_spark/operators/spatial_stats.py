@@ -3091,3 +3091,126 @@ def spatial_huff_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "spatial_gwr_local_mean",
+    oracle="""
+WITH p AS MATERIALIZED (
+  SELECT c_custkey AS k,
+         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+         CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer
+), pairs AS MATERIALIZED (
+  SELECT a.k,
+         CAST(floor(b.v * 100 + 0.5) AS BIGINT) AS cents,
+         CAST((a.lon - b.lon) * (a.lon - b.lon)
+              + (a.lat - b.lat) * (a.lat - b.lat) AS BIGINT) AS d2i
+  FROM p a JOIN p b
+    ON b.lon BETWEEN a.lon - 6 AND a.lon + 6
+   AND b.lat BETWEEN a.lat - 6 AND a.lat + 6
+   AND (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) < 36
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       round(CAST(sum((36 - d2i) * (36 - d2i) * cents) AS DOUBLE)
+             / CAST(sum((36 - d2i) * (36 - d2i)) * 100 AS DOUBLE), 4)
+         AS local_mean
+FROM pairs
+GROUP BY k
+""",
+)
+def spatial_gwr_local_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHICALLY WEIGHTED SUMMARY (ArcGIS Geographically Weighted
+    Regression family / GW Summary Statistics; Brunsdon, Fotheringham
+    & Charlton 1996): at every point, the locally weighted mean of the
+    attribute over neighbors inside bandwidth h=6, weighted by the
+    BISQUARE kernel w = (1 - d²/h²)² — ArcGIS's default adaptive-GWR
+    kernel shape, chosen here over the Gaussian deliberately: it is
+    PURE ARITHMETIC (no exp/libm, the r8 engine-neutral recipe), has
+    compact support (the grid block IS the kernel support, nothing is
+    truncated), and d² is an exact integer on the lattice, so both
+    engines compute bit-identical weights. The point itself
+    participates with w=1 (d=0), standard GW summary convention.
+
+    Output per point: neighbor count inside the bandwidth and the
+    local weighted mean — the smoothed surface whose deviation from
+    the global mean is what GWR maps as spatial nonstationarity.
+
+    Scale shape: the C179/C187 grid-block pattern — bin to h-sized
+    cells, replicate the right side to its 3×3 neighborhood, equi-join
+    on the cell key (pairs bounded by local density, never a cross
+    join), one groupBy(point) partial aggregation. Exactness: both
+    aggregate sums are BIGINTs ((36−d²)²·cents and (36−d²)² — d² is an
+    exact lattice integer), so the result is ONE IEEE division of
+    identical operands on each engine; no sum-order noise exists at
+    all (§5.3.1 strongest form)."""
+    from ..helpers import r4
+
+    p = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k",
+        "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon",
+        "CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat",
+        "CAST(c_acctbal AS DOUBLE) AS v",
+    )
+    h = 6.0
+    binned = p.withColumn(
+        "cx", F.floor(F.col("lon") / h).cast("bigint")
+    ).withColumn("cy", F.floor(F.col("lat") / h).cast("bigint"))
+    a = binned.select(
+        F.col("k"), F.col("lon").alias("lon_a"), F.col("lat").alias("lat_a"),
+        F.col("cx").alias("cxa"), F.col("cy").alias("cya"),
+    )
+    b = (
+        binned.select(
+            F.col("lon").alias("lon_b"), F.col("lat").alias("lat_b"),
+            F.col("v").alias("vb"), "cx", "cy",
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "lon_b", "lat_b", "vb",
+            (F.col("cx") + F.col("dx")).alias("cxb"),
+            (F.col("cy") + F.col("dy")).alias("cyb"),
+        )
+    )
+    d2 = (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")) + (
+        F.col("lat_a") - F.col("lat_b")
+    ) * (F.col("lat_a") - F.col("lat_b"))
+    # exact-integer spelling (the deterministic-from-exact-ints rule):
+    # d2 is an exact integer on the lattice, so the bisquare weight
+    # times 36^2 is the exact BIGINT (36-d2)^2; money goes to cents.
+    # Both aggregate sums are then order-free exact integers and the
+    # local mean is ONE IEEE division of identical operands on both
+    # engines — the r4 rounding cannot disagree (a float-weight
+    # spelling hash-mismatched 1/150 rows on a grid boundary).
+    iw = (F.lit(36) - F.col("d2i")) * (F.lit(36) - F.col("d2i"))
+    return (
+        a.join(
+            b,
+            (F.col("cxa") == F.col("cxb"))
+            & (F.col("cya") == F.col("cyb"))
+            & (d2 < F.lit(36.0)),
+        )
+        .select(
+            "k",
+            F.floor(F.col("vb") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            d2.cast("bigint").alias("d2i"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum(iw * F.col("cents")).alias("num"),
+            F.sum(iw).alias("den"),
+        )
+        .select(
+            "k",
+            "n_nbrs",
+            r4(
+                F.col("num").cast("double")
+                / (F.col("den") * F.lit(100)).cast("double")
+            ).alias("local_mean"),
+        )
+    )

@@ -1130,3 +1130,22 @@ def test_huff_model_codegen_od_star(spark):
     assert abs(sum(r.market_share_pct for r in rows) - 100.0) < 1e-6
     assert abs(sum(r.captured_demand for r in rows) - 150.0) < 1e-6
     assert all(r.captured_demand > 0 for r in rows)
+
+
+def test_gwr_local_mean_grid_blocked(spark):
+    """spatial_gwr_local_mean: grid-blocked pair generation — no
+    cartesian/NLJ, no Python, single groupBy. Properties: every point
+    has >=1 neighbor (itself, w=1), and a local mean always lies
+    within the [min, max] of the attribute (weighted-mean convexity)."""
+    p = plan_of(spark, "spatial_gwr_local_mean")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = all_queries()["spatial_gwr_local_mean"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 150
+    assert all(r.n_nbrs >= 1 for r in rows)
+    vs = [r.local_mean for r in rows]
+    assert min(vs) >= -994.29 and max(vs) <= 9997.42
