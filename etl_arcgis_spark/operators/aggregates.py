@@ -2911,3 +2911,108 @@ def stats_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("tw")).alias("theil_within"),
         r4(F.col("t_total")).alias("theil_total"),
     )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+WITH cn AS MATERIALIZED (
+  SELECT c_nationkey AS nk,
+         sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS xc
+  FROM customer GROUP BY c_nationkey
+), sn AS MATERIALIZED (
+  SELECT s_nationkey AS nk,
+         sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS xs
+  FROM supplier GROUP BY s_nationkey
+), v AS MATERIALIZED (
+  SELECT cn.nk, cn.xc AS x, coalesce(sn.xs, 0) AS y
+  FROM cn LEFT JOIN sn ON cn.nk = sn.nk
+), pairs AS (
+  SELECT CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+              THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+              THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+  FROM v a JOIN v b ON a.nk < b.nk
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS concordant,
+       CAST(sum(d) AS BIGINT) AS discordant,
+       CAST(sum(tx) AS BIGINT) AS ties_x_only,
+       CAST(sum(ty) AS BIGINT) AS ties_y_only,
+       round((CAST(sum(c) AS DOUBLE) - CAST(sum(d) AS DOUBLE))
+             / sqrt(CAST(sum(c) + sum(d) + sum(tx) AS DOUBLE)
+                    * CAST(sum(c) + sum(d) + sum(ty) AS DOUBLE)), 4) AS tau_b
+FROM pairs
+""",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B (Kendall 1938; tie-adjusted form) between two
+    per-nation variables — national customer wealth vs national
+    supplier wealth (sums in exact cents) — the rank-correlation
+    sibling of stats_spearman_corr that counts PAIR INVERSIONS instead
+    of rank covariances: tau_b = (C − D) / √((C+D+Tx)(C+D+Ty)) with
+    Tx/Ty the single-sided tie pair counts (the pair-form identity
+    n0−n1 = C+D+Ty, n0−n2 = C+D+Tx keeps everything a pair sum).
+
+    Exactness: both variables are exact BIGINT cent sums, so every
+    pair comparison is integer-exact and C/D/Tx/Ty are deterministic
+    integers; tau_b is one IEEE-correctly-rounded sqrt + one division
+    of identical operands — no float comparisons anywhere (the
+    §5.3.8/§7 deterministic-from-exact-ints discipline).
+
+    Scale: the fact tables reduce to 25 nation rows via two map-side-
+    combined aggregates BEFORE any pair is formed; the pair join is a
+    bounded 25×25 self-join (O(groups²) like the Theil/ANOVA tails,
+    never O(rows²)). For row-scale tau at 100 TB you'd use the
+    O(n log n) merge-sort inversion count over bucketed ranks — this
+    operator is the bounded-group form the toolbox reports."""
+    from ..helpers import r4
+
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    cn = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(cents("c_acctbal")).alias("x"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum(cents("s_acctbal")).alias("y0"))
+    )
+    v = cn.join(sn, "nk", "left").select(
+        "nk", "x", F.coalesce("y0", F.lit(0)).alias("y")
+    )
+    a = v.select(F.col("nk").alias("nka"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = v.select(F.col("nk").alias("nkb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = a.join(b, F.col("nka") < F.col("nkb"))
+    conc = ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))
+    )
+    disc = ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
+    tx = (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb"))
+    ty = (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb"))
+    n_groups = v.count()  # 25 nations; plan literal
+    agg = pr.agg(
+        F.sum(conc.cast("bigint")).alias("c"),
+        F.sum(disc.cast("bigint")).alias("d"),
+        F.sum(tx.cast("bigint")).alias("tx"),
+        F.sum(ty.cast("bigint")).alias("ty"),
+    )
+    return agg.select(
+        F.lit(n_groups).cast("bigint").alias("n"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        r4(
+            (F.col("c").cast("double") - F.col("d").cast("double"))
+            / F.sqrt(
+                (F.col("c") + F.col("d") + F.col("tx")).cast("double")
+                * (F.col("c") + F.col("d") + F.col("ty")).cast("double")
+            )
+        ).alias("tau_b"),
+    )

@@ -2254,3 +2254,159 @@ aggregate(
         r4(F.col("st.b")).alias("trend"),
         r4(F.col("st.l") + _HOLT_H * F.col("st.b")).alias("forecast_h7"),
     )
+
+
+# Holt-Winters additive smoothing params — exact binary fractions so
+# the only inexactness anywhere is the init means' division by 7/49
+# (ONE IEEE op, identical text both engines)
+_HW_A = 0.5    # level (alpha)
+_HW_B = 0.25   # trend (beta)
+_HW_G = 0.25   # seasonal (gamma)
+_HW_M = 7      # weekly season over the daily series
+
+_HW_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT user_id, epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+         sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, list(y ORDER BY day_us) AS ys
+  FROM d GROUP BY user_id
+),
+s2 AS (SELECT user_id, ys, len(ys) AS n FROM s WHERE len(ys) >= 15),
+ini AS (
+  SELECT user_id, ys, n,
+         (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7 AS l0
+  FROM s2
+),
+ini2 AS (
+  SELECT user_id, ys, n, l0,
+         ((ys[8]-ys[1])+(ys[9]-ys[2])+(ys[10]-ys[3])+(ys[11]-ys[4])
+          +(ys[12]-ys[5])+(ys[13]-ys[6])+(ys[14]-ys[7])) / 49 AS b0,
+         [ys[1]-l0, ys[2]-l0, ys[3]-l0, ys[4]-l0,
+          ys[5]-l0, ys[6]-l0, ys[7]-l0] AS s0
+  FROM ini
+),
+walk AS (
+  SELECT user_id, ys, n, 8 AS i, l0 AS l, b0 AS b, s0 AS s FROM ini2
+  UNION ALL
+  SELECT user_id, ys, n, i + 1,
+    {_HW_A!r} * (ys[i] - s[((i - 1) % 7) + 1])
+      + {1 - _HW_A!r} * (l + b) AS l,
+    {_HW_B!r} * (({_HW_A!r} * (ys[i] - s[((i - 1) % 7) + 1])
+                  + {1 - _HW_A!r} * (l + b)) - l) + {1 - _HW_B!r} * b AS b,
+    list_slice(s, 1, ((i - 1) % 7) + 1 - 1)
+      || [{_HW_G!r} * (ys[i] - ({_HW_A!r} * (ys[i] - s[((i - 1) % 7) + 1])
+                                + {1 - _HW_A!r} * (l + b)))
+          + {1 - _HW_G!r} * s[((i - 1) % 7) + 1]]
+      || list_slice(s, ((i - 1) % 7) + 1 + 1, 7) AS s
+  FROM walk WHERE i <= n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + b + s[(n % 7) + 1], 4) AS forecast_h1,
+       round(list_max(s) - list_min(s), 4) AS seasonal_range
+FROM walk WHERE i = n + 1
+"""
+
+
+@query("ts_holt_winters", oracle=_HW_ORACLE)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE (triple exponential) smoothing per user
+    over the daily-sum series with a weekly season (m=7) — the
+    seasonal extension of ts_holt_linear/C186 (Winters 1960):
+
+      l_t = a(y_t - s_{{t-m}}) + (1-a)(l_{{t-1}} + b_{{t-1}})
+      b_t = B(l_t - l_{{t-1}}) + (1-B) b_{{t-1}}
+      s_t = G(y_t - l_t) + (1-G) s_{{t-m}}
+
+    init (Hyndman's heuristic, made the explicit contract): l_0 =
+    mean(y_1..y_7), b_0 = mean of the 7 week-over-week differences /7,
+    s_j = y_j - l_0; the recursion runs t = 8..n. Output: final
+    level/trend, the h=1 forecast l+b+s_next, and the seasonal RANGE
+    max(s)-min(s) — the weekly-seasonality amplitude a mixture/
+    freshness scheduler keys on.
+
+    Same iterative-exact machinery as Holt/C186: the recursion is an
+    IN-ROW aggregate() fold carrying (l, b, s[7], i) over the
+    calendar-bounded day array — no window frame can express it, and
+    no shuffle runs it (the fold IS the state machine) — replayed by
+    the oracle as a recursive CTE with character-identical arithmetic
+    (a=0.5, B=G=0.25 exact binary fractions; convex-combination
+    updates are contractions, so the day-sum group-order noise
+    ~1e-13 cannot amplify; r4 sits orders above).
+
+    Scale: one map-side-combined day aggregate, one per-user bounded
+    collect_list, zero Python, zero windows."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (ev_us() - ev_us() % 86_400_000_000).alias("day_us"),
+        "value",
+    )
+    d = ev.groupBy("user_id", "day_us").agg(F.sum("value").alias("y"))
+    s = (
+        d.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct"
+                "('day_us', day_us, 'y', y))), e -> e.y)"
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 15)
+    )
+    # staged init columns (multi-use aliases survive CollapseProject)
+    s = s.withColumn(
+        "l0",
+        F.expr("(ys[0]+ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]) / 7"),
+    ).withColumn(
+        "b0",
+        F.expr(
+            "((ys[7]-ys[0])+(ys[8]-ys[1])+(ys[9]-ys[2])+(ys[10]-ys[3])"
+            "+(ys[11]-ys[4])+(ys[12]-ys[5])+(ys[13]-ys[6])) / 49"
+        ),
+    ).withColumn(
+        "s0",
+        F.expr(
+            "array(ys[0]-l0, ys[1]-l0, ys[2]-l0, ys[3]-l0,"
+            " ys[4]-l0, ys[5]-l0, ys[6]-l0)"
+        ),
+    )
+    a, a1 = repr(_HW_A), repr(1 - _HW_A)
+    bb, b1 = repr(_HW_B), repr(1 - _HW_B)
+    g, g1 = repr(_HW_G), repr(1 - _HW_G)
+    # inside the lambda: t = st.i (1-based math), y = the folded value,
+    # seasonal slot j = ((t-1) % 7) + 1 (1-based element_at)
+    so = "element_at(st.s, CAST(((st.i - 1) % 7) + 1 AS INT))"
+    lnew = f"{a} * (y - {so}) + {a1} * (st.l + st.b)"
+    fold = f"""
+aggregate(
+  slice(ys, 8, size(ys) - 7),
+  named_struct('l', l0, 'b', b0, 's', s0, 'i', 8),
+  (st, y) -> named_struct(
+    'l', {lnew},
+    'b', {bb} * (({lnew}) - st.l) + {b1} * st.b,
+    's', concat(
+      slice(st.s, 1, ((st.i - 1) % 7) + 1 - 1),
+      array({g} * (y - ({lnew})) + {g1} * {so}),
+      slice(st.s, ((st.i - 1) % 7) + 1 + 1, CAST(7 - (((st.i - 1) % 7) + 1) AS INT))),
+    'i', st.i + 1))
+"""
+    out = s.select(
+        "user_id",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.size("ys").alias("n"),
+        F.expr(fold).alias("st"),
+    )
+    return out.select(
+        "user_id",
+        "n_days",
+        r4(F.col("st.l")).alias("level"),
+        r4(F.col("st.b")).alias("trend"),
+        r4(
+            F.col("st.l")
+            + F.col("st.b")
+            + F.expr("element_at(st.s, CAST((n % 7) + 1 AS INT))")
+        ).alias("forecast_h1"),
+        r4(F.expr("array_max(st.s) - array_min(st.s)")).alias("seasonal_range"),
+    )

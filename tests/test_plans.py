@@ -1149,3 +1149,41 @@ def test_gwr_local_mean_grid_blocked(spark):
     assert all(r.n_nbrs >= 1 for r in rows)
     vs = [r.local_mean for r in rows]
     assert min(vs) >= -994.29 and max(vs) <= 9997.42
+
+
+def test_kendall_tau_bounded_pairs(spark):
+    """stats_kendall_tau: facts reduce to 25 nation rows before any
+    pair forms; all counts integer-exact. Properties: C+D+Tx+Ty +
+    both-tied = n(n-1)/2, tau_b in [-1, 1], and tau_b agrees with
+    scipy-free pure-Python recomputation from the same cent sums."""
+    from etl_arcgis_spark.registry import all_queries
+    from etl_arcgis_spark.tables import table
+    from pyspark.sql import functions as F
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["stats_kendall_tau"](spark, sf).collect()[0]
+    n0 = row.n * (row.n - 1) // 2
+    assert row.concordant + row.discordant <= n0
+    assert -1.0 <= row.tau_b <= 1.0
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    cn = {r.nk: r.x for r in table(spark, sf, "customer").groupBy(
+        F.col("c_nationkey").alias("nk")).agg(F.sum(cents("c_acctbal")).alias("x")).collect()}
+    sn = {r.nk: r.y for r in table(spark, sf, "supplier").groupBy(
+        F.col("s_nationkey").alias("nk")).agg(F.sum(cents("s_acctbal")).alias("y")).collect()}
+    v = [(cn[k], sn.get(k, 0)) for k in sorted(cn)]
+    C = D = TX = TY = 0
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            (xa, ya), (xb, yb) = v[i], v[j]
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                C += 1
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                D += 1
+            elif xa == xb and ya != yb:
+                TX += 1
+            elif ya == yb and xa != xb:
+                TY += 1
+    assert (row.concordant, row.discordant, row.ties_x_only, row.ties_y_only) == (C, D, TX, TY)
+    tau = (C - D) / math.sqrt(float((C + D + TX) * (C + D + TY)))
+    assert abs(row.tau_b - tau) < 5e-5

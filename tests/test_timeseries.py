@@ -91,3 +91,61 @@ def test_funnel_is_monotone(spark):
 def test_zscore_flags_exceed_threshold(spark):
     flagged = window_zscore_anomaly(spark, SF)
     assert flagged.filter(F.abs(F.col("z")) <= 2.5).count() == 0
+
+
+def test_holt_winters_python_replay(spark):
+    """ts_holt_winters (r9): replay the exact recursion in pure Python
+    over one user's day-ordered sums and match the engine's r4 outputs
+    bit-for-bit; plan has no window/Python stage."""
+    from etl_arcgis_spark.registry import all_queries
+    from etl_arcgis_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.user_id: r
+        for r in all_queries()["ts_holt_winters"](spark, sf).collect()
+    }
+    assert len(out) == 15  # every sf0.001 user has >= 15 days
+    ev = (
+        table(spark, sf, "events")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("ts") % 86_400_000_000).alias("d"),
+            "value",
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("value").alias("y"))
+    )
+    uid = sorted(out)[0]
+    ys = [
+        r.y
+        for r in ev.filter(F.col("user_id") == uid).orderBy("d").collect()
+    ]
+    n = len(ys)
+    l = (ys[0] + ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6]) / 7
+    b = (
+        (ys[7] - ys[0]) + (ys[8] - ys[1]) + (ys[9] - ys[2]) + (ys[10] - ys[3])
+        + (ys[11] - ys[4]) + (ys[12] - ys[5]) + (ys[13] - ys[6])
+    ) / 49
+    s = [ys[i] - l for i in range(7)]
+    A, B, G = 0.5, 0.25, 0.25
+    for t in range(8, n + 1):  # 1-based t
+        y = ys[t - 1]
+        j = (t - 1) % 7
+        so = s[j]
+        lnew = A * (y - so) + (1 - A) * (l + b)
+        b = B * (lnew - l) + (1 - B) * b
+        s[j] = G * (y - lnew) + (1 - G) * so
+        l = lnew
+
+    def r4(x):
+        import math
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5) / 10000, x)
+
+    row = out[uid]
+    assert row.n_days == n
+    assert row.level == r4(l)
+    assert row.trend == r4(b)
+    assert row.forecast_h1 == r4(l + b + s[n % 7])
+    assert row.seasonal_range == r4(max(s) - min(s))
