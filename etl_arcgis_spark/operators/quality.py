@@ -828,3 +828,204 @@ def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(names, F.col("b") + 1).alias("pk_col"),
         F.col("n_distinct").alias("n_distinct_fk"),
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS sz,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS ndist
+  FROM customer GROUP BY 1, 2
+), e AS (
+  SELECT l, sz, ndist FROM classes CROSS JOIN (SELECT unnest([2, 3, 5]) AS l)
+)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(coalesce(sum(CASE WHEN ndist < l THEN sz END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       round(coalesce(sum(CASE WHEN ndist < l THEN sz END), 0) * 1.0 / sum(sz), 4)
+         AS pct_at_risk
+FROM e GROUP BY l ORDER BY l
+""",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the
+    HOMOGENEITY-attack complement of dq_k_anonymity: a class can
+    satisfy k-anonymity (large enough) and still leak, if every member
+    shares the SAME sensitive value; distinct l-diversity requires
+    each quasi-identifier class (nation, market segment) to contain at
+    least l distinct sensitive values (account-balance band). For each
+    policy l in {2, 3, 5}: classes below l, rows they hold, at-risk
+    fraction — the second gate of the privacy release review, read
+    together with the k-anonymity table.
+
+    Scale: one hash-aggregate over the quasi-identifier computing
+    count + exact count-distinct of the BOUNDED sensitive domain
+    (11 balance bands — the distinct fits the partial aggregate), then
+    the 3× policy explode over the class table. Same shuffle story as
+    dq_k_anonymity: bounded by the QI domain, never the fact table.
+    All counts exact BIGINTs; the one float is the final ratio."""
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("ndist"),
+    )
+    ls = F.explode(F.array(*[F.lit(x) for x in (2, 3, 5)])).alias("l")
+    e = classes.select(ls, "sz", "ndist")
+    risk = F.when(F.col("ndist") < F.col("l"), F.col("sz"))
+    return (
+        e.groupBy(F.col("l").cast("bigint").alias("l"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum((F.col("ndist") < F.col("l")).cast("long")).cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(F.sum(risk), F.lit(0)).cast("bigint")
+            .alias("n_rows_at_risk"),
+            r4(F.coalesce(F.sum(risk), F.lit(0)) / F.sum("sz"))
+            .alias("pct_at_risk"),
+        )
+        .orderBy(F.asc("l"))
+    )
+
+
+@query(
+    "dq_isotonic_calibration",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         least(9, CAST(floor(len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10) AS BIGINT))
+           AS bin
+  FROM documents
+), b AS (
+  SELECT bin, count(*) AS w, sum(y) AS s FROM t GROUP BY bin
+), arr AS (
+  SELECT list_sort(list({'bin': bin, 'w': w, 's': s})) AS a,
+         count(*) AS nb
+  FROM b
+), pre AS (
+  SELECT a, nb,
+    list_transform(generate_series(1, nb),
+      k -> list_reduce(list_transform(list_slice(a, 1, k), e -> e.w),
+                       (x, y) -> x + y)) AS pw,
+    list_transform(generate_series(1, nb),
+      k -> list_reduce(list_transform(list_slice(a, 1, k), e -> e.s),
+                       (x, y) -> x + y)) AS ps
+  FROM arr
+), iso AS (
+  SELECT a, nb,
+    list_transform(generate_series(1, nb), t ->
+      list_reduce(
+        list_slice(
+          list_transform(generate_series(1, nb), i ->
+            list_reduce(
+              list_slice(
+                list_transform(generate_series(1, nb), j -> {
+                  'n': ps[j] - CASE WHEN i > 1 THEN ps[i - 1] ELSE 0 END,
+                  'd': pw[j] - CASE WHEN i > 1 THEN pw[i - 1] ELSE 0 END}),
+                t, nb),
+              (mn, f) -> CASE WHEN f.n * mn.d < mn.n * f.d THEN f ELSE mn END)),
+          1, t),
+        (mx, f) -> CASE WHEN f.n * mx.d > mx.n * f.d THEN f ELSE mx END))
+      AS isof
+  FROM pre
+)
+SELECT a[t].bin AS bin,
+       CAST(a[t].w AS BIGINT) AS n,
+       CAST(a[t].s AS BIGINT) AS n_pos,
+       round(CAST(a[t].s AS DOUBLE) / CAST(a[t].w AS DOUBLE), 4) AS raw_rate,
+       round(CAST(isof[t].n AS DOUBLE) / CAST(isof[t].d AS DOUBLE), 4)
+         AS iso_rate
+FROM iso, unnest(generate_series(1, nb)) AS u(t)
+""",
+)
+def dq_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION calibration (PAVA; Ayer et al. 1955,
+    Zadrozny & Elkan 2002) of the lexical-quality score against the
+    English label over the same 10 score bins as dq_score_calibration:
+    the monotone-nondecreasing fit iso(t) = max_{i<=t} min_{j>=t}
+    avg(y_i..y_j) — the pool-adjacent-violators solution in its exact
+    minimax closed form. The output is the calibration MAP a
+    production scorer actually applies (Platt's parametric alternative
+    needs exp; isotonic is the standard non-parametric choice for
+    reward-model and quality-classifier calibration).
+
+    Exactness (the strongest §5.3 form): bin weights and positive
+    counts are exact BIGINTs; every candidate average is carried as an
+    integer FRACTION (num, den) and every min/max comparison is an
+    integer CROSS-MULTIPLICATION — the entire PAVA fit is computed in
+    exact arithmetic on both engines, with the only float ops two
+    final divisions per bin. Products bounded by |rows|² < 2^63.
+
+    Scale: one map-side-combined aggregate to <=10 bin rows, then the
+    whole O(bins³) minimax (<=1000 fraction comparisons) evaluates
+    IN ONE ROW via nested HOF folds; the fact table is touched once.
+    At any corpus size the cost after the aggregate is constant."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS y,
+         least(9L, CAST(floor(size(array_distinct(split(text, ' ')))
+               / CAST(size(split(text, ' ')) AS DOUBLE) * 10) AS BIGINT))
+           AS bin
+  FROM documents
+), b AS (
+  SELECT bin, count(1) AS w, sum(y) AS s FROM t GROUP BY bin
+), arr AS (
+  SELECT sort_array(collect_list(named_struct('bin', bin, 'w', w, 's', s))) AS a,
+         count(1) AS nb
+  FROM b
+), pre AS (
+  SELECT a, CAST(nb AS INT) AS nb,
+    transform(sequence(1, CAST(nb AS INT)),
+      k -> aggregate(slice(a, 1, k), 0L, (acc, e) -> acc + e.w)) AS pw,
+    transform(sequence(1, CAST(nb AS INT)),
+      k -> aggregate(slice(a, 1, k), 0L, (acc, e) -> acc + e.s)) AS ps
+  FROM arr
+), iso AS (
+  SELECT a, nb,
+    transform(sequence(1, nb), t ->
+      aggregate(
+        slice(
+          transform(sequence(1, nb), i ->
+            aggregate(
+              slice(
+                transform(sequence(1, nb), j -> named_struct(
+                  'n', ps[j - 1] - CASE WHEN i > 1 THEN ps[i - 2] ELSE 0L END,
+                  'd', pw[j - 1] - CASE WHEN i > 1 THEN pw[i - 2] ELSE 0L END)),
+                t, nb - t + 1),
+              element_at(
+                transform(sequence(1, nb), j -> named_struct(
+                  'n', ps[j - 1] - CASE WHEN i > 1 THEN ps[i - 2] ELSE 0L END,
+                  'd', pw[j - 1] - CASE WHEN i > 1 THEN pw[i - 2] ELSE 0L END)),
+                t),
+              (mn, f) -> CASE WHEN f.n * mn.d < mn.n * f.d THEN f ELSE mn END)),
+          1, t),
+        named_struct('n', CAST(-1 AS BIGINT), 'd', 1L),
+        (mx, f) -> CASE WHEN f.n * mx.d > mx.n * f.d THEN f ELSE mx END))
+      AS isof
+  FROM pre
+)
+SELECT a[t - 1].bin AS bin,
+       CAST(a[t - 1].w AS BIGINT) AS n,
+       CAST(a[t - 1].s AS BIGINT) AS n_pos,
+       CAST(signum(CAST(a[t - 1].s AS DOUBLE) / CAST(a[t - 1].w AS DOUBLE))
+            * floor(abs(CAST(a[t - 1].s AS DOUBLE) / CAST(a[t - 1].w AS DOUBLE))
+                    * 10000 + 0.5) / 10000 AS DOUBLE) AS raw_rate,
+       CAST(signum(CAST(isof[t - 1].n AS DOUBLE) / CAST(isof[t - 1].d AS DOUBLE))
+            * floor(abs(CAST(isof[t - 1].n AS DOUBLE) / CAST(isof[t - 1].d AS DOUBLE))
+                    * 10000 + 0.5) / 10000 AS DOUBLE) AS iso_rate
+FROM iso LATERAL VIEW explode(sequence(1, nb)) x AS t
+""",
+        ("documents",),
+    )

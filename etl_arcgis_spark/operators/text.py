@@ -2761,3 +2761,112 @@ def text_quantile_map_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vl") + (F.col("p") - F.col("lo_i")) * (F.col("vh") - F.col("vl"))
         ).alias("mapped"),
     )
+
+
+@query(
+    "text_intradoc_repetition",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS MATERIALIZED (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS bs
+  FROM toks WHERE len(ws) >= 2
+), rep AS (
+  SELECT doc_id,
+         unnest(list_filter(generate_series(2, len(bs)),
+                            i -> list_contains(list_slice(bs, 1, i - 1),
+                                               bs[i]))) AS i
+  FROM bg
+), cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered FROM (
+    SELECT doc_id, i AS p FROM rep
+    UNION ALL
+    SELECT doc_id, i + 1 FROM rep
+  ) GROUP BY doc_id
+), nb AS (
+  SELECT doc_id, len(bs) AS n_b, len(list_distinct(bs)) AS n_dist FROM bg
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nb.n_b, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(nb.n_dist, 0) AS BIGINT) AS distinct_bigrams,
+       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(cov.covered, 0) * 10000 // len(t.ws) AS BIGINT)
+         AS repetition_bp
+FROM toks t
+LEFT JOIN nb ON t.doc_id = nb.doc_id
+LEFT JOIN cov ON t.doc_id = cov.doc_id
+""",
+)
+def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT repetition profile (the Rae et al. 2021 /
+    Gopher "repetition" quality filters; also the intra-document leg
+    of Lee et al. 2022): per document, the token mass covered by
+    bigrams that already occurred EARLIER IN THE SAME document —
+    boilerplate, keyword stuffing and degenerate generation all crater
+    this before any cross-document dedup signal moves. Output: bigram
+    counts (total/distinct), covered token mass (overlapping repeated
+    spans interval-merged, same contract as dedup_substring_exact but
+    doc-internal), and the repetition rate in basis points (integer
+    division, engine-exact).
+
+    Distinct from text_lexical_richness (per-SOURCE vocabulary
+    health), text_ngram_novelty (cross-doc novelty), zlib ratio
+    (compression proxy, declared weak): this is the exact per-doc
+    repeated-span token mass.
+
+    Scale: the dream shape — ZERO SHUFFLE. Tokens, bigrams, the
+    earlier-occurrence test and the interval-merge fold all run
+    in-row over the bounded token array (O(n²) with n <= ~100, pure
+    JVM HOFs); the output is one narrow projection of the scan.
+    100 TB of documents = a map-only job."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH w AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+), b AS (
+  SELECT doc_id, ws,
+         CASE WHEN size(ws) >= 2 THEN
+           transform(sequence(0, size(ws) - 2),
+                     i -> concat(ws[i], ' ', ws[i + 1]))
+         ELSE array() END AS bs
+  FROM w
+), r AS (
+  SELECT doc_id, ws, bs,
+         CASE WHEN size(bs) >= 2 THEN
+           filter(sequence(1, size(bs) - 1),
+                  i -> array_contains(slice(bs, 1, i), bs[i]))
+         ELSE array() END AS rep
+  FROM b
+)
+, c AS (
+  -- the fold is staged once (multi-use non-cheap aliases survive
+  -- CollapseProject — the r8 HOF-CSE rule: Catalyst would otherwise
+  -- evaluate the whole interval-merge twice)
+  SELECT doc_id, ws, bs,
+         aggregate(
+           rep,
+           named_struct('tot', 0L, 'e', CAST(-1 AS BIGINT)),
+           (acc, p) -> named_struct(
+             'tot', acc.tot + greatest(0L, CAST(p + 1 AS BIGINT)
+                                       - greatest(CAST(p - 1 AS BIGINT), acc.e)),
+             'e', greatest(acc.e, CAST(p + 1 AS BIGINT))),
+           acc -> acc.tot) AS covered
+  FROM r
+)
+SELECT doc_id,
+       CAST(size(ws) AS BIGINT) AS n_tokens,
+       CAST(size(bs) AS BIGINT) AS n_bigrams,
+       CAST(size(array_distinct(bs)) AS BIGINT) AS distinct_bigrams,
+       covered AS covered_tokens,
+       covered * 10000L DIV size(ws) AS repetition_bp
+FROM c
+""",
+        ("documents",),
+    )

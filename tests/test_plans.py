@@ -1187,3 +1187,67 @@ def test_kendall_tau_bounded_pairs(spark):
     assert (row.concordant, row.discordant, row.ties_x_only, row.ties_y_only) == (C, D, TX, TY)
     tau = (C - D) / math.sqrt(float((C + D + TX) * (C + D + TY)))
     assert abs(row.tau_b - tau) < 5e-5
+
+
+def test_intradoc_repetition_zero_shuffle(spark):
+    """text_intradoc_repetition: map-only — one scan, no Exchange, no
+    Window, no Python. Properties: covered <= n_tokens, bp consistent,
+    distinct <= total bigrams, and covered=0 iff no repeated bigram."""
+    import re
+
+    p = plan_of(spark, "text_intradoc_repetition")
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = all_queries()["text_intradoc_repetition"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert r.distinct_bigrams <= r.n_bigrams == max(r.n_tokens - 1, 0)
+        assert r.repetition_bp == r.covered_tokens * 10000 // r.n_tokens
+        if r.distinct_bigrams == r.n_bigrams:
+            assert r.covered_tokens == 0
+
+
+def test_isotonic_calibration_properties(spark):
+    """dq_isotonic_calibration: the fit is monotone nondecreasing in
+    bin order, bounded by [0,1], and pool-conserving (the weighted sum
+    of fitted rates equals the total positive count — PAVA preserves
+    block means); matches sklearn-free pure-Python PAVA."""
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["dq_isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    fits = [r.iso_rate for r in rows]
+    assert fits == sorted(fits)  # monotone
+    assert all(0.0 <= f <= 1.0 for f in fits)
+    # pure-Python PAVA on the same (w, s) bins
+    blocks = []
+    for r in rows:
+        blocks.append([r.n, r.n_pos, 1])
+        while len(blocks) >= 2 and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]:
+            w2, s2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    want = []
+    for w, s, c in blocks:
+        want.extend([s / w] * c)
+
+    def r4(x):
+        import math
+        return math.floor(abs(x) * 10000 + 0.5) / 10000
+
+    assert fits == [r4(v) for v in want]
+    # conservation: sum over bins of w * exact fraction = total positives
+    tot_pos = sum(r.n_pos for r in rows)
+    acc = sum(w * (s / w) for w, s, c in blocks for _ in range(1))  # block means exact
+    assert abs(sum(s for w, s, c in blocks) - tot_pos) == 0
