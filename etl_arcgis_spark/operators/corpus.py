@@ -21,9 +21,11 @@ funnel); here they fuse into one plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..helpers import r4
 from ..registry import query
-from ..tables import sql_over
+from ..tables import sql_over, table
 
 # Spark-side pipeline (one spark.sql text — see tables.sql_over).
 _SPARK_FUNNEL = """
@@ -355,4 +357,88 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _chain(_SPARK_FUNNEL, _SPARK_SELECT_SUFFIX),
         ("documents",),
+    )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         count(*) AS nh,
+         sum(n_chars) AS sx,
+         sum(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY source
+), v AS (
+  SELECT source, nh, sx, sxx,
+         sqrt((CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) AS sd
+  FROM s WHERE nh >= 2
+), tot AS (SELECT sum(CAST(nh AS DOUBLE) * sd) AS z FROM v)
+SELECT source,
+       CAST(nh AS BIGINT) AS stratum_size,
+       round(sd, 4) AS stratum_sd,
+       round(CAST(nh AS DOUBLE) * sd / z, 4) AS alloc_frac,
+       round(1000 * CAST(nh AS DOUBLE) * sd / z, 4) AS n_alloc
+FROM v CROSS JOIN tot
+ORDER BY source
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION (Neyman 1934) of a fixed sample
+    budget (n=1000) across the corpus's source strata: n_h ∝ N_h·σ_h —
+    the allocation that minimizes the stratified estimator's variance
+    for a fixed total n, vs the proportional allocation a naive
+    sampler uses. Variance is of the document-length variable
+    (n_chars, an exact BIGINT), the quantity curation samplers
+    stratify on; high-σ sources (mixed short/long docs) get
+    oversampled, homogeneous boilerplate sources barely sampled.
+    Output per stratum: size, SD, allocation fraction and the (real-
+    valued) allotment — integerization (largest-remainder) is left to
+    the caller because round-half ties are an engine knife-edge
+    (§5.3.8) and downstream samplers want the exact fractions anyway.
+
+    Exactness: Σx and Σx² are exact BIGINT sums (order-free), the
+    sample variance and sqrt are identical-text IEEE expressions of
+    exact operands (sqrt is correctly rounded per IEEE 754), and the
+    only cross-engine divergence is the 20-term Σ N_h·σ_h group-sum
+    order, ~1e-15 relative. Scale: one map-side-combined aggregate to
+    |sources| rows, one 1-row total broadcast — the fact table is
+    touched once."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("n_chars").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        )
+        .filter(F.col("nh") >= 2)
+    )
+    sd = F.sqrt(
+        (
+            F.col("nh").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / (F.col("nh").cast("double") * (F.col("nh") - 1).cast("double"))
+    )
+    v = s.select("source", "nh", sd.alias("sd"))
+    tot = F.broadcast(
+        v.agg(F.sum(F.col("nh").cast("double") * F.col("sd")).alias("z"))
+    )
+    return (
+        v.crossJoin(tot)
+        .select(
+            "source",
+            F.col("nh").cast("bigint").alias("stratum_size"),
+            r4("sd").alias("stratum_sd"),
+            r4(F.col("nh").cast("double") * F.col("sd") / F.col("z")).alias(
+                "alloc_frac"
+            ),
+            r4(
+                F.lit(1000) * F.col("nh").cast("double") * F.col("sd") / F.col("z")
+            ).alias("n_alloc"),
+        )
+        .orderBy(F.asc("source"))
     )

@@ -2870,3 +2870,102 @@ FROM c
 """,
         ("documents",),
     )
+
+
+@query(
+    "text_perplexity_kn_bigram",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), bg AS MATERIALIZED (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i + 1])) AS w2
+  FROM tok WHERE len(ws) >= 2
+), bc AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), ctx AS MATERIALIZED (
+  SELECT w1, sum(c) AS c1, count(*) AS t1 FROM bc GROUP BY w1
+), cont AS MATERIALIZED (
+  SELECT w2, count(*) AS n1w FROM bc GROUP BY w2
+), nbt AS (SELECT count(*) AS total_types FROM bc)
+SELECT bg.source,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-sum(ln(
+         (greatest(CAST(bc.c AS DOUBLE) - 0.75, 0) / CAST(ctx.c1 AS DOUBLE))
+         + (0.75 * CAST(ctx.t1 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+           * (CAST(cont.n1w AS DOUBLE) / CAST(nbt.total_types AS DOUBLE))
+       )) / count(*), 4) AS avg_nll,
+       round(exp(-sum(ln(
+         (greatest(CAST(bc.c AS DOUBLE) - 0.75, 0) / CAST(ctx.c1 AS DOUBLE))
+         + (0.75 * CAST(ctx.t1 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+           * (CAST(cont.n1w AS DOUBLE) / CAST(nbt.total_types AS DOUBLE))
+       )) / count(*)), 4) AS ppl
+FROM bg
+JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+JOIN ctx ON bg.w1 = ctx.w1
+JOIN cont ON bg.w2 = cont.w2
+CROSS JOIN nbt
+GROUP BY bg.source
+ORDER BY bg.source
+""",
+)
+def text_perplexity_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram perplexity per source (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form, fixed discount
+    D=0.75) — the LM-quality signal one tier above
+    text_perplexity_unigram: KN's continuation probability ranks a
+    word by how many distinct CONTEXTS it follows, which is exactly
+    what separates boilerplate-heavy sources (few contexts, repeated)
+    from fluent ones. P(w2|w1) = max(c(w1w2)−D, 0)/c(w1) +
+    D·|{w: c(w1 w)>0}|/c(w1) · N1+(·w2)/|bigram types|; evaluated on
+    the corpus itself (every bigram has support, no OOV branch).
+
+    Scale: the classic LM star — bigram/context/continuation count
+    tables built by map-side-combined hash aggregates, then broadcast
+    back onto the bigram stream (the model tables are |vocab|-sized
+    dims, never collected); per-source NLL is one more combinable
+    aggregate. Floats: all probabilities are identical-text IEEE
+    expressions over exact counts; ln/exp differ across libm by ≤1 ulp
+    per term — output-only, ~1e-11 on the r4 grid (the
+    text_lexical_richness precedent)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = docs.select(
+        "source",
+        F.posexplode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> "
+                   "named_struct('w1', ws[i], 'w2', ws[i + 1]))")
+        ).alias("pos", "b"),
+    ).select("source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("t1")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w"))
+    nbt = F.broadcast(bc.agg(F.count(F.lit(1)).alias("total_types")))
+    p = F.expr(
+        "(greatest(CAST(c AS DOUBLE) - 0.75, 0) / CAST(c1 AS DOUBLE))"
+        " + (0.75 * CAST(t1 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        "   * (CAST(n1w AS DOUBLE) / CAST(total_types AS DOUBLE))"
+    )
+    d = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(nbt)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.log(p)).alias("ll"),
+        )
+    )
+    return d.select(
+        "source",
+        F.col("nb").cast("bigint").alias("n_bigrams"),
+        r4(-F.col("ll") / F.col("nb")).alias("avg_nll"),
+        r4(F.exp(-F.col("ll") / F.col("nb"))).alias("ppl"),
+    ).orderBy(F.asc("source"))

@@ -1251,3 +1251,27 @@ def test_isotonic_calibration_properties(spark):
     tot_pos = sum(r.n_pos for r in rows)
     acc = sum(w * (s / w) for w, s, c in blocks for _ in range(1))  # block means exact
     assert abs(sum(s for w, s, c in blocks) - tot_pos) == 0
+
+
+def test_kn_bigram_and_neyman_shapes(spark):
+    """text_perplexity_kn_bigram: LM star — model dims broadcast back
+    onto the bigram stream, no cartesian on facts, no Python.
+    sample_neyman_allocation: allocation fractions sum to 1 and every
+    stratum with sd>0 gets a positive allotment."""
+    p = plan_of(spark, "text_perplexity_kn_bigram")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = all_queries()["sample_neyman_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert abs(sum(r.alloc_frac for r in rows) - 1.0) < 1e-3  # r4 per-row
+    assert abs(sum(r.n_alloc for r in rows) - 1000.0) < 1.0
+    assert all(r.n_alloc > 0 for r in rows if r.stratum_sd > 0)
+    # KN ppl sanity: bounded below by 1 (probabilities <= 1)
+    kn = all_queries()["text_perplexity_kn_bigram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.ppl >= 1.0 for r in kn)
+    assert all(r.avg_nll > 0 for r in kn)

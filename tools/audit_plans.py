@@ -122,6 +122,7 @@ NLJ_OK = {
     "spatial_avg_nearest_neighbor",  # 1-row NN-sum x 1-row bbox/count broadcast combine (grid-blocked pairs)
     "spatial_huff_model",        # origins×stores OD star: LEFT side is the demand-point-aggregated lattice-cell relation (<=2880 rows by construction, any SF), RIGHT is the broadcast store dim — the deliberate bounded OD expansion
     "stats_kendall_tau",         # 25-row nation-aggregate self-join (nk< inequality pairs) — O(groups²) like the Theil/ANOVA tails, facts reduced first
+    "text_perplexity_kn_bigram",  # 1-row bigram-type-total broadcast under the LM star (the text_perplexity_unigram precedent)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
