@@ -123,6 +123,7 @@ NLJ_OK = {
     "spatial_huff_model",        # origins×stores OD star: LEFT side is the demand-point-aggregated lattice-cell relation (<=2880 rows by construction, any SF), RIGHT is the broadcast store dim — the deliberate bounded OD expansion
     "stats_kendall_tau",         # 25-row nation-aggregate self-join (nk< inequality pairs) — O(groups²) like the Theil/ANOVA tails, facts reduced first
     "text_perplexity_kn_bigram",  # 1-row bigram-type-total broadcast under the LM star (the text_perplexity_unigram precedent)
+    "sample_neyman_allocation",   # 1-row allocation-denominator (sum Nh*sd) broadcast over |sources| rows
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
