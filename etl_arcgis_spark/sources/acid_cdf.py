@@ -115,7 +115,8 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
 
     def _load(self, paths: list[str], pcol: str | None):
         """Read data files into one pandas frame, reattaching the
-        partition value from the Hive dir name when partitioned."""
+        partition value from the Hive dir name when partitioned, plus
+        (__file, __pos) row identity for the merge-on-read overlay."""
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -127,28 +128,85 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                 part_dir = os.path.basename(os.path.dirname(full))
                 if "=" in part_dir:
                     df[pcol] = part_dir.split("=", 1)[1]
+            df["__file"] = os.path.basename(full)
+            df["__pos"] = range(len(df))
             frames.append(df)
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
 
+    def _overlay(self, df, man):
+        """Apply a manifest's merge-on-read delete overlay to a loaded
+        frame — BOTH kinds, same semantics as acid._read_paths:
+        positional entries anti-match (__file, __pos); equality entries
+        null-safe-match their key columns, guarded by the data sequence
+        number (rows from files at/after the entry's seq survive)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        dels = (man or {}).get("deletes") or []
+        if not dels or df is None or len(df) == 0:
+            return df
+        pos = [e for e in dels if e.get("kind", "positional") == "positional"]
+        eq = [e for e in dels if e.get("kind") == "equality"]
+        if pos:
+            pairs = set()
+            for e in pos:
+                t = pq.read_table(os.path.join(self.root, e["path"])).to_pandas()
+                pairs.update(zip(t["dfile"], t["dpos"]))
+            keep = [
+                (f, p) not in pairs
+                for f, p in zip(df["__file"], df["__pos"])
+            ]
+            df = df[pd.Series(keep, index=df.index)]
+        if eq and len(df):
+            seq_of = {
+                os.path.basename(f["path"]): int(f.get("seq", 0))
+                for f in man["files"]
+            }
+            fseq = df["__file"].map(lambda bn: seq_of.get(bn, 0))
+            for e in eq:
+                cols = list(e["cols"])
+                kt = pq.read_table(
+                    os.path.join(self.root, e["path"])
+                ).to_pandas()
+                keyset = set(
+                    map(tuple, kt[cols].fillna("\x00NULL").astype(str).values)
+                )
+                vals = df[cols].fillna("\x00NULL").astype(str)
+                match = pd.Series(
+                    [tuple(r) in keyset for r in vals.values], index=df.index
+                )
+                drop = match & (fseq < int(e.get("seq", 0)))
+                df = df[~drop]
+                fseq = fseq[~drop]
+        return df
+
     def _diff_version(self, v: int):
-        """Yield change tuples for snapshot v vs v-1 (file-delta diff,
-        same semantics as acid.table_changes)."""
+        """Yield change tuples for snapshot v vs v-1 — file-delta diff
+        plus the merge-on-read delete-entry diff, same semantics as
+        acid.table_changes: removed files read under the PARENT
+        manifest's overlay (a compaction that resolves the overlay must
+        emit nothing), added files under the child's (upsert_mor's own
+        appends survive their same-commit tombstone via the seq
+        guard), and NEW delete entries emit their matched pre-image
+        rows as 'delete' events."""
         import pandas as pd
 
         man = acid._read_manifest(self.root, v)
         key = man["key"]
         pcol = man.get("partition_by")
-        if v == 1:  # the create commit diffs against an empty table
-            prev = set()
-        else:
-            prev = {
-                f["path"] for f in acid._read_manifest(self.root, v - 1)["files"]
-            }
+        man_prev = None if v == 1 else acid._read_manifest(self.root, v - 1)
+        prev = (
+            set()
+            if man_prev is None
+            else {f["path"] for f in man_prev["files"]}
+        )
         cur = {f["path"] for f in man["files"]}
-        after = self._load(sorted(cur - prev), pcol)
-        before = self._load(sorted(prev - cur), pcol)
+        after = self._overlay(self._load(sorted(cur - prev), pcol), man)
+        before = self._overlay(
+            self._load(sorted(prev - cur), pcol), man_prev or man
+        )
         data_cols = [
             n for n in self.names if n not in ("_change_type", "_commit_version")
         ]
@@ -168,6 +226,68 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                     ]
                     + [ctype, v]
                 )
+
+        # merge-on-read delete-entry diff: entries ADDED by v emit
+        # their matched pre-image rows (read under the parent overlay;
+        # targets name only files that existed pre-commit)
+        prev_del = {
+            e["path"]
+            for e in ((man_prev or {}).get("deletes") or [])
+        }
+        new_dels = [
+            e for e in man.get("deletes") or [] if e["path"] not in prev_del
+        ]
+        if new_dels:
+            import pyarrow.parquet as pq
+
+            man_pre = dict(man)
+            man_pre["deletes"] = [
+                e for e in man.get("deletes") or [] if e["path"] in prev_del
+            ]
+            tgt = set()
+            for e in new_dels:
+                tgt.update((e.get("targets") or {}).keys())
+            tgt_paths = sorted(
+                f["path"]
+                for f in man["files"]
+                if os.path.basename(f["path"]) in tgt
+            )
+            pre = self._overlay(self._load(tgt_paths, pcol), man_pre)
+            if pre is not None and len(pre):
+                for c in data_cols:
+                    if c not in pre.columns:
+                        pre[c] = None
+                hit = pd.Series(False, index=pre.index)
+                for e in new_dels:
+                    if e.get("kind") == "equality":
+                        cols = list(e["cols"])
+                        kt = pq.read_table(
+                            os.path.join(self.root, e["path"])
+                        ).to_pandas()
+                        keyset = set(
+                            map(
+                                tuple,
+                                kt[cols].fillna("\x00NULL").astype(str).values,
+                            )
+                        )
+                        vals = pre[cols].fillna("\x00NULL").astype(str)
+                        hit |= pd.Series(
+                            [tuple(r) in keyset for r in vals.values],
+                            index=pre.index,
+                        )
+                    else:
+                        t = pq.read_table(
+                            os.path.join(self.root, e["path"])
+                        ).to_pandas()
+                        pairs = set(zip(t["dfile"], t["dpos"]))
+                        hit |= pd.Series(
+                            [
+                                (f, p) in pairs
+                                for f, p in zip(pre["__file"], pre["__pos"])
+                            ],
+                            index=pre.index,
+                        )
+                yield from emit(pre[hit], "delete")
 
         if len(after) == 0 and len(before) == 0:
             return

@@ -336,3 +336,51 @@ def test_streaming_mor_sink_parity_with_cow(spark, tmp_path):
     assert results["cow"] == results["mor"] and len(results["cow"]) > 0
     ops = [h["operation"] for h in acid.history(str(tmp_path / "tbl_mor"))]
     assert ops == ["create", "upsert_mor"]
+
+
+def test_cdf_stream_mor_parity_with_table_changes(spark, tmp_path):
+    """The acid_cdf STREAMING source over merge-on-read commits —
+    positional delete, equality delete, upsert_mor, compact_deletes —
+    matches the distributed acid.table_changes row for row (r9: the
+    stream previously diffed file deltas only, so MoR commits emitted
+    nothing and compaction re-exposed deleted rows)."""
+    from etl_arcgis_spark.sources.acid_cdf import register
+
+    register(spark)
+    root = _mk(spark, tmp_path, name="cdfstream", n=8)
+    acid.delete_where_mor(spark, root, "id IN (2, 3)")     # v2: positional
+    acid.delete_eq(spark, root, _keys(spark, 7))           # v3: equality
+    acid.upsert_mor(
+        spark, root,
+        spark.createDataFrame([(4, -4, "up"), (50, 500, "new")],
+                              "id INT, x INT, v STRING"),
+    )                                                      # v4: delete+insert
+    acid.compact_deletes(spark, root)                      # v5: must be silent
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("root", root)
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdf_mor")
+        .option("checkpointLocation", str(tmp_path / "ck_mor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["x"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdf_mor").collect()
+    )
+    want = sorted(
+        (r["id"], r["x"], r["_change_type"], r["_commit_version"])
+        for r in acid.table_changes(spark, root, 1).collect()
+    )
+    assert got == want
+    assert (2, 20, "delete", 2) in got and (3, 30, "delete", 2) in got
+    assert (7, 70, "delete", 3) in got
+    assert (4, 40, "delete", 4) in got and (4, -4, "insert", 4) in got
+    assert (50, 500, "insert", 4) in got
+    assert all(cv != 5 for (_, _, _, cv) in got)  # compaction is silent
+    assert len(got) == 6
