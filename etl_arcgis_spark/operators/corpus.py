@@ -442,3 +442,86 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("source"))
     )
+
+
+@query(
+    "corpus_token_concentration",
+    oracle="""
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM documents
+), d AS (
+  SELECT CAST((rk - 1) * 10 // n AS BIGINT) + 1 AS decile,
+         n_chars
+  FROM r
+), g AS (
+  SELECT decile, count(*) AS n_docs, sum(n_chars) AS chars
+  FROM d GROUP BY decile
+), c AS (
+  SELECT decile, n_docs, chars,
+         sum(chars) OVER (ORDER BY decile) AS cum_chars,
+         sum(chars) OVER () AS total
+  FROM g
+)
+SELECT decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars AS BIGINT) AS chars,
+       CAST(cum_chars AS BIGINT) AS cum_chars,
+       CAST(cum_chars * 10000 // total AS BIGINT) AS cum_share_bp
+FROM c ORDER BY decile
+""",
+)
+def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS TOKEN CONCENTRATION (the Lorenz/Pareto curve of document
+    length): rank documents by n_chars descending and report, per
+    length decile, the document count, character mass, and CUMULATIVE
+    share in basis points — "the longest 10% of documents hold X% of
+    the tokens", the first diagnostic a curation budget planner reads
+    (length-skewed corpora starve short-doc diversity under naive
+    token-budget sampling; complements analytics_gini_revenue's scalar
+    with the curve itself, over the corpus rather than revenue).
+
+    Exactness: ranks come from a deterministic total order
+    (n_chars DESC, doc_id ASC), decile assignment and cumulative
+    shares are integer arithmetic (// and DIV) over exact BIGINT
+    sums — no floats anywhere.
+
+    Scale: the global rank routes through the audited two-phase
+    bucketed decomposition (scale_patterns.bucketed_global_rank — no
+    single-partition sort at 100 TB); everything after is a 10-row
+    decile table (its cumulative window is bounded input, allowlisted
+    like the other <=25-row tails)."""
+    from .scale_patterns import bucketed_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg")
+    )
+    ranked = bucketed_global_rank(docs, "neg", "doc_id")
+    d = ranked.select(
+        (((F.col("grank") - 1) * 10 / F.col("n_total")).cast("bigint") + 1)
+        .alias("decile"),
+        "n_chars",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("chars").cast("bigint").alias("chars"),
+            F.sum("chars").over(w).cast("bigint").alias("cum_chars"),
+            (F.sum("chars").over(w) * 10000 / F.sum("chars").over(wall))
+            .cast("bigint")
+            .alias("cum_share_bp"),
+        )
+        .orderBy("decile")
+    )

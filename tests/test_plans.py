@@ -1275,3 +1275,26 @@ def test_kn_bigram_and_neyman_shapes(spark):
     ).collect()
     assert all(r.ppl >= 1.0 for r in kn)
     assert all(r.avg_nll > 0 for r in kn)
+
+
+def test_token_concentration_monotone_and_conserving(spark):
+    """corpus_token_concentration: 10 deciles, monotone cumulative
+    share ending at exactly 10000 bp, doc counts partition the corpus,
+    and the curve is concave-ish (longest decile holds the largest
+    mass since ranking is by length desc)."""
+    from etl_arcgis_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["corpus_token_concentration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == 500
+    assert rows[-1].cum_share_bp == 10000
+    shares = [r.cum_share_bp for r in rows]
+    assert shares == sorted(shares)
+    masses = [r.chars for r in rows]
+    assert masses == sorted(masses, reverse=True)  # decile 1 = longest docs
+    assert rows[-1].cum_chars == sum(masses)

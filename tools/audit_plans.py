@@ -124,6 +124,7 @@ NLJ_OK = {
     "stats_kendall_tau",         # 25-row nation-aggregate self-join (nk< inequality pairs) — O(groups²) like the Theil/ANOVA tails, facts reduced first
     "text_perplexity_kn_bigram",  # 1-row bigram-type-total broadcast under the LM star (the text_perplexity_unigram precedent)
     "sample_neyman_allocation",   # 1-row allocation-denominator (sum Nh*sd) broadcast over |sources| rows
+    "corpus_token_concentration",  # bucketed_global_rank's 1-row (min,max,n) stats broadcast (the agg_equidepth/gini precedent)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
@@ -133,6 +134,7 @@ NLJ_OK = {
 # sort that kills a 100 TB job (use scale_patterns.bucketed_global_rank
 # / bucketed_running_sums instead; see the four round-4 rewrites).
 WINDOW_BOUNDED_OK = {
+    "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
     "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
