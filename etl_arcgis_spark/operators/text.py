@@ -2812,10 +2812,13 @@ def text_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-internal), and the repetition rate in basis points (integer
     division, engine-exact).
 
-    Distinct from text_lexical_richness (per-SOURCE vocabulary
-    health), text_ngram_novelty (cross-doc novelty), zlib ratio
-    (compression proxy, declared weak): this is the exact per-doc
-    repeated-span token mass.
+    Distinct from text_repetition_ratio (the SET quantity
+    1 − distinct/total bigrams — insensitive to WHERE repeats sit:
+    "a b a b a" scores 0.5 there but 3-of-5 covered tokens = 6000 bp
+    here, because coverage counts the merged positional spans a
+    dedup rewrite would actually cut), from text_lexical_richness
+    (per-SOURCE vocabulary health), text_ngram_novelty (cross-doc
+    novelty), and zlib ratio (compression proxy, declared weak).
 
     Scale: the dream shape — ZERO SHUFFLE. Tokens, bigrams, the
     earlier-occurrence test and the interval-merge fold all run
