@@ -384,3 +384,47 @@ def test_cdf_stream_mor_parity_with_table_changes(spark, tmp_path):
     assert (50, 500, "insert", 4) in got
     assert all(cv != 5 for (_, _, _, cv) in got)  # compaction is silent
     assert len(got) == 6
+
+
+def test_upsert_mor_schema_evolution(spark, tmp_path):
+    """A source with a NEW column appends it to the table schema; old
+    files read the column as null through the pinned manifest schema,
+    and the tombstoned old versions stay dead."""
+    root = _mk(spark, tmp_path, name="eqevo", n=4)
+    src = spark.createDataFrame(
+        [(2, -2, "up", "extra2"), (9, 90, "new", "extra9")],
+        "id INT, x INT, v STRING, note STRING",
+    )
+    acid.upsert_mor(spark, root, src)
+    got = {r.id: (r.x, r.note) for r in acid.read(spark, root).collect()}
+    assert got[2] == (-2, "extra2")       # replaced, carries new col
+    assert got[9] == (90, "extra9")       # inserted
+    assert got[1] == (10, None)           # old file: evolved col null
+    assert len(got) == 5
+    # a second upsert with the ORIGINAL narrow schema is rejected
+    # (UPDATE SET * needs full width — note now exists)
+    with pytest.raises(ValueError, match="full-width"):
+        acid.upsert_mor(
+            spark, root,
+            spark.createDataFrame([(1, 0, "z")], "id INT, x INT, v STRING"),
+        )
+
+
+def test_restore_across_equality_commits(spark, tmp_path):
+    """RESTORE to a pre-tombstone snapshot revives the keys (the old
+    manifest has no eq entries), the seq counter never regresses, and
+    a NEW equality delete after the restore still outranks every file."""
+    root = _mk(spark, tmp_path, name="eqrestore", n=6)
+    acid.delete_eq(spark, root, _keys(spark, 2, 3))        # v2, seq 2
+    assert acid.read(spark, root).count() == 4
+    acid.restore(spark, root, 1)                           # v3 = v1 state
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+    man = acid._read_manifest(root, 3)
+    assert int(man["last_seq"]) >= 2  # counter carried, not reset
+    v4 = acid.delete_eq(spark, root, _keys(spark, 2))      # seq > all files
+    assert sorted(r.id for r in acid.read(spark, root).collect()) == [
+        1, 3, 4, 5, 6,
+    ]
+    assert acid._read_manifest(root, v4)["deleted_rows"] == 1
