@@ -597,11 +597,11 @@ def _read_paths(
                 (os.path.basename(f["path"]), int(f.get("seq", 0)))
                 for f in man["files"]
             ],
-            "__sq_file STRING, __mor_seq BIGINT",
+            "__mor_sq_file STRING, __mor_seq BIGINT",
         )
         out = out.join(
-            F.broadcast(sdf), out["__mor_file"] == sdf["__sq_file"], "left"
-        ).drop("__sq_file")
+            F.broadcast(sdf), out["__mor_file"] == sdf["__mor_sq_file"], "left"
+        ).drop("__mor_sq_file")
         for e in eq_dels:
             cols = list(e["cols"])
             kdf = (

@@ -500,8 +500,7 @@ def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = bucketed_global_rank(docs, "neg", "doc_id")
     d = ranked.select(
-        (((F.col("grank") - 1) * 10 / F.col("n_total")).cast("bigint") + 1)
-        .alias("decile"),
+        (F.expr("(grank - 1) * 10L DIV n_total") + 1).alias("decile"),
         "n_chars",
     )
     g = d.groupBy("decile").agg(
@@ -519,9 +518,14 @@ def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("chars").cast("bigint").alias("chars"),
             F.sum("chars").over(w).cast("bigint").alias("cum_chars"),
-            (F.sum("chars").over(w) * 10000 / F.sum("chars").over(wall))
-            .cast("bigint")
-            .alias("cum_share_bp"),
+            F.sum("chars").over(wall).cast("bigint").alias("__total"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "chars",
+            "cum_chars",
+            F.expr("cum_chars * 10000L DIV __total").alias("cum_share_bp"),
         )
         .orderBy("decile")
     )

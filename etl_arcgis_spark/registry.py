@@ -322,7 +322,14 @@ def all_queries() -> dict[str, QueryFn]:
             # re-spend window slots on it.
             return (0, -len(refresh_pos) + refresh_pos[n], insertion[n])
         elif n in verified:
-            tier = 2
+            # Freshness rotation (r10, VERDICT r9 'next' #7): verified
+            # names sort by the AGE of their latest clean driver row,
+            # oldest first — each round's window re-verifies the ~50
+            # stalest rows (after unverified/new names take their
+            # slots), so environment drift can't hide behind an r1-era
+            # green row. Self-maintaining: a fresh row pushes the name
+            # to the back of the rotation.
+            return (2, _LATEST_CLEAN_ROUND.get(n, 0), insertion[n])
         elif n in _CONTRACT_NAMES or n in _R5_BACKLOG_PIN or n in _R6_BACKLOG_PIN:
             tier = 0  # contract / pinned-backlog, never driver-checked
         else:

@@ -170,12 +170,24 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                 kt = pq.read_table(
                     os.path.join(self.root, e["path"])
                 ).to_pandas()
-                keyset = set(
-                    map(tuple, kt[cols].fillna("\x00NULL").astype(str).values)
-                )
-                vals = df[cols].fillna("\x00NULL").astype(str)
+                # Native-value tuples with explicit null tagging — NOT
+                # str-coerced: stringification would false-match values
+                # that render identically but differ natively (and an
+                # actual string equal to a null sentinel). A (is_null,
+                # value) tuple mirrors Spark's eqNullSafe: Python's
+                # numeric equality (int 5 == float 5.0, equal hashes)
+                # absorbs pandas' int->float widening after schema
+                # evolution, while strings never equal numbers.
+                def _kt(row):
+                    return tuple(
+                        (True, None) if pd.isna(v) else (False, v)
+                        for v in row
+                    )
+
+                keyset = set(map(_kt, kt[cols].values))
                 match = pd.Series(
-                    [tuple(r) in keyset for r in vals.values], index=df.index
+                    [_kt(r) in keyset for r in df[cols].values],
+                    index=df.index,
                 )
                 drop = match & (fseq < int(e.get("seq", 0)))
                 df = df[~drop]

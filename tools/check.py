@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -164,8 +165,33 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
-            n_weak += 1
+            # Golden-snapshot gate (VERDICT r9 #1): weak queries have no
+            # DuckDB oracle by design, but they ARE deterministic within
+            # the engine — compare against the committed golden parquet
+            # (tests/goldens/<sf>/<name>.parquet, tools/make_goldens.py)
+            # with the same order-insensitive comparator. Rows-only only
+            # when no golden exists for this fixture dir.
+            gpath = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests", "goldens",
+                os.path.basename(args.sf.rstrip("/")), f"{name}.parquet",
+            )
+            if os.path.exists(gpath):
+                gdf = pd.read_parquet(gpath)
+                problems = compare(sdf, gdf)
+                hard = [p for p in problems if not p.startswith("dtype note")]
+                if hard:
+                    n_fail += 1
+                    failures.append(name)
+                    print(f"FAIL {name}: vs golden, rows={len(sdf)} ({time.time()-t0:.1f}s)")
+                    for p in problems:
+                        print(f"     {p}")
+                else:
+                    n_weak += 1
+                    print(f"gold {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            else:
+                print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+                n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
