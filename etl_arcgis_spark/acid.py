@@ -1853,6 +1853,181 @@ def update_where(
     return base_v + 1
 
 
+def update_where_mor(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> int:
+    """Predicate UPDATE, merge-on-read (VERDICT r9 #8 — the MoR twin of
+    :func:`update_where`): the matched rows' KEYS go into one
+    Iceberg-v2 equality-delete file and their updated versions append
+    as new data files stamped with the SAME sequence number (the
+    upsert_mor protocol, acid.py:1565) — nothing is rewritten, write
+    cost = matched rows + one key file, versus CoW's rewrite of every
+    file the predicate touches. Same visible result as
+    ``update_where(root, predicate, set_exprs)`` — parity-tested —
+    with two deliberate semantic differences:
+
+    * requires the matched keys to be UNIQUE table-wide: the equality
+      tombstone kills every row carrying a matched key, so a duplicate
+      key shared with an unmatched row would silently delete that row.
+      Detected with one semi-join count and rejected (use the CoW
+      spelling for duplicate-key tables).
+    * MAY SET the partition column: rows re-insert as new files, so
+      they can move between partitions (CoW rewrites in place and
+      rejects this).
+
+    SQL UPDATE semantics otherwise match CoW: predicate NULL/UNKNOWN
+    rows untouched, SET expressions evaluate against the OLD row and
+    only on matched rows, try_cast integrity gate fails the commit if
+    a SET value won't cast to the column type. CDF surfaces the commit
+    as update_preimage/postimage pairs like Delta (table_changes pairs
+    the equality-delete pre-images with the same-key re-inserts)."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    key = man["key"]
+    pcol = man.get("partition_by")
+    cols = [
+        f["name"]
+        for f in json.loads(
+            man.get("schema") or read(spark, root, base_v).schema.json()
+        )["fields"]
+    ]
+    bad = [c for c in set_exprs if c not in cols]
+    if bad:
+        raise ValueError(
+            f"update_where_mor SET targets {bad} are not table columns "
+            f"{cols}; add columns via merge() schema evolution first"
+        )
+    if key in set_exprs:
+        raise ValueError(
+            f"update_where_mor cannot SET the merge key {key!r} — the "
+            "equality tombstone and the CDF pre/post pairing are keyed "
+            "on it; use merge() or the CoW update_where"
+        )
+    cur = read(spark, root, base_v)
+    matched = cur.filter(F.expr(f"({predicate})")).cache()
+    try:
+        n_matched = matched.count()
+        if n_matched == 0:
+            # parity with CoW: still publish a (no-op) snapshot
+            new_man = {
+                "version": base_v + 1,
+                "key": key,
+                "operation": "update_mor",
+                "schema": man.get("schema")
+                or read(spark, root, base_v).schema.json(),
+                "files": man["files"],
+                "rows": int(man.get("rows", 0)),
+                "parent": base_v,
+                "predicate": predicate,
+                "updated_rows": 0,
+                "last_seq": _next_seq(man, base_v),
+            }
+            if man.get("deletes"):
+                new_man["deletes"] = man["deletes"]
+            if pcol is not None:
+                new_man["partition_by"] = pcol
+            _publish(root, base_v + 1, new_man)
+            return base_v + 1
+        # duplicate-key hazard gate: the equality tombstone deletes by
+        # KEY, so every row sharing a matched key must itself be
+        # matched — otherwise MoR would delete rows CoW would keep.
+        n_sharing = (
+            cur.join(matched.select(key).distinct(), key, "semi").count()
+        )
+        if n_sharing != n_matched:
+            raise ValueError(
+                f"update_where_mor: {n_sharing - n_matched} unmatched "
+                f"row(s) share a merge key with matched rows — the "
+                "equality tombstone would delete them; this table "
+                "needs the copy-on-write update_where"
+            )
+        # stage predicate + SET values against the OLD row, then swap
+        # (same guarded spelling as update_where; every row here
+        # matched, but the CASE keeps SET expressions off any row a
+        # future refactor lets through)
+        order = matched.columns
+        updated = matched.withColumn("__upd", F.expr(f"({predicate})"))
+        for c, expr in set_exprs.items():
+            dt = updated.schema[c].dataType.simpleString()
+            updated = updated.withColumn(
+                f"__raw_{c}",
+                F.when(F.col("__upd"), F.expr(f"({expr})")),
+            ).withColumn(
+                f"__new_{c}",
+                F.when(
+                    F.col("__upd"),
+                    F.expr(f"try_cast(__raw_{c} AS {dt})"),
+                ).otherwise(F.col(c)),
+            )
+        viol = updated.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("__upd"), F.lit(False))
+                        & F.col(f"__raw_{c}").isNotNull()
+                        & F.col(f"__new_{c}").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias(c)
+                for c in set_exprs
+            ]
+        ).collect()[0]
+        bad_casts = {c: int(viol[c]) for c in set_exprs if viol[c]}
+        if bad_casts:
+            tgt_types = {
+                c: updated.schema[c].dataType.simpleString()
+                for c in bad_casts
+            }
+            raise ValueError(
+                f"update_where_mor SET expression(s) do not cast to "
+                f"the column type: {bad_casts} matched row(s) would be "
+                f"silently NULLed (targets {tgt_types}); fix the "
+                "expression or cast explicitly"
+            )
+        updated = updated.select(
+            *[
+                (F.col(f"__new_{c}").alias(c) if c in set_exprs else F.col(c))
+                for c in order
+            ]
+        )
+        new_seq = _next_seq(man, base_v)
+        entry, n_del = _eq_delete_entry(
+            spark, root, man, matched.select(key), new_seq
+        )
+        new_files = _write_data_files(
+            updated, root, key=key, partition_by=pcol, seq=new_seq
+        )
+    finally:
+        matched.unpersist()
+    entries = list(man.get("deletes") or [])
+    if entry:
+        entries.append(entry)
+    new_man = {
+        "version": base_v + 1,
+        "key": key,
+        "operation": "update_mor",
+        "schema": man.get("schema")
+        or read(spark, root, base_v).schema.json(),
+        "files": man["files"] + new_files,
+        "rows": int(man.get("rows", 0)),
+        "parent": base_v,
+        "predicate": predicate,
+        "updated_rows": int(n_matched),
+        "last_seq": new_seq,
+    }
+    if entries:
+        new_man["deletes"] = entries
+    if pcol is not None:
+        new_man["partition_by"] = pcol
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def vacuum(
     root: str, keep_versions: int = 2, grace_seconds: float = 3600.0
 ) -> list[str]:
@@ -2489,6 +2664,55 @@ def table_changes(
                     t = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                     cond = t if cond is None else cond & t
                 _emit_deletes(pre_img.join(F.broadcast(kdf), cond, "semi"))
+        if man.get("operation") == "update_mor":
+            # A predicate UPDATE spelled merge-on-read lands as an
+            # equality tombstone + same-seq re-insert, so the raw delta
+            # above is delete+insert rows on the SAME keys. Delta CDF's
+            # convention for UPDATE is pre/postimage pairs — pair them
+            # back up (update_where_mor forbids SET on the key, so the
+            # pairing is total), and drop pairs whose value columns are
+            # identical (a SET that computed the old value is not a
+            # change — matches the CoW diff, which drops carried rows).
+            cols = [f.name for f in full.fields]
+            val_cols = [c for c in cols if c != key]
+            ins_d = delta.filter(F.col("_change_type") == "insert").alias("a")
+            del_d = delta.filter(F.col("_change_type") == "delete").alias("b")
+            rest = delta.filter(
+                ~F.col("_change_type").isin("insert", "delete")
+            )
+            j2 = ins_d.join(
+                del_d, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer"
+            )
+            a_key, b_key = F.col(f"a.{key}"), F.col(f"b.{key}")
+            same2 = F.struct(
+                *[F.col(f"a.{c}") for c in val_cols]
+            ).eqNullSafe(F.struct(*[F.col(f"b.{c}") for c in val_cols]))
+            pre2 = j2.filter(a_key.isNotNull() & b_key.isNotNull() & ~same2).select(
+                *[F.col(f"b.{c}").alias(c) for c in cols],
+                F.lit("update_preimage").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            post2 = j2.filter(a_key.isNotNull() & b_key.isNotNull() & ~same2).select(
+                *[F.col(f"a.{c}").alias(c) for c in cols],
+                F.lit("update_postimage").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            lone_ins = j2.filter(a_key.isNotNull() & b_key.isNull()).select(
+                *[F.col(f"a.{c}").alias(c) for c in cols],
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            lone_del = j2.filter(a_key.isNull() & b_key.isNotNull()).select(
+                *[F.col(f"b.{c}").alias(c) for c in cols],
+                F.lit("delete").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            delta = (
+                rest.unionByName(pre2)
+                .unionByName(post2)
+                .unionByName(lone_ins)
+                .unionByName(lone_del)
+            )
         out = delta if out is None else out.unionByName(delta)
     return out
 

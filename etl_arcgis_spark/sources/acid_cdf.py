@@ -242,6 +242,7 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         # merge-on-read delete-entry diff: entries ADDED by v emit
         # their matched pre-image rows (read under the parent overlay;
         # targets name only files that existed pre-commit)
+        mor_pre = None
         prev_del = {
             e["path"]
             for e in ((man_prev or {}).get("deletes") or [])
@@ -276,15 +277,18 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                         kt = pq.read_table(
                             os.path.join(self.root, e["path"])
                         ).to_pandas()
-                        keyset = set(
-                            map(
-                                tuple,
-                                kt[cols].fillna("\x00NULL").astype(str).values,
+
+                        # native (is_null, value) tuples — same
+                        # eqNullSafe-mirror as _overlay, no str coercion
+                        def _kt2(row):
+                            return tuple(
+                                (True, None) if pd.isna(x) else (False, x)
+                                for x in row
                             )
-                        )
-                        vals = pre[cols].fillna("\x00NULL").astype(str)
+
+                        keyset = set(map(_kt2, kt[cols].values))
                         hit |= pd.Series(
-                            [tuple(r) in keyset for r in vals.values],
+                            [_kt2(r) in keyset for r in pre[cols].values],
                             index=pre.index,
                         )
                     else:
@@ -299,7 +303,62 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                             ],
                             index=pre.index,
                         )
-                yield from emit(pre[hit], "delete")
+                if man.get("operation") == "update_mor":
+                    mor_pre = pre[hit]
+                else:
+                    yield from emit(pre[hit], "delete")
+
+        if man.get("operation") == "update_mor":
+            # pair the equality-delete pre-images with the same-key
+            # re-inserts into update_pre/postimage rows — the stream
+            # must match acid.table_changes' Delta-CDF convention
+            # (update_where_mor forbids SET on the key, so the pairing
+            # is total; identical pairs are not changes and drop).
+            pre_f = (
+                mor_pre[data_cols]
+                if mor_pre is not None and len(mor_pre)
+                else pd.DataFrame(columns=data_cols)
+            )
+            ins_f = after[data_cols] if len(after) else pd.DataFrame(columns=data_cols)
+            m = ins_f.merge(
+                pre_f, on=key, how="outer", suffixes=("__a", "__b"),
+                indicator=True,
+            )
+            val_cols = [c for c in data_cols if c != key]
+            for row in m.itertuples(index=False):
+                d = dict(zip(m.columns, row))
+                a_row = {key: d[key], **{c: d[f"{c}__a"] for c in val_cols}}
+                b_row = {key: d[key], **{c: d[f"{c}__b"] for c in val_cols}}
+
+                def _tup(r, ctype):
+                    return tuple(
+                        [
+                            None
+                            if (isinstance(r.get(n), float) and pd.isna(r.get(n)))
+                            else r.get(n)
+                            for n in data_cols
+                        ]
+                        + [ctype, v]
+                    )
+
+                if d["_merge"] == "left_only":
+                    yield _tup(a_row, "insert")
+                elif d["_merge"] == "right_only":
+                    yield _tup(b_row, "delete")
+                else:
+                    same = all(
+                        (pd.isna(a_row[c]) and pd.isna(b_row[c]))
+                        or (
+                            not pd.isna(a_row[c])
+                            and not pd.isna(b_row[c])
+                            and a_row[c] == b_row[c]
+                        )
+                        for c in val_cols
+                    )
+                    if not same:
+                        yield _tup(b_row, "update_preimage")
+                        yield _tup(a_row, "update_postimage")
+            return
 
         if len(after) == 0 and len(before) == 0:
             return
