@@ -1277,7 +1277,12 @@ def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
     return read(spark, root, version_as_of(root, ts))
 
 
-def clone(spark: SparkSession, src_root: str, dst_root: str) -> int:
+def clone(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
     """SHALLOW CLONE (Delta's CLONE, Iceberg snapshot-ref flavor): a
     new table whose v1 manifest references the SOURCE's current data
     (and merge-on-read delete) files by relative path — zero data IO,
@@ -1292,9 +1297,13 @@ def clone(spark: SparkSession, src_root: str, dst_root: str) -> int:
     VACUUM on the SOURCE that expires files the clone still references
     breaks the clone. Compact (or fully rewrite) the clone to make it
     self-contained before retiring source snapshots."""
-    src_v = current_version(src_root)
+    src_v = version if version is not None else current_version(src_root)
     if src_v is None:
         raise FileNotFoundError(f"no snapshot at {src_root}")
+    if not os.path.exists(_manifest_path(src_root, src_v)):
+        raise FileNotFoundError(
+            f"snapshot v{src_v} not retained at {src_root}"
+        )
     if current_version(dst_root) is not None:
         raise ValueError(f"table already exists at {dst_root}")
     man = _read_manifest(src_root, src_v)
@@ -2057,6 +2066,18 @@ def vacuum(
 
     versions = _list_versions(root)
     keep = set(versions[-keep_versions:]) if versions else set()
+    # named refs (branches/tags) pin their snapshots: a tagged version
+    # or a branch fork point stays retained and its files stay live,
+    # whatever keep_versions says
+    refs = list_refs(root)
+    keep.update(
+        v for v in (int(t["version"]) for t in refs["tags"].values())
+        if v in set(versions)
+    )
+    keep.update(
+        v for v in (int(b["created_from"]) for b in refs["branches"].values())
+        if v in set(versions)
+    )
     live: set[str] = set()
     for v in keep:
         kept_man = _read_manifest(root, v)
@@ -2064,6 +2085,18 @@ def vacuum(
             live.add(os.path.normpath(os.path.join(root, f["path"])))
         for e in kept_man.get("deletes") or []:
             live.add(os.path.normpath(os.path.join(root, e["path"])))
+    # every live BRANCH workspace pins the main files its manifests
+    # still reference (the documented shallow-clone hazard, solved
+    # in-house because branches live inside the table root)
+    for bname in refs["branches"]:
+        broot = branch_root(root, bname)
+        for bv in _list_versions(broot):
+            try:
+                bman = _read_manifest(broot, bv)
+            except (OSError, ValueError):
+                continue
+            for f in list(bman["files"]) + list(bman.get("deletes") or []):
+                live.add(os.path.normpath(os.path.join(broot, f["path"])))
     # staged (Write-Audit-Publish) snapshots count as live until
     # explicitly published or aborted — an audit may outlast any grace
     # window, so its files must never age out from under it
@@ -2214,6 +2247,254 @@ def abort_staged(root: str, token: str) -> None:
     staged data files become unreferenced and age out through
     vacuum()'s normal orphan collection."""
     os.remove(_audit_path(root, token))
+
+
+# --------------------------------------------------------------------------
+# Named refs — branches & tags (Iceberg refs; VERDICT r9 #4)
+#
+# A TAG is an immutable named pointer into the main snapshot history.
+# A BRANCH is a divergent writable lineage: implemented as a shallow
+# clone living INSIDE the table at ``<root>/.refs/branches/<name>`` —
+# the clone's relative-path file references mean zero data IO at fork,
+# and because a branch root IS a table root, EVERY existing operation
+# (append, merge, delete_where[_mor], delete_eq, upsert_mor,
+# update_where[_mor], compaction, CDF, time travel) works on a branch
+# unchanged. ``fast_forward`` publishes the branch's commits onto main
+# atomically (Iceberg's fast-forward publish), re-homing branch-local
+# data files into the main pool via hardlinks so dropping the branch
+# afterwards never strands main.
+# --------------------------------------------------------------------------
+
+_REFS_FILE = "_refs.json"
+
+
+def _refs_path(root: str) -> str:
+    return os.path.join(root, _REFS_FILE)
+
+
+def list_refs(root: str) -> dict[str, Any]:
+    """{"branches": {name: {"created_from": v, "created_at": ts}},
+    "tags": {name: {"version": v, "created_at": ts}}}"""
+    try:
+        with open(_refs_path(root)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {"branches": {}, "tags": {}}
+
+
+def _write_refs(root: str, refs: dict[str, Any]) -> None:
+    tmp = os.path.join(root, f".refs-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _refs_path(root))
+
+
+def _check_ref_name(name: str) -> None:
+    if not name or not all(c.isalnum() or c in "._-" for c in name):
+        raise ValueError(
+            f"ref name {name!r} must be non-empty [A-Za-z0-9._-]"
+        )
+
+
+def branch_root(root: str, name: str) -> str:
+    _check_ref_name(name)
+    return os.path.join(root, ".refs", "branches", name)
+
+
+def create_branch(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> int:
+    """Fork a writable branch from a (default: current) main snapshot.
+    Returns the fork-point main version. Zero data IO — the branch's
+    v1 manifest references main's files by relative path."""
+    _check_ref_name(name)
+    refs = list_refs(root)
+    if name in refs["branches"] or name in refs["tags"]:
+        raise ValueError(f"ref {name!r} already exists")
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    clone(spark, root, branch_root(root, name), version=v)
+    import time as _time
+
+    refs["branches"][name] = {
+        "created_from": int(v), "created_at": _time.time(),
+    }
+    _write_refs(root, refs)
+    return int(v)
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Pin an immutable named tag to a (default: current) snapshot.
+    Tagged snapshots never expire (expire_snapshots / vacuum keep
+    them); re-creating an existing tag raises — tags don't move."""
+    _check_ref_name(name)
+    refs = list_refs(root)
+    if name in refs["tags"] or name in refs["branches"]:
+        raise ValueError(f"ref {name!r} already exists (tags are immutable)")
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    if not os.path.exists(_manifest_path(root, v)):
+        raise FileNotFoundError(f"snapshot v{v} not retained")
+    import time as _time
+
+    refs["tags"][name] = {"version": int(v), "created_at": _time.time()}
+    _write_refs(root, refs)
+    return int(v)
+
+
+def drop_ref(root: str, name: str) -> None:
+    """Remove a branch (and its workspace — branch-local files main
+    never adopted become garbage immediately) or a tag (its snapshot
+    merely becomes expirable again)."""
+    refs = list_refs(root)
+    if name in refs["branches"]:
+        del refs["branches"][name]
+        _write_refs(root, refs)
+        shutil.rmtree(branch_root(root, name), ignore_errors=True)
+    elif name in refs["tags"]:
+        del refs["tags"][name]
+        _write_refs(root, refs)
+    else:
+        raise KeyError(f"no ref {name!r}")
+
+
+def read_branch(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    refs = list_refs(root)
+    if name not in refs["branches"]:
+        raise KeyError(f"no branch {name!r}")
+    return read(spark, branch_root(root, name), version)
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    refs = list_refs(root)
+    if name not in refs["tags"]:
+        raise KeyError(f"no tag {name!r}")
+    return read(spark, root, refs["tags"][name]["version"])
+
+
+def fast_forward(spark: SparkSession, root: str, name: str) -> int:
+    """Publish a branch's commits onto main — Iceberg's fast-forward:
+    valid only while main still sits at the branch's fork point (any
+    main commit since forking makes the publish a MERGE, which this
+    deliberately is not — rebase by re-branching). Each branch commit
+    becomes a main commit with the same operation metadata; branch-
+    local data/delete files are HARDLINKED into main's pool (same
+    uuid basenames, so per-file ``targets`` maps stay valid) and the
+    published manifests reference the main-local copies — dropping the
+    branch afterwards cannot strand main. The branch ref survives,
+    re-based onto the new head (Iceberg keeps the branch too).
+
+    Returns the new main head version. CDF across the publish works
+    because each branch commit keeps its own file delta and delete
+    entries (table_changes sees them as ordinary main commits)."""
+    refs = list_refs(root)
+    if name not in refs["branches"]:
+        raise KeyError(f"no branch {name!r}")
+    fork_v = int(refs["branches"][name]["created_from"])
+    main_v = current_version(root)
+    if main_v != fork_v:
+        raise CommitConflict(
+            f"branch {name!r} forked at v{fork_v} but main is at "
+            f"v{main_v} — not a fast-forward; re-branch and replay"
+        )
+    broot = branch_root(root, name)
+    bvs = _list_versions(broot)
+    abs_root = os.path.abspath(root)
+    abs_broot = os.path.abspath(broot)
+
+    def _rehome(entry: dict[str, Any]) -> dict[str, Any]:
+        e = dict(entry)
+        ap = os.path.normpath(os.path.join(abs_broot, e["path"]))
+        if ap.startswith(abs_broot + os.sep):
+            # branch-local file: hardlink into main's matching dir
+            rel = os.path.relpath(ap, abs_broot)  # data/... or deletes/...
+            dst = os.path.join(abs_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(ap, dst)
+            except FileExistsError:
+                pass  # retried publish: same uuid content, keep it
+            e["path"] = rel
+        else:
+            # already a main file — re-relativize against main root
+            e["path"] = os.path.relpath(ap, abs_root)
+        return e
+
+    head = main_v
+    for bv in bvs:
+        if bv == 1:
+            continue  # the clone commit is the fork point itself
+        man = _read_manifest(broot, bv)
+        head += 1
+        man["version"] = head
+        man["parent"] = head - 1
+        man["files"] = [_rehome(f) for f in man["files"]]
+        if man.get("deletes"):
+            man["deletes"] = [_rehome(e) for e in man["deletes"]]
+        man.pop("cloned_from", None)
+        man.pop("cloned_version", None)
+        man["published_from_branch"] = name
+        _publish(root, head, man)
+    refs = list_refs(root)
+    refs["branches"][name]["created_from"] = int(head)
+    _write_refs(root, refs)
+    return head
+
+
+def expire_snapshots(
+    root: str,
+    keep_last: int | None = None,
+    keep_since: float | None = None,
+) -> list[int]:
+    """Policy-driven snapshot EXPIRATION (Iceberg expire_snapshots),
+    distinct from vacuum's grace-window file GC: removes old MANIFESTS
+    so their versions stop being time-travel targets. A snapshot
+    expires only if EVERY given policy agrees (Iceberg's
+    retain-last AND older-than composition):
+
+    * ``keep_last=N``  — the newest N snapshots always survive
+    * ``keep_since=ts`` — snapshots committed at/after ``ts`` survive
+
+    NEVER expired, regardless of policy: the current head, tagged
+    snapshots, and every branch's fork point (a branch's relative file
+    references resolve through it — expiring it would orphan the
+    branch's view of history). Returns the expired version numbers;
+    run vacuum() afterwards to collect the data files only expired
+    snapshots referenced."""
+    if keep_last is None and keep_since is None:
+        raise ValueError("expire_snapshots needs keep_last or keep_since")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(root)
+    if not versions:
+        return []
+    head = versions[-1]
+    refs = list_refs(root)
+    protected = {head}
+    protected.update(int(t["version"]) for t in refs["tags"].values())
+    protected.update(
+        int(b["created_from"]) for b in refs["branches"].values()
+    )
+    newest = set(versions[-keep_last:]) if keep_last is not None else set()
+    expired = []
+    for v in versions:
+        if v in protected or v in newest:
+            continue
+        if keep_since is not None:
+            try:
+                if _read_manifest(root, v).get("committed_at", 0) >= keep_since:
+                    continue
+            except (OSError, ValueError):
+                pass
+        os.remove(_manifest_path(root, v))
+        expired.append(v)
+    return expired
 
 
 def compact(
