@@ -235,3 +235,49 @@ def test_seasonal_strength_planted_series(spark, tmp_path):
     out = {r.event_type: r for r in ts_seasonal_strength(spark, str(d)).collect()}
     assert out["flat"].seasonal_strength == 0.0
     assert out["seasonal"].seasonal_strength > 0.95
+
+
+def test_match_varlen_known_instances(spark):
+    """window_match_varlen semantics on a handcrafted sequence:
+    D3-U2 matches DOWN{2,5} UP{1,3}; a 6-step decline does NOT (anchored
+    maximal runs); a flat step breaks adjacency; an over-long up-run
+    rejects; the measure is the matched down-run's cumulative drop."""
+    import datetime as dt
+
+    from etl_arcgis_spark.operators.windows import (
+        compile_runlength_pattern,
+        window_match_varlen,
+    )
+    from pyspark.sql import functions as F
+
+    def seq(uid, vals):
+        t0 = dt.datetime(2024, 1, 1)
+        return [
+            (uid * 1000 + i, t0 + dt.timedelta(seconds=i), uid, "view",
+             float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    rows = (
+        seq(1, [10, 9, 8, 7, 8, 9])          # D3 then U2 -> match, drop 3
+        + seq(2, [9, 8, 7, 6, 5, 4, 3, 4])   # D6 U1 -> no match (run too long)
+        + seq(3, [5, 4, 3, 3, 4])            # D2 F1 U1 -> flat breaks it
+        + seq(4, [5, 4, 3, 4, 5, 6, 7])      # D2 U4 -> up-run too long
+        + seq(5, [5, 3, 1, 2, 9, 8, 7, 8])   # D2 U2 match + D2 U1 match
+    )
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+              " value DOUBLE, props STRING",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = {
+            r.user_id: (r.n_matches, r.longest_match, r.deepest_drop)
+            for r in window_match_varlen(spark, d).collect()
+        }
+    assert got == {1: (1, 5, 3.0), 5: (2, 4, 4.0)}
