@@ -229,18 +229,37 @@ def test_tws_sessionize_matches_apis_twin(spark, events_dir):
     the same closed sessions as the applyInPandasWithState twin, and
     every one is a true batch gaps-and-islands session.
 
-    Runtime-gated: the TWS state-server protocol needs the `protobuf`
-    package (pyspark/sql/streaming/proto/StateMessage_pb2), absent in
-    this container. The operator itself imports and plans fine; this
-    test activates wherever protobuf exists.
-    """
-    pytest.importorskip("google.protobuf")
+    Where `protobuf` exists, the TWS query runs on the real state
+    server; in this container (no protobuf — the TWS wire protocol
+    needs pyspark/sql/streaming/proto/StateMessage_pb2) the SAME
+    SessionProcessor executes on the simulated state server
+    (streaming/tws_sim.py, VERDICT r9 #6): identical handle surface,
+    micro-batch replay with prior-batch watermark semantics, trailing
+    timer batch. Either way the processor's BEHAVIOR is asserted, not
+    just its plan."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        stream = P.read_events_stream(spark, events_dir)
+        _run(P.stateful_sessionize_tws(stream), "sess_tws_out", "append")
+        got = {
+            (r["user_id"], r["session_start_ms"], r["n"])
+            for r in spark.sql("SELECT * FROM sess_tws_out").collect()
+        }
+    except ModuleNotFoundError:
+        from etl_arcgis_spark.streaming.tws_sim import run_sessionizer_sim
+
+        ev = (
+            table(spark, SF_DIR, "events")
+            .select("user_id", F.unix_micros("ts").alias("us"), "value")
+            .toPandas()
+        )
+        sim = run_sessionizer_sim(ev, n_batches=3)
+        got = {
+            (int(r.user_id), int(r.session_start_ms), int(r.n))
+            for r in sim.itertuples(index=False)
+        }
     stream = P.read_events_stream(spark, events_dir)
-    _run(P.stateful_sessionize_tws(stream), "sess_tws_out", "append")
-    got = {
-        (r["user_id"], r["session_start_ms"], r["n"])
-        for r in spark.sql("SELECT * FROM sess_tws_out").collect()
-    }
     _run(P.stateful_sessionize(stream), "sess_apis_out", "append")
     twin = {
         (r["user_id"], r["session_start_ms"], r["n"])
@@ -267,3 +286,29 @@ def test_tws_sessionize_builds_unresolved_plan(spark, events_dir):
     assert [f.name for f in df.schema.fields] == [
         "user_id", "session_start_ms", "n", "val_sum"
     ]
+
+
+def test_tws_sim_batch_split_invariance(spark):
+    """The simulated state server's sessions are invariant to
+    micro-batch boundaries — per-key state and timers carry across
+    handleInputRows calls exactly like the real store (a session
+    spanning a batch boundary must merge, not split)."""
+    from etl_arcgis_spark.streaming.tws_sim import run_sessionizer_sim
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+    )
+    def canon(df):
+        return sorted(
+            (int(r.user_id), int(r.session_start_ms), int(r.n),
+             float(r.val_sum))
+            for r in df.itertuples(index=False)
+        )
+
+    one = canon(run_sessionizer_sim(ev, n_batches=1))
+    five = canon(run_sessionizer_sim(ev, n_batches=5))
+    seventeen = canon(run_sessionizer_sim(ev, n_batches=17))
+    assert one == five == seventeen
+    assert len(one) > 0
