@@ -597,3 +597,169 @@ FROM b
 """,
         ("orders",),
     )
+
+
+# --- C199: general outSR, conic family — Lambert Conformal Conic 2SP ----
+#
+# The reference forwards outSR verbatim (task.ts:410-414); beyond the
+# cylindrical families already built (3857 Mercator A10, UTM transverse
+# Mercator C178), the state-plane workhorse is the CONIC family: most
+# US state-plane zones are LCC 2SP. Constants below follow Snyder 1987
+# §15 (ellipsoidal two-standard-parallel form); the per-projection
+# scalars (n, a*F, rho0) are computed ONCE in Python and embedded as
+# repr() literals, so both engines parse the identical doubles and the
+# row expressions stay engine-neutral (the r8 UTM libm recipe: exp/ln
+# spellings with identical text, no pi()/radians(), probed r4 margins).
+
+_LCC_RAD = 0.017453292519943295  # degrees -> radians (same literal as UTM)
+_LCC_QPI = 0.7853981633974483    # pi/4
+
+
+def _lcc_consts(
+    a: float,
+    e2: float,
+    phi1_deg: float,
+    phi2_deg: float,
+    phi0_deg: float,
+    lam0_deg: float,
+) -> dict[str, float]:
+    """Snyder §15 projection scalars for an LCC 2SP instance."""
+    import math as _m
+
+    e = _m.sqrt(e2)
+
+    def m(phi):
+        return _m.cos(phi) / _m.sqrt(1 - e2 * _m.sin(phi) ** 2)
+
+    def t(phi):
+        sp = _m.sin(phi)
+        return _m.tan(_m.pi / 4 - phi / 2) / (
+            ((1 - e * sp) / (1 + e * sp)) ** (e / 2)
+        )
+
+    p1, p2, p0 = (
+        phi1_deg * _m.pi / 180,
+        phi2_deg * _m.pi / 180,
+        phi0_deg * _m.pi / 180,
+    )
+    n = (_m.log(m(p1)) - _m.log(m(p2))) / (_m.log(t(p1)) - _m.log(t(p2)))
+    F = m(p1) / (n * t(p1) ** n)
+    return {
+        "e": e,
+        "eh": e / 2.0,
+        "n": n,
+        "inv_n": 1.0 / n,
+        "aF": a * F,
+        "rho0": a * F * t(p0) ** n,
+        "lam0": lam0_deg,
+        "thr": n * _LCC_RAD,  # theta per degree of (lon - lam0)
+    }
+
+
+# EPSG:102004 — USA Contiguous Lambert Conformal Conic (GRS80/NAD83):
+# phi1 = 33, phi2 = 45, phi0 = 39, lam0 = -96, E0 = N0 = 0.
+_LCC_CONUS = _lcc_consts(
+    6378137.0, 0.0066943800229007869, 33.0, 45.0, 39.0, -96.0
+)
+
+
+def _lcc_fwd_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """(name, engine-neutral SQL) stages: lon/lat degrees -> LCC E/N.
+    t^n is spelled exp(n * ln t) with identical text on both engines;
+    tan/sin/cos/ln/exp/atan are the only libm calls."""
+    c = c or _LCC_CONUS
+    return [
+        ("phir", f"lat * {_LCC_RAD!r}"),
+        ("tht", f"(lon - {c['lam0']!r}) * {c['thr']!r}"),
+        ("esp", f"{c['e']!r} * sin(phir)"),
+        (
+            "tsm",
+            f"tan({_LCC_QPI!r} - phir / 2)"
+            f" / exp({c['eh']!r} * ln((1 - esp) / (1 + esp)))",
+        ),
+        ("rho", f"{c['aF']!r} * exp({c['n']!r} * ln(tsm))"),
+        ("lcc_e", "rho * sin(tht)"),
+        ("lcc_n", f"{c['rho0']!r} - rho * cos(tht)"),
+    ]
+
+
+def _lcc_inv_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """Inverse LCC -> lon/lat from columns lcc_e/lcc_n (round-trip test
+    surface): Snyder's iterative conformal-to-geodetic, three
+    fixed-point refinements (contraction ~e^2/2 per step takes the
+    chi-start error ~3e-3 rad below 1e-9 rad)."""
+    c = c or _LCC_CONUS
+    hpi = 1.5707963267948966  # pi/2
+
+    def refh(prev: str) -> str:
+        return (
+            f"{hpi!r} - 2 * atan(tpr * exp({c['eh']!r} *"
+            f" ln((1 - {c['e']!r} * sin({prev})) / (1 + {c['e']!r} * sin({prev})))))"
+        )
+
+    return [
+        ("rpr", f"sqrt(lcc_e * lcc_e + ({c['rho0']!r} - lcc_n) * ({c['rho0']!r} - lcc_n))"),
+        ("thtp", f"atan(lcc_e / ({c['rho0']!r} - lcc_n))"),
+        ("tpr", f"exp({c['inv_n']!r} * ln(rpr / {c['aF']!r}))"),
+        ("chi", f"{hpi!r} - 2 * atan(tpr)"),
+        ("ph1", refh("chi")),
+        ("ph2", refh("ph1")),
+        ("ph3", refh("ph2")),
+        ("lat_inv", f"ph3 / {_LCC_RAD!r}"),
+        ("lon_inv", f"{c['lam0']!r} + thtp / {c['thr']!r}"),
+    ]
+
+
+def _lcc_oracle() -> str:
+    ctes = [
+        f"""WITH s0 AS (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat
+  FROM customer
+  WHERE CAST({_LON} AS DOUBLE) BETWEEN -130 AND -60
+    AND CAST({_LAT} AS DOUBLE) BETWEEN 20 AND 55
+)"""
+    ]
+    prev = "s0"
+    for i, (name, expr) in enumerate(_lcc_fwd_stages(), 1):
+        ctes.append(f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "".join(ctes)
+        + f"""
+SELECT c_custkey, round(lcc_e, 4) AS easting, round(lcc_n, 4) AS northing
+FROM {prev}"""
+    )
+
+
+@query("geo_reproject_lcc", oracle=_lcc_oracle())
+def geo_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C199: general ``outSR``, CONIC family — EPSG:4326 -> the USA
+    Contiguous Lambert Conformal Conic (EPSG:102004-class, GRS80), the
+    projection family behind most US state-plane zones, over the CONUS
+    window of the customer lattice. Completes the forwarded-outSR
+    surface (task.ts:410-414) beyond the cylindrical families: 3857
+    (A10), UTM (C178). Snyder §15 ellipsoidal 2SP; projection scalars
+    precomputed as shared 17-digit literals; pure whole-stage-codegen
+    SQL math — no UDF, no shuffle; filter pushed to the scan.
+
+    Determinism: the r8 libm recipe (identical expression text, exp/ln
+    powers, literal constants) over a FINITE lattice value set; the r4
+    midpoint margin is probed in tests/test_geo_lcc.py; the inverse
+    stages close the round trip below 1e-6 deg (property test), and
+    scale on both standard parallels is 1 to first order (anchor
+    test pinning n, F against the ellipsoid, not our own code)."""
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+    ).filter(
+        F.col("lon").between(-130, -60) & F.col("lat").between(20, 55)
+    )
+    for name, expr in _lcc_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "c_custkey",
+        r4(F.col("lcc_e")).alias("easting"),
+        r4(F.col("lcc_n")).alias("northing"),
+    )
