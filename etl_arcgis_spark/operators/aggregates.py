@@ -151,7 +151,17 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Neither column is nullable, so NULL in the output unambiguously marks
 # the rolled-up level (no grouping_id needed for hash parity).
 
-_GSETS_AGG = "count(*) AS n, round(sum(o_totalprice), 4) AS total"
+# money-sum magnitude discipline (SURVEY §5.3.1), exact-cents form:
+# o_totalprice is 2-decimal by construction, so the per-row cents are
+# exact BIGINTs, the sum is order-independent and noise-free at ANY
+# scale factor (the r9 round(...,4) spelling crossed the r4 grid at
+# sf1's ~3.8e11 totals), and the single /100.0 division is the same
+# IEEE op on both engines.
+_GSETS_TOTAL = (
+    "round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+    " / 100.0, 4)"
+)
+_GSETS_AGG = f"count(*) AS n, {_GSETS_TOTAL} AS total"
 
 
 @query(
@@ -188,7 +198,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("o_totalprice")).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_GSETS_TOTAL).alias("total"),
+        )
     )
 
 
@@ -205,7 +218,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("o_totalprice")).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_GSETS_TOTAL).alias("total"),
+        )
     )
 
 

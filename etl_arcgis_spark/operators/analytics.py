@@ -736,7 +736,8 @@ WITH avg_qty AS (
   SELECT l_partkey AS ak, 0.5 * avg(l_quantity) AS half_avg
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) / 700.0, 4) AS avg_yearly
 FROM lineitem JOIN avg_qty ON l_partkey = ak
 WHERE l_quantity < half_avg
 """,
@@ -760,7 +761,17 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(half_avg, F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+                    )
+                ).cast("bigint")
+                / F.lit(700.0),
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1022,8 +1033,9 @@ def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_profit_by_nation_year",
     oracle="""
 SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+       round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) * 100, 0)
+             AS BIGINT)) AS BIGINT) / 100.0, 4) AS profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1057,9 +1069,15 @@ def analytics_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     su = F.broadcast(table(spark, sf_dir, "supplier"))
     na = F.broadcast(table(spark, sf_dir, "nation"))
     od = table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact-cents sum (SURVEY §5.3.1): the per-row profit expression is
+    # bit-identical on both engines (same text, same IEEE ops), so its
+    # rounded cents are too; the BIGINT sum is then order-independent
+    # and noise-free at any SF (the float-sum spelling crossed the r4
+    # grid at sf1's ~1.7e8 group totals)
+    profit_cents = F.expr(
+        "CAST(round((l_extendedprice * (1 - l_discount)"
+        " - 0.6 * p_retailprice * l_quantity) * 100, 0) AS BIGINT)"
+    )
     return (
         li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1069,7 +1087,11 @@ def analytics_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("order_year"),
         )
-        .agg(r4(F.sum(profit)).alias("profit"))
+        .agg(
+            F.round(
+                F.sum(profit_cents).cast("bigint") / F.lit(100.0), 4
+            ).alias("profit")
+        )
     )
 
 
