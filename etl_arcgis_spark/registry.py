@@ -226,6 +226,15 @@ _R7_REFRESH_PIN = (
     "sim_pca_whiten",                  # row r6 (weak), r7 two-level combine
 )
 
+# Round-10 re-spells whose only driver row predates the change and
+# whose row round is recent enough that the oldest-first rotation
+# would not surface them for several rounds (tools/staleness.py):
+# corpus_token_concentration switched to integer DIV (ADVICE r9) after
+# its r9 row. The r1-row re-spells (grouping_sets/rollup/cube,
+# small_qty_revenue) already lead the r10 window via oldest-first.
+# Dissolves once a clean r10+ row lands.
+_R10_RESPELL_PIN = frozenset({"corpus_token_concentration"})
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -305,7 +314,13 @@ def all_queries() -> dict[str, QueryFn]:
     refresh_pos = {n: i for i, n in enumerate(_R7_REFRESH_PIN)}
 
     def key(n: str) -> tuple[int, int, int]:
-        if n in _FAILED_LAST:
+        if (
+            n in _R10_RESPELL_PIN
+            and n in verified
+            and _LATEST_CLEAN_ROUND.get(n, 0) <= 9
+        ):
+            tier = -1  # re-spelled after its row (r10): re-verify first
+        elif n in _FAILED_LAST:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in _R6_FRONT and n not in verified:
             tier = -1  # stragglers lead the round-6 window

@@ -115,7 +115,14 @@ def test_unchecked_contract_names_pin_into_first_50(monkeypatch, tmp_path):
     # the non-contract pin names active) — so whenever fewer than 50
     # are unchecked (the steady state) they ALL sit inside the driver's
     # first-50 window.
-    active_pins = [n for n in registry._R7_REFRESH_PIN if n in green]
+    active_pins = [
+        n
+        for n in (
+            tuple(registry._R7_REFRESH_PIN)
+            + tuple(registry._R10_RESPELL_PIN)
+        )
+        if n in green
+    ]
     late = [
         n
         for n in registry._CONTRACT_NAMES
