@@ -43,6 +43,10 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/repo/testdata_sf1")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--warmups", type=int, default=3)
+    ap.add_argument(
+        "--skip", action="append", default=[],
+        help="headline name to skip (e.g. an oracle intractable at this SF)",
+    )
     args = ap.parse_args()
 
     registry.load_all()
@@ -55,6 +59,8 @@ def main() -> int:
 
     out: dict[str, float] = {}
     for name in HEADLINE:
+        if name in args.skip:
+            continue
         sql = registry.ORACLES[name]
         for _ in range(args.warmups):
             con.execute(sql).fetchall()
