@@ -156,6 +156,50 @@ def reproject_inverse(df: DataFrame) -> DataFrame:
     )
 
 
+def ring_signed_area2(ring: Column) -> Column:
+    """Twice the shoelace signed area of one ring (vertex array of
+    ``[x, y]`` pairs): positive = counter-clockwise, negative =
+    clockwise. The ``% n`` wrap makes closed rings (first == last
+    vertex, the GeoJSON convention) and open rings evaluate
+    identically — the wrap edge of a closed ring is degenerate and
+    contributes exactly 0. Pure in-row fold, codegen'd."""
+    n = F.size(ring)
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + ring[i][0] * ring[(i + 1) % n][1]
+        - ring[(i + 1) % n][0] * ring[i][1],
+    )
+
+
+def orient_rings_esri(df: DataFrame) -> DataFrame:
+    """A11 winding repair — the ring-orientation normalization
+    ``@terraformer/arcgis`` ``geojsonToArcGIS`` applies when the
+    reference converts Polygon features (task.ts:211): Esri JSON
+    requires OUTER rings clockwise and HOLES counter-clockwise, the
+    exact opposite of the GeoJSON RFC 7946 convention (outer CCW,
+    holes CW). Per polygon part, ring 0 is forced CW and rings 1+ are
+    forced CCW by reversing the vertex order of any ring whose
+    shoelace sign disagrees; degenerate (zero-area) rings are left
+    untouched. Non-polygon geometries pass through unchanged.
+
+    Narrow in-row transform — no shuffle, no Python, runs at scan
+    speed with the rest of the A11 conversion."""
+    def fix_ring(ring: Column, ri: Column) -> Column:
+        s2 = ring_signed_area2(ring)
+        wrong = F.when(ri == 0, s2 > 0).otherwise(s2 < 0)
+        return F.when(wrong, F.reverse(ring)).otherwise(ring)
+
+    fixed = F.transform(
+        "coords", lambda part: F.transform(part, fix_ring)
+    )
+    is_poly = F.col("geom_type").isin("Polygon", "MultiPolygon")
+    return df.withColumn(
+        "coords", F.when(is_poly, fixed).otherwise(F.col("coords"))
+    )
+
+
 def upsert_by_key(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
     """A13 (task.ts:267-349): key-based MERGE, incoming wins.
 

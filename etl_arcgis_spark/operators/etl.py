@@ -763,3 +763,145 @@ def geo_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("lcc_e")).alias("easting"),
         r4(F.col("lcc_n")).alias("northing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C200: Esri ring-winding repair (the terraformer geojsonToArcGIS
+# orientation semantic inside A11, task.ts:211). Esri JSON requires
+# OUTER rings clockwise / holes counter-clockwise — the opposite of
+# GeoJSON RFC 7946 — so the converter must detect each ring's shoelace
+# sign and reverse disagreeing rings. Rings are synthesized per
+# supplier (regular polygons at the key-derived center, planted in
+# BOTH orientations via a key-parity direction) so the repair path is
+# exercised on a deterministic CW/CCW mixture; the library twin on
+# real canonical coords is geojson.orient_rings_esri.
+
+
+def _ring_exprs(engine: str) -> dict[str, str]:
+    """Engine spellings for ring synthesis + shoelace + repair.
+
+    Identical arithmetic text modulo HOF dialect (transform/aggregate/
+    named_struct vs list_transform/list_sum/{}) and array base (0 vs
+    1) — the shared-trig-literal discipline of spatial_shoelace_area.
+    """
+    sp = engine == "spark"
+
+    def verts(nv: str, rad: str, d: str) -> str:
+        x = f"cx + {rad} * cos({d} * 2 * pi() * i / {nv})"
+        y = f"cy + {rad} * sin({d} * 2 * pi() * i / {nv})"
+        if sp:
+            return (
+                f"transform(sequence(0, {nv} - 1), "
+                f"i -> named_struct('x', {x}, 'y', {y}))"
+            )
+        return f"list_transform(range(0, {nv}), i -> {{'x': {x}, 'y': {y}}})"
+
+    def s2(v: str, nv: str) -> str:
+        if sp:
+            return (
+                f"aggregate(sequence(0, {nv} - 1), CAST(0.0 AS DOUBLE), "
+                f"(acc, i) -> acc + {v}[i].x * {v}[(i + 1) % {nv}].y"
+                f" - {v}[(i + 1) % {nv}].x * {v}[i].y)"
+            )
+        return (
+            f"list_sum(list_transform(range(0, {nv}), "
+            f"i -> {v}[i + 1].x * {v}[((i + 1) % {nv}) + 1].y"
+            f" - {v}[((i + 1) % {nv}) + 1].x * {v}[i + 1].y))"
+        )
+
+    def first_x(v: str, flip: str) -> str:
+        rev = f"reverse({v})" if sp else f"list_reverse({v})"
+        idx = "[0]" if sp else "[1]"
+        return f"CASE WHEN {flip} THEN {rev}{idx}.x ELSE {v}{idx}.x END"
+
+    return {
+        "verts_o": verts("nvo", "2.0", "diro"),
+        "verts_h": verts("nvh", "0.7", "dirh"),
+        "s2o": s2("verts_o", "nvo"),
+        "s2h": s2("verts_h", "nvh"),
+        # Esri rule: outer must be CW (s2 < 0), holes CCW (s2 > 0)
+        "oflip": "CASE WHEN s2o > 0 THEN 1 ELSE 0 END",
+        "hflip": "CASE WHEN s2h < 0 THEN 1 ELSE 0 END",
+        "x_first_outer": first_x("verts_o", "oflip = 1"),
+        "x_first_hole": first_x("verts_h", "hflip = 1"),
+    }
+
+
+_RING_BASE = """
+  SELECT s_suppkey,
+         CAST((s_suppkey % 360) - 180 + 0.5 AS DOUBLE) AS cx,
+         CAST((s_suppkey % 160) - 80 + 0.5 AS DOUBLE) AS cy,
+         CAST(3 + (s_suppkey % 4) AS INT) AS nvo,
+         CAST(3 + (s_suppkey % 3) AS INT) AS nvh,
+         CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS diro,
+         CAST(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS dirh
+  FROM supplier
+"""
+
+
+def _ring_oracle() -> str:
+    e = _ring_exprs("duck")
+    return f"""
+WITH base AS ({_RING_BASE}),
+v AS (SELECT *, {e["verts_o"]} AS verts_o, {e["verts_h"]} AS verts_h FROM base),
+s AS (SELECT *, {e["s2o"]} AS s2o, {e["s2h"]} AS s2h FROM v),
+f AS (SELECT *, {e["oflip"]} AS oflip, {e["hflip"]} AS hflip FROM s)
+SELECT s_suppkey,
+       CAST(CASE WHEN s2o > 0 THEN 1 ELSE -1 END AS BIGINT) AS sign_outer_pre,
+       CAST(CASE WHEN s2h > 0 THEN 1 ELSE -1 END AS BIGINT) AS sign_hole_pre,
+       CAST(oflip AS BIGINT) AS outer_flipped,
+       CAST(hflip AS BIGINT) AS hole_flipped,
+       round(abs(s2o) / 2, 4) AS outer_area,
+       round({e["x_first_outer"]}, 4) AS x_first_outer,
+       round({e["x_first_hole"]}, 4) AS x_first_hole
+FROM f
+"""
+
+
+@query("etl_ring_orientation", oracle=_ring_oracle())
+def etl_ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C200: ring-winding repair inside the A11 GeoJSON->EsriJSON
+    conversion (task.ts:211; terraformer's orientation normalization):
+    detect each ring's shoelace sign, force outer rings clockwise and
+    holes counter-clockwise by reversing disagreeing rings, and report
+    the pre-repair signs + flip decisions + the post-repair first
+    vertex (which proves the reversal actually reordered vertices).
+
+    Scale: pure in-row HOF arithmetic over per-feature vertex arrays —
+    zero shuffle, zero Python, one whole-stage-codegen projection;
+    at 100 TB this runs at scan speed like every A-tier transform.
+    Determinism: trig over a finite key-derived lattice with identical
+    expression text on both engines (spatial_shoelace_area precedent);
+    signs/flips are threshold decisions on values bounded away from 0
+    (regular-polygon |s2| >= 1.2), then r4 on the reported doubles."""
+    e = _ring_exprs("spark")
+    base = table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "CAST((s_suppkey % 360) - 180 + 0.5 AS DOUBLE) AS cx",
+        "CAST((s_suppkey % 160) - 80 + 0.5 AS DOUBLE) AS cy",
+        "CAST(3 + (s_suppkey % 4) AS INT) AS nvo",
+        "CAST(3 + (s_suppkey % 3) AS INT) AS nvh",
+        "CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS diro",
+        "CAST(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS dirh",
+    )
+    v = base.withColumn("verts_o", F.expr(e["verts_o"])).withColumn(
+        "verts_h", F.expr(e["verts_h"])
+    )
+    s = v.withColumn("s2o", F.expr(e["s2o"])).withColumn("s2h", F.expr(e["s2h"]))
+    f = s.withColumn("oflip", F.expr(e["oflip"])).withColumn(
+        "hflip", F.expr(e["hflip"])
+    )
+    return f.select(
+        "s_suppkey",
+        F.expr("CAST(CASE WHEN s2o > 0 THEN 1 ELSE -1 END AS BIGINT)").alias(
+            "sign_outer_pre"
+        ),
+        F.expr("CAST(CASE WHEN s2h > 0 THEN 1 ELSE -1 END AS BIGINT)").alias(
+            "sign_hole_pre"
+        ),
+        F.col("oflip").cast("bigint").alias("outer_flipped"),
+        F.col("hflip").cast("bigint").alias("hole_flipped"),
+        r4(F.abs(F.col("s2o")) / 2).alias("outer_area"),
+        r4(F.expr(e["x_first_outer"])).alias("x_first_outer"),
+        r4(F.expr(e["x_first_hole"])).alias("x_first_hole"),
+    )
