@@ -1596,7 +1596,12 @@ def _km_argmin(engine: str) -> str:
     )
 
 
-def _km_oracle() -> str:
+def _km_chain_parts() -> tuple[list[str], str]:
+    """The shared oracle CTE chain: quantized vectors + seeds +
+    ``_KM_ITERS`` unrolled Lloyd rounds, ending at the final centroid
+    array CTE (returned as the second element). Reused by the k-means
+    oracle (C182) and the silhouette oracle (C201) so both engines'
+    fitted model is ONE spelling."""
     h = "md5(CAST(vec_id AS VARCHAR))"
     bucket = (
         f"((strpos('{_KM_HEX}', substr({h}, 1, 1)) - 1) * 16"
@@ -1643,6 +1648,12 @@ c{t} AS (
 ca{t} AS (SELECT list({{'cid': cid, 'cvec': cvec}}) AS cents FROM c{t})"""
         )
         prev = f"ca{t}"
+    return parts, prev
+
+
+def _km_oracle() -> str:
+    parts, prev = _km_chain_parts()
+    parts = list(parts)
     parts.append(
         f""",
 fin AS (
@@ -1670,32 +1681,10 @@ FROM agg JOIN lab ON lab.cid = agg.cid AND lab.rn = 1"""
     return "".join(parts)
 
 
-@query("ml_kmeans_clusters", oracle=_km_oracle())
-def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C182: Lloyd k-means over the embeddings table (k={_KM_K},
-    {_KM_ITERS} unrolled iterations) — THE corpus-clustering primitive
-    of a training-data pipeline (topic balancing, mixture reweighting,
-    per-cluster sampling; also ArcGIS's attribute-space "Grouping
-    Analysis"). Emits per-cluster size, majority label (+ count — a
-    purity readout against the fixture's generative labels) and mean
-    within-cluster squared distance.
-
-    DETERMINISM (the reason a float-iterative algorithm can carry an
-    exact oracle): vectors quantize to integers (floor(x*1000+0.5) on
-    bit-identical doubles), so every M-step sum is an EXACT BIGINT
-    regardless of accumulation order, every centroid component is ONE
-    IEEE division of exact integers (bit-identical on both engines),
-    and every E-step distance folds in fixed index order — so
-    assignments, including ties (cid tiebreak), are cross-engine
-    EXACT through all iterations. Seeds are the min-md5 vector of
-    each of 8 md5 buckets (one hash aggregate, no global sort).
-
-    Scale: per iteration, one posexplode + map-side-combined hash
-    aggregate (n x 64 rows) for the M-step and one 8-row broadcast
-    for the E-step; the embeddings scan repeats per iteration (an
-    honest multi-pass — iterative ML on a 100 TB corpus would cache
-    the quantized vectors, and each pass is embarrassingly parallel).
-    Empty clusters drop out identically on both engines."""
+def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared deterministic Lloyd fit: returns (quantized vectors ``q``,
+    final 1-row centroid-array frame ``cents``) after ``_KM_ITERS``
+    rounds — the Spark twin of :func:`_km_chain_parts`."""
     hexes = _KM_HEX
     h = F.md5(F.col("vec_id").cast("string"))
     bucket = (
@@ -1743,6 +1732,36 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = c_t.agg(
             F.collect_list(F.struct("cid", "cvec")).alias("cents")
         )
+    return q, cents
+
+
+@query("ml_kmeans_clusters", oracle=_km_oracle())
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C182: Lloyd k-means over the embeddings table (k={_KM_K},
+    {_KM_ITERS} unrolled iterations) — THE corpus-clustering primitive
+    of a training-data pipeline (topic balancing, mixture reweighting,
+    per-cluster sampling; also ArcGIS's attribute-space "Grouping
+    Analysis"). Emits per-cluster size, majority label (+ count — a
+    purity readout against the fixture's generative labels) and mean
+    within-cluster squared distance.
+
+    DETERMINISM (the reason a float-iterative algorithm can carry an
+    exact oracle): vectors quantize to integers (floor(x*1000+0.5) on
+    bit-identical doubles), so every M-step sum is an EXACT BIGINT
+    regardless of accumulation order, every centroid component is ONE
+    IEEE division of exact integers (bit-identical on both engines),
+    and every E-step distance folds in fixed index order — so
+    assignments, including ties (cid tiebreak), are cross-engine
+    EXACT through all iterations. Seeds are the min-md5 vector of
+    each of 8 md5 buckets (one hash aggregate, no global sort).
+
+    Scale: per iteration, one posexplode + map-side-combined hash
+    aggregate (n x 64 rows) for the M-step and one 8-row broadcast
+    for the E-step; the embeddings scan repeats per iteration (an
+    honest multi-pass — iterative ML on a 100 TB corpus would cache
+    the quantized vectors, and each pass is embarrassingly parallel).
+    Empty clusters drop out identically on both engines."""
+    q, cents = _km_fit(spark, sf_dir)
     fin = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("best", F.expr(_km_argmin("spark")))
@@ -1768,4 +1787,81 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("top_label"),
         F.col("ln").alias("top_label_n"),
         "avg_d2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C201: simplified (centroid-based) silhouette — the cluster-quality
+# evaluation paired with C182, as modularity (C143) pairs with LPA
+# (C142): fit, then SCORE the fit.
+
+_SIL_Q = 1_000_000  # per-row silhouette quantization grid (1e-6)
+
+
+def _sil_oracle() -> str:
+    parts, prev = _km_chain_parts()
+    dist = _km_dist("qv", "c.cvec", "duck")
+    sil = (
+        "CASE WHEN greatest(sqrt(dl[1].d), sqrt(dl[2].d)) = 0 "
+        "THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(floor((sqrt(dl[2].d) - sqrt(dl[1].d)) "
+        f"/ greatest(sqrt(dl[1].d), sqrt(dl[2].d)) * {_SIL_Q} + 0.5) AS BIGINT) END"
+    )
+    return "".join(parts) + f""",
+ds AS (
+  SELECT q.vec_id,
+         list_sort(list_transform(cents, c -> {{'d': {dist}, 'cid': c.cid}})) AS dl
+  FROM q, {prev}
+),
+sil AS (
+  SELECT CAST(dl[1].cid AS BIGINT) AS cid, {sil} AS sq FROM ds
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(sq) AS DOUBLE) / ({_SIL_Q}.0 * count(*)), 4) AS mean_silhouette
+FROM sil GROUP BY cid
+"""
+
+
+@query("ml_silhouette", oracle=_sil_oracle())
+def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C201: simplified silhouette score per cluster of the C182
+    k-means fit — a(i) = distance to own centroid, b(i) = distance to
+    the nearest OTHER centroid, s(i) = (b-a)/max(a,b); the standard
+    centroid-based variant (Rousseeuw 1987 simplified form) that a
+    corpus-clustering pipeline uses to decide whether the clustering
+    is worth acting on (mixture reweighting, per-cluster sampling).
+    Pairs detect+evaluate like LPA (C142) + modularity (C143).
+
+    Scale: the full-pairwise silhouette is O(n^2); the simplified form
+    is ONE broadcast of k centroid vectors + a map-only per-row fold —
+    scan speed at any corpus size, no shuffle before the k-row agg.
+
+    Determinism: the fit is the C182 exact-integer model (shared
+    spelling, both engines); a and b are sqrt of in-row index-order
+    folds (bit-identical doubles), and the per-row score is quantized
+    to a 1e-6 BIGINT grid BEFORE the cluster mean, so the group sum is
+    order-independent exact and the reported mean is one IEEE division
+    + r4."""
+    q, cents = _km_fit(spark, sf_dir)
+    dist = _km_dist("qv", "c.cvec", "spark")
+    ds = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.expr(
+            f"array_sort(transform(cents, c -> named_struct('d', {dist}, 'cid', c.cid)))"
+        ).alias("dl"),
+    )
+    sil = ds.select(
+        F.expr("CAST(dl[0].cid AS BIGINT)").alias("cid"),
+        F.expr(
+            "CASE WHEN greatest(sqrt(dl[0].d), sqrt(dl[1].d)) = 0D "
+            "THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor((sqrt(dl[1].d) - sqrt(dl[0].d)) "
+            f"/ greatest(sqrt(dl[0].d), sqrt(dl[1].d)) * {_SIL_Q} + 0.5) AS BIGINT) END"
+        ).alias("sq"),
+    )
+    return sil.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        r4(
+            F.sum("sq").cast("double") / (F.lit(float(_SIL_Q)) * F.count(F.lit(1)))
+        ).alias("mean_silhouette"),
     )

@@ -81,3 +81,80 @@ def test_orient_rings_esri_multipolygon_per_part(spark):
     assert fixed[0][0] == _CW_SQ
     assert fixed[1][0] == _CW_SQ
     assert fixed[1][1] == _CCW_HOLE
+
+
+# ---------------------------------------------------------------------------
+# C201: simplified silhouette — independent numpy twin of the WHOLE
+# pipeline (md5 seeding, integer quantization, 3 Lloyd rounds,
+# centroid silhouette) at sf0.001. Proves the formula and the fit
+# against a third implementation, not just Spark-vs-DuckDB.
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+_SF = "/root/testdata/sf0.001"
+
+
+def _numpy_silhouette():
+    t = pq.read_table(f"{_SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack([np.asarray(v, dtype=np.float32) for v in t["embedding"]])
+    qv = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    hs = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    bucket = np.array([(int(h[0], 16) * 16 + int(h[1], 16)) % 8 for h in hs])
+    # seeds: min-md5 vector per bucket
+    cents = {}
+    for b in sorted(set(bucket.tolist())):
+        idx = np.where(bucket == b)[0]
+        j = idx[np.argsort(hs[idx])[0]]
+        cents[b] = qv[j].astype(np.float64)
+    for _ in range(3):
+        cid_arr = _assign(qv, cents)
+        new = {}
+        for c in sorted(cents):
+            idx = np.where(cid_arr == c)[0]
+            if len(idx):
+                # exact integer sums, one division per component
+                new[c] = qv[idx].sum(axis=0).astype(np.float64) / len(idx)
+        cents = new
+    cid_arr = _assign(qv, cents)
+    keys = sorted(cents)
+    out = {}
+    for i in range(len(qv)):
+        d2 = sorted(
+            (float(((qv[i] - cents[c]) ** 2).sum()), c) for c in keys
+        )
+        a, b = math.sqrt(d2[0][0]), math.sqrt(d2[1][0])
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        sq = math.floor(s * 1_000_000 + 0.5)
+        out.setdefault(d2[0][1], []).append(sq)
+    return {
+        c: (len(v), round(sum(v) / (1_000_000.0 * len(v)), 4))
+        for c, v in out.items()
+    }
+
+
+def _assign(qv, cents):
+    keys = sorted(cents)
+    d = np.stack(
+        [((qv - cents[c]) ** 2).sum(axis=1) for c in keys], axis=1
+    )
+    return np.array([keys[j] for j in np.argmin(d, axis=1)])
+
+
+def test_ml_silhouette_matches_numpy_twin(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = {
+        r["cid"]: (r["n_vectors"], r["mean_silhouette"])
+        for r in registry.QUERIES["ml_silhouette"](spark, _SF).collect()
+    }
+    want = _numpy_silhouette()
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0], (c, got[c], want[c])
+        assert abs(got[c][1] - want[c][1]) < 2e-4, (c, got[c], want[c])
