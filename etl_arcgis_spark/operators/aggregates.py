@@ -3032,3 +3032,89 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C202: Cohen's kappa — inter-rater agreement between the langid
+# HEURISTIC's prediction (text.langid_predict, C-text tier) and the
+# fixture's lang label. The agreement MEASURE beside the dependence
+# measures (stats_mutual_information) and null tests
+# (stats_chi2_independence): chance-corrected accuracy, the standard
+# check before trusting a cheap classifier as a corpus filter.
+
+_KAPPA_PRED = (
+    "CASE WHEN size(filter(split(text, ' '), "
+    "x -> x IN ('the', 'and', 'of', 'to', 'is'))) > 0 "
+    "THEN 'en' ELSE 'und' END"
+)
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'and', 'of', 'to', 'is'))) > 0
+              THEN 'en' ELSE 'und' END AS pred,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS actual
+  FROM documents
+), cell AS (
+  SELECT pred, actual, count(*) AS c FROM t GROUP BY pred, actual
+), rs AS (SELECT pred, sum(c) AS r FROM cell GROUP BY pred),
+cs AS (SELECT actual, sum(c) AS s FROM cell GROUP BY actual),
+tot AS (
+  SELECT (SELECT sum(c) FROM cell) AS n,
+         (SELECT coalesce(sum(c), 0) FROM cell WHERE pred = actual) AS agree,
+         (SELECT sum(rs.r * cs.s) FROM rs JOIN cs ON rs.pred = cs.actual)
+           AS pe_num
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       round(CAST(agree AS DOUBLE) / n, 4) AS po,
+       round(CAST(pe_num AS DOUBLE) / (n * n), 4) AS pe,
+       round(CAST(agree * n - pe_num AS DOUBLE) / (n * n - pe_num), 4)
+         AS kappa
+FROM tot
+""",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C202: Cohen's kappa (Cohen 1960) between the n-gram-marker
+    langid prediction and the fixture label, binarized en-vs-und.
+    po = observed agreement, pe = chance agreement from the marginal
+    products; kappa spelled over INTEGER sums as
+    (agree*n - pe_num) / (n^2 - pe_num) — one IEEE division of exact
+    BIGINTs, so the statistic is bit-identical cross-engine with no
+    accumulation surface at all.
+
+    Scale: one map-only prediction pass into a |labels|^2-row
+    contingency aggregate (map-side combined); the marginal join is
+    |labels|-row. Nothing here grows with the corpus but the first
+    hash aggregate."""
+    t = table(spark, sf_dir, "documents").select(
+        F.expr(_KAPPA_PRED).alias("pred"),
+        F.when(F.col("lang") == "en", "en").otherwise("und").alias("actual"),
+    )
+    cell = t.groupBy("pred", "actual").agg(F.count(F.lit(1)).alias("c"))
+    rs = cell.groupBy("pred").agg(F.sum("c").alias("r"))
+    cs = cell.groupBy("actual").agg(F.sum("c").alias("s"))
+    pe = (
+        rs.join(cs, rs["pred"] == cs["actual"])
+        .agg(F.sum(F.col("r") * F.col("s")).alias("pe_num"))
+    )
+    base = cell.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred") == F.col("actual"), F.col("c"))),
+            F.lit(0),
+        ).alias("agree"),
+    )
+    n, agree, pe_num = F.col("n"), F.col("agree"), F.col("pe_num")
+    return base.crossJoin(F.broadcast(pe)).select(
+        n.cast("bigint").alias("n_docs"),
+        agree.cast("bigint").alias("n_agree"),
+        r4(agree.cast("double") / n).alias("po"),
+        r4(pe_num.cast("double") / (n * n)).alias("pe"),
+        r4((agree * n - pe_num).cast("double") / (n * n - pe_num)).alias(
+            "kappa"
+        ),
+    )

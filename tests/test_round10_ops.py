@@ -158,3 +158,59 @@ def test_ml_silhouette_matches_numpy_twin(spark):
     for c in want:
         assert got[c][0] == want[c][0], (c, got[c], want[c])
         assert abs(got[c][1] - want[c][1]) < 2e-4, (c, got[c], want[c])
+
+
+# ---------------------------------------------------------------------------
+# C202: Cohen's kappa — known-answer checks on crafted contingency
+# tables via the same integer spelling.
+
+
+def _kappa_brute(cells):
+    """cells: {(pred, actual): count} -> (po, pe, kappa) floats."""
+    n = sum(cells.values())
+    agree = sum(c for (p, a), c in cells.items() if p == a)
+    preds = {p for p, _ in cells}
+    acts = {a for _, a in cells}
+    pe_num = sum(
+        sum(c for (p2, _), c in cells.items() if p2 == p)
+        * sum(c for (_, a2), c in cells.items() if a2 == p)
+        for p in preds | acts
+    )
+    po = agree / n
+    pe = pe_num / (n * n)
+    return po, pe, (agree * n - pe_num) / (n * n - pe_num)
+
+
+def test_kappa_known_values():
+    # Cohen 1960's worked example-style table: strong agreement
+    po, pe, k = _kappa_brute(
+        {("a", "a"): 20, ("a", "b"): 5, ("b", "a"): 10, ("b", "b"): 15}
+    )
+    assert abs(k - ((po - pe) / (1 - pe))) < 1e-12  # integer spelling == def
+    # perfect agreement -> kappa 1
+    assert _kappa_brute({("a", "a"): 7, ("b", "b"): 3})[2] == 1.0
+    # agreement exactly at chance -> kappa 0 (independent marginals)
+    po, pe, k = _kappa_brute(
+        {("a", "a"): 25, ("a", "b"): 25, ("b", "a"): 25, ("b", "b"): 25}
+    )
+    assert k == 0.0
+
+
+def test_kappa_query_matches_brute(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["stats_cohens_kappa"](spark, _SF).collect()[0]
+    # recompute the contingency straight off the parquet
+    t = pq.read_table(f"{_SF}/documents.parquet").to_pandas()
+    markers = {"the", "and", "of", "to", "is"}
+    cells = {}
+    for txt, lang in zip(t["text"], t["lang"]):
+        pred = "en" if any(w in markers for w in txt.split(" ")) else "und"
+        act = "en" if lang == "en" else "und"
+        cells[(pred, act)] = cells.get((pred, act), 0) + 1
+    po, pe, k = _kappa_brute(cells)
+    assert row["n_docs"] == sum(cells.values())
+    assert abs(row["po"] - round(po, 4)) < 1e-9
+    assert abs(row["pe"] - round(pe, 4)) < 1e-9
+    assert abs(row["kappa"] - round(k, 4)) < 1e-9
