@@ -3118,3 +3118,103 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C203: Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+# mergeable frequency sketch, built RELATIONALLY with deterministic
+# md5 row-hashes so (unlike the builtin HLL weak tier) the sketch
+# itself carries a bit-exact cross-engine oracle. Width is kept small
+# (w=64, d=4) so collisions actually occur and the one-sided
+# overcount guarantee is visible in the output.
+
+_CM_D = 4    # hash rows
+_CM_W = 64   # counters per row
+_CM_HEX = "0123456789abcdef"
+
+
+def _cm_bucket(engine: str, r: str, k: str) -> str:
+    """Counter index 0..w-1 from md5('{r}:{k}') — first two hex chars
+    as an integer, mod w; identical text modulo strpos/instr."""
+    h = f"md5(CAST({r} AS VARCHAR) || ':' || CAST({k} AS VARCHAR))"
+    pos = "strpos"
+    if engine == "spark":
+        h = f"md5(concat(CAST({r} AS STRING), ':', CAST({k} AS STRING)))"
+        pos = "instr"
+    return (
+        f"(((({pos}('{_CM_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + {pos}('{_CM_HEX}', substr({h}, 2, 1)) - 1)) % {_CM_W})"
+    )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+WITH keys AS (
+  SELECT o_custkey AS k, count(*) AS true_count FROM orders GROUP BY 1
+), hrows AS (SELECT unnest(range(0, {_CM_D})) AS r),
+cells AS (
+  SELECT r, {_cm_bucket("duck", "r", "k")} AS b, sum(true_count) AS c
+  FROM keys CROSS JOIN hrows GROUP BY 1, 2
+),
+est AS (
+  SELECT keys.k, keys.true_count, min(cells.c) AS cm_estimate
+  FROM keys CROSS JOIN hrows
+  JOIN cells ON cells.r = hrows.r
+            AND cells.b = {_cm_bucket("duck", "hrows.r", "keys.k")}
+  GROUP BY keys.k, keys.true_count
+)
+SELECT k AS key, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - true_count AS BIGINT) AS overcount
+FROM est ORDER BY true_count DESC, k LIMIT 20
+""",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C203: Count-Min frequency sketch over order counts per
+    customer: d={d} deterministic md5 hash rows x w={w} counters,
+    probed for the top-20 keys and compared against the exact count
+    (overcount >= 0 ALWAYS — the CM one-sided error guarantee, which
+    tests/test_round10_ops.py asserts for every key).
+
+    Scale: the sketch build is a map pass + a d*w-BOUNDED hash
+    aggregate ({d}x{w} = {n} counters) — the sketch is tiny, mergeable
+    across partitions/streams (counter-wise sum, exactly what the
+    partial aggregate does), and the probe side broadcasts it. At
+    100 TB the sketch replaces the full per-key shuffle; the exact
+    count here exists only as the error baseline.
+
+    Determinism: md5 is bit-identical cross-engine, every counter is
+    an exact BIGINT sum, min/compare over integers — no float
+    anywhere.""".format(d=_CM_D, w=_CM_W, n=_CM_D * _CM_W)
+    keys = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    hrows = spark.range(_CM_D).select(F.col("id").alias("r"))
+    cells = (
+        keys.crossJoin(F.broadcast(hrows))
+        .select("r", F.expr(_cm_bucket("spark", "r", "k")).alias("b"), "true_count")
+        .groupBy("r", "b")
+        .agg(F.sum("true_count").alias("c"))
+    )
+    est = (
+        keys.crossJoin(F.broadcast(hrows))
+        .withColumn("b", F.expr(_cm_bucket("spark", "r", "k")))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("k", "true_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("key"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("key"))
+        .limit(20)
+    )

@@ -214,3 +214,49 @@ def test_kappa_query_matches_brute(spark):
     assert abs(row["po"] - round(po, 4)) < 1e-9
     assert abs(row["pe"] - round(pe, 4)) < 1e-9
     assert abs(row["kappa"] - round(k, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# C203: Count-Min sketch — the one-sided error guarantee + exact
+# estimates on a collision-free universe.
+
+
+def test_countmin_overcount_nonnegative_everywhere(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["agg_countmin_sketch"](spark, _SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # CM never undercounts
+        assert r["cm_estimate"] >= r["true_count"], dict(r)
+        assert r["overcount"] == r["cm_estimate"] - r["true_count"]
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    """On a 3-key universe (far fewer keys than counters) the CM
+    estimate is exact: some of d=4 rows may collide, but min() needs
+    only ONE collision-free row, and P(all 4 collide) is ~0 for 3 keys
+    in 64 buckets — assert equality directly."""
+    from etl_arcgis_spark.operators.aggregates import _cm_bucket, _CM_D
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 5), (3, 11)], "k int, true_count int"
+    )
+    hrows = spark.range(_CM_D).select(F.col("id").alias("r"))
+    cells = (
+        df.crossJoin(hrows)
+        .selectExpr("r", _cm_bucket("spark", "r", "k") + " AS b", "true_count")
+        .groupBy("r", "b")
+        .agg(F.sum("true_count").alias("c"))
+    )
+    est = (
+        df.crossJoin(hrows)
+        .selectExpr("k", "true_count", "r", _cm_bucket("spark", "r", "k") + " AS b")
+        .join(cells, ["r", "b"])
+        .groupBy("k", "true_count")
+        .agg(F.min("c").alias("cm"))
+        .collect()
+    )
+    for r in est:
+        assert r["cm"] == r["true_count"], dict(r)
