@@ -2972,3 +2972,86 @@ def text_perplexity_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(-F.col("ll") / F.col("nb")).alias("avg_nll"),
         r4(F.exp(-F.col("ll") / F.col("nb"))).alias("ppl"),
     ).orderBy(F.asc("source"))
+
+
+# ---------------------------------------------------------------------------
+# C204: syllable-heuristic readability profile — the syllable/complex-
+# word machinery of the Flesch Reading Ease / Gunning-Fog family
+# (Flesch 1948; Gunning 1952), per (source, lang) corpus slice. The
+# fixture corpus carries no sentence punctuation, so the
+# sentence-length term is out of scope by construction; the emitted
+# components (syllables per word, >=3-syllable complex-word ratio,
+# mean word length) are exactly the lexical-difficulty inputs those
+# indices combine — the quality signal a readability-filtered corpus
+# (textbook-style selection) actually thresholds on.
+
+# vowel-group count per word: replace-all runs of vowels with '#',
+# count by length difference. DuckDB needs the explicit 'g' flag to
+# match Spark's replace-ALL semantics.
+_SYL_SPARK = (
+    "greatest(1, length(regexp_replace(w, '[aeiouy]+', '#'))"
+    " - length(regexp_replace(w, '[aeiouy]+', '')))"
+)
+_SYL_DUCK = (
+    "greatest(1, length(regexp_replace(w, '[aeiouy]+', '#', 'g'))"
+    " - length(regexp_replace(w, '[aeiouy]+', '', 'g')))"
+)
+
+
+@query(
+    "text_readability_syllables",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, string_split(text, ' ') AS l FROM documents
+), d AS (
+  SELECT source, lang,
+         len(l) AS nw,
+         list_sum(list_transform(l, w -> {_SYL_DUCK})) AS ns,
+         len(list_filter(l, w -> {_SYL_DUCK} >= 3)) AS ncx,
+         list_sum(list_transform(l, w -> length(w))) AS nch
+  FROM t
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(ns) AS BIGINT) AS n_syllables,
+       round(CAST(sum(ns) AS DOUBLE) / sum(nw), 4) AS syll_per_word,
+       round(CAST(sum(ncx) AS DOUBLE) / sum(nw), 4) AS complex_ratio,
+       round(CAST(sum(nch) AS DOUBLE) / sum(nw), 4) AS avg_word_len
+FROM d GROUP BY source, lang
+""",
+)
+def text_readability_syllables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C204: per-(source, lang) readability components via the
+    vowel-group syllable heuristic (a maximal [aeiouy]+ run == one
+    syllable, floor 1 — the standard dictionary-free approximation).
+
+    Scale: per-doc syllable/complex/char counts are IN-ROW array
+    folds (zero shuffle, exact BIGINTs); the slice profile is one
+    map-side-combined hash aggregate over |sources|x|langs| groups.
+    Determinism: integer sums all the way; each reported ratio is one
+    IEEE division + r4. Cross-engine regex parity is pinned by the
+    explicit 'g' flag on the DuckDB side (replace-ALL on both)."""
+    t = table(spark, sf_dir, "documents").select(
+        "source", "lang", F.split("text", " ").alias("l")
+    )
+    d = t.select(
+        "source",
+        "lang",
+        F.size("l").cast("bigint").alias("nw"),
+        F.expr(
+            f"aggregate(l, 0L, (acc, w) -> acc + {_SYL_SPARK})"
+        ).alias("ns"),
+        F.expr(
+            f"size(filter(l, w -> {_SYL_SPARK} >= 3))"
+        ).cast("bigint").alias("ncx"),
+        F.expr("aggregate(l, 0L, (acc, w) -> acc + length(w))").alias("nch"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.sum("ns").cast("bigint").alias("n_syllables"),
+        r4(F.sum("ns").cast("double") / F.sum("nw")).alias("syll_per_word"),
+        r4(F.sum("ncx").cast("double") / F.sum("nw")).alias("complex_ratio"),
+        r4(F.sum("nch").cast("double") / F.sum("nw")).alias("avg_word_len"),
+    )

@@ -260,3 +260,29 @@ def test_countmin_exact_when_no_collisions(spark):
     )
     for r in est:
         assert r["cm"] == r["true_count"], dict(r)
+
+
+# ---------------------------------------------------------------------------
+# C204: syllable heuristic — known-answer word checks.
+
+
+def test_syllable_heuristic_known_words(spark):
+    from etl_arcgis_spark.operators.text import _SYL_SPARK
+
+    # maximal [aeiouy]+ runs, floor 1: cat=1, table=2 (a, e),
+    # beautiful=3 (eau, i, u), rhythm=1 (single y run), zzz=1 (floor),
+    # queue=1 (one maximal run 'ueue')
+    cases = ["cat", "table", "beautiful", "rhythm", "zzz", "queue"]
+    import re
+
+    expected = {w: max(1, len(re.findall(r"[aeiouy]+", w))) for w in cases}
+    assert expected == {
+        "cat": 1, "table": 2, "beautiful": 3,
+        "rhythm": 1, "zzz": 1, "queue": 1,
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {
+        r["w"]: r["ns"]
+        for r in df.selectExpr("w", _SYL_SPARK + " AS ns").collect()
+    }
+    assert got == expected
