@@ -769,3 +769,136 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum(q_c)).alias("modularity"),
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C205: HITS (Kleinberg 1999, hubs & authorities) — the OTHER
+# canonical power iteration beside PageRank (C-graph tier), and the
+# natural one for a DIRECTED bipartite graph: customers are pure hubs
+# (only out-edges), suppliers pure authorities (only in-edges), so
+# the mutual-reinforcement recurrence a = E'h / ||.||, h = Ea / ||.||
+# has a clean ground truth (authority ~ weighted in-degree mass).
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+ar{k} AS (
+  SELECT e.s AS node, sum(e.w * {prev_h}.score) AS raw
+  FROM edges e JOIN {prev_h} ON e.c = {prev_h}.node GROUP BY e.s
+),
+a{k} AS (SELECT node, raw / (SELECT max(raw) FROM ar{k}) AS score FROM ar{k}),
+hr{k} AS (
+  SELECT e.c AS node, sum(e.w * a{k}.score) AS raw
+  FROM edges e JOIN a{k} ON e.s = a{k}.node GROUP BY e.c
+),
+h{k} AS (SELECT node, raw / (SELECT max(raw) FROM hr{k}) AS score FROM hr{k})"""
+        )
+        prev_h = f"h{k}"
+    steps_sql = ",".join(steps)
+    k = _HITS_ITERS
+    return f"""
+WITH edges AS (
+  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+h0 AS (SELECT DISTINCT c AS node, 1.0 AS score FROM edges),
+{steps_sql}
+SELECT * FROM (
+  SELECT 'authority' AS kind, 's' || CAST(node AS VARCHAR) AS node,
+         round(score, 4) AS score
+  FROM a{k} ORDER BY score DESC, node LIMIT 20
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS kind, 'c' || CAST(node AS VARCHAR) AS node,
+         round(score, 4) AS score
+  FROM h{k} ORDER BY score DESC, node LIMIT 20
+)
+"""
+
+
+@query("graph_hits_scores", oracle=_hits_oracle())
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C205: HITS hubs/authorities, {iters} unrolled mutual-
+    reinforcement rounds over the customer->supplier purchase graph
+    (edge weight = order-line count); top-20 of each side, scores
+    max-normalized per round (the max of a float set is order-
+    independent, unlike the L2 norm — so normalization adds NO
+    accumulation surface beyond the sums themselves, which carry
+    ~1e-13 relative noise against the 1e-4 grid: the C-graph
+    PageRank argument).
+
+    Scale: per round, two edge-keyed shuffle joins + two map-side-
+    combined aggregates, each partitioned on its own key — the
+    transition structure is built once; at cluster SF both the edge
+    list and the score vectors co-partition on (c) resp. (s) and the
+    1-row max broadcasts. Hub skew (a mega-customer) routes to AQE
+    skew handling exactly as C-graph PageRank documents."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .persist()
+    )
+    try:
+        hub = edges.select("c").distinct().select(
+            F.col("c").alias("node"), F.lit(1.0).alias("score")
+        )
+        auth = None
+        for _ in range(_HITS_ITERS):
+            ar = (
+                edges.join(hub, edges["c"] == hub["node"])
+                .groupBy(edges["s"].alias("node"))
+                .agg(F.sum(edges["w"] * hub["score"]).alias("raw"))
+            )
+            amax = ar.agg(F.max("raw").alias("mx"))
+            # eager lineage truncation per half-round: the score
+            # vectors are |nodes|-row; without it the unrolled plan
+            # re-evaluates every earlier round per downstream branch
+            auth = (
+                ar.crossJoin(F.broadcast(amax))
+                .select("node", (F.col("raw") / F.col("mx")).alias("score"))
+                .localCheckpoint()
+            )
+            hr = (
+                edges.join(auth, edges["s"] == auth["node"])
+                .groupBy(edges["c"].alias("node"))
+                .agg(F.sum(edges["w"] * auth["score"]).alias("raw"))
+            )
+            hmax = hr.agg(F.max("raw").alias("mx"))
+            hub = (
+                hr.crossJoin(F.broadcast(hmax))
+                .select("node", (F.col("raw") / F.col("mx")).alias("score"))
+                .localCheckpoint()
+            )
+        top_a = (
+            auth.select(
+                F.lit("authority").alias("kind"),
+                F.concat(F.lit("s"), F.col("node").cast("string")).alias("node"),
+                r4(F.col("score")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("node"))
+            .limit(20)
+        )
+        top_h = (
+            hub.select(
+                F.lit("hub").alias("kind"),
+                F.concat(F.lit("c"), F.col("node").cast("string")).alias("node"),
+                r4(F.col("score")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("node"))
+            .limit(20)
+        )
+        return top_a.unionAll(top_h).localCheckpoint()
+    finally:
+        edges.unpersist()

@@ -286,3 +286,51 @@ def test_syllable_heuristic_known_words(spark):
         for r in df.selectExpr("w", _SYL_SPARK + " AS ns").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# C205: HITS — numpy power-iteration twin over the same fixture edges.
+
+
+def test_hits_matches_numpy_twin(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = registry.QUERIES["graph_hits_scores"](spark, _SF).collect()
+
+    li = pq.read_table(f"{_SF}/lineitem.parquet").to_pandas()[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    od = pq.read_table(f"{_SF}/orders.parquet").to_pandas()[
+        ["o_orderkey", "o_custkey"]
+    ]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    w = m.groupby(["o_custkey", "l_suppkey"]).size()
+    hub = {c: 1.0 for c in m["o_custkey"].unique()}
+    auth = {}
+    for _ in range(3):
+        auth = {}
+        for (c, s), cnt in w.items():
+            auth[s] = auth.get(s, 0.0) + cnt * hub[c]
+        mx = max(auth.values())
+        auth = {s: v / mx for s, v in auth.items()}
+        hub = {}
+        for (c, s), cnt in w.items():
+            hub[c] = hub.get(c, 0.0) + cnt * auth[s]
+        mx = max(hub.values())
+        hub = {c: v / mx for c, v in hub.items()}
+
+    want_a = sorted(
+        ((round(v, 4), f"s{s}") for s, v in auth.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    want_h = sorted(
+        ((round(v, 4), f"c{c}") for c, v in hub.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got_a = [(r["score"], r["node"]) for r in got if r["kind"] == "authority"]
+    got_h = [(r["score"], r["node"]) for r in got if r["kind"] == "hub"]
+    assert [n for _, n in got_a] == [n for _, n in want_a]
+    assert [n for _, n in got_h] == [n for _, n in want_h]
+    for (gs, _), (ws, _) in zip(got_a + got_h, want_a + want_h):
+        assert abs(gs - ws) < 2e-4
