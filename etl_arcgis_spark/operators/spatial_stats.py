@@ -3214,3 +3214,116 @@ def spatial_gwr_local_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C206: IDW interpolation (ArcGIS "IDW" / Spatial Analyst; Shepard
+# 1968) — the inverse-distance-weighted surface at a fixed evaluation
+# lattice from the customer sample points, power p=2, search radius 6.
+
+_IDW_R2Q = 144           # radius^2 on the quadrupled-integer d2 grid (6^2 * 4)
+_IDW_WSCALE = 1 << 30    # weight quantization: wq = 2^30 DIV d2q
+
+
+@query(
+    "spatial_idw_interpolation",
+    oracle=f"""
+WITH g AS (
+  SELECT gx.x AS gx, gy.y AS gy
+  FROM (SELECT unnest(generate_series(-175, 175, 10)) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(-75, 75, 10)) AS y) gy
+), p AS (
+  SELECT CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), pairs AS (
+  SELECT g.gx, g.gy,
+         {_IDW_WSCALE} // (CAST(2 * (g.gx - p.lon) AS BIGINT)
+                           * CAST(2 * (g.gx - p.lon) AS BIGINT)
+                           + CAST(2 * (g.gy - p.lat) AS BIGINT)
+                           * CAST(2 * (g.gy - p.lat) AS BIGINT)) AS wq,
+         p.cents
+  FROM g JOIN p
+    ON CAST(2 * (g.gx - p.lon) AS BIGINT) * CAST(2 * (g.gx - p.lon) AS BIGINT)
+     + CAST(2 * (g.gy - p.lat) AS BIGINT) * CAST(2 * (g.gy - p.lat) AS BIGINT)
+       < {_IDW_R2Q}
+)
+SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_nbrs,
+       round(CAST(sum(wq * cents) AS DOUBLE)
+             / CAST(sum(wq) * 100 AS DOUBLE), 4) AS idw_value
+FROM pairs GROUP BY gx, gy
+""",
+)
+def spatial_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C206: Inverse Distance Weighting at a 36x16 evaluation lattice
+    (10-degree spacing) over the customer sample points: value =
+    sum(w_i * v_i) / sum(w_i), w = 1/d^2, neighbors inside radius 6.
+    Empty cells (no sample in radius) drop, the ArcGIS NoData
+    convention.
+
+    Determinism (the C190 exact-int discipline): on the half-integer
+    lattice 2*dx and 2*dy are exact integers, so d2q = (2dx)^2+(2dy)^2
+    is an exact BIGINT (= 4*d^2, never 0 — samples sit 0.5 off the
+    grid), and the weight is QUANTIZED AS PART OF THE OPERATOR SPEC to
+    wq = 2^30 DIV d2q — an exact integer division, relative
+    granularity 2^-30 (five orders below r4). Both aggregate sums are
+    then order-free BIGINTs and the surface value is ONE IEEE division
+    of identical operands.
+
+    Scale: the oracle is the brute grid x points definition (bounded:
+    576 cells); the Spark side is the C179/C187/C190 grid-block join —
+    samples binned to radius-sized cells and replicated to the 3x3
+    neighborhood, equi-join on the cell key, one partial-aggregated
+    groupBy(cell). Cost is local density x 576, never |grid| x n."""
+    h = 6.0
+    g = (
+        spark.range(-175, 176, 10)
+        .select(F.col("id").cast("int").alias("gx"))
+        .crossJoin(
+            spark.range(-75, 76, 10).select(F.col("id").cast("int").alias("gy"))
+        )
+        .withColumn("cxa", F.floor(F.col("gx") / h).cast("bigint"))
+        .withColumn("cya", F.floor(F.col("gy") / h).cast("bigint"))
+    )
+    p = (
+        table(spark, sf_dir, "customer")
+        .selectExpr(
+            "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat",
+            "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .withColumn("cx", F.floor(F.col("lon") / h).cast("bigint"))
+        .withColumn("cy", F.floor(F.col("lat") / h).cast("bigint"))
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "lon", "lat", "cents",
+            (F.col("cx") + F.col("dx")).alias("cxb"),
+            (F.col("cy") + F.col("dy")).alias("cyb"),
+        )
+    )
+    dxq = (2 * (F.col("gx") - F.col("lon"))).cast("bigint")
+    dyq = (2 * (F.col("gy") - F.col("lat"))).cast("bigint")
+    d2q = dxq * dxq + dyq * dyq
+    pairs = g.join(
+        p,
+        (F.col("cxa") == F.col("cxb"))
+        & (F.col("cya") == F.col("cyb"))
+        & (d2q < F.lit(_IDW_R2Q)),
+    ).select(
+        "gx",
+        "gy",
+        F.expr(f"CAST({_IDW_WSCALE} AS BIGINT) DIV "
+               f"(CAST(2 * (gx - lon) AS BIGINT) * CAST(2 * (gx - lon) AS BIGINT)"
+               f" + CAST(2 * (gy - lat) AS BIGINT) * CAST(2 * (gy - lat) AS BIGINT))"
+               ).alias("wq"),
+        "cents",
+    )
+    return pairs.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbrs"),
+        r4(
+            F.sum(F.col("wq") * F.col("cents")).cast("double")
+            / (F.sum("wq") * 100).cast("double")
+        ).alias("idw_value"),
+    )

@@ -334,3 +334,69 @@ def test_hits_matches_numpy_twin(spark):
     assert [n for _, n in got_h] == [n for _, n in want_h]
     for (gs, _), (ws, _) in zip(got_a + got_h, want_a + want_h):
         assert abs(gs - ws) < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# C206: IDW — brute-force twin over the fixture (blocked join == spec)
+# plus the interpolation identity (a grid point surrounded by equal
+# values interpolates to exactly that value).
+
+
+def test_idw_matches_brute_force(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["gx"], r["gy"]): (r["n_nbrs"], r["idw_value"])
+        for r in registry.QUERIES["spatial_idw_interpolation"](
+            spark, _SF
+        ).collect()
+    }
+    c = pq.read_table(f"{_SF}/customer.parquet").to_pandas()
+    pts = [
+        (
+            (int(k) % 360) - 180 + 0.5,
+            (int(k) % 160) - 80 + 0.5,
+            math.floor(float(v) * 100 + 0.5),
+        )
+        for k, v in zip(c["c_custkey"], c["c_acctbal"])
+    ]
+    want = {}
+    for gx in range(-175, 176, 10):
+        for gy in range(-75, 76, 10):
+            num = den = n = 0
+            for lon, lat, cents in pts:
+                d2q = int(2 * (gx - lon)) ** 2 + int(2 * (gy - lat)) ** 2
+                if d2q < 144:
+                    wq = (1 << 30) // d2q
+                    num += wq * cents
+                    den += wq
+                    n += 1
+            if n:
+                want[(gx, gy)] = (n, round(num / (den * 100.0), 4))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+
+
+def test_idw_constant_field_identity(spark):
+    """IDW of a constant field is that constant (weights cancel)."""
+    rows = [(x + 0.5, y + 0.5, 4200) for x in range(-3, 3) for y in range(-3, 3)]
+    df = spark.createDataFrame(rows, "lon double, lat double, cents long")
+    wq = F.expr(
+        "CAST(1073741824 AS BIGINT) DIV "
+        "(CAST(2 * (0 - lon) AS BIGINT) * CAST(2 * (0 - lon) AS BIGINT)"
+        " + CAST(2 * (0 - lat) AS BIGINT) * CAST(2 * (0 - lat) AS BIGINT))"
+    )
+    out = (
+        df.select(wq.alias("wq"), "cents")
+        .agg(
+            (
+                F.sum(F.col("wq") * F.col("cents")).cast("double")
+                / (F.sum("wq") * 100).cast("double")
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    assert abs(out - 42.0) < 1e-9
