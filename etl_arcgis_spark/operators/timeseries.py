@@ -2410,3 +2410,98 @@ aggregate(
         ).alias("forecast_h1"),
         r4(F.expr("array_max(st.s) - array_min(st.s)")).alias("seasonal_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C207: periodogram at candidate periods — the cycle DETECTOR beside
+# the cycle exploiters (ts_seasonal_profile assumes 24h;
+# ts_seasonal_strength measures a KNOWN season): relative DFT power
+# of the hourly event-count series at periods {6,8,12,24,48}h per
+# event type, the Schuster periodogram restricted to a fixed
+# hypothesis grid (the production shape: you scan a handful of
+# physically plausible cycles, not N/2 bins).
+
+_PGRAM_PERIODS = (6, 8, 12, 24, 48)
+_PGRAM_Q = 1_000_000  # per-term trig quantization grid
+
+
+@query(
+    "ts_periodogram_dft",
+    oracle=f"""
+WITH hr AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), per AS (SELECT unnest([{", ".join(str(p) for p in _PGRAM_PERIODS)}]) AS p),
+s AS (
+  SELECT event_type, p,
+         sum(x * CAST(floor(cos(2 * pi() * (h % p) / p) * {_PGRAM_Q} + 0.5)
+                      AS BIGINT)) AS sc,
+         sum(x * CAST(floor(sin(2 * pi() * (h % p) / p) * {_PGRAM_Q} + 0.5)
+                      AS BIGINT)) AS ss,
+         sum(x) AS sx
+  FROM hr CROSS JOIN per GROUP BY 1, 2
+)
+SELECT event_type, CAST(p AS BIGINT) AS period_hours,
+       round(((CAST(sc AS DOUBLE) / {_PGRAM_Q}) * (CAST(sc AS DOUBLE) / {_PGRAM_Q})
+             + (CAST(ss AS DOUBLE) / {_PGRAM_Q}) * (CAST(ss AS DOUBLE) / {_PGRAM_Q}))
+             / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS power_rel
+FROM s
+""",
+)
+def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C207: Schuster periodogram at a fixed period grid. For period
+    P the phase of hour h is 2*pi*(h mod P)/P — the mod keeps the
+    trig argument on a FINITE value set (< P distinct angles), exact
+    from integer hour indices on both engines. Relative power =
+    ((sum x*cos)^2 + (sum x*sin)^2) / (sum x)^2: near 0 for white
+    series, O(amplitude^2) at a genuinely periodic one.
+
+    Determinism: each trig factor quantizes to a 1e-6 integer BEFORE
+    the multiply-accumulate (x is already an integer count), so both
+    Fourier sums are order-free exact BIGINTs; the power is a handful
+    of IEEE ops on identical operands + r4. Builtin cos/sin agree on
+    the finite angle set (spatial_shoelace_area precedent).
+
+    Scale: the hourly rollup is the bounded aggregate (|types| x span
+    hours); the DFT pass is a |grid|-fold replication of THAT, never
+    of the raw events — map-side combined, no window, no sort."""
+    hr = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per = spark.createDataFrame(
+        [(p,) for p in _PGRAM_PERIODS], "p int"
+    )
+    q = _PGRAM_Q
+    s = (
+        hr.crossJoin(F.broadcast(per))
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.expr(
+                    f"CAST(floor(cos(2 * pi() * (h % p) / p) * {q} + 0.5) AS BIGINT)"
+                )
+            ).alias("sc"),
+            F.sum(
+                F.col("x")
+                * F.expr(
+                    f"CAST(floor(sin(2 * pi() * (h % p) / p) * {q} + 0.5) AS BIGINT)"
+                )
+            ).alias("ss"),
+            F.sum("x").alias("sx"),
+        )
+    )
+    sc, ss, sx = (F.col(c).cast("double") for c in ("sc", "ss", "sx"))
+    return s.select(
+        "event_type",
+        F.col("p").cast("bigint").alias("period_hours"),
+        r4(
+            ((sc / q) * (sc / q) + (ss / q) * (ss / q)) / (sx * sx)
+        ).alias("power_rel"),
+    )

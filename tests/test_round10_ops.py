@@ -400,3 +400,48 @@ def test_idw_constant_field_identity(spark):
         .collect()[0]["v"]
     )
     assert abs(out - 42.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# C207: periodogram — planted-cycle detection on a synthetic series.
+
+
+def test_periodogram_detects_planted_period(spark):
+    """A pure 24h-cycle count series puts (relative) power at P=24 far
+    above P=7 (off-grid) and above white noise; a constant series has
+    ~0 power everywhere (DC only)."""
+    import math as m
+
+    rows = []
+    for h in range(0, 24 * 28):  # 4 weeks hourly
+        x = 100 + round(50 * m.cos(2 * m.pi * h / 24))
+        rows.append(("cyc", h, x))
+        rows.append(("flat", h, 100))
+    df = spark.createDataFrame(rows, "event_type string, h long, x long")
+    per = spark.createDataFrame([(7,), (24,)], "p int")
+    q = 1_000_000
+    s = (
+        df.crossJoin(per)
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.expr(f"CAST(floor(cos(2*pi()*(h % p)/p)*{q}+0.5) AS BIGINT)")
+            ).alias("sc"),
+            F.sum(
+                F.col("x")
+                * F.expr(f"CAST(floor(sin(2*pi()*(h % p)/p)*{q}+0.5) AS BIGINT)")
+            ).alias("ss"),
+            F.sum("x").alias("sx"),
+        )
+        .collect()
+    )
+    pw = {
+        (r["event_type"], r["p"]): (
+            (r["sc"] / q) ** 2 + (r["ss"] / q) ** 2
+        )
+        / r["sx"] ** 2
+        for r in s
+    }
+    assert pw[("cyc", 24)] > 100 * max(pw[("cyc", 7)], 1e-12)
+    assert pw[("flat", 24)] < 1e-6 and pw[("flat", 7)] < 1e-6
