@@ -905,3 +905,168 @@ def etl_ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.expr(e["x_first_outer"])).alias("x_first_outer"),
         r4(F.expr(e["x_first_hole"])).alias("x_first_hole"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C208: general outSR, EQUAL-AREA conic family — Albers (Snyder §14),
+# the projection of choice when AREA must be preserved (USGS/Census
+# national grids; EPSG:102003 / 5070 class). Completes the conic pair
+# beside the conformal LCC (C199): same forwarded-outSR surface
+# (task.ts:410-414), opposite invariant (area vs angle).
+
+_ALB_RAD = 0.017453292519943295
+
+
+def _alb_consts(
+    a: float,
+    e2: float,
+    phi1_deg: float,
+    phi2_deg: float,
+    phi0_deg: float,
+    lam0_deg: float,
+) -> dict[str, float]:
+    """Snyder §14 projection scalars for an Albers 2SP instance."""
+    import math as _m
+
+    e = _m.sqrt(e2)
+
+    def m(phi):
+        return _m.cos(phi) / _m.sqrt(1 - e2 * _m.sin(phi) ** 2)
+
+    def q(phi):
+        sp = _m.sin(phi)
+        return (1 - e2) * (
+            sp / (1 - e2 * sp * sp)
+            - (1 / (2 * e)) * _m.log((1 - e * sp) / (1 + e * sp))
+        )
+
+    p1, p2, p0 = (
+        phi1_deg * _m.pi / 180,
+        phi2_deg * _m.pi / 180,
+        phi0_deg * _m.pi / 180,
+    )
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    c = m(p1) ** 2 + n * q(p1)
+    return {
+        "e": e,
+        "one_m_e2": 1.0 - e2,
+        "qe": 1.0 / (2.0 * e),
+        "n": n,
+        "c": c,
+        "k": a / n,                                  # rho = k * sqrt(c - n q)
+        "rho0": (a / n) * _m.sqrt(c - n * q(p0)),
+        "lam0": lam0_deg,
+        "thr": n * _ALB_RAD,                         # theta per degree
+    }
+
+
+# EPSG:102003 — USA Contiguous Albers Equal Area Conic (GRS80/NAD83):
+# phi1 = 29.5, phi2 = 45.5, phi0 = 37.5, lam0 = -96, E0 = N0 = 0.
+_ALB_CONUS = _alb_consts(
+    6378137.0, 0.0066943800229007869, 29.5, 45.5, 37.5, -96.0
+)
+
+
+def _alb_fwd_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """(name, engine-neutral SQL) stages: lon/lat degrees -> Albers
+    E/N. sin/cos/sqrt/ln are the only libm calls; every scalar is a
+    shared 17-digit literal (the r8 recipe)."""
+    c = c or _ALB_CONUS
+    return [
+        ("phir", f"lat * {_ALB_RAD!r}"),
+        ("tht", f"(lon - {c['lam0']!r}) * {c['thr']!r}"),
+        ("esp", f"{c['e']!r} * sin(phir)"),
+        (
+            "qv",
+            f"{c['one_m_e2']!r} * (sin(phir) / (1 - esp * esp)"
+            f" - {c['qe']!r} * ln((1 - esp) / (1 + esp)))",
+        ),
+        ("rho", f"{c['k']!r} * sqrt({c['c']!r} - {c['n']!r} * qv)"),
+        ("alb_e", "rho * sin(tht)"),
+        ("alb_n", f"{c['rho0']!r} - rho * cos(tht)"),
+    ]
+
+
+def _alb_inv_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """Inverse Albers -> lon/lat from alb_e/alb_n (round-trip test
+    surface): Snyder §14 iterative q-to-phi, three Newton-style
+    refinements from the spherical start asin(q/2)."""
+    c = c or _ALB_CONUS
+    e = c["e"]
+    e2 = 1.0 - c["one_m_e2"]
+
+    def ref(prev: str) -> str:
+        s = f"sin({prev})"
+        return (
+            f"{prev} + (1 - {e2!r} * {s} * {s}) * (1 - {e2!r} * {s} * {s})"
+            f" / (2 * cos({prev}))"
+            f" * (qpr / {c['one_m_e2']!r}"
+            f"    - {s} / (1 - {e2!r} * {s} * {s})"
+            f"    + {c['qe']!r} * ln((1 - {e!r} * {s}) / (1 + {e!r} * {s})))"
+        )
+
+    return [
+        ("rpr", f"sqrt(alb_e * alb_e + ({c['rho0']!r} - alb_n) * ({c['rho0']!r} - alb_n))"),
+        ("thtp", f"atan(alb_e / ({c['rho0']!r} - alb_n))"),
+        ("qpr", f"({c['c']!r} - (rpr / {c['k']!r}) * (rpr / {c['k']!r})) / {c['n']!r}"),
+        ("ph0", "asin(qpr / 2)"),
+        ("ph1", ref("ph0")),
+        ("ph2", ref("ph1")),
+        ("ph3", ref("ph2")),
+        ("lat_inv", f"ph3 / {_ALB_RAD!r}"),
+        ("lon_inv", f"{c['lam0']!r} + thtp / {c['thr']!r}"),
+    ]
+
+
+def _alb_oracle() -> str:
+    ctes = [
+        f"""WITH s0 AS (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat
+  FROM customer
+  WHERE CAST({_LON} AS DOUBLE) BETWEEN -130 AND -60
+    AND CAST({_LAT} AS DOUBLE) BETWEEN 20 AND 55
+)"""
+    ]
+    prev = "s0"
+    for i, (name, expr) in enumerate(_alb_fwd_stages(), 1):
+        ctes.append(f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "".join(ctes)
+        + f"""
+SELECT c_custkey, round(alb_e, 4) AS easting, round(alb_n, 4) AS northing
+FROM {prev}"""
+    )
+
+
+@query("geo_reproject_albers", oracle=_alb_oracle())
+def geo_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C208: general ``outSR``, EQUAL-AREA conic — EPSG:4326 -> USA
+    Contiguous Albers (EPSG:102003-class, GRS80) over the CONUS
+    window of the customer lattice; the area-true national-grid twin
+    of the conformal LCC (C199), closing the conic family in both
+    invariants. Snyder §14 ellipsoidal 2SP; projection scalars
+    precomputed as shared 17-digit literals; pure whole-stage-codegen
+    SQL math — no UDF, no shuffle; filter pushed to the scan.
+
+    Determinism: the r8 libm recipe (identical expression text over a
+    finite lattice value set, r4 output grid); the inverse stages
+    close the round trip below 1e-6 deg and the equal-area invariant
+    (|d(E,N)/d(lon,lat)| == a^2 cos(phi) (1-e^2) / (1-e^2 sin^2)^2,
+    Snyder 14-16) is probed numerically in tests/test_round10_ops.py
+    — an anchor against the ELLIPSOID, not against our own code."""
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+    ).filter(
+        F.col("lon").between(-130, -60) & F.col("lat").between(20, 55)
+    )
+    for name, expr in _alb_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "c_custkey",
+        r4(F.col("alb_e")).alias("easting"),
+        r4(F.col("alb_n")).alias("northing"),
+    )

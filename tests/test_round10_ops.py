@@ -445,3 +445,70 @@ def test_periodogram_detects_planted_period(spark):
     }
     assert pw[("cyc", 24)] > 100 * max(pw[("cyc", 7)], 1e-12)
     assert pw[("flat", 24)] < 1e-6 and pw[("flat", 7)] < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# C208: Albers — round-trip closure, origin anchor, and the
+# equal-area Jacobian invariant pinned against the ellipsoid.
+
+
+def _alb_fwd(spark, pts):
+    from etl_arcgis_spark.operators.etl import _alb_fwd_stages
+
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for name, expr in _alb_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def test_albers_round_trip_closure(spark):
+    from etl_arcgis_spark.operators.etl import _alb_inv_stages
+
+    pts = [
+        (float(lon), float(lat))
+        for lon in range(-125, -64, 10)
+        for lat in range(22, 54, 7)
+    ]
+    df = _alb_fwd(spark, pts)
+    for name, expr in _alb_inv_stages():
+        df = df.withColumn(name, F.expr(expr))
+    pdf = df.select("lat", "lon", "lat_inv", "lon_inv").toPandas()
+    assert float((pdf.lat_inv - pdf.lat).abs().max()) < 1e-6
+    assert float((pdf.lon_inv - pdf.lon).abs().max()) < 1e-6
+
+
+def test_albers_origin_and_equal_area_invariant(spark):
+    """Origin (37.5N, 96W) -> (0, 0); and the AREA SCALE of the
+    projection is 1 everywhere (Snyder §14: an equal-area projection's
+    Jacobian determinant equals the ellipsoidal area element
+    a^2 (1-e^2) cos(phi) / (1-e^2 sin^2 phi)^2) — probed by finite
+    differences at three latitudes, pinning n/C/rho0 against the
+    ellipsoid itself rather than our own constants."""
+    rows = {
+        r.lat: (r.alb_e, r.alb_n)
+        for r in _alb_fwd(spark, [(-96.0, 37.5)]).collect()
+    }
+    e0, n0 = rows[37.5]
+    assert abs(e0) < 1e-9 and abs(n0) < 1e-6
+
+    a, e2 = 6378137.0, 0.0066943800229007869
+    eps = 1e-4  # degrees
+    for lat in (30.0, 37.5, 45.0):
+        base = [(-100.0, lat), (-100.0 + eps, lat), (-100.0, lat + eps)]
+        got = {
+            (r.lon, r.lat): (r.alb_e, r.alb_n)
+            for r in _alb_fwd(spark, base).collect()
+        }
+        dE_dlon = (got[(-100.0 + eps, lat)][0] - got[(-100.0, lat)][0]) / eps
+        dN_dlon = (got[(-100.0 + eps, lat)][1] - got[(-100.0, lat)][1]) / eps
+        dE_dlat = (got[(-100.0, lat + eps)][0] - got[(-100.0, lat)][0]) / eps
+        dN_dlat = (got[(-100.0, lat + eps)][1] - got[(-100.0, lat)][1]) / eps
+        jac = abs(dE_dlon * dN_dlat - dE_dlat * dN_dlon)  # per deg^2
+        phi = math.radians(lat)
+        rad = math.pi / 180.0
+        truth = (
+            a * a * (1 - e2) * math.cos(phi)
+            / (1 - e2 * math.sin(phi) ** 2) ** 2
+            * rad * rad
+        )
+        assert abs(jac / truth - 1.0) < 1e-4, (lat, jac, truth)
