@@ -62,6 +62,11 @@ class CommitConflict(Exception):
     """Another writer published this snapshot version first."""
 
 
+class ConstraintViolation(Exception):
+    """A CHECK constraint rejected rows a write would have committed
+    (or, for add_constraint, rows already in the table)."""
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, f"_v{version}.manifest.json")
 
@@ -385,6 +390,19 @@ def _publish(root: str, version: int, manifest: dict[str, Any]) -> None:
     # including restore(), which clones an old manifest dict — gets a
     # fresh stamp.
     manifest["committed_at"] = _time.time()
+    # CHECK constraints are table-level governance: every commit
+    # carries the predecessor snapshot's constraint set forward unless
+    # the commit explicitly sets one (add/drop_constraint). Done at
+    # the single publish choke point so no commit path can silently
+    # shed the table's constraints — including restore(), which
+    # restores DATA while governance stays current (documented).
+    if "constraints" not in manifest and version > 1:
+        try:
+            prev = _read_manifest(root, version - 1)
+            if prev.get("constraints"):
+                manifest["constraints"] = prev["constraints"]
+        except FileNotFoundError:
+            pass  # expired predecessor: nothing to carry
     tmp = os.path.join(root, f".manifest-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -415,6 +433,102 @@ def _check_reserved_cols(df: DataFrame, what: str) -> None:
             "and '__eq_' prefixes are reserved for merge-on-read "
             "row-identity / equality-delete metadata"
         )
+
+
+def _enforce_constraints(df: DataFrame, man: dict[str, Any], what: str) -> None:
+    """Delta-style CHECK enforcement on the rows a write is about to
+    commit: a row violates a constraint only when the predicate is
+    FALSE — NULL/UNKNOWN passes (SQL CHECK semantics). One counting
+    job over all constraints; any violation aborts the write before a
+    file lands in the manifest."""
+    cons = man.get("constraints") or {}
+    if not cons:
+        return
+    names = sorted(cons)
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(f"({cons[n]})"), F.lit(True)), 1)
+                .otherwise(0)
+            ).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    bad = {n: int(counts[f"c{i}"] or 0) for i, n in enumerate(names)}
+    bad = {n: c for n, c in bad.items() if c}
+    if bad:
+        detail = "; ".join(
+            f"{n!r} CHECK ({cons[n]}) violated by {c} row(s)"
+            for n, c in bad.items()
+        )
+        raise ConstraintViolation(f"{what}: {detail}")
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) (Delta
+    constraints): validates the EXISTING table first (a constraint
+    that current data violates is rejected with the violation count),
+    then publishes a metadata-only commit. From that snapshot on,
+    every write path (append, merge, upsert_mor, update_where[_mor])
+    enforces the predicate on the rows it writes and aborts the
+    commit on violation; delete/compact/zorder commits cannot
+    introduce rows and carry the constraint set forward untouched
+    (single-choke-point carry in _publish)."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    cons = dict(man.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    probe = {name: expr}
+    _enforce_constraints(
+        read(spark, root, base_v), {"constraints": probe},
+        f"add_constraint({name!r}) on existing data",
+    )
+    cons[name] = expr
+    new_man = {
+        **{k: v for k, v in man.items() if k != "committed_at"},
+        "version": base_v + 1,
+        "operation": "add_constraint",
+        "parent": base_v,
+        "constraints": cons,
+    }
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def drop_constraint(root: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only commit; the key
+    stays present (possibly empty) so _publish's carry-forward does
+    not resurrect the dropped predicate."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    cons = dict(man.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint named {name!r} (have {sorted(cons)})")
+    del cons[name]
+    new_man = {
+        **{k: v for k, v in man.items() if k != "committed_at"},
+        "version": base_v + 1,
+        "operation": "drop_constraint",
+        "parent": base_v,
+        "constraints": cons,
+    }
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
+def list_constraints(root: str) -> dict[str, str]:
+    """The CHECK constraints in force at the current snapshot."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    return dict(_read_manifest(root, v).get("constraints") or {})
 
 
 def create(
@@ -986,6 +1100,9 @@ def merge(
                 for c in new_cols
             ],
         )
+        # CHECK constraints gate the post-image actually being written
+        # (carried files were validated by their own writing commit)
+        _enforce_constraints(merged, man, "merge()")
         new_seq = _next_seq(man, base_v)
         new_files = _write_data_files(
             merged, root, key=key, partition_by=pcol, seq=new_seq
@@ -1081,6 +1198,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
     if base_v is None:
         raise FileNotFoundError(f"no snapshot at {root}")
     man = _read_manifest(root, base_v)
+    _enforce_constraints(df, man, "append()")
     pcol = man.get("partition_by")
     if pcol is not None and pcol not in df.columns:
         raise ValueError(f"append must carry partition column {pcol!r}")
@@ -1629,6 +1747,7 @@ def upsert_mor(spark: SparkSession, root: str, source: DataFrame) -> int:
             f"upsert_mor source is missing table column(s) {narrow}; "
             "MERGE UPDATE SET * requires a full-width source"
         )
+    _enforce_constraints(source, man, "upsert_mor()")
     new_seq = _next_seq(man, base_v)
     entry, n_del = _eq_delete_entry(
         spark, root, man, source.select(key), new_seq
@@ -1837,6 +1956,7 @@ def update_where(
                 for c in order
             ]
         )
+        _enforce_constraints(updated, man, "update_where()")
         new_files = untouched + _write_data_files(
             updated, root, key=man["key"], partition_by=pcol,
             seq=_next_seq(man, base_v),
@@ -2004,6 +2124,7 @@ def update_where_mor(
                 for c in order
             ]
         )
+        _enforce_constraints(updated, man, "update_where_mor()")
         new_seq = _next_seq(man, base_v)
         entry, n_del = _eq_delete_entry(
             spark, root, man, matched.select(key), new_seq

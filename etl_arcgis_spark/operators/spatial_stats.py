@@ -3327,3 +3327,160 @@ def spatial_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("wq") * 100).cast("double")
         ).alias("idw_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C210: Spatial Join, point-in-polygon (ArcGIS "Spatial Join" with
+# match_option INTERSECT, one-to-many) — points joined to every
+# polygon that CONTAINS them. The B11 single-polygon ray-cast filter
+# generalized to a two-TABLE join with per-row polygon vertex arrays.
+
+_PIPJ_CELL = 8  # grid cell size; must exceed half the largest polygon span
+
+
+def _pipj_exprs(engine: str) -> dict[str, str]:
+    """Engine spellings: polygon synthesis (regular m-gon vertex
+    array) + in-row even-odd ray cast of point (px, py) against the
+    vertex array ``vs`` — identical arithmetic text modulo HOF
+    dialect/array base (the C200 discipline)."""
+    sp = engine == "spark"
+    if sp:
+        verts = (
+            "transform(sequence(0, m - 1), i -> named_struct("
+            "'x', cx + r * cos(2 * pi() * i / m), "
+            "'y', cy + r * sin(2 * pi() * i / m)))"
+        )
+        nxt = "vs[(i + 1) % m]"
+        cur = "vs[i]"
+        pip = (
+            "aggregate(sequence(0, m - 1), 0, (acc, i) -> acc + "
+            f"CASE WHEN (({cur}.y > py) <> ({nxt}.y > py)) AND "
+            f"(px < ({nxt}.x - {cur}.x) * (py - {cur}.y)"
+            f" / ({nxt}.y - {cur}.y) + {cur}.x) "
+            "THEN 1 ELSE 0 END) % 2 = 1"
+        )
+    else:
+        verts = (
+            "list_transform(range(0, m), i -> {"
+            "'x': cx + r * cos(2 * pi() * i / m), "
+            "'y': cy + r * sin(2 * pi() * i / m)})"
+        )
+        nxt = "vs[((i + 1) % m) + 1]"
+        cur = "vs[i + 1]"
+        pip = (
+            "list_sum(list_transform(range(0, m), i -> "
+            f"CASE WHEN (({cur}.y > py) <> ({nxt}.y > py)) AND "
+            f"(px < ({nxt}.x - {cur}.x) * (py - {cur}.y)"
+            f" / ({nxt}.y - {cur}.y) + {cur}.x) "
+            "THEN 1 ELSE 0 END)) % 2 = 1"
+        )
+    return {"verts": verts, "pip": pip}
+
+
+_PIPJ_POLY_BASE = """
+  SELECT n_nationkey, n_name,
+         CAST((n_nationkey * 29 % 340) - 170 + 0.5 AS DOUBLE) AS cx,
+         CAST((n_nationkey * 13 % 140) - 70 + 0.5 AS DOUBLE) AS cy,
+         CAST(4 + (n_nationkey % 3) AS DOUBLE) AS r,
+         CAST(5 + (n_nationkey % 4) AS INT) AS m
+  FROM nation
+"""
+
+_PIPJ_PT_BASE = """
+  SELECT c_custkey,
+         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS px,
+         CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS py
+  FROM customer
+"""
+
+
+def _pipj_oracle() -> str:
+    e = _pipj_exprs("duck")
+    return f"""
+WITH poly AS ({_PIPJ_POLY_BASE}),
+pv AS (SELECT *, {e["verts"]} AS vs FROM poly),
+pt AS ({_PIPJ_PT_BASE})
+SELECT pt.c_custkey, pv.n_nationkey AS nationkey, pv.n_name
+FROM pt JOIN pv
+  ON pt.px BETWEEN pv.cx - pv.r AND pv.cx + pv.r
+ AND pt.py BETWEEN pv.cy - pv.r AND pv.cy + pv.r
+WHERE {e["pip"]}
+"""
+
+
+@query("join_point_in_polygon", oracle=_pipj_oracle())
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C210: one-to-many point-in-polygon spatial JOIN — every
+    (customer point, nation polygon) pair where the point is inside,
+    the B11 ray-cast predicate (filters._ray_cast_sql) lifted from a
+    compile-time polygon to PER-ROW vertex arrays and from a filter
+    to a two-table join. Polygons are regular 5-8-gons synthesized per
+    nation; their envelope is the sargable prefilter, the in-row
+    even-odd fold decides exactly.
+
+    Scale (the C179/C190 grid-block shape, polygon flavor): each
+    polygon replicates to the grid cells its ENVELOPE covers (<= 3x3
+    at cell=8 > span/2 — exact integer cell bounds, no polygon is
+    missed); points key by their single cell; one equi-join on the
+    cell key, envelope + ray-cast evaluated only on co-located pairs.
+    Cost = local density x |polygons per cell|, never |points| x
+    |polygons|. The oracle is the brute cross-join definition, so the
+    differential check proves blocked == spec (join_geodesic
+    precedent).
+
+    Determinism: vertex trig over the finite nation/key lattice with
+    identical expression text (shoelace precedent); the ray cast is
+    strict-inequality arithmetic on those identical doubles — every
+    crossing decision matches bit-for-bit."""
+    e = _pipj_exprs("spark")
+    poly = (
+        table(spark, sf_dir, "nation")
+        .selectExpr(
+            "n_nationkey", "n_name",
+            "CAST((n_nationkey * 29 % 340) - 170 + 0.5 AS DOUBLE) AS cx",
+            "CAST((n_nationkey * 13 % 140) - 70 + 0.5 AS DOUBLE) AS cy",
+            "CAST(4 + (n_nationkey % 3) AS DOUBLE) AS r",
+            "CAST(5 + (n_nationkey % 4) AS INT) AS m",
+        )
+        .withColumn("vs", F.expr(e["verts"]))
+        # envelope -> covering cells (exact integer bounds)
+        .withColumn(
+            "gx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("cx") - F.col("r")) / _PIPJ_CELL),
+                    F.floor((F.col("cx") + F.col("r")) / _PIPJ_CELL),
+                )
+            ),
+        )
+        .withColumn(
+            "gy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("cy") - F.col("r")) / _PIPJ_CELL),
+                    F.floor((F.col("cy") + F.col("r")) / _PIPJ_CELL),
+                )
+            ),
+        )
+    )
+    pt = (
+        table(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_custkey",
+            "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS px",
+            "CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS py",
+        )
+        .withColumn("gx", F.floor(F.col("px") / _PIPJ_CELL))
+        .withColumn("gy", F.floor(F.col("py") / _PIPJ_CELL))
+    )
+    joined = pt.join(
+        F.broadcast(poly),
+        ["gx", "gy"],
+    ).filter(
+        F.col("px").between(F.col("cx") - F.col("r"), F.col("cx") + F.col("r"))
+        & F.col("py").between(F.col("cy") - F.col("r"), F.col("cy") + F.col("r"))
+        & F.expr(e["pip"])
+    )
+    return joined.select(
+        "c_custkey", F.col("n_nationkey").alias("nationkey"), "n_name"
+    )

@@ -512,3 +512,38 @@ def test_albers_origin_and_equal_area_invariant(spark):
             * rad * rad
         )
         assert abs(jac / truth - 1.0) < 1e-4, (lat, jac, truth)
+
+
+# ---------------------------------------------------------------------------
+# C210: point-in-polygon join — ray-cast known answers on a crafted
+# square, via the same in-row expression the join uses.
+
+
+def test_pipj_ray_cast_known_answers(spark):
+    from etl_arcgis_spark.operators.spatial_stats import _pipj_exprs
+
+    e = _pipj_exprs("spark")
+    # unit square as a 4-gon "circle" of radius sqrt(2)/2 rotated 45deg:
+    # easier to hand-check with explicit vertices instead
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    rows = [
+        (2.0, 2.0, True),    # center
+        (5.0, 2.0, False),   # right of it
+        (-1.0, -1.0, False), # outside corner
+        (3.9, 0.1, True),    # near corner, inside
+    ]
+    df = spark.createDataFrame(
+        [(px, py) for px, py, _ in rows], "px double, py double"
+    ).withColumn(
+        "vs",
+        F.expr(
+            "array(" + ", ".join(
+                f"named_struct('x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))"
+                for x, y in sq
+            ) + ")"
+        ),
+    ).withColumn("m", F.lit(4))
+    got = [r["inside"] for r in df.selectExpr(
+        "px", "py", e["pip"] + " AS inside"
+    ).collect()]
+    assert got == [want for _, _, want in rows]
