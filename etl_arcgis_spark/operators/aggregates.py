@@ -3218,3 +3218,124 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("true_count"), F.asc("key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# C211: Jenks natural breaks (ArcGIS "Natural Breaks (Jenks)"
+# classification; Jenks 1967, Fisher 1958) — k=5 classes minimizing
+# within-class variance over account-balance cents. Fisher-Jenks IS
+# 1-D k-means; spelled as percentile-seeded Lloyd, 3 unrolled rounds
+# (the C182 exact-integer discipline in one dimension).
+
+_JENKS_K = 5
+_JENKS_ITERS = 3
+_JENKS_QS = "[0.1, 0.3, 0.5, 0.7, 0.9]"
+
+
+def _jenks_argmin(engine: str) -> str:
+    if engine == "spark":
+        return (
+            "array_sort(transform(cents, s -> "
+            "named_struct('d', abs(cv - s.c), 'cid', s.cid)))[0].cid"
+        )
+    return (
+        "(list_sort(list_transform(cents, s -> "
+        "{'d': abs(cv - s.c), 'cid': s.cid})))[1].cid"
+    )
+
+
+def _jenks_oracle() -> str:
+    am = _jenks_argmin("duck")
+    parts = [
+        f"""
+WITH v AS (
+  SELECT CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cv
+  FROM customer
+),
+s AS (SELECT quantile_cont(cv, {_JENKS_QS}) AS qs FROM v),
+ca0 AS (
+  SELECT list_transform(range(0, {_JENKS_K}),
+                        i -> {{'cid': i, 'c': qs[i + 1]}}) AS cents
+  FROM s
+)"""
+    ]
+    prev = "ca0"
+    for t in range(1, _JENKS_ITERS + 1):
+        parts.append(f""",
+e{t} AS (SELECT cv, {am} AS cid FROM v, {prev}),
+c{t} AS (SELECT cid, sum(cv) AS sc, count(*) AS n FROM e{t} GROUP BY cid),
+ca{t} AS (
+  SELECT list({{'cid': cid, 'c': CAST(sc AS DOUBLE) / n}} ORDER BY cid) AS cents
+  FROM c{t}
+)"""
+        )
+        prev = f"ca{t}"
+    parts.append(f""",
+fin AS (SELECT cv, {am} AS cid FROM v, {prev})
+SELECT CAST(cid AS BIGINT) AS class_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(min(cv) AS DOUBLE) / 100, 4) AS lo,
+       round(CAST(max(cv) AS DOUBLE) / 100, 4) AS hi,
+       round(CAST(sum(cv) AS DOUBLE) / (count(*) * 100), 4) AS class_mean
+FROM fin GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+@query("stats_jenks_breaks", oracle=_jenks_oracle())
+def stats_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C211: Natural Breaks (Jenks) classification of customer account
+    balance into k={k} classes — the ArcGIS choropleth classifier.
+    Fisher-Jenks minimizes within-class variance, which in one
+    dimension is exactly k-means; seeded at the {{10,30,50,70,90}}th
+    percentiles and run {it} unrolled Lloyd rounds. Output per class:
+    size, [lo, hi] break interval, mean.
+
+    Determinism (C182 in 1-D): values quantize to exact cents, every
+    M-step sum is an order-free BIGINT, each centroid ONE division;
+    the percentile seeds interpolate identically (percentile ==
+    quantile_cont, C138/C170 precedent); assignment folds in fixed
+    index order with a cid tiebreak on equal distances. Scale: per
+    round one map pass + a k-row aggregate; the value vector never
+    sorts globally — breaks come from min/max per class."""
+    v = table(spark, sf_dir, "customer").selectExpr(
+        "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cv"
+    )
+    seeds = v.agg(
+        F.expr(f"percentile(cv, array{tuple(float(x) for x in (0.1, 0.3, 0.5, 0.7, 0.9))})").alias("qs")
+    )
+    cents = seeds.select(
+        F.expr(
+            f"transform(sequence(0, {_JENKS_K - 1}), "
+            "i -> named_struct('cid', i, 'c', qs[i]))"
+        ).alias("cents")
+    )
+    am = _jenks_argmin("spark")
+    for _t in range(_JENKS_ITERS):
+        e = v.crossJoin(F.broadcast(cents)).selectExpr("cv", f"{am} AS cid")
+        c_t = e.groupBy("cid").agg(
+            F.sum("cv").alias("sc"), F.count(F.lit(1)).alias("n")
+        )
+        cents = c_t.agg(
+            F.expr(
+                "array_sort(collect_list(named_struct('cid', cid, "
+                "'c', CAST(sc AS DOUBLE) / n)))"
+            ).alias("cents")
+        )
+    fin = v.crossJoin(F.broadcast(cents)).selectExpr("cv", f"{am} AS cid")
+    return fin.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.min("cv").cast("double") / 100).alias("lo"),
+        r4(F.max("cv").cast("double") / 100).alias("hi"),
+        r4(F.sum("cv").cast("double") / (F.count(F.lit(1)) * 100)).alias(
+            "class_mean"
+        ),
+    ).select(
+        F.col("cid").cast("bigint").alias("class_id"),
+        "n", "lo", "hi", "class_mean",
+    )
+
+
+stats_jenks_breaks.__doc__ = stats_jenks_breaks.__doc__.format(
+    k=_JENKS_K, it=_JENKS_ITERS
+)

@@ -547,3 +547,24 @@ def test_pipj_ray_cast_known_answers(spark):
         "px", "py", e["pip"] + " AS inside"
     ).collect()]
     assert got == [want for _, _, want in rows]
+
+
+# ---------------------------------------------------------------------------
+# C211: Jenks natural breaks — classes are contiguous intervals
+# (the defining property of 1-D optimal classification) and
+# well-separated clumps land in distinct classes.
+
+
+def test_jenks_classes_are_contiguous_intervals(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["stats_jenks_breaks"](spark, _SF).collect(),
+        key=lambda r: r["lo"],
+    )
+    assert 2 <= len(rows) <= 5
+    assert sum(r["n"] for r in rows) == 500  # every customer classified
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"], (a, b)  # intervals ordered, disjoint
+        assert a["lo"] <= a["class_mean"] <= a["hi"]
