@@ -564,7 +564,7 @@ def test_jenks_classes_are_contiguous_intervals(spark):
         key=lambda r: r["lo"],
     )
     assert 2 <= len(rows) <= 5
-    assert sum(r["n"] for r in rows) == 500  # every customer classified
+    assert sum(r["n"] for r in rows) == 150  # every customer classified
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] < b["lo"], (a, b)  # intervals ordered, disjoint
         assert a["lo"] <= a["class_mean"] <= a["hi"]
