@@ -3055,3 +3055,150 @@ def text_readability_syllables(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("ncx").cast("double") / F.sum("nw")).alias("complex_ratio"),
         r4(F.sum("nch").cast("double") / F.sum("nw")).alias("avg_word_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C212: BPE merge rounds — TOKENIZER TRAINING (Sennrich et al. 2016),
+# the iterative half of the BPE story beside the static pair counts
+# (text_bpe_pair_counts): 3 rounds of highest-weighted-pair merge over
+# the corpus vocabulary. The merge itself runs on the BOUNDED distinct
+# -word table; only the frequency weighting touches the corpus.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH wv AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+v0 AS (
+  SELECT word, freq,
+         list_aggregate(list_transform(string_split_regex(word, ''),
+                                       c -> '[' || c || ']'),
+                        'string_agg', '') AS seq
+  FROM wv WHERE length(word) > 0
+)"""
+    ]
+    prev = "v0"
+    for t in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+sy{t} AS (
+  SELECT word, freq,
+         string_split_regex(substr(seq, 2, length(seq) - 2), '\\]\\[') AS sym
+  FROM {prev}
+),
+pc{t} AS (
+  SELECT sym[i] AS a, sym[i + 1] AS b, sum(freq) AS cnt
+  FROM (SELECT word, freq, sym, unnest(range(1, len(sym))) AS i FROM sy{t})
+  GROUP BY 1, 2
+),
+best{t} AS (
+  SELECT a, b, cnt FROM pc{t} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+v{t} AS (
+  SELECT v.word, v.freq,
+         replace(v.seq, '[' || p.a || '][' || p.b || ']',
+                 '[' || p.a || p.b || ']') AS seq
+  FROM {prev} v CROSS JOIN best{t} p
+)"""
+        )
+        prev = f"v{t}"
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS round, a || '+' || b AS merged_pair, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{t}"
+        for t in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"\n{selects}"
+
+
+@query("text_bpe_merge_rounds", oracle=_bpe_oracle())
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C212: BPE tokenizer training, {n} unrolled merge rounds: per
+    round, count corpus-frequency-weighted adjacent symbol pairs, pick
+    the argmax pair ((count DESC, pair ASC) total order), and merge it
+    GREEDILY LEFT-TO-RIGHT in every word. Symbols live bracket-
+    delimited in one string ('[b][a][t][c][h]'): literal replace() is
+    leftmost-non-overlapping on BOTH engines (verified: '[a][a][a]'
+    with pair (a,a) -> '[aa][a]'), which IS the BPE merge order, and
+    brackets make cross-symbol false matches impossible.
+
+    Scale: the corpus-sized work is ONE tokenize+count pass (the same
+    shape as text_tokenize_wordcount); every merge round then runs on
+    the bounded DISTINCT-WORD table (|vocab| rows — the standard BPE
+    implementation trick: merge the vocabulary, weight by frequency).
+    Determinism: integer weights, lexicographic tie-break, identical
+    replace semantics — no float anywhere."""
+    wv = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    v = wv.withColumn(
+        "seq",
+        F.expr(
+            "aggregate(split(word, ''), '', "
+            "(acc, c) -> CASE WHEN c = '' THEN acc "
+            "ELSE acc || '[' || c || ']' END)"
+        ),
+    ).localCheckpoint()
+    out_rows = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        sy = v.withColumn(
+            "sym",
+            F.expr(r"split(substr(seq, 2, length(seq) - 2), '\\]\\[')"),
+        )
+        pc = (
+            # single-symbol words contribute no pairs; the guard also
+            # dodges Spark's descending sequence(0, -1) on them
+            sy.filter(F.expr("size(sym) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(sym) - 2), "
+                        "i -> named_struct('a', sym[i], 'b', sym[i + 1]))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).localCheckpoint()
+        out_rows.append(
+            best.select(
+                F.lit(t).alias("round"),
+                F.concat(F.col("a"), F.lit("+"), F.col("b")).alias(
+                    "merged_pair"
+                ),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        v = (
+            v.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(seq, '[' || a || '][' || b || ']', "
+                    "'[' || a || b || ']')"
+                ).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+text_bpe_merge_rounds.__doc__ = text_bpe_merge_rounds.__doc__.format(
+    n=_BPE_ROUNDS
+)

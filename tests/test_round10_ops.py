@@ -568,3 +568,54 @@ def test_jenks_classes_are_contiguous_intervals(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] < b["lo"], (a, b)  # intervals ordered, disjoint
         assert a["lo"] <= a["class_mean"] <= a["hi"]
+
+
+# ---------------------------------------------------------------------------
+# C212: BPE merge rounds — python reference BPE over the same fixture
+# vocabulary reproduces the merged pairs and counts exactly.
+
+
+def _bpe_reference(word_freq, rounds=3):
+    vocab = {w: ["".join(c) for c in w] for w in word_freq}
+    out = []
+    for _ in range(rounds):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((f"{a}+{b}", cnt))
+        for w, syms in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+def test_bpe_merge_rounds_match_reference(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = sorted(
+        (r["round"], r["merged_pair"], r["pair_count"])
+        for r in registry.QUERIES["text_bpe_merge_rounds"](spark, _SF).collect()
+    )
+    t = pq.read_table(f"{_SF}/documents.parquet").to_pandas()
+    wf = {}
+    for txt in t["text"]:
+        for w in txt.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want = [
+        (i + 1, pair, cnt)
+        for i, (pair, cnt) in enumerate(_bpe_reference(wf))
+    ]
+    assert got == sorted(want)
