@@ -3339,3 +3339,142 @@ def stats_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 stats_jenks_breaks.__doc__ = stats_jenks_breaks.__doc__.format(
     k=_JENKS_K, it=_JENKS_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# C213: deterministic HyperLogLog (Flajolet et al. 2007) — the
+# cardinality sketch built from md5 so the WHOLE sketch (registers,
+# raw estimate, small-range correction) carries a bit-exact oracle,
+# upgrading the weak builtin-HLL class the same way C203 does for
+# frequency sketches. m=256 registers (b=8), 48 hash bits per rho.
+
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # alpha_256, standard constant
+
+
+def _hll_rho(engine: str) -> str:
+    """rho = leading-zero count of the 48-bit tail of md5(key) + 1
+    (all-zero tail -> 49), from hex chars: 4 bits per leading '0'
+    char + a CASE on the first non-zero char. Exact integers."""
+    pos = "instr" if engine == "spark" else "strpos"
+    cat = (
+        "md5(CAST(k AS STRING))" if engine == "spark"
+        else "md5(CAST(k AS VARCHAR))"
+    )
+    tail = f"substr({cat}, 3, 12)"
+    zeros = f"length(regexp_extract({tail}, '^0*', 0))"
+    if engine != "spark":
+        zeros = f"length(regexp_extract({tail}, '^0*'))"
+    first_nz = f"substr({tail}, {zeros} + 1, 1)"
+    nzval = f"({pos}('0123456789abcdef', {first_nz}) - 1)"
+    return f"""
+CASE WHEN {zeros} = 12 THEN 49
+     ELSE {zeros} * 4
+          + CASE WHEN {nzval} >= 8 THEN 0
+                 WHEN {nzval} >= 4 THEN 1
+                 WHEN {nzval} >= 2 THEN 2
+                 ELSE 3 END
+          + 1 END"""
+
+
+def _hll_bucket(engine: str) -> str:
+    pos = "instr" if engine == "spark" else "strpos"
+    cat = (
+        "md5(CAST(k AS STRING))" if engine == "spark"
+        else "md5(CAST(k AS VARCHAR))"
+    )
+    return (
+        f"(({pos}('0123456789abcdef', substr({cat}, 1, 1)) - 1) * 16"
+        f" + {pos}('0123456789abcdef', substr({cat}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "agg_hll_deterministic",
+    oracle=f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+reg AS (
+  SELECT {_hll_bucket("duck")} AS bucket,
+         max({_hll_rho("duck")}) AS rho
+  FROM keys GROUP BY 1
+),
+s AS (
+  SELECT sum(CAST(1 AS BIGINT) << (49 - rho)) AS num,
+         count(*) AS nonzero
+  FROM reg
+),
+e AS (
+  SELECT CAST({_HLL_ALPHA * _HLL_M * _HLL_M!r} AS DOUBLE)
+         / ((CAST(num AS DOUBLE) + ({_HLL_M} - nonzero)
+             * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)) / {2.0 ** 49!r})
+           AS raw,
+         {_HLL_M} - nonzero AS zeros
+  FROM s
+),
+fin AS (
+  SELECT CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / zeros)
+              ELSE raw END AS est
+  FROM e
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS true_distinct,
+       round(est, 4) AS hll_estimate,
+       round(abs(est - (SELECT count(*) FROM keys))
+             / (SELECT count(*) FROM keys), 4) AS rel_error
+FROM fin
+""",
+)
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C213: HyperLogLog over distinct order-placing customers, built
+    relationally from md5: bucket = first 8 hash bits, rho = leading-
+    zero count of the next 48 bits + 1, registers = groupBy(bucket)
+    .max(rho) — a 256-row MERGEABLE aggregate (register-wise max is
+    the partial agg), with the standard alpha_m bias constant and the
+    small-range linear-counting correction.
+
+    Determinism (why this sketch has a full oracle while the builtin
+    HLL is declared weak): md5 is bit-identical cross-engine, every
+    register an exact integer, and the harmonic denominator is summed
+    as the INTEGER numerator sum(2^(49-rho)) (max 256 * 2^49 << 2^63)
+    — one exact BIGINT — before a single division; empty registers
+    contribute 2^49 exactly. No float accumulation anywhere.
+
+    Scale: one map pass + a 256-row partial-max aggregate; the probe
+    (estimate) is O(m). The exact distinct here exists only as the
+    error baseline — at 100 TB the sketch REPLACES it, and register
+    vectors union across partitions/streams/days by element-wise max."""
+    keys = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    reg = keys.groupBy(F.expr(_hll_bucket("spark")).alias("bucket")).agg(
+        F.max(F.expr(_hll_rho("spark"))).alias("rho")
+    )
+    s = reg.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")).alias("num"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    m = _HLL_M
+    raw = (F.lit(_HLL_ALPHA * m * m)) / (
+        (
+            F.col("num").cast("double")
+            + (F.lit(m) - F.col("nonzero")) * F.lit(2.0 ** 49)
+        )
+        / F.lit(2.0 ** 49)
+    )
+    e = s.select(
+        raw.alias("raw"), (F.lit(m) - F.col("nonzero")).alias("zeros")
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    fin = e.select(est.alias("est"))
+    truth = keys.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    return fin.crossJoin(F.broadcast(truth)).select(
+        "true_distinct",
+        r4(F.col("est")).alias("hll_estimate"),
+        r4(
+            F.abs(F.col("est") - F.col("true_distinct"))
+            / F.col("true_distinct")
+        ).alias("rel_error"),
+    )

@@ -619,3 +619,45 @@ def test_bpe_merge_rounds_match_reference(spark):
         for i, (pair, cnt) in enumerate(_bpe_reference(wf))
     ]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# C213: deterministic HLL — python twin of the exact register/estimate
+# pipeline at sf0.001, plus the accuracy bound at sf0.01.
+
+
+def _py_hll(keys, m=256, alpha=0.7213 / (1.0 + 1.079 / 256)):
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[0], 16) * 16 + int(h[1], 16)
+        tail = h[2:14]
+        stripped = tail.lstrip("0")
+        zeros = len(tail) - len(stripped)
+        if zeros == 12:
+            rho = 49
+        else:
+            v = int(stripped[0], 16)
+            rho = zeros * 4 + (0 if v >= 8 else 1 if v >= 4 else 2 if v >= 2 else 3) + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    num = sum(1 << (49 - r) for r in regs.values())
+    nonzero = len(regs)
+    raw = (alpha * m * m) / ((num + (m - nonzero) * (1 << 49)) / 2.0 ** 49)
+    zeros = m - nonzero
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def test_hll_matches_python_twin_and_bounds(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["agg_hll_deterministic"](spark, _SF).collect()[0]
+    od = pq.read_table(f"{_SF}/orders.parquet").to_pandas()
+    keys = sorted(set(int(k) for k in od["o_custkey"]))
+    want = _py_hll(keys)
+    assert abs(row["hll_estimate"] - round(want, 4)) < 1e-9
+    assert row["true_distinct"] == len(keys)
+    # HLL standard error is 1.04/sqrt(256) = 6.5%; assert within 5 sigma
+    assert row["rel_error"] < 0.33
