@@ -661,3 +661,25 @@ def test_hll_matches_python_twin_and_bounds(spark):
     assert row["true_distinct"] == len(keys)
     # HLL standard error is 1.04/sqrt(256) = 6.5%; assert within 5 sigma
     assert row["rel_error"] < 0.33
+
+
+# ---------------------------------------------------------------------------
+# C214: Check Geometry — every planted defect class is detected as
+# exactly its own error type.
+
+
+def test_geometry_check_classifies_planted_defects(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["dq_geometry_check"](spark, _SF).collect()
+    want = {
+        0: "ok",
+        1: "too_few_vertices",
+        2: "unclosed_ring",
+        3: "duplicate_vertices",
+        4: "self_intersection",
+    }
+    assert len(rows) == 200
+    for r in rows:
+        assert r["geometry_error"] == want[r["p_partkey"] % 5], dict(r)
