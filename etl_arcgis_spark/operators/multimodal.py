@@ -840,3 +840,111 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(cuts, schema=_CUTS_SCHEMA)
+
+
+# ---------------------------------------------------------------- phash
+
+_PHASH_BANDS = 4       # 4 x 16-bit bands: pigeonhole catches hamming <= 3
+_PHASH_MAXHAM = 10     # report threshold on the full 64 bits
+
+
+def phash64(pix) -> int:
+    """64-bit perceptual hash (pHash, DCT variant): grayscale ->
+    32x32 nearest resize -> 2-D DCT-II -> top-left 8x8 low-frequency
+    block minus DC -> median threshold. Deterministic float64 numpy;
+    the classic near-duplicate IMAGE fingerprint (the visual twin of
+    simhash for text)."""
+    import numpy as _np
+
+    gray = pix.astype(_np.float64).mean(axis=2)
+    g32 = resize_nearest(gray[:, :, None].astype(_np.uint8), 32, 32)[
+        :, :, 0
+    ].astype(_np.float64)
+    n = 32
+    k = _np.arange(n)
+    basis = _np.cos(_np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ g32 @ basis.T
+    block = dct[:8, :8].flatten()[1:]  # drop DC
+    med = _np.median(block)
+    bits = 0
+    for i, v in enumerate(block > med):
+        if v:
+            bits |= 1 << i
+    return bits
+
+
+def _synth_ppm_neardup(doc_id: int) -> bytes:
+    """Every doc_id % 10 == 1 image is a PERTURBED COPY of doc_id-1's
+    (same base pixels, 8 seeded byte flips) — planted near-dup pairs
+    with known ground truth for the recall test."""
+    base = doc_id - 1 if doc_id % 10 == 1 else doc_id
+    w = 16 + int(base) % 48
+    h = 16 + int(base) % 32
+    rgb = bytearray(_rng_bytes(b"img%d" % int(base), w * h * 3))
+    if base != doc_id:
+        pos = _rng_bytes(b"flip%d" % int(doc_id), 16)
+        for i in range(0, 16, 2):
+            rgb[(pos[i] * 256 + pos[i + 1]) % len(rgb)] ^= 0x5A
+    return encode_ppm(w, h, bytes(rgb))
+
+
+@query("multimodal_phash_neardup")  # weak: binary codec has no SQL oracle
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C216: image near-duplicate pairs via 64-bit DCT pHash +
+    banded Hamming join — the IMAGE leg of the dedup tier (simhash
+    C-dedup's visual twin, the multimodal answer to "dedup the
+    screenshots/thumbnails in a 100 TB corpus"). Payload synthesis
+    plants perturbed copies (doc_id % 10 == 1 copies doc_id-1 with 8
+    byte flips), so recall over the planted truth is testable.
+
+    Scale: hashing is Arrow-batched mapInPandas (one decode+DCT per
+    image, embarrassingly parallel); the pair search is the simhash
+    pigeonhole — 4 x 16-bit bands, equi-join per band bucket, exact
+    Hamming <= {mh} verify on candidates only. Never all-pairs: cost
+    = sum of band-bucket products.""".format(mh=_PHASH_MAXHAM)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = _synth_ppm_neardup(int(doc_id))
+                w, h, pix = decode_ppm(payload)
+                rows.append({"doc_id": doc_id, "ph": phash64(pix)})
+            yield pd.DataFrame(rows, columns=["doc_id", "ph"])
+
+    hashed = docs.mapInPandas(synth_hash, schema="doc_id bigint, ph long")
+    bands = hashed.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PHASH_BANDS - 1}), "
+                f"b -> named_struct('b', b, "
+                f"'v', shiftrightunsigned(ph, b * 16) & 65535))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "ph", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a = bands.alias("a")
+    bb = bands.alias("b2")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b2.b"))
+            & (F.col("a.v") == F.col("b2.v"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b2.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= _PHASH_MAXHAM)
+        .select("doc_a", "doc_b", "hamming")
+    )

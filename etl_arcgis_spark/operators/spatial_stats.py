@@ -3484,3 +3484,168 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "c_custkey", F.col("n_nationkey").alias("nationkey"), "n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# C215 constants: own lattice (step 4) + wider search radius 24
+# so the surface populates even at the sparsest fixture density.
+_ZONAL_R2Q = (2 * 24) ** 2
+
+
+# C215: Zonal Statistics (ArcGIS Spatial Analyst "Zonal Statistics as
+# Table") — per-zone aggregates of a value surface: zones are the
+# C210 nation polygons, the surface is the C206 IDW lattice. The two
+# spatial primitives COMPOSE: surface cells assign to zones by the
+# same in-row ray cast, then one bounded per-zone aggregate.
+
+
+@query(
+    "spatial_zonal_stats",
+    oracle=f"""
+WITH g AS (
+  SELECT gx.x AS gx, gy.y AS gy
+  FROM (SELECT unnest(generate_series(-172, 172, 4)) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(-76, 76, 4)) AS y) gy
+), p AS (
+  SELECT CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), pairs AS (
+  SELECT g.gx, g.gy,
+         {_IDW_WSCALE} // (CAST(2 * (g.gx - p.lon) AS BIGINT)
+                           * CAST(2 * (g.gx - p.lon) AS BIGINT)
+                           + CAST(2 * (g.gy - p.lat) AS BIGINT)
+                           * CAST(2 * (g.gy - p.lat) AS BIGINT)) AS wq,
+         p.cents
+  FROM g JOIN p
+    ON CAST(2 * (g.gx - p.lon) AS BIGINT) * CAST(2 * (g.gx - p.lon) AS BIGINT)
+     + CAST(2 * (g.gy - p.lat) AS BIGINT) * CAST(2 * (g.gy - p.lat) AS BIGINT)
+       < {_ZONAL_R2Q}
+), surf AS (
+  SELECT gx, gy,
+         sum(wq * cents) AS num, sum(wq) AS den
+  FROM pairs GROUP BY gx, gy
+), poly AS ({_PIPJ_POLY_BASE}),
+pv AS (SELECT *, {_pipj_exprs("duck")["verts"]} AS vs FROM poly),
+zs AS (
+  SELECT pv.n_nationkey AS zone_key, pv.n_name AS zone_name,
+         surf.num, surf.den
+  FROM surf JOIN pv
+    ON CAST(surf.gx AS DOUBLE) BETWEEN pv.cx - pv.r AND pv.cx + pv.r
+   AND CAST(surf.gy AS DOUBLE) BETWEEN pv.cy - pv.r AND pv.cy + pv.r
+  WHERE {_pipj_exprs("duck")["pip"].replace("px", "CAST(surf.gx AS DOUBLE)").replace("py", "CAST(surf.gy AS DOUBLE)")}
+)
+SELECT zone_key, zone_name,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(CAST(sum(num) AS DOUBLE) / (CAST(sum(den) AS DOUBLE) * 100), 4)
+         AS zonal_weighted_mean,
+       round(CAST(min(num // den) AS DOUBLE) / 100, 4) AS zonal_min_cell,
+       round(CAST(max(num // den) AS DOUBLE) / 100, 4) AS zonal_max_cell
+FROM zs GROUP BY zone_key, zone_name
+""",
+)
+def spatial_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C215: Zonal Statistics as Table — the per-zone rollup of a
+    value SURFACE (here the C206 IDW interpolation lattice) over
+    polygon zones (the C210 nation polygons): cell count, the zone's
+    overall weighted mean (exact integer num/den sums re-aggregated
+    per zone — NOT a mean of cell means, so the statistic is
+    independent of the cell partitioning), and min/max cell value
+    (cells compared on the exact integer quotient num DIV den).
+
+    Scale: surface build is C206's blocked join; the zone assignment
+    joins a BOUNDED lattice (576 cells) against polygon envelopes +
+    in-row ray cast; the final aggregate is |zones|-row. Composition
+    of two already-scale-shaped primitives — nothing new grows with
+    the data. Determinism: integer sums + one division per reported
+    double; cell extrema via integer DIV quotients (C206/C190
+    discipline)."""
+    h = 24.0
+    g = (
+        spark.range(-172, 173, 4)
+        .select(F.col("id").cast("int").alias("gx"))
+        .crossJoin(
+            spark.range(-76, 77, 4).select(F.col("id").cast("int").alias("gy"))
+        )
+        .withColumn("cxa", F.floor(F.col("gx") / h).cast("bigint"))
+        .withColumn("cya", F.floor(F.col("gy") / h).cast("bigint"))
+    )
+    p = (
+        table(spark, sf_dir, "customer")
+        .selectExpr(
+            "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon",
+            "CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat",
+            "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .withColumn("cx", F.floor(F.col("lon") / h).cast("bigint"))
+        .withColumn("cy", F.floor(F.col("lat") / h).cast("bigint"))
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "lon", "lat", "cents",
+            (F.col("cx") + F.col("dx")).alias("cxb"),
+            (F.col("cy") + F.col("dy")).alias("cyb"),
+        )
+    )
+    wq = F.expr(
+        f"CAST({_IDW_WSCALE} AS BIGINT) DIV "
+        f"(CAST(2 * (gx - lon) AS BIGINT) * CAST(2 * (gx - lon) AS BIGINT)"
+        f" + CAST(2 * (gy - lat) AS BIGINT) * CAST(2 * (gy - lat) AS BIGINT))"
+    )
+    dxq = (2 * (F.col("gx") - F.col("lon"))).cast("bigint")
+    dyq = (2 * (F.col("gy") - F.col("lat"))).cast("bigint")
+    d2q = dxq * dxq + dyq * dyq
+    surf = (
+        g.join(
+            p,
+            (F.col("cxa") == F.col("cxb"))
+            & (F.col("cya") == F.col("cyb"))
+            & (d2q < F.lit(_ZONAL_R2Q)),
+        )
+        .select("gx", "gy", wq.alias("wq"), "cents")
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum(F.col("wq") * F.col("cents")).alias("num"),
+            F.sum("wq").alias("den"),
+        )
+    )
+    e = _pipj_exprs("spark")
+    pv = (
+        table(spark, sf_dir, "nation")
+        .selectExpr(
+            "n_nationkey", "n_name",
+            "CAST((n_nationkey * 29 % 340) - 170 + 0.5 AS DOUBLE) AS cx",
+            "CAST((n_nationkey * 13 % 140) - 70 + 0.5 AS DOUBLE) AS cy",
+            "CAST(4 + (n_nationkey % 3) AS DOUBLE) AS r",
+            "CAST(5 + (n_nationkey % 4) AS INT) AS m",
+        )
+        .withColumn("vs", F.expr(e["verts"]))
+    )
+    pip = (
+        e["pip"]
+        .replace("px", "CAST(gx AS DOUBLE)")
+        .replace("py", "CAST(gy AS DOUBLE)")
+    )
+    zs = surf.join(
+        F.broadcast(pv),
+        F.expr(
+            "CAST(gx AS DOUBLE) BETWEEN cx - r AND cx + r "
+            "AND CAST(gy AS DOUBLE) BETWEEN cy - r AND cy + r"
+        )
+        & F.expr(pip),
+    )
+    return zs.groupBy(
+        F.col("n_nationkey").alias("zone_key"), F.col("n_name").alias("zone_name")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        r4(
+            F.sum("num").cast("double") / (F.sum("den").cast("double") * 100)
+        ).alias("zonal_weighted_mean"),
+        r4(F.min(F.expr("num DIV den")).cast("double") / 100).alias(
+            "zonal_min_cell"
+        ),
+        r4(F.max(F.expr("num DIV den")).cast("double") / 100).alias(
+            "zonal_max_cell"
+        ),
+    )

@@ -683,3 +683,69 @@ def test_geometry_check_classifies_planted_defects(spark):
     assert len(rows) == 200
     for r in rows:
         assert r["geometry_error"] == want[r["p_partkey"] % 5], dict(r)
+
+
+# ---------------------------------------------------------------------------
+# C215: zonal statistics — per-zone values sit inside the zone's cell
+# envelope and the weighted mean is bounded by cell extrema.
+
+
+def test_zonal_stats_invariants(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["spatial_zonal_stats"](spark, _SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_cells"] >= 1
+        assert r["zonal_min_cell"] <= r["zonal_max_cell"]
+        # the exact-sum weighted mean lies within the cell-value range
+        # up to the DIV-truncation of the per-cell readouts (1 cent)
+        assert r["zonal_min_cell"] - 0.011 <= r["zonal_weighted_mean"], r
+        assert r["zonal_weighted_mean"] <= r["zonal_max_cell"] + 0.011, r
+
+
+# ---------------------------------------------------------------------------
+# C216: pHash near-dup — planted perturbed copies are recovered with
+# tiny Hamming distance; the hash itself is invariant to partitioning.
+
+
+def test_phash_recovers_planted_neardups(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_phash_neardup"](spark, _SF).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    docs = pq.read_table(f"{_SF}/documents.parquet").to_pandas()["doc_id"]
+    planted = [
+        (int(d) - 1, int(d))
+        for d in docs
+        if int(d) % 10 == 1 and (int(d) - 1) in set(int(x) for x in docs)
+    ]
+    assert planted, "fixture must contain planted pairs"
+    found = [p for p in planted if p in pairs]
+    # 8 byte-flips barely move the DCT low-frequency block: near-total recall
+    assert len(found) >= int(0.9 * len(planted)), (len(found), len(planted))
+    for p in found:
+        assert pairs[p] <= 10
+    for (a, b) in pairs:
+        assert a < b  # ordered, no self-pairs
+
+
+def test_phash_deterministic_and_discriminative():
+    from etl_arcgis_spark.operators.multimodal import (
+        _synth_ppm_neardup,
+        decode_ppm,
+        phash64,
+    )
+
+    h1 = phash64(decode_ppm(_synth_ppm_neardup(7))[2])
+    h2 = phash64(decode_ppm(_synth_ppm_neardup(7))[2])
+    assert h1 == h2  # bit-stable
+    # unrelated images differ in many bits (expected ~32)
+    h3 = phash64(decode_ppm(_synth_ppm_neardup(8))[2])
+    assert bin(h1 ^ h3).count("1") > 10
+    # the planted copy is close
+    h10 = phash64(decode_ppm(_synth_ppm_neardup(10))[2])
+    h11 = phash64(decode_ppm(_synth_ppm_neardup(11))[2])
+    assert bin(h10 ^ h11).count("1") <= 10

@@ -43,6 +43,7 @@ PYTHON_OK = {
     "multimodal_image_patchify",  # patch fan-out inside the Arrow batch
     "multimodal_audio_spectrum",  # FFT features inside the Arrow batch
     "multimodal_scene_cuts",      # frame-diff detector inside the Arrow batch
+    "multimodal_phash_neardup",   # DCT pHash inside the Arrow batch (codec tier)
     "multimodal_pq_quantize",     # PQ assign step (argmin over broadcast codebook) in the Arrow batch
     "text_zlib_compression_ratio",  # zlib inside the Arrow batch IS the operator
     "sim_pca_whiten",               # driver-side eigh summary; projection is codegen
@@ -98,6 +99,15 @@ NLJ_OK = {
     "agg_equidepth_histogram",   # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "stats_gini_revenue",        # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
     "window_ntile_percent",      # 1-row (min, max, n) stats broadcast (bucketed_global_rank)
+    "stats_cohens_kappa",        # 1-row pe_num marginal-product broadcast onto the 1-row totals
+    "agg_hll_deterministic",     # 1-row exact-distinct truth broadcast beside the 1-row estimate
+    "ml_silhouette",             # 1-row 8-centroid-array broadcast (the kmeans E-step shape)
+    "stats_jenks_breaks",        # 4 x 1-row 5-centroid-array broadcasts (unrolled 1-D Lloyd)
+    "ts_periodogram_dft",        # 5-row period-grid broadcast onto the bounded hourly rollup
+    "spatial_idw_interpolation",  # 36x16 constant evaluation-lattice build (two range cross)
+    "spatial_zonal_stats",       # same constant lattice + 25-row zone-polygon broadcast (non-equi PIP)
+    "text_bpe_merge_rounds",     # 3 x 1-row argmax-pair broadcasts (unrolled BPE merges)
+    "agg_countmin_sketch",       # 4-row hash-row-index broadcast (d=4 sketch rows)
     "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
     "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
     "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
