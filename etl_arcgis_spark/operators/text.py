@@ -3202,3 +3202,141 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bpe_merge_rounds.__doc__ = text_bpe_merge_rounds.__doc__.format(
     n=_BPE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# C217: multinomial Naive Bayes trained IN-ENGINE — the quality/
+# domain classifier a curation pipeline trains on its own corpus
+# (FineWeb-Edu-style filter, here supervised by the lang label):
+# md5 train/test split, Laplace-smoothed token likelihoods, log-space
+# scoring, confusion matrix on the held-out half.
+
+_NB_Q = 1_000_000_000  # log-prob quantization grid (1e-9)
+
+
+def _nb_logq(num: str, den: str) -> str:
+    """floor(ln(num/den) * 1e9 + 0.5) as BIGINT — ln of ONE division
+    of exact integers is bit-identical cross-engine, and the integer
+    grid makes every later SUM order-free."""
+    return (
+        f"CAST(floor(ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+        f" * {_NB_Q} + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "ml_naive_bayes_lang",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train
+  FROM documents
+), tr_tok AS (
+  SELECT lang AS c, unnest(l) AS w FROM d WHERE is_train
+), counts AS (
+  SELECT c, w, count(*) AS n FROM tr_tok GROUP BY c, w
+), ctot AS (SELECT c, sum(n) AS toks FROM counts GROUP BY c),
+vocab AS (SELECT count(DISTINCT w) AS v FROM tr_tok),
+prior AS (
+  SELECT lang AS c, count(*) AS dn FROM d WHERE is_train GROUP BY lang
+), ptot AS (SELECT sum(dn) AS dtot FROM prior),
+model AS (
+  SELECT counts.c, counts.w,
+         {_nb_logq("counts.n + 1", "ctot.toks + vocab.v")} AS logq
+  FROM counts JOIN ctot ON counts.c = ctot.c CROSS JOIN vocab
+), unseen AS (
+  SELECT ctot.c, {_nb_logq("1", "ctot.toks + vocab.v")} AS logq
+  FROM ctot CROSS JOIN vocab
+), priorq AS (
+  SELECT prior.c, {_nb_logq("prior.dn", "ptot.dtot")} AS plogq
+  FROM prior CROSS JOIN ptot
+), te_tok AS (
+  SELECT doc_id, lang, unnest(l) AS w FROM d WHERE NOT is_train
+), scored AS (
+  SELECT t.doc_id, t.lang, u.c,
+         sum(coalesce(m.logq, u.logq)) AS wsum
+  FROM te_tok t
+  CROSS JOIN unseen u
+  LEFT JOIN model m ON m.c = u.c AND m.w = t.w
+  GROUP BY t.doc_id, t.lang, u.c
+), best AS (
+  SELECT doc_id, lang AS actual,
+         min({{'neg': CAST(-(s.wsum + p.plogq) AS BIGINT), 'c': s.c}}).c
+           AS predicted
+  FROM scored s JOIN priorq p ON p.c = s.c
+  GROUP BY doc_id, lang
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM best GROUP BY actual, predicted
+""",
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C217: multinomial Naive Bayes lang classifier, trained and
+    evaluated entirely in-engine: deterministic md5 half-split,
+    Laplace(+1) token likelihoods, argmax of ln P(c) + sum ln P(w|c)
+    over the held-out half, emitted as the confusion matrix
+    (actual x predicted x count) — the supervised twin of the
+    heuristic langid (C-text) whose agreement C202 measures.
+
+    Determinism: every log-prob is ln of ONE division of exact
+    integer counts, quantized to a 1e-9 BIGINT grid BEFORE summation
+    (order-free integer sums); argmax by (score, class) total order.
+    Scale: the model is |vocab| x |classes| rows (broadcast); scoring
+    is one explode + broadcast left join + (doc, class)-keyed
+    aggregate — token-stream bound, classes a constant fan-out; the
+    confusion matrix is a |classes|^2 aggregate."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("l"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
+            "is_train"
+        ),
+    )
+    tr_tok = d.filter("is_train").select(
+        F.col("lang").alias("c"), F.explode("l").alias("w")
+    )
+    counts = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("n"))
+    ctot = counts.groupBy("c").agg(F.sum("n").alias("toks"))
+    vocab = tr_tok.agg(F.countDistinct("w").alias("v"))
+    prior = (
+        d.filter("is_train").groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    ptot = prior.agg(F.sum("dn").alias("dtot"))
+    model = (
+        counts.join(ctot, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select("c", "w", F.expr(_nb_logq("n + 1", "toks + v")).alias("logq"))
+    )
+    unseen = ctot.crossJoin(F.broadcast(vocab)).select(
+        "c", F.expr(_nb_logq("1", "toks + v")).alias("logq")
+    )
+    priorq = prior.crossJoin(F.broadcast(ptot)).select(
+        "c", F.expr(_nb_logq("dn", "dtot")).alias("plogq")
+    )
+    te_tok = d.filter(~F.col("is_train")).select(
+        "doc_id", "lang", F.explode("l").alias("w")
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(unseen.select(F.col("c"), F.col("logq").alias("ulogq"))))
+        .join(
+            F.broadcast(model.select(F.col("c"), F.col("w"), F.col("logq").alias("mlogq"))),
+            ["c", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(F.coalesce(F.col("mlogq"), F.col("ulogq"))).alias("wsum"))
+    )
+    best = (
+        scored.join(F.broadcast(priorq), "c")
+        .groupBy("doc_id", F.col("lang").alias("actual"))
+        .agg(
+            F.expr(
+                "min_by(c, named_struct('neg', -(wsum + plogq), 'c', c))"
+            ).alias("predicted")
+        )
+    )
+    return best.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -749,3 +749,52 @@ def test_phash_deterministic_and_discriminative():
     h10 = phash64(decode_ppm(_synth_ppm_neardup(10))[2])
     h11 = phash64(decode_ppm(_synth_ppm_neardup(11))[2])
     assert bin(h10 ^ h11).count("1") <= 10
+
+
+# ---------------------------------------------------------------------------
+# C217: Naive Bayes — python twin of the full train/score pipeline
+# (same split, same Laplace counts, same 1e-9 log grid).
+
+
+def test_naive_bayes_matches_python_twin(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in registry.QUERIES["ml_naive_bayes_lang"](spark, _SF).collect()
+    }
+    t = pq.read_table(f"{_SF}/documents.parquet").to_pandas()
+    Q = 1_000_000_000
+    train, test = [], []
+    for doc_id, lang, txt in zip(t["doc_id"], t["lang"], t["text"]):
+        row = (int(doc_id), lang, txt.split(" "))
+        (train if hashlib.md5(str(int(doc_id)).encode()).hexdigest()[0] < "8"
+         else test).append(row)
+    counts, ctot, prior, vocab = {}, {}, {}, set()
+    for _, c, ws in train:
+        prior[c] = prior.get(c, 0) + 1
+        for w in ws:
+            counts[(c, w)] = counts.get((c, w), 0) + 1
+            ctot[c] = ctot.get(c, 0) + 1
+            vocab.add(w)
+    V, dtot = len(vocab), sum(prior.values())
+
+    def logq(num, den):
+        return math.floor(math.log(num / den) * Q + 0.5)
+
+    want = {}
+    for _, actual, ws in test:
+        best = None
+        for c in sorted(prior):
+            s = logq(prior[c], dtot)
+            for w in ws:
+                s += logq(counts.get((c, w), 0) + 1, ctot[c] + V)
+            if best is None or (-s, c) < best:
+                best = (-s, c)
+        key = (actual, best[1])
+        want[key] = want.get(key, 0) + 1
+    assert sum(got.values()) == len(test)
+    # exact cell agreement (log grid is shared; 1-ulp ln flips would
+    # show as off-by-one cells — none observed, assert equality)
+    assert got == want
