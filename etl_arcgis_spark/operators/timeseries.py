@@ -2505,3 +2505,270 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((sc / q) * (sc / q) + (ss / q) * (ss / q)) / (sx * sx)
         ).alias("power_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C218: Markov removal-effect attribution (Anderl et al. 2016) — the
+# data-driven multi-touch model beside last-touch (C131): build the
+# first-order journey chain (START -> touches -> CONV/NULL), compute
+# absorption probability by fixed-point iteration IN-ROW over the
+# bounded state grid, and credit each touch type by its removal
+# effect (conversion probability lost when the state routes to NULL).
+
+_MK_TOUCHES = ("click", "view", "signup")
+_MK_ITERS = 40
+
+
+def _mk_step(engine: str, removed: str | None) -> str:
+    """One fixed-point step x' = b + Q x as an in-row array expr.
+    acc[i] = P(convert | in touch state i); removing a state pins its
+    component to 0 (its conversions are lost — the removal-effect
+    convention). Identical arithmetic text on both engines modulo
+    array base."""
+    base = 0 if engine == "spark" else 1
+
+    def comp(t: str) -> str:
+        if t == removed:
+            return "CAST(0 AS DOUBLE)"
+        terms = [f"p_{t[0]}_K"]
+        for j, u in enumerate(_MK_TOUCHES):
+            terms.append(f"p_{t[0]}_{u[0]} * acc[{base + j}]")
+        return " + ".join(terms)
+
+    inner = ", ".join(comp(t) for t in _MK_TOUCHES)
+    if engine == "spark":
+        return (
+            f"aggregate(sequence(1, {_MK_ITERS}), "
+            f"array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)), "
+            f"(acc, i) -> array({inner}))"
+        )
+    return (
+        f"list_reduce([[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]]"
+        f" || list_transform(range({_MK_ITERS}), "
+        f"i -> [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]), "
+        f"(acc, x) -> [{inner}])"
+    )
+
+
+def _mk_pconv(engine: str, vec: str) -> str:
+    base = 0 if engine == "spark" else 1
+    terms = ["p_st_K"] + [
+        f"p_st_{u[0]} * {vec}[{base + j}]" for j, u in enumerate(_MK_TOUCHES)
+    ]
+    return " + ".join(terms)
+
+
+def _mk_pivot_cols() -> list[tuple[str, str, str]]:
+    """(colname, from_state, to_state) for the 16 needed scalars."""
+    cols = []
+    froms = [("st", "START")] + [(t[0], t) for t in _MK_TOUCHES]
+    tos = [(t[0], t) for t in _MK_TOUCHES] + [("K", "CONV")]
+    for fa, fs in froms:
+        for ta, ts in tos:
+            cols.append((f"p_{fa}_{ta}", fs, ts))
+    return cols
+
+
+_MK_JOURNEY_SQL = """
+WITH ev AS (
+  SELECT user_id, {T} AS t, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END
+           AS state
+  FROM events
+  WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+), flagged AS (
+  SELECT *,
+         count(CASE WHEN state = 'CONV' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_conv
+  FROM ev
+), kept AS (
+  SELECT user_id, t, event_id, state FROM flagged
+  WHERE prev_conv IS NULL OR prev_conv = 0
+), hops AS (
+  SELECT coalesce(lag(state) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id), 'START') AS f,
+         state AS tos
+  FROM kept
+), terminal AS (
+  SELECT last_state AS f, 'NULL' AS tos
+  FROM (SELECT {LASTAGG} AS last_state FROM kept GROUP BY user_id)
+  WHERE last_state <> 'CONV'
+), trans AS (
+  SELECT f, tos, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT * FROM hops UNION ALL SELECT * FROM terminal)
+  GROUP BY f, tos
+), tot AS (SELECT f, sum(n) AS fn FROM trans GROUP BY f),
+probs AS (
+  SELECT trans.f, trans.tos,
+         CAST(trans.n AS DOUBLE) / CAST(tot.fn AS DOUBLE) AS p
+  FROM trans JOIN tot ON trans.f = tot.f
+), piv AS (
+  SELECT {PIVOTS} FROM probs
+)
+"""
+
+
+def _mk_journey(engine: str) -> str:
+    pivots = ", ".join(
+        f"coalesce(sum(CASE WHEN f = '{fs}' AND tos = '{ts}' THEN p END), 0)"
+        f" AS {col}"
+        for col, fs, ts in _mk_pivot_cols()
+    )
+    if engine == "spark":
+        t = "unix_micros(ts)"
+        lastagg = "max_by(state, named_struct('t', t, 'e', event_id))"
+    else:
+        t = "epoch_us(ts)"
+        # struct max orders by (t, e); (t, e) is unique per user so the
+        # trailing state field never decides
+        lastagg = "(max({'t': t, 'e': event_id, 's': state})).s"
+    return _MK_JOURNEY_SQL.format(T=t, LASTAGG=lastagg, PIVOTS=pivots)
+
+
+def _mk_oracle() -> str:
+    full = _mk_pconv("duck", _mk_step("duck", None))
+    removed = ", ".join(
+        f"{_mk_pconv('duck', _mk_step('duck', t))} AS p_rm_{t[0]}"
+        for t in _MK_TOUCHES
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS touch, p_full, p_rm_{t[0]} AS p_removed FROM chains"
+        for t in _MK_TOUCHES
+    )
+    return (
+        _mk_journey("duck")
+        + f""",
+chains AS (SELECT {full} AS p_full, {removed} FROM piv),
+eff AS (
+  SELECT touch, p_full, p_removed,
+         (p_full - p_removed) / p_full AS re
+  FROM ({rows})
+), tot_eff AS (SELECT sum(re) AS se FROM eff)
+SELECT touch,
+       round(p_full, 4) AS p_conversion,
+       round(p_removed, 4) AS p_without_touch,
+       round(re, 4) AS removal_effect,
+       round(re / tot_eff.se, 4) AS attribution_share
+FROM eff CROSS JOIN tot_eff
+"""
+    )
+
+
+@query("analytics_attribution_markov", oracle=_mk_oracle())
+def analytics_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C218: Markov-chain (removal-effect) attribution. Journeys =
+    per-user event sequences truncated at the first purchase; the
+    first-order chain START -> {{click, view, signup}} -> CONV/NULL is
+    estimated from transition counts, and P(conversion) solved by
+    {it} fixed-point iterations x' = b + Qx IN-ROW over the bounded
+    3-state grid (contraction: every state leaks to CONV/NULL, so 40
+    rounds land far below the r4 grid). Removing a touch pins its
+    component to 0 — the mass that converted THROUGH it is lost — and
+    its attribution share is its normalized removal effect: the
+    data-driven counterpart of last-touch (C131).
+
+    Scale: journey building is two user-partitioned windows + one
+    |states|^2 aggregate; the chain solve is arithmetic on ONE row.
+    Determinism: every transition prob is one division of exact
+    counts; the fold is identical expression text on both engines
+    (bit-identical doubles end to end), r4 at the edges.""".format(
+        it=_MK_ITERS
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "view", "signup", "purchase")
+        )
+        .select(
+            "user_id",
+            ev_us(F.col("ts")).alias("t"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "prev_conv",
+        F.count(F.when(F.col("state") == "CONV", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    kept = flagged.filter(
+        F.col("prev_conv").isNull() | (F.col("prev_conv") == 0)
+    ).select("user_id", "t", "event_id", "state")
+    hops = kept.select(
+        F.coalesce(F.lag("state").over(w), F.lit("START")).alias("f"),
+        F.col("state").alias("tos"),
+    )
+    terminal = (
+        kept.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(state, named_struct('t', t, 'e', event_id))"
+            ).alias("last_state")
+        )
+        .filter(F.col("last_state") != "CONV")
+        .select(F.col("last_state").alias("f"), F.lit("NULL").alias("tos"))
+    )
+    trans = (
+        hops.unionAll(terminal)
+        .groupBy("f", "tos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("f").agg(F.sum("n").alias("fn"))
+    probs = trans.join(tot, "f").select(
+        "f", "tos",
+        (F.col("n").cast("double") / F.col("fn").cast("double")).alias("p"),
+    )
+    piv = probs.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("f") == fs) & (F.col("tos") == ts), F.col("p")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(col)
+            for col, fs, ts in _mk_pivot_cols()
+        ]
+    )
+    full = _mk_pconv("spark", _mk_step("spark", None))
+    chains = piv.selectExpr(
+        f"{full} AS p_full",
+        *[
+            f"{_mk_pconv('spark', _mk_step('spark', t))} AS p_rm_{t[0]}"
+            for t in _MK_TOUCHES
+        ],
+    )
+    eff = chains.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"named_struct('touch', '{t}', 'p_full', p_full, "
+                    f"'p_removed', p_rm_{t[0]})"
+                    for t in _MK_TOUCHES
+                )
+                + ")"
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.touch").alias("touch"),
+        F.col("e.p_full").alias("p_full"),
+        F.col("e.p_removed").alias("p_removed"),
+        (
+            (F.col("e.p_full") - F.col("e.p_removed")) / F.col("e.p_full")
+        ).alias("re"),
+    )
+    tot_eff = eff.agg(F.sum("re").alias("se"))
+    return eff.crossJoin(F.broadcast(tot_eff)).select(
+        "touch",
+        r4(F.col("p_full")).alias("p_conversion"),
+        r4(F.col("p_removed")).alias("p_without_touch"),
+        r4(F.col("re")).alias("removal_effect"),
+        r4(F.col("re") / F.col("se")).alias("attribution_share"),
+    )

@@ -798,3 +798,52 @@ def test_naive_bayes_matches_python_twin(spark):
     # exact cell agreement (log grid is shared; 1-ulp ln flips would
     # show as off-by-one cells — none observed, assert equality)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C218: Markov attribution — absorption fixed point equals the exact
+# linear solve on a crafted chain, and removal semantics are correct.
+
+
+def test_markov_absorption_and_removal_known_chain():
+    """Hand-built chain: START -> c (1.0); c -> CONV 0.3, c -> v 0.4,
+    c -> NULL 0.3; v -> CONV 0.5, v -> NULL 0.5.
+    Exact: x_v = 0.5; x_c = 0.3 + 0.4*0.5 = 0.5; P = 0.5.
+    Remove v: x_c = 0.3, P = 0.3. Removal effect v = (0.5-0.3)/0.5."""
+    import numpy as np
+
+    P = {("c", "K"): 0.3, ("c", "v"): 0.4, ("v", "K"): 0.5, ("st", "c"): 1.0}
+
+    def solve(removed=None):
+        x = {"c": 0.0, "v": 0.0, "s": 0.0}
+        for _ in range(40):
+            nx = {}
+            for t in ("c", "v", "s"):
+                if t == removed:
+                    nx[t] = 0.0
+                    continue
+                v = P.get((t, "K"), 0.0)
+                for u in ("c", "v", "s"):
+                    v += P.get((t, u), 0.0) * x[u]
+                nx[t] = v
+            x = nx
+        p = P.get(("st", "K"), 0.0)
+        for u in ("c", "v", "s"):
+            p += P.get(("st", u), 0.0) * x[u]
+        return p
+
+    assert abs(solve() - 0.5) < 1e-12
+    assert abs(solve("v") - 0.3) < 1e-12
+    assert abs((solve() - solve("v")) / solve() - 0.4) < 1e-12
+
+
+def test_markov_query_shares_sum_to_one(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["analytics_attribution_markov"](spark, _SF).collect()
+    assert len(rows) == 3
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 5e-4
+    for r in rows:
+        assert 0.0 <= r["p_without_touch"] <= r["p_conversion"] <= 1.0
+        assert r["removal_effect"] >= 0.0
