@@ -3478,3 +3478,125 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("true_distinct")
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C219: Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
+# nonparametric location test completing the family (Mann-Whitney
+# C124 two-sample, Kruskal-Wallis C169 k-sample, runs C171): hourly
+# event rates paired by (event_type, hour-of-day) across the first
+# and second half of the fixture window; H0 = no within-pair shift.
+
+_WSR_PAIR_SQL = """
+WITH bounds AS (
+  SELECT (min({H}) + max({H})) // 2 AS mid FROM events
+), cell AS (
+  SELECT event_type, {H} % 24 AS hod,
+         CASE WHEN {H} <= bounds.mid THEN 'a' ELSE 'b' END AS half,
+         count(*) AS n
+  FROM events, bounds GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT event_type, hod,
+         coalesce(sum(CASE WHEN half = 'b' THEN n END), 0)
+         - coalesce(sum(CASE WHEN half = 'a' THEN n END), 0) AS d
+  FROM cell GROUP BY event_type, hod
+), nz AS (SELECT abs(d) AS ad, sign(d) AS sg FROM pairs WHERE d <> 0),
+grid AS (
+  SELECT ad, count(*) AS t,
+         sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS tpos
+  FROM nz GROUP BY ad
+), ranked AS (
+  SELECT ad, t, tpos,
+         coalesce(sum(t) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM grid
+), agg AS (
+  SELECT sum(tpos * (2 * cb + t + 1)) AS w2,  -- 2 * W+
+         sum(t) AS n,
+         sum(t * t * t - t) AS tie3
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(w2 AS DOUBLE) / 2, 4) AS w_plus,
+       round((CAST(2 * w2 - 2 * n * (n + 1) / 2 AS DOUBLE) / 4)
+             / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24
+                    - CAST(tie3 AS DOUBLE) / 48), 4) AS z_wilcoxon
+FROM agg
+"""
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=_WSR_PAIR_SQL.format(H="epoch_us(ts) // 3600000000"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C219: Wilcoxon signed-rank z over (event_type, hour-of-day)
+    pairs of first-half vs second-half hourly counts: zero
+    differences dropped (standard treatment), |d| midranks from the
+    bounded integer difference grid (2*midrank = 2*cum_before + t + 1
+    — exact), W+ accumulated as the INTEGER 2*W+, normal
+    approximation with the tie-corrected variance n(n+1)(2n+1)/24 -
+    sum(t^3 - t)/48.
+
+    Scale: the corpus-scale work is one hash aggregate to the
+    (type x 24 x 2)-bounded cell table; everything after runs on a
+    <=|types|*24-row grid (the ranked window is over that bounded
+    grid — audit-allowlisted with the calendar-grid bound).
+    Determinism: integers until the final two divisions + sqrt."""
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("h"), "event_type"
+    )
+    bounds = ev.agg(
+        F.expr("(min(h) + max(h)) DIV 2").alias("mid")
+    )
+    cell = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.col("h") % 24).alias("hod"),
+            F.when(F.col("h") <= F.col("mid"), "a").otherwise("b").alias("half"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = cell.groupBy("event_type", "hod").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("half") == "b", F.col("n"))), F.lit(0))
+            - F.coalesce(
+                F.sum(F.when(F.col("half") == "a", F.col("n"))), F.lit(0)
+            )
+        ).alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select(
+        F.abs("d").alias("ad"), F.signum("d").cast("int").alias("sg")
+    )
+    grid = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("sg") > 0, 1).otherwise(0)).alias("tpos"),
+    )
+    w = (
+        Window.orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bounded grid: |distinct |d|| <= |types| * 24 (audit-allowlisted)
+    ranked = grid.withColumn(
+        "cb", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(F.col("tpos") * (2 * F.col("cb") + F.col("t") + 1)).alias("w2"),
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    n, w2, tie3 = F.col("n"), F.col("w2"), F.col("tie3")
+    return agg.select(
+        n.cast("bigint").alias("n_pairs"),
+        r4(w2.cast("double") / 2).alias("w_plus"),
+        r4(
+            ((2 * w2 - F.expr("2 * n * (n + 1) / 2")).cast("double") / 4)
+            / F.sqrt(
+                (n * (n + 1) * (2 * n + 1)).cast("double") / 24
+                - tie3.cast("double") / 48
+            )
+        ).alias("z_wilcoxon"),
+    )

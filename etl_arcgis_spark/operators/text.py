@@ -3340,3 +3340,116 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# C220: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+# PageRank on the word co-occurrence graph: the graph-tier power
+# iteration (C-graph PageRank / C205 HITS) applied to the text tier.
+
+_TR_D = 0.85
+_TR_ITERS = 5
+_TR_TOPK = 15
+
+
+def _tr_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        steps.append(f"""
+r{k} AS (
+  SELECT m.dst AS w, {1.0 - _TR_D!r} + {_TR_D!r} * sum(m.p * {prev}.score)
+           AS score
+  FROM norm m JOIN {prev} ON m.src = {prev}.w
+  GROUP BY m.dst
+)"""
+        )
+        prev = f"r{k}"
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), bg AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM t)
+  WHERE l[i] <> l[i + 1]
+), e0 AS (
+  SELECT a, b, CAST(count(*) AS DOUBLE) AS wt FROM bg GROUP BY a, b
+), edges AS (
+  SELECT a AS src, b AS dst, wt FROM e0
+  UNION ALL SELECT b, a, wt FROM e0
+), und AS (SELECT src, dst, sum(wt) AS wt FROM edges GROUP BY src, dst),
+outw AS (SELECT src, sum(wt) AS ow FROM und GROUP BY src),
+norm AS (
+  SELECT und.src, und.dst, und.wt / outw.ow AS p
+  FROM und JOIN outw ON und.src = outw.src
+),
+r0 AS (SELECT src AS w, 1.0 AS score FROM outw),
+{",".join(steps)}
+SELECT w AS keyword, round(score, 4) AS textrank
+FROM {prev}
+ORDER BY textrank DESC, keyword LIMIT {_TR_TOPK}
+"""
+
+
+@query("text_textrank_keywords", oracle=_tr_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C220: TextRank — PageRank (d=0.85, {it} unrolled rounds, init
+    1.0) over the undirected word co-adjacency graph (window 2,
+    self-loops dropped, weights = corpus co-occurrence counts);
+    top-{k} keywords. The graph-tier machinery (C-graph PageRank /
+    C205) applied to text — keyword extraction as a QUERY, the way a
+    curation pipeline summarizes a corpus slice.
+
+    Scale: the corpus-scale stage is ONE bigram count aggregate; the
+    iterations run on the |vocab|^2-bounded transition graph (tiny
+    here; at web scale vocab is capped by min-frequency pruning — the
+    standard TextRank practice). Determinism: transition probs are
+    single divisions of exact counts; rank sums over the bounded
+    neighbor lists carry ~1e-15 relative drift against the 1e-4 grid
+    (C-graph precedent); (score, keyword) total order for top-k.""".format(
+        it=_TR_ITERS, k=_TR_TOPK
+    )
+    t = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("l")
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(l) - 2), "
+                "i -> named_struct('a', l[i], 'b', l[i + 1])), "
+                "p -> p.a <> p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e0 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("wt"))
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst"), "wt").unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt")
+    )
+    und = edges.groupBy("src", "dst").agg(F.sum("wt").alias("wt"))
+    outw = und.groupBy("src").agg(F.sum("wt").alias("ow"))
+    norm = (
+        und.join(outw, "src")
+        .select("src", "dst", (F.col("wt") / F.col("ow")).alias("p"))
+        .localCheckpoint()
+    )
+    ranks = outw.select(F.col("src").alias("w"), F.lit(1.0).alias("score"))
+    for _ in range(_TR_ITERS):
+        ranks = (
+            norm.join(ranks, norm["src"] == ranks["w"])
+            .groupBy(norm["dst"].alias("w2"))
+            .agg(
+                (
+                    F.lit(1.0 - _TR_D)
+                    + F.lit(_TR_D) * F.sum(norm["p"] * ranks["score"])
+                ).alias("score")
+            )
+            .select(F.col("w2").alias("w"), "score")
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            F.col("w").alias("keyword"), r4(F.col("score")).alias("textrank")
+        )
+        .orderBy(F.desc("textrank"), F.asc("keyword"))
+        .limit(_TR_TOPK)
+    )

@@ -847,3 +847,67 @@ def test_markov_query_shares_sum_to_one(spark):
     for r in rows:
         assert 0.0 <= r["p_without_touch"] <= r["p_conversion"] <= 1.0
         assert r["removal_effect"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# C219: Wilcoxon signed-rank — midrank spelling equals the textbook
+# computation on crafted differences with ties.
+
+
+def test_wilcoxon_midrank_spelling():
+    ds = [3, -1, 2, 2, -2, 4, 1, -3, 2, 5]  # ties at |d| in {1,2,3}
+    nz = [(abs(d), 1 if d > 0 else 0) for d in ds if d != 0]
+    # textbook: rank |d| with midranks, W+ = sum of ranks where d>0
+    from collections import Counter
+
+    cnt = Counter(ad for ad, _ in nz)
+    order = sorted(cnt)
+    cum, start = {}, 0
+    for ad in order:
+        cum[ad] = start
+        start += cnt[ad]
+    mid = {ad: cum[ad] + (cnt[ad] + 1) / 2 for ad in order}
+    w_plus = sum(mid[ad] for ad, pos in nz if pos)
+    # integer spelling: 2W+ = sum over grid of tpos * (2*cb + t + 1)
+    tpos = Counter(ad for ad, pos in nz if pos)
+    w2 = sum(tpos[ad] * (2 * cum[ad] + cnt[ad] + 1) for ad in order)
+    assert w2 == 2 * w_plus
+    n = len(nz)
+    tie3 = sum(t**3 - t for t in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    z_int = ((2 * w2 - 2 * n * (n + 1) / 2) / 4) / math.sqrt(var)
+    assert abs(z - z_int) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# C220: TextRank — symmetric graphs get uniform scores; a hub beats
+# its leaves.
+
+
+def test_textrank_uniform_on_cycle_and_hub_dominates():
+    def textrank(edges, iters=30, d=0.85):
+        und = {}
+        for a, b, w in edges:
+            und[(a, b)] = und.get((a, b), 0) + w
+            und[(b, a)] = und.get((b, a), 0) + w
+        outw = {}
+        for (a, _), w in und.items():
+            outw[a] = outw.get(a, 0) + w
+        score = {a: 1.0 for a in outw}
+        for _ in range(iters):
+            new = {}
+            for v in outw:
+                s = sum(
+                    und[(u, v)] / outw[u] * score[u]
+                    for u in outw
+                    if (u, v) in und
+                )
+                new[v] = (1 - d) + d * s
+            score = new
+        return score
+
+    cyc = textrank([("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    assert max(cyc.values()) - min(cyc.values()) < 1e-9
+    hub = textrank([("h", x, 1) for x in "abcd"])
+    assert all(hub["h"] > hub[x] for x in "abcd")

@@ -144,6 +144,7 @@ NLJ_OK = {
 # sort that kills a 100 TB job (use scale_patterns.bucketed_global_rank
 # / bucketed_running_sums instead; see the four round-4 rewrites).
 WINDOW_BOUNDED_OK = {
+    "stats_wilcoxon_signed_rank": "midrank offset window over the |types|*24-bounded |d| grid (calendar-grid bound)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
