@@ -531,6 +531,86 @@ def list_constraints(root: str) -> dict[str, str]:
     return dict(_read_manifest(root, v).get("constraints") or {})
 
 
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY, the Iceberg
+    field-ID capability (Delta name-mapping): no data file rewrites.
+    Every existing file entry gains/updates an ``aliases`` map
+    {logical: physical}; _read_paths groups files by alias signature,
+    reads each group under its physical schema and restores logical
+    names, so snapshots MIX pre- and post-rename files transparently.
+    New writes use the new name; compaction/merge rewrites migrate
+    the physical layout lazily (rewritten files drop their aliases).
+
+    Restrictions (each with a clear error): the partition column
+    (its name is load-bearing in directory paths — repartition via
+    evolve_partition_spec instead), a column referenced by a CHECK
+    constraint (constraint SQL is text; textual rewriting is not
+    attempted), and name collisions. Renaming the MERGE KEY is
+    allowed — per-file key ranges store values, not names, so
+    pruning stays valid. Per-column stats recorded under the old
+    physical name stop matching the logical name: read_where's
+    pruning is a may-contain filter, so a stats MISS is conservative
+    (scan, don't skip) — correctness holds, the file just stops
+    being skippable until a rewrite refreshes its stats."""
+    base_v = current_version(root)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    man = _read_manifest(root, base_v)
+    from pyspark.sql.types import StructField, StructType
+
+    schema = (
+        StructType.fromJson(json.loads(man["schema"]))
+        if man.get("schema")
+        else read(spark, root, base_v).schema
+    )
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if man.get("partition_by") == old:
+        raise ValueError(
+            f"cannot rename partition column {old!r}: its name is "
+            "load-bearing in data paths; use evolve_partition_spec"
+        )
+    for cname, expr in (man.get("constraints") or {}).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first"
+            )
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    files2 = []
+    for f in man["files"]:
+        e = dict(f)
+        al = dict(e.get("aliases") or {})
+        # chain renames: if `old` is itself a logical alias of an even
+        # older physical name, re-key it; else map new -> old physical
+        al[new] = al.pop(old) if old in al else old
+        e["aliases"] = al
+        files2.append(e)
+    new_man = {
+        **{k: v for k, v in man.items() if k != "committed_at"},
+        "version": base_v + 1,
+        "operation": "rename_column",
+        "parent": base_v,
+        "schema": new_schema.json(),
+        "files": files2,
+        "renamed": {"from": old, "to": new},
+    }
+    if man.get("key") == old:
+        new_man["key"] = new
+    _publish(root, base_v + 1, new_man)
+    return base_v + 1
+
+
 def create(
     spark: SparkSession,
     root: str,
@@ -650,9 +730,27 @@ def _read_paths(
             return last.split("=", 1)[0], os.path.dirname(d)
         return None, None
 
-    groups: dict[tuple[str | None, str | None], list[str]] = {}
+    # COLUMN-RENAME MAPPING (Iceberg field-ID analogue): a file written
+    # before a rename_column() commit physically stores the OLD name;
+    # its manifest entry carries aliases {logical: physical}. Reading
+    # such a file with the pinned (logical) schema would by-name-miss
+    # the column and silently null it — so files group ALSO by their
+    # alias signature, each aliased group reads under its PHYSICAL
+    # schema, and the logical names are restored post-read.
+    aliases_of = {
+        os.path.basename(f["path"]): f.get("aliases") or {}
+        for f in man.get("files", [])
+    }
+
+    def _alias_sig(p: str) -> tuple[tuple[str, str], ...]:
+        return tuple(sorted(aliases_of.get(os.path.basename(p), {}).items()))
+
+    groups: dict[
+        tuple[str | None, str | None, tuple[tuple[str, str], ...]], list[str]
+    ] = {}
     for p in paths:
-        groups.setdefault(_layout_of(p), []).append(p)
+        spec, base = _layout_of(p)
+        groups.setdefault((spec, base, _alias_sig(p)), []).append(p)
     # Pin the read schema from the manifest whenever it carries one:
     # an explicit schema (a) replaces footer-merging (mergeSchema) with
     # by-name resolution — older, physically narrower files read their
@@ -671,15 +769,29 @@ def _read_paths(
     dels = [e for e in all_dels if e.get("kind", "positional") == "positional"]
     eq_dels = [e for e in all_dels if e.get("kind") == "equality"]
     dfs = []
-    for spec, base in sorted(groups, key=str):
+    for spec, base, sig in sorted(groups, key=str):
+        al = dict(sig)  # logical -> physical for THIS group
         reader = spark.read
         if pinned is not None:
-            reader = reader.schema(pinned)
+            if al:
+                from pyspark.sql.types import StructField, StructType as _ST
+
+                phys = _ST(
+                    [
+                        StructField(al.get(f.name, f.name), f.dataType, f.nullable)
+                        for f in pinned.fields
+                    ]
+                )
+                reader = reader.schema(phys)
+            else:
+                reader = reader.schema(pinned)
         else:  # legacy manifest without a schema: footer merging
             reader = reader.option("mergeSchema", "true")
         if spec is not None:
             reader = reader.option("basePath", base)
-        df = reader.parquet(*groups[(spec, base)])
+        df = reader.parquet(*groups[(spec, base, sig)])
+        for logical, physical in al.items():
+            df = df.withColumnRenamed(physical, logical)
         if dels or eq_dels or with_meta:
             # hidden metadata cols must be projected per group, BEFORE
             # the unionByName (union output carries no hidden columns)

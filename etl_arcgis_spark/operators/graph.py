@@ -902,3 +902,213 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         return top_a.unionAll(top_h).localCheckpoint()
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# C222: betweenness centrality, sampled Brandes (Brandes 2001;
+# Bader-Pich pivot sampling) — the path-centrality the C-graph tier
+# lacked beside degree/PageRank/HITS: BFS shortest-path DAGs from a
+# fixed pivot set, then backward dependency accumulation, both as
+# bounded join rounds. The dependency rationals are carried as
+# Q-scaled INTEGERS with DIV (error 1/Q per term, 5 orders below r4)
+# so the whole computation — sigma counts, deltas, totals — is
+# exact-integer and bit-identical cross-engine.
+
+_BC_SOURCES = 8     # pivot sources: customers c0..c7 (exist at every SF)
+_BC_DEPTH = 4       # BFS rounds (diameter cap on the bipartite graph)
+_BC_Q = 1_000_000   # dependency fixed-point scale
+
+
+def _bc_oracle() -> str:
+    parts = [f"""
+WITH e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+), f0 AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         'c' || CAST(c_custkey AS VARCHAR) AS node,
+         CAST(1 AS BIGINT) AS sigma, 0 AS lvl
+  FROM customer WHERE c_custkey < {_BC_SOURCES}
+), v0 AS (SELECT * FROM f0)"""]
+    for k in range(1, _BC_DEPTH + 1):
+        parts.append(f""",
+f{k} AS (
+  SELECT f.src, e.v AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma,
+         {k} AS lvl
+  FROM f{k - 1} f JOIN edges e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} x
+                    WHERE x.src = f.src AND x.node = e.v)
+  GROUP BY f.src, e.v
+),
+v{k} AS (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM f{k})"""
+        )
+    parts.append(f""",
+vis AS (SELECT * FROM v{_BC_DEPTH}),
+d{_BC_DEPTH} AS (
+  SELECT src, node, lvl, sigma, CAST(0 AS BIGINT) AS dq
+  FROM vis WHERE lvl = {_BC_DEPTH}
+)""")
+    prev = f"d{_BC_DEPTH}"
+    for k in range(_BC_DEPTH - 1, -1, -1):
+        parts.append(f""",
+d{k} AS (
+  SELECT vv.src, vv.node, vv.lvl, vv.sigma,
+         coalesce((
+           SELECT CAST(sum((vv.sigma * ({_BC_Q} + w.dq)) // w.sigma)
+                       AS BIGINT)
+           FROM {prev} w JOIN edges e ON e.u = vv.node AND e.v = w.node
+           WHERE w.src = vv.src AND w.lvl = vv.lvl + 1
+         ), 0) AS dq
+  FROM vis vv WHERE vv.lvl = {k}
+)"""
+        )
+        prev = f"""d{k}_all"""
+        parts.append(f""",
+d{k}_all AS (SELECT * FROM d{k} UNION ALL
+             SELECT * FROM {"d" + str(k + 1) if k + 1 == _BC_DEPTH else f"d{k + 1}_all"})"""
+        )
+    parts.append(f""",
+bc AS (
+  SELECT node, CAST(sum(dq) AS BIGINT) AS bcq
+  FROM d0_all WHERE node <> src GROUP BY node
+)
+SELECT node, round(CAST(bcq AS DOUBLE) / {_BC_Q}, 4) AS betweenness
+FROM bc ORDER BY bcq DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("graph_betweenness_sampled", oracle=_bc_oracle())
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C222: Brandes betweenness from {s} pivot sources over the
+    customer<->supplier bipartite graph, depth {d}: forward BFS
+    builds the shortest-path DAG per source (sigma = exact BIGINT
+    path counts, first-reach levels via per-source anti-join),
+    backward accumulation applies delta(v) = sum over successors w of
+    sigma_v/sigma_w * (1 + delta_w) with deltas carried as Q-scaled
+    integers and each term one integer DIV — truncation error 1/Q per
+    term, five orders below the r4 output grid, and ZERO float
+    operations anywhere. Top-20 by accumulated dependency (ranked on
+    the exact INTEGER bcq, never the emitted double).
+
+    Scale: every round is one edge join + one hash aggregate, all
+    keyed (src, node) — sources process TOGETHER as one column, so
+    pivot count scales the data volume, not the round count; depth is
+    the diameter cap. localCheckpoint truncates the per-round lineage
+    (C205 discipline). Pivot sampling is the standard
+    Bader-Pich/Brandes estimator shape for 100 TB graphs: exact
+    per-pivot, sampled over pivots.""".format(s=_BC_SOURCES, d=_BC_DEPTH)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select("a", "b")
+    )
+    edges = (
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    try:
+        f = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < _BC_SOURCES)
+            .select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src")
+            )
+            .select("src", F.col("src").alias("node"),
+                    F.lit(1).cast("bigint").alias("sigma"),
+                    F.lit(0).alias("lvl"))
+        )
+        visited = f.localCheckpoint()
+        frontier = visited
+        for k in range(1, _BC_DEPTH + 1):
+            cand = (
+                edges.join(frontier, edges["u"] == frontier["node"])
+                .select("src", edges["v"].alias("node"), "sigma")
+            )
+            nxt = (
+                cand.join(
+                    visited.select(
+                        F.col("src").alias("vs"), F.col("node").alias("vn")
+                    ),
+                    (F.col("src") == F.col("vs")) & (F.col("node") == F.col("vn")),
+                    "left_anti",
+                )
+                .groupBy("src", "node")
+                .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+                .withColumn("lvl", F.lit(k))
+                .localCheckpoint()
+            )
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        # backward accumulation
+        deltas = (
+            visited.filter(F.col("lvl") == _BC_DEPTH)
+            .select("src", "node", "lvl", "sigma",
+                    F.lit(0).cast("bigint").alias("dq"))
+            .localCheckpoint()
+        )
+        acc = deltas
+        for k in range(_BC_DEPTH - 1, -1, -1):
+            lower = visited.filter(F.col("lvl") == k)
+            succ = deltas.filter(F.col("lvl") == k + 1).select(
+                F.col("src").alias("ws"), F.col("node").alias("wn"),
+                F.col("sigma").alias("wsig"), F.col("dq").alias("wdq"),
+            )
+            contrib = (
+                lower.join(edges, edges["u"] == lower["node"])
+                .join(
+                    succ,
+                    (F.col("src") == F.col("ws")) & (edges["v"] == F.col("wn")),
+                )
+                .groupBy("src", "node", "lvl", "sigma")
+                .agg(
+                    F.sum(
+                        F.expr(f"(sigma * ({_BC_Q} + wdq)) DIV wsig")
+                    ).cast("bigint").alias("dq")
+                )
+            )
+            lvl_d = (
+                lower.join(
+                    contrib.select(
+                        F.col("src").alias("cs"), F.col("node").alias("cn"),
+                        F.col("dq").alias("cdq"),
+                    ),
+                    (F.col("src") == F.col("cs")) & (F.col("node") == F.col("cn")),
+                    "left",
+                )
+                .select(
+                    "src", "node", "lvl", "sigma",
+                    F.coalesce(F.col("cdq"), F.lit(0)).cast("bigint").alias("dq"),
+                )
+                .localCheckpoint()
+            )
+            deltas = lvl_d
+            acc = acc.unionByName(lvl_d).localCheckpoint()
+        bc = (
+            acc.filter(F.col("node") != F.col("src"))
+            .groupBy("node")
+            .agg(F.sum("dq").cast("bigint").alias("bcq"))
+        )
+        return (
+            bc.select(
+                "node", r4(F.col("bcq").cast("double") / _BC_Q).alias("betweenness"),
+                "bcq",
+            )
+            .orderBy(F.desc("bcq"), F.asc("node"))
+            .limit(20)
+            .select("node", "betweenness")
+            .localCheckpoint()
+        )
+    finally:
+        edges.unpersist()

@@ -113,17 +113,31 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
 
     # -- reading ----------------------------------------------------
 
-    def _load(self, paths: list[str], pcol: str | None):
+    def _load(self, paths: list[str], pcol: str | None, man=None):
         """Read data files into one pandas frame, reattaching the
         partition value from the Hive dir name when partitioned, plus
-        (__file, __pos) row identity for the merge-on-read overlay."""
+        (__file, __pos) row identity for the merge-on-read overlay.
+        Applies the manifest's per-file column-RENAME aliases
+        (physical -> logical) so pre-rename files surface logical
+        names — the pandas twin of acid._read_paths' alias groups."""
         import pandas as pd
         import pyarrow.parquet as pq
 
+        aliases_of = {}
+        if man is not None:
+            aliases_of = {
+                os.path.basename(f["path"]): f.get("aliases") or {}
+                for f in man.get("files", [])
+            }
         frames = []
         for p in paths:
             full = os.path.join(self.root, p)
             df = pq.read_table(full).to_pandas()
+            al = aliases_of.get(os.path.basename(full), {})
+            if al:
+                df = df.rename(
+                    columns={phys: logical for logical, phys in al.items()}
+                )
             if pcol is not None and pcol not in df.columns:
                 part_dir = os.path.basename(os.path.dirname(full))
                 if "=" in part_dir:
@@ -215,9 +229,10 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
             else {f["path"] for f in man_prev["files"]}
         )
         cur = {f["path"] for f in man["files"]}
-        after = self._overlay(self._load(sorted(cur - prev), pcol), man)
+        after = self._overlay(self._load(sorted(cur - prev), pcol, man), man)
         before = self._overlay(
-            self._load(sorted(prev - cur), pcol), man_prev or man
+            self._load(sorted(prev - cur), pcol, man_prev or man),
+            man_prev or man
         )
         data_cols = [
             n for n in self.names if n not in ("_change_type", "_commit_version")
@@ -265,7 +280,7 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                 for f in man["files"]
                 if os.path.basename(f["path"]) in tgt
             )
-            pre = self._overlay(self._load(tgt_paths, pcol), man_pre)
+            pre = self._overlay(self._load(tgt_paths, pcol, man_pre), man_pre)
             if pre is not None and len(pre):
                 for c in data_cols:
                     if c not in pre.columns:

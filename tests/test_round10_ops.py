@@ -911,3 +911,75 @@ def test_textrank_uniform_on_cycle_and_hub_dominates():
     assert max(cyc.values()) - min(cyc.values()) < 1e-9
     hub = textrank([("h", x, 1) for x in "abcd"])
     assert all(hub["h"] > hub[x] for x in "abcd")
+
+
+# ---------------------------------------------------------------------------
+# C222: sampled Brandes betweenness — python BFS+accumulation twin
+# with the same Q-scaled integer DIV arithmetic at sf0.001.
+
+
+def _py_brandes(edges, sources, depth, Q=1_000_000):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    bcq = {}
+    for s in sources:
+        lvl = {s: 0}
+        sigma = {s: 1}
+        frontier = {s}
+        for k in range(1, depth + 1):
+            nxt = {}
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w in lvl and lvl[w] < k:
+                        continue
+                    nxt[w] = nxt.get(w, 0) + sigma[u]
+            frontier = set()
+            for w, sg in nxt.items():
+                if w not in lvl:
+                    lvl[w] = k
+                    sigma[w] = sg
+                    frontier.add(w)
+        dq = {v: 0 for v in lvl}
+        for k in range(depth - 1, -1, -1):
+            for v in [x for x in lvl if lvl[x] == k]:
+                tot = 0
+                for w in adj.get(v, ()):
+                    if lvl.get(w) == k + 1:
+                        tot += (sigma[v] * (Q + dq[w])) // sigma[w]
+                dq[v] = tot
+            # (successor levels already final — processed in order)
+        for v in lvl:
+            if v != s:
+                bcq[v] = bcq.get(v, 0) + dq[v]
+    return bcq
+
+
+def test_betweenness_matches_python_twin(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    got = [
+        (r["node"], r["betweenness"])
+        for r in registry.QUERIES["graph_betweenness_sampled"](
+            spark, _SF
+        ).collect()
+    ]
+    li = pq.read_table(f"{_SF}/lineitem.parquet").to_pandas()[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    od = pq.read_table(f"{_SF}/orders.parquet").to_pandas()[
+        ["o_orderkey", "o_custkey"]
+    ]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    edges = {
+        (f"c{c}", f"s{s}")
+        for c, s in zip(m["o_custkey"], m["l_suppkey"])
+    }
+    bcq = _py_brandes(sorted(edges), [f"c{i}" for i in range(0, 8)], 4)
+    want = sorted(
+        ((v, round(q / 1_000_000, 4)) for v, q in bcq.items()),
+        key=lambda t: (-bcq[t[0]], t[0]),
+    )[:20]
+    assert got == want
