@@ -1070,3 +1070,175 @@ def geo_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("alb_e")).alias("easting"),
         r4(F.col("alb_n")).alias("northing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C224: general outSR, AZIMUTHAL equal-area (LAEA, Snyder §24) — the
+# third projection family: with cylindrical (3857/UTM), conic
+# (LCC/Albers) and now azimuthal, every forwarded-outSR family the
+# ArcGIS REST surface can name (task.ts:410-414) has a native member.
+# Instance: ETRS89-LAEA (EPSG:3035), the EU statistical grid.
+
+
+def _laea_consts(
+    a: float, e2: float, phi0_deg: float, lam0_deg: float,
+    fe: float, fn: float,
+) -> dict[str, float]:
+    import math as _m
+
+    e = _m.sqrt(e2)
+
+    def q(phi):
+        sp = _m.sin(phi)
+        return (1 - e2) * (
+            sp / (1 - e2 * sp * sp)
+            - (1 / (2 * e)) * _m.log((1 - e * sp) / (1 + e * sp))
+        )
+
+    p0 = phi0_deg * _m.pi / 180
+    qp = q(_m.pi / 2)
+    rq = a * _m.sqrt(qp / 2)
+    b1 = _m.asin(q(p0) / qp)
+    d = (a * _m.cos(p0) / _m.sqrt(1 - e2 * _m.sin(p0) ** 2)) / (
+        rq * _m.cos(b1)
+    )
+    return {
+        "e": e,
+        "one_m_e2": 1.0 - e2,
+        "qe": 1.0 / (2.0 * e),
+        "qp": qp,
+        "rq": rq,
+        "d": d,
+        "sb1": _m.sin(b1),
+        "cb1": _m.cos(b1),
+        "lam0": lam0_deg,
+        "fe": fe,
+        "fn": fn,
+    }
+
+
+# EPSG:3035 — ETRS89-extended / LAEA Europe (GRS80): phi0 = 52,
+# lam0 = 10, FE = 4321000, FN = 3210000.
+_LAEA_EU = _laea_consts(
+    6378137.0, 0.0066943800229007869, 52.0, 10.0, 4321000.0, 3210000.0
+)
+
+
+def _laea_fwd_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """lon/lat degrees -> LAEA E/N (Snyder 24-2..24-19, ellipsoidal
+    via the authalic sphere)."""
+    c = c or _LAEA_EU
+    return [
+        ("phir", f"lat * {_ALB_RAD!r}"),
+        ("lamr", f"(lon - {c['lam0']!r}) * {_ALB_RAD!r}"),
+        ("esp", f"{c['e']!r} * sin(phir)"),
+        (
+            "qv",
+            f"{c['one_m_e2']!r} * (sin(phir) / (1 - esp * esp)"
+            f" - {c['qe']!r} * ln((1 - esp) / (1 + esp)))",
+        ),
+        ("beta", f"asin(qv / {c['qp']!r})"),
+        (
+            "bb",
+            f"{c['rq']!r} * sqrt(2 / (1 + {c['sb1']!r} * sin(beta)"
+            f" + {c['cb1']!r} * cos(beta) * cos(lamr)))",
+        ),
+        ("laea_e", f"{c['fe']!r} + bb * {c['d']!r} * cos(beta) * sin(lamr)"),
+        (
+            "laea_n",
+            f"{c['fn']!r} + (bb / {c['d']!r}) * ({c['cb1']!r} * sin(beta)"
+            f" - {c['sb1']!r} * cos(beta) * cos(lamr))",
+        ),
+    ]
+
+
+def _laea_inv_stages(c: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """Inverse LAEA -> lon/lat (Snyder 24-26..24-34 + the Albers
+    q->phi Newton refinements)."""
+    c = c or _LAEA_EU
+    e = c["e"]
+    e2 = 1.0 - c["one_m_e2"]
+
+    def ref(prev: str) -> str:
+        s = f"sin({prev})"
+        return (
+            f"{prev} + (1 - {e2!r} * {s} * {s}) * (1 - {e2!r} * {s} * {s})"
+            f" / (2 * cos({prev}))"
+            f" * (qpr / {c['one_m_e2']!r}"
+            f"    - {s} / (1 - {e2!r} * {s} * {s})"
+            f"    + {c['qe']!r} * ln((1 - {e!r} * {s}) / (1 + {e!r} * {s})))"
+        )
+
+    return [
+        ("xp", f"(laea_e - {c['fe']!r}) / {c['d']!r}"),
+        ("yp", f"{c['d']!r} * (laea_n - {c['fn']!r})"),
+        ("rho", "sqrt(xp * xp + yp * yp)"),
+        ("ce", f"2 * asin(rho / (2 * {c['rq']!r}))"),
+        (
+            "betai",
+            f"asin(cos(ce) * {c['sb1']!r}"
+            f" + (yp * sin(ce) * {c['cb1']!r} / rho))",
+        ),
+        ("qpr", f"{c['qp']!r} * sin(betai)"),
+        ("ph0i", "asin(qpr / 2)"),
+        ("ph1i", ref("ph0i")),
+        ("ph2i", ref("ph1i")),
+        ("ph3i", ref("ph2i")),
+        ("lat_inv", f"ph3i / {_ALB_RAD!r}"),
+        (
+            "lon_inv",
+            f"{c['lam0']!r} + atan(xp * sin(ce) / (rho * cos(ce) * {c['cb1']!r}"
+            f" - yp * sin(ce) * {c['sb1']!r})) / {_ALB_RAD!r}",
+        ),
+    ]
+
+
+def _laea_oracle() -> str:
+    ctes = [
+        f"""WITH s0 AS (
+  SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat
+  FROM customer
+  WHERE CAST({_LON} AS DOUBLE) BETWEEN -70 AND 35
+    AND CAST({_LAT} AS DOUBLE) BETWEEN 35 AND 70
+)"""
+    ]
+    prev = "s0"
+    for i, (name, expr) in enumerate(_laea_fwd_stages(), 1):
+        ctes.append(f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "".join(ctes)
+        + f"""
+SELECT c_custkey, round(laea_e, 4) AS easting, round(laea_n, 4) AS northing
+FROM {prev}"""
+    )
+
+
+@query("geo_reproject_laea", oracle=_laea_oracle())
+def geo_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C224: general ``outSR``, AZIMUTHAL equal-area — EPSG:4326 ->
+    ETRS89-LAEA Europe (EPSG:3035, GRS80) over the North-Atlantic/European
+    window of the customer lattice (widened so every SF populates it); with the cylindrical (A10 3857, C178 UTM)
+    and conic (C199 LCC, C208 Albers) members this closes all three
+    projection families of the forwarded-outSR surface. Snyder §24
+    ellipsoidal via the authalic sphere; shared 17-digit literals,
+    pure codegen SQL math, filter pushed to the scan.
+
+    Determinism: the r8 libm recipe; round trip closes < 1e-6 deg
+    and the equal-area Jacobian invariant is probed against the
+    ellipsoid in tests (the C208 anchor methodology)."""
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+    ).filter(
+        F.col("lon").between(-70, 35) & F.col("lat").between(35, 70)
+    )
+    for name, expr in _laea_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "c_custkey",
+        r4(F.col("laea_e")).alias("easting"),
+        r4(F.col("laea_n")).alias("northing"),
+    )

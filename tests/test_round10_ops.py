@@ -983,3 +983,65 @@ def test_betweenness_matches_python_twin(spark):
         key=lambda t: (-bcq[t[0]], t[0]),
     )[:20]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C224: LAEA — round-trip closure, false-origin anchor, equal-area
+# Jacobian (the C208 anchor methodology, azimuthal member).
+
+
+def _laea_fwd(spark, pts):
+    from etl_arcgis_spark.operators.etl import _laea_fwd_stages
+
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for name, expr in _laea_fwd_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def test_laea_round_trip_closure(spark):
+    from etl_arcgis_spark.operators.etl import _laea_inv_stages
+
+    pts = [
+        (float(lon), float(lat))
+        for lon in range(-8, 31, 6)
+        for lat in range(36, 69, 6)
+    ]
+    df = _laea_fwd(spark, pts)
+    for name, expr in _laea_inv_stages():
+        df = df.withColumn(name, F.expr(expr))
+    pdf = df.select("lat", "lon", "lat_inv", "lon_inv").toPandas()
+    assert float((pdf.lat_inv - pdf.lat).abs().max()) < 1e-6
+    assert float((pdf.lon_inv - pdf.lon).abs().max()) < 1e-6
+
+
+def test_laea_origin_and_equal_area_invariant(spark):
+    rows = {
+        r.lat: (r.laea_e, r.laea_n)
+        for r in _laea_fwd(spark, [(10.0, 52.0)]).collect()
+    }
+    e0, n0 = rows[52.0]
+    # projection origin maps to the EPSG:3035 false origin
+    assert abs(e0 - 4321000.0) < 1e-6 and abs(n0 - 3210000.0) < 1e-4
+
+    a, e2 = 6378137.0, 0.0066943800229007869
+    eps = 1e-4
+    for lon, lat in ((5.0, 45.0), (10.0, 52.0), (20.0, 60.0)):
+        base = [(lon, lat), (lon + eps, lat), (lon, lat + eps)]
+        got = {
+            (r.lon, r.lat): (r.laea_e, r.laea_n)
+            for r in _laea_fwd(spark, base).collect()
+        }
+        dE_dlon = (got[(lon + eps, lat)][0] - got[(lon, lat)][0]) / eps
+        dN_dlon = (got[(lon + eps, lat)][1] - got[(lon, lat)][1]) / eps
+        dE_dlat = (got[(lon, lat + eps)][0] - got[(lon, lat)][0]) / eps
+        dN_dlat = (got[(lon, lat + eps)][1] - got[(lon, lat)][1]) / eps
+        jac = abs(dE_dlon * dN_dlat - dE_dlat * dN_dlon)
+        phi = math.radians(lat)
+        rad = math.pi / 180.0
+        truth = (
+            a * a * (1 - e2) * math.cos(phi)
+            / (1 - e2 * math.sin(phi) ** 2) ** 2
+            * rad * rad
+        )
+        assert abs(jac / truth - 1.0) < 1e-4, (lon, lat, jac, truth)
