@@ -1865,3 +1865,122 @@ def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("double") / (F.lit(float(_SIL_Q)) * F.count(F.lit(1)))
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C225: Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) —
+# the score-free fusion beside sim_hybrid_search's convex score
+# fusion: each retriever contributes 1/(k + rank) from its TOP-100
+# list only (the production shape — you fuse ranked lists, not
+# corpus-wide scores, so the windows are bounded by the list length).
+
+_RRF_K = 60
+_RRF_LIST = 100
+_RRF_TOP = 10
+
+_RRF_SQL_SPARK = f"""
+WITH tok AS (
+  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dlen) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id, tf.w,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN w = 'table' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'join' THEN s END), 0)
+           + coalesce(max(CASE WHEN w = 'query' THEN s END), 0) AS bm25
+  FROM sc GROUP BY doc_id
+),
+bm_top AS (
+  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_LIST}
+),
+bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_bm
+  FROM bm_top
+),
+v AS (
+  SELECT vec_id, embedding,
+         sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+              0D, (acc, y) -> acc + y)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0),
+vc AS (
+  SELECT vec_id AS doc_id,
+         aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)),
+                   0D, (acc, z) -> acc + z) / (nrm * qn) AS cosine
+  FROM v CROSS JOIN q WHERE vec_id <> 0
+),
+cos_top AS (
+  SELECT doc_id, cosine FROM vc ORDER BY cosine DESC, doc_id ASC LIMIT {_RRF_LIST}
+),
+cos_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_cos
+  FROM cos_top
+),
+fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         b.rank_bm, c.rank_cos,
+         coalesce(1.0 / ({_RRF_K} + b.rank_bm), 0)
+           + coalesce(1.0 / ({_RRF_K} + c.rank_cos), 0) AS rrf
+  FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(rank_bm AS BIGINT) AS rank_bm,
+       CAST(rank_cos AS BIGINT) AS rank_cos,
+       CAST(signum(rrf) * floor(abs(rrf) * 10000 + 0.5) / 10000 AS DOUBLE)
+         AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+# DuckDB spelling: identical structure, list HOF dialect
+_RRF_SQL_DUCK = (
+    _RRF_SQL_SPARK
+    .replace("explode(split(text, ' '))", "unnest(string_split(text, ' '))")
+    .replace(
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),\n              0D, (acc, y) -> acc + y))",
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))",
+    )
+    .replace(
+        "aggregate(zip_with(embedding, qe, (x, y) -> cast(x as double) * cast(y as double)),\n                   0D, (acc, z) -> acc + z)",
+        "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))",
+    )
+    .replace("signum(", "sign(")
+)
+
+
+@query("sim_rrf_fusion", oracle=_RRF_SQL_DUCK)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C225: RRF hybrid retrieval — 1/(60 + rank) summed over the
+    BM25 top-100 and cosine top-100 lists (the TREC-winning
+    parameter-free fusion; sim_hybrid_search is its score-weighted
+    sibling). Rank-based fusion is immune to score-scale mismatch
+    between legs, which is why it is the default in production
+    hybrid search.
+
+    Scale: each leg ends in TakeOrderedAndProject(100); ranking
+    windows run over the BOUNDED 100-row lists (never the corpus);
+    the fusion is a full-outer join of two 100-row relations.
+    Determinism: leg scores are the C-sim fixed-fold expressions
+    (bit-identical), ranks integer with doc_id tie-breaks, RRF a sum
+    of two exact-rational terms, r4 at the edge."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _RRF_SQL_SPARK, ("documents", "embeddings")
+    )

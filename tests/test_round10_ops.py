@@ -1045,3 +1045,33 @@ def test_laea_origin_and_equal_area_invariant(spark):
             * rad * rad
         )
         assert abs(jac / truth - 1.0) < 1e-4, (lon, lat, jac, truth)
+
+
+# ---------------------------------------------------------------------------
+# C225: RRF — fusion arithmetic on crafted lists.
+
+
+def test_rrf_known_lists():
+    """doc A: rank 1 lexical + rank 3 dense; doc B: rank 1 dense only.
+    RRF(A) = 1/61 + 1/63 > RRF(B) = 1/61 — presence in both lists
+    wins, the defining RRF property."""
+    k = 60
+    rrf_a = 1 / (k + 1) + 1 / (k + 3)
+    rrf_b = 1 / (k + 1)
+    assert rrf_a > rrf_b
+    # and a deep rank in one list still beats absence
+    assert 1 / (k + 1) + 1 / (k + 100) > 1 / (k + 1)
+
+
+def test_rrf_query_top_contains_both_legs(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sim_rrf_fusion"](spark, _SF).collect()
+    assert len(rows) == 10
+    # the top-fused doc must appear in at least one leg, scores sorted
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    both = [r for r in rows if r["rank_bm"] is not None and r["rank_cos"] is not None]
+    one = [r for r in rows if (r["rank_bm"] is None) != (r["rank_cos"] is None)]
+    assert len(both) + len(one) == 10

@@ -108,6 +108,10 @@ NLJ_OK = {
     "spatial_zonal_stats",       # same constant lattice + 25-row zone-polygon broadcast (non-equi PIP)
     "text_bpe_merge_rounds",     # 3 x 1-row argmax-pair broadcasts (unrolled BPE merges)
     "agg_countmin_sketch",       # 4-row hash-row-index broadcast (d=4 sketch rows)
+    "sim_rrf_fusion",            # 1-row query-vector broadcast (sim_knn family)
+    "analytics_attribution_markov",  # 1-row transition-pivot + total-effect broadcasts
+    "ml_naive_bayes_lang",       # 1-row vocab-size/doc-total + |classes|-row model broadcasts
+    "stats_wilcoxon_signed_rank",  # 1-row window-midpoint bound broadcast
     "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
     "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
     "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
@@ -145,6 +149,7 @@ NLJ_OK = {
 # / bucketed_running_sums instead; see the four round-4 rewrites).
 WINDOW_BOUNDED_OK = {
     "stats_wilcoxon_signed_rank": "midrank offset window over the |types|*24-bounded |d| grid (calendar-grid bound)",
+    "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
