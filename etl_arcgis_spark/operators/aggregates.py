@@ -3600,3 +3600,146 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_wilcoxon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C226: KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al.
+# 2016 theta unions) — SET-OPERATION estimation, completing the
+# deterministic sketch family: C203 count-min (frequency), C213 HLL
+# (cardinality), and now KMV (union/INTERSECTION/Jaccard between
+# slices — the sketch that answers "how much do these two corpora
+# overlap" without a distinct-join). md5 hashing makes every sketch,
+# theta and estimate bit-exact-oracled like its two siblings.
+
+_KMV_K = 128
+_KMV_BITS_HEX = 12  # 48 hash bits
+_KMV_SCALE = float(16 ** 12)
+
+
+def _kmv_h(engine: str, col: str) -> str:
+    """First 48 md5 bits of ``col`` as an exact BIGINT (generated
+    positional-digit sum; identical modulo strpos/instr)."""
+    pos = "instr" if engine == "spark" else "strpos"
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    h = f"md5(CAST({col} AS {cast}))"
+    terms = [
+        f"CAST(({pos}('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (_KMV_BITS_HEX - 1 - i)}"
+        for i in range(_KMV_BITS_HEX)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _kmv_oracle() -> str:
+    h = _kmv_h("duck", "g")
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS side,
+         string_split(text, ' ') AS l
+  FROM documents
+), g3 AS (
+  SELECT DISTINCT side,
+         l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM (SELECT side, l, unnest(range(1, len(l) - 1)) AS i FROM t)
+), hashed AS (SELECT DISTINCT side, g, {h} AS hv FROM g3),
+ka AS (SELECT hv FROM hashed WHERE side = 'en' ORDER BY hv LIMIT {_KMV_K}),
+kb AS (SELECT hv FROM hashed WHERE side = 'xx' ORDER BY hv LIMIT {_KMV_K}),
+ku AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ORDER BY hv LIMIT {_KMV_K}
+),
+theta AS (SELECT CAST(max(hv) AS DOUBLE) / {_KMV_SCALE!r} AS th FROM ku),
+common AS (
+  SELECT count(*) AS c
+  FROM ka JOIN kb USING (hv) CROSS JOIN theta
+  WHERE CAST(ka.hv AS DOUBLE) / {_KMV_SCALE!r} < theta.th
+),
+truth AS (
+  SELECT
+    (SELECT count(DISTINCT g) FROM g3 WHERE side = 'en') AS n_a,
+    (SELECT count(DISTINCT g) FROM g3 WHERE side = 'xx') AS n_b,
+    (SELECT count(*) FROM
+       (SELECT g FROM g3 WHERE side = 'en'
+        INTERSECT SELECT g FROM g3 WHERE side = 'xx')) AS n_int
+)
+SELECT CAST(truth.n_a AS BIGINT) AS true_a,
+       CAST(truth.n_b AS BIGINT) AS true_b,
+       CAST(truth.n_int AS BIGINT) AS true_intersection,
+       round(({_KMV_K} - 1) / theta.th, 4) AS est_union,
+       round(common.c / theta.th, 4) AS est_intersection,
+       round(CAST(common.c AS DOUBLE) / {_KMV_K}, 4) AS est_jaccard
+FROM truth CROSS JOIN theta CROSS JOIN common
+"""
+
+
+@query("agg_kmv_theta_sketch", oracle=_kmv_oracle())
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C226: KMV/theta sketch over the distinct trigram sets of the
+    en vs non-en corpus slices: per-slice K={k} minimum 48-bit md5
+    values, theta union (K smallest of the combined sketches),
+    intersection/Jaccard estimated from matching hashes below theta —
+    against the EXACT distinct/INTERSECT truth as the error baseline.
+
+    Scale: each sketch is TakeOrderedAndProject({k}) over a distinct
+    hash stream — mergeable (union of sketches = K smallest of
+    concatenation, associative), so slices/partitions/days combine
+    without re-touching data; set algebra happens on {k}-row
+    relations. The exact truth here costs a distinct-join — the thing
+    the sketch exists to avoid at 100 TB. Determinism: md5-exact
+    BIGINT hashes, integer counts, two divisions by the same exact
+    theta, r4.""".format(k=_KMV_K)
+    t = table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", "en").otherwise("xx").alias("side"),
+        F.split("text", " ").alias("l"),
+    )
+    g3 = (
+        t.select(
+            "side",
+            F.explode(
+                # CASE guard: sequence(0, -1) DESCENDS on Spark (the
+                # C212 hazard) — short docs contribute no trigrams
+                F.expr(
+                    "CASE WHEN size(l) >= 3 THEN "
+                    "transform(sequence(0, size(l) - 3), "
+                    "i -> concat(l[i], ' ', l[i + 1], ' ', l[i + 2])) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hashed = g3.select("side", "g", F.expr(_kmv_h("spark", "g")).alias("hv"))
+    ka = (
+        hashed.filter("side = 'en'").select("hv").orderBy("hv").limit(_KMV_K)
+    )
+    kb = (
+        hashed.filter("side = 'xx'").select("hv").orderBy("hv").limit(_KMV_K)
+    )
+    ku = ka.union(kb).distinct().orderBy("hv").limit(_KMV_K)
+    theta = ku.agg(
+        (F.max("hv").cast("double") / F.lit(_KMV_SCALE)).alias("th")
+    )
+    common = (
+        ka.join(kb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv").cast("double") / F.lit(_KMV_SCALE) < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = g3.filter("side = 'en'").select("g").distinct().count()
+    nb = g3.filter("side = 'xx'").select("g").distinct().count()
+    nint = (
+        g3.filter("side = 'en'").select("g")
+        .intersect(g3.filter("side = 'xx'").select("g"))
+        .count()
+    )
+    return (
+        common.crossJoin(F.broadcast(theta))
+        .select(
+            F.lit(na).cast("bigint").alias("true_a"),
+            F.lit(nb).cast("bigint").alias("true_b"),
+            F.lit(nint).cast("bigint").alias("true_intersection"),
+            r4(F.lit(float(_KMV_K - 1)) / F.col("th")).alias("est_union"),
+            r4(F.col("c") / F.col("th")).alias("est_intersection"),
+            r4(F.col("c").cast("double") / _KMV_K).alias("est_jaccard"),
+        )
+    )

@@ -1075,3 +1075,26 @@ def test_rrf_query_top_contains_both_legs(spark):
     both = [r for r in rows if r["rank_bm"] is not None and r["rank_cos"] is not None]
     one = [r for r in rows if (r["rank_bm"] is None) != (r["rank_cos"] is None)]
     assert len(both) + len(one) == 10
+
+
+# ---------------------------------------------------------------------------
+# C226: KMV — estimates land within the sketch's relative-error
+# envelope of the exact truth on the fixture.
+
+
+def test_kmv_estimates_within_error_envelope(spark):
+    from etl_arcgis_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["agg_kmv_theta_sketch"](spark, _SF).collect()[0]
+    true_union = r["true_a"] + r["true_b"] - r["true_intersection"]
+    # KMV RSE ~ 1/sqrt(K-1) = 8.9%; allow 5 sigma
+    assert abs(r["est_union"] - true_union) / true_union < 0.45, dict(r)
+    if r["true_intersection"] > 50:
+        assert (
+            abs(r["est_intersection"] - r["true_intersection"])
+            / r["true_intersection"]
+            < 0.6
+        ), dict(r)
+    true_j = r["true_intersection"] / true_union
+    assert abs(r["est_jaccard"] - true_j) < 0.25, (r["est_jaccard"], true_j)
