@@ -239,3 +239,54 @@ def test_where_parser_subset():
         _parse_where("oid = 1 OR oid = 2")  # OR not in the pushed subset
     with pytest.raises(ValueError):
         _parse_where("1=1; DROP TABLE x")
+
+
+# ---------------------------------------------------------------------------
+# C227: streaming tail — the scheduled incoming pull (task.ts:50-51)
+# as a Structured Streaming source with a monotone-id high-water-mark
+# offset: incremental batches, exactly-once replay.
+
+
+def test_stream_tail_incremental_batches(spark, server, tmp_path):
+    srv, url = server
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("arcgis_http")
+            .option("url", url)
+            .option("idcol", "oid")
+            .option("startafter", -1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out).agg(
+        F.count("*").alias("n"), F.max("oid").alias("mx")
+    ).collect()[0]
+    assert got["n"] == 250 and got["mx"] == 249
+
+    # new features arrive server-side; resuming from the checkpoint
+    # fetches ONLY them (offset = id high-water mark)
+    with srv._lock:
+        srv.records.extend(
+            {"oid": 250 + i, "callsign": "new", "speed": 1.0} for i in range(5)
+        )
+    run_once()
+    got2 = spark.read.parquet(out).agg(
+        F.count("*").alias("n"), F.max("oid").alias("mx")
+    ).collect()[0]
+    assert got2["n"] == 255 and got2["mx"] == 254
+    # the incremental where actually reached the server
+    wheres = [
+        p.get("where") for m, path, p in srv.request_log if "query" in path
+    ]
+    assert any(w and "oid > 249" in w for w in wheres), wheres[-5:]
