@@ -48,4 +48,5 @@ def test_contract_shape(spark):
         "agg_approx_percentile_sketch",  # r5: GK sketch, rank-error-bound-tested
         "sim_pca_whiten",          # r5: driver-side eigh, identity-cov-tested
         "text_zlib_compression_ratio",  # r5: zlib has no SQL twin; ordering-tested
+        "multimodal_phash_neardup",  # r10: binary codec; planted-recall + golden-gated
     }
