@@ -232,8 +232,13 @@ _R7_REFRESH_PIN = (
 # corpus_token_concentration switched to integer DIV (ADVICE r9) after
 # its r9 row. The r1-row re-spells (grouping_sets/rollup/cube,
 # small_qty_revenue) already lead the r10 window via oldest-first.
-# Dissolves once a clean r10+ row lands.
-_R10_RESPELL_PIN = frozenset({"corpus_token_concentration"})
+# Dissolves once a clean r10+ row lands. ml_kmeans_clusters joined in
+# the r10 continuation session: its fit body moved into the shared
+# _km_fit helper (C201 silhouette pairing) after its r8 row — locally
+# re-checked bit-exact at two SFs, pinned for a fresh driver row.
+_R10_RESPELL_PIN = frozenset(
+    {"corpus_token_concentration", "ml_kmeans_clusters"}
+)
 
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
