@@ -790,8 +790,18 @@ def _read_paths(
         if spec is not None:
             reader = reader.option("basePath", base)
         df = reader.parquet(*groups[(spec, base, sig)])
-        for logical, physical in al.items():
-            df = df.withColumnRenamed(physical, logical)
+        if al and pinned is not None:
+            # SIMULTANEOUS physical->logical restore: sequential
+            # withColumnRenamed collides when one alias's physical
+            # name equals another's logical name (a rename SWAP —
+            # a->c then b->a leaves physical (a, b) for logical
+            # (c, a); renaming b->a first would duplicate 'a')
+            df = df.select(
+                *[
+                    F.col(al.get(f.name, f.name)).alias(f.name)
+                    for f in pinned.fields
+                ]
+            )
         if dels or eq_dels or with_meta:
             # hidden metadata cols must be projected per group, BEFORE
             # the unionByName (union output carries no hidden columns)
@@ -964,7 +974,21 @@ def read_where(
     man = _read_manifest(root, v)
     keep = []
     for f in man["files"]:
-        st = f.get("col_stats", {}).get(col)
+        # RENAME safety: a file's col_stats are keyed by its PHYSICAL
+        # column names. Translate the logical column through the
+        # file's alias map — otherwise a rename SWAP (a->c then b->a)
+        # would match logical 'a' against stats describing the OLD
+        # physical 'a' (now logical 'c') and prune WRONG FILES. A
+        # physical name with no stats reads conservatively as before.
+        al = f.get("aliases") or {}
+        phys = al.get(col, col)
+        if phys == col and col in al.values():
+            # physical `col` on this file belongs to a DIFFERENT
+            # logical column (it was renamed away): its stats must
+            # not answer for the current logical `col`
+            st = None
+        else:
+            st = f.get("col_stats", {}).get(phys)
         if st is None and col == man["key"]:
             st = f.get("key_range")
         if (

@@ -155,3 +155,30 @@ def test_streaming_cdf_parity_across_rename(spark, tmp_path):
         ("update_postimage", 25),
         ("update_preimage", 20),
     ]
+
+
+def test_rename_swap_does_not_misprune_stats(spark, tmp_path):
+    """Rename SWAP hazard: after a -> c then b -> a, logical 'a' is
+    physical 'b'; pre-rename files carry col_stats under physical 'a'
+    (which now belongs to logical 'c'). read_where('a', ...) must NOT
+    use those stats — they describe the wrong logical column and
+    would prune files that DO contain matching rows."""
+    root = str(tmp_path / "tswap")
+    # a in [1000, 2000); b in [1, 10) — disjoint ranges make stale
+    # stats maximally misleading
+    df = spark.createDataFrame(
+        [(i, 1000 + i * 100, i) for i in range(1, 9)],
+        "id INT, a INT, b INT",
+    ).coalesce(2)
+    acid.create(spark, root, df, key="id")
+    acid.rename_column(spark, root, "a", "c")
+    acid.rename_column(spark, root, "b", "a")
+    # logical 'a' (physical b) values are 1..8: a range query on them
+    # must return rows even though stale physical-'a' stats say
+    # [1100, 1800]
+    got = acid.read_where(spark, root, "a", 1, 8)
+    assert got.count() == 8
+    assert sorted(r["a"] for r in got.collect()) == list(range(1, 9))
+    # and logical 'c' still prunes/filters on the right values
+    got_c = acid.read_where(spark, root, "c", 1100, 1300)
+    assert sorted(r["c"] for r in got_c.collect()) == [1100, 1200, 1300]
