@@ -2772,3 +2772,171 @@ def analytics_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("re")).alias("removal_effect"),
         r4(F.col("re") / F.col("se")).alias("attribution_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C228: Hurst exponent via rescaled-range analysis (Hurst 1951;
+# Mandelbrot-Wallis R/S) — the LONG-RANGE-dependence scalar beside
+# the short-memory diagnostics (ts_autocorrelation C96,
+# ts_burstiness C164): H ~ 0.5 random walk, > 0.5 persistent.
+
+_HURST_SIZES = (8, 16, 32, 64)  # block sizes in hours
+_HURST_Q = 1_000_000            # per-block R/S quantization grid
+
+
+def _hurst_rs(engine: str) -> str:
+    """In-row R/S of a dense integer count array ``xs`` (length m):
+    mean-centered cumulative range over standard deviation; a fixed-
+    index-order fold on both engines (km_dist discipline)."""
+    if engine == "spark":
+        mean = "(CAST(aggregate(xs, 0L, (a, x) -> a + x) AS DOUBLE) / size(xs))"
+        cum = (
+            "transform(sequence(1, size(xs)), "
+            f"i -> aggregate(slice(xs, 1, i), CAST(0 AS DOUBLE), "
+            f"(a, x) -> a + (x - {mean})))"
+        )
+        r = f"(array_max({cum}) - array_min({cum}))"
+        s = (
+            f"sqrt(aggregate(xs, CAST(0 AS DOUBLE), "
+            f"(a, x) -> a + (x - {mean}) * (x - {mean})) / size(xs))"
+        )
+        return f"CASE WHEN {s} = 0 THEN NULL ELSE {r} / {s} END"
+    mean = "(CAST(list_sum(xs) AS DOUBLE) / len(xs))"
+    cum = (
+        "list_transform(range(1, len(xs) + 1), "
+        f"i -> list_sum(list_transform(xs[1:i], x -> x - {mean})))"
+    )
+    r = f"(list_max({cum}) - list_min({cum}))"
+    s = (
+        f"sqrt(list_sum(list_transform(xs, x -> (x - {mean}) * (x - {mean})))"
+        " / len(xs))"
+    )
+    return f"CASE WHEN {s} = 0 THEN NULL ELSE {r} / {s} END"
+
+
+def _hurst_oracle() -> str:
+    sizes = ", ".join(str(m) for m in _HURST_SIZES)
+    return f"""
+WITH hr AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hr),
+sz AS (SELECT unnest([{sizes}]) AS m),
+blocks AS (
+  SELECT hr.event_type, sz.m, hr.h // sz.m AS blk, hr.h, hr.x
+  FROM hr CROSS JOIN sz CROSS JOIN bounds
+  WHERE (hr.h // sz.m) * sz.m >= bounds.h0
+    AND (hr.h // sz.m) * sz.m + sz.m - 1 <= bounds.h1
+), dense AS (
+  SELECT event_type, m, blk,
+         list_transform(range(blk * m, blk * m + m),
+           hh -> coalesce(map_extract(mp, hh)[1], 0)) AS xs
+  FROM (
+    SELECT event_type, m, blk,
+           map_from_entries(list({{'k': h, 'v': x}})) AS mp
+    FROM blocks GROUP BY event_type, m, blk
+  )
+), rsq AS (
+  SELECT event_type, m,
+         CAST(floor(({_hurst_rs("duck")}) * {_HURST_Q} + 0.5) AS BIGINT) AS rq
+  FROM dense
+), avgrs AS (
+  SELECT event_type, m,
+         CAST(sum(rq) AS DOUBLE) / (count(rq) * {_HURST_Q}.0) AS ars,
+         CAST(count(rq) AS BIGINT) AS n_blocks
+  FROM rsq WHERE rq IS NOT NULL GROUP BY event_type, m
+), pts AS (
+  SELECT event_type, ln(CAST(m AS DOUBLE)) AS lx, ln(ars) AS ly, n_blocks
+  FROM avgrs
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sizes,
+       CAST(min(n_blocks) AS BIGINT) AS min_blocks,
+       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4) AS hurst_h
+FROM pts GROUP BY event_type
+"""
+
+
+@query("ts_hurst_exponent", oracle=_hurst_oracle())
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C228: Hurst exponent per event type — average rescaled range
+    R/S over complete non-overlapping blocks of {sz} hours, H = the
+    log-log least-squares slope. The hourly rollup is the bounded
+    aggregate; blocks densify IN-ROW (map_from_entries + a sequence
+    fill, missing hours = 0 — the calendar-grid spelling), R/S is a
+    fixed-order in-row fold, and each block's R/S quantizes to a 1e-6
+    BIGINT before the per-(type, size) average so cross-block sums
+    are order-free exact. The slope is closed-form over <= 4 points.
+
+    Scale: one corpus pass to (type, hour), then per-block state
+    never leaves its row; nothing global sorts. Blocks partial to
+    S = 0 (constant) drop — the standard R/S treatment.""".format(
+        sz=_HURST_SIZES
+    )
+    hr = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = hr.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    sz = spark.createDataFrame([(m,) for m in _HURST_SIZES], "m long")
+    blocks = (
+        hr.crossJoin(F.broadcast(sz))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.expr("(h DIV m) * m") >= F.col("h0"))
+            & (F.expr("(h DIV m) * m + m - 1") <= F.col("h1"))
+        )
+        .select("event_type", "m", F.expr("h DIV m").alias("blk"), "h", "x")
+    )
+    dense = (
+        blocks.groupBy("event_type", "m", "blk")
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(named_struct('k', h, 'v', x)))"
+            ).alias("mp")
+        )
+        .select(
+            "event_type", "m", "blk",
+            F.expr(
+                "transform(sequence(blk * m, blk * m + m - 1), "
+                "hh -> coalesce(element_at(mp, hh), CAST(0 AS BIGINT)))"
+            ).alias("xs"),
+        )
+    )
+    rsq = dense.select(
+        "event_type", "m",
+        F.expr(
+            f"CAST(floor(({_hurst_rs('spark')}) * {_HURST_Q} + 0.5) AS BIGINT)"
+        ).alias("rq"),
+    )
+    avgrs = (
+        rsq.filter(F.col("rq").isNotNull())
+        .groupBy("event_type", "m")
+        .agg(
+            (
+                F.sum("rq").cast("double")
+                / (F.count("rq") * F.lit(float(_HURST_Q)))
+            ).alias("ars"),
+            F.count("rq").cast("bigint").alias("n_blocks"),
+        )
+    )
+    pts = avgrs.select(
+        "event_type",
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log("ars").alias("ly"),
+        "n_blocks",
+    )
+    n = F.count(F.lit(1))
+    return pts.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_sizes"),
+        F.min("n_blocks").cast("bigint").alias("min_blocks"),
+        r4(
+            (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly"))
+            / (n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx"))
+        ).alias("hurst_h"),
+    )

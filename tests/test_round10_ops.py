@@ -1098,3 +1098,48 @@ def test_kmv_estimates_within_error_envelope(spark):
         ), dict(r)
     true_j = r["true_intersection"] / true_union
     assert abs(r["est_jaccard"] - true_j) < 0.25, (r["est_jaccard"], true_j)
+
+
+# ---------------------------------------------------------------------------
+# C228: Hurst — R/S discriminates persistent vs alternating series.
+
+
+def _rs(xs):
+    n = len(xs)
+    mu = sum(xs) / n
+    cum, acc = [], 0.0
+    for x in xs:
+        acc += x - mu
+        cum.append(acc)
+    r = max(cum) - min(cum)
+    s = (sum((x - mu) ** 2 for x in xs) / n) ** 0.5
+    return None if s == 0 else r / s
+
+
+def _hurst(series, sizes=(8, 16, 32, 64)):
+    pts = []
+    for m in sizes:
+        rs = [
+            _rs(series[i : i + m])
+            for i in range(0, len(series) - m + 1, m)
+        ]
+        rs = [v for v in rs if v is not None]
+        if rs:
+            pts.append((math.log(m), math.log(sum(rs) / len(rs))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+
+def test_hurst_discriminates_memory():
+    # strongly trending (persistent): H near 1
+    trend = [float(i) for i in range(512)]
+    # alternating (antipersistent): H near 0
+    alt = [float(i % 2) for i in range(512)]
+    h_t, h_a = _hurst(trend), _hurst(alt)
+    assert h_t > 0.9, h_t
+    assert h_a < 0.25, h_a
+    assert h_t > h_a + 0.5
