@@ -113,6 +113,7 @@ NLJ_OK = {
     "ml_naive_bayes_lang",       # 1-row vocab-size/doc-total + |classes|-row model broadcasts
     "stats_wilcoxon_signed_rank",  # 1-row window-midpoint bound broadcast
     "ts_hurst_exponent",         # 4-row block-size grid + 1-row span-bounds broadcasts
+    "agg_kmv_theta_sketch",      # 1-row theta broadcast onto the 128-row sketch join
     "dq_referential_integrity",  # five 1-row count pairs cross-joined (one per FK edge)
     "sample_pps_systematic",     # 1-row token-total broadcast over the crossing rule
     "corpus_curate_select",      # 1-row gram-totals (tot2) + token-total (tot3) broadcasts
