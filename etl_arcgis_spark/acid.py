@@ -1374,6 +1374,14 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     old = _read_manifest(root, version)
     cur = _read_manifest(root, base_v)
     new_man = dict(old)
+    # Governance stays CURRENT across a restore (ADVICE r10): restore
+    # revives the DATA (file list) of the old snapshot, but copying its
+    # manifest wholesale would also revive its 'constraints' key —
+    # resurrecting a since-dropped CHECK constraint (or shedding one
+    # added after that snapshot). Pin the live set explicitly.
+    new_man.pop("constraints", None)
+    if cur.get("constraints"):
+        new_man["constraints"] = cur["constraints"]
     new_man.update(
         {
             "version": base_v + 1,

@@ -159,7 +159,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE op on both engines.
 _GSETS_TOTAL = (
     "round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
-    " / 100.0, 4)"
+    " / CAST(100 AS DOUBLE), 4)"
 )
 _GSETS_AGG = f"count(*) AS n, {_GSETS_TOTAL} AS total"
 
@@ -1665,7 +1665,8 @@ WITH pool AS (
 ), ranked AS (
   SELECT v, cnt, cnt1,
          coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS midrank
+                                 AND 1 PRECEDING), 0)
+           + (cnt + 1) / CAST(2 AS DOUBLE) AS midrank
   FROM per_v
 ), agg AS (
   SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
@@ -1675,9 +1676,10 @@ WITH pool AS (
   FROM ranked
 )
 SELECT n1, n2,
-       round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
-       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
-             / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+       round(r1 - n1 * (n1 + 1) / CAST(2 AS DOUBLE), 4) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / CAST(2 AS DOUBLE)
+              - n1 * n2 / CAST(2 AS DOUBLE))
+             / sqrt(n1 * n2 / CAST(12 AS DOUBLE) * ((n1 + n2 + 1)
                     - CAST(ties AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1.0)))),
              4) AS z_score
 FROM agg
@@ -2283,7 +2285,7 @@ WITH reps AS (
   FROM orders, (SELECT unnest(range(0, {_BOOT_B})) AS rep) r
 ),
 w AS (
-  SELECT rep, x, {_boot_w_sql("(h + 0.5) / 65536.0")} AS wt FROM reps
+  SELECT rep, x, {_boot_w_sql("(h + 0.5) / CAST(65536 AS DOUBLE)")} AS wt FROM reps
 ),
 theta AS (
   SELECT rep, sum(wt * x) / sum(wt) AS th FROM w GROUP BY rep
@@ -2412,7 +2414,8 @@ f AS (
 km AS (SELECT max(hit) AS kmax FROM f)
 SELECT f.nk AS nationkey, CAST(f.n AS BIGINT) AS n_cust,
        round(f.z, 4) AS z_score, CAST(f.k AS BIGINT) AS bh_rank,
-       round(list_extract({list(_BH_THR)}, CAST(f.k AS INT)), 4) AS bh_crit_z,
+       round(CAST(list_extract({list(_BH_THR)}, CAST(f.k AS INT)) AS DOUBLE), 4)
+         AS bh_crit_z,
        CASE WHEN f.k <= km.kmax THEN 1 ELSE 0 END AS rejected
 FROM f, km
 """,

@@ -737,7 +737,7 @@ WITH avg_qty AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-             AS BIGINT) / 700.0, 4) AS avg_yearly
+             AS BIGINT) / CAST(700 AS DOUBLE), 4) AS avg_yearly
 FROM lineitem JOIN avg_qty ON l_partkey = ak
 WHERE l_quantity < half_avg
 """,
@@ -1035,7 +1035,7 @@ def stats_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
        round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
                  - 0.6 * p.p_retailprice * l.l_quantity) * 100, 0)
-             AS BIGINT)) AS BIGINT) / 100.0, 4) AS profit
+             AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE), 4) AS profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1480,7 +1480,7 @@ SELECT CASE WHEN CAST(cum_c - rev_c AS DOUBLE) / total_c < 0.80 THEN 'A'
             WHEN CAST(cum_c - rev_c AS DOUBLE) / total_c < 0.95 THEN 'B'
             ELSE 'C' END AS abc_class,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(rev_c) / 100.0, 4) AS class_revenue,
+       round(CAST(sum(rev_c) AS BIGINT) / CAST(100 AS DOUBLE), 4) AS class_revenue,
        round(CAST(sum(rev_c) AS DOUBLE) / any_value(total_c), 4)
          AS revenue_share
 FROM r GROUP BY 1

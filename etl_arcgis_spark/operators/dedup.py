@@ -974,7 +974,7 @@ WITH w AS (
 ), ch AS (
   SELECT doc_id, i - 1 AS pos,
          md5(array_to_string(list_slice(ws, (i - 1) * 8 + 1, i * 8), ' ')) AS h
-  FROM w, UNNEST(generate_series(1, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1))) AS t(i)
+  FROM w, UNNEST(generate_series(1, greatest(CAST(ceil(len(ws) / CAST(8 AS DOUBLE)) AS INT), 1))) AS t(i)
 ), first AS (
   SELECT h, min(doc_id * 100000 + pos) AS fk FROM ch GROUP BY h
 )

@@ -901,7 +901,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image, embarrassingly parallel); the pair search is the simhash
     pigeonhole — 4 x 16-bit bands, equi-join per band bucket, exact
     Hamming <= {mh} verify on candidates only. Never all-pairs: cost
-    = sum of band-bucket products.""".format(mh=_PHASH_MAXHAM)
+    = sum of band-bucket products.
+
+    RECALL CONTRACT (ADVICE r10): the 4-band pigeonhole GUARANTEES a
+    candidate only for pairs with Hamming <= 3 (4 bands, <= 3 differing
+    bits => some band identical). Pairs at distance 4-{mh} are reported
+    best-effort — emitted iff their differing bits leave at least one
+    band untouched (planted perturbed copies overwhelmingly do; the
+    planted-recall test pins the observed rate). Guaranteed recall at
+    threshold {mh} would need {mh}+1 ~6-bit bands whose tiny buckets
+    explode the candidate join at corpus scale — the wrong trade; the
+    goldens pin the 4-band output exactly.""".format(mh=_PHASH_MAXHAM)
     docs = table(spark, sf_dir, "documents").select("doc_id")
 
     def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1029,7 +1029,7 @@ rk AS (
 )
 SELECT qid AS query_id,
        CAST(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-       round(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} THEN 1 ELSE 0 END) / {_MRL_K}.0, 4) AS recall_at_5
+       round(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} THEN 1 ELSE 0 END) / CAST({_MRL_K} AS DOUBLE), 4) AS recall_at_5
 FROM rk GROUP BY qid
 ORDER BY qid
 """

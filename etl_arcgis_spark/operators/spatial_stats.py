@@ -311,7 +311,7 @@ pr AS (
 c AS (
   SELECT b.band,
          CAST(2 * count(*) FILTER (pr.d2 <= b.band * b.band) AS BIGINT) AS cnt
-  FROM pr, (SELECT unnest([{", ".join(str(b) for b in _K_BANDS)}]) AS band) b
+  FROM pr, (SELECT unnest([{", ".join(f"CAST({b} AS DOUBLE)" for b in _K_BANDS)}]) AS band) b
   GROUP BY b.band
 )
 SELECT c.band, c.cnt AS pair_count,
@@ -1141,8 +1141,8 @@ WITH p AS (
        * (p.lat - (cells.iy * {_KDE_H} + {_KDE_H / 2}))
        < {_KDE_H * _KDE_H}
 )
-SELECT ix * {_KDE_H} + {_KDE_H / 2} AS center_x,
-       iy * {_KDE_H} + {_KDE_H / 2} AS center_y,
+SELECT CAST(ix * {_KDE_H} + {_KDE_H / 2} AS DOUBLE) AS center_x,
+       CAST(iy * {_KDE_H} + {_KDE_H / 2} AS DOUBLE) AS center_y,
        CAST(count(*) AS BIGINT) AS n_points,
        round(sum(3.0 / ({_PI} * {_KDE_H * _KDE_H})
                  * pow(1.0 - (dx * dx + dy * dy) / {_KDE_H * _KDE_H}, 2)), 4)
@@ -2166,7 +2166,7 @@ s2s AS MATERIALIZED (
   SELECT {", ".join(f"sum(4.0 * d{i} * d{i}) AS s2_{i}" for i in range(len(_ISA_BANDS)))} FROM deg
 ),
 bands AS (
-  {" UNION ALL ".join(f'''SELECT {b} AS band, nums.num{i} AS num, nums.w{i} AS w, s2s.s2_{i} AS s2, g.n, g.s_den
+  {" UNION ALL ".join(f'''SELECT CAST({b} AS DOUBLE) AS band, nums.num{i} AS num, nums.w{i} AS w, s2s.s2_{i} AS s2, g.n, g.s_den
    FROM nums, s2s, g''' for i, b in enumerate(_ISA_BANDS))}
 ),
 z AS (
@@ -2561,7 +2561,15 @@ def _gp_jit(axis: str, engine: str) -> str:
         f"({pos}('{_GG_HEX}', {sub}({h}, {d + 1}, 1)) - 1) * {16 ** (4 - d)}"
         for d in range(5)
     )
-    return f"((2 * (CAST({digits} AS BIGINT) % 1000000) + 1) / 2000000.0)"
+    # CAST divisor: a bare 2000000.0 literal parses as DECIMAL in DuckDB,
+    # and newer DuckDB types int/DECIMAL division as DECIMAL (scale-rounded
+    # value + Decimal pandas materialization) — the r10 C12 hash-regression
+    # class. CAST(... AS DOUBLE) forces the identical IEEE double division
+    # in every DuckDB version and in Spark (shared text, both dialects).
+    return (
+        f"((2 * (CAST({digits} AS BIGINT) % 1000000) + 1)"
+        " / CAST(2000000 AS DOUBLE))"
+    )
 
 
 def _gp_snap(x: str, p: int) -> str:

@@ -762,9 +762,11 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, n_tokens,
-       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       CAST(floor((cum_tokens - n_tokens) / CAST(2048 AS DOUBLE)) AS BIGINT)
+         AS pack_id,
        CAST(cum_tokens - n_tokens
-         - CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) * 2048
+         - CAST(floor((cum_tokens - n_tokens) / CAST(2048 AS DOUBLE))
+                AS BIGINT) * 2048
          AS BIGINT) AS pack_offset
 FROM runs
 """,
@@ -2182,7 +2184,7 @@ WITH u AS (
         + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
         + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
         + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1)
-           / 65537.0 AS unif
+           / CAST(65537 AS DOUBLE) AS unif
   FROM documents
 ), k AS (
   SELECT doc_id, n_chars, round(ln(unif) / n_chars, 10) AS key

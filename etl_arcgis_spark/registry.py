@@ -240,6 +240,27 @@ _R10_RESPELL_PIN = frozenset(
     {"corpus_token_concentration", "ml_kmeans_clusters"}
 )
 
+# Round-11 oracle type-stability re-spells (VERDICT r10 "next" #1/#2):
+# every oracle whose output could carry a DECIMAL/HUGEINT-typed column
+# in a newer DuckDB (bare-decimal divisors with integer LHS, DECIMAL
+# literal lists, un-cast grid arithmetic) was re-spelled with
+# CAST(n AS DOUBLE) — value-identical locally (re-checked bit-exact at
+# sf0.001+sf0.01), but the old green driver rows predate the change,
+# so each needs a fresh row. tools/oracle_lint.py now enforces the
+# class. The three C12 reds (agg_rollup/cube/grouping_sets) re-front
+# via _FAILED_LAST on their own. Dissolves on a clean r11+ row.
+_R11_RESPELL_PIN = frozenset(
+    """
+stats_mannwhitney_u stats_bootstrap_poisson stats_bh_fdr
+analytics_small_qty_revenue analytics_profit_by_nation_year
+analytics_abc_classification etl_geometry_precision
+spatial_avg_nearest_neighbor spatial_hex_tessellation
+spatial_lof_outliers spatial_ripleys_k spatial_incremental_morans
+spatial_kernel_density sample_gumbel_topk_weighted
+sample_pack_sequences dedup_line_level sim_matryoshka_recall
+""".split()
+)
+
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/
 # functions/etl/streaming) first, engine extensions after. Within a
@@ -325,6 +346,12 @@ def all_queries() -> dict[str, QueryFn]:
             and _LATEST_CLEAN_ROUND.get(n, 0) <= 9
         ):
             tier = -1  # re-spelled after its row (r10): re-verify first
+        elif (
+            n in _R11_RESPELL_PIN
+            and n in verified
+            and _LATEST_CLEAN_ROUND.get(n, 0) <= 10
+        ):
+            tier = -1  # r11 type-stability re-spell: re-verify first
         elif n in _FAILED_LAST:
             tier = -1  # fixed driver ERRORs re-verify first
         elif n in _R6_FRONT and n not in verified:

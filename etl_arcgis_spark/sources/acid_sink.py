@@ -49,7 +49,35 @@ class _StagedFile(WriterCommitMessage):
 class AcidStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict, schema) -> None:
         self.root = options["root"]
-        self.sink_id = options.get("sinkid", options.get("sinkId", "default"))
+        # The sink id is the idempotence ledger key (Delta's txnAppId):
+        # two INDEPENDENT queries appending to the same table must never
+        # share one, or the query with the lower/equal batchId sees its
+        # batches classified as replays — staged files deleted, data
+        # silently dropped (ADVICE r10). So no shared 'default': an
+        # explicit sinkId wins; otherwise derive a per-query id from the
+        # checkpoint location (distinct queries are required by Spark to
+        # use distinct checkpoints, and the id must stay STABLE across
+        # restarts of the same query — which the streaming queryId is
+        # not); with neither option present, refuse.
+        sink_id = options.get("sinkid", options.get("sinkId"))
+        if not sink_id:
+            ckpt = options.get(
+                "checkpointlocation", options.get("checkpointLocation")
+            )
+            if ckpt:
+                import hashlib
+
+                sink_id = "ckpt-" + hashlib.sha256(
+                    ckpt.rstrip("/").encode()
+                ).hexdigest()[:16]
+            else:
+                raise ValueError(
+                    "acid_sink needs .option('sinkId', <stable unique id>) "
+                    "(or a checkpointLocation to derive one): a shared "
+                    "default ledger key would silently drop batches when "
+                    "two queries append to the same table"
+                )
+        self.sink_id = sink_id
         self.schema = schema
 
     # -- executor side -------------------------------------------------

@@ -618,7 +618,22 @@ class ArcGISHttpStreamReader(SimpleDataSourceStreamReader):
         lo = int(start["last"])
         rows = self._fetch_range(lo, None)
         idx = [f.name for f in self.schema.fields].index(self.idcol)
-        hi = max((r[idx] for r in rows), default=lo)
+        # High-water mark over COERCED id values only: a feature with a
+        # missing/null id attribute would make max()/int() raise and
+        # kill the stream — and since the watermark could then never
+        # advance past it, the same null row would be refetched every
+        # batch. Fail fast with the offending idcol named instead.
+        ids = []
+        for r in rows:
+            v = r[idx]
+            if v is None:
+                raise ValueError(
+                    f"feature with null/missing id attribute {self.idcol!r}"
+                    " — the incremental tail cannot checkpoint past it;"
+                    " fix the layer or choose a non-null idcol"
+                )
+            ids.append(int(v))
+        hi = max(ids, default=lo)
         return iter(rows), {"last": int(hi)}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -133,6 +133,28 @@ def test_constraints_carry_through_unrelated_commits(spark, tmp_path):
     assert acid.list_constraints(root) == {"x_positive": "x > 0"}
 
 
+def test_restore_past_drop_does_not_resurrect_constraint(spark, tmp_path):
+    """ADVICE r10: restoring a snapshot whose manifest CARRIES a
+    'constraints' key must not revert governance to the historical
+    set — a dropped constraint stays dropped, and writes that the
+    old constraint would have rejected succeed after the restore."""
+    root = _mk(spark, tmp_path)
+    acid.append(spark, root, _row(spark, 101, 5))        # v2 (data-only)
+    acid.add_constraint(spark, root, "x_positive", "x > 0")   # v3
+    acid.append(spark, root, _row(spark, 102, 6))        # v4: carries key
+    acid.drop_constraint(root, "x_positive")             # v5
+    # restore to v4 — the restored manifest CONTAINS the constraint,
+    # but the live set (empty since the drop) must win
+    acid.restore(spark, root, 4)
+    assert acid.list_constraints(root) == {}
+    acid.append(spark, root, _row(spark, 103, -1))       # old rule: reject
+    assert acid.read(spark, root).filter("id = 103").count() == 1
+    # and the inverse: one added AFTER the snapshot survives a restore
+    acid.add_constraint(spark, root, "x_capped", "x < 100000")
+    acid.restore(spark, root, 2)
+    assert acid.list_constraints(root) == {"x_capped": "x < 100000"}
+
+
 def test_staged_wap_merge_enforced(spark, tmp_path):
     """Hard CHECK constraints fire even on a staged (WAP) merge —
     soft expectations are the WAP audit's job, invariants are not."""

@@ -47,7 +47,12 @@ def test_stream_append_end_to_end(spark, tmp_path):
     assert out.count() == 6  # seed + 5 streamed
     man = acid._read_manifest(root, acid.current_version(root))
     assert man["operation"] == "stream_append"
-    assert man["stream_sinks"]["default"] == 0
+    # no explicit sinkId: the ledger key derives from the checkpoint
+    # location (per-query, stable across restarts) — never a shared
+    # 'default' (ADVICE r10)
+    (sink_key,) = man["stream_sinks"]
+    assert sink_key.startswith("ckpt-")
+    assert man["stream_sinks"][sink_key] == 0
     # snapshot protocol intact: history shows the stream commit,
     # time travel still reaches the pre-stream table
     assert acid.read(spark, root, version=1).count() == 1
@@ -55,7 +60,7 @@ def test_stream_append_end_to_end(spark, tmp_path):
 
 def test_exactly_once_replayed_batch_is_noop(spark, tmp_path):
     root = _mk_table(spark, tmp_path)
-    w = AcidStreamWriter({"root": root}, None)
+    w = AcidStreamWriter({"root": root, "sinkid": "q1"}, None)
     # fabricate a staged file like an executor write would
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -89,9 +94,49 @@ def test_exactly_once_replayed_batch_is_noop(spark, tmp_path):
     assert acid.read(spark, root).count() == 3
 
 
+def test_sink_id_required_and_queries_never_share_a_ledger(spark, tmp_path):
+    """ADVICE r10: no sinkId and no checkpointLocation -> refuse (a
+    shared 'default' key silently discards the second query's batches);
+    two queries with different checkpoints get distinct derived keys,
+    so one's batchId can't mark the other's batches as replays."""
+    root = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="sinkId"):
+        AcidStreamWriter({"root": root}, None)
+    wa = AcidStreamWriter(
+        {"root": root, "checkpointlocation": str(tmp_path / "ck_a")}, None
+    )
+    wb = AcidStreamWriter(
+        {"root": root, "checkpointlocation": str(tmp_path / "ck_b")}, None
+    )
+    assert wa.sink_id != wb.sink_id
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, ".stream-stage"), exist_ok=True)
+    sch = pa.schema([("id", pa.int32()), ("x", pa.int32()), ("v", pa.string())])
+    # query A commits batch 5; query B then commits batch 0 — with a
+    # shared ledger B's batch would be treated as a replay and dropped
+    rel_a = os.path.join(".stream-stage", "qa.parquet")
+    pq.write_table(
+        pa.table({"id": [21], "x": [1], "v": ["a"]}, schema=sch),
+        os.path.join(root, rel_a),
+    )
+    wa.commit([_StagedFile(rel_path=rel_a, rows=1)], batchId=5)
+    rel_b = os.path.join(".stream-stage", "qb.parquet")
+    pq.write_table(
+        pa.table({"id": [22], "x": [2], "v": ["b"]}, schema=sch),
+        os.path.join(root, rel_b),
+    )
+    wb.commit([_StagedFile(rel_path=rel_b, rows=1)], batchId=0)
+    assert acid.read(spark, root).filter("id = 22").count() == 1
+    man = acid._read_manifest(root, acid.current_version(root))
+    assert man["stream_sinks"][wa.sink_id] == 5
+    assert man["stream_sinks"][wb.sink_id] == 0
+
+
 def test_abort_discards_staged(spark, tmp_path):
     root = _mk_table(spark, tmp_path)
-    w = AcidStreamWriter({"root": root}, None)
+    w = AcidStreamWriter({"root": root, "sinkid": "q1"}, None)
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -120,6 +120,7 @@ def test_unchecked_contract_names_pin_into_first_50(monkeypatch, tmp_path):
         for n in (
             tuple(registry._R7_REFRESH_PIN)
             + tuple(registry._R10_RESPELL_PIN)
+            + tuple(registry._R11_RESPELL_PIN)
         )
         if n in green
     ]

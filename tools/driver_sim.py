@@ -28,6 +28,7 @@ from etl_arcgis_spark.session import get_session  # noqa: E402
 
 sys.path.insert(0, "/root/repo/tools")
 from check import duck_con  # noqa: E402
+from oracle_lint import _DIVISOR_ALLOWLIST, _DIVISOR_RE, _HAZARD_TYPE_RE  # noqa: E402
 
 
 def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -68,9 +69,34 @@ def main() -> None:
                 print(f"weak {name}: rows={len(sdf)} (rows-only, canon ok)")
                 n_weak += 1
                 continue
+            # STRICT oracle-type gate (r11, VERDICT r10 #2): the r10
+            # C12 regression shipped because the local duckdb/pandas
+            # materialized a newer-DuckDB-DECIMAL division as float64.
+            # Environment-independent detectors instead of trusting
+            # the local materialization: (a) declared DECIMAL/HUGEINT
+            # output types, (b) bare-decimal divisors with no
+            # DOUBLE-LHS allowlist proof, (c) object-dtype cells in
+            # the materialized frame.
+            rel = con.sql(oracles[name])
+            tbad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if _HAZARD_TYPE_RE.search(str(t))
+            ]
+            strict = []
+            if tbad:
+                strict.append(f"oracle-type:{tbad}")
+            if _DIVISOR_RE.search(oracles[name]) and name not in _DIVISOR_ALLOWLIST:
+                strict.append("oracle-bare-decimal-divisor")
             odf = con.execute(oracles[name]).df()
+            strict += [
+                f"oracle-object-dtype:{c}"
+                for c in odf.columns
+                if odf[c].dtype == object
+                and any(type(v).__module__ == "decimal" for v in odf[c].head(5))
+            ]
             o_canon = driver_canon(odf)
-            problems = []
+            problems = strict
             if sorted(sdf.columns) != sorted(odf.columns):
                 problems.append("schema")
             if len(sdf) != len(odf):
