@@ -1242,3 +1242,218 @@ def geo_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("laea_e")).alias("easting"),
         r4(F.col("laea_n")).alias("northing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: general outSR WKID DISPATCH + A18 quarantine (VERDICT r10 "next"
+# #4). The reference forwards ANY CRS through proj4 (task.ts:194,
+# 203-217); the repo has the three projection FAMILIES as bespoke
+# kernels (cylindrical 3857/UTM, conic LCC/Albers, azimuthal LAEA) but
+# until now no `outSR=<wkid>` router. _OUTSR_FAMILIES is the EPSG
+# parameter table: wkid -> (family, stage list, validity-window SQL,
+# output column pair); reproject_by_wkid() routes each row to its
+# kernel and routes UNSUPPORTED wkids (and rows outside a family's
+# validity window) to the A18 quarantine status instead of undefined
+# behavior. Windows use integer bounds over the half-integer lattice,
+# so boundary classification can never sit on a tie.
+
+
+def _utm_fixed_stages(zone: int, south: bool) -> list[tuple[str, str]]:
+    """The C178 Krueger stages with the zone PINNED by the wkid
+    (EPSG:326xx = zone (wkid-32600) north, 327xx south) instead of
+    derived per-row from lon: identical arithmetic for in-zone rows
+    (zone*6-183 yields the same central meridian double), which the
+    dispatch-vs-bespoke equality test pins."""
+    stages = _utm_fwd_stages()
+    return [("zone", f"CAST({zone} AS BIGINT)")] + stages[1:]
+
+
+def _utm_window(zone: int, south: bool) -> str:
+    lo, hi = zone * 6 - 186, zone * 6 - 180
+    hemi = "lat < 0 AND lat >= -80" if south else "lat >= 0 AND lat <= 84"
+    return f"lon >= {lo} AND lon < {hi} AND {hemi}"
+
+
+_WMERC_STAGES: list[tuple[str, str]] = [
+    ("prj_x", "6378137.0 * radians(lon)"),
+    ("prj_y", "6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2))"),
+]
+
+_CONUS_WINDOW = "lon BETWEEN -130 AND -60 AND lat BETWEEN 20 AND 55"
+_EU_WINDOW = "lon BETWEEN -70 AND 35 AND lat BETWEEN 35 AND 70"
+
+
+def _outsr_family(wkid: int):
+    """EPSG parameter lookup: returns (family_name, stages, window_sql,
+    (x_col, y_col)) or None for an unsupported wkid. UTM wkids resolve
+    by range rule (EPSG:32601-32660 N, 32701-32760 S); the conic /
+    azimuthal instances carry their EPSG parameter sets (102003/5070
+    share the Albers CONUS parameters; 102004 LCC CONUS; 3035
+    ETRS89-LAEA)."""
+    if wkid == 3857:
+        return ("webmercator", _WMERC_STAGES,
+                "lat BETWEEN -85 AND 85", ("prj_x", "prj_y"))
+    if 32601 <= wkid <= 32660:
+        z = wkid - 32600
+        return (f"utm_{z}n", _utm_fixed_stages(z, False),
+                _utm_window(z, False), ("easting", "northing"))
+    if 32701 <= wkid <= 32760:
+        z = wkid - 32700
+        return (f"utm_{z}s", _utm_fixed_stages(z, True),
+                _utm_window(z, True), ("easting", "northing"))
+    if wkid in (102003, 5070):
+        return ("albers_conus", _alb_fwd_stages(),
+                _CONUS_WINDOW, ("alb_e", "alb_n"))
+    if wkid == 102004:
+        return ("lcc_conus", _lcc_fwd_stages(),
+                _CONUS_WINDOW, ("lcc_e", "lcc_n"))
+    if wkid == 3035:
+        return ("laea_europe", _laea_fwd_stages(),
+                _EU_WINDOW, ("laea_e", "laea_n"))
+    return None
+
+
+def reproject_by_wkid(df: DataFrame, wkids: list[int]) -> DataFrame:
+    """Route rows of ``df`` (columns: any key columns + lon, lat, wkid)
+    through the projection kernel their wkid names. ``wkids`` is the
+    statically-known CRS list (at pipeline scale the CRS set is config,
+    not data; a truly dynamic set needs one distinct-scan first).
+    Returns the unified frame: input key columns + wkid + status +
+    easting/northing (NULL on quarantined rows). Every leg is map-only
+    whole-stage-codegen SQL over a pruned subset of ONE scan — no
+    shuffle, no UDF; unsupported wkids and out-of-window rows become
+    A18 quarantine statuses instead of undefined behavior."""
+    keys = [c for c in df.columns if c not in ("lon", "lat", "wkid")]
+    out_cols = [*keys, "wkid", "status", "easting", "northing"]
+    legs = []
+    supported = []
+    for wkid in wkids:
+        spec = _outsr_family(wkid)
+        if spec is None:
+            continue
+        supported.append(wkid)
+        _fam, stages, window, (xe, ye) = spec
+        leg = df.filter(F.col("wkid") == wkid).filter(F.expr(window))
+        for name, expr in stages:
+            leg = leg.withColumn(name, F.expr(expr))
+        legs.append(
+            leg.select(
+                *keys,
+                "wkid",
+                F.lit("projected").alias("status"),
+                r4(F.col(xe)).alias("easting"),
+                r4(F.col(ye)).alias("northing"),
+            )
+        )
+        legs.append(
+            df.filter(F.col("wkid") == wkid)
+            .filter(~F.expr(window))
+            .select(
+                *keys,
+                "wkid",
+                F.lit("quarantine:out_of_window").alias("status"),
+                F.lit(None).cast("double").alias("easting"),
+                F.lit(None).cast("double").alias("northing"),
+            )
+        )
+    legs.append(
+        df.filter(~F.col("wkid").isin(supported)).select(
+            *keys,
+            "wkid",
+            F.lit("quarantine:unsupported_wkid").alias("status"),
+            F.lit(None).cast("double").alias("easting"),
+            F.lit(None).cast("double").alias("northing"),
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(*out_cols)
+
+
+# The driver-checkable dispatch query: each customer row REQUESTS a
+# wkid (deterministic 7-way CASE over the key — identical text both
+# engines), covering all three families, both UTM range rules, the
+# Albers alias pair, and one unsupported wkid.
+_DISPATCH_WKIDS = [3857, 32614, 32755, 5070, 102004, 3035, 99999]
+_DISPATCH_WKID_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_custkey % 7 = {i} THEN {w}"
+        for i, w in enumerate(_DISPATCH_WKIDS)
+    )
+    + " END"
+)
+
+
+def _dispatch_oracle() -> str:
+    base = f"""WITH base AS (
+  SELECT c_custkey,
+         CAST({_LON} AS DOUBLE) AS lon,
+         CAST({_LAT} AS DOUBLE) AS lat,
+         CAST({_DISPATCH_WKID_CASE} AS BIGINT) AS wkid
+  FROM customer
+)"""
+    ctes = [base]
+    selects = []
+    supported = []
+    for wkid in _DISPATCH_WKIDS:
+        spec = _outsr_family(wkid)
+        if spec is None:
+            continue
+        supported.append(wkid)
+        _fam, stages, window, (xe, ye) = spec
+        prev = f"w{wkid}_0"
+        ctes.append(
+            f", {prev} AS (SELECT * FROM base WHERE wkid = {wkid}"
+            f" AND ({window}))"
+        )
+        for i, (name, expr) in enumerate(stages, 1):
+            cur = f"w{wkid}_{i}"
+            ctes.append(f", {cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = cur
+        selects.append(
+            f"SELECT c_custkey, wkid, 'projected' AS status,\n"
+            f"       round({xe}, 4) AS easting, round({ye}, 4) AS northing\n"
+            f"FROM {prev}"
+        )
+        selects.append(
+            f"SELECT c_custkey, wkid, 'quarantine:out_of_window' AS status,\n"
+            f"       CAST(NULL AS DOUBLE) AS easting,"
+            f" CAST(NULL AS DOUBLE) AS northing\n"
+            f"FROM base WHERE wkid = {wkid} AND NOT ({window})"
+        )
+    in_list = ", ".join(str(w) for w in supported)
+    selects.append(
+        f"SELECT c_custkey, wkid, 'quarantine:unsupported_wkid' AS status,\n"
+        f"       CAST(NULL AS DOUBLE) AS easting,"
+        f" CAST(NULL AS DOUBLE) AS northing\n"
+        f"FROM base WHERE wkid NOT IN ({in_list})"
+    )
+    return "".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("geo_reproject_dispatch", oracle=_dispatch_oracle())
+def geo_reproject_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+/C178/C199/C208/C224 ROUTER: ``outSR=<wkid>`` dispatch with
+    A18 quarantine. The reference forwards any CRS through proj4
+    (task.ts:194,203-217); this is the engine's defined-behavior
+    equivalent: each row's requested wkid routes to the matching
+    kernel from the EPSG parameter table (_outsr_family — Mercator,
+    UTM north+south by range rule, Albers under both its EPSG aliases,
+    LCC, LAEA), rows outside the family's validity window and rows
+    naming an unimplemented wkid land in quarantine statuses (A18)
+    rather than undefined behavior.
+
+    Scale: one scan, seven map-only legs over pruned subsets, union —
+    no shuffle, no UDF, all whole-stage codegen; at 100 TB the same
+    router runs per-partition with the CRS list as config. Equality
+    of each dispatched leg with its bespoke operator is pinned in
+    tests/test_outsr_dispatch.py."""
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_LON).cast("double").alias("lon"),
+        F.expr(_LAT).cast("double").alias("lat"),
+        F.expr(_DISPATCH_WKID_CASE).cast("bigint").alias("wkid"),
+    )
+    return reproject_by_wkid(df, _DISPATCH_WKIDS)
