@@ -218,6 +218,41 @@ def main() -> None:
         for n, t in timings.items()
     }
     loadavg_post = list(os.getloadavg())
+
+    # Regression TRIPWIRE (VERDICT r10 "next" #8): compare this run's
+    # floor-adjusted ratios to the most recent recorded round artifact
+    # and WARN when any headline query's ratio more than DOUBLES —
+    # r10's star-join 3.0x reading was host load, but a human had to
+    # notice it; now the artifact itself flags the jump (the loadavg
+    # stamps in the same JSON say whether to believe it).
+    warnings = []
+    prior_path = None
+    try:
+        import glob as _glob
+        import re as _re
+
+        rounds = sorted(
+            _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if rounds:
+            prior_path = rounds[-1]
+            with open(prior_path) as fh:
+                prior = json.load(fh)
+            prev_ratios = prior.get("floor_adjusted_ratio_vs_baseline", {})
+            for n, r in ratios.items():
+                pr = prev_ratios.get(n)
+                if pr is not None and pr > 0 and r > 2.0 * pr and r > 0.25:
+                    warnings.append(
+                        f"{n}: floor-adjusted ratio {r} > 2x prior {pr} "
+                        f"({os.path.basename(prior_path)}) — check loadavg "
+                        "stamps before believing a regression"
+                    )
+    except Exception as e:  # the tripwire must never fail the bench
+        warnings.append(f"tripwire-error: {e}")
+    for w in warnings:
+        print(f"WARN {w}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -236,6 +271,10 @@ def main() -> None:
                 "loadavg_mid": loadavg_mid,
                 "loadavg_post": [round(x, 2) for x in loadavg_post],
                 "n_cpus": os.cpu_count(),
+                "regression_warnings": warnings,
+                "tripwire_baseline_artifact": (
+                    os.path.basename(prior_path) if prior_path else None
+                ),
             }
         )
     )
