@@ -1944,30 +1944,49 @@ _JK_B = 256  # delete-one-block jackknife blocks (2 md5 hex digits)
 WITH o AS (
   SELECT (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
          + strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 AS b,
-         o_totalprice AS x
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
   FROM orders
 ), blk AS (
-  SELECT b, CAST(count(*) AS DOUBLE) AS nb, sum(x) AS sb FROM o GROUP BY b
+  SELECT b, CAST(count(*) AS BIGINT) AS nb, CAST(sum(xc) AS BIGINT) AS sbc
+  FROM o GROUP BY b
 ), tot AS (
-  SELECT CAST(sum(nb) AS DOUBLE) AS n, sum(sb) AS s,
-         CAST(count(*) AS DOUBLE) AS nblk
+  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(sbc) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS nblk
   FROM blk
 ), loo AS (
-  SELECT blk.b, (tot.s - blk.sb) / (tot.n - blk.nb) AS theta_b, tot.n, tot.s, tot.nblk
+  SELECT CAST(round(CAST(tot.sc - blk.sbc AS DOUBLE)
+                    / CAST((tot.n - blk.nb) * 100 AS DOUBLE)
+                    * 1000000, 0) AS BIGINT) AS tq,
+         tot.n, tot.sc, tot.nblk
   FROM blk, tot
-), jk AS (
-  SELECT max(n) AS n, max(s) AS s, max(nblk) AS nblk, avg(theta_b) AS theta_dot,
-         sum(theta_b * theta_b) AS q
+), ts AS (
+  SELECT CAST(sum(tq) AS BIGINT) AS stq,
+         max(n) AS n, max(sc) AS sc, max(nblk) AS nblk
   FROM loo
+), dev AS (
+  SELECT CAST(round(
+           (CAST(loo.tq AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            - CAST(ts.stq AS DOUBLE) / CAST(ts.nblk * 1000000 AS DOUBLE))
+         * (CAST(loo.tq AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            - CAST(ts.stq AS DOUBLE) / CAST(ts.nblk * 1000000 AS DOUBLE))
+         * 1000000000, 0) AS BIGINT) AS qd,
+         ts.n, ts.sc, ts.nblk
+  FROM loo, ts
+), jk AS (
+  SELECT CAST(sum(qd) AS BIGINT) AS ssq,
+         max(n) AS n, max(sc) AS sc, max(nblk) AS nblk
+  FROM dev
 )
-SELECT CAST(n AS BIGINT) AS n, CAST(nblk AS BIGINT) AS n_blocks,
-       round(s / n, 2) AS mean_price,
-       round(sqrt((nblk - 1) / nblk * (q - nblk * theta_dot * theta_dot)), 4)
-         AS jack_se,
-       round(s / n - 1.96 * sqrt((nblk - 1) / nblk * (q - nblk * theta_dot * theta_dot)), 2)
-         AS ci_lo,
-       round(s / n + 1.96 * sqrt((nblk - 1) / nblk * (q - nblk * theta_dot * theta_dot)), 2)
-         AS ci_hi
+SELECT n, nblk AS n_blocks,
+       round(CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE), 2) AS mean_price,
+       round(sqrt(CAST(nblk - 1 AS DOUBLE) / CAST(nblk AS DOUBLE)
+             * (CAST(ssq AS DOUBLE) / CAST(1000000000 AS DOUBLE))), 4) AS jack_se,
+       round(CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+             - 1.96 * sqrt(CAST(nblk - 1 AS DOUBLE) / CAST(nblk AS DOUBLE)
+               * (CAST(ssq AS DOUBLE) / CAST(1000000000 AS DOUBLE))), 2) AS ci_lo,
+       round(CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+             + 1.96 * sqrt(CAST(nblk - 1 AS DOUBLE) / CAST(nblk AS DOUBLE)
+               * (CAST(ssq AS DOUBLE) / CAST(1000000000 AS DOUBLE))), 2) AS ci_hi
 FROM jk
 """,
 )
@@ -1989,13 +2008,17 @@ def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE map-side-combined group-by over the fact table (256
     groups), then constant work — the jackknife's whole point at
     100 TB: variance estimation WITHOUT a second data pass or a
-    per-replicate shuffle. The sum-of-squares spelling (q - B*m^2)
-    keeps both engines on identical two-pass-free arithmetic. The
-    money-scale outputs (mean, ci bounds ~2e5) round to CENTS — at
-    that magnitude the 1e-4 grid sits within half-an-ulp of the
-    cross-engine accumulation noise (seen live at sf0.01), the exact
-    §5.3.1 failure the 2-decimal grid buys 100x margin against;
-    jack_se (~1e2, scale-reduced) stays on the r4 grid."""
+    per-replicate shuffle.
+
+    §5.3.1 discipline (re-spelled r11 — the sf1 sweep caught the
+    sum-of-squares form): q - B*m^2 cancels ~13 orders of magnitude at
+    sf1 (q ~ 1.3e13 vs difference ~1.5e4), parking jack_se within
+    half-an-ulp of the r4 grid. Now EVERY accumulation is an exact
+    BIGINT: per-row integer cents, leave-one-out means as one IEEE
+    division of exact integers quantized to a 1e-6-dollar BIGINT grid,
+    squared deviations from the exact-integer mean quantized to a
+    1e-9 grid before the final 256-row sum — order-independent and
+    bit-identical cross-engine at ANY scale factor."""
     od = table(spark, sf_dir, "orders")
     hexes = "0123456789abcdef"
     h = F.md5(F.col("o_orderkey").cast("string"))
@@ -2005,9 +2028,15 @@ def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     ).alias("b")
     blk = (
-        od.select(b, F.col("o_totalprice").alias("x"))
+        od.select(
+            b,
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("xc"),
+        )
         .groupBy("b")
-        .agg(F.count("*").cast("double").alias("nb"), F.sum("x").alias("sb"))
+        .agg(
+            F.count("*").cast("bigint").alias("nb"),
+            F.sum("xc").cast("bigint").alias("sbc"),
+        )
     )
     # Totals via an unpartitioned window over the 256 block partials
     # (bounded — audit-allowlisted), NOT a separate aggregate branch:
@@ -2018,30 +2047,53 @@ def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wall = _W.partitionBy()
     loo = blk.select(
-        F.sum("nb").over(wall).alias("n"),
-        F.sum("sb").over(wall).alias("s"),
-        F.count("*").over(wall).cast("double").alias("nblk"),
-        "nb", "sb",
+        F.sum("nb").over(wall).cast("bigint").alias("n"),
+        F.sum("sbc").over(wall).cast("bigint").alias("sc"),
+        F.count("*").over(wall).cast("bigint").alias("nblk"),
+        "nb",
+        "sbc",
     ).select(
-        ((F.col("s") - F.col("sb")) / (F.col("n") - F.col("nb"))).alias("theta_b"),
-        "n", "s", "nblk",
+        F.expr(
+            "CAST(round(CAST(sc - sbc AS DOUBLE)"
+            " / CAST((n - nb) * 100 AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        ).alias("tq"),
+        "n",
+        "sc",
+        "nblk",
     )
-    jk = loo.agg(
+    dev = loo.select(
+        F.sum("tq").over(wall).cast("bigint").alias("stq"),
+        "tq",
+        "n",
+        "sc",
+        "nblk",
+    ).select(
+        F.expr(
+            "CAST(round("
+            " (CAST(tq AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            "  - CAST(stq AS DOUBLE) / CAST(nblk * 1000000 AS DOUBLE))"
+            " * (CAST(tq AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+            "  - CAST(stq AS DOUBLE) / CAST(nblk * 1000000 AS DOUBLE))"
+            " * 1000000000, 0) AS BIGINT)"
+        ).alias("qd"),
+        "n",
+        "sc",
+        "nblk",
+    )
+    jk = dev.agg(
+        F.sum("qd").cast("bigint").alias("ssq"),
         F.max("n").alias("n"),
-        F.max("s").alias("s"),
+        F.max("sc").alias("sc"),
         F.max("nblk").alias("nblk"),
-        F.avg("theta_b").alias("theta_dot"),
-        F.sum(F.col("theta_b") * F.col("theta_b")).alias("q"),
     )
     se = F.sqrt(
-        (F.col("nblk") - 1)
-        / F.col("nblk")
-        * (F.col("q") - F.col("nblk") * F.col("theta_dot") * F.col("theta_dot"))
+        F.expr("CAST(nblk - 1 AS DOUBLE) / CAST(nblk AS DOUBLE)")
+        * F.expr("CAST(ssq AS DOUBLE) / CAST(1000000000 AS DOUBLE)")
     )
-    mean = F.col("s") / F.col("n")
+    mean = F.expr("CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE)")
     return jk.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.col("nblk").cast("bigint").alias("n_blocks"),
+        F.col("n"),
+        F.col("nblk").alias("n_blocks"),
         F.round(mean, 2).alias("mean_price"),
         r4(se).alias("jack_se"),
         F.round(mean - F.lit(1.96) * se, 2).alias("ci_lo"),

@@ -130,11 +130,13 @@ def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 20
     # spread left blocks across workers: the GEMM parallelizes per
-    # block, and the 2 MB shuffle is cheaper than a serial product
+    # block, and the 2 MB shuffle is cheaper than a serial product.
+    # 32 blocks (r11, VERDICT r10 #7): at sf1 the 8-block spelling left
+    # 24 cores idle during the only compute-bound headline stage.
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .repartition(8)
+        .repartition(32)
     )
 
     def block_topk(batches):
@@ -144,14 +146,28 @@ def sim_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             a_ids = pdf["vec_id"].to_numpy()
             s = a @ b_m.T
-            rows, cols = np.where(a_ids[:, None] < b_ids[None, :])
+            # Threshold BEFORE materializing pair indices (r11 profile,
+            # VERDICT r10 #7): the old np.where spelling built the FULL
+            # valid-pair index/coordinate arrays (~47M pairs, ~1 GB of
+            # temporaries per 2500-row block at sf1) and cut afterwards
+            # — that allocation, not the GEMM (~0.1 s), was the 13.3 s.
+            # Masked entries get the -2.0 sentinel (below any cosine);
+            # one flat O(block) selection finds the block k-th value,
+            # and only the >= thr survivors are ever materialized. The
+            # cut semantics are IDENTICAL: top-k of the flat block
+            # including sentinels equals top-k of the valid pairs
+            # whenever >= k valid pairs exist, and the clamp keeps every
+            # valid pair when fewer exist.
+            s[a_ids[:, None] >= b_ids[None, :]] = -2.0
+            if s.size > k:
+                thr = np.partition(s.ravel(), -k)[-k] - 1e-4  # tie slack
+                thr = max(thr, -1.0 - 1e-4)  # never admit the sentinel
+            else:
+                thr = -1.0 - 1e-4
+            rows, cols = np.nonzero(s >= thr)
             if len(rows) == 0:
                 continue
             cos = s[rows, cols]
-            if len(cos) > k:
-                thr = np.partition(cos, -k)[-k] - 1e-4  # tie-safe slack
-                keep = cos >= thr
-                rows, cols, cos = rows[keep], cols[keep], cos[keep]
             yield pd.DataFrame(
                 {"id_a": a_ids[rows], "id_b": b_ids[cols], "cosine_raw": cos}
             )

@@ -258,8 +258,13 @@ spatial_avg_nearest_neighbor spatial_hex_tessellation
 spatial_lof_outliers spatial_ripleys_k spatial_incremental_morans
 spatial_kernel_density sample_gumbel_topk_weighted
 sample_pack_sequences dedup_line_level sim_matryoshka_recall
+stats_jackknife_blocks
 """.split()
 )
+# stats_jackknife_blocks joined mid-r11: the sf1 certification sweep
+# caught its q - B*m^2 cancellation parking jack_se on the r4 grid
+# boundary; re-spelled to exact-integer-grid accumulations (green at
+# sf0.001/0.01/0.1/1).
 
 # Verification priority among not-yet-driver-checked queries: the
 # SURVEY §2.1 contract families (scans/filters/joins/windows/setops/

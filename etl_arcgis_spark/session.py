@@ -33,6 +33,15 @@ def get_session(
     settings (timezone, ANSI, AQE, Arrow) must hold everywhere.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Pin BLAS to one thread per Python worker (r11, VERDICT r10 #7):
+    # task-level parallelism already covers the cores (32 mapInPandas
+    # blocks), so an unpinned OpenBLAS would run 32 workers x 32
+    # threads on the numpy-GEMM operators — pure scheduler contention.
+    # Python workers fork from a daemon that inherits this process's
+    # environment, so setting it before the JVM starts reaches them.
+    # setdefault: an explicit user setting wins.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
