@@ -52,6 +52,10 @@ _DIVISOR_ALLOWLIST: dict[str, str] = {
     "filter_spatial_polygon_contains": "LHS is parquet DOUBLE lon/lat",
     "filter_spatial_polygon_intersects": "LHS is parquet DOUBLE lon/lat",
     "geo_reproject_laea": "LHS chains ln()/asin() — DOUBLE",
+    "geo_reproject_dispatch": (
+        "re-uses the LAEA stage text (ln()/asin()-chained DOUBLE LHS); "
+        "all other legs divide DOUBLE lon/lat or CAST explicitly"
+    ),
     "join_band_bucketed": "cv is events.value (parquet DOUBLE)",
     "join_geodesic_distance": "LHS chains sqrt() — DOUBLE (all sites)",
     "spatial_dbscan": "LHS is CAST(... AS DOUBLE) (both sites)",
