@@ -3798,3 +3798,142 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("c").cast("double") / _KMV_K).alias("est_jaccard"),
         )
     )
+
+
+# r11 C234: in-engine decision stump — exact bucketed Gini split.
+_STUMP_W = 2000  # fixed bucket width over o_totalprice; 256 buckets
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+WITH pts AS (
+  SELECT least(CAST(floor(o_totalprice / CAST({_STUMP_W} AS DOUBLE)) AS BIGINT), 255) AS b,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nb, CAST(sum(y) AS BIGINT) AS pb
+  FROM pts GROUP BY b
+), cum AS (
+  SELECT b,
+         CAST(sum(nb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(sum(pb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+         CAST(sum(nb) OVER () AS BIGINT) AS n,
+         CAST(sum(pb) OVER () AS BIGINT) AS p
+  FROM bk
+), g AS (
+  SELECT b, nl, pl, n, p,
+         (CAST(nl AS DOUBLE)
+          - (CAST(pl * pl AS DOUBLE) + CAST((nl - pl) * (nl - pl) AS DOUBLE))
+            / CAST(nl AS DOUBLE)
+          + CAST(n - nl AS DOUBLE)
+          - (CAST((p - pl) * (p - pl) AS DOUBLE)
+             + CAST(((n - nl) - (p - pl)) * ((n - nl) - (p - pl)) AS DOUBLE))
+            / CAST(n - nl AS DOUBLE))
+         / CAST(n AS DOUBLE) AS wg
+  FROM cum WHERE nl < n
+), best AS (
+  SELECT min(struct_pack(gq := CAST(round(wg * 1000000000000, 0) AS BIGINT),
+                         bb := b)) AS m,
+         max(n) AS n, max(p) AS p
+  FROM g
+)
+SELECT CAST(m.bb AS BIGINT) AS split_bucket,
+       CAST((m.bb + 1) * {_STUMP_W} AS BIGINT) AS threshold,
+       round(CAST(m.gq AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+         AS weighted_gini,
+       round(1.0 - (CAST(p * p AS DOUBLE) + CAST((n - p) * (n - p) AS DOUBLE))
+                   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_gini,
+       n AS n_rows, p AS n_pos
+FROM best
+""",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C234: decision-stump training IN-ENGINE — the best single
+    Gini-split threshold of o_totalprice predicting order status 'F'
+    (the CART root node; the building block of boosted stumps and the
+    canonical "can the engine train, not just score?" test beside
+    ml_naive_bayes_lang / ml_kmeans_clusters / stats_jenks_breaks).
+
+    Split-candidate grid: 256 FIXED-width price buckets (data-
+    independent — no min/max broadcast, which would re-plan the scan;
+    the spearman lesson), exact integer (n, positives) per bucket,
+    prefix sums over the bounded bucket table, and the weighted Gini
+    impurity spelled as exact-integer squares with per-split IEEE
+    divisions — identical on both engines; the argmin is a struct-min
+    on a 1e-12-quantized key with the bucket id as tiebreak.
+
+    Scale: ONE map-side-combined pass over the fact (256 groups), then
+    constant work — at 100 TB a stump trains in one aggregate, and
+    boosting rounds reuse the same shape with reweighted counts."""
+    od = table(spark, sf_dir, "orders")
+    pts = od.select(
+        F.least(
+            F.expr(
+                f"CAST(floor(o_totalprice / CAST({_STUMP_W} AS DOUBLE)) AS BIGINT)"
+            ),
+            F.lit(255),
+        ).alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bk = pts.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("y").cast("bigint").alias("pb"),
+    )
+    from pyspark.sql import Window as _W
+
+    wcum = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, 0)
+    wall = _W.partitionBy()
+    cum = bk.select(
+        "b",
+        F.sum("nb").over(wcum).cast("bigint").alias("nl"),
+        F.sum("pb").over(wcum).cast("bigint").alias("pl"),
+        F.sum("nb").over(wall).cast("bigint").alias("n"),
+        F.sum("pb").over(wall).cast("bigint").alias("p"),
+    )
+    g = cum.filter(F.col("nl") < F.col("n")).select(
+        "b",
+        "n",
+        "p",
+        F.expr(
+            "(CAST(nl AS DOUBLE)"
+            " - (CAST(pl * pl AS DOUBLE) + CAST((nl - pl) * (nl - pl) AS DOUBLE))"
+            "   / CAST(nl AS DOUBLE)"
+            " + CAST(n - nl AS DOUBLE)"
+            " - (CAST((p - pl) * (p - pl) AS DOUBLE)"
+            "    + CAST(((n - nl) - (p - pl)) * ((n - nl) - (p - pl)) AS DOUBLE))"
+            "   / CAST(n - nl AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("wg"),
+    )
+    best = g.agg(
+        F.min(
+            F.struct(
+                F.expr(
+                    "CAST(round(wg * 1000000000000, 0) AS BIGINT)"
+                ).alias("gq"),
+                F.col("b").alias("bb"),
+            )
+        ).alias("m"),
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+    )
+    return best.select(
+        F.col("m.bb").cast("bigint").alias("split_bucket"),
+        ((F.col("m.bb") + 1) * _STUMP_W).cast("bigint").alias("threshold"),
+        F.round(
+            F.col("m.gq").cast("double")
+            / F.expr("CAST(1000000000000 AS DOUBLE)"),
+            6,
+        ).alias("weighted_gini"),
+        F.round(
+            F.lit(1.0)
+            - F.expr(
+                "(CAST(p * p AS DOUBLE) + CAST((n - p) * (n - p) AS DOUBLE))"
+                " / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+            ),
+            6,
+        ).alias("base_gini"),
+        F.col("n").alias("n_rows"),
+        F.col("p").alias("n_pos"),
+    )

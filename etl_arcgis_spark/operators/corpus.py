@@ -529,3 +529,78 @@ def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "sample_stratified_split",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN rk * 10 <= n * 8 THEN 'train'
+              WHEN rk * 10 <= n * 9 THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id, n_chars
+  FROM r
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY source, split
+""",
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C232: EXACT stratified train/val/test split — per stratum
+    (source), documents rank by a deterministic hash order and the
+    first floor(0.8n)/next floor(0.1n)-ish go to train/val/test via
+    pure INTEGER threshold arithmetic (rk*10 <= n*8 — no float
+    proportions, no per-engine rounding). Unlike the hash-threshold
+    split (dedup_cross_split_leakage's splits CTE), the counts are
+    EXACTLY proportional per stratum — the contract a training
+    pipeline needs when a small stratum must still yield a non-empty
+    validation slice. Output: per-cell doc/token counts + an id
+    checksum pinning the exact membership.
+
+    Scale: one per-stratum window rank (partitioned — never global),
+    one aggregate; the membership frame (not collected here) is the
+    split assignment a downstream writer partitions by. At 100 TB the
+    rank is the same two-phase per-stratum sort every engine pays for
+    exact quotas; the hash order makes it reproducible across runs
+    and engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = _W.partitionBy("source")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    s = r.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.when(F.col("rk") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("rk") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

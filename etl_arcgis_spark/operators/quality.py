@@ -1192,3 +1192,90 @@ def dq_geometry_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_vertices"),
         F.expr(_GEOMCHK_VERDICT.format(**e)).alias("geometry_error"),
     )
+
+
+# r11 C233: PII scan. Patterns restricted to the Java-regex ∩ RE2
+# subset (character classes, bounded counts, \b word boundaries — NO
+# lookaround, NO backrefs) so Spark rlike and DuckDB regexp_matches
+# decide identically. The synthetic corpus carries no organic PII, so
+# detectable markers are PLANTED deterministically per doc_id — the
+# scan's recall over known truth is part of the oracle contract.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_DOC_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ssn 123-45-' || substr(CAST(10000 + doc_id % 10000 AS VARCHAR), 2, 4)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END AS body
+  FROM documents
+"""
+
+
+@query(
+    "dq_pii_scan",
+    oracle=f"""
+WITH d AS ({_PII_DOC_SQL})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(body, '{_PII_EMAIL}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(sum(CASE WHEN regexp_matches(body, '{_PII_SSN}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn,
+       CAST(sum(CASE WHEN regexp_matches(body, '{_PII_IPV4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
+       round(CAST(sum(CASE WHEN regexp_matches(body, '{_PII_EMAIL}')
+                             OR regexp_matches(body, '{_PII_SSN}')
+                             OR regexp_matches(body, '{_PII_IPV4}')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS pii_rate
+FROM d GROUP BY source
+""",
+)
+def dq_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C233: PII scan — per-source detection counts and rates for
+    email / SSN-shaped / IPv4 patterns, the governance gate a corpus
+    runs before release (the multi-class generalization of A18-family
+    etl_pii_mask_digits' digit scrub). Patterns live in the
+    Java-regex ∩ RE2 common subset so both engines decide identically;
+    markers are PLANTED deterministically (doc_id % 7/11/13) so the
+    scan's recall over known truth is oracle-checked, not assumed.
+
+    Scale: map-only regex over the scan (no shuffle beyond the
+    per-source aggregate); at 100 TB this is embarrassingly parallel
+    and I/O-bound — exactly why the patterns must be anchored/bounded
+    (catastrophic-backtracking-free in both engines: no lookaround,
+    no nested unbounded groups)."""
+    spark_body_sql = _PII_DOC_SQL.replace("VARCHAR", "STRING")
+    # Spark's SQL parser consumes backslash escapes inside string
+    # literals ('\\d' parses to 'd', '\\b' to backspace) where DuckDB
+    # keeps them literal — double them for the Spark text only.
+    em, ssn, ip = (
+        p.replace("\\", "\\\\") for p in (_PII_EMAIL, _PII_SSN, _PII_IPV4)
+    )
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        f"""
+WITH d AS ({spark_body_sql})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN body rlike '{em}' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(sum(CASE WHEN body rlike '{ssn}' THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn,
+       CAST(sum(CASE WHEN body rlike '{ip}' THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
+       round(CAST(sum(CASE WHEN body rlike '{em}'
+                             OR body rlike '{ssn}'
+                             OR body rlike '{ip}'
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS pii_rate
+FROM d GROUP BY source
+""",
+        ("documents",),
+    )

@@ -174,6 +174,7 @@ WINDOW_BOUNDED_OK = {
     "analytics_survival_km": "risk-set/survival windows over the duration grid (bounded by observation-window days)",
     "analytics_abc_classification": "offset windows over 1024 bin counts + 64-rank bucket totals (bucketed_global_rank -> bucketed_running_sums chain)",
     "stats_jackknife_blocks": "totals window over 256 md5-hex block partials (single-scan spelling; the crossJoin-broadcast alternative re-scans the fact table)",
+    "ml_decision_stump": "prefix/total windows over the <=256 fixed-width price-bucket partials (data-independent grid; single-scan spelling)",
     "stats_spearman_corr": "offset windows over IEEE-exponent bucket totals (<= ~4400 possible buckets, bounded by the double format, one per rank column)",
     "stats_bh_fdr": "rank + step-up-max windows over the 25-row nation aggregate (bounded by the nation dimension)",
     "spatial_emerging_hotspots": "cube-moment window over the dense space-time cube (<= 576 grid cells x calendar months — bounded by geography x calendar, never by row count)",
