@@ -3937,3 +3937,96 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.col("p").alias("n_pos"),
     )
+
+
+# r11 C235: Krippendorff's alpha (nominal). Three deterministic
+# annotators are synthesized per document (md5-derived base label;
+# annotators 2/3 disagree on planted doc_id % 5 / % 7 slices), so the
+# agreement level is known ground truth. With every unit rated by
+# exactly m=3 annotators, the coincidence matrix entries are
+# integers after scaling by (m-1)=2 — the whole computation stays in
+# exact BIGINTs until ONE final IEEE division.
+_KA_BASE = (
+    "CASE WHEN (strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3 = 0 THEN 'a'"
+    " WHEN (strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3 = 1 THEN 'b'"
+    " ELSE 'c' END"
+)
+_KA_SHIFT = (
+    "CASE WHEN {base} = 'a' THEN 'b' WHEN {base} = 'b' THEN 'c'"
+    " ELSE 'a' END"
+)
+
+
+def _ka_sql(strpos: str, substr: str) -> str:
+    base = _KA_BASE.replace("strpos", strpos).replace("substr", substr)
+    shift = _KA_SHIFT.format(base=base)
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         {base} AS r1,
+         CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS r2,
+         CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END AS r3
+  FROM documents
+), votes AS (
+  SELECT doc_id, r1 AS lbl FROM lab
+  UNION ALL SELECT doc_id, r2 FROM lab
+  UNION ALL SELECT doc_id, r3 FROM lab
+), mu AS (
+  SELECT doc_id, lbl, CAST(count(*) AS BIGINT) AS m FROM votes
+  GROUP BY doc_id, lbl
+), coin AS (
+  -- 2x-scaled coincidence diagonal and off-diagonal mass per unit:
+  -- o2_cc contribution = m_c * (m_c - 1); off-diag disagreement mass
+  -- per unit = m_u*(m_u-1) - sum_c m_c*(m_c-1) with m_u = 3
+  SELECT CAST(sum(m * (m - 1)) AS BIGINT) AS agree2,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units
+  FROM mu
+), tot AS (
+  SELECT lbl, CAST(sum(m) AS BIGINT) AS n_c FROM mu GROUP BY lbl
+), de AS (
+  -- expected-disagreement numerator: sum over c != k of n_c * n_k
+  --   = (sum n_c)^2 - sum n_c^2, all exact integers
+  SELECT CAST(sum(n_c) AS BIGINT) AS n,
+         CAST(sum(n_c) * sum(n_c) - sum(n_c * n_c) AS BIGINT) AS de_num,
+         CAST(count(*) AS BIGINT) AS n_labels
+  FROM tot
+)
+SELECT coin.n_units,
+       de.n_labels,
+       de.n AS n_votes,
+       CAST(coin.n_units * 6 - coin.agree2 AS BIGINT) AS do2,
+       de.de_num,
+       round(1 - CAST((coin.n_units * 6 - coin.agree2) * (de.n - 1) AS DOUBLE)
+                 / CAST(de.de_num AS DOUBLE), 6) AS alpha
+FROM coin, de
+"""
+
+
+@query("stats_krippendorff_alpha", oracle=_ka_sql("strpos", "substr"))
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C235: Krippendorff's alpha (nominal data, Krippendorff 2004) —
+    the MULTI-annotator reliability coefficient beside Cohen's kappa
+    (C202, two raters): the gate an annotation/RLHF-label pipeline
+    runs before trusting a batch. Three deterministic annotators are
+    synthesized (planted disagreement on doc_id % 5 / % 7 slices), so
+    expected alpha is known ground truth the twin test pins.
+
+    Exactness: every unit has exactly m=3 ratings, so the (m-1)-scaled
+    coincidence masses are INTEGERS: observed disagreement
+    Do2 = 6U - sum_c m_c(m_c-1), expected numerator
+    De = n^2 - sum_c n_c^2, and alpha = 1 - Do2*(n-1)/De is ONE IEEE
+    division of exact BIGINTs — bit-identical cross-engine at any SF.
+
+    Scale: one vote-explode (3x map-only), one (unit,label) aggregate,
+    then label-cardinality-bounded arithmetic — no pairwise rater
+    joins (the naive all-pairs spelling), no per-unit windows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _ka_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )

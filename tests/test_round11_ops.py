@@ -142,3 +142,44 @@ def test_decision_stump_matches_bruteforce(spark):
     assert abs(got["base_gini"] - round(base, 6)) < 1e-9
     # the split must actually reduce impurity on this label
     assert got["weighted_gini"] < got["base_gini"]
+
+
+def test_krippendorff_alpha_matches_python_twin(spark):
+    from etl_arcgis_spark.operators.aggregates import (
+        stats_krippendorff_alpha,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id").collect()
+
+    def base(did: int) -> str:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "abc"["0123456789abcdef".index(h[0]) % 3]
+
+    shift = {"a": "b", "b": "c", "c": "a"}
+    units = []
+    for r in docs:
+        did = r["doc_id"]
+        b = base(did)
+        units.append(
+            (b, shift[b] if did % 5 == 0 else b, shift[b] if did % 7 == 0 else b)
+        )
+    # exact integer coincidence computation (m = 3 raters per unit)
+    import collections
+
+    agree2 = 0
+    n_c: dict = collections.Counter()
+    for labels in units:
+        mc = collections.Counter(labels)
+        agree2 += sum(m * (m - 1) for m in mc.values())
+        n_c.update(mc)
+    U = len(units)
+    n = sum(n_c.values())
+    do2 = 6 * U - agree2
+    de_num = n * n - sum(v * v for v in n_c.values())
+    alpha = 1 - do2 * (n - 1) / de_num
+    got = stats_krippendorff_alpha(spark, SF).collect()[0]
+    assert got["n_units"] == U and got["n_votes"] == n
+    assert got["do2"] == do2 and got["de_num"] == de_num
+    assert abs(got["alpha"] - round(alpha, 6)) < 1e-12
+    # planted-disagreement sanity: substantial but imperfect agreement
+    assert 0.3 < got["alpha"] < 0.95

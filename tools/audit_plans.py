@@ -58,6 +58,7 @@ NLJ_OK = {
     "sim_cosine_pairs_hof",  # O(n^2) baseline by definition
     "lsh_approx_join",       # bucket-equality carried, id< residual
     "sim_knn_query_vector",  # 1-row broadcast
+    "stats_krippendorff_alpha",  # final 1-row x 1-row aggregate join
     "text_simhash_fingerprint",  # 16-row broadcast bit planes
     "agg_histogram_price",   # 1-row min/max bounds broadcast
     "analytics_funnel_steps",  # three 1-row step counts cross-joined
