@@ -3999,7 +3999,7 @@ SELECT coin.n_units,
        CAST(coin.n_units * 6 - coin.agree2 AS BIGINT) AS do2,
        de.de_num,
        round(1 - CAST((coin.n_units * 6 - coin.agree2) * (de.n - 1) AS DOUBLE)
-                 / CAST(de.de_num AS DOUBLE), 6) AS alpha
+                 / CAST(2 * de.de_num AS DOUBLE), 6) AS alpha
 FROM coin, de
 """
 
@@ -4014,10 +4014,12 @@ def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected alpha is known ground truth the twin test pins.
 
     Exactness: every unit has exactly m=3 ratings, so the (m-1)-scaled
-    coincidence masses are INTEGERS: observed disagreement
-    Do2 = 6U - sum_c m_c(m_c-1), expected numerator
-    De = n^2 - sum_c n_c^2, and alpha = 1 - Do2*(n-1)/De is ONE IEEE
-    division of exact BIGINTs — bit-identical cross-engine at any SF.
+    coincidence masses are INTEGERS: observed disagreement mass
+    Do2 = 6U - sum_c m_c(m_c-1) (which is (m-1)=2 times the true
+    off-diagonal coincidence total Do), expected numerator
+    De = n^2 - sum_c n_c^2, and alpha = 1 - Do2*(n-1)/(2*De) is ONE
+    IEEE division of exact BIGINTs — bit-identical cross-engine at
+    any SF.
 
     Scale: one vote-explode (3x map-only), one (unit,label) aggregate,
     then label-cardinality-bounded arithmetic — no pairwise rater

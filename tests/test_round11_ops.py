@@ -176,7 +176,8 @@ def test_krippendorff_alpha_matches_python_twin(spark):
     n = sum(n_c.values())
     do2 = 6 * U - agree2
     de_num = n * n - sum(v * v for v in n_c.values())
-    alpha = 1 - do2 * (n - 1) / de_num
+    # do2 is (m-1)=2-scaled: true Do = do2/2, so alpha halves the ratio
+    alpha = 1 - do2 * (n - 1) / (2 * de_num)
     got = stats_krippendorff_alpha(spark, SF).collect()[0]
     assert got["n_units"] == U and got["n_votes"] == n
     assert got["do2"] == do2 and got["de_num"] == de_num
