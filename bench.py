@@ -78,6 +78,48 @@ BASELINE_SEC_BY_SF = {
 BASELINE_SEC = BASELINE_SEC_BY_SF[0.1]
 
 
+# Last recorded IDLE headline-total pin (BASELINE.md ledger; updated
+# each round alongside the Round-N section there — test_doc_parity
+# keeps the two in sync). The tripwire compares every run's total to
+# this, because per-query ratio tripwires provably miss slow creep:
+# r11's cosine regression was 1.27x per-query (under any sane per-query
+# threshold) but 1.30x on the headline total vs this pin.
+LAST_IDLE_PIN_SEC = 0.9968  # round-10 continuation pin, BASELINE.md
+
+
+def tripwire(
+    ratios: dict[str, float],
+    total: float,
+    prior_ratios: dict[str, float],
+    prior_name: str,
+    idle_pin: float = LAST_IDLE_PIN_SEC,
+) -> list[str]:
+    """Regression tripwire (VERDICT r10 #8, tightened r12 per VERDICT
+    r11 #2): WARN when (a) any headline query's floor-adjusted ratio
+    exceeds 1.4x its value in the most recent recorded BENCH artifact,
+    or (b) the headline total exceeds 1.15x the last recorded IDLE pin.
+    (b) is the check that catches distributed creep — r11's +30% cosine
+    regression moved every per-query ratio by <1.4x but the total by
+    1.30x over the r10 idle pin. Warnings are advisory: the loadavg
+    stamps in the same JSON say whether to believe them."""
+    warnings = []
+    for n, r in ratios.items():
+        pr = prior_ratios.get(n)
+        if pr is not None and pr > 0 and r > 1.4 * pr and r > 0.25:
+            warnings.append(
+                f"{n}: floor-adjusted ratio {r} > 1.4x prior {pr} "
+                f"({prior_name}) — check loadavg stamps before believing "
+                "a regression"
+            )
+    if idle_pin > 0 and total > 1.15 * idle_pin:
+        warnings.append(
+            f"headline_total {total} > 1.15x last idle pin {idle_pin} "
+            "(bench.LAST_IDLE_PIN_SEC / BASELINE.md) — re-run on a quiet "
+            "host; if it reproduces idle, a query regressed"
+        )
+    return warnings
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -219,12 +261,7 @@ def main() -> None:
     }
     loadavg_post = list(os.getloadavg())
 
-    # Regression TRIPWIRE (VERDICT r10 "next" #8): compare this run's
-    # floor-adjusted ratios to the most recent recorded round artifact
-    # and WARN when any headline query's ratio more than DOUBLES —
-    # r10's star-join 3.0x reading was host load, but a human had to
-    # notice it; now the artifact itself flags the jump (the loadavg
-    # stamps in the same JSON say whether to believe it).
+    # Regression TRIPWIRE — see tripwire() above.
     warnings = []
     prior_path = None
     try:
@@ -235,19 +272,18 @@ def main() -> None:
             _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
             key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
         )
+        prev_ratios = {}
         if rounds:
             prior_path = rounds[-1]
             with open(prior_path) as fh:
                 prior = json.load(fh)
             prev_ratios = prior.get("floor_adjusted_ratio_vs_baseline", {})
-            for n, r in ratios.items():
-                pr = prev_ratios.get(n)
-                if pr is not None and pr > 0 and r > 2.0 * pr and r > 0.25:
-                    warnings.append(
-                        f"{n}: floor-adjusted ratio {r} > 2x prior {pr} "
-                        f"({os.path.basename(prior_path)}) — check loadavg "
-                        "stamps before believing a regression"
-                    )
+        warnings = tripwire(
+            ratios,
+            round(sum(timings.values()), 4),
+            prev_ratios,
+            os.path.basename(prior_path) if prior_path else "none",
+        )
     except Exception as e:  # the tripwire must never fail the bench
         warnings.append(f"tripwire-error: {e}")
     for w in warnings:
