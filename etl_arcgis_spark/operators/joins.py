@@ -152,51 +152,25 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer ⋈ nation ⋈ region computed once, cached in bench mode), so
     the fact side takes TWO join legs, not four.
 
-    Physical strategy follows the physical layout, like a bucketing-
-    aware planner: in bench-cache mode the lineitem cache is clustered
-    on l_orderkey and a secondary orders projection on o_orderkey at
-    the same width (tables.projection), so the fact leg runs as a
-    CO-LOCATED shuffle-hash join — zero exchanges on either side, no
-    per-run broadcast build of the 150k-row orders side (A/B: 192->162
-    ms, and one fewer Spark job). Without that layout the hint would
-    force a full fact shuffle — exactly wrong at 100 TB — so the
-    un-cached spelling carries no hint and Catalyst auto-broadcasts
-    the dims from size estimates (fact side never shuffles, asserted
-    in tests/test_plans.py). Both spellings are the same logical plan;
-    test_joins.py asserts they return identical rows."""
+    ONE plan in every mode (r12, VERDICT r11 #6): Catalyst broadcasts
+    the dims from size estimates, so the fact side never shuffles
+    (asserted in tests/test_plans.py). The r6-r9 bench-cache branch —
+    a pre-joined orders↔geo bridge + SHUFFLE_HASH hint for a co-located
+    fact join — was deleted once sf1 showed the plain spelling at
+    1.19x DuckDB: the cached-bridge saving was a fixture-scale
+    broadcast-build artifact, not a scale property, and a bench-only
+    plan switch is documentation debt."""
     dim_customer_geo(spark, sf_dir).createOrReplaceTempView("customer_geo")
-    body = f"""
-SELECT {{hint}}g.r_name, g.n_name,
+    q = f"""
+SELECT g.r_name, g.n_name,
        count(1) AS n_items,
        {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
 FROM lineitem l
-JOIN {{orders}} o    ON l.l_orderkey = o.o_orderkey
+JOIN orders o       ON l.l_orderkey = o.o_orderkey
 JOIN customer_geo g ON o.o_custkey = g.c_custkey
 GROUP BY g.r_name, g.n_name
 """
-    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        # r6: the dim chain is folded all the way into the cached
-        # orders↔geo bridge (tables.dim_orders_geo, o_orderkey-clustered
-        # at the lineitem width), so the per-run plan is ONE co-located
-        # shuffle-hash join + aggregate — the cluster-amortized shape
-        # where executors reuse the built dim relation across runs
-        # instead of paying the geo-leg broadcast build every iteration
-        # (the last per-run term BASELINE.md r2-r5 A/Bs left standing).
-        from ..tables import dim_orders_geo
-
-        dim_orders_geo(spark, sf_dir).createOrReplaceTempView("orders_geo")
-        q = f"""
-SELECT /*+ SHUFFLE_HASH(o) */ o.r_name, o.n_name,
-       count(1) AS n_items,
-       {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
-FROM lineitem l
-JOIN orders_geo o ON l.l_orderkey = o.o_orderkey
-GROUP BY o.r_name, o.n_name
-"""
-        return sql_over(spark, sf_dir, q, ("lineitem",))
-    return sql_over(
-        spark, sf_dir, body.format(hint="", orders="orders"), ("lineitem", "orders")
-    )
+    return sql_over(spark, sf_dir, q, ("lineitem", "orders"))
 
 
 @query(

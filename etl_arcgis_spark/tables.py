@@ -164,35 +164,6 @@ def dim_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
-def dim_orders_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One step further than dim_customer_geo: the orders↔geo bridge
-    (o_orderkey, n_name, r_name) — orders ⋈ customer_geo flattened and
-    clustered on o_orderkey at the lineitem cache width, so the star
-    query's per-run work collapses to ONE co-located shuffle-hash join
-    against the fact side plus the aggregate. This is the cluster
-    amortization the per-run bench can't otherwise see: on a real
-    cluster the dim hash-relation is broadcast ONCE and reused by every
-    executor across queries, while a cold local run pays the dim build
-    + broadcast every iteration (BASELINE.md r2-r6 A/B history). The
-    bridge is |orders|-sized — NOT a fact blow-up — and at 100 TB it is
-    the standard maintained enrichment table (orders' geo attributes
-    change only when a customer moves region). Only used in bench-cache
-    mode; the un-cached spelling keeps the canonical 3-table plan and
-    Catalyst's auto-broadcast."""
-    orders = table(spark, sf_dir, "orders")
-    geo = dim_customer_geo(spark, sf_dir)
-    d = orders.join(
-        geo, orders.o_custkey == geo.c_custkey
-    ).select("o_orderkey", "n_name", "r_name")
-    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        key = (spark.sparkContext.applicationId, sf_dir, "__dim_orders_geo")
-        if key not in _CACHED:
-            lw = _CACHE_LAYOUT["lineitem"][1]
-            _CACHED[key] = d.repartition(lw, "o_orderkey").cache()
-        return _CACHED[key]
-    return d
-
-
 def projection(
     spark: SparkSession,
     sf_dir: str,

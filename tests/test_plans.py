@@ -260,34 +260,25 @@ def test_pct_of_total_no_global_window(spark):
     assert "BroadcastExchange" in p  # the 1-row grand total arrives broadcast
 
 
-def test_star_join_colocated_shj_in_cache_mode(spark, monkeypatch):
-    """Bench-cache mode flips the star join's fact leg to a co-located
-    shuffle-hash join over the keyed cache layouts: lineitem clustered
-    on l_orderkey and the orders projection on o_orderkey at the same
-    width mean NO runtime exchange feeds the join — the only
-    ENSURE_REQUIREMENTS exchange left is the final 25-group aggregate.
-    (REPARTITION_BY_NUM exchanges inside InMemoryRelation subtrees are
-    the one-time cache builds, not per-run work.) Both spellings must
-    return identical rows."""
+def test_star_join_one_plan_both_modes(spark, monkeypatch):
+    """r12 (VERDICT r11 #6): the bench-cache SHUFFLE_HASH bridge branch
+    is deleted — join_star_multiway now compiles to ONE logical plan in
+    every mode: dims broadcast from size estimates, the fact side never
+    shuffled. Cache mode may swap file scans for InMemoryRelation, but
+    the join strategy and the rows must be identical."""
     fn = registry.all_queries()["join_star_multiway"]
-    expect = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    base_df = fn(spark, SF_DIR)
+    expect = {tuple(r) for r in base_df.collect()}
+    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in base_plan
+    assert "BroadcastHashJoin" in base_plan
 
     monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")  # bench conf
-    try:
-        fn(spark, SF_DIR).count()  # materialize caches: real (small)
-        # customer_geo stats then drive the broadcast, as in the bench
-        # whose warm-up pass runs before any timed compilation
-        df = fn(spark, SF_DIR)
-        p = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin [o_custkey" in p  # dim leg broadcast
-        assert "ShuffledHashJoin" in p
-        runtime_exchanges = p.count("ENSURE_REQUIREMENTS")
-        assert runtime_exchanges == 1, p
-        assert {tuple(r) for r in df.collect()} == expect
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    df = fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in p  # the deleted branch's signature
+    assert "BroadcastHashJoin" in p
+    assert {tuple(r) for r in df.collect()} == expect
 
 
 def test_semantic_dedup_never_cartesian(spark):
