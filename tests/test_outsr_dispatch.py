@@ -101,3 +101,42 @@ def test_out_of_window_rows_quarantined_and_partitioned_exactly(spark):
     ).count()
     assert counts.get("projected", 0) == in_window
     assert counts["quarantine:out_of_window"] == df.count() - in_window
+
+
+def test_null_inputs_quarantined_not_dropped(spark):
+    """ADVICE r11: a NULL wkid/lon/lat row must land in an explicit
+    quarantine status, not vanish — the r11 union-of-filtered-legs
+    spelling dropped such rows silently (a NULL predicate fails both a
+    filter and its negation). Every input row accounted for."""
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 50.0, 3857),     # projected
+            (2, None, 50.0, 3857),     # null lon
+            (3, 10.0, None, 3857),     # null lat
+            (4, 10.0, 50.0, None),     # null wkid
+            (5, None, None, None),     # all null
+        ],
+        "id bigint, lon double, lat double, wkid bigint",
+    )
+    out = etl.reproject_by_wkid(df, [3857]).collect()
+    assert len(out) == 5
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["status"] == "projected"
+    for i in (2, 3, 4, 5):
+        assert by_id[i]["status"] == "quarantine:null_input", by_id[i]
+        assert by_id[i]["easting"] is None and by_id[i]["northing"] is None
+
+
+def test_dispatch_plans_one_scan(spark):
+    """VERDICT r11 finding #3: the r11 dispatch unioned 15 filtered
+    legs = 15 physical scans of the base at 7 CRSes. The r12 CASE-
+    routed projection must plan exactly ONE scan of the source."""
+    from etl_arcgis_spark import registry
+
+    df = registry.all_queries()["geo_reproject_dispatch"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = p.count("Scan parquet") + p.count("Scan ExistingRDD") + p.count(
+        "Scan In-memory"
+    )
+    assert n_scans == 1, f"expected 1 scan, plan has {n_scans}:\n{p[:2000]}"
+    assert "Exchange" not in p  # map-only: no shuffle anywhere
