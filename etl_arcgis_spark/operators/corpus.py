@@ -563,9 +563,11 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure INTEGER threshold arithmetic (rk*10 <= n*8 — no float
     proportions, no per-engine rounding). Unlike the hash-threshold
     split (dedup_cross_split_leakage's splits CTE), the counts are
-    EXACTLY proportional per stratum — the contract a training
-    pipeline needs when a small stratum must still yield a non-empty
-    validation slice. Output: per-cell doc/token counts + an id
+    EXACTLY the floor quotas per stratum (train floor(0.8n), val
+    floor(0.9n)-floor(0.8n), test the remainder) — deterministic and
+    engine-exact, though a stratum below n=10 can legitimately get an
+    EMPTY val cell (floor(0.9n) == floor(0.8n) for n < 10; use
+    ceiling quotas if non-empty slices are required). Output: per-cell doc/token counts + an id
     checksum pinning the exact membership.
 
     Scale: one per-stratum window rank (partitioned — never global),

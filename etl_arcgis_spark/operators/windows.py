@@ -903,10 +903,7 @@ def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
         f"{2 ** n} * (CAST(floor(a / {2 ** n}) AS BIGINT)"
         " + (CASE WHEN " + " OR ".join(accept_conds) + " THEN 1 ELSE 0 END))"
     )
-    expr = (
-        "(" + " + ".join(mask_terms + [count_term]) + ")"
-        .replace("d =", f"{dec_d} =")
-    )
+    expr = "(" + " + ".join(mask_terms + [count_term]) + ")"
     # substitute the decoders for the bare d/l placeholders
     expr = expr.replace("d = ", f"{dec_d} = ").replace(
         "l >= ", f"{dec_l} >= "
