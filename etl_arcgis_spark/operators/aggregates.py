@@ -4032,3 +4032,134 @@ def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ka_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
         ("documents",),
     )
+
+
+# r12 C11 exact twin (VERDICT r11 "next" #4): the builtin
+# approx_count_distinct row was weak-only because HLL++ internals are
+# engine-specific. This GROUPED deterministic HLL gives the C11 row a
+# bit-exact driver-green query: same md5 register construction as C213
+# (bucket = 8 hash bits, rho = leading zeros of the next 48 + 1), but
+# per group — the mergeable per-group distinct-estimate shape C11's
+# weak query actually demonstrates (dashboards: distinct customers per
+# order status). One dialect-parameterized SQL runs on BOTH engines.
+
+
+def _hll_grouped_sql(engine: str) -> str:
+    shift = (
+        "shiftleft(CAST(1 AS BIGINT), 49 - rho)"
+        if engine == "spark"
+        else "(CAST(1 AS BIGINT) << (49 - rho))"
+    )
+    m = _HLL_M
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderstatus AS g, o_custkey AS k FROM orders
+), reg AS (
+  SELECT g, {_hll_bucket(engine)} AS bucket, max({_hll_rho(engine)}) AS rho
+  FROM keys GROUP BY g, {_hll_bucket(engine)}
+), s AS (
+  SELECT g, CAST(sum({shift}) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS nonzero
+  FROM reg GROUP BY g
+), e AS (
+  SELECT g, nonzero,
+         CAST({_HLL_ALPHA * _HLL_M * _HLL_M!r} AS DOUBLE)
+         / ((CAST(num AS DOUBLE) + ({m} - nonzero)
+             * CAST(562949953421312 AS DOUBLE)) / {2.0 ** 49!r}) AS raw
+  FROM s
+), est AS (
+  SELECT g,
+         CASE WHEN raw <= 2.5 * {m} AND nonzero < {m}
+              THEN {float(m)!r} * ln({float(m)!r}
+                   / CAST({m} - nonzero AS DOUBLE))
+              ELSE raw END AS est
+  FROM e
+), truth AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS true_distinct FROM keys GROUP BY g
+)
+SELECT truth.g AS order_status, truth.true_distinct,
+       round(est.est, 4) AS hll_estimate,
+       round(abs(est.est - truth.true_distinct) / truth.true_distinct, 4)
+         AS rel_error
+FROM truth JOIN est ON est.g = truth.g
+"""
+
+
+@query("agg_approx_distinct_grouped_hll", oracle=_hll_grouped_sql("duck"))
+def agg_approx_distinct_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 exact twin: per-group (order status) distinct-customer
+    estimate from a deterministic 256-register HLL — the C213 register
+    machinery lifted to GROUPED form, which is what C11's weak builtin
+    (approx_count_distinct) is for. Register construction is md5-based
+    and bit-identical cross-engine; the harmonic numerator sums
+    2^(49-rho) as exact BIGINTs; one division + one ln per group.
+
+    Scale: groupBy(g, bucket).max(rho) is a (groups x 256)-row
+    MERGEABLE partial aggregate — registers union across partitions /
+    streams / days by element-wise max, never reshuffling raw keys.
+    The true distinct rides along as the error baseline only."""
+    return sql_over(spark, sf_dir, _hll_grouped_sql("spark"), ("orders",))
+
+
+# r12 C99 exact twin (VERDICT r11 "next" #4): the Greenwald-Khanna
+# approx_percentile row was weak-only because GK results depend on
+# partial-merge order. This equi-width HISTOGRAM sketch percentile is
+# the deterministic counterpart: fixed $163.84 buckets over exact
+# cents, nearest-rank selection on the bucket CDF, midpoint estimate —
+# every number an exact integer until the single /100 division, so the
+# full oracle applies. Value error is bounded by half a bucket width
+# by construction (asserted against the exact percentile in tests).
+
+_HIST_W = 16384  # bucket width in cents (2^14)
+
+
+def _hist_pct_sql(engine: str) -> str:
+    idiv = "div" if engine == "spark" else "//"
+
+    def k(q: int) -> str:  # nearest-rank index: ceil(tot * q / 100)
+        return f"((tot * {q} + 99) {idiv} 100)"
+
+    def pick(q: int) -> str:
+        return f"min(CASE WHEN cn >= {k(q)} THEN bucket END)"
+
+    def val(col: str) -> str:
+        return f"round((CAST({col} AS DOUBLE) * {_HIST_W} + {_HIST_W / 2!r}) / 100.0, 4)"
+
+    return f"""
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT g, cents {idiv} {_HIST_W} AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY g, cents {idiv} {_HIST_W}
+), cum AS (
+  SELECT g, bucket, n,
+         sum(n) OVER (PARTITION BY g ORDER BY bucket) AS cn,
+         sum(n) OVER (PARTITION BY g) AS tot
+  FROM b
+), sel AS (
+  SELECT g, max(tot) AS n,
+         {pick(25)} AS b25, {pick(50)} AS b50, {pick(75)} AS b75
+  FROM cum GROUP BY g
+)
+SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+       {val("b25")} AS p25, {val("b50")} AS p50, {val("b75")} AS p75
+FROM sel
+"""
+
+
+@query("agg_approx_percentile_bucketed", oracle=_hist_pct_sql("duck"))
+def agg_approx_percentile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99 exact twin: per-priority p25/p50/p75 from an equi-width
+    histogram sketch — fixed integer-cent buckets (2^14 cents), a
+    per-group bucket-count aggregate, nearest-rank on the cumulative
+    counts, midpoint value. Unlike the GK sketch (weak by design),
+    every step is exact-integer and order-free, so the estimate is
+    bit-identical cross-engine; the value error bound is W/2 = $81.92.
+
+    Scale: the histogram IS a mergeable quantile sketch — bounded
+    state (value_range / W buckets per group), map-side combinable,
+    union across partitions by bucket-count addition; the CDF walk
+    touches only the bounded bucket list, never the raw rows."""
+    return sql_over(spark, sf_dir, _hist_pct_sql("spark"), ("orders",))
