@@ -4065,7 +4065,7 @@ WITH keys AS (
   SELECT g, nonzero,
          CAST({_HLL_ALPHA * _HLL_M * _HLL_M!r} AS DOUBLE)
          / ((CAST(num AS DOUBLE) + ({m} - nonzero)
-             * CAST(562949953421312 AS DOUBLE)) / {2.0 ** 49!r}) AS raw
+             * CAST(562949953421312 AS DOUBLE)) / CAST(562949953421312 AS DOUBLE)) AS raw
   FROM s
 ), est AS (
   SELECT g,
@@ -4123,7 +4123,10 @@ def _hist_pct_sql(engine: str) -> str:
         return f"min(CASE WHEN cn >= {k(q)} THEN bucket END)"
 
     def val(col: str) -> str:
-        return f"round((CAST({col} AS DOUBLE) * {_HIST_W} + {_HIST_W / 2!r}) / 100.0, 4)"
+        return (
+            f"round((CAST({col} AS DOUBLE) * {_HIST_W} + {_HIST_W / 2!r})"
+            " / CAST(100 AS DOUBLE), 4)"
+        )
 
     return f"""
 WITH c AS (

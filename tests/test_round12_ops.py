@@ -103,3 +103,68 @@ def test_bucketed_percentile_within_half_bucket_of_exact(spark):
             # the nearest-rank element — recompute it exactly
             b = cents[max(0, (n * q + 99) // 100 - 1)] // _HIST_W
             assert abs(est - (b * _HIST_W + _HIST_W / 2) / 100.0) < 1e-6
+
+
+def test_mmr_exact_matches_python_greedy_twin(spark):
+    """C87 twin: recompute the quantized pool, pairwise sims, and the
+    greedy selection in numpy/python and compare the full (rank,
+    vec_id, rel_q, score_q) tuple set."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.similarity import sim_mmr_rerank_exact
+
+    rows = table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    q = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+         for r in rows}
+    n2 = {k: int((v * v).sum()) for k, v in q.items()}
+
+    def cosq(a, b):
+        dot = int((q[a] * q[b]).sum())
+        return int(math.copysign(
+            math.floor(abs(dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])) * 1e6) + 0.5),
+            dot,
+        ))
+
+    rel = {k: cosq(0, k) for k in q if k != 0}
+    pool = sorted(rel, key=lambda k: (-rel[k], k))[:20]
+    chosen, expect = [], []
+    for rank in range(1, 6):
+        best = None
+        for vid in pool:
+            if vid in chosen:
+                continue
+            ms = max((cosq(vid, s) for s in chosen), default=None)
+            score = rel[vid] if ms is None else rel[vid] - ms
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel[vid], score)
+        expect.append((rank, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    got = sorted(tuple(r) for r in sim_mmr_rerank_exact(spark, SF).collect())
+    assert got == sorted(expect)
+
+
+def test_pca_power_exact_matches_numpy_eigensolver(spark):
+    """C114 twin: the quantized power iteration must agree with
+    numpy's exact eigensolver on the SAME integer Gram matrix — the
+    dominant eigenvector direction to ~1e-4 (the e6 grid) and the
+    Rayleigh eigenvalue to the integer grid."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.similarity import sim_pca_power_exact
+
+    rows = table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000)
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    lead = evecs[:, -1]
+    got = {r["component_dim"]: (r["loading_q"], r["eigenvalue_q"])
+           for r in sim_pca_power_exact(spark, SF).collect()}
+    v = np.array([got[i][0] for i in range(len(lead))], dtype=np.float64)
+    v /= np.linalg.norm(v)
+    align = abs(float(v @ lead))  # sign is arbitrary in eigh
+    assert align > 0.99999, align
+    eig_q = got[0][1]
+    assert abs(eig_q - evals[-1] / 1e6) < max(2.0, abs(evals[-1]) * 1e-6 / 1e6), (
+        eig_q, evals[-1] / 1e6,
+    )

@@ -199,10 +199,17 @@ def chk_recall_curve(rows, ctx):
             p.append("caught > pairs")
         if r["n_pairs"] > 0 and abs(r["recall"] - r["n_caught"] / r["n_pairs"]) > 1e-3:
             p.append("recall != caught/pairs")
-    rs = [r["recall"] for r in _sorted_by(rows, "bucket")]
+    # monotonicity only between buckets with enough pairs to estimate
+    # recall at all: a 2-pair bucket legitimately reads 0.5 (sf1 showed
+    # [.., 0.5(n=2), 0.27(n=11), ..] mid-curve)
+    seq = [r for r in _sorted_by(rows, "bucket") if r["n_pairs"] >= 20]
+    rs = [r["recall"] for r in seq]
     if any(rs[i] > rs[i + 1] + 0.15 for i in range(len(rs) - 1)):
         p.append(f"recall S-curve not ~monotone in jaccard bucket: {rs}")
-    return p, f"{len(rows)} buckets, recall consistent + ~monotone"
+    return p, (
+        f"{len(rows)} buckets, recall consistent; ~monotone over "
+        f"{len(seq)} populated buckets"
+    )
 
 
 def chk_simhash(rows, ctx):
@@ -622,9 +629,28 @@ CHECKS = {
 }
 
 
+# Names whose ENGINE side is quadratic in OUTPUT at sf1 by fixture
+# construction (BASELINE.md r10: the deliberately degenerate 31-word
+# corpus makes simhash/prefix/jaccard pair sets approach all-pairs at
+# 50k docs, and the fixed 500 km threshold returns 57.7M rows at 10x
+# point density). The OPERATORS are band-/grid-bounded; the OUTPUT
+# explodes. Their invariants run at sf0.1 via --sf instead.
+SF1_OUTPUT_EXPLOSION = {
+    "dedup_simhash_hamming_pairs",
+    "dedup_prefix_filter_join",
+    "dedup_cross_split_leakage",
+    "minhash_lsh_dedup",
+    "join_geodesic_distance",
+    "join_spatial_grid_distance",
+    "dedup_minhash_banding_exact",
+    "dedup_minhash_recall_curve",
+}
+
+
 def main() -> int:
     sf_dir = "/root/repo/testdata_sf1"
     names = list(CHECKS)
+    skip_explosion = True
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -632,12 +658,19 @@ def main() -> int:
             sf_dir = args.pop(0)
         elif a == "--names":
             names = args.pop(0).split(",")
+            skip_explosion = False
+        elif a == "--all":
+            skip_explosion = False
     registry.load_all()
     qs = registry.all_queries()
     spark = get_session("sf1_invariants")
     ctx = {"spark": spark, "sf_dir": sf_dir, "results": {}}
     n_ok = n_fail = n_err = 0
     for name in names:
+        if skip_explosion and "testdata_sf1" in sf_dir and name in SF1_OUTPUT_EXPLOSION:
+            print(f"SKIP {name}: sf1 output explosion by fixture design "
+                  "(run at sf0.1 / --all to force)")
+            continue
         fn = qs.get(name)
         chk = CHECKS.get(name)
         if fn is None or chk is None:
