@@ -4166,3 +4166,166 @@ def agg_approx_percentile_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     union across partitions by bucket-count addition; the CDF walk
     touches only the bounded bucket list, never the raw rows."""
     return sql_over(spark, sf_dir, _hist_pct_sql("spark"), ("orders",))
+
+
+# r12 C236: Bradley-Terry preference aggregation (VERDICT r11 "next"
+# #7 — the natural C235 sibling: RLHF label pipelines aggregate
+# pairwise comparisons into item strengths). Comparisons are
+# synthesized deterministically from the order graph: every lineitem
+# is a customer-nation vs supplier-nation matchup whose winner is an
+# exact modular-arithmetic draw with PLANTED strengths — nation i
+# beats nation j with probability (j+1)/(i+j+2), so lower nationkey =
+# stronger, ground truth the twin test pins. The MM fit (Hunter 2004)
+# runs on the e6 integer grid: every per-pair term is ONE IEEE
+# div+round of exact integers, every sum an exact BIGINT — the whole
+# trajectory is bit-identical cross-engine, like C114's power method.
+
+_BT_ITERS = 120  # MM linear rate on the fixtures: converged on the e6 grid by ~100 rounds
+_BT_SCALE = 1_000_000
+
+
+def _bt_pairs_sql() -> str:
+    """Engine-neutral comparisons + directed win counts: w(i over j)
+    summed over both matchup orientations, exact BIGINTs."""
+    return """
+comp AS (
+  SELECT c.c_nationkey AS na, s.s_nationkey AS nb,
+         CASE WHEN ((l.l_orderkey * 7 + l.l_suppkey * 13 + l.l_linenumber)
+                    % (c.c_nationkey + s.s_nationkey + 2)) <= s.s_nationkey
+              THEN 1 ELSE 0 END AS a_wins
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+wd AS (
+  SELECT i, j, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT na AS i, nb AS j, sum(a_wins) AS w FROM comp GROUP BY na, nb
+    UNION ALL
+    SELECT nb AS i, na AS j, count(*) - sum(a_wins) AS w
+    FROM comp GROUP BY nb, na
+  ) u GROUP BY i, j
+),
+nij AS (
+  SELECT a.i, a.j, CAST(a.w + b.w AS BIGINT) AS n
+  FROM wd a JOIN wd b ON b.i = a.j AND b.j = a.i
+),
+wtot AS (
+  SELECT i AS k, CAST(sum(w) AS BIGINT) AS wins FROM wd GROUP BY i
+)"""
+
+
+def _bt_oracle() -> str:
+    """Unrolled MM iterations, MATERIALIZED (it{t} is referenced twice
+    per round — inlining re-expands exponentially)."""
+    parts = ["WITH " + _bt_pairs_sql().lstrip()
+             .replace("comp AS (", "comp AS MATERIALIZED (", 1)
+             .replace("wd AS (", "wd AS MATERIALIZED (", 1)
+             .replace("nij AS (", "nij AS MATERIALIZED (", 1)
+             .replace("wtot AS (", "wtot AS MATERIALIZED (", 1)]
+    parts.append(f""",
+it0 AS MATERIALIZED (SELECT k, CAST({_BT_SCALE} AS BIGINT) AS vq FROM wtot)""")
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT nij.i,
+         CAST(sum(CAST(round(CAST(nij.n AS DOUBLE) * 1000000000000
+                             / CAST(pi.vq + pj.vq AS DOUBLE), 0)
+                       AS BIGINT)) AS BIGINT) AS d
+  FROM nij
+  JOIN it{t - 1} pi ON pi.k = nij.i
+  JOIN it{t - 1} pj ON pj.k = nij.j
+  GROUP BY nij.i
+),
+praw{t} AS MATERIALIZED (
+  SELECT w.k, CAST(round(CAST(w.wins AS DOUBLE) * 1000000000000
+                         / CAST(d.d AS DOUBLE), 0) AS BIGINT) AS vq
+  FROM wtot w JOIN d{t} d ON d.i = w.k
+),
+s{t} AS MATERIALIZED (
+  SELECT CAST(sum(vq) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM praw{t}
+),
+it{t} AS MATERIALIZED (
+  SELECT p.k, CAST(round(CAST(p.vq AS DOUBLE) * CAST(s{t}.n AS DOUBLE)
+                         * {_BT_SCALE} / CAST(s{t}.s AS DOUBLE), 0)
+              AS BIGINT) AS vq
+  FROM praw{t} p, s{t}
+)"""
+        )
+    parts.append(f"""
+SELECT w.k AS nationkey, w.wins, it.vq AS strength_q,
+       CAST(row_number() OVER (ORDER BY it.vq DESC, w.k) AS BIGINT) AS rank
+FROM wtot w JOIN it{_BT_ITERS} it ON it.k = w.k
+""")
+    return "".join(parts)
+
+
+@query("stats_bradley_terry", oracle=_bt_oracle())
+def stats_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C236: Bradley-Terry strength fit over pairwise preference
+    comparisons — the multi-item generalization beside Cohen's kappa
+    (C202) and Krippendorff's alpha (C235) in the annotation-pipeline
+    tier: RLHF label pipelines aggregate 'A beats B' judgments into
+    item strengths exactly like this. Deterministic planted matchups
+    (nation i beats j w.p. (j+1)/(i+j+2)); MM algorithm (Hunter 2004)
+    pi_i <- W_i / sum_j n_ij/(pi_i+pi_j), 30 rounds on the e6 integer
+    grid with sum normalization — every per-pair term one IEEE
+    div+round over exact BIGINTs, so the full oracle applies.
+
+    Scale: the data-sized pass is the comparison aggregation (one join
+    chain + groupBy to <=600 directed pair counts); the MM rounds
+    touch only the bounded item table, so they run driver-side over
+    the collected integers (the oracle unrolls them as MATERIALIZED
+    CTEs — inlining re-expands the twice-referenced iterate)."""
+    import math
+
+    from ..tables import sql_over
+
+    base = sql_over(
+        spark,
+        sf_dir,
+        "WITH " + _bt_pairs_sql().lstrip()
+        + """
+SELECT 'n' AS kind, i, j, n AS v FROM nij
+UNION ALL
+SELECT 'w' AS kind, k AS i, CAST(-1 AS BIGINT) AS j, wins AS v FROM wtot
+""",
+        ("lineitem", "orders", "customer", "supplier"),
+    ).collect()
+    nij: dict = {}
+    wins: dict = {}
+    for r in base:
+        if r["kind"] == "n":
+            nij[(r["i"], r["j"])] = r["v"]
+        else:
+            wins[r["i"]] = r["v"]
+    items = sorted(wins)
+
+    def _rnd(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    vq = {k: _BT_SCALE for k in items}
+    for _ in range(_BT_ITERS):
+        d = {
+            i: sum(
+                _rnd(float(nij[(i, j)]) * 1e12 / float(vq[i] + vq[j]))
+                for j in items
+                if (i, j) in nij
+            )
+            for i in items
+        }
+        praw = {i: _rnd(float(wins[i]) * 1e12 / float(d[i])) for i in items}
+        s = sum(praw.values())
+        n = len(items)
+        vq = {
+            i: _rnd(float(praw[i]) * float(n) * _BT_SCALE / float(s))
+            for i in items
+        }
+    ranked = sorted(items, key=lambda k: (-vq[k], k))
+    rank = {k: r + 1 for r, k in enumerate(ranked)}
+    return spark.createDataFrame(
+        [(k, wins[k], vq[k], rank[k]) for k in items],
+        "nationkey bigint, wins bigint, strength_q bigint, rank bigint",
+    )

@@ -168,3 +168,111 @@ def test_pca_power_exact_matches_numpy_eigensolver(spark):
     assert abs(eig_q - evals[-1] / 1e6) < max(2.0, abs(evals[-1]) * 1e-6 / 1e6), (
         eig_q, evals[-1] / 1e6,
     )
+
+
+def test_bpe_apply_matches_python_twin(spark):
+    """C212-APPLY twin: train the top-10 distinct-pair merge table and
+    apply it greedily left-to-right in pure python; compare per-source
+    token accounting exactly."""
+    from collections import Counter
+
+    from etl_arcgis_spark.operators.text import _BPE_APPLY_MERGES, text_bpe_apply
+
+    docs = table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    src = {r["doc_id"]: r["source"] for r in docs}
+    pair_counts: Counter = Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                pair_counts[(a, b)] += 1
+    merges = sorted(pair_counts, key=lambda p: (-pair_counts[p], p))[:_BPE_APPLY_MERGES]
+
+    def apply_merge(t, a, b):
+        out, i = [], 0
+        while i < len(t):
+            if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                out.append(a + "_" + b)
+                i += 2
+            else:
+                out.append(t[i])
+                i += 1
+        return out
+
+    after = {}
+    for d, t in toks.items():
+        for a, b in merges:
+            t = apply_merge(t, a, b)
+        after[d] = t
+    expect: dict = {}
+    for d in toks:
+        s_ = src[d]
+        nb, na = len(toks[d]), len(after[d])
+        e = expect.setdefault(s_, [0, 0, 0])
+        e[0] += 1
+        e[1] += nb
+        e[2] += na
+    got = {r["source"]: r for r in text_bpe_apply(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for s_, (nd, nb, na) in expect.items():
+        g = got[s_]
+        assert (g["n_docs"], g["tok_before"], g["tok_after"]) == (nd, nb, na), s_
+        assert g["merges_applied"] == nb - na
+        assert abs(g["compression"] - round(nb / na, 4)) < 1e-9
+
+
+def test_bradley_terry_recovers_planted_strengths(spark):
+    """C236 twin: the planted matchup law says nation i beats j w.p.
+    (j+1)/(i+j+2) — lower nationkey is strictly stronger. The MM fit
+    must (a) reproduce an independent float MM fit of the same exact
+    win counts to the integer grid's resolution and (b) rank the
+    nations in near-planted order."""
+    from etl_arcgis_spark.operators.aggregates import stats_bradley_terry
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey", "l_linenumber")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    s_ = table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s_, li.l_suppkey == s_.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "c_nationkey", "s_nationkey")
+        .collect()
+    )
+    wd: dict = {}
+    for r in rows:
+        na, nb = r["c_nationkey"], r["s_nationkey"]
+        if na == nb:
+            continue
+        a_wins = ((r["l_orderkey"] * 7 + r["l_suppkey"] * 13 + r["l_linenumber"])
+                  % (na + nb + 2)) <= nb
+        w, l_ = (na, nb) if a_wins else (nb, na)
+        wd[(w, l_)] = wd.get((w, l_), 0) + 1
+    items = sorted({k for p in wd for k in p})
+    wins = {i: sum(w for (a, _), w in wd.items() if a == i) for i in items}
+    nij = {(i, j): wd.get((i, j), 0) + wd.get((j, i), 0)
+           for i in items for j in items if i != j and (wd.get((i, j), 0) + wd.get((j, i), 0)) > 0}
+    # independent float MM fit, 500 rounds
+    pi = {i: 1.0 for i in items}
+    for _ in range(500):
+        d = {i: sum(nij[(i, j)] / (pi[i] + pi[j]) for j in items if (i, j) in nij)
+             for i in items}
+        pi = {i: wins[i] / d[i] for i in items}
+        m = sum(pi.values()) / len(items)
+        pi = {i: v / m for i, v in pi.items()}
+    got = {r["nationkey"]: r for r in stats_bradley_terry(spark, SF).collect()}
+    assert set(got) == set(items)
+    for i in items:
+        assert got[i]["wins"] == wins[i]
+        # integer-grid MM vs float MM: within 1% relative
+        assert abs(got[i]["strength_q"] / 1e6 - pi[i]) <= max(0.01 * pi[i], 0.01), (
+            i, got[i]["strength_q"], pi[i],
+        )
+    # planted order: strength should decrease with nationkey — require
+    # a strongly negative Spearman rank correlation
+    ranks = sorted(items, key=lambda i: -got[i]["strength_q"])
+    n = len(items)
+    d2 = sum((ranks.index(i) - items.index(i)) ** 2 for i in items)
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert rho > 0.8, rho
