@@ -51,6 +51,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--names", default=None,
+                    help="comma-separated subset instead of the first N")
     args = ap.parse_args()
 
     spark = get_session("driver_sim", shuffle_partitions=4)
@@ -59,8 +61,12 @@ def main() -> None:
     oracles = registry.ORACLES
 
     n_ok = n_weak = n_fail = 0
+    subset = set(args.names.split(",")) if args.names else None
     for i, (name, fn) in enumerate(queries.items()):
-        if i >= args.n:
+        if subset is not None:
+            if name not in subset:
+                continue
+        elif i >= args.n:
             break
         try:
             sdf = fn(spark, args.sf).toPandas()

@@ -644,6 +644,12 @@ SF1_OUTPUT_EXPLOSION = {
     "join_spatial_grid_distance",
     "dedup_minhash_banding_exact",
     "dedup_minhash_recall_curve",
+    # intermediate-result explosion (not output): the two-hop pair set
+    # before distinct grows ~degree^2 per customer at sf1's density and
+    # killed the 128 GiB local JVM mid-lap (r12); the fuzzy join's
+    # name-bucket candidate set is the same class (r11 6-min exclusion)
+    "graph_two_hop_reach",
+    "join_fuzzy_levenshtein",
 }
 
 
