@@ -4329,3 +4329,77 @@ SELECT 'w' AS kind, k AS i, CAST(-1 AS BIGINT) AS j, wins AS v FROM wtot
         [(k, wins[k], vq[k], rank[k]) for k in items],
         "nationkey bigint, wins bigint, strength_q bigint, rank bigint",
     )
+
+
+# r12 C237: Fleiss' kappa (nominal, m=3 raters) — completes the
+# agreement family: Cohen's kappa (C202, two raters), Krippendorff's
+# alpha (C235, coincidence-matrix), Fleiss (fixed rater count per
+# unit, chance corrected by the marginal category distribution).
+# Same deterministic planted annotators as C235, so the two
+# statistics are directly comparable on the same data. With m=3:
+#   P_bar  = A / (6N),  A = sum_u (sum_c m_uc^2 - 3)   (exact BIGINT)
+#   P_e    = B / (9N^2), B = sum_c n_c^2               (exact BIGINT)
+#   kappa  = (3*A*N - 2*B) / (18*N^2 - 2*B)            (ONE division)
+# Every intermediate is an exact integer; bit-identical at any SF.
+
+
+def _fleiss_sql(strpos: str, substr: str) -> str:
+    base = _KA_BASE.replace("strpos", strpos).replace("substr", substr)
+    shift = _KA_SHIFT.format(base=base)
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         {base} AS r1,
+         CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS r2,
+         CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END AS r3
+  FROM documents
+), votes AS (
+  SELECT doc_id, r1 AS lbl FROM lab
+  UNION ALL SELECT doc_id, r2 FROM lab
+  UNION ALL SELECT doc_id, r3 FROM lab
+), mu AS (
+  SELECT doc_id, lbl, CAST(count(*) AS BIGINT) AS m FROM votes
+  GROUP BY doc_id, lbl
+), per_unit AS (
+  SELECT doc_id, CAST(sum(m * m) - 3 AS BIGINT) AS s2 FROM mu GROUP BY doc_id
+), a AS (
+  SELECT CAST(sum(s2) AS BIGINT) AS a_num,
+         CAST(count(*) AS BIGINT) AS n_units
+  FROM per_unit
+), tot AS (
+  SELECT lbl, CAST(sum(m) AS BIGINT) AS n_c FROM mu GROUP BY lbl
+), b AS (
+  SELECT CAST(sum(n_c * n_c) AS BIGINT) AS b_num,
+         CAST(count(*) AS BIGINT) AS n_labels
+  FROM tot
+)
+SELECT a.n_units, b.n_labels,
+       a.a_num, b.b_num,
+       round(CAST(3 * a.a_num * a.n_units - 2 * b.b_num AS DOUBLE)
+             / CAST(18 * a.n_units * a.n_units - 2 * b.b_num AS DOUBLE), 6)
+         AS fleiss_kappa
+FROM a, b
+"""
+
+
+@query("stats_fleiss_kappa", oracle=_fleiss_sql("strpos", "substr"))
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C237: Fleiss' kappa (Fleiss 1971) over the same planted
+    three-annotator labels as Krippendorff's alpha (C235) — the
+    fixed-rater-count agreement gate an annotation pipeline runs when
+    every unit gets exactly m judgments. All integer moments (per-unit
+    sum of squared category counts, squared category marginals) fold
+    into ONE IEEE division: kappa = (3AN - 2B)/(18N^2 - 2B) —
+    bit-identical cross-engine at any SF.
+
+    Scale: one 3x vote-explode (map-only), one (unit,label) aggregate,
+    one label-bounded aggregate — identical plan shape to C235, no
+    rater-pair joins, no windows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _fleiss_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )

@@ -276,3 +276,37 @@ def test_bradley_terry_recovers_planted_strengths(spark):
     d2 = sum((ranks.index(i) - items.index(i)) ** 2 for i in items)
     rho = 1 - 6 * d2 / (n * (n * n - 1))
     assert rho > 0.8, rho
+
+
+def test_fleiss_kappa_matches_python_twin(spark):
+    """C237 twin: exact-integer Fleiss computation in pure python on
+    the same planted annotators; also pins the relationship to the
+    planted disagreement (substantial but imperfect agreement)."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_fleiss_kappa
+
+    docs = table(spark, SF, "documents").select("doc_id").collect()
+
+    def base(did: int) -> str:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "abc"["0123456789abcdef".index(h[0]) % 3]
+
+    shift = {"a": "b", "b": "c", "c": "a"}
+    A = 0
+    n_c: collections.Counter = collections.Counter()
+    N = 0
+    for r in docs:
+        did = r["doc_id"]
+        b = base(did)
+        labels = (b, shift[b] if did % 5 == 0 else b, shift[b] if did % 7 == 0 else b)
+        mc = collections.Counter(labels)
+        A += sum(m * m for m in mc.values()) - 3
+        n_c.update(mc)
+        N += 1
+    B = sum(v * v for v in n_c.values())
+    kappa = (3 * A * N - 2 * B) / (18 * N * N - 2 * B)
+    got = stats_fleiss_kappa(spark, SF).collect()[0]
+    assert got["n_units"] == N and got["a_num"] == A and got["b_num"] == B
+    assert abs(got["fleiss_kappa"] - round(kappa, 6)) < 1e-12
+    assert 0.3 < got["fleiss_kappa"] < 0.95
