@@ -879,13 +879,46 @@ def _rlx_cond(cls, lo, hi, d="d", l="l") -> str:  # noqa: E741
     return f"({dc} AND {lc})" if lc else f"({dc})"
 
 
-def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
+def compile_runlength_alternation(patterns: list[str]):
+    """NFA union of several run-patterns (r12 — the PERMUTE expansion
+    path): per-pattern state blocks share the always-active start;
+    accepts union. MATCH_RECOGNIZE's PERMUTE(t1..tk) is exactly the
+    alternation of the k! orderings, so PERMUTE compiles through here."""
+    transitions: list = []
+    accepts: list = []
+    n = 0
+    for p in patterns:
+        tr, ac, k = compile_runlength_regex(p)
+        transitions += [
+            (s if s == -1 else s + n, cls, lo, hi, d + n)
+            for (s, cls, lo, hi, d) in tr
+        ]
+        accepts += [a + n for a in ac]
+        n += k
+    return transitions, accepts, n
+
+
+def permute_patterns(terms: list[str]) -> list[str]:
+    """PERMUTE(t1, ..., tk) -> the k! sequence orderings."""
+    from itertools import permutations
+
+    return [" ".join(p) for p in permutations(terms)]
+
+
+def nfa_step_sql(nfa, skip_past: bool = False) -> tuple[str, int]:
     """The compiled NFA step as ONE engine-neutral SQL expression over
     (a, r): a = state bitmask + (match_count << n_states), r = encoded
     run (dircode * 2^20 + capped len). IDENTICAL text runs as the
     lambda body of Spark aggregate() and DuckDB list_reduce — every op
-    is exact BIGINT arithmetic. Returns (expr, n_states)."""
-    transitions, accepts, n = compile_runlength_regex(pattern)
+    is exact BIGINT arithmetic. Returns (expr, n_states).
+
+    skip_past=True compiles AFTER MATCH SKIP PAST LAST ROW counting
+    (r12): when any accept fires at this run, the new mask is ZERO —
+    every in-flight partial match is consumed, matching restarts at
+    the next run — so the count is the earliest-end NON-OVERLAPPING
+    match count. The default is SKIP TO NEXT ROW counting (all match
+    ends, overlaps allowed)."""
+    transitions, accepts, n = nfa
     dec_d = f"CAST(floor(r / {_RLX_LEN_BASE}) AS BIGINT)"
     dec_l = f"(r % {_RLX_LEN_BASE})"
     by_dst: dict[int, list[str]] = {}
@@ -899,11 +932,18 @@ def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
         for j, conds in sorted(by_dst.items())
     ]
     accept_conds = [c for j in accepts for c in by_dst.get(j, [])]
-    count_term = (
-        f"{2 ** n} * (CAST(floor(a / {2 ** n}) AS BIGINT)"
-        " + (CASE WHEN " + " OR ".join(accept_conds) + " THEN 1 ELSE 0 END))"
+    accept_flag = (
+        "(CASE WHEN " + " OR ".join(accept_conds) + " THEN 1 ELSE 0 END)"
     )
-    expr = "(" + " + ".join(mask_terms + [count_term]) + ")"
+    old_count = f"CAST(floor(a / {2 ** n}) AS BIGINT)"
+    if skip_past:
+        expr = (
+            f"(({' + '.join(mask_terms)}) * (1 - {accept_flag})"
+            f" + {2 ** n} * ({old_count} + {accept_flag}))"
+        )
+    else:
+        count_term = f"{2 ** n} * ({old_count} + {accept_flag})"
+        expr = "(" + " + ".join(mask_terms + [count_term]) + ")"
     # substitute the decoders for the bare d/l placeholders
     expr = expr.replace("d = ", f"{dec_d} = ").replace(
         "l >= ", f"{dec_l} >= "
@@ -911,10 +951,18 @@ def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
     return expr, n
 
 
-def simulate_runlength_regex(pattern: str, runs) -> int:
+def runlength_regex_step_sql(pattern: str) -> tuple[str, int]:
+    """Single-pattern, SKIP TO NEXT ROW counting (the C230 surface)."""
+    return nfa_step_sql(compile_runlength_regex(pattern))
+
+
+def simulate_runlength_nfa(nfa, runs, skip_past: bool = False) -> int:
     """Python twin of the SQL fold (for property tests): runs is a
-    sequence of (dir_symbol, length); returns the match-END count."""
-    transitions, accepts, n = compile_runlength_regex(pattern)
+    sequence of (dir_symbol, length); returns the match-END count —
+    overlapping (SKIP TO NEXT ROW) or, with skip_past, non-overlapping
+    (AFTER MATCH SKIP PAST LAST ROW: accepting a match clears every
+    in-flight state)."""
+    transitions, accepts, n = nfa
     active: set[int] = set()
     count = 0
     for sym, length in runs:
@@ -924,8 +972,15 @@ def simulate_runlength_regex(pattern: str, runs) -> int:
                 nxt.add(dst)
         if nxt & set(accepts):
             count += 1
-        active = nxt
+            active = set() if skip_past else nxt
+        else:
+            active = nxt
     return count
+
+
+def simulate_runlength_regex(pattern: str, runs) -> int:
+    """Single-pattern overlap-counting twin (the C230 surface)."""
+    return simulate_runlength_nfa(compile_runlength_regex(pattern), runs)
 
 
 # The registered pattern: the "dead-cat bounce" — a decline, a brief
@@ -1014,3 +1069,82 @@ WHERE CAST(floor(acc / {2 ** _RLX_NSTATES}) AS BIGINT) > 0
 """,
         ("events",),
     )
+
+
+# r12: the MATCH_RECOGNIZE long tail (VERDICT r11 "missing" #4) —
+# AFTER MATCH SKIP PAST LAST ROW counting and PERMUTE, both compiled
+# through the same NFA/BIGINT-fold machinery as C230.
+
+_SKIP_STEP, _SKIP_NSTATES = nfa_step_sql(
+    compile_runlength_regex(_RLX_PATTERN), skip_past=True
+)
+_PERM_TERMS = ["D{1,}", "U{1,}", "F{1,}"]
+_PERM_NFA = compile_runlength_alternation(permute_patterns(_PERM_TERMS))
+_PERM_STEP, _PERM_NSTATES = nfa_step_sql(_PERM_NFA)
+
+
+def _rlx_fold_oracle(step: str, nstates: int) -> str:
+    return _RLX_RUNS_SQL + f""", folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(rcode ORDER BY t0, e0)),
+           (a, r) -> {step}
+         ) AS acc
+  FROM runs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(floor(acc / {2 ** nstates}) AS BIGINT) AS n_matches
+FROM folded
+WHERE CAST(floor(acc / {2 ** nstates}) AS BIGINT) > 0
+"""
+
+
+def _rlx_fold_spark(spark: SparkSession, sf_dir: str, step: str, nstates: int) -> DataFrame:
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _RLX_RUNS_SQL.replace("epoch_us(ts)", "unix_micros(ts)")
+        + f""", folded AS (
+  SELECT user_id,
+         aggregate(
+           sort_array(collect_list(struct(t0, e0, rcode))),
+           CAST(0 AS BIGINT),
+           (a, x) -> {step.replace('r %', 'x.rcode %').replace('floor(r /', 'floor(x.rcode /')}
+         ) AS acc
+  FROM runs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(floor(acc / {2 ** nstates}) AS BIGINT) AS n_matches
+FROM folded
+WHERE CAST(floor(acc / {2 ** nstates}) AS BIGINT) > 0
+""",
+        ("events",),
+    )
+
+
+@query("window_match_skip_past", oracle=_rlx_fold_oracle(_SKIP_STEP, _SKIP_NSTATES))
+def window_match_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW (r12, the first
+    of the two C230 long-tail variants): same dead-cat-bounce pattern
+    as window_match_regex, but accepting a match CONSUMES it — the
+    compiled step zeroes the state mask on accept, so the count is the
+    earliest-end NON-OVERLAPPING match count, exactly SQL:2016's
+    default skip mode (the r11 query counts all match ends = SKIP TO
+    NEXT ROW). Property-tested against an independent greedy ``re``
+    scan; same one-BIGINT-fold scale shape as C230."""
+    return _rlx_fold_spark(spark, sf_dir, _SKIP_STEP, _SKIP_NSTATES)
+
+
+@query("window_match_permute", oracle=_rlx_fold_oracle(_PERM_STEP, _PERM_NSTATES))
+def window_match_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE PERMUTE (r12, the second C230 long-tail
+    variant): PERMUTE(D+, U+, F+) — one down-run, one up-run, one
+    flat-run in ANY order — compiled as the alternation of the 3!
+    orderings into one shared-start NFA (18 states + count bits in one
+    BIGINT). A position counts when ANY ordering completes there,
+    which is SQL:2016's one-match-per-row semantics under SKIP TO NEXT
+    ROW. Property-tested against an ``re`` alternation oracle; same
+    fold shape and cost as C230 — PERMUTE only widens the bitmask."""
+    return _rlx_fold_spark(spark, sf_dir, _PERM_STEP, _PERM_NSTATES)
