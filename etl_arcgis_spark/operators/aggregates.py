@@ -4403,3 +4403,75 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fleiss_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
         ("documents",),
     )
+
+
+# r12 C238: position-bias audit for pairwise preference data — the
+# standard sanity gate on an RLHF comparison batch: if which side an
+# item was SHOWN on predicts winning, the labels carry presentation
+# bias. Comparisons reuse the C236 synthesis; the presentation side is
+# an independent deterministic coin (l_orderkey*11 + l_linenumber*3
+# mod 97 < 48 -> customer-nation shown first), and a PLANTED bias is
+# injected on a deterministic slice: in biased draws the first-shown
+# side wins outright. Output: wins by shown-position with the exact
+# binomial z-score against the fair-coin null — all integers until
+# two IEEE ops (sqrt + div).
+
+
+def _posbias_sql() -> str:
+    return """
+WITH comp AS (
+  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_suppkey AS sk,
+         c.c_nationkey AS na, s.s_nationkey AS nb,
+         CASE WHEN ((l.l_orderkey * 11 + l.l_linenumber * 3) % 97) < 48
+              THEN 1 ELSE 0 END AS a_first,
+         CASE WHEN ((l.l_orderkey * 7 + l.l_suppkey * 13 + l.l_linenumber)
+                    % (c.c_nationkey + s.s_nationkey + 2)) <= s.s_nationkey
+              THEN 1 ELSE 0 END AS a_wins_merit
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), lab AS (
+  -- planted bias slice: ~1 in 5 draws are position-followers
+  SELECT a_first,
+         CASE WHEN (ok * 5 + ln) % 5 = 0 THEN a_first ELSE a_wins_merit END
+           AS a_wins
+  FROM comp
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a_wins = a_first THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_shown_wins
+  FROM lab
+)
+SELECT n, first_shown_wins,
+       round(CAST(first_shown_wins AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS p_first_wins,
+       round((CAST(2 * first_shown_wins - n AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE)), 4) AS z_score
+FROM agg
+"""
+
+
+@query("dq_position_bias", oracle=_posbias_sql())
+def dq_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C238: position-bias audit over pairwise preference labels — the
+    governance gate beside the agreement family (C202/C235/C237) and
+    the strength fit (C236): a comparison batch where the SHOWN-FIRST
+    side wins more often than chance carries presentation bias and
+    should not train a reward model. Presentation side is an
+    independent deterministic coin; a planted 20% slice of draws
+    follows position instead of merit, so the expected P(first wins)
+    is ~0.5*0.8 + 1.0*0.2 = 0.6 and the z-score must flag it (the
+    twin test pins the exact planted rate). z = (2W - n)/sqrt(n) is
+    the exact binomial normal approximation against the fair null —
+    integers until one sqrt and one division.
+
+    Scale: one join-chain scan + ONE global integer aggregate — no
+    shuffle beyond the join keys, mergeable partials, no windows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _posbias_sql(),
+        ("lineitem", "orders", "customer", "supplier"),
+    )

@@ -310,3 +310,39 @@ def test_fleiss_kappa_matches_python_twin(spark):
     assert got["n_units"] == N and got["a_num"] == A and got["b_num"] == B
     assert abs(got["fleiss_kappa"] - round(kappa, 6)) < 1e-12
     assert 0.3 < got["fleiss_kappa"] < 0.95
+
+
+def test_position_bias_matches_python_twin(spark):
+    """C238 twin: recompute the comparisons, presentation coin, and
+    planted bias slice in python; pin exact counts and the z-score,
+    and assert the audit FLAGS the planted bias (z >> 2)."""
+    from etl_arcgis_spark.operators.aggregates import dq_position_bias
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey", "l_linenumber")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    s_ = table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s_, li.l_suppkey == s_.s_suppkey)
+        .collect()
+    )
+    n = w = 0
+    for r in rows:
+        na, nb = r["c_nationkey"], r["s_nationkey"]
+        if na == nb:
+            continue
+        ok, ln, sk = r["l_orderkey"], r["l_linenumber"], r["l_suppkey"]
+        a_first = 1 if ((ok * 11 + ln * 3) % 97) < 48 else 0
+        merit = 1 if ((ok * 7 + sk * 13 + ln) % (na + nb + 2)) <= nb else 0
+        a_wins = a_first if (ok * 5 + ln) % 5 == 0 else merit
+        n += 1
+        w += 1 if a_wins == a_first else 0
+    got = dq_position_bias(spark, SF).collect()[0]
+    assert (got["n"], got["first_shown_wins"]) == (n, w)
+    assert abs(got["p_first_wins"] - round(w / n, 6)) < 1e-12
+    assert abs(got["z_score"] - round((2 * w - n) / math.sqrt(n), 4)) < 1e-9
+    # the planted 20% position-follower slice must be FLAGGED
+    assert got["p_first_wins"] > 0.55
+    assert got["z_score"] > 2.0
