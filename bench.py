@@ -84,7 +84,7 @@ BASELINE_SEC = BASELINE_SEC_BY_SF[0.1]
 # this, because per-query ratio tripwires provably miss slow creep:
 # r11's cosine regression was 1.27x per-query (under any sane per-query
 # threshold) but 1.30x on the headline total vs this pin.
-LAST_IDLE_PIN_SEC = 0.9968  # round-10 continuation pin, BASELINE.md
+LAST_IDLE_PIN_SEC = 1.0555  # round-12 idle pin, BASELINE.md
 
 
 def tripwire(
