@@ -4475,3 +4475,419 @@ def dq_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _posbias_sql(),
         ("lineitem", "orders", "customer", "supplier"),
     )
+
+
+# r12 C239: Gwet's AC1 — the prevalence-robust member of the
+# agreement family (C202 Cohen, C235 Krippendorff, C237 Fleiss).
+# Kappa-family statistics collapse when one category dominates (the
+# "kappa paradox"); Gwet 2008's AC1 replaces the chance term with
+# Pe = (1/(K-1)) * sum_c pi_c (1 - pi_c), which stays bounded away
+# from 1 under skewed prevalence. Same planted annotators as C235, so
+# the four coefficients are directly comparable on the same batch.
+# With m = 3 raters and the same exact-integer moments as Fleiss
+# (A = sum_u (sum_c m_uc^2 - 3), B = sum_c n_c^2, N units, K labels):
+#   Pa = A / (6N)
+#   Pe = (9N^2 - B) / ((K-1) * 9N^2)
+#   AC1 = (3AN(K-1) - 2(9N^2 - B)) / (18N^2(K-1) - 2(9N^2 - B))
+# — every intermediate an exact BIGINT, ONE IEEE division.
+
+
+def _gwet_sql(strpos: str, substr: str) -> str:
+    base = _KA_BASE.replace("strpos", strpos).replace("substr", substr)
+    shift = _KA_SHIFT.format(base=base)
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         {base} AS r1,
+         CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS r2,
+         CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END AS r3
+  FROM documents
+), votes AS (
+  SELECT doc_id, r1 AS lbl FROM lab
+  UNION ALL SELECT doc_id, r2 FROM lab
+  UNION ALL SELECT doc_id, r3 FROM lab
+), mu AS (
+  SELECT doc_id, lbl, CAST(count(*) AS BIGINT) AS m FROM votes
+  GROUP BY doc_id, lbl
+), per_unit AS (
+  SELECT doc_id, CAST(sum(m * m) - 3 AS BIGINT) AS s2 FROM mu GROUP BY doc_id
+), a AS (
+  SELECT CAST(sum(s2) AS BIGINT) AS a_num,
+         CAST(count(*) AS BIGINT) AS n_units
+  FROM per_unit
+), tot AS (
+  SELECT lbl, CAST(sum(m) AS BIGINT) AS n_c FROM mu GROUP BY lbl
+), b AS (
+  SELECT CAST(sum(n_c * n_c) AS BIGINT) AS b_num,
+         CAST(count(*) AS BIGINT) AS n_labels
+  FROM tot
+)
+SELECT a.n_units, b.n_labels, a.a_num, b.b_num,
+       round(CAST(3 * a.a_num * a.n_units * (b.n_labels - 1)
+                  - 2 * (9 * a.n_units * a.n_units - b.b_num) AS DOUBLE)
+             / CAST(18 * a.n_units * a.n_units * (b.n_labels - 1)
+                    - 2 * (9 * a.n_units * a.n_units - b.b_num) AS DOUBLE),
+             6) AS gwet_ac1
+FROM a, b
+"""
+
+
+@query("stats_gwet_ac1", oracle=_gwet_sql("strpos", "substr"))
+def stats_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C239: Gwet's AC1 (Gwet 2008) over the same planted
+    three-annotator labels as C235/C237 — the prevalence-robust
+    agreement coefficient an annotation pipeline reports next to
+    kappa, because kappa-family chance correction degenerates when
+    one label dominates a batch (the kappa paradox) while AC1's
+    Pe = (1/(K-1))·Σ π_c(1-π_c) stays bounded. All integer moments
+    (per-unit squared category counts A, squared marginals B) fold
+    into ONE IEEE division — bit-identical cross-engine at any SF.
+
+    Scale: identical plan shape to C235/C237 — one 3x vote-explode
+    (map-only), one (unit,label) aggregate, one label-bounded
+    aggregate; no rater-pair joins, no windows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _gwet_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )
+
+
+# r12 C240: Krippendorff's alpha with the INTERVAL metric — the
+# ordinal/interval companion of the nominal C235. Labels map to the
+# ordinal scale a=1 < b=2 < c=3 and disagreements are weighted by
+# squared distance delta^2 = (v_c - v_k)^2, so an a-vs-c disagreement
+# costs 4x an a-vs-b one. Because every unit holds exactly m=3 votes,
+# the 2x-scaled observed disagreement is a direct per-unit polynomial
+# of the three vote values — no coincidence-matrix join at all:
+#   DO2 = 2 * sum_u [(v1-v2)^2 + (v1-v3)^2 + (v2-v3)^2]
+#   DE  = sum_{c,k} n_c n_k (v_c - v_k)^2      (3x3, bounded)
+#   alpha = 1 - DO2 * (nv - 1) / (2 * DE),  nv = 3N
+# — exact BIGINTs until ONE IEEE division (same shape as C235, whose
+# d^2 = 1 everywhere makes it the unweighted special case).
+
+_KA_VAL = (
+    "((strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3 + 1)"
+)
+
+
+def _ka_interval_sql(strpos: str, substr: str) -> str:
+    base = _KA_VAL.replace("strpos", strpos).replace("substr", substr)
+    shift = f"({base} % 3 + 1)"
+    return f"""
+WITH num AS (
+  SELECT doc_id,
+         CAST({base} AS BIGINT) AS v1,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END
+              AS BIGINT) AS v2,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END
+              AS BIGINT) AS v3
+  FROM documents
+), do2 AS (
+  SELECT CAST(2 * sum((v1 - v2) * (v1 - v2) + (v1 - v3) * (v1 - v3)
+                      + (v2 - v3) * (v2 - v3)) AS BIGINT) AS do2,
+         CAST(count(*) AS BIGINT) AS n_units
+  FROM num
+), votes AS (
+  SELECT v1 AS v FROM num
+  UNION ALL SELECT v2 FROM num
+  UNION ALL SELECT v3 FROM num
+), tot AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_c FROM votes GROUP BY v
+), de AS (
+  SELECT CAST(sum(a.n_c * b.n_c * (a.v - b.v) * (a.v - b.v)) AS BIGINT)
+           AS de_w
+  FROM tot a, tot b
+), nv AS (
+  SELECT CAST(sum(n_c) AS BIGINT) AS n_votes FROM tot
+)
+SELECT do2.n_units, nv.n_votes, do2.do2, de.de_w,
+       round(1 - CAST(do2.do2 * (nv.n_votes - 1) AS DOUBLE)
+                 / CAST(2 * de.de_w AS DOUBLE), 6) AS alpha_interval
+FROM do2, de, nv
+"""
+
+
+@query("stats_krippendorff_interval", oracle=_ka_interval_sql("strpos", "substr"))
+def stats_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C240: Krippendorff's alpha, interval metric (Krippendorff 2004
+    §11.3) — the ordinal-scale reliability gate: the same planted
+    annotators as C235 mapped onto a=1<b=2<c=3, disagreements weighted
+    by squared distance so far-apart labels cost more. The m=3 vote
+    structure collapses the coincidence matrix into a per-unit
+    polynomial of the three vote values (no pairwise rater join), the
+    expected term is a 3x3 product over the bounded marginals, and
+    alpha = 1 - DO2·(nv-1)/(2·DE) is ONE IEEE division over exact
+    BIGINTs — bit-identical cross-engine. The planted shift a→b→c→a
+    makes c→a disagreements cost 4x, so interval alpha diverges from
+    nominal alpha on the same data (twin test pins both).
+
+    Scale: one map-only projection + one global integer aggregate +
+    one 3-row marginal aggregate — no windows, no joins on data."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _ka_interval_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )
+
+
+# r12 C241: Dawid-Skene crowd-label aggregation (EM) — THE canonical
+# truth-inference algorithm for multi-annotator label pipelines
+# (Dawid & Skene 1979): jointly estimate per-class priors, per-rater
+# confusion matrices, and per-item posterior labels. The structural
+# insight that makes it engine-shaped: with r raters and K labels a
+# unit's entire evidence is its VOTE PATTERN (l1..lr), so the corpus
+# collapses to <= K^r pattern counts (27 here) in ONE data-sized
+# aggregate, and every EM round runs on that bounded table. Same
+# planted annotators as C235/C237/C239 (r1 clean, r2 errs on the %5
+# slice, r3 on the %7 slice), so DS must recover rater 1 as the most
+# reliable — the twin test pins that ordering against ground truth.
+# Arithmetic is the C236/C114 bit-identical-trajectory pattern: priors
+# and confusion cells live on the e4 integer grid, posteriors on e6;
+# the E-step score is an exact BIGINT product prior*c1*c2*c3 (< 1e16),
+# and every update is ONE IEEE div+round of exact integers, so the
+# whole 20-round trajectory is bit-identical cross-engine and the
+# full hash oracle applies (unrolled MATERIALIZED CTEs below).
+
+_DS_ITERS = 20
+
+
+def _ds_pat_sql(strpos: str, substr: str) -> str:
+    base = _KA_BASE.replace("strpos", strpos).replace("substr", substr)
+    shift = _KA_SHIFT.format(base=base)
+    return f"""
+  SELECT r1, r2, r3, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id,
+           {base} AS r1,
+           CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS r2,
+           CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END AS r3
+    FROM documents
+  ) lab
+  GROUP BY r1, r2, r3
+"""
+
+
+def _ds_oracle() -> str:
+    parts = [f"""WITH pat AS MATERIALIZED (
+{_ds_pat_sql("strpos", "substr")}
+),
+cls AS MATERIALIZED (
+  SELECT 'a' AS c UNION ALL SELECT 'b' UNION ALL SELECT 'c'
+),
+cells AS MATERIALIZED (
+  SELECT r.r, c1.c, c2.c AS l
+  FROM (SELECT 1 AS r UNION ALL SELECT 2 UNION ALL SELECT 3) r, cls c1, cls c2
+),
+prior0 AS MATERIALIZED (SELECT c, CAST(10000 AS BIGINT) AS q FROM cls),
+conf0 AS MATERIALIZED (
+  SELECT r, c, l,
+         CAST(CASE WHEN c = l THEN 7000 ELSE 1500 END AS BIGINT) AS q
+  FROM cells
+)"""]
+    for t in range(1, _DS_ITERS + 1):
+        p = t - 1
+        parts.append(f""",
+score{t} AS MATERIALIZED (
+  SELECT p.r1, p.r2, p.r3, p.cnt, pr.c,
+         CAST(pr.q * c1.q * c2.q * c3.q AS BIGINT) AS s
+  FROM pat p, prior{p} pr, conf{p} c1, conf{p} c2, conf{p} c3
+  WHERE c1.r = 1 AND c1.c = pr.c AND c1.l = p.r1
+    AND c2.r = 2 AND c2.c = pr.c AND c2.l = p.r2
+    AND c3.r = 3 AND c3.c = pr.c AND c3.l = p.r3
+),
+post{t} AS MATERIALIZED (
+  SELECT r1, r2, r3, cnt, c,
+         CAST(round(CAST(s AS DOUBLE) * 1000000
+                    / CAST(sum(s) OVER (PARTITION BY r1, r2, r3) AS DOUBLE),
+                    0) AS BIGINT) AS pq
+  FROM score{t}
+),
+sc{t} AS MATERIALIZED (
+  SELECT c, CAST(sum(cnt * pq) AS BIGINT) AS s FROM post{t} GROUP BY c
+),
+prior{t} AS MATERIALIZED (
+  SELECT sc.c, CAST(round(CAST(sc.s AS DOUBLE) * 10000
+                          / CAST(t.tot AS DOUBLE), 0) AS BIGINT) AS q
+  FROM sc{t} sc, (SELECT CAST(sum(s) AS BIGINT) AS tot FROM sc{t}) t
+),
+conf{t} AS MATERIALIZED (
+  SELECT cell.r, cell.c, cell.l,
+         CAST(round(CAST(coalesce(w.w, 0) AS DOUBLE) * 10000
+                    / CAST(sc.s AS DOUBLE), 0) AS BIGINT) AS q
+  FROM cells cell
+  JOIN sc{t} sc ON sc.c = cell.c
+  LEFT JOIN (
+    SELECT 1 AS r, c, r1 AS l, CAST(sum(cnt * pq) AS BIGINT) AS w
+    FROM post{t} GROUP BY c, r1
+    UNION ALL
+    SELECT 2, c, r2, CAST(sum(cnt * pq) AS BIGINT) FROM post{t} GROUP BY c, r2
+    UNION ALL
+    SELECT 3, c, r3, CAST(sum(cnt * pq) AS BIGINT) FROM post{t} GROUP BY c, r3
+  ) w ON w.r = cell.r AND w.c = cell.c AND w.l = cell.l
+)""")
+    T = _DS_ITERS
+    parts.append(f""",
+mapc AS MATERIALIZED (
+  SELECT c, CAST(sum(cnt) AS BIGINT) AS n_map FROM (
+    SELECT cnt, c,
+           row_number() OVER (PARTITION BY r1, r2, r3
+                              ORDER BY pq DESC, c ASC) AS rn
+    FROM post{T}
+  ) x WHERE rn = 1 GROUP BY c
+)
+SELECT pr.c AS label, pr.q AS prior_q,
+       d1.q AS pi1_diag_q, d2.q AS pi2_diag_q, d3.q AS pi3_diag_q,
+       CAST(coalesce(m.n_map, 0) AS BIGINT) AS n_map
+FROM prior{T} pr
+JOIN conf{T} d1 ON d1.r = 1 AND d1.c = pr.c AND d1.l = pr.c
+JOIN conf{T} d2 ON d2.r = 2 AND d2.c = pr.c AND d2.l = pr.c
+JOIN conf{T} d3 ON d3.r = 3 AND d3.c = pr.c AND d3.l = pr.c
+LEFT JOIN mapc m ON m.c = pr.c
+""")
+    return "".join(parts)
+
+
+def _ds_em(pat: dict) -> tuple[dict, dict, dict, dict]:
+    """The bounded EM rounds, exact mirror of the unrolled oracle:
+    BIGINT-exact products and sums, one IEEE div+round per update."""
+    import math
+
+    def _rnd(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    classes = ["a", "b", "c"]
+    raters = (1, 2, 3)
+    prior = {c: 10000 for c in classes}
+    conf = {
+        (r, c, l): (7000 if c == l else 1500)
+        for r in raters for c in classes for l in classes
+    }
+    post: dict = {}
+    for _ in range(_DS_ITERS):
+        post = {}
+        for pt in pat:
+            s = {
+                c: prior[c] * conf[(1, c, pt[0])] * conf[(2, c, pt[1])]
+                * conf[(3, c, pt[2])]
+                for c in classes
+            }
+            tot = sum(s.values())
+            for c in classes:
+                post[(pt, c)] = _rnd(float(s[c]) * 1000000.0 / float(tot))
+        sc = {c: sum(pat[pt] * post[(pt, c)] for pt in pat) for c in classes}
+        tot = sum(sc.values())
+        prior = {c: _rnd(float(sc[c]) * 10000.0 / float(tot)) for c in classes}
+        conf = {
+            (r, c, l): _rnd(
+                float(sum(pat[pt] * post[(pt, c)]
+                          for pt in pat if pt[r - 1] == l))
+                * 10000.0 / float(sc[c])
+            )
+            for r in raters for c in classes for l in classes
+        }
+    nmap = {c: 0 for c in classes}
+    for pt, cnt in pat.items():
+        best = min(classes, key=lambda c: (-post[(pt, c)], c))
+        nmap[best] += cnt
+    return prior, conf, post, nmap
+
+
+@query("stats_dawid_skene", oracle=_ds_oracle())
+def stats_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C241: Dawid-Skene truth inference (Dawid & Skene 1979, EM) —
+    the canonical crowd-label aggregator an annotation/RLHF pipeline
+    runs to merge noisy rater judgments into consensus labels with
+    per-rater confusion matrices. Engine shape: a unit's evidence is
+    exactly its vote pattern, so ONE data-sized aggregate collapses
+    the corpus to <= 27 (r1,r2,r3) pattern counts and all 20 EM rounds
+    run on that bounded table (driver-side here, unrolled MATERIALIZED
+    CTEs in the oracle — the C236 precedent). e4-grid priors/confusion
+    cells, e6-grid posteriors: the E-step score is the exact BIGINT
+    product prior*c1*c2*c3 and every update is ONE IEEE div+round, so
+    the trajectory is bit-identical cross-engine and the full hash
+    oracle applies. Outputs per class: prior, each rater's diagonal
+    (self-consistency) cell, and MAP-label doc counts.
+
+    Scale: the only data-sized pass is the pattern aggregate —
+    map-side combinable to <= K^r rows; EM touches nothing data-sized.
+    At 100 TB the pattern table is STILL 27 rows."""
+    from ..tables import sql_over
+
+    rows = sql_over(
+        spark,
+        sf_dir,
+        "SELECT * FROM (" + _ds_pat_sql("instr", "substring")
+        .replace("AS VARCHAR", "AS STRING") + ") pat",
+        ("documents",),
+    ).collect()
+    pat = {(r["r1"], r["r2"], r["r3"]): r["cnt"] for r in rows}
+    prior, conf, _post, nmap = _ds_em(pat)
+    classes = ["a", "b", "c"]
+    return spark.createDataFrame(
+        [
+            (c, prior[c], conf[(1, c, c)], conf[(2, c, c)], conf[(3, c, c)],
+             nmap[c])
+            for c in classes
+        ],
+        "label string, prior_q bigint, pi1_diag_q bigint,"
+        " pi2_diag_q bigint, pi3_diag_q bigint, n_map bigint",
+    )
+
+
+# r12 C242: per-item win rates with Wilson score intervals — the
+# uncertainty readout an RLHF preference pipeline publishes next to
+# the C236 strength fit: raw win percentage is misleading for items
+# with few comparisons; the Wilson interval (Wilson 1927) is the
+# standard small-n-safe binomial CI. Comparisons are the same
+# deterministic C236 synthesis; wins/games are exact BIGINTs; the
+# interval is the textbook closed form at z = 1.96 — a fixed chain of
+# IEEE ops written ONCE (engine-neutral SQL), so both engines execute
+# the identical expression shape and every double is bit-identical
+# (the C231/C199 shared-literal pattern).
+
+
+def _wilson_winrate_sql() -> str:
+    p = "CAST(w.wins AS DOUBLE) / CAST(per.games AS DOUBLE)"
+    n = "CAST(per.games AS DOUBLE)"
+    half = f"3.8416 / (2 * {n})"
+    rad = f"sqrt({p} * (1 - {p}) / {n} + 3.8416 / (4 * {n} * {n}))"
+    den = f"(1 + 3.8416 / {n})"
+    return f"""
+WITH {_bt_pairs_sql().lstrip()}
+, per AS (
+  SELECT i AS k, CAST(sum(n) AS BIGINT) AS games FROM nij GROUP BY i
+)
+SELECT w.k AS nationkey, per.games, w.wins,
+       round({p}, 6) AS p_hat,
+       round(({p} + {half} - 1.96 * {rad}) / {den}, 6) AS wilson_lo,
+       round(({p} + {half} + 1.96 * {rad}) / {den}, 6) AS wilson_hi
+FROM wtot w JOIN per ON per.k = w.k
+"""
+
+
+@query("analytics_wilson_winrate", oracle=_wilson_winrate_sql())
+def analytics_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C242: Wilson 95% score intervals on per-item win rates over the
+    C236 pairwise-preference comparisons — the small-n-safe binomial
+    CI (Wilson 1927) a preference pipeline reports so that an item
+    with 3 wins out of 4 games is not ranked above one with 700 of
+    1000. wins/games aggregate to exact BIGINTs per item; the interval
+    is one SQL text run by BOTH engines, so every IEEE op has the
+    identical shape and the doubles are bit-identical.
+
+    Scale: one join-chain aggregate to <= |items|^2 directed pair
+    counts (the C236 pass, shared shape), then constant work per item
+    on the bounded table — no windows, no data-sized joins."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _wilson_winrate_sql(),
+        ("lineitem", "orders", "customer", "supplier"),
+    )

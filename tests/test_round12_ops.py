@@ -346,3 +346,195 @@ def test_position_bias_matches_python_twin(spark):
     # the planted 20% position-follower slice must be FLAGGED
     assert got["p_first_wins"] > 0.55
     assert got["z_score"] > 2.0
+
+
+def test_gwet_ac1_matches_python_twin(spark):
+    """C239 twin: exact-integer Gwet AC1 in pure python on the same
+    planted annotators; pins the closed form (3AN(K-1) - 2(9N^2-B)) /
+    (18N^2(K-1) - 2(9N^2-B)) and the value band."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_gwet_ac1
+
+    docs = table(spark, SF, "documents").select("doc_id").collect()
+
+    def base(did: int) -> str:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "abc"["0123456789abcdef".index(h[0]) % 3]
+
+    shift = {"a": "b", "b": "c", "c": "a"}
+    A = 0
+    n_c: collections.Counter = collections.Counter()
+    N = 0
+    for r in docs:
+        did = r["doc_id"]
+        b = base(did)
+        labels = (b, shift[b] if did % 5 == 0 else b,
+                  shift[b] if did % 7 == 0 else b)
+        mc = collections.Counter(labels)
+        A += sum(m * m for m in mc.values()) - 3
+        n_c.update(mc)
+        N += 1
+    B = sum(v * v for v in n_c.values())
+    K = len(n_c)
+    ac1 = (3 * A * N * (K - 1) - 2 * (9 * N * N - B)) / (
+        18 * N * N * (K - 1) - 2 * (9 * N * N - B)
+    )
+    got = stats_gwet_ac1(spark, SF).collect()[0]
+    assert got["n_units"] == N and got["a_num"] == A and got["b_num"] == B
+    assert got["n_labels"] == K
+    assert abs(got["gwet_ac1"] - round(ac1, 6)) < 1e-12
+    # near-uniform prevalence => AC1 sits near the kappa family, well
+    # inside the substantial-agreement band for the planted slices
+    assert 0.3 < got["gwet_ac1"] < 0.95
+
+
+def test_krippendorff_interval_matches_python_twin(spark):
+    """C240 twin: interval-metric alpha in pure python (per-unit
+    squared-distance disagreement, 3x3 expected term); pins the exact
+    integers AND the divergence from nominal alpha (the planted shift
+    makes c->a cost 4x, so the two statistics must differ)."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        stats_krippendorff_alpha,
+        stats_krippendorff_interval,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id").collect()
+
+    def basev(did: int) -> int:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "0123456789abcdef".index(h[0]) % 3 + 1
+
+    do2 = 0
+    n_c: collections.Counter = collections.Counter()
+    N = 0
+    for r in docs:
+        did = r["doc_id"]
+        v1 = basev(did)
+        sh = v1 % 3 + 1
+        v2 = sh if did % 5 == 0 else v1
+        v3 = sh if did % 7 == 0 else v1
+        do2 += 2 * ((v1 - v2) ** 2 + (v1 - v3) ** 2 + (v2 - v3) ** 2)
+        n_c.update((v1, v2, v3))
+        N += 1
+    de = sum(
+        n_c[a] * n_c[b] * (a - b) ** 2 for a in n_c for b in n_c
+    )
+    nv = 3 * N
+    alpha = 1 - do2 * (nv - 1) / (2 * de)
+    got = stats_krippendorff_interval(spark, SF).collect()[0]
+    assert got["n_units"] == N and got["n_votes"] == nv
+    assert got["do2"] == do2 and got["de_w"] == de
+    assert abs(got["alpha_interval"] - round(alpha, 6)) < 1e-12
+    assert 0.3 < got["alpha_interval"] < 0.95
+    nominal = stats_krippendorff_alpha(spark, SF).collect()[0]["alpha"]
+    assert abs(got["alpha_interval"] - nominal) > 1e-4
+
+
+def test_dawid_skene_recovers_planted_raters(spark):
+    """C241 twin: an INDEPENDENT float EM (standard Dawid-Skene, no
+    quantization) must agree with the e4-grid trajectory to within
+    grid resolution, and the fit must recover the planted rater
+    quality ordering (r1 clean > r3 errs 1/7 > r2 errs 1/5)."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_dawid_skene
+
+    docs = table(spark, SF, "documents").select("doc_id").collect()
+
+    def base(did: int) -> str:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "abc"["0123456789abcdef".index(h[0]) % 3]
+
+    shift = {"a": "b", "b": "c", "c": "a"}
+    pat: collections.Counter = collections.Counter()
+    for r in docs:
+        did = r["doc_id"]
+        b = base(did)
+        pat[(b, shift[b] if did % 5 == 0 else b,
+             shift[b] if did % 7 == 0 else b)] += 1
+
+    classes = ["a", "b", "c"]
+    prior = {c: 1 / 3 for c in classes}
+    conf = {(r, c, l): (0.7 if c == l else 0.15)
+            for r in (1, 2, 3) for c in classes for l in classes}
+    post: dict = {}
+    for _ in range(60):
+        post = {}
+        for p in pat:
+            s = {c: prior[c] * conf[(1, c, p[0])] * conf[(2, c, p[1])]
+                 * conf[(3, c, p[2])] for c in classes}
+            t = sum(s.values())
+            for c in classes:
+                post[(p, c)] = s[c] / t
+        sc = {c: sum(pat[p] * post[(p, c)] for p in pat) for c in classes}
+        tot = sum(sc.values())
+        prior = {c: sc[c] / tot for c in classes}
+        conf = {
+            (r, c, l): sum(pat[p] * post[(p, c)]
+                           for p in pat if p[r - 1] == l) / sc[c]
+            for r in (1, 2, 3) for c in classes for l in classes
+        }
+    got = {r["label"]: r for r in stats_dawid_skene(spark, SF).collect()}
+    assert set(got) == set(classes)
+    for c in classes:
+        # quantized trajectory within 1% of the float fixed point
+        assert abs(got[c]["prior_q"] - prior[c] * 10000) < 100, c
+        assert abs(got[c]["pi1_diag_q"] - conf[(1, c, c)] * 10000) < 100, c
+        assert abs(got[c]["pi2_diag_q"] - conf[(2, c, c)] * 10000) < 100, c
+        assert abs(got[c]["pi3_diag_q"] - conf[(3, c, c)] * 10000) < 100, c
+        # planted rater quality ordering: r1 (clean) > r3 (1/7) > r2 (1/5)
+        assert got[c]["pi1_diag_q"] > got[c]["pi3_diag_q"] > got[c]["pi2_diag_q"], c
+    # MAP labels partition the corpus exactly
+    assert sum(r["n_map"] for r in got.values()) == len(docs)
+
+
+def test_wilson_winrate_matches_python_twin(spark):
+    """C242 twin: recompute wins/games per nation in python, apply the
+    Wilson closed form, and pin the interval contract lo < p_hat < hi
+    with the planted strength gradient (low nationkey wins more)."""
+    from etl_arcgis_spark.operators.aggregates import analytics_wilson_winrate
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    s_ = table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s_, li.l_suppkey == s_.s_suppkey)
+        .collect()
+    )
+    games: dict = {}
+    wins: dict = {}
+    for r in rows:
+        na, nb = r["c_nationkey"], r["s_nationkey"]
+        if na == nb:
+            continue
+        ok, ln, sk = r["l_orderkey"], r["l_linenumber"], r["l_suppkey"]
+        a = 1 if ((ok * 7 + sk * 13 + ln) % (na + nb + 2)) <= nb else 0
+        games[na] = games.get(na, 0) + 1
+        games[nb] = games.get(nb, 0) + 1
+        wins[na] = wins.get(na, 0) + a
+        wins[nb] = wins.get(nb, 0) + (1 - a)
+    got = {r["nationkey"]: r for r in analytics_wilson_winrate(spark, SF).collect()}
+    assert set(got) == set(games)
+    for k in games:
+        g = got[k]
+        assert g["games"] == games[k] and g["wins"] == wins.get(k, 0)
+        p = wins.get(k, 0) / games[k]
+        n = games[k]
+        half = 3.8416 / (2 * n)
+        rad = math.sqrt(p * (1 - p) / n + 3.8416 / (4 * n * n))
+        den = 1 + 3.8416 / n
+        assert abs(g["p_hat"] - round(p, 6)) < 1e-12
+        assert abs(g["wilson_lo"] - round((p + half - 1.96 * rad) / den, 6)) < 1e-9
+        assert abs(g["wilson_hi"] - round((p + half + 1.96 * rad) / den, 6)) < 1e-9
+        assert g["wilson_lo"] < g["p_hat"] < g["wilson_hi"]
+        assert 0.0 <= g["wilson_lo"] and g["wilson_hi"] <= 1.0
+    # planted gradient: the strongest nation (0) beats the weakest (24)
+    if 0 in got and 24 in got:
+        assert got[0]["p_hat"] > got[24]["p_hat"]

@@ -142,6 +142,9 @@ NLJ_OK = {
     "text_perplexity_kn_bigram",  # 1-row bigram-type-total broadcast under the LM star (the text_perplexity_unigram precedent)
     "sample_neyman_allocation",   # 1-row allocation-denominator (sum Nh*sd) broadcast over |sources| rows
     "corpus_token_concentration",  # bucketed_global_rank's 1-row (min,max,n) stats broadcast (the agg_equidepth/gini precedent)
+    "stats_fleiss_kappa",        # final 1-row x 1-row aggregate join (the stats_krippendorff_alpha precedent)
+    "stats_gwet_ac1",            # final 1-row x 1-row aggregate join (same A/B moment shape as Fleiss)
+    "stats_krippendorff_interval",  # 3-row x 3-row marginal product + three 1-row aggregate combines
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
