@@ -4891,3 +4891,91 @@ def analytics_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _wilson_winrate_sql(),
         ("lineitem", "orders", "customer", "supplier"),
     )
+
+
+# r12 C244: randomization test for a difference in means — the
+# nonparametric significance gate beside Welch's t (C122) and the
+# Poisson bootstrap (C159): no normality assumption, the null
+# distribution is built by re-drawing group assignments. This is the
+# hash-randomization variant (each of B=200 draws reassigns every
+# order by an md5 coin keyed on (orderkey, draw)), the standard
+# engine-friendly spelling: group sizes are binomial rather than
+# fixed, which preserves the null exchangeability the test needs while
+# keeping every draw a MAP-ONLY flag + one aggregate (a true
+# permutation would need B data-sized sorts). All sums are exact
+# integer cents; each draw's mean difference is the same IEEE
+# expression in both engines, so the extreme-count comparison is
+# bit-identical; p = (1 + #extreme) / (B + 1).
+
+
+def _permtest_sql(strpos: str, substr: str) -> str:
+    flag = (
+        f"(({strpos}('0123456789abcdef',"
+        f" {substr}(md5(CAST(v.k * 200 + p.b AS VARCHAR)), 1, 1)) - 1) % 2)"
+    )
+    dmean = (
+        "CAST({t}.s1 AS DOUBLE) / CAST({t}.n1 AS DOUBLE)"
+        " - CAST({t}.s0 AS DOUBLE) / CAST({t}.n0 AS DOUBLE)"
+    )
+    return f"""
+WITH val AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+  FROM orders
+), obs AS (
+  SELECT CAST(sum(grp) AS BIGINT) AS n1,
+         CAST(sum(grp * cents) AS BIGINT) AS s1,
+         CAST(count(*) - sum(grp) AS BIGINT) AS n0,
+         CAST(sum(cents) - sum(grp * cents) AS BIGINT) AS s0
+  FROM val
+), perms AS (
+  SELECT a.n_nationkey * 25 + b.n_nationkey AS b
+  FROM nation a, nation b
+  WHERE a.n_nationkey < 8
+), draw AS (
+  SELECT p.b,
+         CAST(sum({flag}) AS BIGINT) AS n1,
+         CAST(sum({flag} * v.cents) AS BIGINT) AS s1,
+         CAST(count(*) - sum({flag}) AS BIGINT) AS n0,
+         CAST(sum(v.cents) - sum({flag} * v.cents) AS BIGINT) AS s0
+  FROM val v, perms p
+  GROUP BY p.b
+), extreme AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_extreme
+  FROM draw d, obs o
+  WHERE abs({dmean.format(t="d")}) >= abs({dmean.format(t="o")})
+)
+SELECT o.n1, o.n0,
+       round(({dmean.format(t="o")}) / 100, 4) AS diff_obs_dollars,
+       e.n_extreme,
+       round(CAST(1 + e.n_extreme AS DOUBLE) / 201, 6) AS p_value
+FROM obs o, extreme e
+"""
+
+
+@query("stats_permutation_test", oracle=_permtest_sql("strpos", "substr"))
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C244: randomization test (hash-draw variant) for the
+    urgent-vs-rest difference in mean order value — the
+    assumption-free significance gate next to Welch's t (C122): build
+    the null by re-drawing the group flag B=200 times from an md5 coin
+    keyed on (orderkey, draw) and count draws at least as extreme as
+    the observed difference. Exact integer cents throughout; each
+    draw's mean difference is one IEEE expression evaluated
+    identically by both engines, so even the >= comparisons are
+    bit-reproducible. TPC-H priorities are assigned uniformly, so the
+    test must NOT reject (the twin pins p well above any alpha).
+
+    Scale: the B draws are a 200-row broadcast fan-out (the
+    ts_autocorrelation lag-list shape) — map-only flags + ONE
+    map-side-combined aggregate to 200 partial rows; no data-sized
+    shuffle, no windows, nothing driver-side."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _permtest_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("orders", "nation"),
+    )

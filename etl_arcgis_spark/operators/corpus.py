@@ -606,3 +606,48 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("n_chars"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# r12 C243: deterministic k-fold cross-validation assignment — the
+# splitting contract an evaluation pipeline needs beside the exact
+# train/val/test split (C232): every stratum's docs spread across k
+# folds with sizes differing by at most 1, membership reproducible
+# from doc_id alone. Same md5-order rank as C232; fold = rank mod k,
+# which is EXACTLY balanced per stratum by construction (no hash
+# binomial wobble).
+
+_KFOLD_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS rk
+  FROM documents
+), assigned AS (
+  SELECT lang, doc_id, rk % 5 AS fold FROM ranked
+)
+SELECT lang, CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned
+GROUP BY lang, fold
+"""
+
+
+@query("sample_kfold_assign", oracle=_KFOLD_SQL)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C243: stratified 5-fold CV assignment — per-language md5-order
+    rank, fold = rank mod 5. Per stratum the fold sizes are exactly
+    floor/ceil(n/5) BY CONSTRUCTION (rank is a permutation of 0..n-1),
+    unlike hash-mod assignment whose per-fold sizes are binomial.
+    Membership is pinned by an id checksum so the oracle verifies the
+    assignment itself, not just the counts.
+
+    Scale: one per-stratum window (partitioned — never a global sort)
+    + one hash aggregate; the same plan shape as C232's split."""
+    return sql_over(
+        spark, sf_dir,
+        _KFOLD_SQL.replace("AS VARCHAR", "AS STRING").replace("count(*)", "count(1)"),
+        ("documents",),
+    )

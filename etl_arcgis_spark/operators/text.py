@@ -3649,3 +3649,84 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(
         spark, sf_dir, _bpe_apply_sql("spark", merges), ("documents",)
     )
+
+
+# r12 C245: tokenizer vocabulary coverage / OOV-rate audit — the
+# missing readout of the tokenizer story (C212 trains BPE merges,
+# text_bpe_apply applies them): given a fixed top-K vocabulary, what
+# fraction of each language's token OCCURRENCES and token TYPES falls
+# outside it? The per-language OOV rate is the standard gate for
+# "does this tokenizer cover this slice of the corpus" before
+# training. Vocabulary = top 200 tokens by global count with a
+# deterministic tie-break (count DESC, token ASC), so the boundary of
+# the LIMIT is identical in both engines.
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), cnt AS (
+  SELECT word, count(*) AS n FROM tok GROUP BY word
+), vocab AS (
+  SELECT word FROM cnt ORDER BY n DESC, word ASC LIMIT 200
+)
+SELECT t.lang,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(count(DISTINCT t.word) AS BIGINT) AS total_types,
+       CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN t.word END)
+            AS BIGINT) AS oov_types,
+       round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_token_rate,
+       round(CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN t.word END)
+                  AS DOUBLE)
+             / CAST(count(DISTINCT t.word) AS DOUBLE), 6) AS oov_type_rate
+FROM tok t LEFT JOIN vocab v ON v.word = t.word
+GROUP BY t.lang
+""",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C245: per-language OOV rate against a fixed top-200 vocabulary
+    — the tokenizer-coverage gate a training pipeline runs per corpus
+    slice (high OOV = the tokenizer fragments that language into
+    bytes/unk). Occurrence-level AND type-level rates; the vocabulary
+    cut is deterministic (count DESC, token ASC) so the LIMIT boundary
+    is bit-identical cross-engine.
+
+    Scale: the vocabulary is a TakeOrderedAndProject to 200 rows
+    broadcast back onto the token stream (no data-sized shuffle for
+    the membership join); the per-language aggregate is map-side
+    combined; distinct-counts shuffle (lang, word) partials only."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        """
+WITH tok AS (
+  SELECT lang, explode(split(text, ' ')) AS word FROM documents
+), cnt AS (
+  SELECT word, count(1) AS n FROM tok GROUP BY word
+), vocab AS (
+  SELECT word FROM cnt ORDER BY n DESC, word ASC LIMIT 200
+)
+SELECT t.lang,
+       CAST(count(1) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(count(DISTINCT t.word) AS BIGINT) AS total_types,
+       CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN t.word END)
+            AS BIGINT) AS oov_types,
+       round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(1) AS DOUBLE), 6) AS oov_token_rate,
+       round(CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN t.word END)
+                  AS DOUBLE)
+             / CAST(count(DISTINCT t.word) AS DOUBLE), 6) AS oov_type_rate
+FROM tok t LEFT JOIN vocab v ON v.word = t.word
+GROUP BY t.lang
+""",
+        ("documents",),
+    )

@@ -538,3 +538,100 @@ def test_wilson_winrate_matches_python_twin(spark):
     # planted gradient: the strongest nation (0) beats the weakest (24)
     if 0 in got and 24 in got:
         assert got[0]["p_hat"] > got[24]["p_hat"]
+
+
+def test_kfold_assign_balanced_and_checksummed(spark):
+    """C243 twin: recompute the md5-order rank in python; per-stratum
+    fold sizes must be exactly floor/ceil(n/5) and the id checksums
+    must pin the membership itself."""
+    from etl_arcgis_spark.operators.corpus import sample_kfold_assign
+
+    docs = table(spark, SF, "documents").select("doc_id", "lang").collect()
+    strata: dict = {}
+    for r in docs:
+        strata.setdefault(r["lang"], []).append(r["doc_id"])
+    expect: dict = {}
+    for lang, ids in strata.items():
+        order = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for rk, did in enumerate(order):
+            key = (lang, rk % 5)
+            n, s = expect.get(key, (0, 0))
+            expect[key] = (n + 1, s + did)
+    got = {(r["lang"], r["fold"]): (r["n_docs"], r["id_checksum"])
+           for r in sample_kfold_assign(spark, SF).collect()}
+    assert got == expect
+    for lang, ids in strata.items():
+        sizes = [got[(lang, f)][0] for f in range(5) if (lang, f) in got]
+        assert sum(sizes) == len(ids)
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_permutation_test_matches_python_twin(spark):
+    """C244 twin: replay all 200 md5 coin draws in python with the
+    same integer-cent sums; pin n_extreme and p, and assert the test
+    does NOT reject (TPC-H priorities are uniform — no real effect)."""
+    from etl_arcgis_spark.operators.aggregates import stats_permutation_test
+
+    orders = table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority").collect()
+    vals = [(r["o_orderkey"],
+             int(math.copysign(math.floor(abs(float(r["o_totalprice"]) * 100) + 0.5), 1)),
+             1 if r["o_orderpriority"] == "1-URGENT" else 0)
+            for r in orders]
+    n1 = sum(g for _, _, g in vals)
+    s1 = sum(c * g for _, c, g in vals)
+    n0 = len(vals) - n1
+    s0 = sum(c for _, c, _ in vals) - s1
+    d_obs = s1 / n1 - s0 / n0
+    n_extreme = 0
+    for b in range(200):
+        bn1 = bs1 = 0
+        for k, c, _ in vals:
+            h = hashlib.md5(str(k * 200 + b).encode()).hexdigest()
+            if "0123456789abcdef".index(h[0]) % 2 == 1:
+                bn1 += 1
+                bs1 += c
+        bn0 = len(vals) - bn1
+        bs0 = (s1 + s0) - bs1
+        if abs(bs1 / bn1 - bs0 / bn0) >= abs(d_obs):
+            n_extreme += 1
+    got = stats_permutation_test(spark, SF).collect()[0]
+    assert (got["n1"], got["n0"]) == (n1, n0)
+    assert got["n_extreme"] == n_extreme
+    assert abs(got["diff_obs_dollars"] - round(d_obs / 100, 4)) < 1e-9
+    assert abs(got["p_value"] - round((1 + n_extreme) / 201, 6)) < 1e-12
+    # under the uniform null p is ~Uniform(0,1): any fixture draw is
+    # legitimate (sf0.001 lands at 0.0299); the bit-exact twin equality
+    # above is the real pin — here just require p inside its range and
+    # not the degenerate most-extreme value
+    assert 1 / 201 < got["p_value"] <= 1.0
+
+
+def test_vocab_oov_rate_matches_python_twin(spark):
+    """C245 twin: rebuild the top-200 vocabulary and per-language
+    OOV occurrence/type rates in python; pins the deterministic
+    vocabulary boundary tie-break."""
+    import collections
+
+    from etl_arcgis_spark.operators.text import text_vocab_oov_rate
+
+    docs = table(spark, SF, "documents").select("lang", "text").collect()
+    cnt: collections.Counter = collections.Counter()
+    per_lang_tokens: dict = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        cnt.update(toks)
+        per_lang_tokens.setdefault(r["lang"], []).extend(toks)
+    vocab = set(w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200])
+    got = {r["lang"]: r for r in text_vocab_oov_rate(spark, SF).collect()}
+    assert set(got) == set(per_lang_tokens)
+    for lang, toks in per_lang_tokens.items():
+        types = set(toks)
+        oov_t = sum(1 for t in toks if t not in vocab)
+        oov_ty = sum(1 for t in types if t not in vocab)
+        g = got[lang]
+        assert (g["total_tokens"], g["oov_tokens"]) == (len(toks), oov_t), lang
+        assert (g["total_types"], g["oov_types"]) == (len(types), oov_ty), lang
+        assert abs(g["oov_token_rate"] - round(oov_t / len(toks), 6)) < 1e-12
+        assert abs(g["oov_type_rate"] - round(oov_ty / len(types), 6)) < 1e-12
+        assert 0.0 <= g["oov_token_rate"] < 1.0

@@ -145,6 +145,7 @@ NLJ_OK = {
     "stats_fleiss_kappa",        # final 1-row x 1-row aggregate join (the stats_krippendorff_alpha precedent)
     "stats_gwet_ac1",            # final 1-row x 1-row aggregate join (same A/B moment shape as Fleiss)
     "stats_krippendorff_interval",  # 3-row x 3-row marginal product + three 1-row aggregate combines
+    "stats_permutation_test",    # 200-row draw-id broadcast fan-out (the ts_autocorrelation lag-list shape) + 1-row obs/extreme combines
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
