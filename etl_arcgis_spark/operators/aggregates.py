@@ -4979,3 +4979,53 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         _permtest_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
         ("orders", "nation"),
     )
+
+
+# r12 C246: two-proportion z-test — completes the A/B-testing family
+# (Welch t C122 for means, Mann-Whitney C124 for ranks, CUPED C136
+# for variance reduction, randomization C244 for assumption-free,
+# bootstrap C159 for CIs): THE test for conversion-rate differences.
+# Pooled-variance z = (p1 - p0) / sqrt(p(1-p)(1/n1 + 1/n0)) — exact
+# BIGINT counts until one sqrt and a fixed IEEE chain shared by both
+# engines (single SQL text).
+
+_PROP_Z_SQL = """
+WITH f AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ
+  FROM orders
+), agg AS (
+  SELECT CAST(sum(grp) AS BIGINT) AS n1,
+         CAST(sum(grp * succ) AS BIGINT) AS x1,
+         CAST(count(*) - sum(grp) AS BIGINT) AS n0,
+         CAST(sum(succ) - sum(grp * succ) AS BIGINT) AS x0
+  FROM f
+)
+SELECT n1, x1, n0, x0,
+       round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+       round(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+       round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / sqrt(CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+                    * (1 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))),
+             4) AS z_score
+FROM agg
+"""
+
+
+@query("stats_proportions_ztest", oracle=_PROP_Z_SQL)
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C246: pooled two-proportion z-test on completion rate
+    (o_orderstatus = 'F') between urgent and non-urgent orders — the
+    conversion-rate member of the A/B family (C122 means, C124 ranks,
+    C136 CUPED, C159 bootstrap, C244 randomization). Counts are exact
+    BIGINTs; the statistic is one IEEE chain in a single SQL text both
+    engines run, so every double is bit-identical. TPC-H assigns
+    priority and status independently, so |z| must stay small (twin).
+
+    Scale: ONE map-side-combined aggregate over the scan — four
+    integer partials shuffle, constant work after."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _PROP_Z_SQL, ("orders",))

@@ -1389,3 +1389,100 @@ def join_ip_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("net_label", "pfx_len").agg(
         F.count("*").alias("n_events")
     )
+
+
+# r12 C247: BUCKETED interval-overlap join — the no-equi-key-safe twin of
+# join (C106) and as-of join (C6) don't cover: find PAIRS of
+# concurrent intervals (session-vs-session, job-vs-outage). Intervals
+# are synthesized deterministically from events (start = ts, duration
+# = event_id % 7 + 1 minutes; even event_ids are side A, odd side B).
+# Spark spelling: bucketize time into 8-minute cells (> max duration,
+# so every interval touches <= 2 cells and any overlapping pair
+# shares >= 1 cell — completeness by construction), equi-join on
+# (user_id, cell), dedup double-cell hits, aggregate per user. All
+# arithmetic integer epoch-µs.
+
+_IV_BUCKET_US = 480_000_000  # 8 min > max duration (7 min) => <= 2 cells
+
+
+def _interval_overlap_oracle() -> str:
+    return """
+WITH iv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+),
+a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+b AS (SELECT * FROM iv WHERE event_id % 2 = 1),
+pairs AS (
+  SELECT a.user_id,
+         least(a.e, b.e) - greatest(a.s, b.s) AS ov_us
+  FROM a JOIN b ON b.user_id = a.user_id
+  WHERE a.s < b.e AND b.s < a.e
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov_us) AS BIGINT) AS total_overlap_us,
+       CAST(max(ov_us) AS BIGINT) AS max_overlap_us
+FROM pairs GROUP BY user_id
+"""
+
+
+@query("join_interval_overlap_bucketed", oracle=_interval_overlap_oracle())
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C247: per-user interval-overlap self-join via time-cell
+    blocking. The oracle spells the naive theta join; the engine side
+    equi-joins on (user_id, 8-minute cell) so the pair generator is
+    key-bounded — completeness holds because the cell width exceeds
+    the maximum interval length (any overlap instant lands in a cell
+    both intervals cover). Double-cell duplicates are removed exactly
+    (DISTINCT on the pair identity before aggregation); overlap spans
+    are exact integer epoch-µs (helpers.ev_us == DuckDB epoch_us).
+
+    Scale: no data-sized theta join anywhere — the join key carries
+    (user, cell), so skew is bounded by per-user-per-8-min activity;
+    at 100 TB this is the standard interval-blocking spelling (the
+    C106 band-bucket precedent, lifted to two-sided intervals)."""
+    iv = table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        ev_us("ts").alias("s"),
+        (ev_us("ts")
+         + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)).alias("e"),
+    )
+    a = iv.filter(F.col("event_id") % 2 == 0)
+    b = iv.filter(F.col("event_id") % 2 == 1)
+
+    def cells(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            F.col("event_id").alias(f"{p}_id"),
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("s").alias(f"{p}_s"),
+            F.col("e").alias(f"{p}_e"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {_IV_BUCKET_US}"),
+                    F.expr(f"e div {_IV_BUCKET_US}"),
+                )
+            ).alias(f"{p}_cell"),
+        )
+
+    ac, bc = cells(a, "a"), cells(b, "b")
+    pairs = (
+        ac.join(
+            bc,
+            (ac.a_user == bc.b_user) & (ac.a_cell == bc.b_cell),
+        )
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select(
+            F.col("a_user").alias("user_id"),
+            "a_id",
+            "b_id",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("ov_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+        F.max("ov_us").cast("bigint").alias("max_overlap_us"),
+    )

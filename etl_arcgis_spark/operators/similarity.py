@@ -2437,3 +2437,91 @@ def sim_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vq[i], eig_q) for i in range(d)],
         "component_dim int, loading_q bigint, eigenvalue_q bigint",
     )
+
+
+@query(
+    "sim_mrr_eval",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),
+q AS (SELECT * FROM n WHERE vec_id < 20),
+c AS (SELECT * FROM n WHERE vec_id >= 20),
+s AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT q_id, q_label, c_label,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC)
+           AS pos
+  FROM s
+)
+SELECT q_id, max(q_label) AS label,
+       CAST(coalesce(min(CASE WHEN c_label = q_label THEN pos END), 0)
+            AS BIGINT) AS first_rel_pos,
+       round(CASE WHEN min(CASE WHEN c_label = q_label THEN pos END)
+                       IS NULL THEN 0.0
+                  ELSE 1.0 / min(CASE WHEN c_label = q_label THEN pos END)
+             END, 6) AS reciprocal_rank
+FROM r WHERE pos <= 20
+GROUP BY q_id
+""",
+)
+def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@20 of brute-force cosine retrieval with same-label
+    relevance — the third leg of the IR-metric family beside NDCG@10
+    (order quality) and matryoshka recall (set recall): reciprocal
+    rank grades WHERE the first relevant hit lands, the metric RAG
+    pipelines report when only the top hit feeds the generator. Same
+    query/corpus split and determinism contract as sim_ndcg_eval: the
+    cosine is a sequential double dot product in both engines, so the
+    rank order (cos DESC, c_id ASC) is bit-identical before the one
+    1/pos division (exact: pos is an integer).
+
+    Scale: identical plan to NDCG — 20 broadcast queries against one
+    linear corpus scan, per-query top-20 under a PARTITIONED window
+    (WindowGroupLimit heap, no global sort), then a 20-row aggregate.
+
+    Reference: task.ts:406-414 forwards query params; this generalizes
+    the engine's retrieval-evaluation tier."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = e.filter(F.col("vec_id") >= 20)
+    cos = F.expr(_DOT.format(a="q_emb", b="embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    top = scored.withColumn("pos", F.row_number().over(w)).filter(
+        F.col("pos") <= 20
+    )
+    first = F.min(
+        F.when(F.col("c_label") == F.col("q_label"), F.col("pos"))
+    )
+    return top.groupBy("q_id").agg(
+        F.max("q_label").alias("label"),
+        F.coalesce(first, F.lit(0)).cast("bigint").alias("first_rel_pos"),
+        F.round(
+            F.when(first.isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / first
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+    )

@@ -635,3 +635,96 @@ def test_vocab_oov_rate_matches_python_twin(spark):
         assert abs(g["oov_token_rate"] - round(oov_t / len(toks), 6)) < 1e-12
         assert abs(g["oov_type_rate"] - round(oov_ty / len(types), 6)) < 1e-12
         assert 0.0 <= g["oov_token_rate"] < 1.0
+
+
+def test_mrr_eval_matches_numpy_twin(spark):
+    """C-MRR twin: recompute the cosine rankings with numpy in full
+    double precision, take each query's first same-label hit within
+    the top 20, and pin first_rel_pos + reciprocal_rank exactly."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.similarity import sim_mrr_eval
+
+    rows = table(spark, SF, "embeddings").collect()
+    vecs = {r["vec_id"]: (np.asarray(r["embedding"], dtype=np.float64),
+                          r["label"]) for r in rows}
+    expect = {}
+    for qid in sorted(k for k in vecs if k < 20):
+        qv, ql = vecs[qid]
+        qn = math.sqrt(float(np.dot(qv, qv)))
+        scored = []
+        for cid, (cv, cl) in vecs.items():
+            if cid < 20:
+                continue
+            cos = float(np.dot(qv, cv)) / (qn * math.sqrt(float(np.dot(cv, cv))))
+            scored.append((-cos, cid, cl))
+        scored.sort()
+        first = 0
+        for pos, (_, cid, cl) in enumerate(scored[:20], start=1):
+            if cl == ql:
+                first = pos
+                break
+        expect[qid] = (ql, first, round(1.0 / first, 6) if first else 0.0)
+    got = {r["q_id"]: (r["label"], r["first_rel_pos"], r["reciprocal_rank"])
+           for r in sim_mrr_eval(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for qid, (ql, first, rr) in expect.items():
+        assert got[qid][0] == ql and got[qid][1] == first, qid
+        assert abs(got[qid][2] - rr) < 1e-9, qid
+
+
+def test_proportions_ztest_matches_python_twin(spark):
+    """C246 twin: exact counts + the pooled z formula in python;
+    TPC-H priority/status independence keeps |z| modest."""
+    from etl_arcgis_spark.operators.aggregates import stats_proportions_ztest
+
+    orders = table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderstatus").collect()
+    n1 = x1 = n0 = x0 = 0
+    for r in orders:
+        if r["o_orderpriority"] == "1-URGENT":
+            n1 += 1
+            x1 += r["o_orderstatus"] == "F"
+        else:
+            n0 += 1
+            x0 += r["o_orderstatus"] == "F"
+    p1, p0 = x1 / n1, x0 / n0
+    pp = (x1 + x0) / (n1 + n0)
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n0))
+    got = stats_proportions_ztest(spark, SF).collect()[0]
+    assert (got["n1"], got["x1"], got["n0"], got["x0"]) == (n1, x1, n0, x0)
+    assert abs(got["p1"] - round(p1, 6)) < 1e-12
+    assert abs(got["p0"] - round(p0, 6)) < 1e-12
+    assert abs(got["z_score"] - round(z, 4)) < 1e-9
+    assert abs(got["z_score"]) < 4.0  # independent assignment: no huge effect
+
+
+def test_interval_overlap_bucketed_matches_bruteforce(spark):
+    """C247 twin: naive quadratic per-user pair scan in python — the
+    cell-blocked engine spelling must find EXACTLY the same pairs
+    (completeness: cell width > max interval length)."""
+    from etl_arcgis_spark.operators.joins import join_interval_overlap_bucketed
+
+    ev = table(spark, SF, "events").select("event_id", "user_id", "ts").collect()
+    ivs: dict = {}
+    import calendar
+
+    for r in ev:
+        # exact integer epoch-µs (ts is µs-precision, naive UTC)
+        t = r["ts"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        e = us + (r["event_id"] % 7 + 1) * 60_000_000
+        ivs.setdefault(r["user_id"], []).append((r["event_id"], us, e))
+    expect: dict = {}
+    for uid, items in ivs.items():
+        a = [(k, s, e) for k, s, e in items if k % 2 == 0]
+        b = [(k, s, e) for k, s, e in items if k % 2 == 1]
+        for ka, sa, ea in a:
+            for kb, sb, eb in b:
+                if sa < eb and sb < ea:
+                    ov = min(ea, eb) - max(sa, sb)
+                    n, tot, mx = expect.get(uid, (0, 0, 0))
+                    expect[uid] = (n + 1, tot + ov, max(mx, ov))
+    got = {r["user_id"]: (r["n_pairs"], r["total_overlap_us"], r["max_overlap_us"])
+           for r in join_interval_overlap_bucketed(spark, SF).collect()}
+    assert got == expect

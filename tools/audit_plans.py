@@ -146,6 +146,7 @@ NLJ_OK = {
     "stats_gwet_ac1",            # final 1-row x 1-row aggregate join (same A/B moment shape as Fleiss)
     "stats_krippendorff_interval",  # 3-row x 3-row marginal product + three 1-row aggregate combines
     "stats_permutation_test",    # 200-row draw-id broadcast fan-out (the ts_autocorrelation lag-list shape) + 1-row obs/extreme combines
+    "sim_mrr_eval",              # 20-row query-vector broadcast (the sim_ndcg_eval / sim_knn shape)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
