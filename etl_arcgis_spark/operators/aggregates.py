@@ -4853,14 +4853,22 @@ def stats_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the C231/C199 shared-literal pattern).
 
 
-def _wilson_winrate_sql() -> str:
+def _wilson_winrate_sql(materialized: bool = False) -> str:
     p = "CAST(w.wins AS DOUBLE) / CAST(per.games AS DOUBLE)"
     n = "CAST(per.games AS DOUBLE)"
     half = f"3.8416 / (2 * {n})"
     rad = f"sqrt({p} * (1 - {p}) / {n} + 3.8416 / (4 * {n} * {n}))"
     den = f"(1 + 3.8416 / {n})"
+    pairs = _bt_pairs_sql().lstrip()
+    if materialized:
+        # DuckDB inlines multi-referenced CTEs (comp/wd feed nij AND
+        # wtot), re-running the 6M-row join chain many times — the
+        # betweenness-oracle lesson; Spark needs no hint and has no
+        # MATERIALIZED keyword, so only the oracle gets it.
+        for cte in ("comp AS (", "wd AS (", "nij AS (", "wtot AS ("):
+            pairs = pairs.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("), 1)
     return f"""
-WITH {_bt_pairs_sql().lstrip()}
+WITH {pairs}
 , per AS (
   SELECT i AS k, CAST(sum(n) AS BIGINT) AS games FROM nij GROUP BY i
 )
@@ -4872,7 +4880,7 @@ FROM wtot w JOIN per ON per.k = w.k
 """
 
 
-@query("analytics_wilson_winrate", oracle=_wilson_winrate_sql())
+@query("analytics_wilson_winrate", oracle=_wilson_winrate_sql(materialized=True))
 def analytics_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C242: Wilson 95% score intervals on per-item win rates over the
     C236 pairwise-preference comparisons — the small-n-safe binomial
