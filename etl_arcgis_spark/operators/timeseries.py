@@ -2940,3 +2940,79 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx"))
         ).alias("hurst_h"),
     )
+
+
+# r12 C249: LTTB-style series downsampling (Steinarsson 2013,
+# bucket-average-anchor variant) — the visualization/feature
+# downsampler beside M4/OHLC (ts_ohlc_downsample keeps the envelope;
+# LTTB keeps the POINT per bucket that preserves the series' visual
+# shape, the standard choice for plotting million-point series).
+# Per hourly bucket, pick the point maximizing the triangle area
+# against the neighbor buckets' mean points — the parallel LTTB
+# spelling (anchoring on neighbor AVERAGES instead of the previously
+# selected point removes the sequential chain; Steinarsson §4.2).
+# Determinism: values are e4-quantized to exact integers, so bucket
+# means are ONE IEEE division of exact BIGINTs and the area is a
+# fixed IEEE chain — the 1e-6-quantized argmax key is bit-identical
+# cross-engine (the ml_decision_stump precedent), tie-broken by
+# event_id under a PARTITIONED window.
+
+_LTTB_HOUR_US = 3_600_000_000
+
+
+def _lttb_sql(epoch: str, idiv: str) -> str:
+    ybar = "(CAST({t}.sq AS DOUBLE) / CAST({t}.n AS DOUBLE) / 10000)"
+    ya, yb = ybar.format(t="a"), ybar.format(t="b")
+    yp = "(CAST(p.vq AS DOUBLE) / 10000)"
+    xp = f"(CAST(p.t AS DOUBLE) / CAST({_LTTB_HOUR_US} AS DOUBLE))"
+    xa = "(CAST(p.k AS DOUBLE) - 0.5)"
+    return f"""
+WITH pts AS (
+  SELECT event_id, {epoch} AS t,
+         CAST(round(value * 10000, 0) AS BIGINT) AS vq,
+         {epoch} {idiv} {_LTTB_HOUR_US} AS k
+  FROM events
+), avgs AS (
+  SELECT k, CAST(sum(vq) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY k
+), tri AS (
+  SELECT p.k, p.event_id, p.vq,
+         CAST(round(abs(
+           (-2.0) * ({yp} - {ya})
+           - ({xa} - {xp}) * ({yb} - {ya})
+         ) / 2 * 1000000, 0) AS BIGINT) AS area_q
+  FROM pts p
+  JOIN avgs a ON a.k = p.k - 1
+  JOIN avgs b ON b.k = p.k + 1
+), pick AS (
+  SELECT k, event_id, vq, area_q,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY area_q DESC, event_id ASC) AS rn
+  FROM tri
+)
+SELECT CAST(k AS BIGINT) AS bucket_idx, event_id,
+       round(CAST(vq AS DOUBLE) / 10000, 4) AS value, area_q
+FROM pick WHERE rn = 1
+"""
+
+
+@query("ts_downsample_lttb", oracle=_lttb_sql("epoch_us(ts)", "//"))
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C249: largest-triangle downsampling, one representative point
+    per hourly bucket (parallel LTTB: triangle anchors are the
+    neighbor buckets' mean points, so every bucket selects
+    independently — no sequential chain, Steinarsson 2013 §4.2; edge
+    buckets without both neighbors are excluded, matching LTTB's
+    keep-first/last convention handled by the caller). e4-quantized
+    values make bucket means one IEEE division of exact integers; the
+    area argmax key is 1e-6-quantized and tie-broken by event_id, so
+    the selection is bit-identical cross-engine.
+
+    Scale: ONE shuffle on the bucket key shared by the mean aggregate
+    and the (k-1, k+1) self-joins (dense integer keys, no skew); the
+    argmax window is PARTITIONED per bucket — never a global sort."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _lttb_sql("unix_micros(ts)", "div"), ("events",)
+    )

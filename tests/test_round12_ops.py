@@ -728,3 +728,54 @@ def test_interval_overlap_bucketed_matches_bruteforce(spark):
     got = {r["user_id"]: (r["n_pairs"], r["total_overlap_us"], r["max_overlap_us"])
            for r in join_interval_overlap_bucketed(spark, SF).collect()}
     assert got == expect
+
+
+def test_lttb_downsample_matches_python_twin(spark):
+    """C249 twin: replay the parallel-LTTB selection in python (e4
+    quantized values, exact bucket sums, same IEEE area chain) and
+    pin the per-bucket chosen point exactly."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import (
+        _LTTB_HOUR_US,
+        ts_downsample_lttb,
+    )
+
+    ev = table(spark, SF, "events").select("event_id", "ts", "value").collect()
+    pts = []
+    sums: dict = {}
+    for r in ev:
+        t = r["ts"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        vq = int(math.floor(abs(float(r["value"]) * 10000) + 0.5))
+        k = us // _LTTB_HOUR_US
+        pts.append((r["event_id"], us, vq, k))
+        sq, n = sums.get(k, (0, 0))
+        sums[k] = (sq + vq, n + 1)
+    best: dict = {}
+    for eid, us, vq, k in pts:
+        if (k - 1) not in sums or (k + 1) not in sums:
+            continue
+        sa, na = sums[k - 1]
+        sb, nb = sums[k + 1]
+        ya = float(sa) / float(na) / 10000
+        yb = float(sb) / float(nb) / 10000
+        yp = float(vq) / 10000
+        xp = float(us) / float(_LTTB_HOUR_US)
+        xa = float(k) - 0.5
+        area = abs((-2.0) * (yp - ya) - (xa - xp) * (yb - ya)) / 2 * 1000000
+        area_q = int(math.floor(abs(area) + 0.5))
+        cur = best.get(k)
+        if cur is None or (-area_q, eid) < (-cur[1], cur[0]):
+            best[k] = (eid, area_q, vq)
+    got = {r["bucket_idx"]: (r["event_id"], r["area_q"], r["value"])
+           for r in ts_downsample_lttb(spark, SF).collect()}
+    assert set(got) == set(best)
+    for k, (eid, aq, vq) in best.items():
+        assert got[k][0] == eid, k
+        assert got[k][1] == aq, k
+        assert abs(got[k][2] - round(vq / 10000, 4)) < 1e-12, k
+    # shape contract: one point per interior bucket
+    interior = [k for k in sums if (k - 1) in sums and (k + 1) in sums]
+    assert len(got) == len(set(interior))
