@@ -5037,3 +5037,107 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _PROP_Z_SQL, ("orders",))
+
+
+# r12 C250: McNemar's test — the PAIRED binary significance test the
+# agreement family needs next to Cohen's kappa (C202): given two
+# raters' binary judgments on the same units ("did the annotator
+# match ground truth"), is their disagreement asymmetric? Uses the
+# same planted annotators as C235: rater 2 (errs on doc_id % 5) vs
+# rater 3 (errs on doc_id % 7), correctness vs the rater-1 base
+# label. Discordant counts b (r2 right, r3 wrong) and c (r2 wrong,
+# r3 right) are exact BIGINTs; the chi-square statistic with
+# continuity correction is (|b-c|-1)^2/(b+c) — ONE IEEE chain.
+# By construction b/c reflect the 1/7 vs 1/5 planted error rates,
+# so the statistic must flag rater 2 as worse (twin-pinned).
+
+
+def _mcnemar_sql() -> str:
+    return """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS r2_ok,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS r3_ok
+  FROM documents
+), agg AS (
+  SELECT CAST(sum(r2_ok * (1 - r3_ok)) AS BIGINT) AS b,
+         CAST(sum((1 - r2_ok) * r3_ok) AS BIGINT) AS c,
+         CAST(sum(r2_ok * r3_ok) AS BIGINT) AS a,
+         CAST(sum((1 - r2_ok) * (1 - r3_ok)) AS BIGINT) AS d
+  FROM lab
+)
+SELECT a, b, c, d,
+       round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+             / CAST(b + c AS DOUBLE), 4) AS mcnemar_chi2
+FROM agg
+"""
+
+
+@query("stats_mcnemar", oracle=_mcnemar_sql())
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C250: McNemar's test (continuity-corrected) on the planted
+    annotators' per-unit correctness — the paired-binary asymmetry
+    gate an annotation pipeline runs to decide WHICH of two raters
+    (or model versions) is worse, where kappa only says they differ.
+    All four contingency cells exact BIGINTs; chi2 = (|b-c|-1)^2 /
+    (b+c) is ONE IEEE chain — bit-identical at any SF. The planted
+    %5 vs %7 error slices make c > b structurally — rater 2 errs more,
+    so rater 3 wins most discordant pairs (twin-pinned).
+
+    Scale: one map-only projection + ONE global integer aggregate —
+    the cheapest possible plan shape."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _mcnemar_sql(), ("documents",))
+
+
+# r12 C251: Cochran's Q — the k-rater generalization of McNemar
+# (Cochran 1950): do k paired binary classifiers share one success
+# rate? With the three planted annotators' correctness columns
+# (rater 1 always right, rater 2 errs %5, rater 3 errs %7):
+#   Q = (k-1) * (k * sum_j G_j^2 - T^2) / (k * T - sum_u L_u^2)
+# where G_j = per-rater success total, T = sum G_j, L_u = per-unit
+# success count — every term an exact BIGINT, ONE IEEE division.
+
+
+def _cochran_q_sql() -> str:
+    return """
+WITH lab AS (
+  SELECT doc_id,
+         CAST(1 AS BIGINT) AS r1_ok,
+         CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS r2_ok,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS r3_ok
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(r1_ok) AS BIGINT) AS g1,
+         CAST(sum(r2_ok) AS BIGINT) AS g2,
+         CAST(sum(r3_ok) AS BIGINT) AS g3,
+         CAST(sum((r1_ok + r2_ok + r3_ok) * (r1_ok + r2_ok + r3_ok))
+              AS BIGINT) AS sum_l2
+  FROM lab
+)
+SELECT n_units, g1, g2, g3,
+       round(CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+                       - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
+             / CAST(3 * (g1 + g2 + g3) - sum_l2 AS DOUBLE), 4)
+         AS cochran_q
+FROM agg
+"""
+
+
+@query("stats_cochran_q", oracle=_cochran_q_sql())
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C251: Cochran's Q over the three planted annotators'
+    correctness — the k-rater omnibus test that precedes pairwise
+    McNemar (C250) exactly as ANOVA (C158) precedes pairwise t-tests:
+    one statistic saying 'these raters do NOT share an error rate'.
+    Q = (k-1)(k·ΣG² - T²)/(kT - ΣL²) with every moment an exact
+    BIGINT and ONE IEEE division — bit-identical at any SF. Rater 1
+    is planted perfect, so Q must reject strongly (twin-pinned).
+
+    Scale: one map-only projection + ONE global integer aggregate;
+    five integer partials shuffle, constant work after."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _cochran_q_sql(), ("documents",))

@@ -779,3 +779,50 @@ def test_lttb_downsample_matches_python_twin(spark):
     # shape contract: one point per interior bucket
     interior = [k for k in sums if (k - 1) in sums and (k + 1) in sums]
     assert len(got) == len(set(interior))
+
+
+def test_mcnemar_and_cochran_q_match_python_twins(spark):
+    """C250/C251 twins: exact contingency cells + both statistics in
+    python; pins the planted asymmetry (rater 2 errs 1/5 > rater 3's
+    1/7 => b > c, McNemar flags it) and Cochran's strong rejection
+    (rater 1 is planted perfect)."""
+    from etl_arcgis_spark.operators.aggregates import (
+        stats_cochran_q,
+        stats_mcnemar,
+    )
+
+    docs = [r["doc_id"] for r in
+            table(spark, SF, "documents").select("doc_id").collect()]
+    a = b = c = d = 0
+    g1 = len(docs)
+    g2 = g3 = 0
+    sum_l2 = 0
+    for did in docs:
+        r2 = 0 if did % 5 == 0 else 1
+        r3 = 0 if did % 7 == 0 else 1
+        g2 += r2
+        g3 += r3
+        sum_l2 += (1 + r2 + r3) ** 2
+        if r2 and not r3:
+            b += 1
+        elif r3 and not r2:
+            c += 1
+        elif r2 and r3:
+            a += 1
+        else:
+            d += 1
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+    got = stats_mcnemar(spark, SF).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+    assert abs(got["mcnemar_chi2"] - round(chi2, 4)) < 1e-9
+    # planted asymmetry: rater 3 (errs 1/7) is right more often when
+    # they disagree than rater 2 (errs 1/5) => c > b
+    assert c > b
+    t = g1 + g2 + g3
+    q = 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - t * t) / (3 * t - sum_l2)
+    gq = stats_cochran_q(spark, SF).collect()[0]
+    assert (gq["n_units"], gq["g1"], gq["g2"], gq["g3"]) == (
+        len(docs), g1, g2, g3)
+    assert abs(gq["cochran_q"] - round(q, 4)) < 1e-9
+    # three raters with distinct planted error rates: Q >> chi2_crit(2)
+    assert gq["cochran_q"] > 10.0
