@@ -1486,3 +1486,80 @@ def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
         F.max("ov_us").cast("bigint").alias("max_overlap_us"),
     )
+
+
+# r12 C252: SCD Type-2 temporal dimension join — THE warehouse lookup
+# pattern (Kimball slowly-changing dimensions): each supplier carries
+# three validity-bounded versions and every lineitem resolves the
+# version valid AT ITS SHIP DATE. Version boundaries are derived
+# deterministically from s_suppkey (epoch-day integers: 1996-01-01 =
+# day 9496, 1999-01-01 = day 10592), so the dimension build, the
+# range resolution, and the version attribute are all exact integer
+# arithmetic. The join is equi on s_suppkey with the validity range
+# as a residual predicate — key-bounded (3 dim rows per key), never
+# a data-sized theta join.
+
+
+def _scd2_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH dim AS (
+  SELECT s_suppkey, v.version,
+         CASE v.version
+           WHEN 0 THEN -719162
+           WHEN 1 THEN 9496 + s_suppkey % 365
+           ELSE 10592 + (s_suppkey * 7) % 365
+         END AS valid_from,
+         CASE v.version
+           WHEN 0 THEN 9496 + s_suppkey % 365
+           WHEN 1 THEN 10592 + (s_suppkey * 7) % 365
+           ELSE 2932896
+         END AS valid_to,
+         CAST(round(s_acctbal * 100, 0) AS BIGINT)
+           + 10000 * v.version AS acctbal_cents_v
+  FROM supplier,
+       (SELECT 0 AS version UNION ALL SELECT 1 UNION ALL SELECT 2) v
+), fact AS (
+  SELECT l_suppkey, l_orderkey,
+         {epoch} {idiv} 86400000000 AS ship_day,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS rev_cents
+  FROM lineitem
+)
+SELECT d.version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(f.rev_cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(f.l_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(d.acctbal_cents_v) AS BIGINT) AS acct_checksum
+FROM fact f
+JOIN dim d ON d.s_suppkey = f.l_suppkey
+          AND f.ship_day >= d.valid_from AND f.ship_day < d.valid_to
+GROUP BY d.version
+"""
+
+
+@query(
+    "join_scd2_temporal",
+    oracle=_scd2_sql("epoch_us(l_shipdate)", "//"),
+)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C252: SCD Type-2 dimension resolution — join each fact row to
+    the dimension version valid at event time (Kimball's
+    slowly-changing-dimension lookup, the pattern behind every
+    point-in-time-correct warehouse join and every leakage-free
+    feature-store read in a training pipeline). The synthetic
+    dimension holds three validity-ranged versions per supplier with
+    deterministic epoch-day boundaries; the validity ranges PARTITION
+    the timeline, so every fact row matches exactly one version (the
+    twin asserts the row-count conservation).
+
+    Scale: equi-join on s_suppkey (broadcast — the dim is 3x supplier)
+    with the range check as a residual predicate; per key only 3 dim
+    rows exist, so the residual never amplifies; revenue in exact
+    integer cents (the §5.3.1 magnitude discipline)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _scd2_sql("unix_micros(l_shipdate)", "div"),
+        ("supplier", "lineitem"),
+    )

@@ -3016,3 +3016,72 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(
         spark, sf_dir, _lttb_sql("unix_micros(ts)", "div"), ("events",)
     )
+
+
+# r12 C253: time-decay attribution — completes the attribution trio
+# (C131 last-touch, C218 Markov removal-effect): every click/view in
+# the 7 days before a purchase earns weight 2^-(gap_days), normalized
+# per purchase. The weight base is TWO on integer day gaps, so every
+# w is an exact power of two, every per-purchase weight sum is an
+# exact multiple of 2^-7 (order-independent even as a float window
+# sum — all partial sums are exactly representable), and the only
+# noise-bearing ops are the final per-group share sums, absorbed by
+# the §5.3.1 rounding discipline.
+
+
+def _timedecay_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         {epoch} {idiv} 86400000000 AS day
+  FROM events
+), p AS (
+  SELECT * FROM ev WHERE event_type = 'purchase'
+), t AS (
+  SELECT * FROM ev WHERE event_type IN ('click', 'view')
+), touch AS (
+  SELECT p.event_id AS p_id, p.value AS p_value, t.event_type AS touch_type,
+         power(2.0, -CAST(p.day - t.day AS DOUBLE)) AS w
+  FROM p JOIN t ON t.user_id = p.user_id
+  WHERE p.day - t.day >= 0 AND p.day - t.day <= 7
+    AND (t.day < p.day OR t.event_id < p.event_id)
+), norm AS (
+  SELECT p_id, p_value, touch_type, w,
+         sum(w) OVER (PARTITION BY p_id) AS wsum
+  FROM touch
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(w / wsum), 6) AS credit_share_total,
+       round(sum(p_value * w / wsum), 4) AS attributed_revenue
+FROM norm GROUP BY touch_type
+"""
+
+
+@query(
+    "analytics_attribution_time_decay",
+    oracle=_timedecay_sql("epoch_us(ts)", "//"),
+)
+def analytics_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C253: time-decay multi-touch attribution — credit every
+    click/view in the 7-day lookback before a purchase by
+    2^-(gap_days), normalized per purchase (the standard geometric
+    decay between last-touch's all-or-nothing and Markov's
+    model-based shares). Same-day touches qualify by event-id order —
+    a deterministic tie rule both engines apply identically.
+
+    Determinism: integer day gaps make every weight an exact power of
+    two, so the per-purchase window sum is exact in ANY summation
+    order (all partials are multiples of 2^-7 well inside 53 bits) —
+    the share division is then one identical IEEE op; only the final
+    per-channel sums carry last-ulp noise, absorbed by round 6/4
+    (§5.3.1 magnitude check passes at sf1).
+
+    Scale: the touch join is equi on user_id with a +/-7-day residual
+    (key-bounded, the C247 discussion); the normalization window is
+    PARTITIONED by purchase; the final aggregate is 2 rows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _timedecay_sql("unix_micros(ts)", "div"), ("events",)
+    )

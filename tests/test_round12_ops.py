@@ -826,3 +826,90 @@ def test_mcnemar_and_cochran_q_match_python_twins(spark):
     assert abs(gq["cochran_q"] - round(q, 4)) < 1e-9
     # three raters with distinct planted error rates: Q >> chi2_crit(2)
     assert gq["cochran_q"] > 10.0
+
+
+def test_scd2_temporal_join_matches_python_twin(spark):
+    """C252 twin: resolve each lineitem's dimension version in python
+    (same epoch-day boundaries) and pin counts, revenue cents, and
+    both checksums; validity ranges partition the timeline, so the
+    version counts must conserve the fact rowcount."""
+    import calendar
+
+    from etl_arcgis_spark.operators.joins import join_scd2_temporal
+
+    li = table(spark, SF, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate",
+        "l_extendedprice", "l_discount").collect()
+    sup = {r["s_suppkey"]: r["s_acctbal"]
+           for r in table(spark, SF, "supplier").collect()}
+    expect: dict = {}
+    for r in li:
+        t = r["l_shipdate"]
+        day = (calendar.timegm(t.timetuple()) * 1_000_000
+               + t.microsecond) // 86_400_000_000
+        sk = r["l_suppkey"]
+        b1 = 9496 + sk % 365
+        b2 = 10592 + (sk * 7) % 365
+        v = 0 if day < b1 else (1 if day < b2 else 2)
+        cents = int(math.floor(abs(
+            float(r["l_extendedprice"]) * (1 - float(r["l_discount"])) * 100
+        ) + 0.5))
+        acct = int(math.floor(abs(float(sup[sk]) * 100) + 0.5)) + 10000 * v
+        n, rev, kck, ack = expect.get(v, (0, 0, 0, 0))
+        expect[v] = (n + 1, rev + cents, kck + r["l_orderkey"], ack + acct)
+    got = {r["version"]: (r["n_rows"], r["revenue_cents"],
+                          r["key_checksum"], r["acct_checksum"])
+           for r in join_scd2_temporal(spark, SF).collect()}
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(li)  # conservation
+
+
+def test_time_decay_attribution_matches_python_twin(spark):
+    """C253 twin: replay the 7-day 2^-gap credit model in python with
+    exact power-of-two weights; pins touch counts and both credit
+    sums, and checks per-purchase share conservation."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import (
+        analytics_attribution_time_decay,
+    )
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts").collect()
+    rows = []
+    for r in ev:
+        t = r["ts"]
+        day = (calendar.timegm(t.timetuple()) * 1_000_000
+               + t.microsecond) // 86_400_000_000
+        rows.append((r["event_id"], r["user_id"], r["event_type"],
+                     float(r["value"]), day))
+    by_user: dict = {}
+    for row in rows:
+        by_user.setdefault(row[1], []).append(row)
+    n_t: collections.Counter = collections.Counter()
+    share: collections.Counter = collections.Counter()
+    rev: collections.Counter = collections.Counter()
+    for items in by_user.values():
+        purchases = [x for x in items if x[2] == "purchase"]
+        touches = [x for x in items if x[2] in ("click", "view")]
+        for pid, _, _, pval, pday in purchases:
+            cand = [(ty, 2.0 ** -(pday - d)) for eid, _, ty, _, d in touches
+                    if 0 <= pday - d <= 7 and (d < pday or eid < pid)]
+            if not cand:
+                continue
+            wsum = sum(w for _, w in cand)
+            for ty, w in cand:
+                n_t[ty] += 1
+                share[ty] += w / wsum
+                rev[ty] += pval * w / wsum
+    got = {r["touch_type"]: r
+           for r in analytics_attribution_time_decay(spark, SF).collect()}
+    assert set(got) == set(n_t)
+    for ty in n_t:
+        assert got[ty]["n_touches"] == n_t[ty], ty
+        assert abs(got[ty]["credit_share_total"] - round(share[ty], 6)) < 1e-5
+        assert abs(got[ty]["attributed_revenue"] - round(rev[ty], 4)) < 1e-3
+    # shares conserve: each credited purchase hands out exactly 1.0
+    total = sum(share.values())
+    assert abs(total - round(total)) < 1e-9
