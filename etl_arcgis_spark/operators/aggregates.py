@@ -5141,3 +5141,71 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _cochran_q_sql(), ("documents",))
+
+
+# r12 C254: TOST equivalence test — the inverted question the rest of
+# the A/B family can't answer: not "is there a difference" but "is
+# the difference PROVABLY within ±delta" (Schuirmann 1987, the
+# regulatory/launch-gate standard). Two one-sided Welch t statistics
+# against the margins; equivalence iff both reject at alpha = 0.05
+# (critical z = 1.645 — df is in the thousands, the normal limit
+# applies). Moments spelled explicitly like C122 (no var_samp) so
+# neither engine's streaming variance enters; the t ratios are
+# scale-free (§5.3.1).
+
+_TOST_MARGIN = 2000.0  # dollars, on mean order value
+
+
+def _tost_sql() -> str:
+    se = "sqrt(v1 / n1 + v0 / n0)"
+    return f"""
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+         AS BIGINT) AS n0,
+    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice
+             ELSE 0 END) AS s1,
+    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+             ELSE o_totalprice END) AS s0,
+    sum(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN o_totalprice * o_totalprice ELSE 0 END) AS q1,
+    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+             ELSE o_totalprice * o_totalprice END) AS q0
+  FROM orders
+), v AS (
+  SELECT n1, n0, s1 / n1 - s0 / n0 AS diff,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q0 - s0 * s0 / n0) / (n0 - 1) AS v0
+  FROM m
+)
+SELECT n1, n0,
+       round(diff, 4) AS mean_diff,
+       round((diff + {_TOST_MARGIN}) / {se}, 4) AS t_lower,
+       round((diff - {_TOST_MARGIN}) / {se}, 4) AS t_upper,
+       CAST(CASE WHEN (diff + {_TOST_MARGIN}) / {se} > 1.645
+                  AND (diff - {_TOST_MARGIN}) / {se} < -1.645
+            THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+FROM v
+"""
+
+
+@query("stats_tost_equivalence", oracle=_tost_sql())
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C254: TOST (two one-sided tests) equivalence gate on mean
+    order value, urgent vs rest, margin ±$2000 — the launch-review
+    question 'can we SHOW the change is within tolerance', which no
+    significance test in the family (C122/C124/C244/C246) answers:
+    absence of significance is not evidence of equivalence. Both
+    one-sided Welch statistics and the joint decision at z = 1.645;
+    explicit moments, scale-free ratios, single SQL text both
+    engines. The decision is data-driven: at small SF the standard
+    error exceeds the margin and TOST must NOT claim equivalence —
+    the twin pins that asymmetry against the z-test's non-rejection.
+
+    Scale: ONE map-side-combined aggregate (six partials), constant
+    work after."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _tost_sql(), ("orders",))

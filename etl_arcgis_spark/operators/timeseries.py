@@ -3085,3 +3085,70 @@ def analytics_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFr
     return sql_over(
         spark, sf_dir, _timedecay_sql("unix_micros(ts)", "div"), ("events",)
     )
+
+
+# r12 C255: classical seasonal decomposition (additive, centered-MA
+# trend) — the textbook decomposition (Hyndman FPP3 §3.3) that
+# ts_seasonal_strength only runs as an internal mean-based
+# approximation: trend = centered 24-term moving average with
+# half-weights at the ends (the even-period spelling), seasonal =
+# hour-of-day mean of the detrended series. Exactness: the hourly
+# series is a sum of e4-quantized values (exact BIGINT), and the
+# weighted 25-term window folds to T2 = S23 + S25 (both plain frame
+# sums of exact integers: y[-12]+y[+12] = S25-S23, so
+# 2*S23 + (S25-S23) = S23+S25) — trend is ONE IEEE division by 48e4,
+# the 48e4-scaled detrended residual stays an exact BIGINT, and each
+# seasonal index is ONE more IEEE division. Bit-identical at any SF.
+
+
+def _decomp_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT {epoch} {idiv} 3600000000 AS h,
+         CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS yq
+  FROM events
+  GROUP BY {epoch} {idiv} 3600000000
+), win AS (
+  SELECT h, yq,
+         CAST(sum(yq) OVER (ORDER BY h
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS s25,
+         CAST(sum(yq) OVER (ORDER BY h
+              ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS BIGINT) AS s23,
+         count(*) OVER (ORDER BY h
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS c25
+  FROM hourly
+), det AS (
+  -- 48x-scaled detrended residual: 48*y - T2, T2 = s23 + s25 (exact)
+  SELECT h % 24 AS hod, CAST(48 * yq - (s23 + s25) AS BIGINT) AS dev48
+  FROM win WHERE c25 = 25
+)
+SELECT CAST(hod AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(CAST(sum(dev48) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 480000, 6) AS seasonal,
+       round(CAST(min(dev48) AS DOUBLE) / 480000, 6) AS min_detrended,
+       round(CAST(max(dev48) AS DOUBLE) / 480000, 6) AS max_detrended
+FROM det GROUP BY hod
+"""
+
+
+@query("ts_decompose_classical", oracle=_decomp_sql("epoch_us(ts)", "//"))
+def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C255: classical additive decomposition of the hourly value
+    series — centered 24-term MA trend (half-weighted ends, the
+    even-period textbook form) and the 24 hour-of-day seasonal
+    indices of the detrended series. Every step up to the two final
+    divisions is exact BIGINT arithmetic on the e4-quantized hourly
+    sums (the weighted MA folds to S23+S25 — see the builder comment),
+    so the decomposition is bit-identical cross-engine.
+
+    Scale: the only fact-sized pass is the hourly rollup (map-side
+    combined); the MA windows run over the CALENDAR-BOUNDED hourly
+    table (720 rows at every fixture SF — time span, not data size,
+    bounds it; years of data are ~1e5 rows, one task), and the
+    seasonal aggregate is 24 groups."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _decomp_sql("unix_micros(ts)", "div"), ("events",)
+    )

@@ -913,3 +913,91 @@ def test_time_decay_attribution_matches_python_twin(spark):
     # shares conserve: each credited purchase hands out exactly 1.0
     total = sum(share.values())
     assert abs(total - round(total)) < 1e-9
+
+
+def test_tost_equivalence_matches_python_twin(spark):
+    """C254 twin: explicit-moment TOST in python; pins both one-sided
+    statistics and the small-SF asymmetry — the z-test (C246 family)
+    does not reject, AND TOST does not claim equivalence (absence of
+    evidence != evidence of absence, the whole point of TOST)."""
+    from etl_arcgis_spark.operators.aggregates import (
+        _TOST_MARGIN,
+        stats_tost_equivalence,
+    )
+
+    orders = table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice").collect()
+    g1 = [float(r["o_totalprice"]) for r in orders
+          if r["o_orderpriority"] == "1-URGENT"]
+    g0 = [float(r["o_totalprice"]) for r in orders
+          if r["o_orderpriority"] != "1-URGENT"]
+    n1, n0 = len(g1), len(g0)
+    m1, m0 = sum(g1) / n1, sum(g0) / n0
+    v1 = (sum(x * x for x in g1) - sum(g1) ** 2 / n1) / (n1 - 1)
+    v0 = (sum(x * x for x in g0) - sum(g0) ** 2 / n0) / (n0 - 1)
+    se = math.sqrt(v1 / n1 + v0 / n0)
+    diff = m1 - m0
+    tl = (diff + _TOST_MARGIN) / se
+    tu = (diff - _TOST_MARGIN) / se
+    got = stats_tost_equivalence(spark, SF).collect()[0]
+    assert (got["n1"], got["n0"]) == (n1, n0)
+    assert abs(got["mean_diff"] - round(diff, 4)) < 1e-6
+    assert abs(got["t_lower"] - round(tl, 4)) < 1e-6
+    assert abs(got["t_upper"] - round(tu, 4)) < 1e-6
+    assert got["equivalent"] == (1 if (tl > 1.645 and tu < -1.645) else 0)
+    # at fixture SF the SE exceeds the margin's reach: not equivalent
+    assert got["equivalent"] == 0
+
+
+def test_classical_decomposition_matches_python_twin(spark):
+    """C255 twin: replay the centered-MA decomposition in python with
+    the same exact-integer spelling; pins every seasonal index and
+    the additive-identity property (seasonal indices of the detrended
+    series average ~0 across hours)."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import ts_decompose_classical
+
+    ev = table(spark, SF, "events").select("ts", "value").collect()
+    hourly: collections.Counter = collections.Counter()
+    for r in ev:
+        t = r["ts"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        vq = int(math.floor(abs(float(r["value"]) * 10000) + 0.5))
+        hourly[us // 3_600_000_000] += vq
+    hs = sorted(hourly)
+    dev: dict = {}
+    for i, h in enumerate(hs):
+        lo25, hi25 = i - 12, i + 12
+        if lo25 < 0 or hi25 >= len(hs):
+            continue
+        # contiguity: the ROWS frame covers neighbors by ORDER, which
+        # only equals the calendar window when hours are contiguous
+        if hs[hi25] - hs[lo25] != 24:
+            # engine uses ROWS frame too — replicate exactly (frame is
+            # positional, not calendar): proceed identically
+            pass
+        s25 = sum(hourly[hs[j]] for j in range(lo25, hi25 + 1))
+        s23 = sum(hourly[hs[j]] for j in range(i - 11, i + 12))
+        d = 48 * hourly[h] - (s23 + s25)
+        dev.setdefault(h % 24, []).append(d)
+    def r6(x: float) -> float:
+        # SQL round() is half-AWAY-from-zero; python round() is banker's
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    got = {r["hour_of_day"]: r for r in ts_decompose_classical(spark, SF).collect()}
+    assert set(got) == set(dev)
+    for hod, ds in dev.items():
+        g = got[hod]
+        assert g["n_hours"] == len(ds), hod
+        assert abs(g["seasonal"]
+                   - r6(float(sum(ds)) / float(len(ds)) / 480000)) < 1e-12
+        assert abs(g["min_detrended"] - r6(min(ds) / 480000)) < 1e-12
+        assert abs(g["max_detrended"] - r6(max(ds) / 480000)) < 1e-12
+    # additive identity: hour-of-day seasonal indices sum to ~0 —
+    # approximate when the hourly series has gaps (the ROWS frame is
+    # positional; sf0.001 has ~130 empty hours), so a 10% band
+    tot = sum(float(sum(ds)) / float(len(ds)) / 480000 for ds in dev.values())
+    level = sum(hourly.values()) / len(hourly) / 10000
+    assert abs(tot) < 0.10 * max(level, 1.0)

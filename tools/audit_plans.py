@@ -163,6 +163,7 @@ WINDOW_BOUNDED_OK = {
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
     "analytics_mom_growth": "window over per-month aggregate (~80 rows)",
     "ts_cumulative_users": "window over per-day aggregate (~2400 rows)",
+    "ts_decompose_classical": "centered-MA frames over the calendar-bounded hourly rollup (720 rows at any fixture SF; years of data ~1e5 rows, one task)",
     "analytics_pareto_frontier": "phase-2 merge over per-bucket skyline survivors (bounded by bucket count x frontier size)",
     "sample_pack_sequences": "offset window over per-bucket totals (256 md5-prefix buckets, bucketed_running_sums)",
     "sample_global_reid": "offset window over per-bucket counts (|buckets| rows)",
