@@ -5209,3 +5209,152 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _tost_sql(), ("orders",))
+
+
+# r12 C256: multi-feature OLS by normal equations — distributed
+# linear-model TRAINING in one aggregate pass: regr_* (C117) fits one
+# feature; this fits y = b0 + b1*qty + b2*disc by accumulating the
+# nine Gram/moment sums and solving the 3x3 normal equations with
+# Cramer's rule. EVERY moment is an exact BIGINT (price in cents,
+# discount in e2 units, quantity integer — largest term ~1.1e15 at
+# sf1, well inside BIGINT), and the determinant chain is a fixed IEEE
+# expression over those exact integers — bit-identical cross-engine.
+# R^2 uses a double Σy² (it would overflow BIGINT; the C122
+# explicit-moment precedent), scale-free and r6-rounded.
+
+
+def _ols_sql() -> str:
+    cast = "CAST({x} AS DOUBLE)".format
+    m = {k: cast(x=k) for k in
+         ("n", "sq", "sd", "sqq", "sqd", "sdd", "sy", "sqy", "sdy")}
+    det = (f"({m['n']} * ({m['sqq']} * {m['sdd']} - {m['sqd']} * {m['sqd']})"
+           f" - {m['sq']} * ({m['sq']} * {m['sdd']} - {m['sqd']} * {m['sd']})"
+           f" + {m['sd']} * ({m['sq']} * {m['sqd']} - {m['sqq']} * {m['sd']}))")
+    det0 = (f"({m['sy']} * ({m['sqq']} * {m['sdd']} - {m['sqd']} * {m['sqd']})"
+            f" - {m['sq']} * ({m['sqy']} * {m['sdd']} - {m['sqd']} * {m['sdy']})"
+            f" + {m['sd']} * ({m['sqy']} * {m['sqd']} - {m['sqq']} * {m['sdy']}))")
+    det1 = (f"({m['n']} * ({m['sqy']} * {m['sdd']} - {m['sqd']} * {m['sdy']})"
+            f" - {m['sy']} * ({m['sq']} * {m['sdd']} - {m['sqd']} * {m['sd']})"
+            f" + {m['sd']} * ({m['sq']} * {m['sdy']} - {m['sqy']} * {m['sd']}))")
+    det2 = (f"({m['n']} * ({m['sqq']} * {m['sdy']} - {m['sqy']} * {m['sqd']})"
+            f" - {m['sq']} * ({m['sq']} * {m['sdy']} - {m['sqy']} * {m['sd']})"
+            f" + {m['sy']} * ({m['sq']} * {m['sqd']} - {m['sqq']} * {m['sd']}))")
+    return f"""
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         l_extendedprice AS yd
+  FROM lineitem
+), mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(q * d) AS BIGINT) AS sqd,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * q) AS BIGINT) AS sqy,
+         CAST(sum(y * d) AS BIGINT) AS sdy,
+         sum(yd * yd) AS syy_d
+  FROM f
+)
+SELECT n,
+       round({det0} / {det} / 100, 4) AS b0_dollars,
+       round({det1} / {det} / 100, 4) AS b1_per_qty_dollars,
+       round({det2} / {det} / 100, 4) AS b2_per_pct_dollars,
+       round(1 - (syy_d - ({det0} / {det} * {m['sy']}
+                  + {det1} / {det} * {m['sqy']}
+                  + {det2} / {det} * {m['sdy']}) / 10000)
+               / (syy_d - ({m['sy']} / 100) * ({m['sy']} / 100)
+                  / {m['n']}), 6) AS r2
+FROM mo
+"""
+
+
+@query("ml_ols_normal_equations", oracle=_ols_sql())
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C256: two-feature OLS (price ~ quantity + discount) trained in
+    ONE distributed aggregate pass — the normal-equations spelling of
+    linear-model training the engine needs beyond single-feature
+    regr_* (C117): nine Gram moments, Cramer's rule on the 3x3
+    system. All moments are exact BIGINTs (cents / e2-discount /
+    integer quantity), so the coefficient chain is a fixed IEEE
+    expression over identical integers — bit-identical cross-engine;
+    R^2 = 1 - SSE/SST via the algebraic identity SSE = Σy² - b·X'y
+    (double Σy², scale-free ratio, r6).
+
+    Scale: THE pattern for distributed model fitting — the shuffle
+    carries nine integer partials per partition (map-side combined),
+    the solve is constant work on the driver-free 1-row relation; at
+    100 TB nothing changes but the scan."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _ols_sql(), ("lineitem",))
+
+
+# r12 C257: Cronbach's alpha — the internal-consistency coefficient
+# (Cronbach 1951) over the three planted annotators' ordinal scores
+# (a=1<b=2<c=3, the C240 mapping): alpha = k/(k-1) * (1 - Σvar_i /
+# var_total). All variances from exact integer moments (scores and
+# their squares are tiny BIGINTs), population-variance spelling, ONE
+# IEEE chain at the end — bit-identical at any SF.
+
+
+def _cronbach_sql(strpos: str, substr: str) -> str:
+    base = _KA_VAL.replace("strpos", strpos).replace("substr", substr)
+    shift = f"({base} % 3 + 1)"
+    var = ("(CAST({n} * {sxx} - {sx} * {sx} AS DOUBLE)"
+           " / CAST({n} * {n} AS DOUBLE))").format
+    return f"""
+WITH num AS (
+  SELECT doc_id,
+         CAST({base} AS BIGINT) AS v1,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END
+              AS BIGINT) AS v2,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END
+              AS BIGINT) AS v3
+  FROM documents
+), mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v1) AS BIGINT) AS s1, CAST(sum(v1 * v1) AS BIGINT) AS q1,
+         CAST(sum(v2) AS BIGINT) AS s2, CAST(sum(v2 * v2) AS BIGINT) AS q2,
+         CAST(sum(v3) AS BIGINT) AS s3, CAST(sum(v3 * v3) AS BIGINT) AS q3,
+         CAST(sum(v1 + v2 + v3) AS BIGINT) AS st,
+         CAST(sum((v1 + v2 + v3) * (v1 + v2 + v3)) AS BIGINT) AS qt
+  FROM num
+)
+SELECT n,
+       round({var(n="n", sxx="q1", sx="s1")}, 6) AS var_r1,
+       round({var(n="n", sxx="q2", sx="s2")}, 6) AS var_r2,
+       round({var(n="n", sxx="q3", sx="s3")}, 6) AS var_r3,
+       round({var(n="n", sxx="qt", sx="st")}, 6) AS var_total,
+       round(1.5 * (1 - ({var(n="n", sxx="q1", sx="s1")}
+                         + {var(n="n", sxx="q2", sx="s2")}
+                         + {var(n="n", sxx="q3", sx="s3")})
+                        / {var(n="n", sxx="qt", sx="st")}), 6)
+         AS cronbach_alpha
+FROM mo
+"""
+
+
+@query("stats_cronbach_alpha", oracle=_cronbach_sql("strpos", "substr"))
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C257: Cronbach's alpha over the planted annotators' ordinal
+    scores — the internal-consistency reliability coefficient that
+    rounds out the family (agreement: kappa/alpha/AC1; asymmetry:
+    McNemar/Q; truth: Dawid-Skene; consistency: THIS): do the k
+    raters measure the same construct? alpha = k/(k-1)(1 - Σvar_i /
+    var_total) with every moment an exact BIGINT and one final IEEE
+    chain — bit-identical at any SF. High planted agreement forces
+    alpha toward 1 (twin-pinned band).
+
+    Scale: one map-only projection + ONE global integer aggregate
+    (nine partials) — the C250/C251 plan shape."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _cronbach_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )

@@ -1001,3 +1001,71 @@ def test_classical_decomposition_matches_python_twin(spark):
     tot = sum(float(sum(ds)) / float(len(ds)) / 480000 for ds in dev.values())
     level = sum(hourly.values()) / len(hourly) / 10000
     assert abs(tot) < 0.10 * max(level, 1.0)
+
+
+def test_ols_normal_equations_matches_numpy_lstsq(spark):
+    """C256 twin: the distributed normal-equations fit must agree
+    with numpy's QR-based lstsq on the same rows to far better than
+    the reporting grid (the Gram moments are exact integers, so the
+    only divergence is the solve path)."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.aggregates import ml_ols_normal_equations
+
+    li = table(spark, SF, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_discount").collect()
+    y = np.array([float(r["l_extendedprice"]) for r in li])
+    X = np.column_stack([
+        np.ones(len(li)),
+        np.array([float(r["l_quantity"]) for r in li]),
+        np.array([round(float(r["l_discount"]) * 100) for r in li]),
+    ])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(np.sum((y - pred) ** 2))
+    ss_tot = float(np.sum((y - y.mean()) ** 2))
+    r2 = 1 - ss_res / ss_tot
+    got = ml_ols_normal_equations(spark, SF).collect()[0]
+    assert got["n"] == len(li)
+    assert abs(got["b0_dollars"] - beta[0]) < 1e-2
+    assert abs(got["b1_per_qty_dollars"] - beta[1]) < 1e-3
+    assert abs(got["b2_per_pct_dollars"] - beta[2]) < 1e-2
+    assert abs(got["r2"] - r2) < 1e-6
+    # the synthetic fixture prices are independent of quantity, so the
+    # fit must be HONESTLY near zero — a large R^2 here would mean the
+    # moments or the solve are wrong
+    assert 0.0 <= got["r2"] < 0.05
+
+
+def test_cronbach_alpha_matches_python_twin(spark):
+    """C257 twin: exact-integer variances in python; the planted
+    high agreement forces alpha toward 1."""
+    from etl_arcgis_spark.operators.aggregates import stats_cronbach_alpha
+
+    docs = [r["doc_id"] for r in
+            table(spark, SF, "documents").select("doc_id").collect()]
+
+    def basev(did: int) -> int:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "0123456789abcdef".index(h[0]) % 3 + 1
+
+    cols = {1: [], 2: [], 3: []}
+    for did in docs:
+        v1 = basev(did)
+        sh = v1 % 3 + 1
+        cols[1].append(v1)
+        cols[2].append(sh if did % 5 == 0 else v1)
+        cols[3].append(sh if did % 7 == 0 else v1)
+    n = len(docs)
+
+    def pvar(xs):
+        s, q = sum(xs), sum(x * x for x in xs)
+        return (n * q - s * s) / (n * n)
+
+    tot = [a + b + c for a, b, c in zip(cols[1], cols[2], cols[3])]
+    vt = pvar(tot)
+    alpha = 1.5 * (1 - (pvar(cols[1]) + pvar(cols[2]) + pvar(cols[3])) / vt)
+    got = stats_cronbach_alpha(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["cronbach_alpha"] - round(alpha, 6)) < 1e-9
+    assert 0.7 < got["cronbach_alpha"] <= 1.0
