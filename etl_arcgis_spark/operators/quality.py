@@ -1279,3 +1279,65 @@ FROM d GROUP BY source
 """,
         ("documents",),
     )
+
+
+# r12 C258: Population Stability Index — the industry-standard drift
+# scalar (banking/model-monitoring convention: PSI < 0.1 stable,
+# 0.1-0.25 shifting, > 0.25 action) that dq_distribution_drift's
+# per-category TVD table deliberately does not collapse to. Same
+# before/after time slices; Laplace-smoothed shares (+1 count per
+# category on both sides) keep ln defined for categories absent from
+# one slice. The two ln calls per category run on IEEE-identical
+# inputs (exact integer counts cast identically), so cross-engine
+# divergence is bounded by 1 ulp of libm ln — absorbed by r6 (the
+# C91 Jensen-Shannon precedent).
+
+
+def _psi_sql(epoch: str) -> str:
+    pa = "((CAST(coalesce(na, 0) AS DOUBLE) + 1) / (CAST(sa AS DOUBLE) + k))"
+    pb = "((CAST(coalesce(nb, 0) AS DOUBLE) + 1) / (CAST(sb AS DOUBLE) + k))"
+    return f"""
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS na FROM events
+  WHERE {epoch} < {_DRIFT_SPLIT_US} GROUP BY event_type
+), b AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb FROM events
+  WHERE {epoch} >= {_DRIFT_SPLIT_US} GROUP BY event_type
+), m AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type, na, nb
+  FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+), t AS (
+  SELECT CAST(sum(coalesce(na, 0)) AS BIGINT) AS sa,
+         CAST(sum(coalesce(nb, 0)) AS BIGINT) AS sb,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM m
+), per AS (
+  SELECT event_type,
+         ({pb} - {pa}) * ln({pb} / {pa}) AS contrib
+  FROM m, t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_categories,
+       round(sum(contrib), 6) AS psi,
+       CASE WHEN sum(contrib) < 0.1 THEN 'stable'
+            WHEN sum(contrib) < 0.25 THEN 'shifting'
+            ELSE 'action' END AS verdict
+FROM per
+"""
+
+
+@query("dq_psi_drift", oracle=_psi_sql("epoch_us(ts)"))
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C258: Population Stability Index between the same before/after
+    slices as dq_distribution_drift — the single drift scalar model
+    monitoring alarms on (the banking-origin 0.1/0.25 thresholds),
+    complementing the per-category TVD table: PSI weights each
+    category's share change by its log-ratio, so a small category
+    collapsing to zero registers where TVD barely moves.
+    Laplace-smoothed shares keep ln defined; integer counts make the
+    ln inputs IEEE-identical, ln's last-ulp spread absorbed by r6.
+
+    Scale: two partition-prunable filtered aggregates over one scan,
+    a |categories|-row merge, constant work after."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _psi_sql("unix_micros(ts)"), ("events",))

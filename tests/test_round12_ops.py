@@ -1069,3 +1069,34 @@ def test_cronbach_alpha_matches_python_twin(spark):
     assert got["n"] == n
     assert abs(got["cronbach_alpha"] - round(alpha, 6)) < 1e-9
     assert 0.7 < got["cronbach_alpha"] <= 1.0
+
+
+def test_psi_drift_matches_python_twin(spark):
+    """C258 twin: replay the Laplace-smoothed PSI in python on the
+    same time split; pins the scalar and the threshold verdict."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.quality import _DRIFT_SPLIT_US, dq_psi_drift
+
+    ev = table(spark, SF, "events").select("event_type", "ts").collect()
+    na: collections.Counter = collections.Counter()
+    nb: collections.Counter = collections.Counter()
+    for r in ev:
+        t = r["ts"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        (na if us < _DRIFT_SPLIT_US else nb)[r["event_type"]] += 1
+    cats = sorted(set(na) | set(nb))
+    sa, sb, k = sum(na.values()), sum(nb.values()), float(len(cats))
+    psi = 0.0
+    for c in cats:
+        pa = (na.get(c, 0) + 1) / (sa + k)
+        pb = (nb.get(c, 0) + 1) / (sb + k)
+        psi += (pb - pa) * math.log(pb / pa)
+    got = dq_psi_drift(spark, SF).collect()[0]
+    assert got["n_categories"] == len(cats)
+    assert abs(got["psi"] - round(psi, 6)) < 1e-6
+    expect_verdict = ("stable" if psi < 0.1
+                      else "shifting" if psi < 0.25 else "action")
+    assert got["verdict"] == expect_verdict
+    assert got["psi"] >= 0.0  # PSI is a symmetrized KL: non-negative
