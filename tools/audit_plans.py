@@ -148,6 +148,7 @@ NLJ_OK = {
     "stats_permutation_test",    # 200-row draw-id broadcast fan-out (the ts_autocorrelation lag-list shape) + 1-row obs/extreme combines
     "sim_mrr_eval",              # 20-row query-vector broadcast (the sim_ndcg_eval / sim_knn shape)
     "join_scd2_temporal",        # 3-row version-scaffold cross join building the SCD2 dim; the fact join itself is a BroadcastHashJoin on s_suppkey (verified plan)
+    "dq_psi_drift",              # 1-row slice-totals broadcast onto the |categories|-row merge (the dq_distribution_drift shape)
 }
 
 # Queries whose unpartitioned WindowExec runs over a PROVABLY BOUNDED
