@@ -5358,3 +5358,141 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cronbach_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
         ("documents",),
     )
+
+
+# r12 C259: grouped MODE — the one descriptive aggregate the SQL
+# surface was missing (count/sum/avg/median/percentile/stddev all
+# exist; the most-frequent VALUE per group did not): per order
+# status, the modal order priority with a deterministic tie-break
+# (count DESC, value ASC), exactly the spelling DISTINCT-ON/mode()
+# engines compile to a partial-count + per-group argmax.
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus AS g, o_orderpriority AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT g, v, n,
+         row_number() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rn
+  FROM c
+)
+SELECT g AS order_status, v AS mode_priority, n AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+@query("agg_mode_grouped", oracle=_MODE_SQL)
+def agg_mode_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C259: per-group mode (most frequent value, ties broken by
+    value order) — the descriptive aggregate missing between
+    count-distinct and the percentile family. Two-level shape: the
+    (group, value) count aggregate is map-side combined (the shuffle
+    carries |groups|x|values| partials), and the argmax window runs
+    over that BOUNDED count table partitioned per group — never over
+    raw rows.
+
+    Scale: |groups x values| is 3x5 here and stays data-independent;
+    at 100 TB only the first aggregate's scan grows."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _MODE_SQL, ("orders",))
+
+
+# r12 C260: batch perceptron — distributed linear-classifier TRAINING
+# with a 100% EXACT-INTEGER trajectory (Rosenblatt 1958, batch
+# variant): y in {-1,+1} (returned vs not), integer features
+# (1, quantity, e2-discount), unit learning rate. Each epoch is ONE
+# data-sized aggregate (the misclassification test y*(w·x) <= 0 and
+# the gradient sums are all BIGINT arithmetic — there is NO floating
+# point anywhere in the fit), so the weight trajectory is exact, not
+# just bit-identical: the strongest determinism class in the engine
+# (C234's stump needs one IEEE division per split; this needs zero).
+
+_PERC_EPOCHS = 8
+
+
+def _perceptron_sql(materialized: bool) -> str:
+    mat = " MATERIALIZED" if materialized else ""
+    parts = [f"""
+WITH f AS{mat} (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+w0 AS{mat} (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wq,
+            CAST(0 AS BIGINT) AS wd)"""]
+    for t in range(1, _PERC_EPOCHS + 1):
+        p = t - 1
+        parts.append(f""",
+e{t} AS{mat} (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(coalesce(sum(f.y), 0) AS BIGINT) AS gy,
+         CAST(coalesce(sum(f.y * f.q), 0) AS BIGINT) AS gq,
+         CAST(coalesce(sum(f.y * f.d), 0) AS BIGINT) AS gd
+  FROM f, w{p} w
+  WHERE f.y * (w.b + w.wq * f.q + w.wd * f.d) <= 0
+),
+w{t} AS{mat} (
+  SELECT w.b + e.gy AS b, w.wq + e.gq AS wq, w.wd + e.gd AS wd
+  FROM w{p} w, e{t} e
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS epoch, e{t}.m AS n_misclassified,"
+        f" w{t}.b, w{t}.wq, w{t}.wd FROM e{t}, w{t}"
+        for t in range(1, _PERC_EPOCHS + 1)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+@query("ml_perceptron_batch", oracle=_perceptron_sql(True))
+def ml_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C260: batch perceptron over (quantity, discount) vs returned
+    flag, 8 epochs — the zero-floating-point member of the in-engine
+    training tier (C234 stump: one IEEE div per split; C236 MM / C241
+    EM / C114 power method: div+round per update; THIS: pure BIGINT —
+    the trajectory is exact arithmetic, full stop). Spark runs the
+    canonical distributed-training loop: per epoch ONE data-sized
+    aggregate with the previous weight vector inlined as literals
+    (a chained-CTE spelling makes Catalyst re-expand the scan tree
+    exponentially — measured 231 s vs <2 s for the loop at sf0.001);
+    the oracle unrolls the same epochs as MATERIALIZED CTEs, which
+    DuckDB executes linearly. The fixture classes are not linearly
+    separable, so misclassification counts stay positive and weights
+    bounded — the python twin replays all 8 epochs exactly.
+
+    Scale: 8 sequential map-side-combined aggregates, each shuffling
+    four integer partials; the weight vector is driver state exactly
+    as in every production SGD loop."""
+    from ..tables import sql_over
+
+    b = wq = wd = 0
+    out = []
+    for t in range(1, _PERC_EPOCHS + 1):
+        r = sql_over(
+            spark,
+            sf_dir,
+            f"""
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(coalesce(sum(y), 0) AS BIGINT) AS gy,
+       CAST(coalesce(sum(y * q), 0) AS BIGINT) AS gq,
+       CAST(coalesce(sum(y * d), 0) AS BIGINT) AS gd
+FROM (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+) f
+WHERE y * (CAST({b} AS BIGINT) + CAST({wq} AS BIGINT) * q
+           + CAST({wd} AS BIGINT) * d) <= 0
+""",
+            ("lineitem",),
+        ).collect()[0]
+        b, wq, wd = b + r["gy"], wq + r["gq"], wd + r["gd"]
+        out.append((t, r["m"], b, wq, wd))
+    return spark.createDataFrame(
+        out, "epoch bigint, n_misclassified bigint, b bigint,"
+        " wq bigint, wd bigint"
+    )

@@ -1100,3 +1100,62 @@ def test_psi_drift_matches_python_twin(spark):
                       else "shifting" if psi < 0.25 else "action")
     assert got["verdict"] == expect_verdict
     assert got["psi"] >= 0.0  # PSI is a symmetrized KL: non-negative
+
+
+def test_mode_grouped_matches_python_twin(spark):
+    """C259 twin: recompute the per-group modal priority with the
+    count-DESC / value-ASC tie-break in pure python."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import agg_mode_grouped
+
+    rows = table(spark, SF, "orders").select(
+        "o_orderstatus", "o_orderpriority").collect()
+    counts: dict = collections.defaultdict(collections.Counter)
+    for r in rows:
+        counts[r["o_orderstatus"]][r["o_orderpriority"]] += 1
+    expect = {
+        g: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for g, c in counts.items()
+    }
+    got = {r["order_status"]: (r["mode_priority"], r["mode_count"])
+           for r in agg_mode_grouped(spark, SF).collect()}
+    assert got == expect
+    # every group must be represented exactly once
+    assert set(got) == set(counts)
+
+
+def test_perceptron_batch_matches_python_replay(spark):
+    """C260 twin: replay all 8 exact-BIGINT epochs in pure python —
+    the trajectory (weights AND misclassification counts per epoch)
+    must be identical integers, not merely close."""
+    from etl_arcgis_spark.operators.aggregates import (
+        _PERC_EPOCHS,
+        ml_perceptron_batch,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount").collect()
+    feats = [
+        (1 if r["l_returnflag"] == "R" else -1,
+         int(r["l_quantity"]),
+         int(round(float(r["l_discount"]) * 100)))
+        for r in li
+    ]
+    b = wq = wd = 0
+    expect = []
+    for t in range(1, _PERC_EPOCHS + 1):
+        m = gy = gq = gd = 0
+        for y, q, d in feats:
+            if y * (b + wq * q + wd * d) <= 0:
+                m += 1
+                gy += y
+                gq += y * q
+                gd += y * d
+        b, wq, wd = b + gy, wq + gq, wd + gd
+        expect.append((t, m, b, wq, wd))
+    got = [(r["epoch"], r["n_misclassified"], r["b"], r["wq"], r["wd"])
+           for r in sorted(ml_perceptron_batch(spark, SF).collect())]
+    assert got == expect
+    # the classes are not separable: every epoch keeps misclassifying
+    assert all(m > 0 for _, m, *_ in expect)
