@@ -5496,3 +5496,269 @@ WHERE y * (CAST({b} AS BIGINT) + CAST({wq} AS BIGINT) * q
         out, "epoch bigint, n_misclassified bigint, b bigint,"
         " wq bigint, wd bigint"
     )
+
+
+# r12 C261: thresholded-classifier evaluation — the confusion-matrix
+# readout every trained model in the engine (C234 stump, C256 OLS,
+# C260 perceptron) needs before deployment: TP/FP/FN/TN plus the five
+# standard derived metrics. The "classifier" under test is the same
+# deterministic bounded score C262 ranks (s = 10*discount_pct +
+# tax_pct, s >= 55 predicts 'returned'); the fixture's returnflag is
+# independent of it, so precision must land at prevalence and MCC at
+# ~0 — the twin pins that honesty. Counts are exact BIGINTs from ONE
+# map-side-combined conditional aggregate; each metric is a single
+# IEEE division (MCC: products cast to DOUBLE first — (n/2)^4
+# overflows BIGINT — then one sqrt), r6-rounded.
+
+_CLF_SCORE = ("(CAST(round(l_discount * 100, 0) AS BIGINT) * 10"
+              " + CAST(round(l_tax * 100, 0) AS BIGINT))")
+
+_CLF_EVAL_SQL = f"""
+WITH f AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN {_CLF_SCORE} >= 55 THEN 1 ELSE 0 END AS p
+  FROM lineitem
+), c AS (
+  SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+         CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+         CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+         CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+  FROM f
+)
+SELECT tp, fp, fn, tn,
+       round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS acc,
+       round(tp / CAST(tp + fp AS DOUBLE), 6) AS prec,
+       round(tp / CAST(tp + fn AS DOUBLE), 6) AS rec,
+       round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+       round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+              - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+             6) AS mcc
+FROM c
+"""
+
+
+@query("ml_classifier_eval_threshold", oracle=_CLF_EVAL_SQL)
+def ml_classifier_eval_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C261: confusion matrix + accuracy/precision/recall/F1/MCC for
+    a thresholded score vs the binary returned-flag label — the
+    deployment gate for the in-engine training tier (C234/C256/C260).
+
+    Scale: ONE map-side-combined aggregate (four integer partials);
+    every derived metric is constant work on the 1-row result. The
+    four counts are exact at any SF; metrics are single IEEE
+    divisions over them."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _CLF_EVAL_SQL, ("lineitem",))
+
+
+# r12 C262: exact AUC-ROC — threshold-free ranking quality for the
+# same bounded score. AUC = P(score_pos > score_neg) + P(equal)/2,
+# computed from the Mann-Whitney rank identity AUC =
+# (R1 - n1(n1+1)/2)/(n1*n0) with midranks over the BOUNDED score grid
+# (s in 0..108 by construction): group sizes + one offset window over
+# <=109 rows — the C124 ECDF-support pattern, never a row-level global
+# sort. Midranks are exact multiples of 0.5 and every product stays
+# under 2^53, so AUC's numerator is BITWISE identical cross-engine;
+# one IEEE division at the end. Fixture honesty: the score is
+# independent of the label, so AUC must land near 0.5 (twin-pinned).
+
+_AUC_SQL = f"""
+WITH f AS (
+  SELECT {_CLF_SCORE} AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), per_s AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS cnt1
+  FROM f GROUP BY s
+), ranked AS (
+  SELECT s, cnt, cnt1,
+         coalesce(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+           + (cnt + 1) / CAST(2 AS DOUBLE) AS midrank
+  FROM per_s
+), agg AS (
+  SELECT CAST(sum(cnt1) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - cnt1) AS BIGINT) AS n_neg,
+         sum(cnt1 * midrank) AS r1
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((r1 - n_pos * (n_pos + 1) / CAST(2 AS DOUBLE))
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc,
+       round(2 * ((r1 - n_pos * (n_pos + 1) / CAST(2 AS DOUBLE))
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1, 6)
+         AS gini_coefficient
+FROM agg
+"""
+
+
+@query("ml_auc_roc_exact", oracle=_AUC_SQL)
+def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C262: exact AUC-ROC (+ Gini = 2*AUC-1) via the Mann-Whitney
+    rank identity over the bounded score grid — the threshold-free
+    companion of C261's point metrics, closing the classifier-eval
+    tier (rank-based AUC is exactly what a 100 TB eval pass can
+    afford: no per-threshold sweep, no sort of raw rows).
+
+    Scale: one map-side-combined aggregate to the <=109-row score
+    grid, a bounded offset window, a 1-row tail. The window is
+    audit-allowlisted as value-domain-bounded (same class as C124)."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _AUC_SQL, ("lineitem",))
+
+
+# r12 C263: Cramér's V (+ Bergsma 2013 bias correction) — the EFFECT
+# SIZE the chi-square test (C157-sibling stats_chi2_independence)
+# deliberately does not report: chi2 grows linearly with n, so at
+# 100 TB every association is "significant" and only a
+# sample-size-free strength measure is actionable. Same exact
+# integer-arithmetic day-of-week contingency as C139/chi2
+# ((days since epoch + 4) % 7 — no calendar functions). The cell
+# table is |types| x 7 regardless of SF; chi2 accumulates over those
+# <=35 bounded rows and V adds two IEEE sqrt/divisions, r6-rounded.
+
+
+def _cramers_sql(epoch_expr: str, idiv: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, (({epoch_expr} {idiv} {_DAY_US}) + 4) % 7 AS dow
+  FROM events
+), o AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS obs
+  FROM ev GROUP BY event_type, dow
+), rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY event_type),
+ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY dow),
+nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+chi AS (
+  SELECT sum((obs - CAST(r AS DOUBLE) * c / n)
+             * (obs - CAST(r AS DOUBLE) * c / n)
+             / (CAST(r AS DOUBLE) * c / n)) AS chi2,
+         CAST(count(DISTINCT o.event_type) AS BIGINT) AS nr,
+         CAST(count(DISTINCT o.dow) AS BIGINT) AS nc,
+         CAST(max(nn.n) AS BIGINT) AS n
+  FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nn
+)
+SELECT n, nr AS n_rows_ct, nc AS n_cols_ct,
+       round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (n * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6)
+         AS cramers_v,
+       round(sqrt(
+         greatest(chi2 / n - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1), 0)
+         / CAST(least(nr - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1),
+                      nc - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1))
+                - 1 AS DOUBLE)), 6) AS cramers_v_corrected
+FROM chi
+"""
+
+
+@query("stats_cramers_v", oracle=_cramers_sql("epoch_us(ts)", "//"))
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C263: Cramér's V with Bergsma's bias correction — the
+    scale-free association strength between event type and day-of-week
+    that stays comparable across SFs while raw chi2 (which it is
+    computed from) explodes with n. The twin pins V in [0,1], the
+    corrected V <= V, and replays both from an exact python
+    contingency.
+
+    Scale: one map-side-combined count shuffle to the bounded
+    |types| x 7 cell table; margins broadcast back; constant tail."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _cramers_sql("unix_micros(ts)", "div"), ("events",)
+    )
+
+
+# r12 C264: Friedman test (+ Kendall's W) — the k-related-samples
+# omnibus completing the nonparametric battery: C124/C169 compare
+# INDEPENDENT groups, C250/C251 binary outcomes; Friedman asks
+# whether the three planted annotators' ordinal scores (same fixture
+# as C240, a=1<b=2<c=3) differ systematically — the rater-bias screen
+# an annotation pipeline runs before averaging scores. Within-unit
+# midranks over m=3 raters are closed-form integer arithmetic
+# (2*rank = 2 + 2*#less + #equal-others), the tie term is a CASE on
+# the pair-equality count, and the tie-corrected statistic
+# chi2 = [ (Sum R_j^2)/ (4n) ... ] uses only Sum-of-BIGINT moments —
+# exact until two IEEE divisions. Kendall's W = chi2 / (n*(k-1))
+# rides along as the agreement-strength readout.
+
+
+def _friedman_sql(strpos: str, substr: str) -> str:
+    base = _KA_VAL.replace("strpos", strpos).replace("substr", substr)
+    shift = f"({base} % 3 + 1)"
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         {base} AS v1,
+         CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS v2,
+         CASE WHEN doc_id % 7 = 0 THEN {shift} ELSE {base} END AS v3
+  FROM documents
+), rk AS (
+  SELECT doc_id,
+         2 + 2 * (CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+                  + CASE WHEN v3 < v1 THEN 1 ELSE 0 END)
+           + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END
+              + CASE WHEN v3 = v1 THEN 1 ELSE 0 END) AS r2_1,
+         2 + 2 * (CASE WHEN v1 < v2 THEN 1 ELSE 0 END
+                  + CASE WHEN v3 < v2 THEN 1 ELSE 0 END)
+           + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END
+              + CASE WHEN v3 = v2 THEN 1 ELSE 0 END) AS r2_2,
+         2 + 2 * (CASE WHEN v1 < v3 THEN 1 ELSE 0 END
+                  + CASE WHEN v2 < v3 THEN 1 ELSE 0 END)
+           + (CASE WHEN v1 = v3 THEN 1 ELSE 0 END
+              + CASE WHEN v2 = v3 THEN 1 ELSE 0 END) AS r2_3,
+         CASE (CASE WHEN v1 = v2 THEN 1 ELSE 0 END
+               + CASE WHEN v1 = v3 THEN 1 ELSE 0 END
+               + CASE WHEN v2 = v3 THEN 1 ELSE 0 END)
+           WHEN 3 THEN 24 WHEN 1 THEN 6 ELSE 0 END AS tie3
+  FROM lab
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r2_1) AS BIGINT) AS s1,
+         CAST(sum(r2_2) AS BIGINT) AS s2,
+         CAST(sum(r2_3) AS BIGINT) AS s3,
+         CAST(sum(tie3) AS BIGINT) AS t
+  FROM rk
+)
+SELECT n AS n_units,
+       round(s1 / CAST(2 AS DOUBLE), 1) AS rank_sum_r1,
+       round(s2 / CAST(2 AS DOUBLE), 1) AS rank_sum_r2,
+       round(s3 / CAST(2 AS DOUBLE), 1) AS rank_sum_r3,
+       round(((s1 * s1 + s2 * s2 + s3 * s3) / CAST(4 * n AS DOUBLE)
+              - 12 * n)
+             / (1 - t / CAST(24 * n AS DOUBLE)), 6) AS friedman_chi2,
+       round(((s1 * s1 + s2 * s2 + s3 * s3) / CAST(4 * n AS DOUBLE)
+              - 12 * n)
+             / (1 - t / CAST(24 * n AS DOUBLE)) / CAST(2 * n AS DOUBLE),
+             6) AS kendall_w
+FROM m
+"""
+
+
+@query("stats_friedman_test", oracle=_friedman_sql("strpos", "substr"))
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C264: Friedman rank test with tie correction + Kendall's W
+    over the planted three-annotator ordinal scores — does any rater
+    score systematically higher/lower? (The planted a->b->c->a shift
+    on the %5/%7 slices biases raters 2/3 upward on average, so the
+    statistic must be positive and W small — twin-pinned against a
+    full python rank replay.) chisq uses the scipy/textbook
+    tie-corrected spelling: (12/(nk(k+1)) * Sum R_j^2 - 3n(k+1)) /
+    (1 - Sum(t^3-t)/(n(k^3-k))).
+
+    Scale: map-only rank arithmetic per unit (k=3 closed form, no
+    per-unit sort), ONE map-side-combined 5-integer aggregate,
+    constant tail — no rater-pair joins, no windows."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark,
+        sf_dir,
+        _friedman_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )

@@ -1159,3 +1159,152 @@ def test_perceptron_batch_matches_python_replay(spark):
     assert got == expect
     # the classes are not separable: every epoch keeps misclassifying
     assert all(m > 0 for _, m, *_ in expect)
+
+
+def test_classifier_eval_matches_python_twin(spark):
+    """C261 twin: exact confusion counts in python; fixture honesty —
+    the score is independent of the label, so precision ~= prevalence
+    and MCC ~= 0."""
+    from etl_arcgis_spark.operators.aggregates import (
+        ml_classifier_eval_threshold,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_tax").collect()
+    tp = fp = fn = tn = 0
+    for r in li:
+        y = 1 if r["l_returnflag"] == "R" else 0
+        s = int(round(float(r["l_discount"]) * 100)) * 10 + int(
+            round(float(r["l_tax"]) * 100))
+        p = 1 if s >= 55 else 0
+        tp += y * p
+        fp += (1 - y) * p
+        fn += y * (1 - p)
+        tn += (1 - y) * (1 - p)
+    got = ml_classifier_eval_threshold(spark, SF).collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    n = tp + fp + fn + tn
+    assert abs(got["acc"] - round((tp + tn) / n, 6)) < 1e-9
+    assert abs(got["prec"] - round(tp / (tp + fp), 6)) < 1e-9
+    assert abs(got["rec"] - round(tp / (tp + fn), 6)) < 1e-9
+    assert abs(got["f1"] - round(2 * tp / (2 * tp + fp + fn), 6)) < 1e-9
+    prevalence = (tp + fn) / n
+    assert abs(got["prec"] - prevalence) < 0.05
+    assert abs(got["mcc"]) < 0.05
+
+
+def test_auc_roc_matches_python_twin(spark):
+    """C262 twin: brute-force pairwise AUC (P(s_pos > s_neg) + ties/2)
+    via the per-score count table; must equal the rank-identity AUC
+    exactly, and sit near 0.5 on the label-independent score."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import ml_auc_roc_exact
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_tax").collect()
+    pos: collections.Counter = collections.Counter()
+    neg: collections.Counter = collections.Counter()
+    for r in li:
+        s = int(round(float(r["l_discount"]) * 100)) * 10 + int(
+            round(float(r["l_tax"]) * 100))
+        (pos if r["l_returnflag"] == "R" else neg)[s] += 1
+    n1, n0 = sum(pos.values()), sum(neg.values())
+    wins = ties = 0
+    for sp, cp in pos.items():
+        for sn, cn in neg.items():
+            if sp > sn:
+                wins += cp * cn
+            elif sp == sn:
+                ties += cp * cn
+    auc = (wins + ties / 2) / (n1 * n0)
+    got = ml_auc_roc_exact(spark, SF).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (n1, n0)
+    assert abs(got["auc"] - round(auc, 6)) < 1e-9
+    assert abs(got["gini_coefficient"] - round(2 * auc - 1, 6)) < 1e-9
+    assert 0.45 < got["auc"] < 0.55
+
+
+def test_cramers_v_matches_python_twin(spark):
+    """C263 twin: exact integer contingency in python; V in [0,1],
+    corrected V <= V."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_cramers_v
+
+    ev = table(spark, SF, "events").select("event_type", "ts").collect()
+    cells: collections.Counter = collections.Counter()
+    for r in ev:
+        t = r["ts"]
+        days = (calendar.timegm(t.timetuple()) * 1_000_000
+                + t.microsecond) // 86_400_000_000
+        cells[(r["event_type"], (days + 4) % 7)] += 1
+    rt: collections.Counter = collections.Counter()
+    ct: collections.Counter = collections.Counter()
+    for (et, dw), c in cells.items():
+        rt[et] += c
+        ct[dw] += c
+    n = sum(cells.values())
+    chi2 = 0.0
+    for (et, dw), obs in cells.items():
+        e = rt[et] * ct[dw] / n
+        chi2 += (obs - e) ** 2 / e
+    nr, nc = len(rt), len(ct)
+    v = math.sqrt(chi2 / (n * min(nr - 1, nc - 1)))
+    phi2c = max(chi2 / n - (nr - 1) * (nc - 1) / (n - 1), 0.0)
+    nrc = nr - (nr - 1) ** 2 / (n - 1)
+    ncc = nc - (nc - 1) ** 2 / (n - 1)
+    vc = math.sqrt(phi2c / (min(nrc, ncc) - 1))
+    got = stats_cramers_v(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["chi2"] - round(chi2, 4)) < 1e-6
+    assert abs(got["cramers_v"] - round(v, 6)) < 1e-9
+    assert abs(got["cramers_v_corrected"] - round(vc, 6)) < 1e-9
+    assert 0.0 <= got["cramers_v_corrected"] <= got["cramers_v"] <= 1.0
+
+
+def test_friedman_matches_python_twin(spark):
+    """C264 twin: full python midrank replay (rankdata-style) of the
+    tie-corrected Friedman statistic; the planted upward shift on
+    raters 2/3 must push rank_sum_r1 below the others."""
+    from etl_arcgis_spark.operators.aggregates import stats_friedman_test
+
+    docs = [r["doc_id"] for r in
+            table(spark, SF, "documents").select("doc_id").collect()]
+
+    def basev(did: int) -> int:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "0123456789abcdef".index(h[0]) % 3 + 1
+
+    rows = []
+    for did in docs:
+        v1 = basev(did)
+        sh = v1 % 3 + 1
+        rows.append((v1,
+                     sh if did % 5 == 0 else v1,
+                     sh if did % 7 == 0 else v1))
+    n, k = len(rows), 3
+    rank_sums = [0.0, 0.0, 0.0]
+    tie_sum = 0
+    for vs in rows:
+        for j in range(k):
+            less = sum(1 for x in vs if x < vs[j])
+            eq = sum(1 for x in vs if x == vs[j])
+            rank_sums[j] += less + (eq + 1) / 2
+        for val in set(vs):
+            t = vs.count(val)
+            tie_sum += t ** 3 - t
+    chisq_unc = 12 / (n * k * (k + 1)) * sum(
+        rj ** 2 for rj in rank_sums) - 3 * n * (k + 1)
+    c = 1 - tie_sum / (n * (k ** 3 - k))
+    chisq = chisq_unc / c
+    got = stats_friedman_test(spark, SF).collect()[0]
+    assert got["n_units"] == n
+    for j in range(3):
+        assert abs(got[f"rank_sum_r{j+1}"] - rank_sums[j]) < 1e-6
+    assert abs(got["friedman_chi2"] - round(chisq, 6)) < 1e-4
+    assert abs(got["kendall_w"] - round(chisq / (n * (k - 1)), 6)) < 1e-4
+    # planted bias: raters 2/3 shift UP on their slices -> r1 lowest
+    assert rank_sums[0] < rank_sums[1] and rank_sums[0] < rank_sums[2]
+    assert got["friedman_chi2"] > 0
