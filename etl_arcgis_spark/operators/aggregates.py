@@ -5762,3 +5762,162 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         _friedman_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
         ("documents",),
     )
+
+
+# r12 C265: logistic regression by gradient descent — the probability
+# -calibrated classifier trainer beside the perceptron (C260), and the
+# engine's cleanest demonstration of the SUFFICIENT-STATISTICS
+# pattern: the feature domain (quantity 1..50, discount-pct 0..10,
+# label 0/1) is BOUNDED, so the entire corpus collapses to <=1100
+# (y,q,d) counts in ONE data-sized map-side-combined aggregate, and
+# every GD epoch runs over that bounded table as driver state — at
+# 100 TB this is one pass over the data, then constant work, exactly
+# how production GLM training on aggregated data works.
+#
+# Determinism (bit-identical cross-engine, the C241 grid discipline
+# taken further): weights live as BIGINT MICRO-UNITS; each per-group
+# float term (sigmoid via libm exp — python math.exp and DuckDB exp
+# are the same libm symbol on this platform; every expression is
+# spelled with identical operation order in both languages) is
+# snapped to the e6 grid with the engine's half-away floor spelling
+# BEFORE summing, so the gradient sum is an exact BIGINT (<=6e12
+# micro-units at sf1, far inside 2^53) and order-independent; the
+# update step uses lr=4.0 (a power of two — exact scaling) and one
+# more grid snap. The trajectory is therefore EXACT integers; only
+# the display log-loss carries a final r6 rounding.
+
+_LOGIT_EPOCHS = 8
+_LOGIT_LR = 2.0
+
+
+def _logit_counts_sql() -> str:
+    return """
+SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       CAST(l_quantity AS BIGINT) AS q,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
+def _logit_oracle_sql() -> str:
+    def micro(t: str) -> str:
+        return f"CAST(sign({t}) * floor(abs({t}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    def snap(t: str) -> str:
+        # the gradient sums are ALREADY in micro-units: the update is a
+        # plain half-away integer round, not another e6 scaling
+        return f"CAST(sign({t}) * floor(abs({t}) + 0.5) AS BIGINT)"
+
+    def z(w: str) -> str:
+        return (f"(({w}.w0 + {w}.w1 * c.q / CAST(50 AS DOUBLE) + {w}.w2 * c.d / CAST(10 AS DOUBLE))"
+                f" / CAST(1000000 AS DOUBLE))")
+
+    parts = [f"""
+WITH c AS MATERIALIZED ({_logit_counts_sql()}),
+n AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       CAST(0 AS BIGINT) AS w2)"""]
+    for t in range(1, _LOGIT_EPOCHS + 1):
+        p = t - 1
+        sig = f"(1.0 / (1.0 + exp(-{z('w')})))"
+        g0 = micro(f"c.cnt * (c.y - {sig})")
+        g1 = micro(f"c.cnt * (c.y - {sig}) * (c.q / CAST(50 AS DOUBLE))")
+        g2 = micro(f"c.cnt * (c.y - {sig}) * (c.d / CAST(10 AS DOUBLE))")
+        parts.append(f""",
+g{t} AS MATERIALIZED (
+  SELECT CAST(sum({g0}) AS BIGINT) AS g0,
+         CAST(sum({g1}) AS BIGINT) AS g1,
+         CAST(sum({g2}) AS BIGINT) AS g2
+  FROM c, w{p} w
+),
+w{t} AS MATERIALIZED (
+  SELECT w.w0 + {snap(f"{_LOGIT_LR} * (g.g0 / CAST(nn.n AS DOUBLE))")} AS w0,
+         w.w1 + {snap(f"{_LOGIT_LR} * (g.g1 / CAST(nn.n AS DOUBLE))")} AS w1,
+         w.w2 + {snap(f"{_LOGIT_LR} * (g.g2 / CAST(nn.n AS DOUBLE))")} AS w2
+  FROM w{p} w, g{t} g, n nn
+),
+l{t} AS MATERIALIZED (
+  SELECT CAST(sum({micro("c.cnt * ln(greatest(CASE WHEN c.y = 1 THEN "
+                         f"(1.0 / (1.0 + exp(-{z('w')}))) ELSE "
+                         f"1.0 - (1.0 / (1.0 + exp(-{z('w')}))) END,"
+                         " 1e-15))")})
+              AS BIGINT) AS ll
+  FROM c, w{t} w
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS epoch, w{t}.w0 AS w0_micro,"
+        f" w{t}.w1 AS w1_micro, w{t}.w2 AS w2_micro, n.n AS n,"
+        f" round(-CAST(l{t}.ll AS DOUBLE) / CAST(1000000 AS DOUBLE) / CAST(n.n AS DOUBLE), 6)"
+        f" AS avg_logloss"
+        f" FROM w{t}, l{t}, n"
+        for t in range(1, _LOGIT_EPOCHS + 1)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+def _micro(t: float) -> int:
+    import math as _m
+
+    v = int(_m.floor(abs(t) * 1000000.0 + 0.5))
+    return -v if t < 0 else v
+
+
+def _snap(t: float) -> int:
+    import math as _m
+
+    v = int(_m.floor(abs(t) + 0.5))
+    return -v if t < 0 else v
+
+
+@query("ml_logistic_gd", oracle=_logit_oracle_sql())
+def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C265: logistic-regression training (8 GD epochs, lr=2.0) on
+    (quantity/50, discount_pct/10) vs the returned flag — the
+    sufficient-statistics GLM trainer: Spark does ONE
+    map-side-combined aggregate to the <=1100-row (y,q,d) count
+    table; all epochs run on that bounded table as driver state with
+    BIGINT micro-unit weights and e6 grid snaps on every float term
+    before summation, making the whole trajectory exact integers
+    (module docstring: the determinism contract). The fixture label
+    is feature-independent, so the fit must converge toward the
+    prevalence logit with near-zero slopes — the twin pins that and
+    the monotone log-loss descent toward the label entropy.
+
+    Scale: one data-sized aggregate (shuffle carries <=1100 partial
+    rows per partition), then constant work; the oracle unrolls the
+    same epochs as MATERIALIZED CTEs over the same counts table."""
+    import math as _m
+
+    from ..tables import sql_over
+
+    groups = sql_over(
+        spark, sf_dir, _logit_counts_sql(), ("lineitem",)
+    ).collect()
+    cs = [(r["y"], r["q"], r["d"], r["cnt"]) for r in groups]
+    n = sum(c for _, _, _, c in cs)
+    w0 = w1 = w2 = 0
+    out = []
+    for t in range(1, _LOGIT_EPOCHS + 1):
+        g0 = g1 = g2 = 0
+        for y, q, d, cnt in cs:
+            zz = (w0 + w1 * q / 50.0 + w2 * d / 10.0) / 1000000.0
+            p = 1.0 / (1.0 + _m.exp(-zz))
+            g0 += _micro(cnt * (y - p))
+            g1 += _micro(cnt * (y - p) * (q / 50.0))
+            g2 += _micro(cnt * (y - p) * (d / 10.0))
+        w0 += _snap(_LOGIT_LR * (g0 / n))
+        w1 += _snap(_LOGIT_LR * (g1 / n))
+        w2 += _snap(_LOGIT_LR * (g2 / n))
+        ll = 0
+        for y, q, d, cnt in cs:
+            zz = (w0 + w1 * q / 50.0 + w2 * d / 10.0) / 1000000.0
+            p = 1.0 / (1.0 + _m.exp(-zz))
+            ll += _micro(cnt * _m.log(max(p if y == 1 else 1.0 - p, 1e-15)))
+        out.append((t, w0, w1, w2, n, round(-float(ll) / 1000000.0 / n, 6)))
+    return spark.createDataFrame(
+        out, "epoch bigint, w0_micro bigint, w1_micro bigint,"
+        " w2_micro bigint, n bigint, avg_logloss double"
+    )

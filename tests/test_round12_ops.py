@@ -1308,3 +1308,62 @@ def test_friedman_matches_python_twin(spark):
     # planted bias: raters 2/3 shift UP on their slices -> r1 lowest
     assert rank_sums[0] < rank_sums[1] and rank_sums[0] < rank_sums[2]
     assert got["friedman_chi2"] > 0
+
+
+def test_logistic_gd_matches_python_full_replay(spark):
+    """C265 twin: independent full replay — raw rows (not the
+    operator's count table), same grid discipline — must reproduce
+    the exact integer weight trajectory; log-loss must descend
+    toward (but stay above) the label entropy, and the
+    feature-independent fixture keeps slope magnitudes below the
+    intercept's."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        _LOGIT_EPOCHS,
+        _LOGIT_LR,
+        _micro,
+        _snap,
+        ml_logistic_gd,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount").collect()
+    counts: collections.Counter = collections.Counter()
+    for r in li:
+        counts[(1 if r["l_returnflag"] == "R" else 0,
+                int(r["l_quantity"]),
+                int(round(float(r["l_discount"]) * 100)))] += 1
+    n = sum(counts.values())
+    w0 = w1 = w2 = 0
+    expect = []
+    for t in range(1, _LOGIT_EPOCHS + 1):
+        g0 = g1 = g2 = 0
+        for (y, q, d), cnt in counts.items():
+            z = (w0 + w1 * q / 50.0 + w2 * d / 10.0) / 1000000.0
+            p = 1.0 / (1.0 + math.exp(-z))
+            g0 += _micro(cnt * (y - p))
+            g1 += _micro(cnt * (y - p) * (q / 50.0))
+            g2 += _micro(cnt * (y - p) * (d / 10.0))
+        w0 += _snap(_LOGIT_LR * (g0 / n))
+        w1 += _snap(_LOGIT_LR * (g1 / n))
+        w2 += _snap(_LOGIT_LR * (g2 / n))
+        ll = 0
+        for (y, q, d), cnt in counts.items():
+            z = (w0 + w1 * q / 50.0 + w2 * d / 10.0) / 1000000.0
+            p = 1.0 / (1.0 + math.exp(-z))
+            ll += _micro(cnt * math.log(max(p if y == 1 else 1.0 - p, 1e-15)))
+        expect.append((t, w0, w1, w2, n, round(-float(ll) / 1000000.0 / n, 6)))
+    got = [(r["epoch"], r["w0_micro"], r["w1_micro"], r["w2_micro"],
+            r["n"], r["avg_logloss"])
+           for r in sorted(ml_logistic_gd(spark, SF).collect())]
+    assert got == expect
+    losses = [e[5] for e in expect]
+    assert losses == sorted(losses, reverse=True)  # monotone descent
+    prev = sum(c for (y, _, _), c in counts.items() if y == 1) / n
+    entropy = -(prev * math.log(prev) + (1 - prev) * math.log(1 - prev))
+    assert losses[-1] > entropy - 1e-6
+    assert losses[-1] - entropy < 0.15
+    # feature-independent label: slopes never dominate the intercept
+    assert abs(expect[-1][2]) < abs(expect[-1][1])
+    assert abs(expect[-1][3]) < abs(expect[-1][1])
