@@ -5921,3 +5921,77 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "epoch bigint, w0_micro bigint, w1_micro bigint,"
         " w2_micro bigint, n bigint, avg_logloss double"
     )
+
+
+# r12 C270: ridge regression path — the regularized companion of the
+# C256 OLS fit and the missing "hyperparameter sweep in one pass"
+# demonstration: the SAME nine exact-BIGINT Gram moments price the
+# closed-form ridge solution for every lambda in the grid
+# simultaneously (centered 2x2 system per lambda, intercept
+# unpenalized, lambda = alpha * n so shrinkage is SF-invariant).
+# One data-sized aggregate, then |grid| constant-work solves — this
+# is why normal-equations training beats SGD at 100 TB when the
+# feature count is small: the sweep is free.
+
+_RIDGE_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+), mo AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(q * d) AS BIGINT) AS sqd,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * q) AS BIGINT) AS sqy,
+         CAST(sum(y * d) AS BIGINT) AS sdy
+  FROM f
+), grid AS (
+  SELECT CAST(0 AS BIGINT) AS alpha UNION ALL SELECT 1 UNION ALL
+  SELECT 10 UNION ALL SELECT 100 UNION ALL SELECT 1000
+), c AS (
+  SELECT alpha,
+         CAST(n AS DOUBLE) AS nd,
+         sqq - sq * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+           + alpha * CAST(n AS DOUBLE) AS cqq,
+         sqd - sq * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS cqd,
+         sdd - sd * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+           + alpha * CAST(n AS DOUBLE) AS cdd,
+         sqy - sq * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cqy,
+         sdy - sd * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cdy,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
+         CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS md
+  FROM mo CROSS JOIN grid
+)
+SELECT alpha,
+       round((my - (cdd * cqy - cqd * cdy) / (cqq * cdd - cqd * cqd) * mq
+                 - (cqq * cdy - cqd * cqy) / (cqq * cdd - cqd * cqd) * md)
+             / CAST(100 AS DOUBLE), 4) AS b0_dollars,
+       round((cdd * cqy - cqd * cdy) / (cqq * cdd - cqd * cqd)
+             / CAST(100 AS DOUBLE), 6) AS b1_per_qty_dollars,
+       round((cqq * cdy - cqd * cqy) / (cqq * cdd - cqd * cqd)
+             / CAST(100 AS DOUBLE), 6) AS b2_per_pct_dollars
+FROM c
+ORDER BY alpha
+"""
+
+
+@query("ml_ridge_path", oracle=_RIDGE_SQL)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C270: closed-form ridge path over alpha in {0,1,10,100,1000}
+    (lambda = alpha*n, intercept unpenalized) from the same exact
+    Gram moments as C256 — alpha=0 reproduces OLS exactly; the twin
+    pins monotone L2 shrinkage of the slope vector as alpha grows.
+    Centered-moment arithmetic is a fixed IEEE chain over exact
+    BIGINTs, bit-identical cross-engine; display grids r4/r6.
+
+    Scale: ONE map-side-combined nine-moment aggregate; the lambda
+    grid is a 5-row broadcast cross join; each solve is a 2x2
+    closed form — constant work after the single pass."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _RIDGE_SQL, ("lineitem",))

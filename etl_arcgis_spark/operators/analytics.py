@@ -1544,3 +1544,67 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").cast("double") / F.any_value("total_c")
         ).alias("revenue_share"),
     )
+
+
+# r12 C267: association rules — the directional second half of
+# market-basket mining that C76's pair counting (support only)
+# stops short of (Agrawal & Srikant 1994): confidence
+# P(B|A) = supp(AB)/supp(A) and lift = conf/P(B) for BOTH directions
+# of every pair above min-support. Exact integer supports feed one
+# IEEE division per metric; ranking is (lift DESC, conf DESC, a, b)
+# — a total order, so top-20 is deterministic.
+
+_ASSOC_MINSUP = 3
+
+_ASSOC_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op
+), item AS (
+  SELECT l_partkey, CAST(count(1) AS BIGINT) AS s FROM op GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(1) AS BIGINT) AS sab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(1) >= {_ASSOC_MINSUP}
+), rules AS (
+  SELECT pa AS antecedent, pb AS consequent, sab,
+         ia.s AS s_ante, ib.s AS s_cons, nb.n AS n_baskets
+  FROM pair JOIN item ia ON ia.l_partkey = pair.pa
+            JOIN item ib ON ib.l_partkey = pair.pb
+            CROSS JOIN nb
+  UNION ALL
+  SELECT pb, pa, sab, ib.s, ia.s, nb.n
+  FROM pair JOIN item ia ON ia.l_partkey = pair.pa
+            JOIN item ib ON ib.l_partkey = pair.pb
+            CROSS JOIN nb
+)
+SELECT antecedent, consequent, sab AS support_pair,
+       round(sab / CAST(s_ante AS DOUBLE), 6) AS confidence,
+       round(sab * CAST(n_baskets AS DOUBLE)
+             / (CAST(s_ante AS DOUBLE) * CAST(s_cons AS DOUBLE)), 6) AS lift
+FROM rules
+ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+LIMIT 20
+"""
+
+
+@query("analytics_association_rules", oracle=_ASSOC_SQL)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C267: top-20 association rules (confidence + lift, both
+    directions) over part co-purchases — the Apriori rule-generation
+    step on the k=2 frequent itemsets that
+    `analytics_part_cooccurrence` counts.
+
+    Scale: the pair space is quadratic in BASKET size (bounded), not
+    corpus size — the self-join shares one orderkey shuffle (exchange
+    reuse); item supports broadcast back onto the min-support-pruned
+    pair table; the basket total is a 1-row broadcast
+    (audit-allowlisted); top-20 via TakeOrderedAndProject on a total
+    order."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _ASSOC_SQL, ("lineitem",))

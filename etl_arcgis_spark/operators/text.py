@@ -3730,3 +3730,76 @@ GROUP BY t.lang
 """,
         ("documents",),
     )
+
+
+# r12 C266: vocabulary coverage & richness estimators — the
+# "how much of the language have we actually seen" readout a corpus
+# build reports before freezing a tokenizer: Turing/Good coverage
+# (1 - hapax share: the probability the NEXT n-gram is already
+# known), the bias-corrected Chao1 lower bound on TRUE vocabulary
+# size, and the first Good-Turing smoothed counts
+# r* = (r+1)N_{r+1}/N_r that a KN-style LM (C196) builds on. The
+# species domain is word TRIGRAMS: the fixture's unigram vocabulary
+# is closed (31 words, zero hapaxes — the estimators would be
+# degenerate), while its trigram space has the heavy tail these
+# estimators exist for (n1 ~ 9400 at sf0.001). Everything derives
+# from the frequency-of-frequencies table: trigram counts (the one
+# data-sized map-side-combined shuffle), counts-of-counts
+# (O(sqrt N) rows), then exact BIGINT moments and four IEEE
+# divisions.
+
+_VOCAB_COV_SPARK = """
+WITH toks AS (
+  SELECT split(text, ' ') AS l FROM documents
+), tri AS (
+  SELECT explode(transform(sequence(1, size(l) - 2),
+                 i -> concat(element_at(l, i), ' ', element_at(l, i + 1),
+                             ' ', element_at(l, i + 2)))) AS g
+  FROM toks
+), tc AS (
+  SELECT g, CAST(count(1) AS BIGINT) AS c FROM tri GROUP BY g
+), fof AS (
+  SELECT c, CAST(count(1) AS BIGINT) AS nr FROM tc GROUP BY c
+), m AS (
+  SELECT CAST(sum(c * nr) AS BIGINT) AS n_tokens,
+         CAST(sum(nr) AS BIGINT) AS vocab,
+         CAST(coalesce(sum(CASE WHEN c = 1 THEN nr END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN c = 2 THEN nr END), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(CASE WHEN c = 3 THEN nr END), 0) AS BIGINT) AS n3
+  FROM fof
+)
+SELECT n_tokens, vocab, n1 AS hapax, n2 AS dis_legomena,
+       round(1 - n1 / CAST(n_tokens AS DOUBLE), 6) AS turing_coverage,
+       round(vocab + n1 * (n1 - 1) / CAST(2 * (n2 + 1) AS DOUBLE), 4)
+         AS chao1_vocab,
+       round(2 * n2 / CAST(n1 AS DOUBLE), 6) AS gt_rstar_1,
+       round(3 * n3 / CAST(n2 AS DOUBLE), 6) AS gt_rstar_2
+FROM m
+"""
+
+_VOCAB_COV_ORACLE = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), tri AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+  FROM toks
+),""" + _VOCAB_COV_SPARK[_VOCAB_COV_SPARK.index(" tc AS ("):]
+
+
+@query("text_vocab_coverage_estimators", oracle=_VOCAB_COV_ORACLE)
+def text_vocab_coverage_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C266: Turing coverage + bias-corrected Chao1 vocabulary bound
+    + first Good-Turing smoothed counts over the trigram species
+    domain, from one frequency-of-frequencies pass (Good 1953; Chao
+    1984; Gale & Sampson 1995). The Chao1 spelling is the
+    bias-corrected n1(n1-1)/(2(n2+1)) form, defined even when no
+    species occurs exactly twice.
+
+    Scale: n-gram counting is THE data-sized shuffle (map-side
+    combined, same shape as C45); counts-of-counts is O(sqrt N)
+    rows; everything after is exact BIGINT moments and four IEEE
+    divisions — no windows, no joins."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _VOCAB_COV_SPARK, ("documents",))

@@ -3152,3 +3152,165 @@ def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(
         spark, sf_dir, _decomp_sql("unix_micros(ts)", "div"), ("events",)
     )
+
+
+# r12 C268: Haar wavelet decomposition — the multi-resolution energy
+# profile of the hourly event-count series (which timescale carries
+# the variance: hour-to-hour noise vs day-scale structure vs
+# week-scale drift). Unnormalized integer Haar (approx = pair sum,
+# detail = pair difference) keeps EVERY coefficient an exact BIGINT
+# through all 9 levels of the 512-hour dyadic window, so per-level
+# detail energies are exact integers — no floating point anywhere.
+# Largest term bound: an sf1 hour holds ~1e4 events, a level-9
+# approx <= 5e6, its square 2.6e13, times <=256 coefficients ~ 6e15
+# < 2^63 (and < 2^53 only matters for doubles, which never appear).
+
+
+def _haar_sql(epoch: str, idiv: str, gen512: str) -> str:
+    parts = [f"""
+WITH ev AS (
+  SELECT {epoch} {idiv} {_HOUR_US} AS k FROM events
+), b AS (
+  SELECT min(k) AS k0 FROM ev
+), cnt AS (
+  SELECT CAST(k - k0 AS BIGINT) AS i, CAST(count(1) AS BIGINT) AS v
+  FROM ev CROSS JOIN b WHERE k - k0 < 512 GROUP BY k - k0
+), a0 AS (
+  SELECT g.i, coalesce(c.v, 0) AS v, CAST(0 AS BIGINT) AS d
+  FROM ({gen512}) g LEFT JOIN cnt c ON c.i = g.i
+)"""]
+    for lv in range(1, 10):
+        parts.append(f""",
+a{lv} AS (
+  SELECT CAST(i {idiv} 2 AS BIGINT) AS i,
+         CAST(sum(v) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+  FROM a{lv - 1} GROUP BY i {idiv} 2
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({lv} AS BIGINT) AS level,"
+        f" CAST(count(1) AS BIGINT) AS n_coeffs,"
+        f" CAST(sum(d * d) AS BIGINT) AS detail_energy,"
+        f" CAST(max(abs(d)) AS BIGINT) AS max_abs_detail,"
+        f" CAST(max(v) AS BIGINT) AS max_approx"
+        f" FROM a{lv}"
+        for lv in range(1, 10)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+_HAAR_GEN_DUCK = "SELECT unnest(generate_series(0, 511)) AS i"
+_HAAR_GEN_SPARK = "SELECT explode(sequence(0, 511)) AS i"
+
+
+@query("ts_haar_wavelet", oracle=_haar_sql("epoch_us(ts)", "//", _HAAR_GEN_DUCK))
+def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C268: 9-level unnormalized Haar decomposition of the dense
+    512-hour event-count series (missing hours are explicit zeros on
+    a generated dyadic grid anchored at the first hour in the data).
+    Per-level detail energy + extrema, all exact BIGINTs — the
+    scalogram summary a monitoring pipeline uses to locate WHICH
+    timescale an anomaly lives at (C207's periodogram is the
+    frequency-domain twin; Haar is localized in time).
+
+    Scale: one map-side-combined hourly rollup (the only data-sized
+    work), a 1-row min-hour broadcast (audit-allowlisted), then nine
+    halving aggregates over <=512-row tables — no windows at all."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _haar_sql("unix_micros(ts)", "div", _HAAR_GEN_SPARK),
+        ("events",),
+    )
+
+
+# r12 C269: Pettitt change-point test — the nonparametric "did the
+# level shift, and WHEN" companion to C108's known-limits control
+# chart and the CUSUM locator: K = max_t |U_t| with
+# U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j), located on the hourly
+# series. The O(n^2) double sum collapses to a cumulative midrank
+# identity: sum_j sgn(x_i - x_j) = 2*r_i - (n+1) and the within-
+# prefix part cancels by antisymmetry, so U_t = sum_{i<=t}
+# (2 r_i - (n+1)) — one rank join + one cumulative window over the
+# BOUNDED 512-hour grid; with midranks 2r_i is an exact integer and
+# (n+1) odd, so every U_t is an exact integer.
+
+
+def _pettitt_sql(epoch: str, idiv: str, gen512: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT {epoch} {idiv} {_HOUR_US} AS k FROM events
+), b AS (
+  SELECT min(k) AS k0 FROM ev
+), cnt AS (
+  SELECT CAST(k - k0 AS BIGINT) AS i, CAST(count(1) AS BIGINT) AS v
+  FROM ev CROSS JOIN b WHERE k - k0 < 512 GROUP BY k - k0
+), x AS (
+  SELECT g.i, coalesce(c.v, 0) AS v
+  FROM ({gen512}) g LEFT JOIN cnt c ON c.i = g.i
+), per_v AS (
+  SELECT v, CAST(count(1) AS BIGINT) AS n_v FROM x GROUP BY v
+), rk AS (
+  SELECT v,
+         2 * coalesce(sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+           + n_v + 1 AS r2
+  FROM per_v
+), u AS (
+  SELECT x.i,
+         CAST(sum(rk.r2 - 513) OVER (ORDER BY x.i ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS u2
+  FROM x JOIN rk ON rk.v = x.v
+), kmax AS (
+  SELECT CAST(max(abs(u2)) AS BIGINT) AS k2 FROM u WHERE i < 511
+), tstar AS (
+  SELECT CAST(min(u.i) AS BIGINT) AS t_star
+  FROM u CROSS JOIN kmax WHERE abs(u.u2) = kmax.k2 AND u.i < 511
+), seg AS (
+  SELECT CAST(sum(CASE WHEN x.i <= t.t_star THEN x.v ELSE 0 END) AS BIGINT)
+           AS s_before,
+         CAST(sum(CASE WHEN x.i > t.t_star THEN x.v ELSE 0 END) AS BIGINT)
+           AS s_after,
+         CAST(max(t.t_star) AS BIGINT) AS t_star
+  FROM x CROSS JOIN tstar t
+)
+SELECT CAST(512 AS BIGINT) AS n_hours,
+       seg.t_star AS change_point_hour,
+       round(CAST(kmax.k2 AS DOUBLE), 1) AS k_stat,
+       round(2 * exp(-6.0 * CAST(kmax.k2 AS DOUBLE) * kmax.k2
+                     / CAST(512 * 512 * 512 + 512 * 512 AS DOUBLE)), 6)
+         AS p_approx,
+       round(seg.s_before / CAST(seg.t_star + 1 AS DOUBLE), 6)
+         AS mean_before,
+       round(seg.s_after / CAST(511 - seg.t_star AS DOUBLE), 6)
+         AS mean_after
+FROM kmax, seg
+"""
+
+
+@query("ts_pettitt_change_point",
+       oracle=_pettitt_sql("epoch_us(ts)", "//", _HAAR_GEN_DUCK))
+def ts_pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C269: Pettitt (1979) rank-based change-point test on the dense
+    512-hour event-count series: the shift hour t* = argmax |U_t|,
+    the K statistic, the standard p-value approximation
+    2*exp(-6K^2/(n^3+n^2)), and the level means either side of the
+    break.
+    Midranks over the per-value grid keep everything exact integers
+    until the final exp/divisions; ties broken toward the earliest
+    hour.
+
+    Scale: one hourly rollup (data-sized, map-side combined), then
+    rank + cumulative windows over BOUNDED <=512-row tables
+    (audit-allowlisted, C124 ECDF class), 1-row broadcasts for
+    K/t*."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _pettitt_sql("unix_micros(ts)", "div", _HAAR_GEN_SPARK),
+        ("events",),
+    )

@@ -1367,3 +1367,209 @@ def test_logistic_gd_matches_python_full_replay(spark):
     # feature-independent label: slopes never dominate the intercept
     assert abs(expect[-1][2]) < abs(expect[-1][1])
     assert abs(expect[-1][3]) < abs(expect[-1][1])
+
+
+def test_vocab_coverage_matches_python_twin(spark):
+    """C266 twin: exact trigram frequency-of-frequencies in python;
+    estimator identities replayed; the fixture's trigram tail must be
+    heavy (hapaxes exist) or the estimators are degenerate."""
+    import collections
+
+    from etl_arcgis_spark.operators.text import (
+        text_vocab_coverage_estimators,
+    )
+
+    texts = [r["text"] for r in
+             table(spark, SF, "documents").select("text").collect()]
+    tc: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            tc[" ".join(toks[i:i + 3])] += 1
+    fof: collections.Counter = collections.Counter(tc.values())
+    n_tokens = sum(tc.values())
+    v = len(tc)
+    n1, n2, n3 = fof[1], fof[2], fof[3]
+    got = text_vocab_coverage_estimators(spark, SF).collect()[0]
+    assert (got["n_tokens"], got["vocab"]) == (n_tokens, v)
+    assert (got["hapax"], got["dis_legomena"]) == (n1, n2)
+    assert n1 > 0 and n2 > 0  # heavy tail — estimators well-defined
+    assert abs(got["turing_coverage"] - round(1 - n1 / n_tokens, 6)) < 1e-9
+    assert abs(got["chao1_vocab"]
+               - round(v + n1 * (n1 - 1) / (2 * (n2 + 1)), 4)) < 1e-9
+    assert got["chao1_vocab"] >= v  # Chao1 is a lower bound ABOVE V
+    assert abs(got["gt_rstar_1"] - round(2 * n2 / n1, 6)) < 1e-9
+    assert abs(got["gt_rstar_2"] - round(3 * n3 / n2, 6)) < 1e-9
+
+
+def test_association_rules_matches_python_twin(spark):
+    """C267 twin: brute-force basket mining in python — supports,
+    confidence, lift, and the exact top-20 ordering."""
+    import collections
+
+    from etl_arcgis_spark.operators.analytics import (
+        _ASSOC_MINSUP,
+        analytics_association_rules,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    baskets: dict = collections.defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    n = len(baskets)
+    isup: collections.Counter = collections.Counter()
+    psup: collections.Counter = collections.Counter()
+    for items in baskets.values():
+        for it in items:
+            isup[it] += 1
+        its = sorted(items)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                psup[(its[i], its[j])] += 1
+    rules = []
+    for (a, b), sab in psup.items():
+        if sab < _ASSOC_MINSUP:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            conf = sab / isup[ante]
+            lift = sab * n / (isup[ante] * isup[cons])
+            rules.append((round(lift, 6), round(conf, 6), ante, cons, sab))
+    rules.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+    expect = [(a, c, s, cf, lf) for lf, cf, a, c, s in rules[:20]]
+    got = [(r["antecedent"], r["consequent"], r["support_pair"],
+            r["confidence"], r["lift"])
+           for r in analytics_association_rules(spark, SF).collect()]
+    assert got == expect
+    assert all(r[4] >= 1.0 for r in got[:1])  # top rule lift > 1
+
+
+def test_haar_wavelet_matches_python_twin(spark):
+    """C268 twin: exact integer Haar replay from the raw hourly
+    counts; Parseval-style accounting — total variance decomposes as
+    sum over levels of energy/2^level plus the DC term."""
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import ts_haar_wavelet
+
+    ev = table(spark, SF, "events").select("ts").collect()
+    ks = []
+    for r in ev:
+        import calendar
+        t = r["ts"]
+        ks.append((calendar.timegm(t.timetuple()) * 1_000_000
+                   + t.microsecond) // 3_600_000_000)
+    k0 = min(ks)
+    cnt: collections.Counter = collections.Counter()
+    for k in ks:
+        i = k - k0
+        if i < 512:
+            cnt[i] += 1
+    x = [cnt.get(i, 0) for i in range(512)]
+    expect = {}
+    a = x
+    for lv in range(1, 10):
+        nxt = [a[2 * j] + a[2 * j + 1] for j in range(len(a) // 2)]
+        det = [a[2 * j] - a[2 * j + 1] for j in range(len(a) // 2)]
+        expect[lv] = (len(nxt), sum(d * d for d in det),
+                      max(abs(d) for d in det), max(nxt))
+        a = nxt
+    got = {r["level"]: (r["n_coeffs"], r["detail_energy"],
+                        r["max_abs_detail"], r["max_approx"])
+           for r in ts_haar_wavelet(spark, SF).collect()}
+    assert got == expect
+    assert got[9][0] == 1 and got[9][3] == sum(x)
+    # Parseval for unnormalized Haar: sum_i x_i^2 =
+    #   sum_lv energy_lv / 2^lv + (total)^2 / 512
+    lhs = sum(v * v for v in x)
+    rhs = sum(expect[lv][1] / 2 ** lv for lv in range(1, 10)) \
+        + sum(x) ** 2 / 512
+    assert abs(lhs - rhs) < 1e-6
+
+
+def test_pettitt_matches_python_twin(spark):
+    """C269 twin: O(n^2) brute-force U_t from sign sums — the rank
+    identity must agree exactly; K, t*, p, and both segment means
+    replayed."""
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import (
+        ts_pettitt_change_point,
+    )
+
+    ev = table(spark, SF, "events").select("ts").collect()
+    ks = []
+    for r in ev:
+        import calendar
+        t = r["ts"]
+        ks.append((calendar.timegm(t.timetuple()) * 1_000_000
+                   + t.microsecond) // 3_600_000_000)
+    k0 = min(ks)
+    cnt: collections.Counter = collections.Counter()
+    for k in ks:
+        i = k - k0
+        if i < 512:
+            cnt[i] += 1
+    x = [cnt.get(i, 0) for i in range(512)]
+    n = 512
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    best_k2 = -1
+    best_t = None
+    u = 0.0
+    # brute force via the incremental identity U_t = U_{t-1} + sum_j sgn
+    for t in range(n - 1):
+        u += sum(sgn(x[t], xj) for xj in x)
+        if abs(u) * 2 > best_k2:
+            best_k2 = int(abs(u) * 2)
+            best_t = t
+    k_stat = best_k2 / 2
+    p = 2 * math.exp(-6 * k_stat ** 2 / (n ** 3 + n ** 2))
+    got = ts_pettitt_change_point(spark, SF).collect()[0]
+    assert got["n_hours"] == n
+    assert got["change_point_hour"] == best_t
+    assert abs(got["k_stat"] - round(k_stat, 1)) < 1e-9
+    assert abs(got["p_approx"] - round(p, 6)) < 1e-6
+    sb = sum(x[:best_t + 1])
+    sa = sum(x[best_t + 1:])
+    assert abs(got["mean_before"] - round(sb / (best_t + 1), 6)) < 1e-9
+    assert abs(got["mean_after"] - round(sa / (n - 1 - best_t), 6)) < 1e-9
+
+
+def test_ridge_path_matches_numpy_and_shrinks(spark):
+    """C270 twin: per-alpha closed form vs numpy solve on the
+    centered system; alpha=0 must equal OLS; slope L2 norm strictly
+    non-increasing along the path."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.aggregates import (
+        ml_ols_normal_equations,
+        ml_ridge_path,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_discount").collect()
+    y = np.array([float(r["l_extendedprice"]) for r in li])
+    q = np.array([float(r["l_quantity"]) for r in li])
+    d = np.array([round(float(r["l_discount"]) * 100) for r in li])
+    n = len(y)
+    X = np.column_stack([q - q.mean(), d - d.mean()])
+    yc = y - y.mean()
+    got = {r["alpha"]: r for r in ml_ridge_path(spark, SF).collect()}
+    norms = []
+    for alpha in (0, 1, 10, 100, 1000):
+        G = X.T @ X + alpha * n * np.eye(2)
+        b = np.linalg.solve(G, X.T @ yc)
+        b0 = y.mean() - b[0] * q.mean() - b[1] * d.mean()
+        r = got[alpha]
+        assert abs(r["b1_per_qty_dollars"] - b[0]) < 1e-4
+        assert abs(r["b2_per_pct_dollars"] - b[1]) < 1e-4
+        assert abs(r["b0_dollars"] - b0) < 1e-2
+        norms.append(math.hypot(r["b1_per_qty_dollars"],
+                                r["b2_per_pct_dollars"]))
+    assert all(norms[i + 1] <= norms[i] + 1e-12 for i in range(4))
+    ols = ml_ols_normal_equations(spark, SF).collect()[0]
+    assert abs(got[0]["b1_per_qty_dollars"]
+               - ols["b1_per_qty_dollars"]) < 2e-3

@@ -74,6 +74,10 @@ NLJ_OK = {
     "ts_rolling_distinct_users",  # 1-row max-day bound broadcast
     "stats_chi2_independence",    # 1-row grand-total broadcast
     "stats_cramers_v",            # 1-row grand-total broadcast onto the <=35-row cell table
+    "analytics_association_rules",  # 1-row basket-total broadcast pricing lift on the pruned pair table
+    "ml_ridge_path",              # 1-row Gram-moment row x 5-row lambda grid broadcast
+    "ts_haar_wavelet",            # 1-row min-hour anchor broadcast onto the hourly rollup
+    "ts_pettitt_change_point",    # 1-row min-hour anchor + 1-row K/t* broadcasts onto the 512-row grid
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -161,6 +165,7 @@ NLJ_OK = {
 WINDOW_BOUNDED_OK = {
     "stats_wilcoxon_signed_rank": "midrank offset window over the |types|*24-bounded |d| grid (calendar-grid bound)",
     "ml_auc_roc_exact": "midrank offset window over the <=109-row bounded score grid (s = 10*disc_pct + tax_pct; C124 ECDF-support class)",
+    "ts_pettitt_change_point": "midrank offset window over the <=512-value count grid + cumulative U_t window over the fixed 512-hour dyadic grid",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
