@@ -5995,3 +5995,221 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _RIDGE_SQL, ("lineitem",))
+
+
+# r12 C273: Jarque-Bera normality test — the "is this column even
+# close to Gaussian" gate a profiling pass runs before choosing
+# z-score-based rules (C108 control charts, C75 MAD profiles assume
+# rough symmetry): JB = n*(S^2/6 + (K-3)^2/24) from skewness and
+# excess kurtosis. On integer quantities (1..50) ALL four raw
+# moments are exact BIGINTs at any SF (50^4 * 6e6 ~ 3.7e13 at sf1),
+# so the central-moment expansion is a fixed IEEE chain over exact
+# integers — bit-identical cross-engine. Per returnflag group: the
+# uniform-ish quantity distribution must be flagged decisively
+# non-normal (negative excess kurtosis ~ -1.2, twin-pinned).
+
+_JB_SQL = """
+WITH mo AS (
+  SELECT l_returnflag,
+         CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS s2,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         (s2 - CAST(s1 AS DOUBLE) * s1 / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE) AS m2,
+         (s3 - 3.0 * s2 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 2.0 * s1 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / CAST(n AS DOUBLE) AS m3,
+         (s4 - 4.0 * s3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 6.0 * s2 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             - 3.0 * s1 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / CAST(n AS DOUBLE) AS m4
+  FROM mo
+)
+SELECT l_returnflag, n,
+       round(m1, 6) AS mean_qty,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+       round(n * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    / CAST(6 AS DOUBLE)
+                  + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3)
+                    / CAST(24 AS DOUBLE)), 4)
+         AS jarque_bera
+FROM c
+ORDER BY l_returnflag
+"""
+
+
+@query("stats_jarque_bera", oracle=_JB_SQL)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C273: Jarque-Bera normality statistic per return flag on
+    quantity — exact BIGINT raw moments, central-moment expansion as
+    a fixed IEEE chain (the skew/kurtosis halves of C90 fused into
+    one decision statistic). JB ~ chi2(2) under normality; the
+    fixture's uniform quantity must reject decisively.
+
+    Scale: ONE map-side-combined aggregate (five integer partials
+    per group), constant tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _JB_SQL, ("lineitem",))
+
+
+# r12 C275: Chow structural-break test — does the daily-revenue trend
+# line CHANGE SLOPE/LEVEL at a known event date (1998-01-01, near the
+# fixture's midpoint)? The classic econometric F-test: fit
+# y = a + b*day pooled and per segment, F = ((SSE_p - SSE_1 - SSE_2)/k)
+# / ((SSE_1 + SSE_2)/(n - 2k)), k=2. Daily totals are exact BIGINT
+# cents quantized once to integer k$ (y <= ~4e5 at sf1), the day axis
+# is a bounded calendar index, so every regression moment (Sy, Syd,
+# Sy2, Sd, Sd2, n) is an exact BIGINT over the <=2500-row daily table
+# and the whole F chain is fixed IEEE over identical integers.
+
+_CHOW_DAY0 = 9131       # 1995-01-01 in epoch days (fixture min)
+_CHOW_BREAK = 1096      # 1998-01-01 relative to day0
+
+
+def _chow_sql(epoch: str, idiv: str) -> str:
+    seg_moms = """
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * d) AS BIGINT) AS syd,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily"""
+    sse = ("({t}.syy"
+           " - (({t}.sy - (CAST({t}.n AS DOUBLE) * {t}.syd"
+           "     - CAST({t}.sy AS DOUBLE) * {t}.sd)"
+           "     / (CAST({t}.n AS DOUBLE) * {t}.sdd"
+           "        - CAST({t}.sd AS DOUBLE) * {t}.sd) * {t}.sd)"
+           "    / CAST({t}.n AS DOUBLE)) * {t}.sy"
+           " - (CAST({t}.n AS DOUBLE) * {t}.syd"
+           "    - CAST({t}.sy AS DOUBLE) * {t}.sd)"
+           "   / (CAST({t}.n AS DOUBLE) * {t}.sdd"
+           "      - CAST({t}.sd AS DOUBLE) * {t}.sd) * {t}.syd)")
+    s_p, s_a, s_b = sse.format(t="p"), sse.format(t="a"), sse.format(t="b")
+    return f"""
+WITH daily AS (
+  SELECT CAST({epoch} {idiv} {_DAY_US} - {_CHOW_DAY0} AS BIGINT) AS d,
+         CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    / CAST(100000 AS DOUBLE), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), p AS ({seg_moms}),
+a AS ({seg_moms} WHERE d < {_CHOW_BREAK}),
+b AS ({seg_moms} WHERE d >= {_CHOW_BREAK})
+SELECT p.n AS n_days, a.n AS n_before, b.n AS n_after,
+       round({s_p}, 4) AS sse_pooled,
+       round({s_a} + {s_b}, 4) AS sse_segments,
+       round((({s_p} - ({s_a} + {s_b})) / CAST(2 AS DOUBLE))
+             / ((({s_a} + {s_b})) / CAST(p.n - 4 AS DOUBLE)), 6)
+         AS chow_f
+FROM p, a, b
+"""
+
+
+@query("stats_chow_test", oracle=_chow_sql("epoch_us(o_orderdate)", "//"))
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C275: Chow (1960) test for a structural break in the daily
+    revenue trend at 1998-01-01 — pooled-vs-segmented SSE F ratio,
+    the monitoring question behind every 'did the regime change at
+    the deploy date' readout (C269's Pettitt finds an UNKNOWN break;
+    Chow tests a KNOWN one).
+
+    Scale: one map-side-combined daily rollup (the only data-sized
+    pass), then three moment aggregates over the calendar-bounded
+    <=2500-row daily table and a constant IEEE tail."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _chow_sql("unix_micros(o_orderdate)", "div"),
+        ("orders",),
+    )
+
+
+# r12 C276: regression influence diagnostics — WHICH rows bend the
+# fit: leverage h_i and Cook's distance D_i for the price~quantity
+# simple regression, top-10 most influential line items. For simple
+# OLS both are closed-form per-row expressions over the global
+# moments (h_i = 1/n + (x-xbar)^2/Sxx, D_i = e_i^2/(p*MSE) *
+# h_i/(1-h_i)^2) — no hat-matrix, no second pass: one exact-BIGINT
+# moment aggregate broadcast back onto a map-only projection. Prices
+# quantized once to integer dollars so every moment is exact; the
+# per-row chain is fixed IEEE over identical integers, and the
+# top-10 ordering key is the e9-quantized D with (orderkey,
+# linenumber) tie-break — deterministic cross-engine.
+
+_COOKS_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+  FROM lineitem
+), mo AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM f
+), fit AS (
+  SELECT n, sx, sxx, sy, sxy, syy,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         sxx - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE) AS sxx_c
+  FROM mo
+), fit2 AS (
+  SELECT n, sx, b, sxx_c,
+         (sy - b * sx) / CAST(n AS DOUBLE) AS a,
+         (syy - ((sy - b * sx) / CAST(n AS DOUBLE)) * sy - b * sxy)
+           / CAST(n - 2 AS DOUBLE) AS mse
+  FROM fit
+), d AS (
+  SELECT f.l_orderkey, f.l_linenumber, f.x, f.y,
+         f.y - (t.a + t.b * f.x) AS resid,
+         1.0 / CAST(t.n AS DOUBLE)
+           + (f.x - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (f.x - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+             / t.sxx_c AS lev
+  FROM f CROSS JOIN fit2 t
+), dk AS (
+  SELECT l_orderkey, l_linenumber, x, y, resid, lev,
+         CAST(round((resid * resid / (2.0 * t.mse))
+                    * (lev / ((1 - lev) * (1 - lev))) * 1000000000.0, 0)
+              AS BIGINT) AS d_q
+  FROM d CROSS JOIN fit2 t
+)
+SELECT l_orderkey, l_linenumber, x AS quantity, y AS price_dollars,
+       round(resid, 4) AS residual,
+       round(lev, 6) AS leverage,
+       round(d_q / CAST(1000000000 AS DOUBLE), 6) AS cooks_d
+FROM dk
+ORDER BY d_q DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+@query("stats_cooks_distance_topk", oracle=_COOKS_SQL)
+def stats_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C276: top-10 Cook's distance + leverage for price~quantity —
+    the influence audit a modeling pass runs before trusting C256's
+    coefficients: one exact-moment aggregate (map-side combined),
+    broadcast onto a map-only per-row closed form, then
+    TakeOrderedAndProject on the quantized-D total order. No
+    hat-matrix materialization at any scale.
+
+    Scale: data-sized work is one moment pass + one map-only
+    projection; the 1-row fit broadcast is audit-allowlisted."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _COOKS_SQL, ("lineitem",))

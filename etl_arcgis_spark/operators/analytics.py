@@ -1608,3 +1608,87 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _ASSOC_SQL, ("lineitem",))
+
+
+# r12 C271: log-rank test — the inferential companion of C111's
+# Kaplan-Meier CURVES: are the two cohorts' survival distributions
+# (even vs odd user_id; lifetime = days between first and last
+# activity, last-day-alive users censored, exactly C111's
+# construction) actually DIFFERENT? At each distinct duration the
+# hypergeometric expectation E1 = d*n1/n and variance
+# d*(n1/n)*(1-n1/n)*(n-d)/(n-1) accumulate over the bounded duration
+# grid; observed/expected/variance sums are IEEE over exact BIGINT
+# at-risk counts, z = (O1-E1)/sqrt(V) one final chain. The even/odd
+# split is hash-free and deterministic; with no planted difference
+# the statistic must sit near zero (twin-pinned).
+
+
+def _logrank_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         min({epoch}) {idiv} {86_400_000_000} AS d0,
+         max({epoch}) {idiv} {86_400_000_000} AS d1
+  FROM events GROUP BY user_id
+), obs AS (SELECT max(d1) AS dmax FROM u),
+lif AS (
+  SELECT d1 - d0 AS dur,
+         CAST(CASE WHEN d1 = dmax THEN 1 ELSE 0 END AS BIGINT) AS censored,
+         CAST(user_id % 2 AS BIGINT) AS grp
+  FROM u CROSS JOIN obs
+), grid AS (
+  SELECT dur,
+         CAST(sum(1 - censored) AS BIGINT) AS d_all,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 - censored ELSE 0 END) AS BIGINT)
+           AS d_g1,
+         CAST(count(1) AS BIGINT) AS leaving,
+         CAST(sum(grp) AS BIGINT) AS leaving_g1
+  FROM lif GROUP BY dur
+), tot AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(grp) AS BIGINT) AS n_g1
+  FROM lif
+), risk AS (
+  SELECT dur, d_all, d_g1,
+         n - coalesce(sum(leaving) OVER (ORDER BY dur ASC ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_all,
+         n_g1 - coalesce(sum(leaving_g1) OVER (ORDER BY dur ASC ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_g1
+  FROM grid CROSS JOIN tot
+), m AS (
+  SELECT CAST(sum(d_g1) AS BIGINT) AS o1,
+         sum(d_all * CAST(r_g1 AS DOUBLE) / CAST(r_all AS DOUBLE)) AS e1,
+         sum(CASE WHEN r_all > 1 THEN
+               d_all * (CAST(r_g1 AS DOUBLE) / CAST(r_all AS DOUBLE))
+                     * (1 - CAST(r_g1 AS DOUBLE) / CAST(r_all AS DOUBLE))
+                     * (CAST(r_all - d_all AS DOUBLE)
+                        / CAST(r_all - 1 AS DOUBLE))
+             ELSE 0 END) AS v1
+  FROM risk WHERE d_all > 0
+)
+SELECT o1 AS observed_g1,
+       round(e1, 4) AS expected_g1,
+       round(v1, 4) AS variance_g1,
+       round((o1 - e1) / sqrt(v1), 4) AS z_logrank,
+       round((o1 - e1) * (o1 - e1) / v1, 4) AS chi2_logrank
+FROM m
+"""
+
+
+@query("stats_logrank_test",
+       oracle=_logrank_sql("epoch_us(ts)", "//"))
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C271: two-group log-rank (Mantel-Cox) test on the C111
+    lifetime construction, cohorts = even/odd user_id. O/E/V
+    accumulate over the bounded duration grid (calendar-bounded days,
+    never user count); at-risk counts come from the same offset
+    windows as Kaplan-Meier.
+
+    Scale: one per-user min/max pass (map-side combined), then all
+    work on the |durations|-row grid — windows allowlisted bounded,
+    1-row total broadcast."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _logrank_sql("unix_micros(ts)", "div"), ("events",)
+    )

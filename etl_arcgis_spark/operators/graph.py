@@ -1125,3 +1125,59 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+# r12 C272: clustering coefficient — the triangle-density readout on
+# the same brand-bounded part-co-occurrence graph as
+# graph_triangle_count: transitivity = 3*triangles/wedges, where
+# wedges = sum_v deg(v)*(deg(v)-1)/2. Triangles reuse the oriented
+# (u<v) edge-join spelling; degrees come from one aggregate over the
+# undirected edge list. All exact BIGINTs until one IEEE division.
+
+_CLUSTCOEF_SQL = """
+WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = (SELECT min(p_brand) FROM part)
+), op AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_tri
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+), deg AS (
+  SELECT p, CAST(count(1) AS BIGINT) AS d
+  FROM (SELECT u AS p FROM e UNION ALL SELECT v FROM e)
+  GROUP BY p
+), w AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_nodes,
+         CAST(sum(d) AS BIGINT) / 2 AS n_edges,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT w.n_nodes, w.n_edges, w.n_wedges, tri.n_tri AS n_triangles,
+       round(3 * tri.n_tri / CAST(w.n_wedges AS DOUBLE), 6)
+         AS transitivity
+FROM w, tri
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CLUSTCOEF_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C272: global clustering coefficient (transitivity) of the
+    brand-bounded co-purchase graph — closes the triad census the
+    graph tier started with triangle counting: how much of the
+    wedge mass closes into triangles (the community-structure
+    scalar next to modularity C143).
+
+    Scale: the edge list is brand-bounded; the triangle join is the
+    oriented u<v spelling (each triangle counted once, no mirror
+    blowup); degrees are one aggregate; the tail is a 1-row
+    broadcast merge — same plan family as graph_triangle_count."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _CLUSTCOEF_SQL, ("lineitem", "part"))

@@ -3314,3 +3314,108 @@ def ts_pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pettitt_sql("unix_micros(ts)", "div", _HAAR_GEN_SPARK),
         ("events",),
     )
+
+
+# r12 C274: partial autocorrelation (Durbin-Levinson) — the AR-order
+# diagnostic beside C96's ACF: PACF(k) is the correlation at lag k
+# AFTER regressing out lags 1..k-1, the statistic whose cutoff picks
+# p in an AR(p)/ARIMA fit. ACF lags 1..5 come from the dense
+# 720-hour grid in EXACT integers: with S = sum x and n fixed,
+# n^2*c_k = sum (n*x_t - S)(n*x_{t+k} - S) is a BIGINT (<= 4e16 at
+# sf1), so r_k = C_k/C_0 is one IEEE division over exact integers;
+# the Levinson recursion is then a fixed unrolled chain over five
+# doubles — bit-identical cross-engine.
+
+
+def _pacf_sql(epoch: str, idiv: str, gen720: str) -> str:
+    leads = ", ".join(
+        f"lead(v, {k}) OVER (ORDER BY i ASC) AS v{k}" for k in range(1, 6)
+    )
+    cks = ", ".join(
+        f"CAST(sum(CASE WHEN v{k} IS NOT NULL THEN"
+        f" (720 * v - s) * (720 * v{k} - s) END) AS BIGINT) AS c{k}"
+        for k in range(1, 6)
+    )
+    return f"""
+WITH ev AS (
+  SELECT {epoch} {idiv} {_HOUR_US} AS k FROM events
+), b AS (
+  SELECT min(k) AS k0 FROM ev
+), cnt AS (
+  SELECT CAST(k - k0 AS BIGINT) AS i, CAST(count(1) AS BIGINT) AS v
+  FROM ev CROSS JOIN b WHERE k - k0 < 720 GROUP BY k - k0
+), x AS (
+  SELECT g.i, coalesce(c.v, 0) AS v
+  FROM ({gen720}) g LEFT JOIN cnt c ON c.i = g.i
+), st AS (
+  SELECT CAST(sum(v) AS BIGINT) AS s FROM x
+), lagd AS (
+  SELECT i, v, s, {leads}
+  FROM x CROSS JOIN st
+), mo AS (
+  SELECT CAST(sum((720 * v - s) * (720 * v - s)) AS BIGINT) AS c0,
+         {cks}
+  FROM lagd
+), r AS (
+  SELECT c1 / CAST(c0 AS DOUBLE) AS r1, c2 / CAST(c0 AS DOUBLE) AS r2,
+         c3 / CAST(c0 AS DOUBLE) AS r3, c4 / CAST(c0 AS DOUBLE) AS r4,
+         c5 / CAST(c0 AS DOUBLE) AS r5
+  FROM mo
+), l2 AS (
+  SELECT r.*, (r2 - r1 * r1) / (1 - r1 * r1) AS k2 FROM r
+), l2b AS (
+  SELECT l2.*, r1 - k2 * r1 AS p21 FROM l2
+), l3 AS (
+  SELECT l2b.*,
+         (r3 - p21 * r2 - k2 * r1) / (1 - p21 * r1 - k2 * r2) AS k3
+  FROM l2b
+), l3b AS (
+  SELECT l3.*, p21 - k3 * k2 AS p31, k2 - k3 * p21 AS p32 FROM l3
+), l4 AS (
+  SELECT l3b.*,
+         (r4 - p31 * r3 - p32 * r2 - k3 * r1)
+           / (1 - p31 * r1 - p32 * r2 - k3 * r3) AS k4
+  FROM l3b
+), l4b AS (
+  SELECT l4.*, p31 - k4 * k3 AS p41, p32 - k4 * p32 AS p42,
+         k3 - k4 * p31 AS p43
+  FROM l4
+), l5 AS (
+  SELECT l4b.*,
+         (r5 - p41 * r4 - p42 * r3 - p43 * r2 - k4 * r1)
+           / (1 - p41 * r1 - p42 * r2 - p43 * r3 - k4 * r4) AS k5
+  FROM l4b
+)
+SELECT CAST(1 AS BIGINT) AS lag, round(r1, 6) AS acf, round(r1, 6) AS pacf
+  FROM l5
+UNION ALL SELECT 2, round(r2, 6), round(k2, 6) FROM l5
+UNION ALL SELECT 3, round(r3, 6), round(k3, 6) FROM l5
+UNION ALL SELECT 4, round(r4, 6), round(k4, 6) FROM l5
+UNION ALL SELECT 5, round(r5, 6), round(k5, 6) FROM l5
+"""
+
+
+_GEN720_DUCK = "SELECT unnest(generate_series(0, 719)) AS i"
+_GEN720_SPARK = "SELECT explode(sequence(0, 719)) AS i"
+
+
+@query("ts_pacf_levinson",
+       oracle=_pacf_sql("epoch_us(ts)", "//", _GEN720_DUCK))
+def ts_pacf_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C274: ACF + PACF (lags 1..5) of the dense 720-hour
+    event-count series via the unrolled Durbin-Levinson recursion —
+    the AR-order selection table an ARIMA-style fit reads first.
+    Twin-pinned against a statsmodels-spelling python replay (exact
+    ACF agreement; Levinson chain within one display-grid step).
+
+    Scale: one hourly rollup (map-side combined), a 1-row min-hour
+    anchor broadcast, one lead-window + one moment aggregate over
+    the bounded 720-row grid (allowlisted), then a constant scalar
+    chain."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _pacf_sql("unix_micros(ts)", "div", _GEN720_SPARK),
+        ("events",),
+    )

@@ -1573,3 +1573,271 @@ def test_ridge_path_matches_numpy_and_shrinks(spark):
     ols = ml_ols_normal_equations(spark, SF).collect()[0]
     assert abs(got[0]["b1_per_qty_dollars"]
                - ols["b1_per_qty_dollars"]) < 2e-3
+
+
+def _hourly_counts(spark, n_hours):
+    import calendar
+    import collections
+
+    ev = table(spark, SF, "events").select("ts").collect()
+    ks = []
+    for r in ev:
+        t = r["ts"]
+        ks.append((calendar.timegm(t.timetuple()) * 1_000_000
+                   + t.microsecond) // 3_600_000_000)
+    k0 = min(ks)
+    cnt: collections.Counter = collections.Counter()
+    for k in ks:
+        i = k - k0
+        if i < n_hours:
+            cnt[i] += 1
+    return [cnt.get(i, 0) for i in range(n_hours)]
+
+
+def test_logrank_matches_python_twin(spark):
+    """C271 twin: full python replay of the Mantel-Cox accumulation
+    from the same lifetime construction; the even/odd split has no
+    planted difference, so |z| must be modest."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.analytics import stats_logrank_test
+
+    ev = table(spark, SF, "events").select("user_id", "ts").collect()
+    span: dict = {}
+    for r in ev:
+        t = r["ts"]
+        d = (calendar.timegm(t.timetuple()) * 1_000_000
+             + t.microsecond) // 86_400_000_000
+        lo, hi = span.get(r["user_id"], (d, d))
+        span[r["user_id"]] = (min(lo, d), max(hi, d))
+    dmax = max(hi for _, hi in span.values())
+    lifes = [(hi - lo, 1 if hi == dmax else 0, uid % 2)
+             for uid, (lo, hi) in span.items()]
+    grid: dict = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for dur, cens, grp in lifes:
+        g = grid[dur]
+        g[0] += 1 - cens
+        g[1] += (1 - cens) if grp == 1 else 0
+        g[2] += 1
+        g[3] += grp
+    n = len(lifes)
+    n1 = sum(g for _, _, g in lifes)
+    o1 = 0
+    e1 = v1 = 0.0
+    r_all, r_g1 = n, n1
+    for dur in sorted(grid):
+        d_all, d_g1, leaving, leaving_g1 = grid[dur]
+        if d_all > 0:
+            o1 += d_g1
+            frac = r_g1 / r_all
+            e1 += d_all * frac
+            if r_all > 1:
+                v1 += d_all * frac * (1 - frac) * (r_all - d_all) / (r_all - 1)
+        r_all -= leaving
+        r_g1 -= leaving_g1
+    got = stats_logrank_test(spark, SF).collect()[0]
+    assert got["observed_g1"] == o1
+    assert abs(got["expected_g1"] - round(e1, 4)) < 1e-6
+    assert abs(got["variance_g1"] - round(v1, 4)) < 1e-6
+    z = (o1 - e1) / math.sqrt(v1)
+    assert abs(got["z_logrank"] - round(z, 4)) < 1e-6
+    assert abs(z) < 3.5  # no planted difference between even/odd
+
+
+def test_clustering_coefficient_matches_python_twin(spark):
+    """C272 twin: brute-force triangles + wedges on the brand-bounded
+    graph; transitivity identity 3T/W in [0,1]."""
+    import collections
+    import itertools
+
+    from etl_arcgis_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+
+    parts = table(spark, SF, "part").select("p_partkey", "p_brand").collect()
+    brand = min(p["p_brand"] for p in parts)
+    keep = {p["p_partkey"] for p in parts if p["p_brand"] == brand}
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    baskets: dict = collections.defaultdict(set)
+    for r in li:
+        if r["l_partkey"] in keep:
+            baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            edges.add((a, b))
+    adj: dict = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(1 for a, b in edges for c in (adj[a] & adj[b]) if c > b)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    got = graph_clustering_coefficient(spark, SF).collect()[0]
+    assert got["n_nodes"] == len(adj)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+    assert abs(got["transitivity"] - round(3 * tri / wedges, 6)) < 1e-9
+    assert 0.0 <= got["transitivity"] <= 1.0
+
+
+def test_jarque_bera_matches_python_twin(spark):
+    """C273 twin: exact integer moments in python; the uniform-ish
+    quantity distribution must reject normality (platykurtic)."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_jarque_bera
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity").collect()
+    groups: dict = collections.defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(int(r["l_quantity"]))
+    got = {r["l_returnflag"]: r for r in stats_jarque_bera(spark, SF).collect()}
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        s3 = sum(x ** 3 for x in xs)
+        s4 = sum(x ** 4 for x in xs)
+        m1 = s1 / n
+        m2 = (s2 - s1 * m1) / n
+        m3 = (s3 - 3.0 * s2 * m1 + 2.0 * s1 * m1 * m1) / n
+        m4 = (s4 - 4.0 * s3 * m1 + 6.0 * s2 * m1 * m1
+              - 3.0 * s1 * m1 ** 3) / n
+        skew = m3 / (m2 * math.sqrt(m2))
+        exk = m4 / (m2 * m2) - 3
+        jb = n * (skew * skew / 6 + exk * exk / 24)
+        r = got[g]
+        assert r["n"] == n
+        assert abs(r["skewness"] - round(skew, 6)) < 1e-9
+        assert abs(r["excess_kurtosis"] - round(exk, 6)) < 1e-9
+        assert abs(r["jarque_bera"] - round(jb, 4)) < 1e-6
+        assert r["excess_kurtosis"] < -0.5   # uniform-ish: platykurtic
+        assert r["jarque_bera"] > 50         # decisive rejection
+
+
+def test_pacf_matches_python_twin(spark):
+    """C274 twin: statsmodels-spelling ACF + Durbin-Levinson in
+    python over the same dense grid; the 24h seasonality must leave
+    ACF(1) strongly positive."""
+    x = _hourly_counts(spark, 720)
+    n = 720
+    s = sum(x)
+    from etl_arcgis_spark.operators.timeseries import ts_pacf_levinson
+    c = {}
+    for k in range(6):
+        c[k] = sum((n * x[t] - s) * (n * x[t + k] - s)
+                   for t in range(n - k))
+    r = [c[k] / c[0] for k in range(6)]
+    # Durbin-Levinson
+    phi = {1: {1: r[1]}}
+    for m in range(2, 6):
+        num = r[m] - sum(phi[m - 1][j] * r[m - j] for j in range(1, m))
+        den = 1 - sum(phi[m - 1][j] * r[j] for j in range(1, m))
+        km = num / den
+        phi[m] = {j: phi[m - 1][j] - km * phi[m - 1][m - j]
+                  for j in range(1, m)}
+        phi[m][m] = km
+    got = {rr["lag"]: rr for rr in ts_pacf_levinson(spark, SF).collect()}
+    for k in range(1, 6):
+        assert abs(got[k]["acf"] - round(r[k], 6)) < 1e-9
+        assert abs(got[k]["pacf"] - round(phi[k][k], 6)) < 5e-6
+    # structural pins: PACF(1) == ACF(1) by definition; all in [-1, 1]
+    assert got[1]["pacf"] == got[1]["acf"]
+    assert all(-1.0 <= got[k]["pacf"] <= 1.0 for k in range(1, 6))
+
+
+def test_chow_matches_python_twin(spark):
+    """C275 twin: exact daily quantization + closed-form SSEs in
+    python; pooled SSE >= sum of segment SSEs (F >= 0)."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        _CHOW_BREAK,
+        _CHOW_DAY0,
+        stats_chow_test,
+    )
+
+    orders = table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice").collect()
+    daily: collections.Counter = collections.Counter()
+    for r in orders:
+        t = r["o_orderdate"]
+        d = (calendar.timegm(t.timetuple()) * 1_000_000) \
+            // 86_400_000_000 - _CHOW_DAY0
+        daily[d] += int(round(float(r["o_totalprice"]) * 100))
+    pts = [(d, int(round(c / 100000.0))) for d, c in daily.items()]
+
+    def sse(sub):
+        n = len(sub)
+        sd = sum(d for d, _ in sub)
+        sdd = sum(d * d for d, _ in sub)
+        sy = sum(y for _, y in sub)
+        syd = sum(y * d for d, y in sub)
+        syy = sum(y * y for _, y in sub)
+        b = (n * syd - sy * sd) / (n * sdd - sd * sd)
+        a = (sy - b * sd) / n
+        return syy - a * sy - b * syd, n
+
+    sse_p, n = sse(pts)
+    sse_a, na = sse([p for p in pts if p[0] < _CHOW_BREAK])
+    sse_b, nb_ = sse([p for p in pts if p[0] >= _CHOW_BREAK])
+    f = ((sse_p - (sse_a + sse_b)) / 2) / ((sse_a + sse_b) / (n - 4))
+    got = stats_chow_test(spark, SF).collect()[0]
+    assert (got["n_days"], got["n_before"], got["n_after"]) == (n, na, nb_)
+    assert abs(got["sse_pooled"] - round(sse_p, 4)) < 1e-4
+    assert abs(got["sse_segments"] - round(sse_a + sse_b, 4)) < 1e-4
+    assert abs(got["chow_f"] - round(f, 6)) < 1e-6
+    assert got["chow_f"] >= 0
+    assert got["sse_pooled"] >= got["sse_segments"] - 1e-9
+
+
+def test_cooks_distance_matches_python_twin(spark):
+    """C276 twin: full python closed-form replay; top-10 selection,
+    ordering, and every displayed value must agree; leverage in
+    (0,1); sum of all leverages = 2 (trace of the hat matrix)."""
+    from etl_arcgis_spark.operators.aggregates import (
+        stats_cooks_distance_topk,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice").collect()
+    rows = [(r["l_orderkey"], r["l_linenumber"], int(r["l_quantity"]),
+             int(math.floor(float(r["l_extendedprice"]) + 0.5)))
+            for r in li]  # half-away, matching SQL round()
+    n = len(rows)
+    sx = sum(x for *_, x, _ in [(0, 0, r[2], r[3]) for r in rows])
+    sx = sum(r[2] for r in rows)
+    sxx = sum(r[2] * r[2] for r in rows)
+    sy = sum(r[3] for r in rows)
+    sxy = sum(r[2] * r[3] for r in rows)
+    syy = sum(r[3] * r[3] for r in rows)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    mse = (syy - a * sy - b * sxy) / (n - 2)
+    sxx_c = sxx - sx * sx / n
+    cand = []
+    lev_sum = 0.0
+    for ok, ln, x, y in rows:
+        resid = y - (a + b * x)
+        lev = 1.0 / n + (x - sx / n) ** 2 / sxx_c
+        lev_sum += lev
+        dq = int(round((resid * resid / (2.0 * mse))
+                       * (lev / ((1 - lev) ** 2)) * 1e9))
+        cand.append((dq, ok, ln, x, y, resid, lev))
+    cand.sort(key=lambda c: (-c[0], c[1], c[2]))
+    expect = [(ok, ln, x, y, round(resid, 4), round(lev, 6),
+               round(dq / 1e9, 6))
+              for dq, ok, ln, x, y, resid, lev in cand[:10]]
+    got = [(r["l_orderkey"], r["l_linenumber"], r["quantity"],
+            r["price_dollars"], r["residual"], r["leverage"], r["cooks_d"])
+           for r in stats_cooks_distance_topk(spark, SF).collect()]
+    assert got == expect
+    assert all(0 < g[5] < 1 for g in got)
+    assert abs(lev_sum - 2.0) < 1e-6

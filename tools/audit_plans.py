@@ -78,6 +78,11 @@ NLJ_OK = {
     "ml_ridge_path",              # 1-row Gram-moment row x 5-row lambda grid broadcast
     "ts_haar_wavelet",            # 1-row min-hour anchor broadcast onto the hourly rollup
     "ts_pettitt_change_point",    # 1-row min-hour anchor + 1-row K/t* broadcasts onto the 512-row grid
+    "graph_clustering_coefficient",  # 1-row wedge-total x 1-row triangle-total broadcast merge
+    "stats_chow_test",            # three 1-row segment-moment broadcasts merged into the F tail
+    "stats_cooks_distance_topk",  # 1-row fit-moment broadcast onto the map-only per-row chain
+    "stats_logrank_test",         # 1-row group-total broadcast onto the bounded duration grid
+    "ts_pacf_levinson",           # 1-row min-hour anchor + 1-row sum broadcast onto the 720-row grid
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -166,6 +171,8 @@ WINDOW_BOUNDED_OK = {
     "stats_wilcoxon_signed_rank": "midrank offset window over the |types|*24-bounded |d| grid (calendar-grid bound)",
     "ml_auc_roc_exact": "midrank offset window over the <=109-row bounded score grid (s = 10*disc_pct + tax_pct; C124 ECDF-support class)",
     "ts_pettitt_change_point": "midrank offset window over the <=512-value count grid + cumulative U_t window over the fixed 512-hour dyadic grid",
+    "stats_logrank_test": "at-risk offset window over the calendar-bounded duration grid (C111 Kaplan-Meier class)",
+    "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
     "stats_theil_decomposition": "unbounded frames over the 5-row priority-group moment table (BH-FDR single-scan spelling)",
