@@ -6213,3 +6213,57 @@ def stats_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _COOKS_SQL, ("lineitem",))
+
+
+# r12 C278: Brier score + reliability diagram — the probability-
+# calibration eval completing the classifier-eval tier (C261 point
+# metrics, C262 ranking, THIS: calibration; C129/C195 RE-calibrate,
+# this MEASURES): predicted probability p = s/108 from the bounded
+# C261 score, outcome y = returned. Because s is an integer,
+# (p - y)^2 = (s - 108 y)^2 / 108^2 — the Brier numerator is an
+# EXACT BIGINT (<= 108^2 * n), and every per-bin statistic is exact
+# integers until one display division. Ten equal-width bins,
+# p = 1.0 folded into the top bin.
+
+_BRIER_SQL = f"""
+WITH f AS (
+  SELECT {_CLF_SCORE} AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), g AS (
+  SELECT least(s * 10 {{idiv}} 108, 9) AS bin,
+         CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS ssum,
+         CAST(sum(y) AS BIGINT) AS ysum,
+         CAST(sum((s - 108 * y) * (s - 108 * y)) AS BIGINT) AS bq
+  FROM f GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(bq) AS BIGINT) AS bqt
+  FROM g
+)
+SELECT CAST(g.bin AS BIGINT) AS bin, g.n,
+       round(g.ssum / CAST(108 * g.n AS DOUBLE), 6) AS mean_predicted,
+       round(g.ysum / CAST(g.n AS DOUBLE), 6) AS frac_positive,
+       round(g.ssum / CAST(108 * g.n AS DOUBLE)
+             - g.ysum / CAST(g.n AS DOUBLE), 6) AS calibration_gap,
+       round(tot.bqt / CAST(tot.nt AS DOUBLE) / CAST(11664 AS DOUBLE), 6)
+         AS brier_score
+FROM g CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+@query("ml_brier_calibration", oracle=_BRIER_SQL.format(idiv="//"))
+def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C278: reliability diagram (10 bins) + exact Brier score for
+    the bounded score read as a probability — per-bin mean predicted
+    vs observed frequency and the global mean squared error, all
+    from exact integer sums (Brier numerator = sum (s-108y)^2, one
+    final division by 108^2 n).
+
+    Scale: ONE map-side-combined aggregate to the 10-row bin table,
+    a 1-row total broadcast (allowlisted), constant tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _BRIER_SQL.format(idiv="div"),
+                    ("lineitem",))

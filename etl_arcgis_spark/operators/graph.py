@@ -1181,3 +1181,111 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _CLUSTCOEF_SQL, ("lineitem", "part"))
+
+
+# r12 C279: graph diameter + average shortest path (exact APSP by
+# iterative BFS) — the distance census of the brand-bounded
+# co-purchase graph: the Pregel/frontier-expansion pattern every
+# distributed graph engine runs, expressed as a Spark join loop
+# (frontier JOIN edges -> dedup-min -> union) that terminates when
+# an iteration discovers no new (src,dst) pair. The oracle spells
+# the same BFS as a DuckDB recursive CTE. Node set is brand-bounded
+# (dozens), so every iteration's state is a bounded table; the
+# data-sized work is only the edge extraction (shared with
+# C272/triangles).
+
+_APSP_EDGES_SQL = """
+WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = (SELECT min(p_brand) FROM part)
+), op AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+), e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+"""
+
+_APSP_ORACLE = f"""
+WITH RECURSIVE {_APSP_EDGES_SQL[_APSP_EDGES_SQL.index("pb AS ("):_APSP_EDGES_SQL.rindex(")") + 1]},
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+walk(src, dst, d) AS (
+  SELECT u, v, 1 FROM e
+  UNION
+  SELECT w.src, e.v, w.d + 1
+  FROM walk w JOIN e ON e.u = w.dst
+  WHERE w.d < 40 AND e.v <> w.src
+),
+sp AS (
+  SELECT src, dst, CAST(min(d) AS BIGINT) AS d
+  FROM walk GROUP BY src, dst
+)
+SELECT CAST((SELECT count(DISTINCT u) FROM e) AS BIGINT) AS n_nodes,
+       CAST(count(1) AS BIGINT) AS n_connected_pairs,
+       CAST(max(d) AS BIGINT) AS diameter,
+       round(avg(CAST(d AS DOUBLE)), 6) AS avg_shortest_path
+FROM sp
+"""
+
+
+@query("graph_diameter_apsp", oracle=_APSP_ORACLE)
+def graph_diameter_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C279: exact all-pairs shortest paths on the brand-bounded
+    graph — diameter, connected ordered-pair count, and mean
+    geodesic distance. The Spark side runs the canonical BFS
+    frontier loop: dist holds the best-known (src,dst,d); each round
+    extends the latest frontier through the edge list, keeps genuinely
+    new pairs, and stops when a round adds none — exactly
+    min(diameter, cap) rounds. At 100 TB the same loop runs with
+    dist/edges as bucketed tables; state never exceeds
+    |reachable pairs|.
+
+    Scale: edge extraction is the only data-sized stage (one
+    orderkey-shuffle self-join, shared shape with triangle count);
+    the loop's joins run on broadcast-sized bounded tables here and
+    hash-partitioned tables at scale; the convergence check is one
+    count per round (bounded rounds)."""
+    from ..tables import sql_over
+
+    # lineage discipline: without truncation each convergence check
+    # re-derives the whole join chain from the scan (the classic
+    # iterative-Spark trap). The BFS state is bounded by
+    # |reachable pairs| (node set is brand-bounded), so each round's
+    # NEW pairs are materialized driver-side and re-seeded as a
+    # fresh zero-lineage DataFrame; at a scale where the pair table
+    # outgrows the driver this swaps for checkpoint() to a
+    # checkpoint dir — the loop shape is unchanged.
+    edges = sql_over(spark, sf_dir, _APSP_EDGES_SQL,
+                     ("lineitem", "part")).localCheckpoint()
+    schema = "src bigint, dst bigint, d bigint"
+    seed = [(r["u"], r["v"], 1) for r in edges.collect()]
+    dist_rows = list(seed)
+    frontier = spark.createDataFrame(seed, schema)
+    dist = frontier
+    for _ in range(40):
+        new_rows = (
+            frontier.alias("w")
+            .join(edges.alias("e"), F.col("w.dst") == F.col("e.u"))
+            .filter(F.col("e.v") != F.col("w.src"))
+            .select(F.col("w.src").alias("src"), F.col("e.v").alias("dst"),
+                    (F.col("w.d") + 1).alias("d"))
+            .distinct()
+            .join(dist.select("src", "dst"), ["src", "dst"], "left_anti")
+            .collect()
+        )
+        if not new_rows:
+            break
+        new_rows = [(r["src"], r["dst"], r["d"]) for r in new_rows]
+        dist_rows.extend(new_rows)
+        frontier = spark.createDataFrame(new_rows, schema)
+        dist = spark.createDataFrame(dist_rows, schema)
+    n_nodes = len({u for u, _, _ in dist_rows} | {v for _, v, _ in dist_rows})
+    return dist.agg(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_connected_pairs"),
+        F.max("d").cast("bigint").alias("diameter"),
+        F.round(F.avg(F.col("d").cast("double")), 6)
+        .alias("avg_shortest_path"),
+    )

@@ -278,3 +278,77 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_start_ms", "event_type", F.col("n").cast("bigint").alias("n"), "val_sum")
         .orderBy(F.asc("w_start_ms"), F.desc("n"), F.asc("event_type"))
     )
+
+
+# r12 C277: watermark late-data audit — the sizing question behind
+# every withWatermark() choice (C36): with delay D, HOW MUCH data
+# would be dropped, per key? The fixture's event_id order is exactly
+# ts order (zero natural disorder), so the audit runs over a PLANTED
+# deterministic arrival sequence: within 64-event blocks events
+# arrive in md5(event_id) order (bounded network-style reordering —
+# the same md5 device as sample_epoch_shuffle), and an event is late
+# iff its ts trails the high-water mark (max ts seen strictly
+# before it in arrival order) by more than the 1h watermark.
+# The running max decomposes two-phase exactly like
+# scale_patterns.bucketed_running_sums: per-block max, EXCLUSIVE
+# prefix max over the block table, then a block-partitioned window
+# — never a global single-partition sort.
+
+
+def _late_audit_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH a AS (
+  SELECT event_type, {epoch} AS t,
+         event_id {idiv} 64 AS blk,
+         md5(CAST(event_id AS VARCHAR)) AS akey
+  FROM events
+), bmax AS (
+  SELECT blk, max(t) AS bmx FROM a GROUP BY blk
+), pfx AS (
+  SELECT blk,
+         max(bmx) OVER (ORDER BY blk ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_blocks_max
+  FROM bmax
+), hw AS (
+  SELECT a.event_type, a.t,
+         greatest(
+           coalesce(p.prev_blocks_max, CAST(0 AS BIGINT)),  -- ts >> 0: sentinel 0 = "no prior event", never late
+           coalesce(max(a.t) OVER (PARTITION BY a.blk ORDER BY a.akey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT))) AS high_water
+  FROM a JOIN pfx p ON p.blk = a.blk
+)
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN high_water - t > 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late_1h,
+       CAST(max(CASE WHEN high_water > t THEN (high_water - t) {idiv} 1000000
+                ELSE 0 END) AS BIGINT) AS max_lateness_sec
+FROM hw
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("stream_watermark_late_audit",
+       oracle=_late_audit_sql("epoch_us(ts)", "//"))
+def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C277: watermark sizing audit — per event type, how many
+    events a 1h watermark would drop under the planted bounded
+    arrival reorder, and the worst observed lateness. Exact integer
+    microsecond arithmetic end-to-end.
+
+    Scale: per-block max is map-side combined; the only
+    unpartitioned window is the EXCLUSIVE prefix max over the
+    |n|/64-row block table (the bucketed_running_sums two-phase
+    class, allowlisted); the per-event window is PARTITIONED by
+    block. Citation: reference task.ts scheduled-pull semantics —
+    the late-arrival question its incremental sync sidesteps."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _late_audit_sql("unix_micros(ts)", "div").replace(
+            "AS VARCHAR", "AS STRING"),
+        ("events",),
+    )

@@ -1841,3 +1841,129 @@ def test_cooks_distance_matches_python_twin(spark):
     assert got == expect
     assert all(0 < g[5] < 1 for g in got)
     assert abs(lev_sum - 2.0) < 1e-6
+
+
+def test_watermark_late_audit_matches_python_twin(spark):
+    """C277 twin: sequential replay of the planted arrival order and
+    high-water mark in python; per-type counts must agree and the
+    planted block reorder must produce SOME late events."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.streaming_batch import (
+        stream_watermark_late_audit,
+    )
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "event_type", "ts").collect()
+    rows = []
+    for r in ev:
+        t = r["ts"]
+        us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        rows.append((r["event_id"] // 64,
+                     hashlib.md5(str(r["event_id"]).encode()).hexdigest(),
+                     r["event_type"], us))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    hw = 0
+    stats: dict = collections.defaultdict(lambda: [0, 0, 0])
+    for _, _, et, t in rows:
+        s = stats[et]
+        s[0] += 1
+        if hw - t > 3_600_000_000:
+            s[1] += 1
+        if hw > t:
+            s[2] = max(s[2], (hw - t) // 1_000_000)
+        hw = max(hw, t)
+    got = {r["event_type"]: (r["n_events"], r["n_late_1h"],
+                             r["max_lateness_sec"])
+           for r in stream_watermark_late_audit(spark, SF).collect()}
+    assert got == {k: tuple(v) for k, v in stats.items()}
+    assert sum(v[1] for v in stats.values()) > 0  # reorder bites
+    # lateness bounded by the widest single block's time span
+    # (reorder is block-local, so nothing can be later than that)
+    spans: dict = {}
+    for blk, _, _, t in rows:
+        lo, hi = spans.get(blk, (t, t))
+        spans[blk] = (min(lo, t), max(hi, t))
+    max_span_sec = max((hi - lo) // 1_000_000 for lo, hi in spans.values())
+    assert all(v[2] <= max_span_sec for v in stats.values())
+
+
+def test_brier_calibration_matches_python_twin(spark):
+    """C278 twin: exact integer replay of bins, means, and the Brier
+    numerator; Brier decomposition sanity (score in [0,1])."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import ml_brier_calibration
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_tax").collect()
+    bins: dict = collections.defaultdict(lambda: [0, 0, 0])
+    bq_tot = n_tot = 0
+    for r in li:
+        s = int(round(float(r["l_discount"]) * 100)) * 10 + int(
+            round(float(r["l_tax"]) * 100))
+        y = 1 if r["l_returnflag"] == "R" else 0
+        b = min(s * 10 // 108, 9)
+        e = bins[b]
+        e[0] += 1
+        e[1] += s
+        e[2] += y
+        bq_tot += (s - 108 * y) ** 2
+        n_tot += 1
+    brier = bq_tot / n_tot / 11664
+    got = {r["bin"]: r for r in ml_brier_calibration(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b, (n, ssum, ysum) in bins.items():
+        r = got[b]
+        assert r["n"] == n
+        assert abs(r["mean_predicted"] - round(ssum / (108 * n), 6)) < 1e-9
+        assert abs(r["frac_positive"] - round(ysum / n, 6)) < 1e-9
+        assert abs(r["brier_score"] - round(brier, 6)) < 1e-9
+    assert 0.0 <= brier <= 1.0
+
+
+def test_apsp_matches_python_twin(spark):
+    """C279 twin: Floyd-Warshall in python on the same brand-bounded
+    graph; diameter, pair count, and mean geodesic must agree, and
+    the triangle-inequality invariant must hold."""
+    import collections
+    import itertools
+
+    from etl_arcgis_spark.operators.graph import graph_diameter_apsp
+
+    parts = table(spark, SF, "part").select("p_partkey", "p_brand").collect()
+    brand = min(p["p_brand"] for p in parts)
+    keep = {p["p_partkey"] for p in parts if p["p_brand"] == brand}
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    baskets: dict = collections.defaultdict(set)
+    for r in li:
+        if r["l_partkey"] in keep:
+            baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            edges.add((a, b))
+    nodes = sorted({x for e in edges for x in e})
+    INF = float("inf")
+    d = {(a, b): INF for a in nodes for b in nodes}
+    for a in nodes:
+        d[(a, a)] = 0
+    for a, b in edges:
+        d[(a, b)] = d[(b, a)] = 1
+    for k in nodes:
+        for i in nodes:
+            dik = d[(i, k)]
+            if dik is INF:
+                continue
+            for j in nodes:
+                if dik + d[(k, j)] < d[(i, j)]:
+                    d[(i, j)] = dik + d[(k, j)]
+    finite = [v for (a, b), v in d.items() if a != b and v < INF]
+    got = graph_diameter_apsp(spark, SF).collect()[0]
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_connected_pairs"] == len(finite)
+    assert got["diameter"] == max(finite)
+    assert abs(got["avg_shortest_path"]
+               - round(sum(finite) / len(finite), 6)) < 1e-9

@@ -83,6 +83,7 @@ NLJ_OK = {
     "stats_cooks_distance_topk",  # 1-row fit-moment broadcast onto the map-only per-row chain
     "stats_logrank_test",         # 1-row group-total broadcast onto the bounded duration grid
     "ts_pacf_levinson",           # 1-row min-hour anchor + 1-row sum broadcast onto the 720-row grid
+    "ml_brier_calibration",       # 1-row Brier-total broadcast onto the 10-row bin table
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -172,6 +173,7 @@ WINDOW_BOUNDED_OK = {
     "ml_auc_roc_exact": "midrank offset window over the <=109-row bounded score grid (s = 10*disc_pct + tax_pct; C124 ECDF-support class)",
     "ts_pettitt_change_point": "midrank offset window over the <=512-value count grid + cumulative U_t window over the fixed 512-hour dyadic grid",
     "stats_logrank_test": "at-risk offset window over the calendar-bounded duration grid (C111 Kaplan-Meier class)",
+    "stream_watermark_late_audit": "exclusive prefix-max over the n/64-row block table (bucketed_running_sums two-phase class; per-event window is block-partitioned)",
     "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
