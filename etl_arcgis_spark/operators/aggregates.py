@@ -6267,3 +6267,166 @@ def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sql_over(spark, sf_dir, _BRIER_SQL.format(idiv="div"),
                     ("lineitem",))
+
+
+# r12 C280: AdaBoost over decision stumps — the BOOSTING
+# representative of the training tier (C234 trains one stump; this
+# trains an ensemble with re-weighting, Freund & Schapire 1997), on
+# the same bounded sufficient-statistics insight as C265: every row
+# with the same (y, quantity, discount) shares one weight for the
+# whole trajectory, so the corpus collapses to <=1100 weighted
+# groups in ONE data-sized aggregate and all three boosting rounds
+# run on that bounded table. Weights live as BIGINT nano-units
+# (init 1e9), every exp/ln product is snapped back to the nano grid
+# (half-away floor), candidate errors are exact BIGINT sums
+# (cnt * w9 <= 6e15 at sf1), and the argmin stump uses a total
+# (error, feature, threshold, polarity) order — the whole trajectory
+# is exact integers + a shared-libm IEEE chain, bit-identical
+# cross-engine. 118 candidate stumps per round (q-thresholds 1..49,
+# d-thresholds 0..9, both polarities).
+
+_ADA_ROUNDS = 3
+
+
+def _ada_counts_sql() -> str:
+    return """
+SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+       CAST(l_quantity AS BIGINT) AS q,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
+def _ada_oracle_sql(gen_q: str, gen_d: str) -> str:
+    def h(data: str, st: str) -> str:
+        return (f"(CASE WHEN {st}.f = 'q' THEN"
+                f" (CASE WHEN {data}.q <= {st}.th THEN {st}.pol"
+                f" ELSE -{st}.pol END)"
+                f" ELSE (CASE WHEN {data}.d <= {st}.th THEN {st}.pol"
+                f" ELSE -{st}.pol END) END)")
+    parts = [f"""
+WITH c0 AS MATERIALIZED ({_ada_counts_sql()}),
+n AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c0),
+cands AS MATERIALIZED (
+  SELECT f, th, pol FROM (
+    SELECT 'q' AS f, th FROM ({gen_q}) UNION ALL
+    SELECT 'd' AS f, th FROM ({gen_d})
+  ) t CROSS JOIN (SELECT 1 AS pol UNION ALL SELECT -1) p
+),
+w0 AS MATERIALIZED (
+  SELECT y, q, d, cnt, CAST(1000000000 AS BIGINT) AS w9,
+         CAST(0 AS BIGINT) AS s9
+  FROM c0
+)"""]
+    for t in range(1, _ADA_ROUNDS + 1):
+        p = t - 1
+        hw = h("w", "c")
+        parts.append(f""",
+tot{t} AS MATERIALIZED (
+  SELECT CAST(sum(cnt * w9) AS BIGINT) AS wt FROM w{p}
+),
+err{t} AS MATERIALIZED (
+  SELECT c.f, c.th, c.pol,
+         CAST(sum(CASE WHEN {hw} <> w.y THEN w.cnt * w.w9 ELSE 0 END)
+              AS BIGINT) AS mnum
+  FROM w{p} w CROSS JOIN cands c
+  GROUP BY c.f, c.th, c.pol
+),
+best{t} AS MATERIALIZED (
+  SELECT f, th, pol, mnum,
+         0.5 * ln((tot{t}.wt - mnum) / CAST(mnum AS DOUBLE)) AS alpha
+  FROM err{t} CROSS JOIN tot{t}
+  ORDER BY mnum ASC, f ASC, th ASC, pol ASC LIMIT 1
+),
+w{t} AS MATERIALIZED (
+  SELECT w.y, w.q, w.d, w.cnt,
+         CAST(floor(w.w9 * exp(CASE WHEN {h("w", "b")} = w.y
+                    THEN -b.alpha ELSE b.alpha END) + 0.5) AS BIGINT) AS w9,
+         w.s9 + CAST(floor(abs(b.alpha) * 1000000000.0 + 0.5) AS BIGINT)
+              * CAST(sign(b.alpha) AS BIGINT) * {h("w", "b")} AS s9
+  FROM w{p} w CROSS JOIN best{t} b
+),
+ens{t} AS MATERIALIZED (
+  SELECT CAST(sum(CASE WHEN y * s9 <= 0 THEN cnt ELSE 0 END) AS BIGINT)
+    AS mis
+  FROM w{t}
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, best{t}.f AS feature,"
+        f" CAST(best{t}.th AS BIGINT) AS threshold,"
+        f" CAST(best{t}.pol AS BIGINT) AS polarity,"
+        f" round(best{t}.mnum / CAST(tot{t}.wt AS DOUBLE), 6) AS eps,"
+        f" round(best{t}.alpha, 6) AS alpha,"
+        f" round(ens{t}.mis / CAST(n.n AS DOUBLE), 6) AS ensemble_err"
+        f" FROM best{t}, tot{t}, ens{t}, n"
+        for t in range(1, _ADA_ROUNDS + 1)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+_ADA_GEN_Q_DUCK = "SELECT unnest(generate_series(1, 49)) AS th"
+_ADA_GEN_D_DUCK = "SELECT unnest(generate_series(0, 9)) AS th"
+
+
+@query("ml_adaboost_stumps",
+       oracle=_ada_oracle_sql(_ADA_GEN_Q_DUCK, _ADA_GEN_D_DUCK))
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C280: 3 rounds of AdaBoost over 118 candidate decision stumps
+    on (quantity, discount) vs the returned flag — per round the
+    chosen stump, its weighted error, alpha, and the running
+    ensemble training error. Spark does ONE map-side-combined
+    aggregate to the <=1100-group table; the boosting loop runs on
+    that bounded table as driver state under the C265 grid
+    discipline (nano-unit weights, snapped exp products, exact
+    BIGINT error sums, total-order argmin). The label is
+    feature-independent in the fixture, so eps must hover just
+    under 0.5 and alpha stay small — the twin pins that honesty plus
+    the exact trajectory.
+
+    Scale: one data-sized pass, then 3 x 118 x 1100 bounded
+    arithmetic; the oracle unrolls the same rounds as MATERIALIZED
+    CTEs."""
+    import math as _m
+
+    from ..tables import sql_over
+
+    groups = sql_over(spark, sf_dir, _ada_counts_sql(),
+                      ("lineitem",)).collect()
+    gs = [[r["y"], r["q"], r["d"], r["cnt"], 1000000000, 0] for r in groups]
+    n = sum(g[3] for g in gs)
+    cands = ([("d", th, pol) for th in range(0, 10) for pol in (1, -1)]
+             + [("q", th, pol) for th in range(1, 50) for pol in (1, -1)])
+
+    def h(g, c):
+        f, th, pol = c
+        v = g[1] if f == "q" else g[2]
+        return pol if v <= th else -pol
+
+    out = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        wt = sum(g[3] * g[4] for g in gs)
+        best = None
+        for c in cands:
+            mnum = sum(g[3] * g[4] for g in gs if h(g, c) != g[0])
+            key = (mnum, c[0], c[1], c[2])
+            if best is None or key < best:
+                best = key
+        mnum, f, th, pol = best
+        alpha = 0.5 * _m.log((wt - mnum) / float(mnum))
+        a9 = int(_m.floor(abs(alpha) * 1000000000.0 + 0.5))
+        a9 = -a9 if alpha < 0 else a9
+        for g in gs:
+            hg = h(g, (f, th, pol))
+            g[4] = int(_m.floor(
+                g[4] * _m.exp(-alpha if hg == g[0] else alpha) + 0.5))
+            g[5] += a9 * hg
+        mis = sum(g[3] for g in gs if g[0] * g[5] <= 0)
+        out.append((t, f, th, pol, round(mnum / float(wt), 6),
+                    round(alpha, 6), round(mis / float(n), 6)))
+    return spark.createDataFrame(
+        out, "round bigint, feature string, threshold bigint,"
+        " polarity bigint, eps double, alpha double, ensemble_err double"
+    )

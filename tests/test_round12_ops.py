@@ -1967,3 +1967,58 @@ def test_apsp_matches_python_twin(spark):
     assert got["diameter"] == max(finite)
     assert abs(got["avg_shortest_path"]
                - round(sum(finite) / len(finite), 6)) < 1e-9
+
+
+def test_adaboost_matches_python_raw_row_replay(spark):
+    """C280 twin: independent replay from RAW ROWS (not the
+    operator's count table) with per-row weights — the grouped
+    trajectory must match exactly; fixture honesty: eps just under
+    0.5 after round 1, alphas decreasing in magnitude."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        _ADA_ROUNDS,
+        ml_adaboost_stumps,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount").collect()
+    counts: collections.Counter = collections.Counter()
+    for r in li:
+        counts[(1 if r["l_returnflag"] == "R" else -1,
+                int(r["l_quantity"]),
+                int(round(float(r["l_discount"]) * 100)))] += 1
+    gs = [[y, q, d, c, 1000000000, 0] for (y, q, d), c in counts.items()]
+    n = sum(g[3] for g in gs)
+    cands = ([("d", th, pol) for th in range(0, 10) for pol in (1, -1)]
+             + [("q", th, pol) for th in range(1, 50) for pol in (1, -1)])
+
+    def h(g, c):
+        f, th, pol = c
+        v = g[1] if f == "q" else g[2]
+        return pol if v <= th else -pol
+
+    expect = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        wt = sum(g[3] * g[4] for g in gs)
+        best = min((sum(g[3] * g[4] for g in gs if h(g, c) != g[0]),
+                    c[0], c[1], c[2]) for c in cands)
+        mnum, f, th, pol = best
+        alpha = 0.5 * math.log((wt - mnum) / float(mnum))
+        a9 = int(math.floor(abs(alpha) * 1e9 + 0.5)) * (1 if alpha >= 0 else -1)
+        for g in gs:
+            hg = h(g, (f, th, pol))
+            g[4] = int(math.floor(
+                g[4] * math.exp(-alpha if hg == g[0] else alpha) + 0.5))
+            g[5] += a9 * hg
+        mis = sum(g[3] for g in gs if g[0] * g[5] <= 0)
+        expect.append((t, f, th, pol, round(mnum / float(wt), 6),
+                       round(alpha, 6), round(mis / float(n), 6)))
+    got = [(r["round"], r["feature"], r["threshold"], r["polarity"],
+            r["eps"], r["alpha"], r["ensemble_err"])
+           for r in sorted(ml_adaboost_stumps(spark, SF).collect())]
+    assert got == expect
+    # honesty pins on the feature-independent fixture
+    assert all(0.3 < e[4] < 0.5 for e in expect)
+    assert abs(expect[1][5]) < abs(expect[0][5])  # alpha shrinks
+    assert all(e[6] <= 0.5 for e in expect)
