@@ -1186,7 +1186,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r12 C279: graph diameter + average shortest path (exact APSP by
 # iterative BFS) — the distance census of the brand-bounded
 # co-purchase graph: the Pregel/frontier-expansion pattern every
-# distributed graph engine runs, expressed as a Spark join loop
+# distributed graph engine runs, expressed as a Spark join loop.
+# The node set is the 100 smallest partkeys of the min brand — a
+# deterministic cap that keeps the APSP state (<= |nodes|^2 pairs)
+# bounded at ANY SF (an uncapped brand holds ~8k parts at sf1 and
+# the pair table would outgrow bounded-state BFS)
 # (frontier JOIN edges -> dedup-min -> union) that terminates when
 # an iteration discovers no new (src,dst) pair. The oracle spells
 # the same BFS as a DuckDB recursive CTE. Node set is brand-bounded
@@ -1197,6 +1201,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APSP_EDGES_SQL = """
 WITH pb AS (
   SELECT p_partkey FROM part WHERE p_brand = (SELECT min(p_brand) FROM part)
+  ORDER BY p_partkey LIMIT 100
 ), op AS (
   SELECT DISTINCT l_orderkey, l_partkey
   FROM lineitem JOIN pb ON l_partkey = p_partkey

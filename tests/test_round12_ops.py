@@ -1934,7 +1934,8 @@ def test_apsp_matches_python_twin(spark):
 
     parts = table(spark, SF, "part").select("p_partkey", "p_brand").collect()
     brand = min(p["p_brand"] for p in parts)
-    keep = {p["p_partkey"] for p in parts if p["p_brand"] == brand}
+    keep = set(sorted(
+        p["p_partkey"] for p in parts if p["p_brand"] == brand)[:100])
     li = table(spark, SF, "lineitem").select(
         "l_orderkey", "l_partkey").collect()
     baskets: dict = collections.defaultdict(set)
