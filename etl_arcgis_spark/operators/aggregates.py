@@ -6430,3 +6430,81 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "round bigint, feature string, threshold bigint,"
         " polarity bigint, eps double, alpha double, ensemble_err double"
     )
+
+
+# r12 C281: Shapley R^2 decomposition (LMG relative importance) —
+# the interpretability readout for the C256 OLS fit: how much of the
+# explained variance belongs to EACH feature, averaging the
+# incremental R^2 over both orderings (Lindeman-Merenda-Gold 1980 =
+# exact 2-feature Shapley value of R^2). Everything is closed-form
+# from the same exact-BIGINT Gram moments: simple-regression R^2 per
+# feature, the full-model R^2 via the 2x2 solve, and
+# phi_q = 0.5*(R2_q) + 0.5*(R2_full - R2_d) (mirrored for d) — the
+# drop-column importances R2_full - R2_{-j} fall out of the same
+# chain. One IEEE chain over identical integers, bit-identical
+# cross-engine.
+
+_SHAPLEY_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         l_extendedprice AS yd
+  FROM lineitem
+), mo AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(q * d) AS BIGINT) AS sqd,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * q) AS BIGINT) AS sqy,
+         CAST(sum(y * d) AS BIGINT) AS sdy,
+         sum(yd * yd) AS syy_d
+  FROM f
+), c AS (
+  SELECT n,
+         sqq - CAST(sq AS DOUBLE) * sq / CAST(n AS DOUBLE) AS cqq,
+         sqd - CAST(sq AS DOUBLE) * sd / CAST(n AS DOUBLE) AS cqd,
+         sdd - CAST(sd AS DOUBLE) * sd / CAST(n AS DOUBLE) AS cdd,
+         (sqy - CAST(sq AS DOUBLE) * sy / CAST(n AS DOUBLE))
+           / CAST(100 AS DOUBLE) AS cqy,
+         (sdy - CAST(sd AS DOUBLE) * sy / CAST(n AS DOUBLE))
+           / CAST(100 AS DOUBLE) AS cdy,
+         syy_d - (CAST(sy AS DOUBLE) / CAST(100 AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(100 AS DOUBLE))
+               / CAST(n AS DOUBLE) AS cyy
+  FROM mo
+), r2 AS (
+  SELECT n,
+         cqy * cqy / (cqq * cyy) AS r2_q,
+         cdy * cdy / (cdd * cyy) AS r2_d,
+         ((cdd * cqy - cqd * cdy) * cqy + (cqq * cdy - cqd * cqy) * cdy)
+           / ((cqq * cdd - cqd * cqd) * cyy) AS r2_full
+  FROM c
+)
+SELECT n,
+       round(r2_full, 6) AS r2_full,
+       round(r2_q, 6) AS r2_quantity_alone,
+       round(r2_d, 6) AS r2_discount_alone,
+       round(r2_full - r2_d, 6) AS drop_importance_quantity,
+       round(r2_full - r2_q, 6) AS drop_importance_discount,
+       round(0.5 * r2_q + 0.5 * (r2_full - r2_d), 6) AS shapley_quantity,
+       round(0.5 * r2_d + 0.5 * (r2_full - r2_q), 6) AS shapley_discount
+FROM r2
+"""
+
+
+@query("ml_shapley_r2_decomposition", oracle=_SHAPLEY_SQL)
+def ml_shapley_r2_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C281: exact 2-feature Shapley (LMG) decomposition of the OLS
+    R^2 plus drop-column importances — the model-interpretation pass
+    over the same single moment aggregate as C256/C270; the Shapley
+    values sum to R^2_full by construction (twin-pinned along with a
+    numpy cross-check of every R^2).
+
+    Scale: ONE map-side-combined ten-moment aggregate, constant
+    tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _SHAPLEY_SQL, ("lineitem",))

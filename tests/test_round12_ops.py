@@ -2023,3 +2023,40 @@ def test_adaboost_matches_python_raw_row_replay(spark):
     assert all(0.3 < e[4] < 0.5 for e in expect)
     assert abs(expect[1][5]) < abs(expect[0][5])  # alpha shrinks
     assert all(e[6] <= 0.5 for e in expect)
+
+
+def test_shapley_r2_matches_numpy_twin(spark):
+    """C281 twin: every R^2 via numpy lstsq on raw rows; Shapley
+    efficiency (phi_q + phi_d == R2_full) and additivity of the LMG
+    average."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.aggregates import (
+        ml_shapley_r2_decomposition,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_discount").collect()
+    y = np.array([float(r["l_extendedprice"]) for r in li])
+    q = np.array([float(r["l_quantity"]) for r in li])
+    d = np.array([round(float(r["l_discount"]) * 100) for r in li])
+
+    def r2(*feats):
+        X = np.column_stack([np.ones(len(y))] + list(feats))
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        return 1 - np.sum((y - pred) ** 2) / np.sum((y - y.mean()) ** 2)
+
+    r2q, r2d, r2f = r2(q), r2(d), r2(q, d)
+    got = ml_shapley_r2_decomposition(spark, SF).collect()[0]
+    assert got["n"] == len(y)
+    assert abs(got["r2_full"] - r2f) < 1e-6
+    assert abs(got["r2_quantity_alone"] - r2q) < 1e-6
+    assert abs(got["r2_discount_alone"] - r2d) < 1e-6
+    phi_q = 0.5 * r2q + 0.5 * (r2f - r2d)
+    phi_d = 0.5 * r2d + 0.5 * (r2f - r2q)
+    assert abs(got["shapley_quantity"] - phi_q) < 1e-6
+    assert abs(got["shapley_discount"] - phi_d) < 1e-6
+    # Shapley efficiency: the attributions exhaust the full R^2
+    assert abs((got["shapley_quantity"] + got["shapley_discount"])
+               - got["r2_full"]) < 2e-6
