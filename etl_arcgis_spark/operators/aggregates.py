@@ -6508,3 +6508,82 @@ def ml_shapley_r2_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _SHAPLEY_SQL, ("lineitem",))
+
+
+# r12 C282: information-gain feature ranking — the feature-selection
+# scan an ML pipeline runs before training (C234/C260/C265/C280 all
+# consume (quantity, discount); THIS asks which columns are worth
+# it): IG(Y;X) = H(Y) - H(Y|X) for every bounded-domain candidate
+# column, in ONE pass. For each feature the (value, label) cell
+# counts are exact BIGINTs over a bounded contingency (<=50x2), and
+# IG folds to ln n - Sum_y c_y ln c_y / n - Sum_v n_v ln n_v / n
+# + Sum_cells c ln c / n — integer-argument ln sums over bounded
+# tables (the C91/C258 libm-identical class), one IEEE chain, r6.
+# The fixture label is independent of every candidate, so all IGs
+# must land near zero WITHOUT being exactly zero (twin-pinned).
+
+_IG_FEATURES = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("discount_pct", "CAST(round(l_discount * 100, 0) AS BIGINT)"),
+    ("tax_pct", "CAST(round(l_tax * 100, 0) AS BIGINT)"),
+    ("ship_dow", "(({epoch} {idiv} 86400000000) + 4) % 7"),
+    ("linenumber", "CAST(l_linenumber AS BIGINT)"),
+)
+
+
+def _infogain_sql(epoch: str, idiv: str) -> str:
+    blocks = []
+    for name, expr in _IG_FEATURES:
+        e = expr.format(epoch=epoch, idiv=idiv)
+        blocks.append(f"""
+SELECT '{name}' AS feature,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+       round(
+         ln(CAST(sum(c) AS DOUBLE))
+         - sum_y / CAST(sum(c) AS DOUBLE)
+         - sum_v / CAST(sum(c) AS DOUBLE)
+         + sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+         AS info_gain_nats
+FROM (
+  SELECT v, y, CAST(count(1) AS BIGINT) AS c
+  FROM (SELECT {e} AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem) t
+  GROUP BY v, y
+) cells
+CROSS JOIN (
+  SELECT sum(cy * ln(CAST(cy AS DOUBLE))) AS sum_y
+  FROM (SELECT CAST(count(1) AS BIGINT) AS cy FROM (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem) q GROUP BY y) m
+) ym
+CROSS JOIN (
+  SELECT sum(nv * ln(CAST(nv AS DOUBLE))) AS sum_v
+  FROM (SELECT CAST(count(1) AS BIGINT) AS nv
+        FROM (SELECT {e} AS v FROM lineitem) q GROUP BY v) m
+) vm
+GROUP BY sum_y, sum_v""")
+    return ("SELECT feature, n_values, info_gain_nats FROM ("
+            + "\nUNION ALL\n".join(blocks)
+            + ") u ORDER BY info_gain_nats DESC, feature ASC")
+
+
+@query("ml_feature_infogain_ranking",
+       oracle=_infogain_sql("epoch_us(l_shipdate)", "//"))
+def ml_feature_infogain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C282: rank five bounded-domain candidate features by
+    information gain against the returned-flag label — entropy
+    identities folded so every ln argument is an exact integer
+    count. One logical pass per feature (Catalyst shares the scan);
+    each contingency is value-domain bounded, so the shuffles carry
+    partial counts only.
+
+    Scale: five map-side-combined bounded aggregates + 1-row
+    marginal broadcasts (allowlisted); no windows, no data joins."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _infogain_sql("unix_micros(l_shipdate)", "div"),
+        ("lineitem",),
+    )

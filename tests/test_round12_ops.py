@@ -2060,3 +2060,50 @@ def test_shapley_r2_matches_numpy_twin(spark):
     # Shapley efficiency: the attributions exhaust the full R^2
     assert abs((got["shapley_quantity"] + got["shapley_discount"])
                - got["r2_full"]) < 2e-6
+
+
+def test_infogain_ranking_matches_python_twin(spark):
+    """C282 twin: exact contingency entropies in python for all five
+    features; IG >= 0 always, and near zero on the independent
+    fixture label."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        ml_feature_infogain_ranking,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_returnflag",
+        "l_linenumber", "l_shipdate").collect()
+    feats: dict = collections.defaultdict(list)
+    ys = []
+    for r in li:
+        t = r["l_shipdate"]
+        days = (calendar.timegm(t.timetuple()) * 1_000_000) // 86_400_000_000
+        y = 1 if r["l_returnflag"] == "R" else 0
+        ys.append(y)
+        feats["quantity"].append(int(r["l_quantity"]))
+        feats["discount_pct"].append(int(round(float(r["l_discount"]) * 100)))
+        feats["tax_pct"].append(int(round(float(r["l_tax"]) * 100)))
+        feats["ship_dow"].append((days + 4) % 7)
+        feats["linenumber"].append(int(r["l_linenumber"]))
+    n = len(ys)
+    ylog = sum(c * math.log(c)
+               for c in collections.Counter(ys).values())
+    expect = {}
+    for name, vs in feats.items():
+        cells = collections.Counter(zip(vs, ys))
+        vmarg = collections.Counter(vs)
+        ig = (math.log(n) - ylog / n
+              - sum(c * math.log(c) for c in vmarg.values()) / n
+              + sum(c * math.log(c) for c in cells.values()) / n)
+        expect[name] = (len(vmarg), round(ig, 6))
+    got = {r["feature"]: (r["n_values"], r["info_gain_nats"])
+           for r in ml_feature_infogain_ranking(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-6
+        assert got[k][1] >= -1e-9        # IG is non-negative
+        assert got[k][1] < 0.02          # independent label: near zero

@@ -84,6 +84,7 @@ NLJ_OK = {
     "stats_logrank_test",         # 1-row group-total broadcast onto the bounded duration grid
     "ts_pacf_levinson",           # 1-row min-hour anchor + 1-row sum broadcast onto the 720-row grid
     "ml_brier_calibration",       # 1-row Brier-total broadcast onto the 10-row bin table
+    "ml_feature_infogain_ranking",  # 1-row label/value-marginal entropy broadcasts per bounded contingency
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
