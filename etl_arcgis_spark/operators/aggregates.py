@@ -6587,3 +6587,189 @@ def ml_feature_infogain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         _infogain_sql("unix_micros(l_shipdate)", "div"),
         ("lineitem",),
     )
+
+
+# r12 C283: distribution-free median CI via order statistics — the
+# uncertainty readout for a median WITHOUT bootstrap resampling
+# (C159's Poisson bootstrap is the resampling path; this is the
+# exact-rank path): for daily revenue, the (approximately) 95% CI is
+# the pair of order statistics at ranks n/2 -+ 1.96*sqrt(n)/2
+# (binomial-count normal approximation, Conover 1999 §3.2). The
+# daily table is calendar-bounded (<=2500 rows) and the totals are
+# exact BIGINT k$ (the C275 quantization), so ranks and the selected
+# values are exact integers; the only IEEE op is one sqrt in the
+# rank formula.
+
+
+def _median_ci_sql(epoch: str, idiv: str) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST({epoch} {idiv} {_DAY_US} AS BIGINT) AS d,
+         CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    / CAST(100000 AS DOUBLE), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT y, row_number() OVER (ORDER BY y ASC, d ASC) AS r
+  FROM daily
+), nn AS (
+  SELECT CAST(count(1) AS BIGINT) AS n FROM daily
+), bounds AS (
+  SELECT n,
+         CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+              AS BIGINT) AS lo_r,
+         n + 1 - CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+                      AS BIGINT) AS hi_r,
+         (n + 1) {idiv} 2 AS med_r
+  FROM nn
+)
+SELECT b.n AS n_days,
+       CAST(max(CASE WHEN rk.r = b.med_r THEN rk.y END) AS BIGINT)
+         AS median_kdollars,
+       CAST(max(CASE WHEN rk.r = b.lo_r THEN rk.y END) AS BIGINT)
+         AS ci95_lo_kdollars,
+       CAST(max(CASE WHEN rk.r = b.hi_r THEN rk.y END) AS BIGINT)
+         AS ci95_hi_kdollars
+FROM rk CROSS JOIN bounds b
+GROUP BY b.n
+"""
+
+
+@query("stats_median_ci_order",
+       oracle=_median_ci_sql("epoch_us(o_orderdate)", "//"))
+def stats_median_ci_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C283: exact order-statistic 95% CI for the median daily
+    revenue — ranks from the binomial normal approximation, values
+    selected from the calendar-bounded daily table (the window is
+    bounded, allowlisted). Twin replays the ranks and pins
+    ci_lo <= median <= ci_hi plus the shrinking-width property
+    across SFs.
+
+    Scale: one map-side-combined daily rollup, a bounded rank
+    window, a 1-row bounds broadcast."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _median_ci_sql("unix_micros(o_orderdate)", "div"),
+        ("orders",),
+    )
+
+
+# r12 C284: Huber M-estimator of location — ROBUST-statistics
+# training loop on the bounded quantity domain: the IRLS iteration
+# m <- sum w_v n_v v / sum w_v n_v with Huber weights
+# w = min(1, k/|v - m|) runs on the <=50-row value-count table
+# (sufficient statistics again), 6 iterations, the running estimate
+# snapped to the e6 grid each step — exact integer trajectory, the
+# C265 discipline on a robust estimator. k = 10 (quantity units).
+
+_HUBER_ITERS = 6
+_HUBER_K = 10
+
+
+def _huber_sql(materialized: bool = False) -> str:
+    def snap6(t: str) -> str:
+        return f"CAST(floor(({t}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    mat = " MATERIALIZED" if materialized else ""
+    parts = [f"""
+WITH c AS{mat} (
+  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(1) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+m0 AS (SELECT CAST(sum(v * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS m,
+       CAST(0 AS BIGINT) AS m6 FROM c)"""]
+    for t in range(1, _HUBER_ITERS + 1):
+        p = t - 1
+        w = (f"(CASE WHEN abs(c.v - m{p}.m) <= {_HUBER_K} THEN 1.0"
+             f" ELSE {_HUBER_K} / abs(c.v - m{p}.m) END)")
+        parts.append(f""",
+m{t} AS{mat} (
+  SELECT {snap6(f"sum({w} * c.n * c.v) / sum({w} * c.n)")} AS m6,
+         CAST({snap6(f"sum({w} * c.n * c.v) / sum({w} * c.n)")} AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) AS m
+  FROM c, m{p}
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, m{t}.m6 AS m_micro,"
+        f" round(m{t}.m, 6) AS m_estimate FROM m{t}"
+        for t in range(1, _HUBER_ITERS + 1)
+    )
+    parts.append("\n" + rows)
+    return "".join(parts)
+
+
+@query("stats_huber_m_estimator", oracle=_huber_sql(True))
+def stats_huber_m_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C284: Huber M-estimate of mean quantity by IRLS on the
+    bounded value-count table — the robust-location representative
+    (C75's MAD profiles detect outliers; this DOWNWEIGHTS them in
+    estimation). Exact e6-grid trajectory: weights are IEEE over the
+    exact integer value grid and the previous grid-snapped estimate;
+    the oracle unrolls all 6 iterations.
+
+    The sums run over <=50 rows but each term's float product is
+    deterministic (fixed expression order) and the per-iteration
+    grid snap absorbs any engine-side aggregation-order noise
+    (terms ~1e6-scale vs the 1e-6 grid: ~1e-10 relative headroom).
+
+    Scale: ONE map-side-combined aggregate; constant work after."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _huber_sql(), ("lineitem",))
+
+
+# r12 C285: two-sample Q-Q table — the WHERE-do-distributions-differ
+# readout that C122 (means), C124 (ranks), and the KS statistic (one
+# max deviation) all compress away: per decile, the quantity value at
+# that quantile in returned vs delivered line items, side by side.
+# percentile_disc semantics on the bounded 1..50 value grid: the
+# d-th decile is the smallest v whose cumulative count reaches
+# ceil(d * n / 10) — pure integer arithmetic over per-group value
+# counts, no row-level sort, bit-identical by construction.
+
+_QQ_SQL = """
+WITH pool AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), pv AS (
+  SELECT g, v, CAST(count(1) AS BIGINT) AS c FROM pool GROUP BY g, v
+), cum AS (
+  SELECT g, v,
+         sum(c) OVER (PARTITION BY g ORDER BY v ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM pv
+), dec AS (
+  SELECT CAST(d AS BIGINT) AS decile, g,
+         min(CASE WHEN cc * 10 >= d * n THEN v END) AS q
+  FROM cum CROSS JOIN (
+    SELECT 1 AS d UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL
+    SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
+    SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
+  ) ds
+  GROUP BY d, g
+)
+SELECT decile,
+       CAST(max(CASE WHEN g = 1 THEN q END) AS BIGINT) AS q_returned,
+       CAST(max(CASE WHEN g = 0 THEN q END) AS BIGINT) AS q_delivered,
+       CAST(max(CASE WHEN g = 1 THEN q END)
+            - max(CASE WHEN g = 0 THEN q END) AS BIGINT) AS qq_diff
+FROM dec GROUP BY decile ORDER BY decile
+"""
+
+
+@query("stats_qq_deciles", oracle=_QQ_SQL)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C285: decile Q-Q comparison of quantity between returned and
+    delivered line items — percentile_disc by integer threshold
+    arithmetic on the bounded value grid (cc*10 >= d*n avoids any
+    division); the identically-distributed fixture groups must give
+    a near-zero qq_diff column (twin-pinned).
+
+    Scale: one map-side-combined (group, value) count, per-group
+    windows over the <=2x50-row grid, a 9-row decile broadcast."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _QQ_SQL, ("lineitem",))

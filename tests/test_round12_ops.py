@@ -2107,3 +2107,98 @@ def test_infogain_ranking_matches_python_twin(spark):
         assert abs(got[k][1] - expect[k][1]) < 1e-6
         assert got[k][1] >= -1e-9        # IG is non-negative
         assert got[k][1] < 0.02          # independent label: near zero
+
+
+def test_median_ci_matches_python_twin(spark):
+    """C283 twin: exact rank replay; lo <= median <= hi."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_median_ci_order
+
+    orders = table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice").collect()
+    daily: collections.Counter = collections.Counter()
+    for r in orders:
+        t = r["o_orderdate"]
+        d = (calendar.timegm(t.timetuple()) * 1_000_000) // 86_400_000_000
+        daily[d] += int(round(float(r["o_totalprice"]) * 100))
+    ys = sorted(
+        (int(math.floor(c / 100000.0 + 0.5)), d) for d, c in daily.items()
+    )
+    n = len(ys)
+    lo_r = int(math.floor((n - 1.959964 * math.sqrt(n)) / 2))
+    hi_r = n + 1 - lo_r
+    med_r = (n + 1) // 2
+    got = stats_median_ci_order(spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["median_kdollars"] == ys[med_r - 1][0]
+    assert got["ci95_lo_kdollars"] == ys[lo_r - 1][0]
+    assert got["ci95_hi_kdollars"] == ys[hi_r - 1][0]
+    assert (got["ci95_lo_kdollars"] <= got["median_kdollars"]
+            <= got["ci95_hi_kdollars"])
+
+
+def test_huber_matches_python_twin(spark):
+    """C284 twin: exact IRLS replay on the value-count table; the
+    M-estimate must sit within the data range and differ from (or
+    coincide with) the plain mean in a bounded way."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        _HUBER_ITERS,
+        _HUBER_K,
+        stats_huber_m_estimator,
+    )
+
+    li = table(spark, SF, "lineitem").select("l_quantity").collect()
+    counts = collections.Counter(int(r["l_quantity"]) for r in li)
+    m = sum(v * c for v, c in counts.items()) / sum(counts.values())
+    expect = []
+    for t in range(1, _HUBER_ITERS + 1):
+        num = den = 0.0
+        for v, c in counts.items():
+            w = 1.0 if abs(v - m) <= _HUBER_K else _HUBER_K / abs(v - m)
+            num += w * c * v
+            den += w * c
+        m6 = int(math.floor((num / den) * 1e6 + 0.5))
+        m = m6 / 1e6
+        expect.append((t, m6, round(m, 6)))
+    got = [(r["iter"], r["m_micro"], r["m_estimate"])
+           for r in sorted(stats_huber_m_estimator(spark, SF).collect())]
+    assert got == expect
+    assert 1 <= got[-1][2] <= 50
+    plain = sum(v * c for v, c in counts.items()) / sum(counts.values())
+    assert abs(got[-1][2] - plain) < 5  # same ballpark, robustly shifted
+
+
+def test_qq_deciles_matches_python_twin(spark):
+    """C285 twin: percentile_disc replay per group; the
+    identically-distributed fixture groups keep every |qq_diff|
+    tiny."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_qq_deciles
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity").collect()
+    groups: dict = collections.defaultdict(list)
+    for r in li:
+        if r["l_returnflag"] in ("R", "N"):
+            groups[1 if r["l_returnflag"] == "R" else 0].append(
+                int(r["l_quantity"]))
+
+    def disc(xs, d):
+        xs = sorted(xs)
+        n = len(xs)
+        k = -(-d * n // 10)  # ceil(d*n/10)
+        return xs[k - 1]
+
+    got = {r["decile"]: r for r in stats_qq_deciles(spark, SF).collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        qr, qd = disc(groups[1], d), disc(groups[0], d)
+        assert got[d]["q_returned"] == qr
+        assert got[d]["q_delivered"] == qd
+        assert got[d]["qq_diff"] == qr - qd
+        assert abs(got[d]["qq_diff"]) <= 2  # same underlying distribution

@@ -85,6 +85,9 @@ NLJ_OK = {
     "ts_pacf_levinson",           # 1-row min-hour anchor + 1-row sum broadcast onto the 720-row grid
     "ml_brier_calibration",       # 1-row Brier-total broadcast onto the 10-row bin table
     "ml_feature_infogain_ranking",  # 1-row label/value-marginal entropy broadcasts per bounded contingency
+    "stats_huber_m_estimator",    # 6 x 1-row IRLS iterate broadcasts onto the <=50-row value grid (spatial_median_center class)
+    "stats_median_ci_order",      # 1-row rank-bounds broadcast onto the bounded daily table
+    "stats_qq_deciles",           # 9-row decile-threshold broadcast onto the <=2x50-row cumulative grid
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -175,6 +178,7 @@ WINDOW_BOUNDED_OK = {
     "ts_pettitt_change_point": "midrank offset window over the <=512-value count grid + cumulative U_t window over the fixed 512-hour dyadic grid",
     "stats_logrank_test": "at-risk offset window over the calendar-bounded duration grid (C111 Kaplan-Meier class)",
     "stream_watermark_late_audit": "exclusive prefix-max over the n/64-row block table (bucketed_running_sums two-phase class; per-event window is block-partitioned)",
+    "stats_median_ci_order": "rank window over the calendar-bounded <=2500-row daily table (C255 decompose class)",
     "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
