@@ -5360,45 +5360,6 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r12 C259: grouped MODE — the one descriptive aggregate the SQL
-# surface was missing (count/sum/avg/median/percentile/stddev all
-# exist; the most-frequent VALUE per group did not): per order
-# status, the modal order priority with a deterministic tie-break
-# (count DESC, value ASC), exactly the spelling DISTINCT-ON/mode()
-# engines compile to a partial-count + per-group argmax.
-
-_MODE_SQL = """
-WITH c AS (
-  SELECT o_orderstatus AS g, o_orderpriority AS v,
-         CAST(count(*) AS BIGINT) AS n
-  FROM orders GROUP BY o_orderstatus, o_orderpriority
-), r AS (
-  SELECT g, v, n,
-         row_number() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rn
-  FROM c
-)
-SELECT g AS order_status, v AS mode_priority, n AS mode_count
-FROM r WHERE rn = 1
-"""
-
-
-@query("agg_mode_grouped", oracle=_MODE_SQL)
-def agg_mode_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C259: per-group mode (most frequent value, ties broken by
-    value order) — the descriptive aggregate missing between
-    count-distinct and the percentile family. Two-level shape: the
-    (group, value) count aggregate is map-side combined (the shuffle
-    carries |groups|x|values| partials), and the argmax window runs
-    over that BOUNDED count table partitioned per group — never over
-    raw rows.
-
-    Scale: |groups x values| is 3x5 here and stays data-independent;
-    at 100 TB only the first aggregate's scan grows."""
-    from ..tables import sql_over
-
-    return sql_over(spark, sf_dir, _MODE_SQL, ("orders",))
-
-
 # r12 C260: batch perceptron — distributed linear-classifier TRAINING
 # with a 100% EXACT-INTEGER trajectory (Rosenblatt 1958, batch
 # variant): y in {-1,+1} (returned vs not), integer features

@@ -1102,29 +1102,6 @@ def test_psi_drift_matches_python_twin(spark):
     assert got["psi"] >= 0.0  # PSI is a symmetrized KL: non-negative
 
 
-def test_mode_grouped_matches_python_twin(spark):
-    """C259 twin: recompute the per-group modal priority with the
-    count-DESC / value-ASC tie-break in pure python."""
-    import collections
-
-    from etl_arcgis_spark.operators.aggregates import agg_mode_grouped
-
-    rows = table(spark, SF, "orders").select(
-        "o_orderstatus", "o_orderpriority").collect()
-    counts: dict = collections.defaultdict(collections.Counter)
-    for r in rows:
-        counts[r["o_orderstatus"]][r["o_orderpriority"]] += 1
-    expect = {
-        g: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
-        for g, c in counts.items()
-    }
-    got = {r["order_status"]: (r["mode_priority"], r["mode_count"])
-           for r in agg_mode_grouped(spark, SF).collect()}
-    assert got == expect
-    # every group must be represented exactly once
-    assert set(got) == set(counts)
-
-
 def test_perceptron_batch_matches_python_replay(spark):
     """C260 twin: replay all 8 exact-BIGINT epochs in pure python —
     the trajectory (weights AND misclassification counts per epoch)
