@@ -6178,8 +6178,10 @@ def stats_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r12 C278: Brier score + reliability diagram — the probability-
 # calibration eval completing the classifier-eval tier (C261 point
-# metrics, C262 ranking, THIS: calibration; C129/C195 RE-calibrate,
-# this MEASURES): predicted probability p = s/108 from the bounded
+# metrics, C262 ranking, THIS: calibration). C129 already ships a
+# reliability TABLE for a text-quality signal; this one adds the
+# Brier scalar with an EXACT-INTEGER numerator and targets the
+# classifier-eval label: predicted probability p = s/108 from the bounded
 # C261 score, outcome y = returned. Because s is an integer,
 # (p - y)^2 = (s - 108 y)^2 / 108^2 — the Brier numerator is an
 # EXACT BIGINT (<= 108^2 * n), and every per-bin statistic is exact
