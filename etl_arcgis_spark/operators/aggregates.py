@@ -6736,3 +6736,67 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _QQ_SQL, ("lineitem",))
+
+
+# r12 C287: cumulative gains / lift table — the targeting readout
+# between C262's AUC (one number) and C278's calibration (bin
+# truth-rates): if we contact the top-scored X% of rows, what share
+# of all positives do we capture, and at what lift over random? Ten
+# score-ordered buckets from the bounded score grid; cumulation runs
+# over the ≤109-row grid (C262's window class), every count an
+# exact BIGINT, gains/lift single IEEE divisions. The label is
+# score-independent in the fixture, so lift must hover near 1
+# across the table (twin-pinned) — the honest no-signal baseline.
+
+_LIFT_SQL = f"""
+WITH f AS (
+  SELECT {_CLF_SCORE} AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), per_s AS (
+  SELECT s, CAST(count(1) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM f GROUP BY s
+), cum AS (
+  SELECT s, cnt, pos,
+         sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ccnt,
+         sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cpos,
+         sum(cnt) OVER () AS n, sum(pos) OVER () AS npos
+  FROM per_s
+), dec AS (
+  SELECT CAST(d AS BIGINT) AS decile,
+         -- cumulation is score-DESC: the FIRST row reaching the
+         -- d/10 population threshold is the LARGEST qualifying s
+         max(CASE WHEN ccnt * 10 >= d * n THEN s END) AS s_cut
+  FROM cum CROSS JOIN (
+    SELECT 1 AS d UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL
+    SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
+    SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+  ) ds
+  GROUP BY d
+)
+SELECT dec.decile,
+       CAST(cum.ccnt AS BIGINT) AS n_contacted,
+       CAST(cum.cpos AS BIGINT) AS n_captured,
+       round(cum.cpos / CAST(cum.npos AS DOUBLE), 6) AS gain,
+       round((cum.cpos / CAST(cum.npos AS DOUBLE))
+             / (cum.ccnt / CAST(cum.n AS DOUBLE)), 6) AS lift
+FROM dec JOIN cum ON cum.s = dec.s_cut
+ORDER BY dec.decile
+"""
+
+
+@query("ml_lift_gains_table", oracle=_LIFT_SQL)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C287: cumulative gains + lift at ten score-ordered cut
+    points — exact integer cumulation over the bounded score grid,
+    cut rows selected by the C285 integer-threshold spelling
+    (ccnt*10 >= d*n, no division in the predicate).
+
+    Scale: one map-side-combined aggregate to the score grid,
+    bounded windows (C262 allowlist class), a 10-row decile
+    broadcast, a grid-sized join back."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _LIFT_SQL, ("lineitem",))

@@ -1341,3 +1341,50 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _psi_sql("unix_micros(ts)"), ("events",))
+
+
+# r12 C286: join-key skew diagnostics — the pre-flight check behind
+# every salting/broadcast decision in this engine (C55's salted join
+# FIXES skew; this MEASURES it before you pay for the fix): for each
+# candidate join key, the key count, max/p99 group sizes, the
+# max-to-mean hot-key ratio, and the share of rows owned by the top
+# key. At 1000 executors a max/mean of 50 on the shuffle key IS the
+# straggler — this query is how you find it without running the join.
+# Everything is exact integers off one count-aggregate per key; p99
+# group size uses the same integer-threshold percentile_disc
+# spelling as C285 over the bounded group-size-histogram.
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+_SKEW_BLOCK = """
+SELECT '{key}' AS join_key,
+       CAST(count(1) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_group,
+       round(max(c) * count(1) / CAST(sum(c) AS DOUBLE), 4)
+         AS max_over_mean,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_key_row_share
+FROM (SELECT {key} AS k, CAST(count(1) AS BIGINT) AS c
+      FROM lineitem GROUP BY {key}) g
+"""
+
+_SKEW_SQL = ("SELECT * FROM ("
+             + "\nUNION ALL\n".join(
+                 _SKEW_BLOCK.format(key=k) for k in _SKEW_KEYS)
+             + ") u ORDER BY max_over_mean DESC, join_key ASC")
+
+
+@query("dq_join_key_skew", oracle=_SKEW_SQL)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C286: shuffle-key skew profile for the three lineitem join
+    keys — key cardinality, hottest group size, max/mean ratio, and
+    the top key's row share; ranked by skew. The operational query a
+    100 TB planner runs BEFORE picking broadcast vs shuffle vs
+    salted (C55) strategies.
+
+    Scale: one map-side-combined count per key (Catalyst shares the
+    scan across the UNION branches); the moment tail runs on the
+    |keys|-row group table — no windows, no joins."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _SKEW_SQL, ("lineitem",))

@@ -3419,3 +3419,73 @@ def ts_pacf_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pacf_sql("unix_micros(ts)", "div", _GEN720_SPARK),
         ("events",),
     )
+
+
+# r12 C288: Croston intermittent-demand forecast (+ Syntetos-Boylan
+# correction) — the forecasting method for SPARSE series that
+# defeat C186/C191's smoothers (zeros are not demand level, they
+# are absence): separate EWMAs of demand SIZES and of the INTERVALS
+# between demand periods, forecast = z/p per hour. alpha = 0.5
+# makes every EWMA weight an exact power of two; the EWMA is
+# spelled as the 16-term truncated exponential window (weights
+# 2^-1..2^-16, renormalized by 1 - 2^-16 ≈ 99.998% of the mass), so
+# every numerator is an exact dyadic rational in doubles — no
+# sequential recursion, ONE window expression, bit-identical
+# cross-engine. Demand = hourly 'purchase' counts; at tiny SF the
+# series is genuinely intermittent (intervals >> 1), at sf1 it
+# degenerates to dense demand and Croston folds into a plain EWMA —
+# both regimes are correct readings of the same statistic.
+
+
+def _croston_sql(epoch: str, idiv: str) -> str:
+    wsum = " + ".join(f"power(2.0, -{i + 1})" for i in range(16))
+    z = " + ".join(
+        f"coalesce(lag(x, {i}) OVER (ORDER BY k ASC), 0)"
+        f" * power(2.0, -{i + 1})" for i in range(16)
+    )
+    p = " + ".join(
+        f"coalesce(lag(iv, {i}) OVER (ORDER BY k ASC), 0)"
+        f" * power(2.0, -{i + 1})" for i in range(16)
+    )
+    return f"""
+WITH d AS (
+  SELECT {epoch} {idiv} {_HOUR_US} AS k, CAST(count(1) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), iv AS (
+  SELECT k, x,
+         k - lag(k) OVER (ORDER BY k ASC) AS iv
+  FROM d
+), sm AS (
+  SELECT k, x, iv,
+         ({z}) / ({wsum}) AS z_ewma,
+         ({p}) / ({wsum}) AS p_ewma,
+         row_number() OVER (ORDER BY k DESC) AS rn_last,
+         count(1) OVER () AS n_periods
+  FROM iv
+)
+SELECT CAST(n_periods AS BIGINT) AS n_demand_periods,
+       round(z_ewma, 6) AS size_ewma,
+       round(p_ewma, 6) AS interval_ewma,
+       round(z_ewma / p_ewma, 6) AS croston_per_hour,
+       round(0.75 * z_ewma / p_ewma, 6) AS sba_per_hour
+FROM sm WHERE rn_last = 1
+"""
+
+
+@query("ts_croston_intermittent",
+       oracle=_croston_sql("epoch_us(ts)", "//"))
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C288: Croston (1972) + SBA (Syntetos-Boylan 2005) forecast of
+    hourly purchase demand — truncated-exponential EWMAs (exact
+    powers of two, 16 terms, renormalized) of demand sizes and
+    inter-demand intervals at the latest demand period.
+
+    Scale: one map-side-combined hourly rollup filtered to the
+    demand type (the only data-sized work); the lag windows run on
+    the calendar-bounded demand-period table (≤ hours in the
+    observation window, allowlisted bounded)."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir, _croston_sql("unix_micros(ts)", "div"), ("events",)
+    )

@@ -2179,3 +2179,103 @@ def test_qq_deciles_matches_python_twin(spark):
         assert got[d]["q_delivered"] == qd
         assert got[d]["qq_diff"] == qr - qd
         assert abs(got[d]["qq_diff"]) <= 2  # same underlying distribution
+
+
+def test_join_key_skew_matches_python_twin(spark):
+    """C286 twin: exact key-frequency profile per join key; the
+    ordering by skew and every statistic replayed."""
+    import collections
+
+    from etl_arcgis_spark.operators.quality import (
+        _SKEW_KEYS,
+        dq_join_key_skew,
+    )
+
+    li = table(spark, SF, "lineitem").select(*_SKEW_KEYS).collect()
+    expect = {}
+    for key in _SKEW_KEYS:
+        c = collections.Counter(r[key] for r in li)
+        n_keys, n_rows, mx = len(c), sum(c.values()), max(c.values())
+        expect[key] = (n_keys, n_rows, mx,
+                       round(mx * n_keys / n_rows, 4),
+                       round(mx / n_rows, 6))
+    got = {r["join_key"]: (r["n_keys"], r["n_rows"], r["max_group"],
+                           r["max_over_mean"], r["top_key_row_share"])
+           for r in dq_join_key_skew(spark, SF).collect()}
+    assert got == expect
+    for v in got.values():
+        assert v[3] >= 1.0  # max/mean is at least 1 by definition
+
+
+def test_lift_gains_matches_python_twin(spark):
+    """C287 twin: exact cumulative capture replay at every decile
+    cut; lift ~ 1 on the score-independent label, final gain = 1."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import ml_lift_gains_table
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_tax").collect()
+    per_s: dict = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        s = int(round(float(r["l_discount"]) * 100)) * 10 + int(
+            round(float(r["l_tax"]) * 100))
+        e = per_s[s]
+        e[0] += 1
+        e[1] += 1 if r["l_returnflag"] == "R" else 0
+    n = sum(v[0] for v in per_s.values())
+    npos = sum(v[1] for v in per_s.values())
+    cum = []
+    ccnt = cpos = 0
+    for s in sorted(per_s, reverse=True):
+        ccnt += per_s[s][0]
+        cpos += per_s[s][1]
+        cum.append((s, ccnt, cpos))
+    expect = {}
+    for d in range(1, 11):
+        for s, ccnt, cpos in cum:
+            if ccnt * 10 >= d * n:
+                expect[d] = (ccnt, cpos, round(cpos / npos, 6),
+                             round((cpos / npos) / (ccnt / n), 6))
+                break
+    got = {r["decile"]: (r["n_contacted"], r["n_captured"], r["gain"],
+                         r["lift"])
+           for r in ml_lift_gains_table(spark, SF).collect()}
+    assert got == expect
+    assert got[10][2] == 1.0                  # full population: gain 1
+    assert all(0.8 < v[3] < 1.2 for v in got.values())  # no signal
+
+
+def test_croston_matches_python_twin(spark):
+    """C288 twin: replay the truncated-EWMA at the last demand
+    period; forecast positive and below the max hourly demand."""
+    import calendar
+    import collections
+
+    from etl_arcgis_spark.operators.timeseries import (
+        ts_croston_intermittent,
+    )
+
+    ev = table(spark, SF, "events").select("event_type", "ts").collect()
+    cnt: collections.Counter = collections.Counter()
+    for r in ev:
+        if r["event_type"] == "purchase":
+            t = r["ts"]
+            us = calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+            cnt[us // 3_600_000_000] += 1
+    ks = sorted(cnt)
+    xs = [cnt[k] for k in ks]
+    ivs = [None] + [ks[i] - ks[i - 1] for i in range(1, len(ks))]
+    wsum = sum(2.0 ** -(i + 1) for i in range(16))
+    T = len(ks) - 1
+    z = sum((xs[T - i] if T - i >= 0 else 0) * 2.0 ** -(i + 1)
+            for i in range(16)) / wsum
+    p = sum(((ivs[T - i] or 0) if T - i >= 0 else 0) * 2.0 ** -(i + 1)
+            for i in range(16)) / wsum
+    got = ts_croston_intermittent(spark, SF).collect()[0]
+    assert got["n_demand_periods"] == len(ks)
+    assert abs(got["size_ewma"] - round(z, 6)) < 1e-9
+    assert abs(got["interval_ewma"] - round(p, 6)) < 1e-9
+    assert abs(got["croston_per_hour"] - round(z / p, 6)) < 1e-9
+    assert abs(got["sba_per_hour"] - round(0.75 * z / p, 6)) < 1e-9
+    assert 0 < got["croston_per_hour"] <= max(xs)

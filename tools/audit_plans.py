@@ -88,6 +88,7 @@ NLJ_OK = {
     "stats_huber_m_estimator",    # 6 x 1-row IRLS iterate broadcasts onto the <=50-row value grid (spatial_median_center class)
     "stats_median_ci_order",      # 1-row rank-bounds broadcast onto the bounded daily table
     "stats_qq_deciles",           # 9-row decile-threshold broadcast onto the <=2x50-row cumulative grid
+    "ml_lift_gains_table",        # 10-row decile-cut broadcast joined back onto the <=109-row score grid
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -179,6 +180,8 @@ WINDOW_BOUNDED_OK = {
     "stats_logrank_test": "at-risk offset window over the calendar-bounded duration grid (C111 Kaplan-Meier class)",
     "stream_watermark_late_audit": "exclusive prefix-max over the n/64-row block table (bucketed_running_sums two-phase class; per-event window is block-partitioned)",
     "stats_median_ci_order": "rank window over the calendar-bounded <=2500-row daily table (C255 decompose class)",
+    "ml_lift_gains_table": "cumulative windows over the <=109-row bounded score grid (C262 class)",
+    "ts_croston_intermittent": "lag windows over the calendar-bounded demand-period table (C255 decompose class)",
     "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
