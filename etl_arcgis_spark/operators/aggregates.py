@@ -6800,3 +6800,307 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _LIFT_SQL, ("lineitem",))
+
+
+# r12 C289: two-way ANOVA (returnflag x linestatus on quantity,
+# interaction included) — the factorial extension of C158's one-way:
+# does either factor shift mean quantity, and do they INTERACT? The
+# unbalanced-design Type-I (sequential) sums of squares are computed
+# cell-exactly: every cell/margin moment is an exact BIGINT (integer
+# quantity), and each SS term is a fixed IEEE chain of
+# (sum^2/count) differences over the <=6-cell table. F statistics
+# are scale-free ratios, r6.
+
+_ANOVA2_SQL = """
+WITH cell AS (
+  SELECT l_returnflag AS a, l_linestatus AS b,
+         CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), ma AS (
+  SELECT a, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+  FROM cell GROUP BY a
+), mb AS (
+  SELECT b, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+  FROM cell GROUP BY b
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(q) AS BIGINT) AS q,
+         CAST(count(1) AS BIGINT) AS n_cells
+  FROM cell
+), ss AS (
+  SELECT tot.n, tot.n_cells,
+         (SELECT CAST(count(1) AS BIGINT) FROM ma) AS ka,
+         (SELECT CAST(count(1) AS BIGINT) FROM mb) AS kb,
+         (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM ma)
+           - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ss_a,
+         (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM mb)
+           - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ss_b,
+         (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM cell)
+           - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ss_cells,
+         tot.q - (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM cell)
+           AS ss_within
+  FROM tot
+)
+SELECT n AS n_rows, ka AS levels_a, kb AS levels_b,
+       round(ss_a, 4) AS ss_returnflag,
+       round(ss_b, 4) AS ss_linestatus,
+       round(ss_cells - ss_a - ss_b, 4) AS ss_interaction,
+       round(ss_within, 4) AS ss_within,
+       round((ss_a / (ka - 1)) / (ss_within / (n - n_cells)), 6)
+         AS f_returnflag,
+       round((ss_b / (kb - 1)) / (ss_within / (n - n_cells)), 6)
+         AS f_linestatus,
+       round(((ss_cells - ss_a - ss_b)
+              / ((ka - 1) * (kb - 1)))
+             / (ss_within / (n - n_cells)), 6) AS f_interaction
+FROM ss
+"""
+
+
+@query("stats_anova_twoway", oracle=_ANOVA2_SQL)
+def stats_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C289: two-way factorial ANOVA with interaction on quantity —
+    sequential SS from exact BIGINT cell moments (C158's one-way is
+    the marginal case). The independent fixture factors must give
+    F statistics near their null expectation (twin-pinned small).
+
+    Scale: ONE map-side-combined cell aggregate (<=6 cells at any
+    SF); margins and totals are scalar subqueries over that bounded
+    table."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _ANOVA2_SQL, ("lineitem",))
+
+
+# r12 C290: Stuart-Maxwell marginal-homogeneity test — the k-class
+# generalization of McNemar (C250, 2x2): do annotators r1 and r2
+# use the LABEL DISTRIBUTION differently (not merely disagree)?
+# From the planted 3x3 confusion matrix: d = marginal difference
+# vector (2 free components), S = covariance from off-diagonal
+# cells, chi2 = d' S^-1 d with the closed-form 2x2 inverse — exact
+# BIGINT cells until one fixed IEEE chain.
+
+
+def _stuart_sql(strpos: str, substr: str) -> str:
+    base = _KA_BASE.replace("strpos", strpos).replace("substr", substr)
+    shift = _KA_SHIFT.format(base=base)
+    return f"""
+WITH lab AS (
+  SELECT doc_id, {base} AS r1,
+         CASE WHEN doc_id % 5 = 0 THEN {shift} ELSE {base} END AS r2
+  FROM documents
+), cm AS (
+  SELECT r1, r2, CAST(count(1) AS BIGINT) AS n FROM lab GROUP BY r1, r2
+), cells AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN r1 = 'a' THEN n END), 0) AS BIGINT) AS r1a,
+    CAST(coalesce(sum(CASE WHEN r1 = 'b' THEN n END), 0) AS BIGINT) AS r1b,
+    CAST(coalesce(sum(CASE WHEN r2 = 'a' THEN n END), 0) AS BIGINT) AS r2a,
+    CAST(coalesce(sum(CASE WHEN r2 = 'b' THEN n END), 0) AS BIGINT) AS r2b,
+    CAST(coalesce(sum(CASE WHEN r1 = 'a' AND r2 = 'b' THEN n END), 0)
+         AS BIGINT) AS nab,
+    CAST(coalesce(sum(CASE WHEN r1 = 'b' AND r2 = 'a' THEN n END), 0)
+         AS BIGINT) AS nba,
+    CAST(coalesce(sum(CASE WHEN r1 = 'a' AND r2 = 'c' THEN n END), 0)
+         AS BIGINT) AS nac,
+    CAST(coalesce(sum(CASE WHEN r1 = 'c' AND r2 = 'a' THEN n END), 0)
+         AS BIGINT) AS nca,
+    CAST(coalesce(sum(CASE WHEN r1 = 'b' AND r2 = 'c' THEN n END), 0)
+         AS BIGINT) AS nbc,
+    CAST(coalesce(sum(CASE WHEN r1 = 'c' AND r2 = 'b' THEN n END), 0)
+         AS BIGINT) AS ncb
+  FROM cm
+), m AS (
+  SELECT CAST(r1a - r2a AS DOUBLE) AS d1, CAST(r1b - r2b AS DOUBLE) AS d2,
+         (nab + nba) / CAST(2 AS DOUBLE) + (nac + nca) / CAST(2 AS DOUBLE)
+           AS s11,
+         (nab + nba) / CAST(2 AS DOUBLE) + (nbc + ncb) / CAST(2 AS DOUBLE)
+           AS s22,
+         -((nab + nba) / CAST(2 AS DOUBLE)) AS s12
+  FROM cells
+)
+SELECT round(d1, 1) AS marg_diff_a, round(d2, 1) AS marg_diff_b,
+       round((s22 * d1 * d1 - 2 * s12 * d1 * d2 + s11 * d2 * d2)
+             / (s11 * s22 - s12 * s12), 6) AS stuart_maxwell_chi2
+FROM m
+"""
+
+
+@query("stats_stuart_maxwell", oracle=_stuart_sql("strpos", "substr"))
+def stats_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C290: Stuart-Maxwell chi2 (df = 2) for marginal homogeneity
+    between raters r1 and r2 on the planted labels — the planted
+    a->b->c->a shift on the %5 slice moves marginal mass
+    systematically, so the test must REJECT where symmetric-looking
+    agreement stats miss the direction (chi2 large; twin-pinned).
+
+    Scale: one (r1, r2) cell aggregate (9 cells at any SF), then a
+    constant closed-form 2x2 solve."""
+    from ..tables import sql_over
+
+    return sql_over(
+        spark, sf_dir,
+        _stuart_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
+        ("documents",),
+    )
+
+
+# r12 C291: Cochran-Armitage trend test — is there a MONOTONE trend
+# in return probability across an ordinal exposure (quantity)?
+# Stronger than chi2 independence (C139-family) when the alternative
+# is ordered: Z^2 = n * [sum w_i (r_i n - R n_i)]^2 /
+# (R (n - R) * [n sum w_i^2 n_i - (sum w_i n_i)^2]) with integer
+# scores w = quantity. Every moment is an exact BIGINT off the
+# bounded value grid; one IEEE chain, r6.
+
+_CA_TREND_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS w,
+         CAST(count(1) AS BIGINT) AS n_i,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_i
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(r_i) AS BIGINT) AS r,
+         CAST(sum(w * r_i) AS BIGINT) AS swr,
+         CAST(sum(w * n_i) AS BIGINT) AS swn,
+         CAST(sum(w * w * n_i) AS BIGINT) AS swwn
+  FROM g
+)
+SELECT n AS n_rows, r AS n_returned,
+       round((CAST(n AS DOUBLE) * swr - CAST(r AS DOUBLE) * swn)
+             / sqrt(CAST(r AS DOUBLE) * (n - r)
+                    * (CAST(n AS DOUBLE) * swwn
+                       - CAST(swn AS DOUBLE) * swn)
+                    / CAST(n AS DOUBLE)), 6) AS z_trend,
+       round(((CAST(n AS DOUBLE) * swr - CAST(r AS DOUBLE) * swn)
+              * (CAST(n AS DOUBLE) * swr - CAST(r AS DOUBLE) * swn))
+             / (CAST(r AS DOUBLE) * (n - r)
+                * (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn)
+                / CAST(n AS DOUBLE)), 6) AS chi2_trend
+FROM m
+"""
+
+
+@query("stats_cochran_armitage", oracle=_CA_TREND_SQL)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C291: Cochran-Armitage test for a linear trend in return rate
+    across ordinal quantity scores — the dose-response question chi2
+    independence can't direction-test. Exact BIGINT moments off the
+    bounded grid; the independent fixture must give |z| modest
+    (twin-pinned).
+
+    Scale: ONE map-side-combined bounded aggregate, constant tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _CA_TREND_SQL, ("lineitem",))
+
+
+# r12 C292: capture-recapture population estimate (Chapman) — the
+# coverage question flipped: two independent deterministic "sweeps"
+# over the document corpus (doc_id % 5 == 1 and % 7 == 1 slices play
+# the two observers) estimate TOTAL population from overlap:
+# N_hat = (n1+1)(n2+1)/(m+1) - 1 (Chapman's bias-corrected
+# Lincoln-Petersen). On slices of a KNOWN corpus the estimator's
+# error is itself checkable — the twin pins the estimate against
+# the true count within the CI implied by its variance. The same
+# arithmetic estimates dedup coverage or crawl frontier size at
+# 100 TB, where truth is NOT known.
+
+_CAPTURE_SQL = """
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2,
+         CAST(sum(CASE WHEN doc_id % 5 = 1 AND doc_id % 7 = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m12,
+         CAST(count(1) AS BIGINT) AS n_true
+  FROM documents
+)
+SELECT n1 AS sample1, n2 AS sample2, m12 AS recaptured, n_true,
+       round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1))
+             / CAST(m12 + 1 AS DOUBLE) - 1, 4) AS chapman_estimate,
+       round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m12)
+                   * (n2 - m12))
+                  / (CAST(m12 + 1 AS DOUBLE) * (m12 + 1) * (m12 + 2))),
+             4) AS chapman_se
+FROM m
+"""
+
+
+@query("stats_capture_recapture", oracle=_CAPTURE_SQL)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C292: Chapman capture-recapture estimate of corpus size from
+    two deterministic observation slices — the coverage estimator
+    for populations you cannot enumerate (crawl frontiers, dedup
+    universes); here the truth column rides along so the twin can
+    pin estimate-vs-truth within ~3 SE.
+
+    Scale: ONE map-side-combined conditional aggregate; constant
+    tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _CAPTURE_SQL, ("documents",))
+
+
+# r12 C293: cost-optimal threshold selection — close the eval tier's
+# decision loop: given asymmetric error costs (FN = 5, FP = 1), scan
+# every cut on the bounded score grid and return the expected-cost-
+# minimal threshold (C261 evaluates ONE threshold; C287 ranks by
+# capture; THIS chooses). Cumulative TP/FP at every cut are exact
+# BIGINTs from one offset window over the <=109-row grid; cost is
+# integer; argmin uses a total (cost, threshold) order.
+
+_FN_COST = 5
+_FP_COST = 1
+
+_THRESH_SQL = f"""
+WITH f AS (
+  SELECT {_CLF_SCORE} AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), per_s AS (
+  SELECT s, CAST(count(1) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM f GROUP BY s
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos
+  FROM per_s
+), cut AS (
+  SELECT s AS threshold,
+         CAST(coalesce(sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(cnt - pos) OVER (ORDER BY s DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS fp
+  FROM per_s
+), cost AS (
+  SELECT threshold, tp, fp, tot.npos - tp AS fn,
+         {_FP_COST} * fp + {_FN_COST} * (tot.npos - tp) AS total_cost
+  FROM cut CROSS JOIN tot
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       tp, fp, CAST(fn AS BIGINT) AS fn,
+       CAST(total_cost AS BIGINT) AS total_cost
+FROM cost
+ORDER BY total_cost ASC, threshold ASC
+LIMIT 1
+"""
+
+
+@query("ml_threshold_cost_optimal", oracle=_THRESH_SQL)
+def ml_threshold_cost_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C293: expected-cost-minimal decision threshold (FN:FP = 5:1)
+    over the bounded score grid — exact integer cumulative
+    TP/FP/FN at every cut, deterministic argmin. The decision-theory
+    tail of the eval tier; the twin replays the full cost curve and
+    pins that the chosen cut beats both degenerate policies
+    (predict-all, predict-none).
+
+    Scale: one map-side-combined aggregate + one bounded-grid
+    window (C262 class), TakeOrdered on a total order."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _THRESH_SQL, ("lineitem",))

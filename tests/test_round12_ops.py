@@ -2279,3 +2279,175 @@ def test_croston_matches_python_twin(spark):
     assert abs(got["croston_per_hour"] - round(z / p, 6)) < 1e-9
     assert abs(got["sba_per_hour"] - round(0.75 * z / p, 6)) < 1e-9
     assert 0 < got["croston_per_hour"] <= max(xs)
+
+
+def test_anova_twoway_matches_python_twin(spark):
+    """C289 twin: exact cell-moment SS decomposition; SS identity
+    (cells = A + B + interaction) and small F on independent
+    factors."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_anova_twoway
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity").collect()
+    cell: dict = collections.defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        c = cell[(r["l_returnflag"], r["l_linestatus"])]
+        q = int(r["l_quantity"])
+        c[0] += 1
+        c[1] += q
+        c[2] += q * q
+    n = sum(c[0] for c in cell.values())
+    s = sum(c[1] for c in cell.values())
+    q2 = sum(c[2] for c in cell.values())
+    ma: dict = collections.defaultdict(lambda: [0, 0])
+    mb: dict = collections.defaultdict(lambda: [0, 0])
+    for (a, b), c in cell.items():
+        ma[a][0] += c[0]
+        ma[a][1] += c[1]
+        mb[b][0] += c[0]
+        mb[b][1] += c[1]
+    corr = s * s / n
+    ss_a = sum(v[1] ** 2 / v[0] for v in ma.values()) - corr
+    ss_b = sum(v[1] ** 2 / v[0] for v in mb.values()) - corr
+    ss_cells = sum(c[1] ** 2 / c[0] for c in cell.values()) - corr
+    ss_w = q2 - sum(c[1] ** 2 / c[0] for c in cell.values())
+    got = stats_anova_twoway(spark, SF).collect()[0]
+    assert got["n_rows"] == n
+    assert abs(got["ss_returnflag"] - round(ss_a, 4)) < 1e-3
+    assert abs(got["ss_linestatus"] - round(ss_b, 4)) < 1e-3
+    assert abs(got["ss_interaction"] - round(ss_cells - ss_a - ss_b, 4)) < 1e-3
+    assert abs(got["ss_within"] - round(ss_w, 4)) < 1e-3
+    # independent synthetic factors: F values stay small
+    assert got["f_returnflag"] < 10
+    assert got["f_interaction"] < 10
+
+
+def test_stuart_maxwell_matches_python_twin(spark):
+    """C290 twin: exact confusion-matrix replay; the planted %5
+    marginal shift must make the test reject decisively."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_stuart_maxwell
+
+    docs = [r["doc_id"] for r in
+            table(spark, SF, "documents").select("doc_id").collect()]
+
+    def basev(did):
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        return "abc"["0123456789abcdef".index(h[0]) % 3]
+
+    cm: collections.Counter = collections.Counter()
+    for did in docs:
+        r1 = basev(did)
+        sh = {"a": "b", "b": "c", "c": "a"}[r1]
+        r2 = sh if did % 5 == 0 else r1
+        cm[(r1, r2)] += 1
+    r1m = collections.Counter()
+    r2m = collections.Counter()
+    for (a, b), c in cm.items():
+        r1m[a] += c
+        r2m[b] += c
+    d1 = r1m["a"] - r2m["a"]
+    d2 = r1m["b"] - r2m["b"]
+    s11 = (cm[("a", "b")] + cm[("b", "a")]) / 2 \
+        + (cm[("a", "c")] + cm[("c", "a")]) / 2
+    s22 = (cm[("a", "b")] + cm[("b", "a")]) / 2 \
+        + (cm[("b", "c")] + cm[("c", "b")]) / 2
+    s12 = -(cm[("a", "b")] + cm[("b", "a")]) / 2
+    chi2 = (s22 * d1 * d1 - 2 * s12 * d1 * d2 + s11 * d2 * d2) \
+        / (s11 * s22 - s12 * s12)
+    got = stats_stuart_maxwell(spark, SF).collect()[0]
+    assert got["marg_diff_a"] == d1
+    assert got["marg_diff_b"] == d2
+    assert abs(got["stuart_maxwell_chi2"] - round(chi2, 6)) < 1e-6
+    assert got["stuart_maxwell_chi2"] > 13.8  # reject at alpha=0.001, df=2
+
+
+def test_cochran_armitage_matches_python_twin(spark):
+    """C291 twin: exact moment replay; modest |z| on independent
+    exposure."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_cochran_armitage
+
+    li = table(spark, SF, "lineitem").select(
+        "l_quantity", "l_returnflag").collect()
+    g: dict = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        e = g[int(r["l_quantity"])]
+        e[0] += 1
+        e[1] += 1 if r["l_returnflag"] == "R" else 0
+    n = sum(v[0] for v in g.values())
+    R = sum(v[1] for v in g.values())
+    swr = sum(w * v[1] for w, v in g.items())
+    swn = sum(w * v[0] for w, v in g.items())
+    swwn = sum(w * w * v[0] for w, v in g.items())
+    num = n * swr - R * swn
+    var = R * (n - R) * (n * swwn - swn * swn) / n
+    z = num / math.sqrt(var)
+    got = stats_cochran_armitage(spark, SF).collect()[0]
+    assert (got["n_rows"], got["n_returned"]) == (n, R)
+    assert abs(got["z_trend"] - round(z, 6)) < 1e-6
+    assert abs(got["chi2_trend"] - round(z * z, 6)) < 1e-5
+    assert abs(z) < 4
+
+
+def test_capture_recapture_matches_python_twin(spark):
+    """C292 twin: exact slice counts; Chapman estimate within ~4 SE
+    of the known truth (the estimator's own accuracy contract)."""
+    docs = [r["doc_id"] for r in
+            table(spark, SF, "documents").select("doc_id").collect()]
+    n1 = sum(1 for d in docs if d % 5 == 1)
+    n2 = sum(1 for d in docs if d % 7 == 1)
+    m12 = sum(1 for d in docs if d % 5 == 1 and d % 7 == 1)
+    n_true = len(docs)
+    est = (n1 + 1) * (n2 + 1) / (m12 + 1) - 1
+    se = math.sqrt((n1 + 1) * (n2 + 1) * (n1 - m12) * (n2 - m12)
+                   / ((m12 + 1) ** 2 * (m12 + 2)))
+    from etl_arcgis_spark.operators.aggregates import stats_capture_recapture
+    got = stats_capture_recapture(spark, SF).collect()[0]
+    assert (got["sample1"], got["sample2"], got["recaptured"],
+            got["n_true"]) == (n1, n2, m12, n_true)
+    assert abs(got["chapman_estimate"] - round(est, 4)) < 1e-6
+    assert abs(got["chapman_se"] - round(se, 4)) < 1e-6
+    assert abs(est - n_true) < 4 * se + 1
+
+
+def test_threshold_cost_matches_python_twin(spark):
+    """C293 twin: replay the full cost curve; the chosen cut must be
+    the global argmin and beat both degenerate policies."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import (
+        _FN_COST,
+        _FP_COST,
+        ml_threshold_cost_optimal,
+    )
+
+    li = table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_discount", "l_tax").collect()
+    per_s: dict = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        s = int(round(float(r["l_discount"]) * 100)) * 10 + int(
+            round(float(r["l_tax"]) * 100))
+        e = per_s[s]
+        e[0] += 1
+        e[1] += 1 if r["l_returnflag"] == "R" else 0
+    npos = sum(v[1] for v in per_s.values())
+    curve = []
+    tp = fp = 0
+    for s in sorted(per_s, reverse=True):
+        tp += per_s[s][1]
+        fp += per_s[s][0] - per_s[s][1]
+        curve.append((_FP_COST * fp + _FN_COST * (npos - tp), s, tp, fp))
+    best = min(curve, key=lambda c: (c[0], c[1]))
+    got = ml_threshold_cost_optimal(spark, SF).collect()[0]
+    assert got["threshold"] == best[1]
+    assert (got["tp"], got["fp"]) == (best[2], best[3])
+    assert got["total_cost"] == best[0]
+    cost_none = _FN_COST * npos            # predict nothing positive
+    n_all = sum(v[0] for v in per_s.values())
+    cost_all = _FP_COST * (n_all - npos)   # predict everything positive
+    assert got["total_cost"] <= min(cost_none, cost_all)

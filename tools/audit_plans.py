@@ -89,6 +89,7 @@ NLJ_OK = {
     "stats_median_ci_order",      # 1-row rank-bounds broadcast onto the bounded daily table
     "stats_qq_deciles",           # 9-row decile-threshold broadcast onto the <=2x50-row cumulative grid
     "ml_lift_gains_table",        # 10-row decile-cut broadcast joined back onto the <=109-row score grid
+    "ml_threshold_cost_optimal",  # 1-row positives-total broadcast onto the <=109-row cut table
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -181,6 +182,7 @@ WINDOW_BOUNDED_OK = {
     "stream_watermark_late_audit": "exclusive prefix-max over the n/64-row block table (bucketed_running_sums two-phase class; per-event window is block-partitioned)",
     "stats_median_ci_order": "rank window over the calendar-bounded <=2500-row daily table (C255 decompose class)",
     "ml_lift_gains_table": "cumulative windows over the <=109-row bounded score grid (C262 class)",
+    "ml_threshold_cost_optimal": "cumulative TP/FP window over the <=109-row bounded score grid (C262 class)",
     "ts_croston_intermittent": "lag windows over the calendar-bounded demand-period table (C255 decompose class)",
     "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
