@@ -7104,3 +7104,158 @@ def ml_threshold_cost_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _THRESH_SQL, ("lineitem",))
+
+
+# r12 C294: learning-curve sweep — the "do we need more data"
+# readout for the in-engine trainers: fit the C256 OLS on nested
+# deterministic subsets (12.5%, 25%, 50%, 100% via orderkey mod 8
+# buckets — nested by construction) and report R^2 and the
+# coefficient drift per subset, ALL FROM ONE PASS: each subset's
+# nine Gram moments are conditional aggregates over the same scan,
+# exact BIGINTs, and each solve is the fixed Cramer chain. A flat
+# R^2 curve with converging coefficients = more data won't help the
+# model class — the cheapest capacity diagnostic there is.
+
+_LC_FRACS = (1, 2, 4, 8)  # keep orderkey % 8 < f -> 1/8, 1/4, 1/2, 1
+
+
+def _learning_curve_sql() -> str:
+    blocks = []
+    for f in _LC_FRACS:
+        cond = f"CASE WHEN l_orderkey % 8 < {f} THEN 1 ELSE 0 END"
+        m = {k: f"CAST({k}_{f} AS DOUBLE)" for k in
+             ("n", "sq", "sd", "sqq", "sqd", "sdd", "sy", "sqy", "sdy")}
+        det = (f"({m['n']} * ({m['sqq']} * {m['sdd']} - {m['sqd']} * {m['sqd']})"
+               f" - {m['sq']} * ({m['sq']} * {m['sdd']} - {m['sqd']} * {m['sd']})"
+               f" + {m['sd']} * ({m['sq']} * {m['sqd']} - {m['sqq']} * {m['sd']}))")
+        det1 = (f"({m['n']} * ({m['sqy']} * {m['sdd']} - {m['sqd']} * {m['sdy']})"
+                f" - {m['sy']} * ({m['sq']} * {m['sdd']} - {m['sqd']} * {m['sd']})"
+                f" + {m['sd']} * ({m['sq']} * {m['sdy']} - {m['sqy']} * {m['sd']}))")
+        det0 = (f"({m['sy']} * ({m['sqq']} * {m['sdd']} - {m['sqd']} * {m['sqd']})"
+                f" - {m['sq']} * ({m['sqy']} * {m['sdd']} - {m['sqd']} * {m['sdy']})"
+                f" + {m['sd']} * ({m['sqy']} * {m['sqd']} - {m['sqq']} * {m['sdy']}))")
+        det2 = (f"({m['n']} * ({m['sqq']} * {m['sdy']} - {m['sqy']} * {m['sqd']})"
+                f" - {m['sq']} * ({m['sq']} * {m['sdy']} - {m['sqy']} * {m['sd']})"
+                f" + {m['sy']} * ({m['sq']} * {m['sqd']} - {m['sqq']} * {m['sd']}))")
+        blocks.append(f"""
+SELECT CAST({f} AS BIGINT) AS eighths, n_{f} AS n_rows,
+       round({det1} / {det} / CAST(100 AS DOUBLE), 6)
+         AS b1_per_qty_dollars,
+       round({det2} / {det} / CAST(100 AS DOUBLE), 6)
+         AS b2_per_pct_dollars,
+       round(1 - (syy_{f} - ({det0} / {det} * {m['sy']}
+                  + {det1} / {det} * {m['sqy']}
+                  + {det2} / {det} * {m['sdy']}) / CAST(10000 AS DOUBLE))
+               / (syy_{f} - ({m['sy']} / CAST(100 AS DOUBLE))
+                  * ({m['sy']} / CAST(100 AS DOUBLE)) / {m['n']}), 6)
+         AS r2
+FROM mo""")
+    sums = []
+    for f in _LC_FRACS:
+        cond = f"CASE WHEN l_orderkey % 8 < {f} THEN 1 ELSE 0 END"
+        sums.append(f"""
+         CAST(sum({cond}) AS BIGINT) AS n_{f},
+         CAST(sum({cond} * q) AS BIGINT) AS sq_{f},
+         CAST(sum({cond} * d) AS BIGINT) AS sd_{f},
+         CAST(sum({cond} * q * q) AS BIGINT) AS sqq_{f},
+         CAST(sum({cond} * q * d) AS BIGINT) AS sqd_{f},
+         CAST(sum({cond} * d * d) AS BIGINT) AS sdd_{f},
+         CAST(sum({cond} * y) AS BIGINT) AS sy_{f},
+         CAST(sum({cond} * y * q) AS BIGINT) AS sqy_{f},
+         CAST(sum({cond} * y * d) AS BIGINT) AS sdy_{f},
+         sum({cond} * yd * yd) AS syy_{f}""")
+    return f"""
+WITH f AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         l_extendedprice AS yd
+  FROM lineitem
+), mo AS (
+  SELECT {",".join(sums)}
+  FROM f
+)
+SELECT * FROM ({" UNION ALL ".join(blocks)}) u ORDER BY eighths
+"""
+
+
+@query("ml_learning_curve", oracle=_learning_curve_sql())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C294: OLS learning curve over nested deterministic subsets
+    (orderkey mod 8 buckets: 1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all) — R^2 and
+    coefficient drift per training-set size, all four fits priced by
+    ONE conditional-moment aggregate over one scan. The twin pins
+    the nesting (counts quadruple-ish) and coefficient convergence.
+
+    Scale: one map-side-combined aggregate (40 integer partials),
+    constant solve tail — the cheapest 'will more data help'
+    diagnostic."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _learning_curve_sql(), ("lineitem",))
+
+
+# r12 C295: multiclass classifier evaluation — the 3-class
+# generalization of C261's binary confusion: per-class
+# precision/recall/F1 plus macro-F1 and micro-F1 (= accuracy for
+# single-label multiclass) for a deterministic quantity-tercile
+# rule predicting the {A, N, R} return flag. All counts are exact
+# BIGINTs from ONE (pred, actual) cell aggregate (<=9 cells at any
+# SF); each metric is a single IEEE division, r6. On the
+# feature-independent fixture every per-class precision must land
+# at its class prevalence (twin-pinned).
+
+_MC_PRED = ("CASE WHEN l_quantity <= 17 THEN 'A'"
+            " WHEN l_quantity <= 34 THEN 'N' ELSE 'R' END")
+
+_MC_EVAL_SQL = f"""
+WITH cm AS (
+  SELECT {_MC_PRED} AS pred, l_returnflag AS actual,
+         CAST(count(1) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), cls AS (
+  SELECT c AS cls FROM (SELECT 'A' AS c UNION ALL SELECT 'N'
+                        UNION ALL SELECT 'R') t
+), per AS (
+  SELECT cls.cls,
+         CAST(coalesce(sum(CASE WHEN cm.pred = cls.cls
+                           AND cm.actual = cls.cls THEN cm.n END), 0)
+              AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN cm.pred = cls.cls THEN cm.n END), 0)
+              AS BIGINT) AS pred_n,
+         CAST(coalesce(sum(CASE WHEN cm.actual = cls.cls THEN cm.n END), 0)
+              AS BIGINT) AS actual_n
+  FROM cls CROSS JOIN cm
+  GROUP BY cls.cls
+), tot AS (
+  SELECT CAST(sum(tp) AS BIGINT) AS tp_all,
+         CAST(sum(actual_n) AS BIGINT) AS n_all,
+         avg(2.0 * tp / CAST(pred_n + actual_n AS DOUBLE)) AS macro_f1
+  FROM per
+)
+SELECT per.cls AS class,
+       per.tp, per.pred_n, per.actual_n,
+       round(per.tp / CAST(per.pred_n AS DOUBLE), 6) AS prec,
+       round(per.tp / CAST(per.actual_n AS DOUBLE), 6) AS rec,
+       round(2.0 * per.tp / CAST(per.pred_n + per.actual_n AS DOUBLE), 6)
+         AS f1,
+       round(tot.macro_f1, 6) AS macro_f1,
+       round(tot.tp_all / CAST(tot.n_all AS DOUBLE), 6) AS micro_f1
+FROM per CROSS JOIN tot
+ORDER BY per.cls
+"""
+
+
+@query("ml_multiclass_eval", oracle=_MC_EVAL_SQL)
+def ml_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C295: per-class P/R/F1 + macro-F1 + micro-F1 for a
+    3-class rule vs the return flag — exact integer confusion cells,
+    macro = unweighted mean of per-class F1 over the bounded class
+    list, micro = pooled accuracy.
+
+    Scale: ONE map-side-combined 9-cell aggregate; the class-list
+    cross join and totals are bounded broadcasts (allowlisted)."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _MC_EVAL_SQL, ("lineitem",))

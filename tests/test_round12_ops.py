@@ -2451,3 +2451,79 @@ def test_threshold_cost_matches_python_twin(spark):
     n_all = sum(v[0] for v in per_s.values())
     cost_all = _FP_COST * (n_all - npos)   # predict everything positive
     assert got["total_cost"] <= min(cost_none, cost_all)
+
+
+def test_learning_curve_matches_numpy_and_nests(spark):
+    """C294 twin: numpy lstsq per nested subset; counts nest, R^2
+    values match, coefficients converge toward the full-data fit."""
+    import numpy as np
+
+    from etl_arcgis_spark.operators.aggregates import ml_learning_curve
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity",
+        "l_discount").collect()
+    got = {r["eighths"]: r for r in ml_learning_curve(spark, SF).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    prev_n = 0
+    for f in (1, 2, 4, 8):
+        sub = [r for r in li if r["l_orderkey"] % 8 < f]
+        y = np.array([float(r["l_extendedprice"]) for r in sub])
+        X = np.column_stack([
+            np.ones(len(sub)),
+            np.array([float(r["l_quantity"]) for r in sub]),
+            np.array([round(float(r["l_discount"]) * 100) for r in sub]),
+        ])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        r2 = 1 - float(np.sum((y - pred) ** 2)) \
+            / float(np.sum((y - y.mean()) ** 2))
+        r = got[f]
+        assert r["n_rows"] == len(sub)
+        assert r["n_rows"] > prev_n
+        prev_n = r["n_rows"]
+        assert abs(r["b1_per_qty_dollars"] - beta[1]) < 1e-3
+        assert abs(r["b2_per_pct_dollars"] - beta[2]) < 1e-2
+        assert abs(r["r2"] - r2) < 1e-6
+    # convergence: the half-data fit sits closer to the full fit
+    # than the eighth-data fit does (in slope-vector L2)
+    d = lambda a, b: math.hypot(a["b1_per_qty_dollars"] - b["b1_per_qty_dollars"],
+                                a["b2_per_pct_dollars"] - b["b2_per_pct_dollars"])
+    assert d(got[4], got[8]) <= d(got[1], got[8]) + 1e-9
+
+
+def test_multiclass_eval_matches_python_twin(spark):
+    """C295 twin: exact confusion replay; micro-F1 = accuracy;
+    precision = prevalence per class on the independent rule."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import ml_multiclass_eval
+
+    li = table(spark, SF, "lineitem").select(
+        "l_quantity", "l_returnflag").collect()
+    cm: collections.Counter = collections.Counter()
+    for r in li:
+        q = int(r["l_quantity"])
+        pred = "A" if q <= 17 else ("N" if q <= 34 else "R")
+        cm[(pred, r["l_returnflag"])] += 1
+    n = sum(cm.values())
+    got = {r["class"]: r for r in ml_multiclass_eval(spark, SF).collect()}
+    assert set(got) == {"A", "N", "R"}
+    f1s = []
+    tp_all = 0
+    for c in "ANR":
+        tp = cm[(c, c)]
+        pred_n = sum(v for (p, _), v in cm.items() if p == c)
+        act_n = sum(v for (_, a), v in cm.items() if a == c)
+        tp_all += tp
+        r = got[c]
+        assert (r["tp"], r["pred_n"], r["actual_n"]) == (tp, pred_n, act_n)
+        assert abs(r["prec"] - round(tp / pred_n, 6)) < 1e-9
+        assert abs(r["rec"] - round(tp / act_n, 6)) < 1e-9
+        f1 = 2 * tp / (pred_n + act_n)
+        assert abs(r["f1"] - round(f1, 6)) < 1e-9
+        f1s.append(f1)
+        # independent rule: precision ~ class prevalence
+        assert abs(r["prec"] - act_n / n) < 0.05
+    assert abs(got["A"]["macro_f1"] - round(sum(f1s) / 3, 6)) < 1e-6
+    assert abs(got["A"]["micro_f1"] - round(tp_all / n, 6)) < 1e-9

@@ -90,6 +90,7 @@ NLJ_OK = {
     "stats_qq_deciles",           # 9-row decile-threshold broadcast onto the <=2x50-row cumulative grid
     "ml_lift_gains_table",        # 10-row decile-cut broadcast joined back onto the <=109-row score grid
     "ml_threshold_cost_optimal",  # 1-row positives-total broadcast onto the <=109-row cut table
+    "ml_multiclass_eval",         # 3-row class list x 9-cell confusion broadcast + 1-row totals
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
