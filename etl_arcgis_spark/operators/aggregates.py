@@ -7259,3 +7259,132 @@ def ml_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _MC_EVAL_SQL, ("lineitem",))
+
+
+# r12 C296: Dunn's post-hoc test — the WHICH-pair answer after
+# C169's Kruskal-Wallis omnibus: pairwise z statistics between the
+# three return-flag groups on the SHARED midrank scale (ranks
+# computed once over the pooled bounded discount grid), with the
+# tie-corrected pooled variance and Bonferroni-adjusted two-sided
+# significance flags at alpha = 0.05 (z > 2.394 for 3 comparisons).
+# Midranks are exact multiples of 0.5 off the 11-value grid; every
+# sum stays under 2^53 — the z chain is the only IEEE code.
+
+_DUNN_SQL = """
+WITH pool AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS v, l_returnflag AS g
+  FROM lineitem
+), per_v AS (
+  SELECT v, CAST(count(1) AS BIGINT) AS cnt FROM pool GROUP BY v
+), rk AS (
+  SELECT v, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) + (cnt + 1)
+           / CAST(2 AS DOUBLE) AS midrank
+  FROM per_v
+), gr AS (
+  SELECT p.g, CAST(count(1) AS BIGINT) AS n, sum(rk.midrank) AS rsum
+  FROM pool p JOIN rk ON rk.v = p.v
+  GROUP BY p.g
+), ties AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM per_v
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         a.rsum / CAST(a.n AS DOUBLE) - b.rsum / CAST(b.n AS DOUBLE)
+           AS mean_rank_diff,
+         sqrt((CAST(t.n AS DOUBLE) * (t.n + 1) / CAST(12 AS DOUBLE)
+               - CAST(t.t AS DOUBLE)
+                 / (CAST(12 AS DOUBLE) * (t.n - 1)))
+              * (1.0 / a.n + 1.0 / b.n)) AS se
+  FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN ties t
+)
+SELECT group_a, group_b,
+       round(mean_rank_diff, 4) AS mean_rank_diff,
+       round(mean_rank_diff / se, 6) AS dunn_z,
+       CAST(CASE WHEN abs(mean_rank_diff / se) > 2.394 THEN 1 ELSE 0 END
+            AS BIGINT) AS significant_bonferroni
+FROM pairs
+ORDER BY group_a, group_b
+"""
+
+
+@query("stats_dunn_posthoc", oracle=_DUNN_SQL)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C296: Dunn (1964) pairwise post-hoc on the pooled midranks —
+    completes the nonparametric story C169 starts (omnibus says
+    'some group differs'; Dunn says WHICH, at the
+    Bonferroni-controlled level). Identically-distributed fixture
+    groups must yield no significant pair (twin-pinned).
+
+    Scale: one bounded value-grid aggregate + an 11-row offset
+    window (C124 class), a 3-row group aggregate, a 3-pair join —
+    constant tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _DUNN_SQL, ("lineitem",))
+
+
+# r12 C297: Mantel-Haenszel pooled odds ratio — STRATIFIED 2x2
+# analysis, the confounder-adjustment classic (C263 measures crude
+# association; MH pools the per-stratum odds ratios without fitting
+# a model): exposure = quantity > 25, outcome = returned, strata =
+# linestatus. OR_MH = sum(a_i d_i / n_i) / sum(b_i c_i / n_i), with
+# the Robins-Breslow-Greenland variance for ln(OR). Exact BIGINT
+# cells per stratum (bounded strata count), fixed IEEE tail.
+
+_MH_SQL = """
+WITH cells AS (
+  SELECT l_linestatus AS stratum,
+         CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_strata,
+         sum(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS r,
+         sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS s,
+         sum((CAST(a AS DOUBLE) + d) / (a + b + c + d)
+             * (CAST(a AS DOUBLE) * d / (a + b + c + d))) AS prr,
+         sum(((CAST(a AS DOUBLE) + d) / (a + b + c + d))
+             * (CAST(b AS DOUBLE) * c / (a + b + c + d))
+             + ((CAST(b AS DOUBLE) + c) / (a + b + c + d))
+             * (CAST(a AS DOUBLE) * d / (a + b + c + d))) AS psqr,
+         sum(((CAST(b AS DOUBLE) + c) / (a + b + c + d))
+             * (CAST(b AS DOUBLE) * c / (a + b + c + d))) AS qss
+  FROM cells
+)
+SELECT n_strata,
+       round(r / s, 6) AS or_mantel_haenszel,
+       round(ln(r / s), 6) AS log_or,
+       round(sqrt(prr / (2 * r * r) + psqr / (2 * r * s)
+                  + qss / (2 * s * s)), 6) AS se_log_or,
+       round(exp(ln(r / s) - 1.959964 * sqrt(prr / (2 * r * r)
+                 + psqr / (2 * r * s) + qss / (2 * s * s))), 6)
+         AS or_ci95_lo,
+       round(exp(ln(r / s) + 1.959964 * sqrt(prr / (2 * r * r)
+                 + psqr / (2 * r * s) + qss / (2 * s * s))), 6)
+         AS or_ci95_hi
+FROM m
+"""
+
+
+@query("stats_odds_ratio_mh", oracle=_MH_SQL)
+def stats_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C297: Mantel-Haenszel pooled odds ratio across linestatus
+    strata with the Robins-Breslow-Greenland CI — the
+    model-free confounder adjustment every epidemiology/causal
+    readout starts from. Independent fixture: OR must sit near 1
+    and the CI must cover it (twin-pinned).
+
+    Scale: ONE map-side-combined conditional aggregate to the
+    |strata|x4 cell table, constant IEEE tail."""
+    from ..tables import sql_over
+
+    return sql_over(spark, sf_dir, _MH_SQL, ("lineitem",))

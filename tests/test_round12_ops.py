@@ -2527,3 +2527,82 @@ def test_multiclass_eval_matches_python_twin(spark):
         assert abs(r["prec"] - act_n / n) < 0.05
     assert abs(got["A"]["macro_f1"] - round(sum(f1s) / 3, 6)) < 1e-6
     assert abs(got["A"]["micro_f1"] - round(tp_all / n, 6)) < 1e-9
+
+
+def test_dunn_posthoc_matches_python_twin(spark):
+    """C296 twin: pooled-midrank pairwise z replay; no significant
+    pair on identically-distributed groups."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_dunn_posthoc
+
+    li = table(spark, SF, "lineitem").select(
+        "l_discount", "l_returnflag").collect()
+    vals = [(int(round(float(r["l_discount"]) * 100)), r["l_returnflag"])
+            for r in li]
+    per_v = collections.Counter(v for v, _ in vals)
+    n = len(vals)
+    midrank = {}
+    below = 0
+    for v in sorted(per_v):
+        midrank[v] = below + (per_v[v] + 1) / 2
+        below += per_v[v]
+    gr: dict = collections.defaultdict(lambda: [0, 0.0])
+    for v, g in vals:
+        e = gr[g]
+        e[0] += 1
+        e[1] += midrank[v]
+    ties = sum(c ** 3 - c for c in per_v.values())
+    var_term = n * (n + 1) / 12 - ties / (12 * (n - 1))
+    got = {(r["group_a"], r["group_b"]): r
+           for r in stats_dunn_posthoc(spark, SF).collect()}
+    gs = sorted(gr)
+    n_pairs = 0
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            a, b = gs[i], gs[j]
+            diff = gr[a][1] / gr[a][0] - gr[b][1] / gr[b][0]
+            se = math.sqrt(var_term * (1 / gr[a][0] + 1 / gr[b][0]))
+            r = got[(a, b)]
+            assert abs(r["mean_rank_diff"] - round(diff, 4)) < 1e-6
+            assert abs(r["dunn_z"] - round(diff / se, 6)) < 1e-6
+            assert r["significant_bonferroni"] == (
+                1 if abs(diff / se) > 2.394 else 0)
+            assert r["significant_bonferroni"] == 0  # same distribution
+            n_pairs += 1
+    assert n_pairs == len(got) == 3
+
+
+def test_odds_ratio_mh_matches_python_twin(spark):
+    """C297 twin: per-stratum cell replay, RBG variance; OR ~ 1 with
+    a covering CI on the independent fixture."""
+    import collections
+
+    from etl_arcgis_spark.operators.aggregates import stats_odds_ratio_mh
+
+    li = table(spark, SF, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_returnflag").collect()
+    cells: dict = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        exp = int(r["l_quantity"]) > 25
+        out = r["l_returnflag"] == "R"
+        idx = 0 if (exp and out) else 1 if exp else 2 if out else 3
+        cells[r["l_linestatus"]][idx] += 1
+    R = S = prr = psqr = qss = 0.0
+    for a, b, c, d in cells.values():
+        nn = a + b + c + d
+        R += a * d / nn
+        S += b * c / nn
+        prr += (a + d) / nn * (a * d / nn)
+        psqr += ((a + d) / nn) * (b * c / nn) + ((b + c) / nn) * (a * d / nn)
+        qss += ((b + c) / nn) * (b * c / nn)
+    or_mh = R / S
+    se = math.sqrt(prr / (2 * R * R) + psqr / (2 * R * S) + qss / (2 * S * S))
+    got = stats_odds_ratio_mh(spark, SF).collect()[0]
+    assert got["n_strata"] == len(cells)
+    assert abs(got["or_mantel_haenszel"] - round(or_mh, 6)) < 1e-6
+    assert abs(got["se_log_or"] - round(se, 6)) < 1e-6
+    assert abs(got["or_ci95_lo"]
+               - round(math.exp(math.log(or_mh) - 1.959964 * se), 6)) < 1e-5
+    assert got["or_ci95_lo"] < 1.0 < got["or_ci95_hi"]  # CI covers null
+    assert 0.8 < got["or_mantel_haenszel"] < 1.25

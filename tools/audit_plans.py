@@ -91,6 +91,7 @@ NLJ_OK = {
     "ml_lift_gains_table",        # 10-row decile-cut broadcast joined back onto the <=109-row score grid
     "ml_threshold_cost_optimal",  # 1-row positives-total broadcast onto the <=109-row cut table
     "ml_multiclass_eval",         # 3-row class list x 9-cell confusion broadcast + 1-row totals
+    "stats_dunn_posthoc",         # 1-row tie-term broadcast onto the 3x3 group-pair table
     "dq_benford_first_digit",     # 1-row total-count broadcast
     "analytics_dormant_rich_customers",  # 1-row scalar-subquery avg broadcast
     "dedup_simhash_hamming_pairs",  # 32-row broadcast bit planes
@@ -185,6 +186,7 @@ WINDOW_BOUNDED_OK = {
     "ml_lift_gains_table": "cumulative windows over the <=109-row bounded score grid (C262 class)",
     "ml_threshold_cost_optimal": "cumulative TP/FP window over the <=109-row bounded score grid (C262 class)",
     "ts_croston_intermittent": "lag windows over the calendar-bounded demand-period table (C255 decompose class)",
+    "stats_dunn_posthoc": "midrank offset window over the 11-value discount grid (C124 ECDF class)",
     "ts_pacf_levinson": "lead-window over the fixed 720-hour calendar grid (C255 decompose class)",
     "sim_rrf_fusion": "rank windows over the two LIMIT-100 retrieval lists (bounded by the fusion list length)",
     "corpus_token_concentration": "cumulative/total windows over the 10-row decile table (rank itself is bucketed_global_rank; its bin-offset window is <=1024 bounded rows)",
