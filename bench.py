@@ -5,15 +5,20 @@ Prints ONE JSON line:
   {"metric": "headline_total", "value": <sum of medians>, "unit": "sec",
    "queries": {name: median_sec, ...}, "sf": <sf>}
 
-Methodology (mirrors BASELINE.md): one SparkSession (startup excluded),
-a full warm-up pass over the whole query set (populates fixture caches,
-C2-compiles the shared scan/shuffle/agg code paths), then per query 2
-warm-up runs and the median of 5 timed runs — the BASELINE.md DuckDB
-numbers are warm-run medians, so Spark is measured at the same steady
-state (single runs keep speeding up for ~5 iterations while the JIT
-compiles codegen output). Each run fully materializes the result via
-the noop DataSourceV2 sink (executes the whole plan, no driver-side row
-transfer — the Spark analogue of the DuckDB fetch in BASELINE.md).
+Methodology v2-uncached (optimization r12; mirrors BASELINE.md): one
+SparkSession (startup excluded), a full warm-up pass over the whole
+query set (C2-compiles the shared scan/shuffle/agg code paths; the OS
+page cache holds the small fixture files, exactly as it does for the
+DuckDB warm-median baseline), then per query 2 warm-up runs and the
+median of 5 timed runs — the BASELINE.md DuckDB numbers are warm-run
+medians, so Spark is measured at the same steady state (single runs
+keep speeding up for ~5 iterations while the JIT compiles codegen
+output). EVERY timed run computes from the parquet inputs: scans,
+decode, shuffles, joins, aggregation — the r3-r11 fixture cache
+(memory-cached clustered layouts built during warm-up) is gone. Each
+run fully materializes the result via the noop DataSourceV2 sink
+(executes the whole plan, no driver-side row transfer — the Spark
+analogue of the DuckDB fetch in BASELINE.md).
 
 The query set mirrors BASELINE.md row-for-row so the judge can compare
 directly; all queries come from the same registry the driver checks for
@@ -84,7 +89,14 @@ BASELINE_SEC = BASELINE_SEC_BY_SF[0.1]
 # this, because per-query ratio tripwires provably miss slow creep:
 # r11's cosine regression was 1.27x per-query (under any sane per-query
 # threshold) but 1.30x on the headline total vs this pin.
-LAST_IDLE_PIN_SEC = 1.0555  # round-12 idle pin, BASELINE.md
+LAST_IDLE_PIN_SEC = 1.0555  # round-12 idle pin, BASELINE.md (v1 methodology)
+
+# Bench methodology version. "v2-uncached" (optimization r12): every
+# timed run computes from the parquet inputs — no fixture cache, no
+# pre-paid exchanges. BENCH_r01-r11 artifacts (no methodology key)
+# are "v1-cached" and not comparable run-for-run; the tripwire skips
+# them. See OPTIMIZATION_r12.md for the old/new table.
+METHODOLOGY = "v2-uncached"
 
 
 def tripwire(
@@ -132,7 +144,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else sf_dir
     global BASELINE_SEC
     BASELINE_SEC = BASELINE_SEC_BY_SF.get(sf, BASELINE_SEC)
-    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")  # cached fixture reads
+    # OPTIMIZATION r12: the r3-r11 fixture cache (SPARK_GRAFT_CACHE=1
+    # setdefault here) is GONE — it .cache()d base tables with tuned
+    # clustered layouts during warm-up, so the timed region measured an
+    # engine that had pre-paid its exchanges and parquet decodes. Every
+    # timed run now computes from the parquet inputs. Methodology tag
+    # "v2-uncached" marks the discontinuity; the tripwire only compares
+    # against prior artifacts of the SAME methodology (BENCH_r01-r11
+    # are "v1"). Old vs new readings: OPTIMIZATION_r12.md.
     # Host-load snapshots (r7 verdict order #2): the driver-vs-idle
     # convention (BASELINE.md) is only checkable if the confound is IN
     # the artifact. loadavg BEFORE session start = external load; the
@@ -157,12 +176,6 @@ def main() -> None:
     # partitioning is already statically sized to the fixture — turns it
     # off, like DuckDB's (non-adaptive) executor it is compared against.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # cache-scan tuning: fixtures fit in memory uncompressed, and large
-    # batches amortize per-batch dispatch in the InMemoryTableScan
-    # (measured: q1-style agg 384 -> 320 ms). Set BEFORE the first
-    # table() call — the conf is read when a relation is first cached.
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
     queries = registry.all_queries()
 
     for name in HEADLINE:  # global warm-up pass (caches + JIT)
@@ -273,11 +286,17 @@ def main() -> None:
             key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
         )
         prev_ratios = {}
-        if rounds:
-            prior_path = rounds[-1]
-            with open(prior_path) as fh:
+        # compare only against artifacts of the SAME methodology:
+        # BENCH_r01-r11 (no "methodology" key = v1, cached fixtures)
+        # are not commensurable with v2-uncached readings.
+        for cand in reversed(rounds):
+            with open(cand) as fh:
                 prior = json.load(fh)
-            prev_ratios = prior.get("floor_adjusted_ratio_vs_baseline", {})
+            payload = prior.get("parsed", prior)
+            if payload.get("methodology", "v1-cached") == METHODOLOGY:
+                prior_path = cand
+                prev_ratios = payload.get("floor_adjusted_ratio_vs_baseline", {})
+                break
         warnings = tripwire(
             ratios,
             round(sum(timings.values()), 4),
@@ -297,6 +316,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "methodology": METHODOLOGY,
                 "floor_sec_per_job": floor_job,
                 "floor_sec_per_query": floor_query,
                 "floor_sec_python_stage": floor_python_stage,

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import _CACHE_LAYOUT, dim_customer_geo, projection, sql_over, table
+from ..tables import dim_customer_geo, sql_over, table
 
 
 @query(
@@ -148,21 +148,28 @@ GROUP BY r.r_name, n.n_name
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/C4: star join — the snowflaked dim chain flattened through
-    the materialized ``customer_geo`` dimension (tables.dim_customer_geo:
-    customer ⋈ nation ⋈ region computed once, cached in bench mode), so
-    the fact side takes TWO join legs, not four.
+    the ``customer_geo`` dimension (tables.dim_customer_geo: customer ⋈
+    nation ⋈ region inside the plan), so the fact side takes TWO join
+    legs, not four.
 
-    ONE plan in every mode (r12, VERDICT r11 #6): Catalyst broadcasts
-    the dims from size estimates, so the fact side never shuffles
-    (asserted in tests/test_plans.py). The r6-r9 bench-cache branch —
-    a pre-joined orders↔geo bridge + SHUFFLE_HASH hint for a co-located
-    fact join — was deleted once sf1 showed the plain spelling at
-    1.19x DuckDB: the cached-bridge saving was a fixture-scale
-    broadcast-build artifact, not a scale property, and a bench-only
-    plan switch is documentation debt."""
+    ONE plan in every mode (r12, VERDICT r11 #6): the r6-r9 bench-cache
+    bridge branch is deleted. The ``BROADCAST(g)`` hint is load-bearing
+    (optimization r12, guide §3.1 "estimates are often badly wrong
+    after filters or UDFs — use an explicit hint"): customer_geo is a
+    2-join subtree, so Catalyst's size ESTIMATE for it blows past
+    autoBroadcastJoinThreshold and the planner fell back to shuffling
+    the whole lineitem⋈orders fact side (600k rows at sf0.1) by
+    o_custkey into a SortMergeJoin against 15k dim rows — measured
+    1.18 s vs 0.52 s hinted, and 2 Exchange -> 1 (only the final
+    36-group agg exchange remains; plans/r12/join_star_multiway_*.txt).
+    The true built size (~1 MB at sf0.1, |customer| rows at any SF)
+    is broadcastable at every realistic scale; at 100 TB a customer
+    dim too big to broadcast would make SMJ correct — that decision
+    belongs to stats/AQE on a real catalog table, not to this single
+    hint-shaped fixture run."""
     dim_customer_geo(spark, sf_dir).createOrReplaceTempView("customer_geo")
     q = f"""
-SELECT g.r_name, g.n_name,
+SELECT /*+ BROADCAST(g) */ g.r_name, g.n_name,
        count(1) AS n_items,
        {r4_sql("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
 FROM lineitem l

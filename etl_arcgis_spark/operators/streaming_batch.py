@@ -55,34 +55,13 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     test asserts this query equals that pipeline's availableNow output —
     which is exactly the window()-equivalence claim, enforced.
 
-    Layout: in bench-cache mode the aggregate reads an events
-    projection clustered on the DERIVED hour bucket (tables.projection
-    with a derived key), so HashAggregate's ClusteredDistribution is
-    satisfied by the cached layout and the per-run exchange disappears
-    (r3 interleaved A/B: 98-171 -> 58-90 ms). The primary events cache
-    stays clustered on user_id for the per-user window family — this
-    is the C-Store two-projections answer, not a re-clustering."""
-    import os
-
-    from ..tables import projection
-
-    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        projection(
-            spark,
-            sf_dir,
-            "events",
-            "w_hour",
-            8,
-            derived={"w_hour": "unix_micros(ts) div 3600000000"},
-        ).createOrReplaceTempView("events_by_hour")
-        return spark.sql(
-            f"""
-SELECT w_hour * 3600000 AS w_start_ms, event_type,
-       count(1) AS n, {r4_sql("sum(value)")} AS val_sum
-FROM events_by_hour
-GROUP BY w_hour, event_type
-"""
-        )
+    ONE plan in every mode (optimization r12): the r3-r11 bench-cache
+    branch — an events projection clustered on the derived hour bucket
+    so the cached layout pre-paid the exchange — is deleted with the
+    fixture cache itself (see tables.py / OPTIMIZATION_r12.md). The
+    plan is scan -> partial hash agg -> exchange of per-partition
+    (bucket, type) partials -> final agg: the shuffle carries ~|groups|
+    rows regardless of input size."""
     return sql_over(
         spark,
         sf_dir,

@@ -21,16 +21,33 @@ cross-engine read policy is applied exactly once:
 These are runtime SQL confs set on whatever session the driver hands us,
 so the policy holds even outside our own session factory.
 
+Scan policy (optimization r12, guide §1.5/§7.2): the reader always gets
+an EXPLICIT schema, read from the parquet footer driver-side via
+pyarrow (~0.5 ms). Without it every ``spark.read.parquet`` call runs a
+1-task schema-inference JOB on the cluster — one scheduling floor
+(~20-40 ms local; a full task round-trip on a cluster) per table
+reference per query, pure overhead. The mapping below mirrors exactly
+what Spark 4 infers under this module's read policy (asserted
+table-by-table in tests/test_formats.py::test_explicit_schema_matches_inference),
+so plans and results are bit-identical — only the inference job
+disappears.
+
+The r3-r11 bench fixture cache (``SPARK_GRAFT_CACHE=1``: memory-cached
+fixture tables with hand-tuned clustered layouts, populated during the
+bench warm-up) is GONE — optimization r12. Pre-paying exchanges and
+parquet decodes outside the timed region measured a different engine
+than the one a fresh invocation runs; every bench run now computes from
+the parquet inputs. See OPTIMIZATION_r12.md.
+
 At 100 TB the only change is the path (a partitioned table / catalog
 identifier instead of a single file) — the operators never care.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
@@ -65,28 +82,6 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
-# Bench-cache layout: hash-cluster each hot table on its DOMINANT
-# analysis key, the in-memory analogue of bucketing (write_bucketed) —
-# window/group queries over that key then need NO exchange per run
-# (measured: top-3-per-customer 296->107 ms, per-user running sum
-# 178->117 ms at sf0.1). Width is tuned per table (same-session A/B,
-# min of interleaved medians): orders 4->16 takes top-3-per-customer
-# 96->55 ms (32 cores were starved at 4 tasks), events 2->8 takes the
-# running sum 74->49 ms; hash(key, N) satisfies ClusteredDistribution
-# for ANY N, so wider layouts still elide the window/distinct
-# exchanges. lineitem is clustered on its JOIN key so the star join's
-# fact leg can run as a co-located shuffle-hash join against the
-# orders projection (see projection()) with zero exchanges.
-_CACHE_LAYOUT: dict[str, tuple[str, int]] = {
-    "orders": ("o_custkey", 16),
-    "events": ("user_id", 8),
-    # 8 -> 16 (r3 A/B, interleaved mins): star join 278 -> 225 ms and
-    # the Q1 full-scan agg 131 -> 121 ms — 8 tasks starved 32 cores on
-    # the SHJ-probe stage; co-location is width-independent.
-    "lineitem": ("l_orderkey", 16),
-}
-
-
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply the cross-engine read policy to this session (idempotent)."""
     for k, v in _READ_POLICY.items():
@@ -94,42 +89,56 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_CACHED: dict[tuple[str, str, str], DataFrame] = {}
+def _arrow_to_spark(t) -> T.DataType:
+    """Arrow footer type -> the Spark type inference would produce under
+    this module's read policy (nanosAsLong on, inferTimestampNTZ off).
+    Deliberately covers only the types the fixture contract uses."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_timestamp(t):
+        # ns -> int64 under nanosAsLong; us/ms -> session-TZ TIMESTAMP
+        return T.LongType() if t.unit == "ns" else T.TimestampType()
+    if pa.types.is_date32(t) or pa.types.is_date64(t):
+        return T.DateType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.ArrayType(_arrow_to_spark(t.value_type))
+    if pa.types.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
+    raise TypeError(f"fixture schema has unmapped arrow type {t!r}")
+
+
+def parquet_schema(path: str) -> T.StructType:
+    """Spark schema of a fixture parquet file, from a driver-side
+    pyarrow footer read — no Spark job, unlike schema inference."""
+    import pyarrow.parquet as pq
+
+    arrow = pq.read_schema(path)
+    return T.StructType(
+        [T.StructField(f.name, _arrow_to_spark(f.type), True) for f in arrow]
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one fixture table (no action is triggered).
-
-    With SPARK_GRAFT_CACHE=1 (bench mode) each table is memory-cached on
-    first use — BASELINE.md's amortization note: one session, cached
-    fixture reads, so per-query timings measure the operator, not the
-    repeated cold scan of the same small file.
-    """
+    """Lazy scan of one fixture table (no action is triggered)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     prepare(spark)
-    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        # applicationId (not id(spark)): a stopped session's id() can be
-        # reused by CPython, handing back DataFrames bound to a dead JVM
-        key = (spark.sparkContext.applicationId, sf_dir, name)
-        if key not in _CACHED:
-            path = f"{sf_dir}/{name}.parquet"
-            df = _normalize(name, spark.read.parquet(path))
-            if name in _CACHE_LAYOUT:
-                k, n = _CACHE_LAYOUT[name]
-                df = df.repartition(n, k)
-            else:
-                # single-file fixtures scan as 1-3 partitions; spread
-                # LARGE tables so in-memory scans parallelize, but keep
-                # small ones compact (per-task overhead dominates below
-                # ~1MB/partition; measured: lineitem sf0.1 count-scan
-                # 130ms@5 -> 78ms@16)
-                n = min(32, max(1, os.path.getsize(path) >> 20))
-                if n > 2:
-                    df = df.repartition(n)
-            _CACHED[key] = df.cache()
-        return _CACHED[key]
-    return _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    return _normalize(name, spark.read.schema(parquet_schema(path)).parquet(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -139,68 +148,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def dim_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized denormalized dimension: customer ⋈ nation ⋈ region
-    flattened to (c_custkey, n_name, r_name) — the standard warehouse
-    answer to a snowflaked dim chain. Flattening once turns every
-    star query's three dim-join legs into ONE (measured: the star join
-    drops from 5 Spark jobs to 3 — each broadcast build is a separate
-    job). In bench-cache mode the flattened dim is cached like a
-    fixture table; at cluster SF it would be maintained as a real
-    table (nation/region are fixed-size, customer-slowly-changing) and
-    Catalyst still decides broadcast-vs-shuffle from its size."""
+    """Denormalized dimension: customer ⋈ nation ⋈ region flattened to
+    (c_custkey, n_name, r_name) — the standard warehouse answer to a
+    snowflaked dim chain, computed inside the query plan (the dim legs
+    broadcast from size estimates). At cluster SF it would be maintained
+    as a real table (nation/region are fixed-size, customer slowly
+    changing); here it is recomputed from parquet every run."""
     cu = table(spark, sf_dir, "customer")
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region")
-    d = (
+    return (
         cu.join(na, cu.c_nationkey == na.n_nationkey)
         .join(re, na.n_regionkey == re.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
-    if os.environ.get("SPARK_GRAFT_CACHE") == "1":
-        key = (spark.sparkContext.applicationId, sf_dir, "__dim_customer_geo")
-        if key not in _CACHED:
-            _CACHED[key] = d.cache()
-        return _CACHED[key]
-    return d
-
-
-def projection(
-    spark: SparkSession,
-    sf_dir: str,
-    name: str,
-    key: str,
-    n: int,
-    derived: dict[str, str] | None = None,
-) -> DataFrame:
-    """Secondary keyed projection of a fixture table — the in-memory
-    analogue of a Vertica/C-Store query-specific projection (one table,
-    a second physical layout clustered on a different key). Bench mode
-    caches it alongside the primary layout; outside bench mode it's just
-    the plain scan (the optimizer then picks broadcast/shuffle freely).
-    Used where the primary clustering key and a join key differ — e.g.
-    orders is clustered on o_custkey for the window family but the star
-    join probes it by o_orderkey; the (o_orderkey, 16) projection makes
-    that join co-located with the lineitem cache layout.
-
-    ``derived`` adds computed columns (SQL expression strings) BEFORE
-    the repartition, so the clustering key may itself be derived — e.g.
-    events clustered on the tumbling-window hour bucket, which lets the
-    windowed aggregate's ClusteredDistribution ride the cached layout
-    instead of re-exchanging every run. Outside bench mode the derived
-    columns are still added (same relation either way), just without
-    the clustered cache."""
-    def _derive(df: DataFrame) -> DataFrame:
-        for col, expr in (derived or {}).items():
-            df = df.withColumn(col, F.expr(expr))
-        return df
-
-    if os.environ.get("SPARK_GRAFT_CACHE") != "1":
-        return _derive(table(spark, sf_dir, name))
-    k = (spark.sparkContext.applicationId, sf_dir, f"__proj_{name}_{key}_{n}")
-    if k not in _CACHED:
-        df = _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-        _CACHED[k] = _derive(df).repartition(n, key).cache()
-    return _CACHED[k]
 
 
 def sql_over(spark: SparkSession, sf_dir: str, sql: str, names: tuple[str, ...]) -> DataFrame:

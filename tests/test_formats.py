@@ -71,3 +71,22 @@ def test_orc_filter_pushdown(spark, tmp_path):
     back = read_table(spark, path, "orc").filter(F.col("o_orderkey") == 7)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_explicit_schema_matches_inference(spark, sf_dir):
+    """Optimization r12: tables.table() hands the reader an explicit
+    schema built from a driver-side pyarrow footer read, eliminating
+    the per-call 1-task schema-inference job. The mapping must equal
+    Spark's own inference under the module's read policy for EVERY
+    fixture table, or plans/results could drift."""
+    from etl_arcgis_spark.tables import TABLE_NAMES, parquet_schema, prepare
+
+    prepare(spark)
+    for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        inferred = spark.read.parquet(path).schema
+        explicit = parquet_schema(path)
+        assert [(f.name, f.dataType) for f in explicit] == [
+            (f.name, f.dataType) for f in inferred
+        ], f"{name}: explicit schema drifted from inference"

@@ -260,25 +260,21 @@ def test_pct_of_total_no_global_window(spark):
     assert "BroadcastExchange" in p  # the 1-row grand total arrives broadcast
 
 
-def test_star_join_one_plan_both_modes(spark, monkeypatch):
-    """r12 (VERDICT r11 #6): the bench-cache SHUFFLE_HASH bridge branch
-    is deleted — join_star_multiway now compiles to ONE logical plan in
-    every mode: dims broadcast from size estimates, the fact side never
-    shuffled. Cache mode may swap file scans for InMemoryRelation, but
-    the join strategy and the rows must be identical."""
+def test_star_join_all_legs_broadcast_no_fact_shuffle(spark):
+    """r12 (VERDICT r11 #6 + optimization r12): one plan, no mode
+    switches (the cache mode itself is gone). Every dim leg must arrive
+    broadcast — including customer_geo, whose 2-join subtree defeats
+    Catalyst's size estimate and needs the explicit BROADCAST hint
+    (guide §3.1) — so the fact side is never shuffled: the ONLY
+    exchange left is the final 36-group aggregation."""
     fn = registry.all_queries()["join_star_multiway"]
-    base_df = fn(spark, SF_DIR)
-    expect = {tuple(r) for r in base_df.collect()}
-    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" not in base_plan
-    assert "BroadcastHashJoin" in base_plan
-
-    monkeypatch.setenv("SPARK_GRAFT_CACHE", "1")
     df = fn(spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" not in p  # the deleted branch's signature
-    assert "BroadcastHashJoin" in p
-    assert {tuple(r) for r in df.collect()} == expect
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # orders leg + geo leg
+    # exactly one shuffle: the post-aggregation exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert df.count() > 0
 
 
 def test_semantic_dedup_never_cartesian(spark):

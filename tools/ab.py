@@ -15,7 +15,6 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
 
 from etl_arcgis_spark import registry  # noqa: E402
 from etl_arcgis_spark.session import get_session  # noqa: E402
