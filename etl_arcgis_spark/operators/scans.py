@@ -98,10 +98,11 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: `_metadata` is produced by the reader per split at zero
     I/O cost; grouping on it is a tiny aggregate (one row per file).
     """
-    from ..tables import prepare
+    from ..tables import parquet_schema, prepare
 
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = f"{sf_dir}/lineitem.parquet"
+    df = spark.read.schema(parquet_schema(path)).parquet(path)
     return (
         df.select(F.col("_metadata.file_name").alias("file_name"))
         .groupBy("file_name")

@@ -1810,7 +1810,12 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         axis(5).alias("lat"),
         F.lit(0.0).alias("x"),
     )
-    pairs = _band_pairs(p, _DB_EPS, _DB_EPS2).select("ka", "kb")
+    # One materialization of the eps-neighbor pairs (optimization r12):
+    # four consumers (deg, core-core edges, border adoption x2) would
+    # otherwise each re-run the 3x3 grid join AND the md5-ladder
+    # coordinate derivation — the pair set is ~1.5 |P| rows of two ints
+    # at the subcritical density, so the checkpoint is tiny.
+    pairs = _band_pairs(p, _DB_EPS, _DB_EPS2).select("ka", "kb").localCheckpoint()
     deg = (
         pairs.select(F.col("ka").alias("k"))
         .unionAll(pairs.select(F.col("kb").alias("k")))
@@ -1819,7 +1824,7 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = p.select("k").join(deg, "k", "left").select(
         "k", (F.coalesce("d", F.lit(0)) + 1 >= _DB_MINPTS).alias("is_core")
-    )
+    ).localCheckpoint()  # |P| rows; consumed by core (3 uses) + border
     core = flagged.where("is_core").select("k")
     ce = (
         pairs.join(core.select(F.col("k").alias("ka")), "ka", "semi")
@@ -1839,6 +1844,7 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("k")
         .agg(F.min("component_id").alias("c"))
+        .localCheckpoint()  # border adoption consumed twice (counts + noise)
     )
     clusters = comp.groupBy(F.col("component_id").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_core")

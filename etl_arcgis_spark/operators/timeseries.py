@@ -2789,18 +2789,36 @@ def _hurst_rs(engine: str) -> str:
     mean-centered cumulative range over standard deviation; a fixed-
     index-order fold on both engines (km_dist discipline)."""
     if engine == "spark":
+        # Single O(m) fold (optimization r12). The r11 spelling built
+        # cum via per-prefix slices with the mean-aggregate INLINED in
+        # the innermost lambda — O(m^3) interpreted HOF evaluations
+        # per block, and cum evaluated twice (array_max + array_min):
+        # ~500k lambda calls per m=64 block, 18.7 s at sf0.1. This
+        # fold tracks the running deviation sum, its max/min, and the
+        # squared-deviation sum in ONE pass with IDENTICAL IEEE op
+        # order: cum_i is the same left-to-right chain of
+        # double-additions of (x - mean); max/min over the same values
+        # (exact regardless of order); s the same index-order sum of
+        # (x - mean)^2. Bit-identical to the old spelling and to the
+        # DuckDB oracle branch below.
         mean = "(CAST(aggregate(xs, 0L, (a, x) -> a + x) AS DOUBLE) / size(xs))"
-        cum = (
-            "transform(sequence(1, size(xs)), "
-            f"i -> aggregate(slice(xs, 1, i), CAST(0 AS DOUBLE), "
-            f"(a, x) -> a + (x - {mean})))"
+        return (
+            "aggregate("
+            f"transform(xs, x -> CAST(x AS DOUBLE) - {mean}), "
+            "named_struct("
+            "'run', CAST(0 AS DOUBLE), "
+            "'mx', CAST('-Infinity' AS DOUBLE), "
+            "'mn', CAST('Infinity' AS DOUBLE), "
+            "'s2', CAST(0 AS DOUBLE)), "
+            "(st, d) -> named_struct("
+            "'run', st.run + d, "
+            "'mx', greatest(st.mx, st.run + d), "
+            "'mn', least(st.mn, st.run + d), "
+            "'s2', st.s2 + d * d), "
+            "st -> CASE WHEN sqrt(st.s2 / size(xs)) = 0 THEN NULL "
+            "ELSE (st.mx - st.mn) / sqrt(st.s2 / size(xs)) END"
+            ")"
         )
-        r = f"(array_max({cum}) - array_min({cum}))"
-        s = (
-            f"sqrt(aggregate(xs, CAST(0 AS DOUBLE), "
-            f"(a, x) -> a + (x - {mean}) * (x - {mean})) / size(xs))"
-        )
-        return f"CASE WHEN {s} = 0 THEN NULL ELSE {r} / {s} END"
     mean = "(CAST(list_sum(xs) AS DOUBLE) / len(xs))"
     cum = (
         "list_transform(range(1, len(xs) + 1), "

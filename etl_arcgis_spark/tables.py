@@ -123,13 +123,43 @@ def _arrow_to_spark(t) -> T.DataType:
 
 def parquet_schema(path: str) -> T.StructType:
     """Spark schema of a fixture parquet file, from a driver-side
-    pyarrow footer read — no Spark job, unlike schema inference."""
+    pyarrow footer read — no Spark job, unlike schema inference.
+
+    Accepts either a single parquet file (the driver fixtures) or a
+    Spark-written parquet DIRECTORY (test fixtures built via
+    df.write.parquet): for a directory the footer of the first
+    part-file is read — Spark-written parts share one schema."""
+    import os
+
     import pyarrow.parquet as pq
 
-    arrow = pq.read_schema(path)
-    return T.StructType(
-        [T.StructField(f.name, _arrow_to_spark(f.type), True) for f in arrow]
-    )
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith((".parquet", ".snappy.parquet")) and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no part files under parquet dir {path!r}")
+        path = os.path.join(path, parts[0])
+    pf = pq.ParquetFile(path)
+    arrow = pf.schema_arrow
+    # Spark writes timestamps as INT96 by default; pyarrow surfaces
+    # INT96 as timestamp[ns], which nanosAsLong must NOT long-ify
+    # (that policy applies only to INT64 TIMESTAMP(NANOS) columns).
+    phys = {c.name: c.physical_type for c in pf.schema}
+    fields = []
+    for f in arrow:
+        import pyarrow as pa
+
+        if (
+            pa.types.is_timestamp(f.type)
+            and f.type.unit == "ns"
+            and phys.get(f.name) == "INT96"
+        ):
+            fields.append(T.StructField(f.name, T.TimestampType(), True))
+        else:
+            fields.append(T.StructField(f.name, _arrow_to_spark(f.type), True))
+    return T.StructType(fields)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
