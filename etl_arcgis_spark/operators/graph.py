@@ -28,9 +28,35 @@ _ITERS = 5
 # Explicit co-partitioning width for the iterative stages. persist() +
 # localCheckpoint() pin physical plans, which keeps AQE from coalescing
 # the tiny per-iteration shuffles on a vanilla session — so the loop
-# sizes its own exchanges: fixture-scale here; at cluster SF this is
-# O(n_nodes / rows-per-task), the same one-line knob.
-_PARTS = 16
+# sizes its own exchanges. MUST equal spark.sql.shuffle.partitions
+# (optimization r12): the loop joins only reuse the persisted
+# clustering when the partition counts match — a fixed 16 against a
+# 32-partition session re-exchanged AND re-sorted the persisted edge
+# list every iteration. Conf-derived is also the scale story: at
+# cluster SF shuffle.partitions is sized to the data, and the
+# persisted layout follows it.
+
+
+def _parts(spark) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
+
+
+def _graph_parts(spark, sf_dir: str) -> int:
+    """Width of the persisted per-iteration edge layouts, derived from
+    INPUT SIZE (guide §2.5: scale-adaptive, not a core-count constant):
+    ~3 MB of source parquet per partition — the edge list is a
+    projected+deduped derivative of lineitem, so its bytes track
+    lineitem's. Floor 2; capped at shuffle.partitions both so the
+    loop-side exchanges (sized by that conf) stay co-partition-
+    compatible and so a cluster session's configured width wins at
+    scale. At sf0.1 this yields 4 — measured best (A/B 32/8/4/2 in
+    OPTIMIZATION_r12.md): with tiny per-partition data the per-stage
+    scheduling floor dominates, so fewer, fuller partitions beat
+    core-count fan-out."""
+    from ..tables import input_bytes
+
+    derived = max(2, input_bytes(sf_dir, "lineitem") // (3 << 20) + 1)
+    return max(2, min(_parts(spark), derived))
 
 
 def _oracle_pagerank() -> str:
@@ -114,23 +140,39 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    n_nodes = outw.count()  # action on the small node set; exact
+    # partition-once, iterate-many (optimization r12, guide §2.1): the
+    # transition matrix is hash-clustered AND sorted on the per-
+    # iteration join key at persist time, so each round's SMJ reuses
+    # both the partitioning and the ordering — zero exchange, zero
+    # sort on the big side inside the loop (the rank vector alone
+    # shuffles, |nodes| rows). Width derived from input size
+    # (_graph_parts), not core count.
     norm = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .repartition(_PARTS, "src")
+        .repartition(_graph_parts(spark, sf_dir), "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     try:
-        ranks = outw.select("src", F.lit(1.0 / n_nodes).alias("rank")).select(
-            F.col("src").alias("node"), "rank"
+        # n_nodes off the persisted matrix (distinct src == outw rows):
+        # the old outw.count() re-ran the whole lineitem⋈orders build
+        # for one scalar (optimization r12)
+        n_nodes = norm.select("src").distinct().count()
+        ranks = (
+            norm.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
         )
         for _ in range(_ITERS):
+            # NO repartition before the agg (optimization r12, guide
+            # §2.3): the r5 spelling repartitioned the JOINED edge set
+            # by dst — a full |edges|-row exchange per iteration that
+            # also forbade map-side combine. Letting the groupBy plan
+            # itself puts a partial aggregate below the exchange, so
+            # only |parts| x |nodes| partial rows cross the wire.
             ranks = (
                 norm.join(ranks, norm["src"] == ranks["node"])
-                # pre-shape the agg exchange: reuses _PARTS instead of
-                # the session's (possibly huge) shuffle.partitions
-                .repartition(_PARTS, norm["dst"])
                 .groupBy(norm["dst"])
                 .agg(
                     (F.lit((1.0 - _D) / n_nodes)
@@ -146,7 +188,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50)
         )
         # materialize before unpersisting the transition matrix the
-        # plan depends on; explicit _PARTS partitioning keeps the
+        # plan depends on; explicit conf-width partitioning keeps the
         # checkpoint's RDD-path evaluation (which skips AQE) small
         return out.localCheckpoint()
     finally:
@@ -434,20 +476,23 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e0.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
         e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
-    rows = kcore_rounds(und, _CORE_K, _CORE_ROUNDS)
+    rows = kcore_rounds(und, _CORE_K, _CORE_ROUNDS, parts=_graph_parts(spark, sf_dir))
     return spark.createDataFrame(
         rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
     ).orderBy("round")
 
 
-def kcore_rounds(und: DataFrame, k: int, rounds: int) -> list[tuple[int, int, int]]:
+def kcore_rounds(
+    und: DataFrame, k: int, rounds: int, parts: int | None = None
+) -> list[tuple[int, int, int]]:
     """Run ``rounds`` k-core peeling iterations over an undirected edge
     list (both directions present as (a, b) rows); returns
     [(round, surviving_nodes, surviving_undirected_edges), ...].
     Each round: degree aggregate -> drop nodes with degree < k -> keep
     edges whose BOTH endpoints survive; edge lists are repartitioned on
     the join key and localCheckpoint()ed to truncate lineage."""
-    und = und.repartition(_PARTS, "a").localCheckpoint()
+    parts = parts or _parts(und.sparkSession)
+    und = und.repartition(parts, "a").localCheckpoint()
     rows = []
     for r in range(1, rounds + 1):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
@@ -458,7 +503,7 @@ def kcore_rounds(und: DataFrame, k: int, rounds: int) -> list[tuple[int, int, in
             .join(surv.withColumnRenamed("a", "kb"), F.col("b") == F.col("kb"))
             .drop("kb")
         )
-        und = und.repartition(_PARTS, "a").localCheckpoint()
+        und = und.repartition(parts, "a").localCheckpoint()
         rows.append((r, surv.count(), und.count() // 2))
     return rows
 
@@ -626,10 +671,23 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    # partition-once + share-once (optimization r12, guide §2.1/§2.6):
+    # both LPA rounds join on edges["src"], and graph_modularity joins
+    # the SAME edge list again downstream — one clustered+sorted
+    # localCheckpoint stops every consumer from re-running the
+    # lineitem⋈orders build and re-shuffling the edge list. The final
+    # labels are checkpointed too: modularity stamps them onto BOTH
+    # edge endpoints, which otherwise re-evaluates the whole 2-round
+    # vote/argmax chain twice.
+    edges = (
+        e0.unionByName(
+            e0.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
         )
+        .repartition(_graph_parts(spark, sf_dir), "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -652,7 +710,7 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
             .filter(F.col("rn") == 1)
             .select(F.col("vnode").alias("node"), "label")
         )
-    return edges, labels
+    return edges, labels.localCheckpoint()
 
 
 def _oracle_lpa() -> str:
@@ -870,39 +928,53 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .persist()
     )
+    # partition-once, iterate-many (optimization r12, guide §2.1): the
+    # a-step joins on c, the h-step on s — persist ONE clustered+sorted
+    # copy per key so neither join exchanges or sorts the edge list
+    # inside the loop; only the |nodes|-row score vectors shuffle.
+    gp = _graph_parts(spark, sf_dir)
+    edges_c = edges.repartition(gp, "c").sortWithinPartitions("c").persist()
+    edges_s = edges.repartition(gp, "s").sortWithinPartitions("s").persist()
+    edges = edges_c
     try:
         hub = edges.select("c").distinct().select(
             F.col("c").alias("node"), F.lit(1.0).alias("score")
         )
+        # max-normalize INSIDE the half-round plan (optimization r12):
+        # the r10 spelling ran a separate max-aggregate job whose plan
+        # re-evaluated the matrix-vector join, so every half-round paid
+        # the matvec TWICE (once for amax, once for the checkpointed
+        # normalize). An unpartitioned max window over the per-round
+        # aggregate — bounded input: |suppliers| resp. |customers| rows,
+        # the audit-allowlisted pattern — evaluates the matvec once per
+        # half-round, in the single checkpoint job.
+        from pyspark.sql import Window
+
+        wall = Window.partitionBy()
         auth = None
         for _ in range(_HITS_ITERS):
+            edges = edges_c
             ar = (
                 edges.join(hub, edges["c"] == hub["node"])
                 .groupBy(edges["s"].alias("node"))
                 .agg(F.sum(edges["w"] * hub["score"]).alias("raw"))
             )
-            amax = ar.agg(F.max("raw").alias("mx"))
             # eager lineage truncation per half-round: the score
             # vectors are |nodes|-row; without it the unrolled plan
             # re-evaluates every earlier round per downstream branch
-            auth = (
-                ar.crossJoin(F.broadcast(amax))
-                .select("node", (F.col("raw") / F.col("mx")).alias("score"))
-                .localCheckpoint()
-            )
+            auth = ar.select(
+                "node", (F.col("raw") / F.max("raw").over(wall)).alias("score")
+            ).localCheckpoint()
+            edges = edges_s
             hr = (
                 edges.join(auth, edges["s"] == auth["node"])
                 .groupBy(edges["c"].alias("node"))
                 .agg(F.sum(edges["w"] * auth["score"]).alias("raw"))
             )
-            hmax = hr.agg(F.max("raw").alias("mx"))
-            hub = (
-                hr.crossJoin(F.broadcast(hmax))
-                .select("node", (F.col("raw") / F.col("mx")).alias("score"))
-                .localCheckpoint()
-            )
+            hub = hr.select(
+                "node", (F.col("raw") / F.max("raw").over(wall)).alias("score")
+            ).localCheckpoint()
         top_a = (
             auth.select(
                 F.lit("authority").alias("kind"),
@@ -923,7 +995,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return top_a.unionAll(top_h).localCheckpoint()
     finally:
-        edges.unpersist()
+        edges_c.unpersist()
+        edges_s.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1048,9 +1121,15 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_w"))
         .select("a", "b")
     )
+    # partition-once, iterate-many (optimization r12, guide §2.1):
+    # every one of the 8 loop joins keys on edges["u"] — cluster+sort
+    # on u at persist time so no round exchanges or sorts the edge
+    # list; only the (src,node)-bounded frontier/delta frames shuffle.
     edges = (
         e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(_graph_parts(spark, sf_dir), "u")
+        .sortWithinPartitions("u")
         .persist()
     )
     try:
@@ -1071,20 +1150,31 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.join(frontier, edges["u"] == frontier["node"])
                 .select("src", edges["v"].alias("node"), "sigma")
             )
+            # aggregate BEFORE the anti-join (optimization r12, guide
+            # §2.3): the two commute — the anti-join drops whole
+            # (src,node) keys, so summing sigma first computes the same
+            # sigma for surviving keys — and the map-side combine
+            # shrinks the shuffled volume from |cand| raw rows (deg-
+            # expanded, ~1M at sf0.1 round 2) to <= |src|x|nodes|
+            # partials at ANY scale.
             nxt = (
-                cand.join(
+                cand.groupBy("src", "node")
+                .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+                .join(
                     visited.select(
                         F.col("src").alias("vs"), F.col("node").alias("vn")
                     ),
                     (F.col("src") == F.col("vs")) & (F.col("node") == F.col("vn")),
                     "left_anti",
                 )
-                .groupBy("src", "node")
-                .agg(F.sum("sigma").cast("bigint").alias("sigma"))
                 .withColumn("lvl", F.lit(k))
                 .localCheckpoint()
             )
-            visited = visited.unionByName(nxt).localCheckpoint()
+            # no checkpoint on the union: both legs are themselves
+            # checkpointed, so the lineage is already truncated — the
+            # r10 checkpoint here re-materialized the whole visited
+            # set once per round (optimization r12)
+            visited = visited.unionByName(nxt)
             frontier = nxt
         # backward accumulation
         deltas = (
@@ -1100,10 +1190,15 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("src").alias("ws"), F.col("node").alias("wn"),
                 F.col("sigma").alias("wsig"), F.col("dq").alias("wdq"),
             )
+            # shuffled-hash hint on the successor side (optimization
+            # r12, guide §3.2): succ is the pivot-bounded delta table,
+            # far smaller than the deg-expanded lower⋈edges stream —
+            # SHJ builds on succ and skips the SMJ sort of the big
+            # intermediate (per partition, at any scale).
             contrib = (
                 lower.join(edges, edges["u"] == lower["node"])
                 .join(
-                    succ,
+                    succ.hint("shuffle_hash"),
                     (F.col("src") == F.col("ws")) & (edges["v"] == F.col("wn")),
                 )
                 .groupBy("src", "node", "lvl", "sigma")
@@ -1129,7 +1224,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
             deltas = lvl_d
-            acc = acc.unionByName(lvl_d).localCheckpoint()
+            acc = acc.unionByName(lvl_d)  # legs checkpointed; no re-mat
         bc = (
             acc.filter(F.col("node") != F.col("src"))
             .groupBy("node")

@@ -121,6 +121,27 @@ def _arrow_to_spark(t) -> T.DataType:
     raise TypeError(f"fixture schema has unmapped arrow type {t!r}")
 
 
+def input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet byte size of a fixture table — a driver-side
+    stat() the operators use to derive scale-adaptive partition widths
+    (optimization r12). Accepts single-file fixtures and Spark-written
+    directories; 0 if the table is absent (callers fall back to their
+    floor)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def parquet_schema(path: str) -> T.StructType:
     """Spark schema of a fixture parquet file, from a driver-side
     pyarrow footer read — no Spark job, unlike schema inference.

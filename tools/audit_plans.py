@@ -178,6 +178,7 @@ NLJ_OK = {
 # / bucketed_running_sums instead; see the four round-4 rewrites).
 WINDOW_BOUNDED_OK = {
     "stats_wilcoxon_signed_rank": "midrank offset window over the |types|*24-bounded |d| grid (calendar-grid bound)",
+    "graph_hits_scores": "max window over the per-round |suppliers|-/|customers|-bounded score aggregate (r12: folds the normalize into the matvec job; plan is checkpoint-hidden but documented here)",
     "ml_auc_roc_exact": "midrank offset window over the <=109-row bounded score grid (s = 10*disc_pct + tax_pct; C124 ECDF-support class)",
     "ts_pettitt_change_point": "midrank offset window over the <=512-value count grid + cumulative U_t window over the fixed 512-hour dyadic grid",
     "stats_logrank_test": "at-risk offset window over the calendar-bounded duration grid (C111 Kaplan-Meier class)",
