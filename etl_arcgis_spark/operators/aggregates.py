@@ -2376,10 +2376,15 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 loses P ~ 6e-5 of the Poisson mass — deterministic, identical
     on both engines, and immaterial to a variance estimate. Money-
     scale outputs on the cents grid, SE on r4 (§5.3.1)."""
+    from .scale_patterns import spread_for_fanout
+
     od = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x")
     )
-    reps = od.withColumn(
+    # spread BEFORE the 64x explode (optimization r12): the single-
+    # split scan otherwise runs the whole replicate ladder (64x rows,
+    # one md5 + 4 substr + 7-branch CDF each) in ONE task
+    reps = spread_for_fanout(od).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )
     hexes = "0123456789abcdef"
@@ -4981,12 +4986,22 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no windows, nothing driver-side."""
     from ..tables import sql_over
 
-    return sql_over(
-        spark,
-        sf_dir,
-        _permtest_sql("instr", "substring").replace("AS VARCHAR", "AS STRING"),
-        ("orders", "nation"),
+    # Spark dialect only: spread val across the session's parallelism
+    # BEFORE the 200x draw fan-out (optimization r12, the
+    # spread_for_fanout pattern — the single-split orders scan
+    # otherwise computes all B x |orders| md5 coins in ONE task). The
+    # hint is a no-op for the result: every draw aggregate is an exact
+    # BIGINT sum.
+    spread = spark.sparkContext.defaultParallelism
+    sql = (
+        _permtest_sql("instr", "substring")
+        .replace("AS VARCHAR", "AS STRING")
+        .replace(
+            "FROM val v, perms p",
+            f"FROM (SELECT /*+ REPARTITION({spread}) */ * FROM val) v, perms p",
+        )
     )
+    return sql_over(spark, sf_dir, sql, ("orders", "nation"))
 
 
 # r12 C246: two-proportion z-test — completes the A/B-testing family

@@ -19,6 +19,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SMALL frame across the session's
+    default parallelism, placed immediately BEFORE a multiplicative
+    compute stage (a B-replicate explode, an O(n²) pair probe, a
+    per-row HOF/md5 ladder).
+
+    Why (optimization r12, guide §2.7 stragglers): a narrow scan often
+    yields far fewer splits than cores (the fixtures are single
+    row-group files → ONE task), so everything downstream of it runs
+    serial no matter how many cores the session has. When the next
+    stage multiplies work ×B or ×n, that serialization — not the scan
+    — dominates. The exchange this inserts costs one shuffle of the
+    PRE-fan-out rows (the small side by construction) and buys
+    cores-fold parallelism on the fan-out compute at any scale; on a
+    cluster where the scan already produced enough splits it degrades
+    to a cheap balancing pass of the small frame. Deterministic:
+    round-robin assignment is fixed given the input order
+    (sortBeforeRepartition), and every caller aggregates
+    exchange-order-safely (exact integers or §5.3.1-audited doubles).
+
+    Use ONLY before fan-outs. Scan-bound queries must NOT pay this
+    exchange (OPTIMIZATION_r12.md batch-1 note)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts)
+
+
 def salted_groupby_sum(
     df: DataFrame, key: str, value: str, n_salts: int = 16
 ) -> DataFrame:

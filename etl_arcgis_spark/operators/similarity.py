@@ -421,8 +421,14 @@ def sim_cosine_pairs_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product as SQL higher-order functions over a pruned self-join —
     zero Python, fully codegen'd; correct at any SF but O(n²) lambda
     evaluations, so the GEMM variant above is the benchmarked path."""
+    from .scale_patterns import spread_for_fanout
+
     e = _with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding", "norm")
-    a = e.alias("a")
+    # spread the STREAMED side before the O(n²) broadcast-NLJ probe
+    # (optimization r12): one split in, one task probing n²/2 pairs
+    # with a 64-term interpreted HOF dot each — the probe, not the
+    # scan, is the cost at every SF
+    a = spread_for_fanout(e).alias("a")
     b = e.alias("b")
     cos = F.expr(_DOT.format(a="a.embedding", b="b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")

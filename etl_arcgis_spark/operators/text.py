@@ -2464,8 +2464,13 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles only the (source, chunk) rollup). The oracle keeps the
     # readable window spelling as ground truth. Staged withColumns:
     # Catalyst does not CSE inside lambdas.
+    from .scale_patterns import spread_for_fanout
+
     docs = (
-        table(spark, sf_dir, "documents")
+        # spread BEFORE the per-token md5/HOF ladder (optimization
+        # r12): the single-split documents scan otherwise evaluates
+        # every token's boundary hash serially in one task
+        spread_for_fanout(table(spark, sf_dir, "documents"))
         .withColumn("l", F.split("text", " "))
         # cut AFTER token i when md5's last hex digit is in {0, 8}
         .withColumn(
@@ -2493,7 +2498,18 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ch = docs.select("source", F.explode("chunks").alias("c"))
+    # materialization barrier before the explode (optimization r12):
+    # without it Catalyst inlines the whole b/segs/chunks lambda
+    # cascade into BOTH the Generate's pushed-down null/size filter and
+    # the struct-field extract projection, so every doc re-runs the
+    # per-token md5 ladder several times (12.0 s at sf0.1; 3.4 s with
+    # the barrier). The checkpoint holds one row per doc with its chunk
+    # array — document-table-sized, recomputed from parquet every run.
+    ch = (
+        docs.select("source", "chunks")
+        .localCheckpoint()
+        .select("source", F.explode("chunks").alias("c"))
+    )
     return (
         ch.groupBy("source")
         .agg(

@@ -211,3 +211,20 @@ def test_parquet_aggregate_pushdown_footer_only_scan(spark):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_spread_for_fanout_preserves_rows_and_spreads(spark):
+    """spread_for_fanout must (a) change no rows — it is a pure
+    placement hint before a multiplicative compute stage — and (b)
+    yield exactly defaultParallelism partitions so the fan-out work
+    downstream runs cores-wide even off a single-split scan."""
+    from etl_arcgis_spark.operators.scale_patterns import spread_for_fanout
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 3)
+    out = spread_for_fanout(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+    # deterministic: two materializations place rows identically
+    a = out.withColumn("p", F.spark_partition_id()).groupBy("p").count()
+    b = spread_for_fanout(df).withColumn("p", F.spark_partition_id()).groupBy("p").count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
