@@ -27,80 +27,11 @@ from ..helpers import r4
 from ..registry import query
 from ..tables import sql_over, table
 
-# Spark-side pipeline (one spark.sql text — see tables.sql_over).
-_SPARK_FUNNEL = """
-WITH t AS (
-  SELECT doc_id, source, text, split(text, ' ') AS l FROM documents
-), g AS (
-  SELECT doc_id, source, text, l, size(l) AS n_tokens,
-         CASE WHEN size(l) >= 2 THEN
-           1.0 - CAST(size(array_distinct(transform(
-                 sequence(1, size(l) - 1),
-                 i -> concat(element_at(l, i), ' ', element_at(l, i + 1))))) AS DOUBLE)
-               / (size(l) - 1)
-         ELSE 1.0 END AS rep
-  FROM t
-), gated AS (
-  SELECT doc_id, source, text, l FROM g
-  WHERE n_tokens >= 20 AND n_tokens <= 90 AND rep <= 0.2
-), exact AS (
-  SELECT doc_id, source, l FROM (
-    SELECT doc_id, source, l,
-           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM gated
-  ) WHERE rn = 1
-), grams AS (
-  SELECT DISTINCT doc_id, source, bg FROM (
-    SELECT doc_id, source,
-           explode(transform(sequence(1, size(l) - 1),
-                   i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS bg
-    FROM exact
-  )
-), sizes AS (
-  SELECT doc_id, count(1) AS n_grams FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
-  FROM grams a JOIN grams b
-    ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), neardup_drop AS (
-  SELECT DISTINCT id_b AS doc_id
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
-), neard AS (
-  SELECT e.doc_id, e.l FROM exact e
-  WHERE NOT EXISTS (SELECT 1 FROM neardup_drop d WHERE d.doc_id = e.doc_id)
-), g4 AS (
-  SELECT doc_id,
-         explode(transform(sequence(1, size(l) - 3),
-                 i -> concat_ws(' ', slice(l, i, 4)))) AS g4g
-  FROM t WHERE size(l) >= 4
-), bench AS (
-  SELECT DISTINCT g4g FROM g4 WHERE doc_id % 97 = 0
-), contaminated AS (
-  SELECT DISTINCT c.doc_id
-  FROM g4 c JOIN bench b ON c.g4g = b.g4g
-  WHERE c.doc_id % 97 <> 0
-), clean AS (
-  SELECT n.doc_id FROM neard n
-  WHERE n.doc_id % 97 <> 0
-    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = n.doc_id)
-)
-SELECT * FROM (
-  SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM t
-  UNION ALL
-  SELECT 2, 'quality_gated', count(1) FROM gated
-  UNION ALL
-  SELECT 3, 'exact_deduped', count(1) FROM exact
-  UNION ALL
-  SELECT 4, 'near_deduped', count(1) FROM neard
-  UNION ALL
-  SELECT 5, 'decontaminated', count(1) FROM clean
-)
-"""
-
+# Spark-side pipeline: STAGED with localCheckpoint barriers (see
+# _register_funnel_views below). The original one-SQL-text spelling is
+# kept as the DuckDB oracle (_ORACLE_FUNNEL); Spark inlines every CTE
+# per reference, so the single-text plan re-ran the near-dup pipeline
+# for each of the funnel's count branches (optimization r12).
 _ORACLE_FUNNEL = """
 WITH t AS (
   SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents
@@ -173,6 +104,126 @@ SELECT * FROM (
 """
 
 
+def _register_funnel_views(spark: SparkSession, sf_dir: str) -> None:
+    """Build the funnel's stage frames ONCE each and register them as
+    temp views (corpus_f_*), with a localCheckpoint barrier per stage.
+
+    Why (optimization r12, guide §3.3 "materialise an intermediate" /
+    §2.4): Spark inlines deterministic CTEs at every reference, so the
+    original one-SQL-text funnel re-planned — and re-executed — the
+    whole upstream chain for each count branch and each downstream
+    CTE: `neard` (the quadratic near-dup pipeline) ran 3-6x per query.
+    Checkpointing each stage bounds every stage to ONE execution. NOT
+    result caching: the checkpoints live inside one query build and
+    are recomputed from parquet on every invocation.
+
+    The REPARTITION hints spread the two direct `documents` scans
+    across cores before their per-token lambda ladders (the
+    spread_for_fanout pattern — the single-row-group fixture scan is
+    otherwise ONE task); all other stages inherit shuffle parallelism.
+    Row sets are identical — placement only."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p = spark.sparkContext.defaultParallelism
+
+    gated = spark.sql(f"""
+        WITH t AS (
+          SELECT /*+ REPARTITION({p}) */ doc_id, source, text,
+                 split(text, ' ') AS l
+          FROM documents
+        ), g AS (
+          SELECT doc_id, source, text, l, size(l) AS n_tokens,
+                 CASE WHEN size(l) >= 2 THEN
+                   1.0 - CAST(size(array_distinct(transform(
+                         sequence(1, size(l) - 1),
+                         i -> concat(element_at(l, i), ' ', element_at(l, i + 1))))) AS DOUBLE)
+                       / (size(l) - 1)
+                 ELSE 1.0 END AS rep
+          FROM t
+        )
+        SELECT doc_id, source, md5(text) AS h, l FROM g
+        WHERE n_tokens >= 20 AND n_tokens <= 90 AND rep <= 0.2
+    """).localCheckpoint()
+    gated.createOrReplaceTempView("corpus_f_gated")
+
+    exact = spark.sql("""
+        SELECT doc_id, source, l FROM (
+          SELECT doc_id, source, l,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM corpus_f_gated
+        ) WHERE rn = 1
+    """).localCheckpoint()
+    exact.createOrReplaceTempView("corpus_f_exact")
+
+    grams = spark.sql("""
+        SELECT DISTINCT doc_id, source, bg FROM (
+          SELECT doc_id, source,
+                 explode(transform(sequence(1, size(l) - 1),
+                         i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS bg
+          FROM corpus_f_exact
+        )
+    """).localCheckpoint()
+    grams.createOrReplaceTempView("corpus_f_grams")
+
+    neard = spark.sql("""
+        WITH sizes AS (
+          SELECT doc_id, count(1) AS n_grams FROM corpus_f_grams GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+          FROM corpus_f_grams a JOIN corpus_f_grams b
+            ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), neardup_drop AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+        )
+        SELECT e.doc_id, e.l FROM corpus_f_exact e
+        WHERE NOT EXISTS (SELECT 1 FROM neardup_drop d WHERE d.doc_id = e.doc_id)
+    """).localCheckpoint()
+    neard.createOrReplaceTempView("corpus_f_neard")
+
+    g4 = spark.sql(f"""
+        SELECT doc_id,
+               explode(transform(sequence(1, size(l) - 3),
+                       i -> concat_ws(' ', slice(l, i, 4)))) AS g4g
+        FROM (SELECT /*+ REPARTITION({p}) */ doc_id, split(text, ' ') AS l
+              FROM documents)
+        WHERE size(l) >= 4
+    """).localCheckpoint()
+    g4.createOrReplaceTempView("corpus_f_g4")
+
+    clean = spark.sql("""
+        WITH bench AS (
+          SELECT DISTINCT g4g FROM corpus_f_g4 WHERE doc_id % 97 = 0
+        ), contaminated AS (
+          SELECT DISTINCT c.doc_id
+          FROM corpus_f_g4 c JOIN bench b ON c.g4g = b.g4g
+          WHERE c.doc_id % 97 <> 0
+        )
+        SELECT n.doc_id FROM corpus_f_neard n
+        WHERE n.doc_id % 97 <> 0
+          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = n.doc_id)
+    """).localCheckpoint()
+    clean.createOrReplaceTempView("corpus_f_clean")
+
+
+_FUNNEL_COUNTS = """
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM documents
+  UNION ALL
+  SELECT 2, 'quality_gated', count(1) FROM corpus_f_gated
+  UNION ALL
+  SELECT 3, 'exact_deduped', count(1) FROM corpus_f_exact
+  UNION ALL
+  SELECT 4, 'near_deduped', count(1) FROM corpus_f_neard
+  UNION ALL
+  SELECT 5, 'decontaminated', count(1) FROM corpus_f_clean
+)
+"""
+
+
 @query("corpus_clean_funnel", oracle=_ORACLE_FUNNEL)
 def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-cleaning pipeline as ONE verified dataflow:
@@ -190,8 +241,15 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage semantics and thresholds are identical to the standalone
     operators (text_quality_gate, dedup_exact, dedup_ngram_jaccard,
     dedup_decontaminate_ngrams) — this query is the proof they
-    compose, end to end, bit-identically on both engines."""
-    return sql_over(spark, sf_dir, _SPARK_FUNNEL, ("documents",))
+    compose, end to end, bit-identically on both engines.
+
+    Spark side is STAGED (see _register_funnel_views): each stage
+    frame is computed once behind a localCheckpoint barrier, then the
+    five counts read the checkpoints. The DuckDB oracle keeps the
+    one-text CTE spelling as ground truth — the green oracle rows are
+    the equivalence proof."""
+    _register_funnel_views(spark, sf_dir)
+    return spark.sql(_FUNNEL_COUNTS)
 
 
 # ---------------------------------------------------------------------
@@ -206,63 +264,6 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     exact cumulative token counts, spelled TWO-PHASE (per-bucket
 #     offsets + partitioned intra-bucket prefix sums) so no
 #     unpartitioned window runs over the unbounded survivor set.
-
-_SPARK_SELECT_SUFFIX = """
-, cleanl AS (
-  SELECT n.doc_id, n.l FROM neard n JOIN clean c ON n.doc_id = c.doc_id
-), bk2 AS (
-  SELECT x.doc_id,
-         (instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
-         + instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1 AS b,
-         d.lang = 'en' AS is_target
-  FROM (SELECT doc_id, explode(transform(sequence(1, size(l) - 1),
-               i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS g
-        FROM cleanl WHERE size(l) >= 2) x
-  JOIN documents d ON x.doc_id = d.doc_id
-), raw2 AS (
-  SELECT b, count(1) AS rc,
-         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
-  FROM bk2 GROUP BY b
-), tot2 AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM raw2),
-posb AS (
-  SELECT b FROM raw2, tot2 WHERE tc * r_tot > rc * t_tot
-), scored AS (
-  SELECT k.doc_id, count(1) AS n_grams,
-         sum(CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END) AS n_pos
-  FROM bk2 k LEFT JOIN posb p ON k.b = p.b
-  GROUP BY k.doc_id
-), dsir_gated AS (
-  SELECT doc_id FROM scored WHERE n_pos * 2 >= n_grams
-), surv AS (
-  SELECT c.doc_id, size(c.l) AS w
-  FROM cleanl c JOIN dsir_gated g ON c.doc_id = g.doc_id
-), sb AS (
-  SELECT doc_id, w, doc_id div 64 AS bk FROM surv
-), off AS (
-  SELECT bk, coalesce(sum(tw) OVER (ORDER BY bk
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-  FROM (SELECT bk, sum(w) AS tw FROM sb GROUP BY bk)
-), cums AS (
-  SELECT s.doc_id, s.w,
-         o.off + sum(s.w) OVER (PARTITION BY s.bk ORDER BY s.doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum
-  FROM sb s JOIN off o ON s.bk = o.bk
-), tot3 AS (SELECT sum(w) AS total FROM surv),
-picks AS (
-  SELECT doc_id FROM cums, tot3
-  WHERE (cum - w) div (total div 50) < cum div (total div 50)
-    AND (cum - w) div (total div 50) < 50
-)
-SELECT * FROM (
-  SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM t
-  UNION ALL SELECT 2, 'quality_gated', count(1) FROM gated
-  UNION ALL SELECT 3, 'exact_deduped', count(1) FROM exact
-  UNION ALL SELECT 4, 'near_deduped', count(1) FROM neard
-  UNION ALL SELECT 5, 'decontaminated', count(1) FROM clean
-  UNION ALL SELECT 6, 'dsir_gated', count(1) FROM dsir_gated
-  UNION ALL SELECT 7, 'pps_sampled', count(1) FROM picks
-)
-"""
 
 _ORACLE_SELECT_SUFFIX = """
 , cleanl AS (
@@ -351,13 +352,86 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stages 1-5 are the funnel's plans (documented there); the
     gate adds one bounded (<=256-row) bucket model + a broadcastable
     posb semi-join; the sample is the sample_pps_systematic shape over
-    survivors. Composition adds no new shuffle classes."""
-    return sql_over(
-        spark,
-        sf_dir,
-        _chain(_SPARK_FUNNEL, _SPARK_SELECT_SUFFIX),
-        ("documents",),
-    )
+    survivors. Composition adds no new shuffle classes.
+
+    Spark side is STAGED like corpus_clean_funnel (optimization r12):
+    stage frames behind localCheckpoint barriers so the shared chains
+    (cleanl feeds both the DSIR gate and the PPS sample; bk2 feeds
+    both the bucket model and the scorer) execute once instead of once
+    per reference. Oracle keeps the one-text spelling as ground
+    truth."""
+    _register_funnel_views(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism
+
+    cleanl = spark.sql("""
+        SELECT n.doc_id, n.l
+        FROM corpus_f_neard n JOIN corpus_f_clean c ON n.doc_id = c.doc_id
+    """).localCheckpoint()
+    cleanl.createOrReplaceTempView("corpus_f_cleanl")
+
+    bk2 = spark.sql(f"""
+        SELECT x.doc_id,
+               (instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1 AS b,
+               d.lang = 'en' AS is_target
+        FROM (SELECT doc_id,
+                     explode(transform(sequence(1, size(l) - 1),
+                             i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS g
+              FROM (SELECT /*+ REPARTITION({p}) */ doc_id, l
+                    FROM corpus_f_cleanl WHERE size(l) >= 2)) x
+        JOIN documents d ON x.doc_id = d.doc_id
+    """).localCheckpoint()
+    bk2.createOrReplaceTempView("corpus_f_bk2")
+
+    dsir = spark.sql("""
+        WITH raw2 AS (
+          SELECT b, count(1) AS rc,
+                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+          FROM corpus_f_bk2 GROUP BY b
+        ), tot2 AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM raw2),
+        posb AS (
+          SELECT b FROM raw2, tot2 WHERE tc * r_tot > rc * t_tot
+        ), scored AS (
+          SELECT k.doc_id, count(1) AS n_grams,
+                 sum(CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END) AS n_pos
+          FROM corpus_f_bk2 k LEFT JOIN posb p ON k.b = p.b
+          GROUP BY k.doc_id
+        )
+        SELECT doc_id FROM scored WHERE n_pos * 2 >= n_grams
+    """).localCheckpoint()
+    dsir.createOrReplaceTempView("corpus_f_dsir")
+
+    return spark.sql("""
+        WITH surv AS (
+          SELECT c.doc_id, size(c.l) AS w
+          FROM corpus_f_cleanl c JOIN corpus_f_dsir g ON c.doc_id = g.doc_id
+        ), sb AS (
+          SELECT doc_id, w, doc_id div 64 AS bk FROM surv
+        ), off AS (
+          SELECT bk, coalesce(sum(tw) OVER (ORDER BY bk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM (SELECT bk, sum(w) AS tw FROM sb GROUP BY bk)
+        ), cums AS (
+          SELECT s.doc_id, s.w,
+                 o.off + sum(s.w) OVER (PARTITION BY s.bk ORDER BY s.doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM sb s JOIN off o ON s.bk = o.bk
+        ), tot3 AS (SELECT sum(w) AS total FROM surv),
+        picks AS (
+          SELECT doc_id FROM cums, tot3
+          WHERE (cum - w) div (total div 50) < cum div (total div 50)
+            AND (cum - w) div (total div 50) < 50
+        )
+        SELECT * FROM (
+          SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM documents
+          UNION ALL SELECT 2, 'quality_gated', count(1) FROM corpus_f_gated
+          UNION ALL SELECT 3, 'exact_deduped', count(1) FROM corpus_f_exact
+          UNION ALL SELECT 4, 'near_deduped', count(1) FROM corpus_f_neard
+          UNION ALL SELECT 5, 'decontaminated', count(1) FROM corpus_f_clean
+          UNION ALL SELECT 6, 'dsir_gated', count(1) FROM corpus_f_dsir
+          UNION ALL SELECT 7, 'pps_sampled', count(1) FROM picks
+        )
+    """)
 
 
 @query(
