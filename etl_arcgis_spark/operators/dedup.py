@@ -1180,8 +1180,16 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB, sample the truth universe (it is only needed to
     VALIDATE the banding, not to dedup) and keep the banding side full.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("l")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the shingle/signature ladders (optimization r12):
+    # the single-split documents scan otherwise evaluates the 16-hash
+    # MinHash ladder (16 x |shingles| md5s per doc) and the broadcast
+    # truth-pair probe in ONE task
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.split("text", " ").alias("l")
+        )
     )
     d = docs.select(
         "doc_id",

@@ -363,9 +363,16 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fix is a second blocking key (e.g. name-length band: edit
     distance <= 2 implies |len(a)-len(b)| <= 2), which this plan adds
     as a band-overlap conjunct in the join condition."""
+    from .scale_patterns import spread_for_fanout
+
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
-                 F.col("p_name").alias("name_a"))
+    # spread the STREAMED side before the broadcast-join probe
+    # (optimization r12): the single-split part scan otherwise runs the
+    # whole per-brand pair enumeration — millions of O(len²)
+    # levenshtein DPs — in ONE task
+    a = spread_for_fanout(p).select(
+        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand_b"),
                  F.col("p_name").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")

@@ -58,6 +58,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor (optimization r12): the default 1 MB
+        # minPartitionSize coalesces small-bytes/compute-dense shuffles
+        # (candidate-pair verification, per-row lambda ladders) to 2-3
+        # tasks, starving the cores — measured 16.6->5.7 s on
+        # dedup_prefix_filter_join, 10.5->3.7 s on
+        # dedup_semantic_buckets at sf0.1 with a 64k floor, no change
+        # on scan-bound queries. Scale-safe: with parallelismFirst
+        # (default true) the coalesce target is bytes/parallelism,
+        # which dwarfs ANY floor on real data volumes — the floor only
+        # binds on tiny-bytes stages, exactly where it should not.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MINPART", "64k"),
+        )
         # --- shuffle sizing: ~cores locally, data-driven on a cluster ---
         .config(
             "spark.sql.shuffle.partitions",
