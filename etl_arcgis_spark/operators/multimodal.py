@@ -187,7 +187,12 @@ _DECODE_SCHEMA = (
 def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synth stage: one REAL binary-PPM payload per document (separate
     Arrow stage, so the decode stage below consumes opaque bytes)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/decode ladder (optimization r12):
+    # the single-split documents scan otherwise runs the whole codec
+    # pipeline in ONE Python worker
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,7 +301,10 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     decode_y4m for pyav and keeps everything else."""
     import hashlib as _hl
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/codec ladder (optimization r12)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -467,7 +475,10 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio) never leaves the scan stage."""
     import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/codec ladder (optimization r12)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -680,7 +691,10 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/codec ladder (optimization r12)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -798,7 +812,10 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth is planted by synth_y4m_shots; the unit test asserts the
     detector recovers shot_cut_indices exactly (detection quality is
     testable without an oracle engine)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/codec ladder (optimization r12)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id")).filter(
         F.col("doc_id") < 200
     )
 
@@ -912,7 +929,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold {mh} would need {mh}+1 ~6-bit bands whose tiny buckets
     explode the candidate join at corpus scale — the wrong trade; the
     goldens pin the 4-band output exactly.""".format(mh=_PHASH_MAXHAM)
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the Python synth/codec ladder (optimization r12)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

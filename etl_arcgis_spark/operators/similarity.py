@@ -1814,15 +1814,32 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         % _KM_K
     ).cast("bigint")
-    q = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))"
-        ).alias("qv"),
-        bucket.alias("bucket"),
-        h.alias("h"),
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the per-row E-step ladders (optimization r12): the
+    # single-split embeddings scan otherwise evaluates every
+    # iteration's k x 64-dim argmin fold — and the callers' final
+    # assignment/silhouette probes — in ONE task
+    # localCheckpoint discipline (optimization r12): q is consumed by
+    # every iteration's E-step plus the caller's final probe —
+    # checkpoint the quantized vectors once; and each iteration's
+    # 1-row centroid frame is checkpointed so iteration t's broadcast
+    # does not re-execute iterations 1..t-1 (the unrolled chain was
+    # quadratic in iteration count). Values are untouched — the
+    # barriers only pin where recomputation stops.
+    q = (
+        spread_for_fanout(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                f"transform(embedding, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))"
+            ).alias("qv"),
+            bucket.alias("bucket"),
+            h.alias("h"),
+        )
+        .localCheckpoint()
     )
     c0 = q.groupBy(F.col("bucket").alias("cid")).agg(
         F.expr("transform(min_by(qv, h), x -> CAST(x AS DOUBLE))").alias(
@@ -1831,7 +1848,7 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     cents = c0.agg(
         F.collect_list(F.struct("cid", "cvec")).alias("cents")
-    )
+    ).localCheckpoint()
     for _t in range(_KM_ITERS):
         e = q.crossJoin(F.broadcast(cents)).withColumn(
             "cid", F.expr(_km_argmin("spark") + ".cid")
@@ -1850,7 +1867,7 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         cents = c_t.agg(
             F.collect_list(F.struct("cid", "cvec")).alias("cents")
-        )
+        ).localCheckpoint()
     return q, cents
 
 
