@@ -454,7 +454,16 @@ def dedup_minhash_banding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew hazard -> AQE skew-join split, or cap bucket width and route
     oversized buckets to exact-hash dedup first (dedup_exact removes
     identical texts before LSH runs)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("l"))
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the signature ladder (optimization r12): the
+    # single-split documents scan otherwise evaluates the 16-slot
+    # MinHash md5 ladder (16 x |shingles| md5s per doc) in ONE task
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("l")
+        )
+    )
     d = docs.select(
         "doc_id",
         F.array_distinct(

@@ -346,20 +346,25 @@ def profile_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no accumulated sums) — so the strict comparison in the outlier
     count sees bit-identical operands on both sides.
 
-    Scale: percentile() gathers values into one reducer per aggregate —
-    the fixture-exact contract spelling; at 100 TB swap each median for
-    agg_median_two_phase's bucket decomposition (exactness argument
-    there), keeping this same three-pass shape."""
+    Scale: each median runs the agg_median_two_phase bucket
+    decomposition (scale_patterns.two_phase_global_median — exactness
+    argument there; for p=0.5 it is bit-identical to the built-in
+    percentile, which this spelling replaced in optimization r12: the
+    single-reduce interpreted percentile cost ~2 s per call on the
+    fixture AND is the hidden memory bomb at 100 TB), keeping the same
+    three-pass shape."""
+    from .scale_patterns import two_phase_global_median
+
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    med = F.broadcast(
-        li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
-    )
+    med = F.broadcast(two_phase_global_median(li, "l_extendedprice", "m"))
     mad = F.broadcast(
-        li.crossJoin(med)
-        .agg(
-            F.expr("percentile(abs(l_extendedprice - m), 0.5)").alias("d"),
-            F.first("m").alias("m"),
-        )
+        two_phase_global_median(
+            li.crossJoin(med).select(
+                (F.abs(F.col("l_extendedprice") - F.col("m"))).alias("dev"), "m"
+            ),
+            "dev",
+            "d",
+        ).crossJoin(med)
     )
     return li.crossJoin(mad).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

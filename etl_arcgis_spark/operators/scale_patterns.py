@@ -45,6 +45,75 @@ def spread_for_fanout(df: DataFrame) -> DataFrame:
     return df.repartition(parts)
 
 
+def two_phase_global_median(df: DataFrame, vcol: str, out: str = "m") -> DataFrame:
+    """Exact global median as a 1-row frame WITHOUT gathering the
+    column in one reducer — the agg_median_two_phase bucket
+    decomposition packaged for reuse (optimization r12; that query
+    keeps its own inline spelling + oracle).
+
+    Phase 1 bins values into 1000 equi-width buckets of [min, max]
+    (1-row broadcast stats) and counts per bucket — a map-side-
+    combinable aggregate; cumulative bucket counts (a window over
+    <= 1000 bin rows, never the input) locate the bucket(s) holding
+    ranks ⌈n/2⌉ and ⌊n/2⌋+1. Phase 2 ranks ONLY those buckets' rows
+    and averages the two hit values ((a+b)/2 — for p=0.5 every
+    interpolation spelling agrees bit-exactly: 0.5a+0.5b and (a+b)/2
+    round identically because scaling by powers of two commutes with
+    IEEE rounding, so this equals Spark's percentile(v, 0.5) and
+    DuckDB's median()).
+
+    Exactness does not ride on bin-boundary float behavior: bin ids
+    are monotone in the value, ranks are exact integer counts, and
+    ties share a bin. Degenerate all-equal columns pin to bin 0
+    (NaN-division guard). Replaces Spark's built-in `percentile`
+    (single-reduce, interpreted, ~2 s per call on the 600k-row
+    fixture) where an exact scalar median feeds a later pass."""
+    v = df.select(F.col(vcol).alias("v"))
+    stats = F.broadcast(
+        v.agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    binned = v.crossJoin(stats).withColumn(
+        "bin",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(999),
+                F.floor(
+                    (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    bc = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.asc("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = (
+        bc.select(
+            "bin",
+            "n",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+        )
+        .withColumn("r1", F.expr("(n + 1) div 2"))
+        .withColumn("r2", F.expr("n div 2 + 1"))
+    )
+    needed = cum.filter(
+        (F.col("cum_before") < F.col("r2"))
+        & ((F.col("cum_before") + F.col("cnt")) >= F.col("r1"))
+    ).select("bin", "cum_before", "r1", "r2")
+    cand = binned.select("bin", "v").join(F.broadcast(needed), "bin")
+    w_in = Window.partitionBy("bin").orderBy(F.asc("v"))
+    ranked = cand.withColumn("grank", F.col("cum_before") + F.row_number().over(w_in))
+    hits = ranked.filter(
+        (F.col("grank") == F.col("r1")) | (F.col("grank") == F.col("r2"))
+    )
+    return hits.agg(F.avg("v").alias(out))
+
+
 def salted_groupby_sum(
     df: DataFrame, key: str, value: str, n_salts: int = 16
 ) -> DataFrame:

@@ -277,8 +277,19 @@ def simhash_fingerprint(
     plane table (no shuffle); the vote aggregate map-side-combines on
     (doc_id, j) and the final pack is a per-doc re-aggregation on the
     same doc_id partitioning."""
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hexdigit = F.substring(F.md5("w"), F.col("j") + 1, 1)
+    from .scale_patterns import spread_for_fanout
+
+    # optimization r12: (a) spread before the token explode — the
+    # single-split docs scan otherwise runs the whole words x nbits
+    # plane probe in ONE task; (b) hash each word occurrence ONCE
+    # before the plane cross join — the inlined md5("w") was
+    # re-evaluated per plane row (nbits x |words| md5s, 32x the work
+    # for an identical value: substring(md5(w), j+1, 1) only varies
+    # in j).
+    words = spread_for_fanout(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.md5("w").alias("h"))
+    hexdigit = F.substring(F.col("h"), F.col("j") + 1, 1)
     bit = F.when(hexdigit.isin(*"89abcdef"), 1).otherwise(-1)
     planes = spark.range(nbits).select(F.col("id").cast("int").alias("j"))
     votes = words.crossJoin(F.broadcast(planes)).groupBy("doc_id", "j").agg(

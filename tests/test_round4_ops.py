@@ -308,3 +308,17 @@ def test_rfm_segments_partition_customers(spark):
         table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
     )
     assert total == n_cust  # every customer lands in exactly one segment
+
+
+def test_corpus_funnel_plan_stays_staged(spark):
+    """Optimization r12 regression guard: the funnel queries build
+    their stage frames ONCE behind localCheckpoint barriers. If a
+    future edit re-inlines the CTE chain, the final plan balloons
+    (1.3 MB of duplicated subtrees before the r12 respell) and the
+    checkpoint scans (Scan ExistingRDD) disappear — pin both."""
+    df = registry.all_queries()["corpus_curate_select"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan ExistingRDD" in plan
+    assert len(plan) < 200_000, f"plan re-inlined? {len(plan)} bytes"

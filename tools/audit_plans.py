@@ -199,6 +199,7 @@ WINDOW_BOUNDED_OK = {
     "sample_pack_sequences": "offset window over per-bucket totals (256 md5-prefix buckets, bucketed_running_sums)",
     "sample_global_reid": "offset window over per-bucket counts (|buckets| rows)",
     "agg_median_two_phase": "offset window over 1000 equi-width bin counts",
+    "profile_outliers_mad": "offset windows over 1000 equi-width bin counts (two_phase_global_median x2, r12 respell of the single-reduce percentile)",
     "agg_equidepth_histogram": "offset window over 1024 bin counts (bucketed_global_rank)",
     "stats_gini_revenue": "offset window over 1024 bin counts (bucketed_global_rank)",
     "text_vocab_growth": "offset window over per-bucket totals (|buckets| rows)",
