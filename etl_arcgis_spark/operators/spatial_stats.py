@@ -2484,8 +2484,13 @@ def _generalized_rings(
 ) -> tuple[DataFrame, str]:
     """Shared builder: the jittered square-perimeter ring fixture plus
     `sweeps` staged thinning passes; returns (df, final kv column)."""
+    from .scale_patterns import spread_for_fanout
+
+    # spread BEFORE the per-row HOF sweep ladder (optimization r12):
+    # the single-split customer scan otherwise runs every ring's
+    # build + thinning sweeps in ONE task
     df = (
-        table(spark, sf_dir, "customer")
+        spread_for_fanout(table(spark, sf_dir, "customer"))
         .select(
             "c_custkey",
             F.expr(
@@ -2952,11 +2957,12 @@ def spatial_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp-order noise ~12 orders under the r4 grid.
 
     Plan note: the kNN edge table is referenced by four downstream
-    joins, and Catalyst re-plans shared subtrees per reference (the
-    C157 lesson) — at fixture scale the repeated bounded pair-gen
-    scans are cheap and honest; a 100 TB deployment would checkpoint
-    the kNN table once (one narrow (src, nbr, d) materialization) and
-    every stage after it is edge-keyed equi-join work."""
+    joins; Catalyst re-plans the shared subtree per reference but
+    ReusedExchange deduplicates the EXECUTION (measured r12: a
+    localCheckpoint barrier here ran 3.6 -> 6.6 s — the barrier broke
+    exchange reuse and cost an extra materialization, so it was
+    reverted; at 100 TB a persisted kNN table across queries is still
+    the right layout, but inside one query the reused exchange wins)."""
     p = _jittered_points(spark, sf_dir)
     und = _band_pairs(p, _LOF_BAND, _LOF_BAND * _LOF_BAND)
     pr = und.select(

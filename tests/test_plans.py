@@ -967,13 +967,18 @@ def test_incremental_morans_single_pair_join(spark):
     assert len(re.findall(r"Scan parquet", p)) == 10, p
 
 
-def test_generalize_geometry_zero_shuffle(spark):
+def test_generalize_geometry_map_only_plus_spread(spark):
     """etl_generalize_geometry: iterative in-row HOF thinning — one
-    scan, zero Exchange, zero Python (the C172 plan contract)."""
+    scan, zero Python, zero Window, and exactly ONE Exchange: the r12
+    spread_for_fanout round-robin placed before the compute-dense
+    sweep ladder (the 2.9 -> 1.2 s fix for the single-split scan; at
+    scale it degrades to a balancing pass). A second Exchange would
+    mean a shuffle crept into the thinning itself — still forbidden."""
     p = plan_of(spark, "etl_generalize_geometry")
     import re
     assert len(re.findall(r"Scan parquet", p)) == 1, p
-    assert "Exchange" not in p, p
+    assert len(re.findall(r"Exchange", p)) == 1, p
+    assert "RoundRobinPartitioning" in p, p
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
 
