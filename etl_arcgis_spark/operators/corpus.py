@@ -209,6 +209,23 @@ def _register_funnel_views(spark: SparkSession, sf_dir: str) -> None:
     clean.createOrReplaceTempView("corpus_f_clean")
 
 
+_FUNNEL_VIEWS = (
+    "corpus_f_gated", "corpus_f_exact", "corpus_f_grams",
+    "corpus_f_neard", "corpus_f_g4", "corpus_f_clean",
+    "corpus_f_cleanl", "corpus_f_bk2", "corpus_f_dsir",
+)
+
+
+def _drop_funnel_views(spark: SparkSession) -> None:
+    """Drop every corpus_f_* stage view registered by this module —
+    see corpus_clean_funnel for why (checkpoint-block lifetime)."""
+    for v in _FUNNEL_VIEWS:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
+
+
 _FUNNEL_COUNTS = """
 SELECT * FROM (
   SELECT 1 AS stage_idx, 'raw' AS stage, count(1) AS n_docs FROM documents
@@ -249,7 +266,15 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-text CTE spelling as ground truth — the green oracle rows are
     the equivalence proof."""
     _register_funnel_views(spark, sf_dir)
-    return spark.sql(_FUNNEL_COUNTS)
+    out = spark.sql(_FUNNEL_COUNTS)
+    # Unpin the stage views (optimization r12 session hygiene): the
+    # final frame's ANALYZED plan already embeds the checkpointed
+    # stage RDDs, so the catalog references add nothing — but left in
+    # place they keep the documents-scale checkpoint blocks alive for
+    # the REST OF THE SESSION (a catalog pin never becomes garbage).
+    # Dropping them ties the blocks' lifetime to the returned frame.
+    _drop_funnel_views(spark)
+    return out
 
 
 # ---------------------------------------------------------------------
@@ -401,7 +426,7 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """).localCheckpoint()
     dsir.createOrReplaceTempView("corpus_f_dsir")
 
-    return spark.sql("""
+    out = spark.sql("""
         WITH surv AS (
           SELECT c.doc_id, size(c.l) AS w
           FROM corpus_f_cleanl c JOIN corpus_f_dsir g ON c.doc_id = g.doc_id
@@ -432,6 +457,10 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL SELECT 7, 'pps_sampled', count(1) FROM picks
         )
     """)
+    # same unpin rationale as corpus_clean_funnel (the analyzed plan
+    # above already embeds every stage checkpoint it needs)
+    _drop_funnel_views(spark)
+    return out
 
 
 @query(

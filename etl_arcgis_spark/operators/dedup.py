@@ -386,6 +386,13 @@ def propagate_min_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                 .filter(F.col("n.component_id") != F.col("o.component_id"))
                 .count()
             )
+            # round t-1's checkpoint blocks are dead once the changed
+            # count (their last reader) has run — free them so peak
+            # storage is O(1 round), not O(rounds) (optimization r12;
+            # see scale_patterns.free_checkpoint)
+            from .scale_patterns import free_checkpoint
+
+            free_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 break

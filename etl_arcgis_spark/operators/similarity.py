@@ -1814,7 +1814,7 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         % _KM_K
     ).cast("bigint")
-    from .scale_patterns import spread_for_fanout
+    from .scale_patterns import free_checkpoint, spread_for_fanout
 
     # spread BEFORE the per-row E-step ladders (optimization r12): the
     # single-split embeddings scan otherwise evaluates every
@@ -1865,9 +1865,13 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 "e -> CAST(e.s AS DOUBLE) / e.c)"
             ).alias("cvec")
         )
-        cents = c_t.agg(
+        new_cents = c_t.agg(
             F.collect_list(F.struct("cid", "cvec")).alias("cents")
         ).localCheckpoint()
+        # iteration t-1's centroid checkpoint is dead once t's is
+        # materialized (optimization r12 session hygiene)
+        free_checkpoint(cents)
+        cents = new_cents
     return q, cents
 
 

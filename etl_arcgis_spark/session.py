@@ -80,7 +80,15 @@ def get_session(
         # --- Arrow for the pandas-UDF slow path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g local default (optimization r12): 32 concurrent tasks x
+        # array-heavy aggregation states (collect_list adjacency
+        # unions, checkpoint blocks) starved an 8g heap in long
+        # sessions — a 35-query sweep died on GCLocker allocation
+        # stalls and late-session queries ran 2-4x their fresh cost;
+        # at 16g the same sweep completes with every query at its
+        # fresh-session time. Env-overridable; on a cluster memory
+        # comes from spark-submit, not this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -2606,3 +2606,56 @@ def test_odds_ratio_mh_matches_python_twin(spark):
                - round(math.exp(math.log(or_mh) - 1.959964 * se), 6)) < 1e-5
     assert got["or_ci95_lo"] < 1.0 < got["or_ci95_hi"]  # CI covers null
     assert 0.8 < got["or_mantel_haenszel"] < 1.25
+
+
+def test_free_checkpoint_releases_blocks(spark):
+    """Optimization r12 session hygiene: free_checkpoint drops the
+    storage blocks behind a dead localCheckpoint (and is a safe no-op
+    on frames that never were one)."""
+    from pyspark.sql import functions as F
+
+    from etl_arcgis_spark.operators.scale_patterns import free_checkpoint
+
+    sc = spark.sparkContext
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    ck = spark.range(10000).select(F.col("id") * 2).localCheckpoint(eager=True)
+    assert sc._jsc.sc().getPersistentRDDs().size() == base + 1
+    free_checkpoint(ck)
+    assert sc._jsc.sc().getPersistentRDDs().size() == base
+    # no-op path: a plain (non-checkpointed) frame
+    free_checkpoint(spark.range(5).select(F.col("id")))
+
+
+def test_min_label_rounds_free_their_checkpoints(spark):
+    """propagate_min_labels keeps at most the CURRENT round's label
+    checkpoint alive (plus the persisted edge list while running):
+    peak storage O(1 round), not O(rounds)."""
+    from etl_arcgis_spark.operators.dedup import propagate_min_labels
+
+    sc = spark.sparkContext
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    # a 12-node path graph: several propagation rounds before converging
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a int, id_b int"
+    )
+    labels = propagate_min_labels(nodes, pairs)
+    got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(12)}
+    # only the final labels checkpoint may remain pinned
+    assert sc._jsc.sc().getPersistentRDDs().size() <= base + 1
+    from etl_arcgis_spark.operators.scale_patterns import free_checkpoint
+
+    free_checkpoint(labels)
+
+
+def test_corpus_funnel_drops_stage_views(spark):
+    """The corpus stage views must not outlive the query build — a
+    catalog pin would keep documents-scale checkpoint blocks alive for
+    the whole session (optimization r12 session hygiene)."""
+    from etl_arcgis_spark.operators.corpus import corpus_clean_funnel
+
+    df = corpus_clean_funnel(spark, SF)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in names if n.startswith("corpus_f_")}
+    assert df.count() == 5  # the plan still reads its checkpoints
