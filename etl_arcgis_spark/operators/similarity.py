@@ -2435,18 +2435,50 @@ def sim_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away-from-zero to match both engines' SQL round."""
     import math
 
-    gram_sql = (
-        "WITH v AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE)"
-        " * 1000, 0) AS BIGINT) AS qx FROM (SELECT vec_id,"
-        " posexplode(embedding) AS (i, x) FROM embeddings))"
-        " SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS g"
-        " FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY a.i, b.i"
+    # Gram build (optimization r12, guide §4.2/§3): the r11 spelling
+    # self-joined the exploded (vec_id, i, qx) table on vec_id — two
+    # |vecs|*d-row exchanges plus a join emitting d^2 product rows per
+    # vector into the (i,j) aggregate, ~3 s/run at sf0.1. The Gram is
+    # an outer-product SUM, so each partition can fold its vectors
+    # into ONE d x d int64 partial (numpy GEMM over the quantized
+    # matrix) and the driver adds the <= parts partials — zero
+    # exchanges, zero joins, exact-BIGINT arithmetic whose sum order
+    # is irrelevant. Quantization parity with the old SQL spelling
+    # (round(x * 1000, 0)): the x*1000 product is the same IEEE
+    # double, and for |v| < 2^52 v + 0.5 is exact, so
+    # copysign(floor(|v| + 0.5), v) IS BigDecimal HALF_UP — proven
+    # bit-identical by test_pca_gram_mapinpandas_matches_sql_join and
+    # the untouched DuckDB oracle.
+    def _gram_parts(it):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = M * 1000.0
+            Q = np.copysign(np.floor(np.abs(V) + 0.5), V).astype(np.int64)
+            g = Q.T @ Q
+            G = g if G is None else G + g
+        if G is not None:
+            dd = G.shape[0]
+            ii, jj = np.unravel_index(np.arange(dd * dd), (dd, dd))
+            yield pd.DataFrame(
+                {"i": ii.astype("int32"), "j": jj.astype("int32"), "g": G.ravel()}
+            )
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(_gram_parts, "i int, j int, g long")
+        .collect()
     )
-    rows = sql_over(spark, sf_dir, gram_sql, ("embeddings",)).collect()
     d = max(r["i"] for r in rows) + 1
     G = [[0] * d for _ in range(d)]
     for r in rows:
-        G[r["i"]][r["j"]] = r["g"]
+        G[r["i"]][r["j"]] += r["g"]
 
     def _round_half_away(x: float) -> int:
         return int(math.copysign(math.floor(abs(x) + 0.5), x))

@@ -2659,3 +2659,49 @@ def test_corpus_funnel_drops_stage_views(spark):
     names = {t.name for t in spark.catalog.listTables()}
     assert not {n for n in names if n.startswith("corpus_f_")}
     assert df.count() == 5  # the plan still reads its checkpoints
+
+
+def test_pca_gram_mapinpandas_matches_sql_join(spark):
+    """Optimization r12: the per-partition numpy int64 GEMM Gram must
+    equal the old vec_id-self-join SQL spelling cell for cell (exact
+    BIGINT, so order-free) — including the HALF_UP quantization edge
+    (copysign(floor(|v|+0.5)) == round(v, 0) for |v| < 2^52)."""
+    from etl_arcgis_spark.tables import sql_over, table
+
+    gram_sql = (
+        "WITH v AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE)"
+        " * 1000, 0) AS BIGINT) AS qx FROM (SELECT vec_id,"
+        " posexplode(embedding) AS (i, x) FROM embeddings))"
+        " SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS g"
+        " FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY a.i, b.i"
+    )
+    old = {
+        (r["i"], r["j"]): r["g"]
+        for r in sql_over(spark, SF, gram_sql, ("embeddings",)).collect()
+    }
+
+    def parts(it):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = M * 1000.0
+            Q = np.copysign(np.floor(np.abs(V) + 0.5), V).astype(np.int64)
+            g = Q.T @ Q
+            G = g if G is None else G + g
+        if G is not None:
+            dd = G.shape[0]
+            ii, jj = np.unravel_index(np.arange(dd * dd), (dd, dd))
+            yield pd.DataFrame(
+                {"i": ii.astype("int32"), "j": jj.astype("int32"), "g": G.ravel()}
+            )
+
+    got: dict = {}
+    emb = table(spark, SF, "embeddings").select("embedding")
+    for r in emb.mapInPandas(parts, "i int, j int, g long").collect():
+        got[(r["i"], r["j"])] = got.get((r["i"], r["j"]), 0) + r["g"]
+    assert old == got
