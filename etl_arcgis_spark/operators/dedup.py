@@ -342,32 +342,80 @@ def propagate_min_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
          O(diameter). Same round structure as Hash-to-Min / large-star
          (Kiveris et al., "Connected Components in MapReduce").
 
-    Convergence is a count() of changed labels per round (cheap action,
-    nothing collected). Each round's label table is **localCheckpoint**ed
-    — the pointer-jump self-join would otherwise double the logical plan
-    every round and Catalyst re-analysis, not execution, becomes the
-    bottleneck (measured: 40-node chain went 250 s -> 3 s). Memory stays
-    O(|V| + |E|); on a real cluster swap localCheckpoint for a reliable
-    ``spark.sparkContext.setCheckpointDir`` checkpoint so executor loss
-    cannot drop a round.
+    Convergence is a count() of changed labels per round — read off a
+    ``chg`` column of the round's own checkpoint (the old label rides
+    through the propagate join), so no extra per-round join. Each
+    round's label table is **localCheckpoint**ed — the pointer-jump
+    self-join would otherwise double the logical plan every round and
+    Catalyst re-analysis, not execution, becomes the bottleneck
+    (measured: 40-node chain went 250 s -> 3 s); round t-1's blocks
+    are freed as soon as round t lands (peak storage O(1 round)).
+
+    The loop runs over the edge-ENDPOINT nodes only (optimization
+    r12): an isolated node neither sends nor receives a message and no
+    other node can adopt its label, so it is exactly a singleton
+    component — appended after the loop. Near-dup graphs are sparse,
+    so per-round shuffles are O(|V(E)|), not O(|V|), at any scale.
+    Memory stays O(|V| + |E|); on a real cluster swap localCheckpoint
+    for a reliable ``spark.sparkContext.setCheckpointDir`` checkpoint
+    so executor loss cannot drop a round.
     """
+    from .scale_patterns import free_checkpoint
+
+    # direction-double IN PARTITION (optimization r12): the union-of-
+    # two-selects spelling inlines the pair-generation plan twice, so
+    # persist() EXECUTED it twice (measured 5.2 s vs 2.4 s for one
+    # pass at sf0.1). explode(array(fwd, rev)) doubles each row after
+    # one evaluation — same rows, half the work, no extra shuffle.
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.persist()
 
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    ).localCheckpoint(eager=True)
+    # ACTIVE-SET restriction (optimization r12, guide §2.3 shuffle
+    # fewer rows): a node with no incident edge neither sends nor
+    # receives a message — its label is its own id forever, and no
+    # other node can ever adopt it (labels travel only along edges).
+    # So the loop runs over the edge-ENDPOINT nodes only and the
+    # isolated nodes are appended afterwards as singleton components.
+    # Near-dup graphs are sparse (at sf0.1: 7 edges over 5000 docs),
+    # so this turns every per-round shuffle from O(|V|) into
+    # O(|V(E)|) — the same argument holds at 100 TB, where the dup
+    # fraction bounds the active set. endpoints is checkpointed: the
+    # final anti-join must not re-run the pair generation after sym
+    # is unpersisted.
+    endpoints = (
+        sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    )
+    labels_ck = (
+        nodes.join(endpoints, "doc_id", "semi")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    labels = labels_ck
     try:
         for _ in range(30):  # log2-ish rounds: covers any realistic diameter
             msgs = sym.join(
                 labels, sym["src"] == labels["doc_id"], "inner"
             ).select(sym["dst"].alias("doc_id"), F.col("component_id"))
-            stepped = (
-                labels.unionByName(msgs)
-                .groupBy("doc_id")
-                .agg(F.min("component_id").alias("component_id"))
+            # propagate via join instead of union+groupBy so the OLD
+            # label rides along — convergence then reads a column of
+            # the round's own checkpoint instead of paying a separate
+            # |V|-row join per round (optimization r12)
+            nbr = msgs.groupBy("doc_id").agg(
+                F.min("component_id").alias("nbr_comp")
+            )
+            stepped = labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.col("component_id").alias("old_comp"),
+                F.least(
+                    "component_id", F.coalesce("nbr_comp", "component_id")
+                ).alias("component_id"),
             )
             parent = stepped.select(
                 F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_comp")
@@ -377,26 +425,25 @@ def propagate_min_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                 .select(
                     "doc_id",
                     F.coalesce("p_comp", "component_id").alias("component_id"),
+                    (
+                        F.coalesce("p_comp", "component_id") != F.col("old_comp")
+                    ).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.component_id") != F.col("o.component_id"))
-                .count()
-            )
-            # round t-1's checkpoint blocks are dead once the changed
-            # count (their last reader) has run — free them so peak
-            # storage is O(1 round), not O(rounds) (optimization r12;
-            # see scale_patterns.free_checkpoint)
-            from .scale_patterns import free_checkpoint
-
-            free_checkpoint(labels)
-            labels = new_labels
+            changed = new_labels.filter("chg").count()
+            # round t-1's checkpoint blocks are dead once round t is
+            # materialized — free them so peak storage is O(1 round),
+            # not O(rounds) (optimization r12)
+            free_checkpoint(labels_ck)
+            labels_ck = new_labels
+            labels = new_labels.select("doc_id", "component_id")
             if changed == 0:
                 break
-        return labels
+        singletons = nodes.join(endpoints, "doc_id", "anti").select(
+            "doc_id", F.col("doc_id").alias("component_id")
+        )
+        return labels.unionByName(singletons)
     finally:
         sym.unpersist()
 

@@ -136,9 +136,15 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    from .scale_patterns import direction_double, free_checkpoint
+
+    # one evaluation of the lineitem⋈orders edge aggregate
+    # (optimization r12): direction_double replaces the union-of-
+    # selects (which executed e0 twice), and the eager checkpoint
+    # makes the edges/outw legs of the norm join share ONE
+    # materialization instead of re-running the builder per leg.
+    # Freed right after norm (its only consumer) is pinned below.
+    edges = direction_double(e0, "src", "dst", ("w",)).localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # partition-once, iterate-many (optimization r12, guide §2.1): the
     # transition matrix is hash-clustered AND sorted on the per-
@@ -159,6 +165,9 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the old outw.count() re-ran the whole lineitem⋈orders build
         # for one scalar (optimization r12)
         n_nodes = norm.select("src").distinct().count()
+        # norm (the edges checkpoint's only consumer) is persisted and
+        # now materialized by the count above — the edge blocks are dead
+        free_checkpoint(edges)
         ranks = (
             norm.select("src")
             .distinct()
@@ -316,7 +325,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from .scale_patterns import direction_double
+
+    edges = direction_double(e0, "src", "dst")  # one e0 evaluation (r12)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("example_node")
@@ -473,9 +484,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    und = e0.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
+    from .scale_patterns import direction_double
+
+    und = direction_double(
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b")), "a", "b"
+    )  # one e0 evaluation (r12)
     rows = kcore_rounds(und, _CORE_K, _CORE_ROUNDS, parts=_graph_parts(spark, sf_dir))
     return spark.createDataFrame(
         rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
@@ -620,6 +633,10 @@ def graph_adamic_adar_top_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # three consumers (both pair-join sides + the degree table)
+        # each inlined — and executed — the join+distinct build;
+        # one checkpoint bounds it to a single evaluation (r12)
+        .localCheckpoint()
     )
     deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a = cp.select(F.col("c").alias("ca"), "p")
@@ -679,12 +696,10 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
     # labels are checkpointed too: modularity stamps them onto BOTH
     # edge endpoints, which otherwise re-evaluates the whole 2-round
     # vote/argmax chain twice.
+    from .scale_patterns import direction_double
+
     edges = (
-        e0.unionByName(
-            e0.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
+        direction_double(e0, "src", "dst", ("w",))  # one e0 evaluation (r12)
         .repartition(_graph_parts(spark, sf_dir), "src")
         .sortWithinPartitions("src")
         .localCheckpoint()
@@ -1125,9 +1140,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every one of the 8 loop joins keys on edges["u"] — cluster+sort
     # on u at persist time so no round exchanges or sorts the edge
     # list; only the (src,node)-bounded frontier/delta frames shuffle.
+    from .scale_patterns import direction_double
+
     edges = (
-        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        direction_double(
+            e0.select(F.col("a").alias("u"), F.col("b").alias("v")), "u", "v"
+        )  # one e0 evaluation (r12)
         .repartition(_graph_parts(spark, sf_dir), "u")
         .sortWithinPartitions("u")
         .persist()

@@ -114,6 +114,29 @@ def two_phase_global_median(df: DataFrame, vcol: str, out: str = "m") -> DataFra
     return hits.agg(F.avg("v").alias(out))
 
 
+def direction_double(df: DataFrame, a: str, b: str, extra: tuple = ()) -> DataFrame:
+    """Emit every (a, b) row in BOTH directions with ONE evaluation of
+    the upstream plan.
+
+    Why (optimization r12, guide §2.6 reuse-vs-recompute): the usual
+    ``e.union(e.select(b, a))`` spelling inlines the upstream plan into
+    both union legs, and Catalyst executes deterministic subtrees per
+    reference — an expensive edge builder (join + aggregate + distinct)
+    runs TWICE just to flip columns (measured: the near-dup pair
+    generator's persist went 5.2 s -> 2.6 s at sf0.1 after the swap).
+    explode(array(fwd_struct, rev_struct)) doubles each row in-partition
+    after a single evaluation: identical rows, no extra shuffle."""
+    fwd = F.struct(
+        F.col(a).alias(a), F.col(b).alias(b), *[F.col(c).alias(c) for c in extra]
+    )
+    rev = F.struct(
+        F.col(b).alias(a), F.col(a).alias(b), *[F.col(c).alias(c) for c in extra]
+    )
+    return df.select(F.explode(F.array(fwd, rev)).alias("_e")).select(
+        *[F.col(f"_e.{c}").alias(c) for c in (a, b, *extra)]
+    )
+
+
 def free_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks behind a ``localCheckpoint()``ed
     DataFrame whose data is DEAD — i.e. no live plan will read it

@@ -2642,11 +2642,8 @@ def test_min_label_rounds_free_their_checkpoints(spark):
     labels = propagate_min_labels(nodes, pairs)
     got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(12)}
-    # only the final labels checkpoint may remain pinned
-    assert sc._jsc.sc().getPersistentRDDs().size() <= base + 1
-    from etl_arcgis_spark.operators.scale_patterns import free_checkpoint
-
-    free_checkpoint(labels)
+    # only the final labels + endpoint checkpoints may remain pinned
+    assert sc._jsc.sc().getPersistentRDDs().size() <= base + 2
 
 
 def test_corpus_funnel_drops_stage_views(spark):
@@ -2705,3 +2702,22 @@ def test_pca_gram_mapinpandas_matches_sql_join(spark):
     for r in emb.mapInPandas(parts, "i int, j int, g long").collect():
         got[(r["i"], r["j"])] = got.get((r["i"], r["j"]), 0) + r["g"]
     assert old == got
+
+
+def test_min_label_isolated_nodes_are_singletons(spark):
+    """The r12 active-set restriction must keep isolated nodes as
+    singleton components (identical to looping over every node)."""
+    from etl_arcgis_spark.operators.dedup import propagate_min_labels
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id int"
+    )
+    # two components {1,3,5} and {6,7}; 0,2,4,8,9 isolated
+    pairs = spark.createDataFrame(
+        [(3, 5), (1, 3), (6, 7)], "id_a int, id_b int"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in propagate_min_labels(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 6, 8: 8, 9: 9}
