@@ -924,10 +924,18 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 3
     path = f"{sf_dir}/embeddings.parquet"
+    # data-adaptive block count, same sizing as sim_cosine_topk_pairs
+    # (r12): the fixed 8 starved a many-core host at sf1 and
+    # over-split tiny tables at low driver core counts
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    cores = spark.sparkContext.defaultParallelism
+    n_blocks = max(8, min(n_rows // 500, 2 * cores))
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding", "label")
-        .repartition(8)
+        .repartition(n_blocks)
     )
 
     def block_negs(batches):
