@@ -1118,6 +1118,15 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     operations anywhere. Top-20 by accumulated dependency (ranked on
     the exact INTEGER bcq, never the emitted double).
 
+    Narrow keys (optimization r12, guide §2.3): the loops carry nodes
+    as BIGINT ids (customer k -> 2k, supplier k -> 2k+1 — a bijection
+    onto the oracle's 'c'||k / 's'||k strings), so the ~8 deg-expanded
+    join rounds shuffle and hash 8-byte longs instead of variable-width
+    strings; the string spelling is re-materialized only on the 20-row
+    output, and the final tie-break orders by that STRING so row order
+    is bit-identical to the oracle. Everything the arithmetic touches
+    (sigma, dq, grouping) is key-bijection-invariant.
+
     Scale: every round is one edge join + one hash aggregate, all
     keyed (src, node) — sources process TOGETHER as one column, so
     pivot count scales the data volume, not the round count; depth is
@@ -1130,8 +1139,8 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("a"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("_w"))
         .select("a", "b")
@@ -1154,9 +1163,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         f = (
             table(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") < _BC_SOURCES)
-            .select(
-                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src")
-            )
+            .select((F.col("c_custkey").cast("bigint") * 2).alias("src"))
             .select("src", F.col("src").alias("node"),
                     F.lit(1).cast("bigint").alias("sigma"),
                     F.lit(0).alias("lvl"))
@@ -1248,9 +1255,17 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("dq").cast("bigint").alias("bcq"))
         )
+        # re-materialize the oracle's string spelling on the |nodes|-row
+        # aggregate only, and tie-break on the STRING so the top-20 row
+        # order matches the oracle bit-for-bit ('c10' < 'c2' lexically).
+        node_str = F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        )
         return (
             bc.select(
-                "node", r4(F.col("bcq").cast("double") / _BC_Q).alias("betweenness"),
+                node_str.alias("node"),
+                r4(F.col("bcq").cast("double") / _BC_Q).alias("betweenness"),
                 "bcq",
             )
             .orderBy(F.desc("bcq"), F.asc("node"))
@@ -1389,39 +1404,42 @@ def graph_diameter_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per round (bounded rounds)."""
     from ..tables import sql_over
 
-    # lineage discipline: without truncation each convergence check
-    # re-derives the whole join chain from the scan (the classic
-    # iterative-Spark trap). The BFS state is bounded by
-    # |reachable pairs| (node set is brand-bounded), so each round's
-    # NEW pairs are materialized driver-side and re-seeded as a
-    # fresh zero-lineage DataFrame; at a scale where the pair table
-    # outgrows the driver this swaps for checkpoint() to a
-    # checkpoint dir — the loop shape is unchanged.
-    edges = sql_over(spark, sf_dir, _APSP_EDGES_SQL,
-                     ("lineitem", "part")).localCheckpoint()
-    schema = "src bigint, dst bigint, d bigint"
-    seed = [(r["u"], r["v"], 1) for r in edges.collect()]
-    dist_rows = list(seed)
-    frontier = spark.createDataFrame(seed, schema)
-    dist = frontier
-    for _ in range(40):
-        new_rows = (
-            frontier.alias("w")
-            .join(edges.alias("e"), F.col("w.dst") == F.col("e.u"))
-            .filter(F.col("e.v") != F.col("w.src"))
-            .select(F.col("w.src").alias("src"), F.col("e.v").alias("dst"),
-                    (F.col("w.d") + 1).alias("d"))
-            .distinct()
-            .join(dist.select("src", "dst"), ["src", "dst"], "left_anti")
-            .collect()
-        )
-        if not new_rows:
-            break
-        new_rows = [(r["src"], r["dst"], r["d"]) for r in new_rows]
-        dist_rows.extend(new_rows)
-        frontier = spark.createDataFrame(new_rows, schema)
-        dist = spark.createDataFrame(dist_rows, schema)
-    n_nodes = len({u for u, _, _ in dist_rows} | {v for _, v, _ in dist_rows})
+    # The BFS state is bounded by |reachable pairs| of a <=100-node
+    # set BY DESIGN (the cap above) — that bound is what made the r12
+    # build spelling collect() every round's new pairs to the driver
+    # already. Optimization r12 session 4: one collect of the bounded
+    # edge list, then the WHOLE frontier loop runs driver-side in
+    # Python (plain BFS over an adjacency dict) — the per-round Spark
+    # jobs (join + distinct + anti-join + collect, ~5 scheduling
+    # floors x rounds, on data that never exceeds 10^4 rows) were pure
+    # overhead. The one data-sized stage — edge extraction — stays in
+    # Spark; the final reduction stays a Spark aggregate so the
+    # round()/avg semantics match the oracle's engine-side arithmetic.
+    # At a scale where the pair table outgrows the driver the loop
+    # swaps back to checkpointed DataFrame rounds — the cap is the
+    # contract that it cannot here.
+    edges = sql_over(spark, sf_dir, _APSP_EDGES_SQL, ("lineitem", "part"))
+    adj: dict[int, list[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r["u"], []).append(r["v"])
+    from collections import deque
+
+    dist_rows = []
+    for src in adj:
+        seen = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            du = seen[u]
+            if du >= 40:
+                continue
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen[v] = du + 1
+                    dq.append(v)
+        dist_rows.extend((src, dst, d) for dst, d in seen.items() if dst != src)
+    n_nodes = len(adj)
+    dist = spark.createDataFrame(dist_rows, "src bigint, dst bigint, d bigint")
     return dist.agg(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         F.count(F.lit(1)).cast("bigint").alias("n_connected_pairs"),
