@@ -41,6 +41,23 @@ def _parts(spark) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
 
 
+# Narrow node keys (optimization r12 session 4, guide §2.3): the graph
+# operators' oracles spell node ids as strings ('c'||custkey,
+# 's'||suppkey), but shuffling/hashing variable-width strings through
+# every loop round measured 1.5-3x slower than 8-byte longs at sf0.1.
+# The loops therefore carry the BIJECTION customer k -> 2k,
+# supplier k -> 2k+1 and re-materialize the string spelling only on
+# bounded frames (final top-k outputs, per-node aggregates, window
+# tie-break expressions) — wherever the oracle compares or orders by
+# the STRING, the string expression is used, so results stay
+# bit-identical.
+def _node_str(col):
+    return F.concat(
+        F.when(col % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        (col.cast("bigint") / F.lit(2)).cast("bigint").cast("string"),
+    )
+
+
 def _graph_parts(spark, sf_dir: str) -> int:
     """Width of the persisted per-iteration edge layouts, derived from
     INPUT SIZE (guide §2.5: scale-adaptive, not a core-count constant):
@@ -131,8 +148,8 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -189,9 +206,12 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select(F.col("dst").alias("node"), "rank")
             )
+        # string spelling + STRING tie-break on the |nodes|-row frame
+        # only (narrow keys, r12 session 4 — see _node_str)
         out = (
             ranks.select(
-                "node", r4(F.col("rank") * n_nodes).alias("rank_scaled")
+                _node_str(F.col("node")).alias("node"),
+                r4(F.col("rank") * n_nodes).alias("rank_scaled"),
             )
             .orderBy(F.desc("rank_scaled"), F.asc("node"))
             .limit(50)
@@ -320,15 +340,22 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     from .scale_patterns import direction_double
 
     edges = direction_double(e0, "src", "dst")  # one e0 evaluation (r12)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    # narrow keys through the data-sized dedup/degree aggregates; the
+    # oracle's min(node) is a STRING min, so the string spelling is
+    # re-materialized on the |nodes|-row deg frame BEFORE the (tiny)
+    # per-degree aggregate (r12 session 4, see _node_str)
+    deg = edges.groupBy(F.col("src").alias("nid")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    deg = deg.select(_node_str(F.col("nid")).alias("node"), "degree")
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("example_node")
     )
@@ -474,11 +501,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # narrow keys end-to-end (r12 session 4): the output is per-round
+    # COUNTS only, so no string ever needs re-materializing — the
+    # bijection (c k -> 2k, s k -> 2k+1) preserves every count.
     e0 = (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
@@ -679,12 +709,8 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
     e0 = (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
@@ -715,9 +741,15 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("dst").alias("vnode"), "label")
             .agg(F.sum("w").alias("wsum"))
         )
+        # narrow keys (r12 session 4): the join/aggregate above runs on
+        # BIGINT ids, but the oracle's argmax tie-break is on the label
+        # STRING ('c10' < 'c2' lexically != 4 < 20) — so the window
+        # ORDERS by the re-materialized string, computed only on the
+        # post-aggregate (vnode, label) frame, while the carried label
+        # column stays the int.
         rn = F.row_number().over(
             Window.partitionBy("vnode").orderBy(
-                F.desc("wsum"), F.asc("label")
+                F.desc("wsum"), F.asc(_node_str(F.col("label")))
             )
         )
         labels = (
@@ -791,8 +823,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     be localCheckpoint()ed like the pagerank loop above."""
     edges, labels = _lpa_edges_labels(spark, sf_dir)
     return (
-        labels.groupBy(F.col("label").alias("community"))
+        labels.groupBy(F.col("label").alias("cid"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(_node_str(F.col("cid")).alias("community"), "n_nodes")
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
     )
