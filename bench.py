@@ -89,7 +89,13 @@ BASELINE_SEC = BASELINE_SEC_BY_SF[0.1]
 # this, because per-query ratio tripwires provably miss slow creep:
 # r11's cosine regression was 1.27x per-query (under any sane per-query
 # threshold) but 1.30x on the headline total vs this pin.
-LAST_IDLE_PIN_SEC = 1.0555  # round-12 idle pin, BASELINE.md (v1 methodology)
+# v2-uncached idle pin (optimization r12, session 4 — BASELINE.md
+# Round-12 v2 ledger): the quietest of a 3-run triplet on the session-4
+# host (floor_job 44.7 ms; this VM class runs 1.8-2.3x the floors the
+# v1 pins were recorded on, so the v1 1.0555 pin is not commensurable
+# with v2 totals — comparing them made the total tripwire fire on
+# EVERY honest run).
+LAST_IDLE_PIN_SEC = 2.9742
 
 # Bench methodology version. "v2-uncached" (optimization r12): every
 # timed run computes from the parquet inputs — no fixture cache, no
