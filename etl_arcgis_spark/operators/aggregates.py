@@ -5444,28 +5444,44 @@ def ml_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in every production SGD loop."""
     from ..tables import sql_over
 
+    # scan-once (optimization r12 session 4, guide §2.6): each epoch
+    # previously parsed a fresh SQL text and re-scanned lineitem —
+    # 8 parquet scans + 8 Catalyst analyses for a feature frame that
+    # never changes. The projected (y, q, d) frame is checkpointed
+    # once (3 ints/row — SAME cast expressions as before, so the
+    # exact-integer trajectory is unchanged) and every epoch is one
+    # aggregate over it with the weight literals inlined as before.
+    f = sql_over(
+        spark,
+        sf_dir,
+        """
+SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+       CAST(l_quantity AS BIGINT) AS q,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+FROM lineitem
+""",
+        ("lineitem",),
+    ).localCheckpoint()
     b = wq = wd = 0
     out = []
     for t in range(1, _PERC_EPOCHS + 1):
-        r = sql_over(
-            spark,
-            sf_dir,
-            f"""
-SELECT CAST(count(*) AS BIGINT) AS m,
-       CAST(coalesce(sum(y), 0) AS BIGINT) AS gy,
-       CAST(coalesce(sum(y * q), 0) AS BIGINT) AS gq,
-       CAST(coalesce(sum(y * d), 0) AS BIGINT) AS gd
-FROM (
-  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
-         CAST(l_quantity AS BIGINT) AS q,
-         CAST(round(l_discount * 100, 0) AS BIGINT) AS d
-  FROM lineitem
-) f
-WHERE y * (CAST({b} AS BIGINT) + CAST({wq} AS BIGINT) * q
-           + CAST({wd} AS BIGINT) * d) <= 0
-""",
-            ("lineitem",),
-        ).collect()[0]
+        r = (
+            f.filter(
+                F.expr(
+                    f"y * (CAST({b} AS BIGINT) + CAST({wq} AS BIGINT) * q"
+                    f" + CAST({wd} AS BIGINT) * d) <= 0"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("m"),
+                F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("gy"),
+                F.coalesce(F.sum(F.col("y") * F.col("q")), F.lit(0))
+                .cast("bigint").alias("gq"),
+                F.coalesce(F.sum(F.col("y") * F.col("d")), F.lit(0))
+                .cast("bigint").alias("gd"),
+            )
+            .collect()[0]
+        )
         b, wq, wd = b + r["gy"], wq + r["gq"], wd + r["gd"]
         out.append((t, r["m"], b, wq, wd))
     return spark.createDataFrame(
