@@ -3767,6 +3767,12 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
+        # SIX consumers (both sketches, both exact counts, the exact
+        # intersection's two sides) each inlined — and re-executed —
+        # the explode+distinct; one checkpoint of the (side, trigram)
+        # distinct set (vocabulary-bounded) bounds it to a single
+        # evaluation (optimization r12 session 4, guide §2.6)
+        .localCheckpoint()
     )
     hashed = g3.select("side", "g", F.expr(_kmv_h("spark", "g")).alias("hv"))
     ka = (
