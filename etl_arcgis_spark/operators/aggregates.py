@@ -3774,30 +3774,55 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # evaluation (optimization r12 session 4, guide §2.6)
         .localCheckpoint()
     )
-    hashed = g3.select("side", "g", F.expr(_kmv_h("spark", "g")).alias("hv"))
+    # K-row sketches and the 1-row theta are localCheckpoint()ed
+    # (optimization r12 session 5): ka/kb are each consumed by ku AND
+    # common, theta by common AND the final select — without barriers
+    # Catalyst inlined the TakeOrdered-over-md5 subtree into every
+    # reference and re-hashed the vocabulary per consumer. Each side
+    # is filtered BEFORE hashing so every distinct trigram is md5'd
+    # exactly once per sketch build. All checkpoints are K- or 1-row.
     ka = (
-        hashed.filter("side = 'en'").select("hv").orderBy("hv").limit(_KMV_K)
+        g3.filter("side = 'en'")
+        .select(F.expr(_kmv_h("spark", "g")).alias("hv"))
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .localCheckpoint()
     )
     kb = (
-        hashed.filter("side = 'xx'").select("hv").orderBy("hv").limit(_KMV_K)
+        g3.filter("side = 'xx'")
+        .select(F.expr(_kmv_h("spark", "g")).alias("hv"))
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .localCheckpoint()
     )
     ku = ka.union(kb).distinct().orderBy("hv").limit(_KMV_K)
     theta = ku.agg(
         (F.max("hv").cast("double") / F.lit(_KMV_SCALE)).alias("th")
-    )
+    ).localCheckpoint()
     common = (
         ka.join(kb, "hv")
         .crossJoin(F.broadcast(theta))
         .filter(F.col("hv").cast("double") / F.lit(_KMV_SCALE) < F.col("th"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    na = g3.filter("side = 'en'").select("g").distinct().count()
-    nb = g3.filter("side = 'xx'").select("g").distinct().count()
-    nint = (
-        g3.filter("side = 'en'").select("g")
-        .intersect(g3.filter("side = 'xx'").select("g"))
-        .count()
+    # Exact truth in ONE job (was three driver-side .count() actions —
+    # three full passes over the distinct set): g3 is already distinct
+    # on (side, g), so per-trigram side indicators give both side
+    # counts and the intersection in a single aggregate.
+    truth = (
+        g3.groupBy("g")
+        .agg(
+            F.max(F.when(F.col("side") == "en", 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("side") == "xx", 1).otherwise(0)).alias("b"),
+        )
+        .agg(
+            F.sum("a").alias("na"),
+            F.sum("b").alias("nb"),
+            F.sum(F.col("a") * F.col("b")).alias("nint"),
+        )
+        .first()
     )
+    na, nb, nint = int(truth["na"]), int(truth["nb"]), int(truth["nint"])
     return (
         common.crossJoin(F.broadcast(theta))
         .select(

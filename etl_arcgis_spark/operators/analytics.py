@@ -1604,7 +1604,15 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse); item supports broadcast back onto the min-support-pruned
     pair table; the basket total is a 1-row broadcast
     (audit-allowlisted); top-20 via TakeOrderedAndProject on a total
-    order."""
+    order.
+
+    Evaluate-once probe (optimization r12 session 5, measured and
+    REVERTED): a staged build that localCheckpoint()ed op / item /
+    total / joined-pair read build+run 2.43 -> 8.12 s at sf0.1 — the
+    self-join's two ``op`` references already share one l_orderkey
+    shuffle via exchange reuse, so eager barriers only added
+    materialization and job floors. Recompute beats materialize here
+    (guide §2.6; the spatial_lof_outliers counter-example)."""
     from ..tables import sql_over
 
     return sql_over(spark, sf_dir, _ASSOC_SQL, ("lineitem",))

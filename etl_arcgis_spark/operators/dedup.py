@@ -123,7 +123,15 @@ def _bigram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     index trick: candidate pairs are generated per shared gram, never by
     cross join, and the block key bounds the per-gram posting list. At
     100 TB the block is the LSH band bucket (see minhash_lsh_dedup).
-    Returns columns (id_a, id_b, jac) with ``jac`` unrounded."""
+    Returns columns (id_a, id_b, jac) with ``jac`` unrounded.
+
+    Evaluate-once probe (optimization r12 session 5, measured and
+    REVERTED): localCheckpoint()ing ``grams`` + ``sizes`` read
+    1.71 -> 3.25 s total at sf0.1 — the two self-join legs already
+    share one (source, bg) shuffle via ReusedExchange, so the barrier
+    only saved the sizes leg's explode while paying materialization
+    of ~1M wide string gram rows. Recompute beats materialize here
+    (the spatial_lof_outliers counter-example, guide §2.6)."""
     docs = docs.withColumn("l", F.split("text", " "))
     grams = docs.select(
         "doc_id",

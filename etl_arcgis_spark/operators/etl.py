@@ -579,15 +579,23 @@ def etl_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: computing hkey is map-only; the payoff step
     (repartitionByRange(hkey) + sortWithinPartitions before write) is
     the same one-shuffle ingest clustering as the Z key, with strictly
-    tighter min/max row-group envelopes."""
+    tighter min/max row-group envelopes.
+
+    The REPARTITION hint spreads the single-split fixture scan before
+    the 16-level interpreted aggregate() walk — the walk is ~2k lambda
+    evaluations per row and ran in ONE task on the one-row-group
+    fixture file (optimization r12 batch-3 pattern, guide §2.6); on a
+    cluster whose scan already parallelizes it is a cheap balancing
+    pass of the 3-int pre-walk rows."""
     from ..tables import sql_over
 
+    p = spark.sparkContext.defaultParallelism
     return sql_over(
         spark,
         sf_dir,
         f"""
 WITH b AS (
-  SELECT o_orderkey,
+  SELECT /*+ REPARTITION({p}) */ o_orderkey,
          CAST(o_custkey & 65535 AS BIGINT) AS x,
          CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535 AS BIGINT) AS y
   FROM orders

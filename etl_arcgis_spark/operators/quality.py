@@ -673,42 +673,38 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle per FD on the determinant (the unavoidable
     group-by), count_distinct within groups is partial-aggregated;
-    output is |FD list| rows. Everything is cast to string so one union
-    carries heterogeneous column types."""
+    output is |FD list| rows. Each FD aggregates on its NATIVE column
+    types and only the three 1-row results are unioned (optimization
+    r12, guide §2.3 narrower types): the old spelling cast every
+    (det, dep) pair to STRING so one union could carry heterogeneous
+    types — 1.35M string pairs through one exchange where bigint keys
+    shuffle at half the bytes and hash/compare far faster. The casts
+    were injective (int -> string, double -> string), so per-FD group
+    and distinct counts are IDENTICAL; the fd label now attaches to
+    the post-aggregate row only."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.select(
-            F.lit("o_custkey->o_orderpriority").alias("fd"),
-            F.col("o_custkey").cast("string").alias("det"),
-            F.col("o_orderpriority").cast("string").alias("dep"),
+
+    def one_fd(src: DataFrame, fd: str, det: str, dep: str) -> DataFrame:
+        g = (
+            src.select(F.col(det).alias("det"), F.col(dep).alias("dep"))
+            .groupBy("det")
+            .agg(F.countDistinct("dep").alias("ndep"))
         )
-        .unionAll(
-            li.select(
-                F.lit("l_orderkey->l_returnflag").alias("fd"),
-                F.col("l_orderkey").cast("string").alias("det"),
-                F.col("l_returnflag").cast("string").alias("dep"),
-            )
-        )
-        .unionAll(
-            li.select(
-                F.lit("l_partkey->l_tax").alias("fd"),
-                F.col("l_partkey").cast("string").alias("det"),
-                F.col("l_tax").cast("string").alias("dep"),
-            )
-        )
-    )
-    g = pairs.groupBy("fd", "det").agg(
-        F.countDistinct("dep").alias("ndep")
-    )
-    return g.groupBy("fd").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.count(F.when(F.col("ndep") > 1, 1)).cast("bigint").alias("n_violating"),
-        r4(
-            F.count(F.when(F.col("ndep") > 1, 1)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("violation_share"),
-        F.max("ndep").cast("bigint").alias("max_distinct_dep"),
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count(F.when(F.col("ndep") > 1, 1)).cast("bigint").alias("n_violating"),
+            r4(
+                F.count(F.when(F.col("ndep") > 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("violation_share"),
+            F.max("ndep").cast("bigint").alias("max_distinct_dep"),
+        ).select(F.lit(fd).alias("fd"), "*")
+
+    return (
+        one_fd(orders, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        .unionAll(one_fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionAll(one_fd(li, "l_partkey->l_tax", "l_partkey", "l_tax"))
     )
 
 

@@ -248,6 +248,17 @@ def bucketed_global_rank(
     ``ORDER BY value ASC`` is NULLS FIRST); before r5 the NULL bin was
     itself NULL and the offsets equi-join silently dropped those rows.
 
+    Evaluate-once (optimization r12, guide §2.6): the 1-row stats and
+    the <= n_bins+1-row offsets frames are localCheckpoint()ed —
+    without the barriers Catalyst inlined the stats aggregate into
+    BOTH ``binned`` references (offsets leg + join leg) and re-ran the
+    full input subtree under each, 4 scans of the base per run. Both
+    checkpoints are size-BOUNDED (never input-sized), so the pattern
+    holds at any scale; the remaining two base evaluations (offsets
+    count pass at build, ranked join leg at run) are the honest
+    two-pass cost of an exact global rank without a single-partition
+    sort.
+
     Adds ``out_rank`` (bigint, 1..N dense in global order) and
     ``out_n`` (bigint row count) to ``df``; original columns pass
     through. This is the spelling to use wherever a global
@@ -259,7 +270,7 @@ def bucketed_global_rank(
             F.min(value_col).alias("_mn"),
             F.max(value_col).alias("_mx"),
             F.count(F.lit(1)).alias(out_n),
-        )
+        ).localCheckpoint()
     )
     binned = df.crossJoin(stats).withColumn(
         "_bin",
@@ -287,6 +298,7 @@ def bucketed_global_rank(
             "_bin",
             F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
         )
+        .localCheckpoint()
     )
     w_in = Window.partitionBy("_bin").orderBy(
         F.asc(value_col), F.asc(tiebreak_col)

@@ -3222,6 +3222,67 @@ _HAAR_GEN_DUCK = "SELECT unnest(generate_series(0, 511)) AS i"
 _HAAR_GEN_SPARK = "SELECT explode(sequence(0, 511)) AS i"
 
 
+def _haar_spark_array_sql() -> str:
+    """Spark-side Haar spelling: the whole 9-level pyramid as array
+    HOFs over ONE collected 512-element row (optimization r12).
+
+    The relational spelling (_haar_sql — kept verbatim as the DuckDB
+    oracle) chains nine halving GROUP BYs and UNION ALLs nine
+    per-level aggregates; Spark inlines deterministic CTEs at every
+    reference, so each union leg re-executed its whole prefix chain —
+    the plan held 18 scans of events and 180 Exchanges. Here the
+    hourly rollup runs ONCE, the dense 512-vector is assembled as one
+    map (unique group-by keys -> deterministic), every level is a
+    transform() on the previous level's array inside a single
+    projection, and inline() emits the nine stat rows — 1 scan of
+    events + the min-hour pass, zero mid-plan exchanges.
+
+    Exactness: identical BIGINT arithmetic — pair sum v[2j]+v[2j+1]
+    and difference v[2j]-v[2j+1] are the old leg's sum(v) /
+    sum(±v) over exactly those two elements; energies/extrema fold
+    over the same exact integers, so results are bit-identical (the
+    untouched oracle is the proof)."""
+    parts = [f"""
+WITH ev AS (
+  SELECT unix_micros(ts) div {_HOUR_US} AS k FROM events
+), b AS (
+  SELECT min(k) AS k0 FROM ev
+), cnt AS (
+  SELECT CAST(k - k0 AS BIGINT) AS i, CAST(count(1) AS BIGINT) AS v
+  FROM ev CROSS JOIN b WHERE k - k0 < 512 GROUP BY k - k0
+), l0 AS (
+  SELECT transform(sequence(0, 511),
+                   i -> coalesce(try_element_at(m, CAST(i AS BIGINT)),
+                                 CAST(0 AS BIGINT))) AS v0
+  FROM (SELECT map_from_entries(collect_list(struct(i, v))) AS m FROM cnt)
+)"""]
+    for lv in range(1, 10):
+        n = 512 >> lv
+        parts.append(f""",
+l{lv} AS (
+  SELECT *,
+         transform(sequence(0, {n - 1}),
+                   j -> element_at(v{lv - 1}, 2*j+1) + element_at(v{lv - 1}, 2*j+2)) AS v{lv},
+         transform(sequence(0, {n - 1}),
+                   j -> element_at(v{lv - 1}, 2*j+1) - element_at(v{lv - 1}, 2*j+2)) AS d{lv}
+  FROM l{lv - 1}
+)""")
+    structs = ",\n  ".join(
+        f"struct(CAST({lv} AS BIGINT) AS level,"
+        f" CAST(size(d{lv}) AS BIGINT) AS n_coeffs,"
+        f" aggregate(d{lv}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS detail_energy,"
+        f" CAST(array_max(transform(d{lv}, x -> abs(x))) AS BIGINT) AS max_abs_detail,"
+        f" CAST(array_max(v{lv}) AS BIGINT) AS max_approx)"
+        for lv in range(1, 10)
+    )
+    parts.append(f"""
+SELECT inline(array(
+  {structs}))
+FROM l9
+""")
+    return "".join(parts)
+
+
 @query("ts_haar_wavelet", oracle=_haar_sql("epoch_us(ts)", "//", _HAAR_GEN_DUCK))
 def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C268: 9-level unnormalized Haar decomposition of the dense
@@ -3233,15 +3294,13 @@ def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-domain twin; Haar is localized in time).
 
     Scale: one map-side-combined hourly rollup (the only data-sized
-    work), a 1-row min-hour broadcast (audit-allowlisted), then nine
-    halving aggregates over <=512-row tables — no windows at all."""
+    work), a 1-row min-hour broadcast (audit-allowlisted), then the
+    whole bounded 512-element pyramid in one projection — see
+    _haar_spark_array_sql for why the relational chain was replaced
+    on the Spark side (the oracle keeps it)."""
     from ..tables import sql_over
 
-    return sql_over(
-        spark, sf_dir,
-        _haar_sql("unix_micros(ts)", "div", _HAAR_GEN_SPARK),
-        ("events",),
-    )
+    return sql_over(spark, sf_dir, _haar_spark_array_sql(), ("events",))
 
 
 # r12 C269: Pettitt change-point test — the nonparametric "did the

@@ -141,7 +141,13 @@ def udtf_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C52: UDTF (PySpark >= 3.5 table function) exploding the JSON
     props object into (key, value) rows via a LATERAL join — the
     schema-on-read dynamic-properties story (task.ts:172-175,429-431)
-    as a table function. SQL twin: from_json + explode(map)."""
+    as a table function. SQL twin: from_json + explode(map).
+
+    The REPARTITION hint spreads the single-split fixture scan before
+    the per-row Python eval — the UDTF stage ran in ONE Python worker
+    on the one-row-group fixture file (optimization r12 batch-3
+    pattern, guide §2.6/§4); only the two consumed columns cross the
+    boundary."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="event_id bigint, key string, value bigint")
@@ -152,9 +158,11 @@ def udtf_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("json_explode_props", JsonExplode)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    p = spark.sparkContext.defaultParallelism
     return spark.sql(
         "SELECT f.event_id, f.key, f.value "
-        "FROM events, LATERAL json_explode_props(event_id, props) f"
+        f"FROM (SELECT /*+ REPARTITION({p}) */ event_id, props FROM events) e, "
+        "LATERAL json_explode_props(event_id, props) f"
     )
 
 

@@ -983,13 +983,16 @@ def test_generalize_geometry_map_only_plus_spread(spark):
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
 
 
-def test_hilbert_key_zero_shuffle_plan(spark):
-    """etl_hilbert_key: in-row HOF walk — single scan, no Exchange,
-    no Python."""
+def test_hilbert_key_spread_plan(spark):
+    """etl_hilbert_key: in-row HOF walk — single scan, exactly ONE
+    round-robin Exchange (the optimization-r12 spread_for_fanout
+    pattern: the 16-level interpreted walk must not run in one task on
+    a single-split scan), no Python."""
     p = plan_of(spark, "etl_hilbert_key")
     import re
     assert len(re.findall(r"Scan parquet", p)) == 1, p
-    assert "Exchange" not in p, p
+    assert len(re.findall(r"Exchange", p)) == 1, p
+    assert "RoundRobinPartitioning" in p, p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
 
 
