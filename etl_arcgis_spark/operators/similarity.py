@@ -1180,7 +1180,12 @@ def matryoshka_recall(
     prefix screen through the IVF path (sim_ivf_knn) and re-rank
     survivors at full dims. The per-query windows partition by qid —
     no global window; the query x corpus join is the deliberate
-    brute-force baseline, bounded by the sample size."""
+    brute-force baseline, bounded by the sample size. The probe side
+    is spread before the broadcast join (optimization r12 batch-3
+    pattern): the O(n x queries) HOF dot ladder otherwise runs in ONE
+    task on the single-split fixture scan."""
+    from .scale_patterns import spread_for_fanout
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -1198,7 +1203,7 @@ def matryoshka_recall(
             F.col("np").alias("q_np"),
         )
     )
-    joined = e.join(q, F.col("vec_id") != F.col("qid"))
+    joined = spread_for_fanout(e).join(q, F.col("vec_id") != F.col("qid"))
     s_full = r4(
         F.expr(_DOT.format(a="embedding", b="q_emb")) / (F.col("nf") * F.col("q_nf"))
     )
@@ -1258,6 +1263,14 @@ def pq_train_distortions(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITER
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     first = e.orderBy("vec_id").limit(_PQ_K).collect()  # bounded: 16 rows
+    # The assign stage only reads the vector — ship only the consumed
+    # column across the Python boundary (guide §4.1). A
+    # spread_for_fanout probe here measured WORSE (median 3.9 vs
+    # 2.7 s at sf0.1): the 16-centroid probe is O(n·128) flops —
+    # scan-bound, not a multiplicative fan-out — so the exchange of
+    # 10k array rows plus 32-task Python startup outweighed the
+    # parallelism. (optimization r12 session 5)
+    e_assign = e.select("embedding")
     cb = {
         m: np.array([r.embedding[m * 8 : (m + 1) * 8] for r in first], dtype=np.float64)
         for m in range(_PQ_M)
@@ -1267,31 +1280,38 @@ def pq_train_distortions(spark: SparkSession, sf_dir: str, iters: int = _PQ_ITER
         bc = spark.sparkContext.broadcast({m: c.tolist() for m, c in cb.items()})
 
         def assign(batches):
+            # Fully vectorized batch body (optimization r12 session 5,
+            # guide §4.2): the old spelling appended one python dict
+            # PER (row x subspace) — 8n interpreted appends + a
+            # dict-of-rows DataFrame build per batch. Same arithmetic,
+            # same m-major row order (per-m frames concatenated in m
+            # order), so every downstream float accumulation sees the
+            # identical value stream.
             import numpy as _np
+            import pandas as _pd
 
             codebook = {m: _np.array(c) for m, c in bc.value.items()}
             for pdf in batches:
                 vecs = _np.stack(pdf["embedding"].map(_np.asarray))
-                out = []
+                frames = []
                 for m in range(_PQ_M):
                     sub = vecs[:, m * 8 : (m + 1) * 8]
                     d2 = ((sub[:, None, :] - codebook[m][None, :, :]) ** 2).sum(-1)
                     code = d2.argmin(1)
                     err = d2[_np.arange(len(sub)), code]
-                    for i in range(len(sub)):
-                        out.append(
+                    frames.append(
+                        _pd.DataFrame(
                             {
-                                "m": m,
-                                "code": int(code[i]),
-                                "err": float(err[i]),
-                                "sub": sub[i].tolist(),
+                                "m": _np.full(len(sub), m, dtype="int32"),
+                                "code": code.astype("int32"),
+                                "err": err,
+                                "sub": sub.tolist(),
                             }
                         )
-                import pandas as _pd
+                    )
+                yield _pd.concat(frames, ignore_index=True)
 
-                yield _pd.DataFrame(out, columns=["m", "code", "err", "sub"])
-
-        assigned = e.mapInPandas(
+        assigned = e_assign.mapInPandas(
             assign, schema="m int, code int, err double, sub array<double>"
         )
         stats = (

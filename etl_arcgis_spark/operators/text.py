@@ -3461,8 +3461,20 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (F.col("wt") / F.col("ow")).alias("p"))
         .localCheckpoint()
     )
-    ranks = outw.select(F.col("src").alias("w"), F.lit(1.0).alias("score"))
+    # Rank init reads the checkpointed transition table, NOT outw —
+    # referencing outw here re-executed the whole bigram-count chain a
+    # second time (it sits above the checkpoint barrier); norm's src
+    # set IS outw's key set (every source has outgoing weight by
+    # construction). Round t-1's checkpoint is freed as round t lands
+    # (batch-8 hygiene), and the transition table is freed once the
+    # last round pins its result. (optimization r12 session 5)
+    from .scale_patterns import free_checkpoint
+
+    ranks = norm.select(F.col("src").alias("w")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
     for _ in range(_TR_ITERS):
+        prev = ranks
         ranks = (
             norm.join(ranks, norm["src"] == ranks["w"])
             .groupBy(norm["dst"].alias("w2"))
@@ -3475,6 +3487,8 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w2").alias("w"), "score")
             .localCheckpoint()
         )
+        free_checkpoint(prev)  # no-op on the non-checkpoint init frame
+    free_checkpoint(norm)
     return (
         ranks.select(
             F.col("w").alias("keyword"), r4(F.col("score")).alias("textrank")
