@@ -68,13 +68,18 @@ def two_phase_global_median(df: DataFrame, vcol: str, out: str = "m") -> DataFra
     (NaN-division guard). Replaces Spark's built-in `percentile`
     (single-reduce, interpreted, ~2 s per call on the 600k-row
     fixture) where an exact scalar median feeds a later pass."""
+    # Evaluate-once (optimization r12 session 5, the bucketed_global_
+    # rank argument): stats/needed/the 1-row result are size-BOUNDED
+    # and each multiply-referenced — without the barriers every
+    # reference re-ran the full input subtree (profile_outliers_mad
+    # nests two medians plus a count pass: ~12 input evaluations).
     v = df.select(F.col(vcol).alias("v"))
     stats = F.broadcast(
         v.agg(
             F.min("v").alias("mn"),
             F.max("v").alias("mx"),
             F.count(F.lit(1)).alias("n"),
-        )
+        ).localCheckpoint()
     )
     binned = v.crossJoin(stats).withColumn(
         "bin",
@@ -104,14 +109,14 @@ def two_phase_global_median(df: DataFrame, vcol: str, out: str = "m") -> DataFra
     needed = cum.filter(
         (F.col("cum_before") < F.col("r2"))
         & ((F.col("cum_before") + F.col("cnt")) >= F.col("r1"))
-    ).select("bin", "cum_before", "r1", "r2")
+    ).select("bin", "cum_before", "r1", "r2").localCheckpoint()
     cand = binned.select("bin", "v").join(F.broadcast(needed), "bin")
     w_in = Window.partitionBy("bin").orderBy(F.asc("v"))
     ranked = cand.withColumn("grank", F.col("cum_before") + F.row_number().over(w_in))
     hits = ranked.filter(
         (F.col("grank") == F.col("r1")) | (F.col("grank") == F.col("r2"))
     )
-    return hits.agg(F.avg("v").alias(out))
+    return hits.agg(F.avg("v").alias(out)).localCheckpoint()
 
 
 def direction_double(df: DataFrame, a: str, b: str, extra: tuple = ()) -> DataFrame:
