@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import sql_over, table
+from ..tables import row_count, sql_over, table
 from .scale_patterns import bucketed_global_rank, bucketed_running_sums
 
 
@@ -2384,7 +2384,7 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the 64x explode (optimization r12): the single-
     # split scan otherwise runs the whole replicate ladder (64x rows,
     # one md5 + 4 substr + 7-branch CDF each) in ONE task
-    reps = spread_for_fanout(od).withColumn(
+    reps = spread_for_fanout(od, n_rows=row_count(sf_dir, "orders")).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )
     hexes = "0123456789abcdef"
@@ -3816,9 +3816,12 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("side") == "xx", 1).otherwise(0)).alias("b"),
         )
         .agg(
-            F.sum("a").alias("na"),
-            F.sum("b").alias("nb"),
-            F.sum(F.col("a") * F.col("b")).alias("nint"),
+            # coalesce to 0: sum over zero rows is NULL, and the three
+            # .count() calls this aggregate replaced returned 0 on an
+            # empty documents fixture (ADVICE r12)
+            F.coalesce(F.sum("a"), F.lit(0)).alias("na"),
+            F.coalesce(F.sum("b"), F.lit(0)).alias("nb"),
+            F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).alias("nint"),
         )
         .first()
     )
@@ -5023,7 +5026,9 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise computes all B x |orders| md5 coins in ONE task). The
     # hint is a no-op for the result: every draw aggregate is an exact
     # BIGINT sum.
-    spread = spark.sparkContext.defaultParallelism
+    from .scale_patterns import spread_width
+
+    spread = spread_width(spark, sf_dir, "orders")
     sql = (
         _permtest_sql("instr", "substring")
         .replace("AS VARCHAR", "AS STRING")
@@ -6272,7 +6277,10 @@ SELECT n, sx, b, sxx_c,
          / CAST(n - 2 AS DOUBLE) AS mse
 FROM fit
 """
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint (ADVICE r12): merely CONSTRUCTING this DataFrame
+    # (plan-dump tooling) must not run the full lineitem scan; the
+    # barrier still materializes exactly once, at the first action.
     fit2.createOrReplaceTempView("cooks_fit2")
     out = spark.sql(
         """
@@ -6302,6 +6310,7 @@ LIMIT 10
     )
     spark.catalog.dropTempView("cooks_f")
     spark.catalog.dropTempView("cooks_fit2")
+    spark.catalog.dropTempView("lineitem")  # ADVICE r12: full hygiene
     return out
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4
 from ..registry import query
-from ..tables import table
+from ..tables import row_count, table
 
 
 @query(
@@ -524,7 +524,8 @@ def dedup_minhash_banding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_fanout(
         table(spark, sf_dir, "documents").select(
             "doc_id", F.split("text", " ").alias("l")
-        )
+        ),
+        n_rows=row_count(sf_dir, "documents"),
     )
     d = docs.select(
         "doc_id",
@@ -785,7 +786,9 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import simhash_fingerprint
 
     docs = table(spark, sf_dir, "documents")
-    fp = simhash_fingerprint(spark, docs, 32, "simhash32")
+    fp = simhash_fingerprint(
+        spark, docs, 32, "simhash32", n_rows=row_count(sf_dir, "documents")
+    )
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash32"), 8 * b).bitwiseAND(F.lit(255))
@@ -1260,7 +1263,8 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_fanout(
         table(spark, sf_dir, "documents").select(
             "doc_id", "source", F.split("text", " ").alias("l")
-        )
+        ),
+        n_rows=row_count(sf_dir, "documents"),
     )
     d = docs.select(
         "doc_id",

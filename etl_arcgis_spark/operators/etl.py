@@ -588,8 +588,9 @@ def etl_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster whose scan already parallelizes it is a cheap balancing
     pass of the 3-int pre-walk rows."""
     from ..tables import sql_over
+    from .scale_patterns import spread_width
 
-    p = spark.sparkContext.defaultParallelism
+    p = spread_width(spark, sf_dir, "orders")
     return sql_over(
         spark,
         sf_dir,

@@ -1422,19 +1422,20 @@ FROM sp
 def graph_diameter_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C279: exact all-pairs shortest paths on the brand-bounded
     graph — diameter, connected ordered-pair count, and mean
-    geodesic distance. The Spark side runs the canonical BFS
-    frontier loop: dist holds the best-known (src,dst,d); each round
-    extends the latest frontier through the edge list, keeps genuinely
-    new pairs, and stops when a round adds none — exactly
-    min(diameter, cap) rounds. At 100 TB the same loop runs with
-    dist/edges as bucketed tables; state never exceeds
-    |reachable pairs|.
+    geodesic distance. Spark runs the one data-sized stage (edge
+    extraction: an orderkey-shuffle self-join, shared shape with
+    triangle count) and the final aggregate; the BFS frontier loop
+    itself runs DRIVER-SIDE over the collected <=100-node edge list
+    (optimization r12 — see the block comment below), which is
+    legitimate bounded-driver work because the node cap is part of
+    the operator's contract. At a scale where the cap were lifted,
+    the loop swaps back to checkpointed DataFrame rounds with
+    dist/edges as bucketed tables.
 
-    Scale: edge extraction is the only data-sized stage (one
-    orderkey-shuffle self-join, shared shape with triangle count);
-    the loop's joins run on broadcast-sized bounded tables here and
-    hash-partitioned tables at scale; the convergence check is one
-    count per round (bounded rounds)."""
+    Scale: edge extraction is the only data-sized stage; the
+    driver-side BFS touches only the cap-bounded pair set; the final
+    reduction is one Spark aggregate so round()/avg semantics match
+    the oracle's engine-side arithmetic."""
     from ..tables import sql_over
 
     # The BFS state is bounded by |reachable pairs| of a <=100-node

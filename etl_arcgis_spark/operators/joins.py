@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import ev_us, r4, r4_sql
 from ..registry import query
-from ..tables import dim_customer_geo, sql_over, table
+from ..tables import dim_customer_geo, row_count, sql_over, table
 
 
 @query(
@@ -370,7 +370,7 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (optimization r12): the single-split part scan otherwise runs the
     # whole per-brand pair enumeration — millions of O(len²)
     # levenshtein DPs — in ONE task
-    a = spread_for_fanout(p).select(
+    a = spread_for_fanout(p, n_rows=row_count(sf_dir, "part")).select(
         F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand_b"),

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import r4
 from ..registry import query
-from ..tables import table
+from ..tables import row_count, table
 
 
 def _rng_bytes(seed: bytes, n: int) -> bytes:
@@ -192,7 +192,10 @@ def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the Python synth/decode ladder (optimization r12):
     # the single-split documents scan otherwise runs the whole codec
     # pipeline in ONE Python worker
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -304,7 +307,10 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     from .scale_patterns import spread_for_fanout
 
     # spread BEFORE the Python synth/codec ladder (optimization r12)
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -478,7 +484,10 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_patterns import spread_for_fanout
 
     # spread BEFORE the Python synth/codec ladder (optimization r12)
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -694,7 +703,10 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_patterns import spread_for_fanout
 
     # spread BEFORE the Python synth/codec ladder (optimization r12)
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -815,7 +827,10 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_patterns import spread_for_fanout
 
     # spread BEFORE the Python synth/codec ladder (optimization r12)
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id")).filter(
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    ).filter(
         F.col("doc_id") < 200
     )
 
@@ -932,7 +947,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale_patterns import spread_for_fanout
 
     # spread BEFORE the Python synth/codec ladder (optimization r12)
-    docs = spread_for_fanout(table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread_for_fanout(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        n_rows=row_count(sf_dir, "documents"),
+    )
 
     def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -19,7 +19,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def spread_for_fanout(df: DataFrame) -> DataFrame:
+def spread_for_fanout(
+    df: DataFrame, n_rows: int | None = None, rows_per_task: int = 50
+) -> DataFrame:
     """Round-robin repartition of a SMALL frame across the session's
     default parallelism, placed immediately BEFORE a multiplicative
     compute stage (a B-replicate explode, an O(n²) pair probe, a
@@ -40,9 +42,36 @@ def spread_for_fanout(df: DataFrame) -> DataFrame:
     exchange-order-safely (exact integers or §5.3.1-audited doubles).
 
     Use ONLY before fan-outs. Scan-bound queries must NOT pay this
-    exchange (OPTIMIZATION_r12.md batch-1 note)."""
+    exchange (OPTIMIZATION_r12.md batch-1 note).
+
+    Width cap (optimization r13, VERDICT r12 order #7): with an
+    ``n_rows`` hint (parquet-footer count of the base table — an upper
+    bound for filtered frames, which is fine: the cap only needs the
+    order of magnitude), the width is
+    ``min(defaultParallelism, max(8, n_rows // rows_per_task))`` —
+    on a many-core driver (128+) an uncapped spread of a 2k-row frame
+    would produce hundreds of near-empty tasks each feeding a tiny
+    fan-out, paying scheduling floors for no parallelism. At 8 and 32
+    local cores the cap is inactive for every fixture table (measured
+    r13), so the driver's low-core scaling point is unchanged."""
     parts = df.sparkSession.sparkContext.defaultParallelism
+    if n_rows and n_rows > 0:
+        parts = min(parts, max(8, n_rows // rows_per_task))
     return df.repartition(parts)
+
+
+def spread_width(spark, sf_dir: str, name: str, rows_per_task: int = 50) -> int:
+    """The spread_for_fanout width cap as a bare integer, for call
+    sites that spread via a SQL ``/*+ REPARTITION(n) */`` hint instead
+    of DataFrame.repartition (optimization r13, VERDICT r12 order #7).
+    Same formula: min(cores, max(8, footer_rows // rows_per_task))."""
+    from ..tables import row_count
+
+    parts = spark.sparkContext.defaultParallelism
+    n_rows = row_count(sf_dir, name)
+    if n_rows > 0:
+        parts = min(parts, max(8, n_rows // rows_per_task))
+    return parts
 
 
 def two_phase_global_median(df: DataFrame, vcol: str, out: str = "m") -> DataFrame:

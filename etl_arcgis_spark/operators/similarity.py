@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import r4
 from ..registry import query
-from ..tables import sql_over, table
+from ..tables import row_count, sql_over, table
 
 # Shared SQL fragments (Spark side). Products are widened to double
 # BEFORE multiplying on both engines so float32 rounding never differs.
@@ -428,7 +428,7 @@ def sim_cosine_pairs_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (optimization r12): one split in, one task probing n²/2 pairs
     # with a 64-term interpreted HOF dot each — the probe, not the
     # scan, is the cost at every SF
-    a = spread_for_fanout(e).alias("a")
+    a = spread_for_fanout(e, n_rows=row_count(sf_dir, "embeddings")).alias("a")
     b = e.alias("b")
     cos = F.expr(_DOT.format(a="a.embedding", b="b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
@@ -1203,7 +1203,9 @@ def matryoshka_recall(
             F.col("np").alias("q_np"),
         )
     )
-    joined = spread_for_fanout(e).join(q, F.col("vec_id") != F.col("qid"))
+    joined = spread_for_fanout(
+        e, n_rows=row_count(sf_dir, "embeddings")
+    ).join(q, F.col("vec_id") != F.col("qid"))
     s_full = r4(
         F.expr(_DOT.format(a="embedding", b="q_emb")) / (F.col("nf") * F.col("q_nf"))
     )
@@ -1856,7 +1858,10 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # quadratic in iteration count). Values are untouched — the
     # barriers only pin where recomputation stops.
     q = (
-        spread_for_fanout(table(spark, sf_dir, "embeddings"))
+        spread_for_fanout(
+            table(spark, sf_dir, "embeddings"),
+            n_rows=row_count(sf_dir, "embeddings"),
+        )
         .select(
             "vec_id",
             "label",

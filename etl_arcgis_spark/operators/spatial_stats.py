@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import r4
 from ..registry import query
-from ..tables import table
+from ..tables import row_count, table
 
 # Derived point layer, same convention as filters.py/joins.py: exact
 # half-integer lon/lat from the customer key (the key mod (360, 160)
@@ -2490,7 +2490,10 @@ def _generalized_rings(
     # the single-split customer scan otherwise runs every ring's
     # build + thinning sweeps in ONE task
     df = (
-        spread_for_fanout(table(spark, sf_dir, "customer"))
+        spread_for_fanout(
+            table(spark, sf_dir, "customer"),
+            n_rows=row_count(sf_dir, "customer"),
+        )
         .select(
             "c_custkey",
             F.expr(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import r4
 from ..registry import query
-from ..tables import table
+from ..tables import row_count, table
 from .scale_patterns import bucketed_running_sums
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -263,11 +263,17 @@ def text_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an oracle: per word, bit j votes +/-1 by the j-th md5 hex
     digit's high bit; the fingerprint packs the positive votes."""
     docs = table(spark, sf_dir, "documents")
-    return simhash_fingerprint(spark, docs, 16, "simhash16")
+    return simhash_fingerprint(
+        spark, docs, 16, "simhash16", n_rows=row_count(sf_dir, "documents")
+    )
 
 
 def simhash_fingerprint(
-    spark: SparkSession, docs: DataFrame, nbits: int, out_col: str
+    spark: SparkSession,
+    docs: DataFrame,
+    nbits: int,
+    out_col: str,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """md5-plane SimHash over whitespace tokens (nbits <= 32: one md5
     hex digit's high bit per plane). Shared by the per-doc fingerprint
@@ -286,7 +292,9 @@ def simhash_fingerprint(
     # re-evaluated per plane row (nbits x |words| md5s, 32x the work
     # for an identical value: substring(md5(w), j+1, 1) only varies
     # in j).
-    words = spread_for_fanout(docs.select("doc_id", "text")).select(
+    words = spread_for_fanout(
+        docs.select("doc_id", "text"), n_rows=n_rows
+    ).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", F.md5("w").alias("h"))
     hexdigit = F.substring(F.col("h"), F.col("j") + 1, 1)
@@ -2481,7 +2489,10 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread BEFORE the per-token md5/HOF ladder (optimization
         # r12): the single-split documents scan otherwise evaluates
         # every token's boundary hash serially in one task
-        spread_for_fanout(table(spark, sf_dir, "documents"))
+        spread_for_fanout(
+            table(spark, sf_dir, "documents"),
+            n_rows=row_count(sf_dir, "documents"),
+        )
         .withColumn("l", F.split("text", " "))
         # cut AFTER token i when md5's last hex digit is in {0, 8}
         .withColumn(
@@ -3488,6 +3499,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         free_checkpoint(prev)  # no-op on the non-checkpoint init frame
+    # Freeing norm is only safe because _TR_ITERS >= 1 guarantees the
+    # returned `ranks` is a checkpointed frame independent of norm; at
+    # 0 iterations the init frame would still read norm's blocks
+    # (ADVICE r12).
+    assert _TR_ITERS >= 1
     free_checkpoint(norm)
     return (
         ranks.select(

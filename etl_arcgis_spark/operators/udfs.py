@@ -156,9 +156,11 @@ def udtf_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, v in json.loads(props).items():
                 yield event_id, k, int(v)
 
+    from .scale_patterns import spread_width
+
     spark.udtf.register("json_explode_props", JsonExplode)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    p = spark.sparkContext.defaultParallelism
+    p = spread_width(spark, sf_dir, "events")
     return spark.sql(
         "SELECT f.event_id, f.key, f.value "
         f"FROM (SELECT /*+ REPARTITION({p}) */ event_id, props FROM events) e, "

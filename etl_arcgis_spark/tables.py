@@ -142,6 +142,29 @@ def input_bytes(sf_dir: str, name: str) -> int:
         return 0
 
 
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from the parquet FOOTER
+    (driver-side pyarrow metadata read, no Spark job) — the hint
+    spread_for_fanout's data-adaptive width cap keys on (optimization
+    r13, VERDICT r12 order #7). Directory fixtures sum their parts;
+    0 if the table is absent (callers treat 0 as 'no hint')."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return 0
+
+
 def parquet_schema(path: str) -> T.StructType:
     """Spark schema of a fixture parquet file, from a driver-side
     pyarrow footer read — no Spark job, unlike schema inference.

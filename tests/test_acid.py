@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 from etl_arcgis_spark import acid
 
 
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
+
+
 def _rows(df):
     return sorted(map(tuple, df.select("id", "v").collect()))
 
@@ -780,6 +786,7 @@ def test_merge_conditions_compose(spark, tbl):
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
 
 _ops = st.lists(
     st.one_of(

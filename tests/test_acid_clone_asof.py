@@ -2,11 +2,20 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import time
 
 from etl_arcgis_spark import acid
+
+
+
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 def _mk(spark, tmp_path, name, rows):

@@ -11,6 +11,13 @@ import pytest
 from etl_arcgis_spark import acid
 
 
+
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
+
+
 def _mk(spark, tmp_path, name="t", n=6):
     root = str(tmp_path / name)
     df = spark.createDataFrame(

@@ -14,6 +14,13 @@ from pyspark.sql import functions as F
 from etl_arcgis_spark import acid
 
 
+
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
+
+
 def _mk(spark, tmp_path, name="eq", n=10):
     root = str(tmp_path / name)
     df = spark.createDataFrame(

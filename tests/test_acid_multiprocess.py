@@ -23,6 +23,7 @@ import pytest
 
 from etl_arcgis_spark import acid
 
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WRITER = textwrap.dedent(
@@ -55,6 +56,12 @@ _WRITER = textwrap.dedent(
     spark.stop()
     """
 )
+
+
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 def test_two_process_writers_and_vacuum_no_lost_snapshot(spark, tmp_path):

@@ -14,12 +14,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_arcgis_spark.sources.arcgis_http import (
+
     HttpTokenBroker,
     SimFeatureServer,
     _fetch_with_retry,
     _parse_where,
     register,
 )
+
+
+# Slow tier (optimization r13, VERDICT r12 order #2): heavyweight
+# subprocess/streaming/property suite — excluded from the default
+# pytest run (pytest.ini), executed with `-m slow`.
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -137,3 +137,80 @@ def test_tripwire_would_have_flagged_the_r11_cosine_creep():
         idle_pin=0.9968,  # the r10 continuation idle pin (BASELINE.md)
     )
     assert any("headline_total" in w for w in warnings), warnings
+
+
+def test_tripwire_v3_fires_on_synthetic_regression_and_not_on_quiet_runs():
+    """VERDICT r12 order #4 'done' criterion: the floor-adjusted
+    tripwire (pin = best reproducible quiet triplet, compare
+    floor-adjusted totals at 1.25x) must FIRE on a synthetic +40%
+    total and stay QUIET on recorded honest quiet runs.
+
+    The synthetic regression: the pin run itself, every query 40%
+    slower, floors unchanged. The honest runs: the r13 opening quiet
+    readings on this host class (plans/r13/bench_open_{1,2}.json —
+    adjusted totals 1.0329 / 1.7318 s at their own measured floors;
+    the old 2.9742 pin at 1.15x would also have stayed quiet, but it
+    would NOT have fired on the synthetic +40% — 2.464 < 3.420 —
+    which is exactly the 1.7x slack VERDICT r12 what's-wrong #2
+    documents)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # synthetic +40%: pin-run per-query totals x 1.4, pin-run floors
+    synth_total = bench.LAST_IDLE_PIN_SEC * 1.4
+    synth_adj = (
+        synth_total
+        - 8 * bench.LAST_IDLE_PIN_FLOOR_QUERY
+        - (bench.LAST_IDLE_PIN_N_JOBS - 8) * bench.LAST_IDLE_PIN_FLOOR_JOB
+    )
+    fired = bench.tripwire({}, synth_adj, {}, "none")
+    assert any("headline_total" in w for w in fired), (
+        f"synthetic +40% (adj {synth_adj:.4f} vs pin-adj "
+        f"{bench.LAST_IDLE_PIN_ADJ_SEC}) did not fire: {fired}"
+    )
+
+    # honest quiet runs: recorded floor-adjusted totals stay quiet
+    for adj in (1.0329, 1.7318):
+        quiet = bench.tripwire({}, adj, {}, "none")
+        assert not quiet, f"honest quiet adj total {adj} fired: {quiet}"
+
+    # loaded-host escape hatch: a fired warning on a load_suspect run
+    # must SAY so (explicit loadavg gate, not pin slack)
+    noisy = bench.tripwire({}, synth_adj, {}, "none", load_suspect=True)
+    assert noisy and all("load_suspect" in w for w in noisy), noisy
+
+
+def test_optimization_doc_touched_queries_have_plan_dumps():
+    """VERDICT r12 order #8: plan evidence can't silently go missing.
+    The latest OPTIMIZATION_r{N}.md carries a machine-readable
+    'Touched queries:' list (backtick-quoted names, r13+); for every
+    listed name, plans/r{N}/<name>_before.txt AND _after.txt must
+    exist. Deleting a dump (or forgetting to commit one) fails this
+    test. Rounds before r13 predate the convention and are skipped."""
+    import glob
+
+    docs = glob.glob(os.path.join(_REPO, "OPTIMIZATION_r*.md"))
+    assert docs, "no OPTIMIZATION_r*.md found"
+    latest = max(
+        docs, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    )
+    n = int(re.search(r"r(\d+)", os.path.basename(latest)).group(1))
+    if n < 13:
+        return  # pre-convention round
+    text = _read(os.path.basename(latest))
+    m = re.search(r"^Touched queries:(.*?)$", text, re.M | re.S)
+    assert m, f"{latest} has no 'Touched queries:' list"
+    names = re.findall(r"`([a-z][a-z0-9_]+)`", m.group(0).split("\n\n")[0])
+    assert names, f"'Touched queries:' list in {latest} is empty"
+    missing = []
+    for q in names:
+        for suffix in ("before", "after"):
+            p = os.path.join(_REPO, "plans", f"r{n}", f"{q}_{suffix}.txt")
+            if not os.path.exists(p):
+                missing.append(os.path.relpath(p, _REPO))
+    assert not missing, f"touched queries missing plan dumps: {missing}"

@@ -228,3 +228,36 @@ def test_spread_for_fanout_preserves_rows_and_spreads(spark):
     a = out.withColumn("p", F.spark_partition_id()).groupBy("p").count()
     b = spread_for_fanout(df).withColumn("p", F.spark_partition_id()).groupBy("p").count()
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_free_checkpoint_unpersist_path_fires_on_this_spark_version(spark):
+    """ADVICE r12: free_checkpoint reaches through private py4j
+    internals (analyzed plan -> LogicalRDD -> rdd -> unpersist) and
+    silently no-ops if a Spark upgrade renames them — which would
+    quietly reintroduce the checkpoint-block leak it exists to fix.
+    Assert the unpersist actually fires: the checkpointed RDD's id
+    must appear in the context's storage info before the call and
+    disappear after it."""
+    import time
+
+    from etl_arcgis_spark.operators.scale_patterns import free_checkpoint
+
+    df = spark.range(10_000).localCheckpoint()
+    rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+    jsc = spark.sparkContext._jsc.sc()
+    ids_before = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert rdd_id in ids_before, (
+        "localCheckpoint did not register a persisted RDD — the "
+        "py4j accessor path itself has drifted"
+    )
+    free_checkpoint(df)
+    # unpersist(False) is non-blocking; poll briefly
+    for _ in range(50):
+        if rdd_id not in {info.id() for info in jsc.getRDDStorageInfo()}:
+            break
+        time.sleep(0.1)
+    assert rdd_id not in {info.id() for info in jsc.getRDDStorageInfo()}, (
+        "free_checkpoint silently no-opped: the checkpoint block is "
+        "still persisted — update the accessor path for this Spark "
+        "version"
+    )
