@@ -105,27 +105,53 @@ SELECT * FROM (
 
 
 def _register_funnel_views(spark: SparkSession, sf_dir: str) -> None:
-    """Build the funnel's stage frames ONCE each and register them as
-    temp views (corpus_f_*), with a localCheckpoint barrier per stage.
+    """Build the funnel's stage frames and register them as temp views
+    (corpus_f_*), with THREE localCheckpoint barriers (optimization
+    r13, VERDICT r12 order #5 — fused from the r12 six).
 
-    Why (optimization r12, guide §3.3 "materialise an intermediate" /
-    §2.4): Spark inlines deterministic CTEs at every reference, so the
-    original one-SQL-text funnel re-planned — and re-executed — the
-    whole upstream chain for each count branch and each downstream
-    CTE: `neard` (the quadratic near-dup pipeline) ran 3-6x per query.
-    Checkpointing each stage bounds every stage to ONE execution. NOT
-    result caching: the checkpoints live inside one query build and
-    are recomputed from parquet on every invocation.
+    Why barriers at all (optimization r12, guide §3.3 "materialise an
+    intermediate" / §2.4): Spark inlines deterministic CTEs at every
+    reference, so the original one-SQL-text funnel re-planned — and
+    re-executed — the whole upstream chain for each count branch and
+    each downstream CTE: the quadratic near-dup pipeline ran 3-6x per
+    query. NOT result caching: the checkpoints live inside one query
+    build and are recomputed from parquet on every invocation.
+
+    Why only three (optimization r13): each barrier is a separate Spark
+    job and pays the host's fixed per-job cost (~0.5-1 s here), so
+    consecutive stages FUSE into one checkpoint wherever the
+    intermediate had a single consumer or its consumers only need a
+    filter of the fused frame:
+
+    - ``corpus_f_exactfull`` = quality gate + md5 dedup window in ONE
+      job, keeping ALL gated rows with their dedup rank ``rn``. The
+      gated stage count is count(exactfull); the exact stage is the
+      narrow filter rn = 1 (view ``corpus_f_exact``).
+    - ``corpus_f_g4`` unchanged (its two consumers filter it two ways).
+    - ``corpus_f_nclean`` = near-dup drop + decontamination in ONE job:
+      the bigram `grams` set is INLINED (its three references — sizes,
+      both self-join legs — share one subtree, so exchange reuse
+      already bounds it to one execution; the r12 session-5 probe that
+      measured checkpointing the standalone gram set SLOWER is the
+      evidence), and the decontamination verdict is carried as an
+      ``is_clean`` flag on the surviving near-dedup rows instead of a
+      separate checkpointed anti-join. ``corpus_f_neard`` (all rows)
+      and ``corpus_f_clean`` (is_clean only) are narrow filter views
+      of it; ``contaminated`` doc_ids are DISTINCT, so the LEFT JOIN
+      preserves row multiplicity and the flag equals the oracle's
+      NOT EXISTS membership test row-for-row.
 
     The REPARTITION hints spread the two direct `documents` scans
     across cores before their per-token lambda ladders (the
-    spread_for_fanout pattern — the single-row-group fixture scan is
-    otherwise ONE task); all other stages inherit shuffle parallelism.
-    Row sets are identical — placement only."""
-    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    p = spark.sparkContext.defaultParallelism
+    spread_for_fanout pattern, width-capped per VERDICT r12 order #7);
+    all other stages inherit shuffle parallelism. Row sets are
+    identical — placement only."""
+    from .scale_patterns import free_checkpoint, spread_width
 
-    gated = spark.sql(f"""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p = spread_width(spark, sf_dir, "documents")
+
+    exactfull = spark.sql(f"""
         WITH t AS (
           SELECT /*+ REPARTITION({p}) */ doc_id, source, text,
                  split(text, ' ') AS l
@@ -139,50 +165,21 @@ def _register_funnel_views(spark: SparkSession, sf_dir: str) -> None:
                        / (size(l) - 1)
                  ELSE 1.0 END AS rep
           FROM t
+        ), gated AS (
+          SELECT doc_id, source, md5(text) AS h, l FROM g
+          WHERE n_tokens >= 20 AND n_tokens <= 90 AND rep <= 0.2
         )
-        SELECT doc_id, source, md5(text) AS h, l FROM g
-        WHERE n_tokens >= 20 AND n_tokens <= 90 AND rep <= 0.2
+        SELECT doc_id, source, l,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM gated
     """).localCheckpoint()
-    gated.createOrReplaceTempView("corpus_f_gated")
-
-    exact = spark.sql("""
-        SELECT doc_id, source, l FROM (
-          SELECT doc_id, source, l,
-                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-          FROM corpus_f_gated
-        ) WHERE rn = 1
-    """).localCheckpoint()
-    exact.createOrReplaceTempView("corpus_f_exact")
-
-    grams = spark.sql("""
-        SELECT DISTINCT doc_id, source, bg FROM (
-          SELECT doc_id, source,
-                 explode(transform(sequence(1, size(l) - 1),
-                         i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS bg
-          FROM corpus_f_exact
-        )
-    """).localCheckpoint()
-    grams.createOrReplaceTempView("corpus_f_grams")
-
-    neard = spark.sql("""
-        WITH sizes AS (
-          SELECT doc_id, count(1) AS n_grams FROM corpus_f_grams GROUP BY doc_id
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
-          FROM corpus_f_grams a JOIN corpus_f_grams b
-            ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ), neardup_drop AS (
-          SELECT DISTINCT id_b AS doc_id
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
-        )
-        SELECT e.doc_id, e.l FROM corpus_f_exact e
-        WHERE NOT EXISTS (SELECT 1 FROM neardup_drop d WHERE d.doc_id = e.doc_id)
-    """).localCheckpoint()
-    neard.createOrReplaceTempView("corpus_f_neard")
+    exactfull.createOrReplaceTempView("corpus_f_exactfull")
+    spark.sql(
+        "SELECT doc_id, source, l FROM corpus_f_exactfull"
+    ).createOrReplaceTempView("corpus_f_gated")
+    spark.sql(
+        "SELECT doc_id, source, l FROM corpus_f_exactfull WHERE rn = 1"
+    ).createOrReplaceTempView("corpus_f_exact")
 
     g4 = spark.sql(f"""
         SELECT doc_id,
@@ -194,23 +191,57 @@ def _register_funnel_views(spark: SparkSession, sf_dir: str) -> None:
     """).localCheckpoint()
     g4.createOrReplaceTempView("corpus_f_g4")
 
-    clean = spark.sql("""
-        WITH bench AS (
+    nclean = spark.sql("""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, source, bg FROM (
+            SELECT doc_id, source,
+                   explode(transform(sequence(1, size(l) - 1),
+                           i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS bg
+            FROM corpus_f_exact
+          )
+        ), sizes AS (
+          SELECT doc_id, count(1) AS n_grams FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+          FROM grams a JOIN grams b
+            ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), neardup_drop AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+        ), neard AS (
+          SELECT e.doc_id, e.l FROM corpus_f_exact e
+          WHERE NOT EXISTS (SELECT 1 FROM neardup_drop d WHERE d.doc_id = e.doc_id)
+        ), bench AS (
           SELECT DISTINCT g4g FROM corpus_f_g4 WHERE doc_id % 97 = 0
         ), contaminated AS (
           SELECT DISTINCT c.doc_id
           FROM corpus_f_g4 c JOIN bench b ON c.g4g = b.g4g
           WHERE c.doc_id % 97 <> 0
         )
-        SELECT n.doc_id FROM corpus_f_neard n
-        WHERE n.doc_id % 97 <> 0
-          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = n.doc_id)
+        SELECT n.doc_id, n.l,
+               (n.doc_id % 97 <> 0 AND c.doc_id IS NULL) AS is_clean
+        FROM neard n LEFT JOIN contaminated c ON c.doc_id = n.doc_id
     """).localCheckpoint()
-    clean.createOrReplaceTempView("corpus_f_clean")
+    nclean.createOrReplaceTempView("corpus_f_nclean")
+    spark.sql(
+        "SELECT doc_id, l FROM corpus_f_nclean"
+    ).createOrReplaceTempView("corpus_f_neard")
+    spark.sql(
+        "SELECT doc_id FROM corpus_f_nclean WHERE is_clean"
+    ).createOrReplaceTempView("corpus_f_clean")
+    # g4's blocks are dead once nclean is materialized (both its
+    # consumers live inside the nclean subtree) — free them now; the
+    # view stays registered only until _drop_funnel_views
+    free_checkpoint(g4)
 
 
 _FUNNEL_VIEWS = (
-    "corpus_f_gated", "corpus_f_exact", "corpus_f_grams",
+    "corpus_f_exactfull", "corpus_f_nclean",
+    "corpus_f_gated", "corpus_f_exact",
     "corpus_f_neard", "corpus_f_g4", "corpus_f_clean",
     "corpus_f_cleanl", "corpus_f_bk2", "corpus_f_dsir",
 )
@@ -386,13 +417,17 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     per reference. Oracle keeps the one-text spelling as ground
     truth."""
     _register_funnel_views(spark, sf_dir)
-    p = spark.sparkContext.defaultParallelism
+    from .scale_patterns import free_checkpoint, spread_width
 
-    cleanl = spark.sql("""
-        SELECT n.doc_id, n.l
-        FROM corpus_f_neard n JOIN corpus_f_clean c ON n.doc_id = c.doc_id
-    """).localCheckpoint()
-    cleanl.createOrReplaceTempView("corpus_f_cleanl")
+    p = spread_width(spark, sf_dir, "documents")
+
+    # cleanl = neard JOIN clean is, since the r13 nclean fusion, just
+    # the is_clean filter of the nclean barrier (same doc_id set — the
+    # oracle's join keys are unique — with l already attached): a
+    # narrow VIEW, not a fourth checkpoint job.
+    spark.sql(
+        "SELECT doc_id, l FROM corpus_f_nclean WHERE is_clean"
+    ).createOrReplaceTempView("corpus_f_cleanl")
 
     bk2 = spark.sql(f"""
         SELECT x.doc_id,
@@ -425,6 +460,9 @@ def corpus_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id FROM scored WHERE n_pos * 2 >= n_grams
     """).localCheckpoint()
     dsir.createOrReplaceTempView("corpus_f_dsir")
+    # bk2's blocks are dead once dsir is materialized (its only
+    # consumers are dsir's two CTE references)
+    free_checkpoint(bk2)
 
     out = spark.sql("""
         WITH surv AS (
