@@ -1160,6 +1160,17 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical to the oracle. Everything the arithmetic touches
     (sigma, dq, grouping) is key-bijection-invariant.
 
+    Packed keys (optimization r13, VERDICT r12 order #3): the
+    per-source state key (src, node) is carried as ONE long,
+    pk = node * 16 + src DIV 2 — src is one of the {s} even pivot ids
+    2k (k < 8), so src DIV 2 occupies 4 bits and the packing is a
+    bijection. Every loop join, anti-join and aggregate then keys on a
+    single 8-byte column instead of a two-column composite: half the
+    key bytes through each of the ~8 deg-expanded exchanges and
+    single-word hash/compare in every hash table. node and src are
+    recovered exactly (pk DIV 16, (pk % 16) * 2) — only where an edge
+    endpoint or the final readout needs them.
+
     Scale: every round is one edge join + one hash aggregate, all
     keyed (src, node) — sources process TOGETHER as one column, so
     pivot count scales the data volume, not the round count; depth is
@@ -1193,20 +1204,27 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
+        # packed state key (optimization r13): pk = node*16 + src DIV 2
+        # — a bijection of (src, node) into one long (src = 2k, k < 8).
+        # Initially node == src.
         f = (
             table(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") < _BC_SOURCES)
             .select((F.col("c_custkey").cast("bigint") * 2).alias("src"))
-            .select("src", F.col("src").alias("node"),
-                    F.lit(1).cast("bigint").alias("sigma"),
-                    F.lit(0).alias("lvl"))
+            .select(
+                (F.col("src") * 16 + F.expr("src DIV 2")).alias("pk"),
+                F.lit(1).cast("bigint").alias("sigma"),
+                F.lit(0).alias("lvl"),
+            )
         )
         visited = f.localCheckpoint()
         frontier = visited
         for k in range(1, _BC_DEPTH + 1):
             cand = (
-                edges.join(frontier, edges["u"] == frontier["node"])
-                .select("src", edges["v"].alias("node"), "sigma")
+                edges.join(frontier, edges["u"] == F.expr("pk DIV 16"))
+                .select(
+                    (edges["v"] * 16 + F.expr("pk % 16")).alias("pk"), "sigma"
+                )
             )
             # aggregate BEFORE the anti-join (optimization r12, guide
             # §2.3): the two commute — the anti-join drops whole
@@ -1216,13 +1234,11 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # expanded, ~1M at sf0.1 round 2) to <= |src|x|nodes|
             # partials at ANY scale.
             nxt = (
-                cand.groupBy("src", "node")
+                cand.groupBy("pk")
                 .agg(F.sum("sigma").cast("bigint").alias("sigma"))
                 .join(
-                    visited.select(
-                        F.col("src").alias("vs"), F.col("node").alias("vn")
-                    ),
-                    (F.col("src") == F.col("vs")) & (F.col("node") == F.col("vn")),
+                    visited.select(F.col("pk").alias("vpk")),
+                    F.col("pk") == F.col("vpk"),
                     "left_anti",
                 )
                 .withColumn("lvl", F.lit(k))
@@ -1237,7 +1253,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         # backward accumulation
         deltas = (
             visited.filter(F.col("lvl") == _BC_DEPTH)
-            .select("src", "node", "lvl", "sigma",
+            .select("pk", "lvl", "sigma",
                     F.lit(0).cast("bigint").alias("dq"))
             .localCheckpoint()
         )
@@ -1245,21 +1261,23 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_BC_DEPTH - 1, -1, -1):
             lower = visited.filter(F.col("lvl") == k)
             succ = deltas.filter(F.col("lvl") == k + 1).select(
-                F.col("src").alias("ws"), F.col("node").alias("wn"),
+                F.col("pk").alias("wpk"),
                 F.col("sigma").alias("wsig"), F.col("dq").alias("wdq"),
             )
             # shuffled-hash hint on the successor side (optimization
             # r12, guide §3.2): succ is the pivot-bounded delta table,
             # far smaller than the deg-expanded lower⋈edges stream —
             # SHJ builds on succ and skips the SMJ sort of the big
-            # intermediate (per partition, at any scale).
+            # intermediate (per partition, at any scale). The join key
+            # is the packed successor state (v*16 + src DIV 2) == wpk:
+            # one long instead of the (src, wn) composite.
             contrib = (
-                lower.join(edges, edges["u"] == lower["node"])
+                lower.join(edges, edges["u"] == F.expr("pk DIV 16"))
                 .join(
                     succ.hint("shuffle_hash"),
-                    (F.col("src") == F.col("ws")) & (edges["v"] == F.col("wn")),
+                    (edges["v"] * 16 + F.expr("pk % 16")) == F.col("wpk"),
                 )
-                .groupBy("src", "node", "lvl", "sigma")
+                .groupBy("pk", "lvl", "sigma")
                 .agg(
                     F.sum(
                         F.expr(f"(sigma * ({_BC_Q} + wdq)) DIV wsig")
@@ -1269,14 +1287,13 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             lvl_d = (
                 lower.join(
                     contrib.select(
-                        F.col("src").alias("cs"), F.col("node").alias("cn"),
-                        F.col("dq").alias("cdq"),
+                        F.col("pk").alias("cpk"), F.col("dq").alias("cdq")
                     ),
-                    (F.col("src") == F.col("cs")) & (F.col("node") == F.col("cn")),
+                    F.col("pk") == F.col("cpk"),
                     "left",
                 )
                 .select(
-                    "src", "node", "lvl", "sigma",
+                    "pk", "lvl", "sigma",
                     F.coalesce(F.col("cdq"), F.lit(0)).cast("bigint").alias("dq"),
                 )
                 .localCheckpoint()
@@ -1284,7 +1301,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             deltas = lvl_d
             acc = acc.unionByName(lvl_d)  # legs checkpointed; no re-mat
         bc = (
-            acc.filter(F.col("node") != F.col("src"))
+            acc.select(
+                F.expr("pk DIV 16").alias("node"),
+                ((F.col("pk") % 16) * 2).alias("src"),
+                "dq",
+            )
+            .filter(F.col("node") != F.col("src"))
             .groupBy("node")
             .agg(F.sum("dq").cast("bigint").alias("bcq"))
         )
