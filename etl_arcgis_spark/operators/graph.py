@@ -412,15 +412,20 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     supp = e0.groupBy("s").agg(F.collect_list("c").alias("cs"))
+    # Push the higher-id predicate BELOW the distinct (optimization
+    # r13): x > c is elementwise, so filtering each supplier's peer
+    # list per edge row BEFORE flatten/array_distinct keeps the same
+    # distinct set (filter∘distinct == distinct∘filter for a pure
+    # per-element predicate) while halving the per-customer hash-set
+    # volume in expectation — the deg² element stream shrinks before
+    # the expensive dedup, not after.
     return (
         e0.repartition("c")
         .join(F.broadcast(supp), "s")
+        .select("c", F.expr("filter(cs, x -> x > c)").alias("cs_hi"))
         .groupBy("c")
         .agg(
-            F.expr(
-                "size(filter(array_distinct(flatten(collect_list(cs))), "
-                "x -> x > c))"
-            )
+            F.expr("size(array_distinct(flatten(collect_list(cs_hi))))")
             .cast("bigint")
             .alias("n_two_hop_peers")
         )

@@ -203,9 +203,9 @@ def test_optimization_doc_touched_queries_have_plan_dumps():
     if n < 13:
         return  # pre-convention round
     text = _read(os.path.basename(latest))
-    m = re.search(r"^Touched queries:(.*?)$", text, re.M | re.S)
+    m = re.search(r"^Touched queries:.*?(?=\n\n|\Z)", text, re.M | re.S)
     assert m, f"{latest} has no 'Touched queries:' list"
-    names = re.findall(r"`([a-z][a-z0-9_]+)`", m.group(0).split("\n\n")[0])
+    names = re.findall(r"`([a-z][a-z0-9_]+)`", m.group(0))
     assert names, f"'Touched queries:' list in {latest} is empty"
     missing = []
     for q in names:
