@@ -961,7 +961,18 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"doc_id": doc_id, "ph": phash64(pix)})
             yield pd.DataFrame(rows, columns=["doc_id", "ph"])
 
-    hashed = docs.mapInPandas(synth_hash, schema="doc_id bigint, ph long")
+    # Evaluate the Python synth+decode+DCT stage ONCE (optimization
+    # r13, guide §2.6/§4): the banded self-join consumes `bands` on
+    # both legs and the broadcast build side gives the planner no
+    # common exchange to reuse, so the un-checkpointed plan carried
+    # FOUR MapInPandas nodes — every image was synthesized, decoded
+    # and DCT-hashed four times per run. The checkpoint is |docs| rows
+    # of (doc_id, ph) — two longs — and at any scale re-decoding the
+    # corpus per join leg is exactly what the guide's "decide with
+    # small rows" rule forbids.
+    hashed = docs.mapInPandas(
+        synth_hash, schema="doc_id bigint, ph long"
+    ).localCheckpoint()
     bands = hashed.select(
         "doc_id",
         "ph",
